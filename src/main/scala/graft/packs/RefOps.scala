@@ -1,0 +1,196 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cleaning
+import graft.operators.{Regression, Reshape}
+
+/** Queries derived 1:1 from the reference's operator inventory
+  * (SURVEY.md §2), re-expressed over the driver's test tables per the
+  * §7.2 mapping. Every query ends in a total-order sort and every
+  * numeric output is normalized (long / rounded double) so the DuckDB
+  * oracle hash-matches bit-for-bit.
+  */
+object RefOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1–A4 / M3 — full-data OLS fit (the Lambda's deterministic path).
+    "q_m3_regression_fit" -> { (s, d) =>
+      Regression.fit(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
+    },
+
+    // M1/M2/A5 — deterministic modulo split, fit on train, RMSE on test.
+    "q_m1_train_test_rmse" -> { (s, d) =>
+      Regression.trainEval(Tables.lineitem(s, d), "l_orderkey", "l_quantity", "l_extendedprice")
+    },
+
+    // F1–F3 — the sanitization chain over deterministically dirtied text.
+    "q_f1f3_clean_chain" -> { (s, d) =>
+      val dirty = concat(
+        col("p_name"), lit(";"), lit("\t"), col("p_brand"), lit("\n"),
+        expr("chr(233)"), lit("\\t"), col("p_type"))
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          Cleaning.escapeDelimiter(dirty).as("f1"),
+          Cleaning.stripNonAscii(Cleaning.escapeDelimiter(dirty)).as("f2"),
+          Cleaning.cleanChain(dirty).as("cleaned"))
+        .orderBy("p_partkey")
+    },
+
+    // F5 + S7 — day truncation/reformat and GA dd/MM/yyyy round trip.
+    "q_f5_date_normalize" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          Cleaning.dayString(col("ts")).as("day"),
+          Cleaning.gaDayString(col("ts")).as("day_ga"),
+          Cleaning.parseGaDay(Cleaning.gaDayString(col("ts"))).cast("string").as("day_iso"))
+        .orderBy("event_id")
+    },
+
+    // R1/R2/P6/W1/O1 — unpivot with 1-based ordinal + mixed-direction sort.
+    "q_r2_unpivot_ordinal" -> { (s, d) =>
+      Reshape.unpivotWithOrdinal(Tables.part(s, d), col("p_partkey"), split(col("p_type"), " "))
+        .withColumnRenamed("id", "p_partkey")
+        .orderBy(col("p_partkey").desc, col("tag_number").asc)
+    },
+
+    // P4/P5/P6 — null-safe defaults + NA row drop.
+    "q_p5_null_default" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("__default__")).as("brand_or_default"),
+          nullif(col("p_type"), lit("")).as("type_nullable"),
+          col("p_size").cast("long").as("p_size"))
+        .na.drop("any", Seq("type_nullable"))
+        .filter(col("p_size") =!= 0)
+        .orderBy("p_partkey")
+    },
+
+    // J2/P1 — build array-of-structs per order, then flatten back out.
+    "q_j2_nested_flatten" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+      Reshape.nestThenFlatten(li, "l_orderkey", Seq("l_linenumber", "l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // J1/J4 — JSON parse of the events `props` payload.
+    "q_j1_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    // J3/W2/O4 — hierarchy flatten: orders are parents (flag 0),
+    // lineitems are replies (flag 1), unioned long-form.
+    "q_w2_hierarchy_flatten" -> { (s, d) =>
+      val parents = Tables.orders(s, d).select(
+        col("o_orderkey").as("thread_id"),
+        lit(0L).as("reply_flag"),
+        lit(0L).as("item_no"),
+        col("o_orderstatus").as("info"))
+      val children = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("thread_id"),
+        lit(1L).as("reply_flag"),
+        col("l_linenumber").cast("long").as("item_no"),
+        col("l_returnflag").as("info"))
+      Reshape.hierarchyFlatten(parents, children)
+        .orderBy("thread_id", "reply_flag", "item_no")
+    },
+
+    // O1 — multi-key mixed-direction sort (desc, asc, asc).
+    "q_o1_multikey_sort" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_returnflag").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_m3_regression_fit" ->
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS b1,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 6) AS b0,
+        |       count(*) AS n,
+        |       round(avg(l_quantity), 6) AS avg_x,
+        |       round(avg(l_extendedprice), 6) AS avg_y
+        |FROM lineitem""".stripMargin,
+
+    "q_m1_train_test_rmse" ->
+      """WITH coef AS (
+        |  SELECT regr_slope(l_extendedprice, l_quantity) AS b1,
+        |         regr_intercept(l_extendedprice, l_quantity) AS b0
+        |  FROM lineitem WHERE l_orderkey % 5 < 3)
+        |SELECT round(sqrt(avg(pow(b0 + b1 * l_quantity - l_extendedprice, 2))), 6) AS rmse,
+        |       round(any_value(b1), 6) AS b1,
+        |       round(any_value(b0), 6) AS b0,
+        |       count(*) AS n_test
+        |FROM lineitem, coef WHERE l_orderkey % 5 >= 3""".stripMargin,
+
+    "q_f1f3_clean_chain" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |         p_name || ';' || chr(9) || p_brand || chr(10) || chr(233) || '\t' || p_type AS dirty
+        |  FROM part),
+        |f1 AS (SELECT p_partkey, regexp_replace(dirty, ';', ',', 'g') AS f1 FROM t),
+        |f2 AS (SELECT p_partkey, f1, regexp_replace(f1, '[^\x00-\x7F]', '', 'g') AS f2 FROM f1)
+        |SELECT p_partkey, f1, f2,
+        |       regexp_replace(f2, '\\t|\\n|\\r|[\t\n\r]', '', 'g') AS cleaned
+        |FROM f2 ORDER BY p_partkey""".stripMargin,
+
+    "q_f5_date_normalize" ->
+      """SELECT event_id,
+        |       strftime(ts, '%Y/%m/%d') AS day,
+        |       strftime(ts, '%d/%m/%Y') AS day_ga,
+        |       CAST(CAST(strptime(strftime(ts, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS VARCHAR) AS day_iso
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_r2_unpivot_ordinal" ->
+      """SELECT * FROM (
+        |  SELECT p_partkey,
+        |         unnest(range(1, len(string_split(p_type, ' ')) + 1)) AS tag_number,
+        |         unnest(string_split(p_type, ' ')) AS tag_value
+        |  FROM part)
+        |ORDER BY p_partkey DESC, tag_number ASC""".stripMargin,
+
+    "q_p5_null_default" ->
+      """SELECT p_partkey,
+        |       coalesce(nullif(p_brand, 'Brand#13'), '__default__') AS brand_or_default,
+        |       nullif(p_type, '') AS type_nullable,
+        |       CAST(p_size AS BIGINT) AS p_size
+        |FROM part
+        |WHERE nullif(p_type, '') IS NOT NULL AND p_size <> 0
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_j2_nested_flatten" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_j1_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_w2_hierarchy_flatten" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS thread_id, CAST(0 AS BIGINT) AS reply_flag,
+        |         CAST(0 AS BIGINT) AS item_no, o_orderstatus AS info
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey, 1, CAST(l_linenumber AS BIGINT), l_returnflag FROM lineitem)
+        |ORDER BY thread_id, reply_flag, item_no""".stripMargin,
+
+    "q_o1_multikey_sort" ->
+      """SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem
+        |ORDER BY l_returnflag DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's t2 gate (dev tooling only — the
+Scala library has no Python dependency).
+
+Runs graft.Verify's parquet dumps against the DuckDB oracle SQL exactly
+the way the driver does: views named after the test tables, columns
+sorted by name, values compared exactly after row sort.
+
+Usage: tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonical row order: sort by every column (stringified for mixed types)
+    if len(df) > 0:
+        key = df.astype(str)
+        df = df.loc[key.sort_values(by=list(df.columns)).index]
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            want = norm(con.execute(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        eq = got.astype(str).eq(want.astype(str))
+        if not bool(eq.all().all()):
+            bad = (~eq.all(axis=1))
+            idx = list(bad[bad].index[:3])
+            print(f"FAIL {name}: {int(bad.sum())}/{len(got)} rows differ; first diffs:")
+            for i in idx:
+                for c in got.columns:
+                    if str(got.at[i, c]) != str(want.at[i, c]):
+                        print(f"  row {i} col {c}: spark={got.at[i, c]!r} duck={want.at[i, c]!r}")
+            n_fail += 1; continue
+        # dtype report (informational — driver may compare schemas)
+        dt = [(c, str(got[c].dtype), str(want[c].dtype))
+              for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+        note = f"  [dtype diff: {dt}]" if dt else ""
+        print(f"PASS {name} ({len(got)} rows){note}")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
