@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Numeric determinism helpers.
+  *
+  * Summing doubles is order-dependent; Spark's partial aggregation order
+  * varies run-to-run (and differs from any single-threaded oracle), so a
+  * raw `sum(double)` can drift in the last ulps. Casting each term to a
+  * fixed-scale decimal makes the sum exact and associative — identical on
+  * every engine and at every parallelism — then one cast back to double
+  * gives a stable, schema-friendly result. Scale 6 matters: every
+  * source expression here (2-decimal inputs, products of up to three of
+  * them) has ≤6 true decimal digits, so the nearest-scale-6 value IS the
+  * exact value on both engines — no round-half boundary for Spark's
+  * exact HALF_UP and DuckDB's scaled-double rounding to disagree on
+  * (at scale 4 they measurably did, ~33 rows per 60k on sum_charge).
+  */
+object Num {
+
+  /** Exact distributed sum of a double expression via DECIMAL(18,6). */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Deterministic mean built from the exact sum. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** The DuckDB spelling of [[dsum]] — keep the two in lockstep. */
+  def dsumSql(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  def davgSql(expr: String): String = s"${dsumSql(expr)} / count(*)"
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Num
+
+/** The analytical layer the reference's 5-table warehouse exists for but
+  * delegates to Postgres (SURVEY.md §2.4, §2.13): star joins, group-bys,
+  * windows, sessionization. All shapes chosen for 100 TB survival:
+  * dimension sides broadcast, fact-side aggregation is partial (map-side
+  * combine) before the single shuffle, windows partition by a
+  * high-cardinality key.
+  */
+object Warehouse {
+
+  /** Star join lineitem⋈orders⋈customer⋈nation⋈region.
+    *
+    * Scale shape: region/nation are tiny → `broadcast` hints (no
+    * shuffle); customer/orders are key-partitioned shuffle joins that
+    * AQE can re-plan (skew-split) at runtime. The aggregate runs
+    * map-side before the final exchange on the (region, nation) keys.
+    */
+  def starRevenue(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame): DataFrame =
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
+  /** Sessionization: split each user's event stream on gaps > `gapSec`
+    * seconds (lag + running sum — the batch equivalent of a streaming
+    * session window). Partitioned by user_id: each user's timeline sorts
+    * locally within its shuffle partition, no global sort. */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sec = unix_timestamp(col("ts"))
+    events
+      .withColumn("sec", sec)
+      .withColumn("prev_sec", lag("sec", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_sec").isNull || col("sec") - col("prev_sec") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        Num.dsum(col("value")).as("sum_value"))
+  }
+
+  /** Top-k rows per group by an explicit total order (ties broken by the
+    * caller's tiebreak column — never rely on row_number over a partial
+    * order). */
+  def topKPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+}

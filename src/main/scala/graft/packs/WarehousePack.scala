@@ -1,0 +1,237 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Num
+import graft.operators.Warehouse
+
+/** `x_`-prefixed analytical superset (SURVEY.md §2.13 / §7.2): the joins,
+  * group-bys, windows and set ops the reference's warehouse schema exists
+  * to support but delegates to Postgres. Float aggregates use
+  * [[Num.dsum]] (exact decimal sums) so results are bit-stable across
+  * engines and parallelism.
+  */
+object WarehousePack {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Star join over the full schema with broadcast dims + partial aggs.
+    "q_x_star_join_agg" -> { (s, d) =>
+      Warehouse.starRevenue(
+          Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+          Tables.nation(s, d), Tables.region(s, d))
+        .orderBy("r_name", "n_name")
+    },
+
+    // TPC-H Q1-shaped pricing summary with a pushed-down date predicate.
+    "q_x_groupby_q1" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Num.dsum(col("l_quantity")).as("sum_qty"),
+          Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Num.davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ROLLUP — subtotal rows carry NULL group keys (nulls-first order).
+    "q_x_rollup" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Num.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // CUBE — all grouping-set combinations.
+    "q_x_cube" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Num.dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Window ranking: top-3 parts per brand by price (total order).
+    "q_x_window_rank" -> { (s, d) =>
+      Warehouse.topKPerGroup(
+          Tables.part(s, d), Seq("p_brand"),
+          Seq(col("p_retailprice").desc, col("p_partkey").asc), 3)
+        .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+        .orderBy("p_brand", "rn")
+    },
+
+    // Two-stage top-k: aggregate per (event_type, user), then rank.
+    "q_x_topk_users" -> { (s, d) =>
+      val totals = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(Num.dsum(col("value")).as("total"))
+      Warehouse.topKPerGroup(
+          totals, Seq("event_type"),
+          Seq(col("total").desc, col("user_id").asc), 5)
+        .select(col("event_type"), col("rn"), col("user_id"), col("total"))
+        .orderBy("event_type", "rn")
+    },
+
+    // Set ops (dedup semantics).
+    "q_x_intersect" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    },
+    "q_x_except" -> { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    },
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "q_x_semi_join" -> { (s, d) =>
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      Tables.customer(s, d)
+        .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    "q_x_anti_join" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    // Batch sessionization (2-hour gap) — streaming analogue in §streaming.
+    "q_x_session_window" -> { (s, d) =>
+      Warehouse.sessionize(Tables.events(s, d), 7200L)
+        .select(col("user_id"), col("session_no"), col("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_no")
+    },
+
+    // A6-style keyed counting via the warehouse join (items per order).
+    "q_a6_count_per_key" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), Num.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }
+  )
+
+  private val dsumQty   = Num.dsumSql("l_quantity")
+  private val dsumPrice = Num.dsumSql("l_extendedprice")
+
+  val oracles: Map[String, String] = Map(
+    "q_x_star_join_agg" ->
+      s"""SELECT r_name, n_name,
+         |       ${Num.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |       count(DISTINCT o_orderkey) AS n_orders,
+         |       count(*) AS n_rows
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_x_groupby_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       $dsumQty AS sum_qty,
+         |       $dsumPrice AS sum_base_price,
+         |       ${Num.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |       ${Num.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |       ${Num.davgSql("l_quantity")} AS avg_qty,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_x_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, $dsumQty AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_x_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, $dsumPrice AS sum_price, count(*) AS n
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_x_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT p_brand,
+        |         CAST(row_number() OVER (PARTITION BY p_brand
+        |              ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rn,
+        |         p_partkey, p_retailprice
+        |  FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q_x_topk_users" ->
+      s"""WITH totals AS (
+         |  SELECT event_type, user_id, ${Num.dsumSql("value")} AS total
+         |  FROM events GROUP BY event_type, user_id)
+         |SELECT event_type, rn, user_id, total FROM (
+         |  SELECT event_type, user_id, total,
+         |         CAST(row_number() OVER (PARTITION BY event_type
+         |              ORDER BY total DESC, user_id ASC) AS BIGINT) AS rn
+         |  FROM totals)
+         |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    "q_x_intersect" ->
+      """SELECT c_custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_x_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_x_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_x_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_x_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+         |  FROM events),
+         |l AS (
+         |  SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+         |  FROM e),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 7200
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM l),
+         |sess AS (
+         |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+         |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         |  FROM f)
+         |SELECT user_id, session_no,
+         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |       count(*) AS n_events,
+         |       ${Num.dsumSql("value")} AS sum_value
+         |FROM sess GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_a6_count_per_key" ->
+      s"""SELECT o_orderkey, o_orderstatus, count(*) AS n_items, $dsumQty AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey, o_orderstatus
+         |ORDER BY o_orderkey""".stripMargin
+  )
+}
