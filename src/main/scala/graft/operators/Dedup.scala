@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale shapes (the point of each design):
+  *  - exact: one hash-partitioned groupBy on the text — the canonical
+  *    100 TB dedup; no driver state.
+  *  - jaccard: inverted-index self-join on shingles — cost Σ df(s)²;
+  *    bounded by `maxShingleDf` (drop ubiquitous shingles, standard
+  *    prefix-filtering practice) so a hot shingle can't explode the join.
+  *  - minhash: fixed-width signatures (16 mins in ONE groupBy pass — no
+  *    per-permutation explosion), banded bucket join → candidates only,
+  *    then exact-jaccard verification of the tiny candidate set.
+  *  - simhash: 60-bit signature per doc, 15-bit band join → hamming
+  *    filter. All integer arithmetic, engine-portable (md5-derived).
+  *  - embedding: exact pairwise for oracle-checkable semantics; the
+  *    sub-quadratic path at scale is Similarity.annTopK's LSH buckets.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document (default n=3). Documents
+    * shorter than n words contribute their whole text as one shingle. */
+  def wordShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
+  }
+
+  /** The DuckDB mirror of [[wordShingles]] as a CTE body. */
+  def wordShinglesSql(n: Int = 3): String =
+    s"""SELECT DISTINCT doc_id,
+       |       array_to_string(ws[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS shingle
+       |FROM (SELECT doc_id, ws,
+       |             unnest(range(1, greatest(len(ws) - ${n - 1}, 1) + 1)) AS i
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+
+  /** Exact dedup: keep the smallest doc_id per identical text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
+      .select(col("doc_id"), col("copies"))
+
+  /** All-pairs n-gram Jaccard ≥ minJ via inverted-index join. */
+  def jaccardPairs(shingles: DataFrame, minJ: Double,
+                   maxShingleDf: Long = 100000L): DataFrame = {
+    val filtered = shingles
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = filtered.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+    val b = filtered.withColumnsRenamed(Map("doc_id" -> "doc_b"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    withJaccard(inter, sizes, minJ)
+  }
+
+  /** Attach |A|,|B| and the jaccard i/(|A|+|B|−i); filter ≥ minJ. */
+  private def withJaccard(inter: DataFrame, sizes: DataFrame, minJ: Double): DataFrame = {
+    val sa = sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))
+    val sb = sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))
+    inter.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: one groupBy computing all k permutation minima
+    * as parallel aggregates (no row explosion). */
+  def minhashSignatures(shingles: DataFrame): DataFrame = {
+    val h = Hashing.md5Mod(col("shingle"))
+    val aggs = Hashing.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % Hashing.M).as(s"m$i")
+    }
+    shingles.withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the k=16 signature into 4 bands
+    * of 4 rows, bucket-join per band, then verify survivors with exact
+    * jaccard ≥ minJ. Only candidate pairs (a vanishing fraction at any
+    * scale) ever reach the verification join. */
+  def minhashLshPairs(shingles: DataFrame, minJ: Double): DataFrame = {
+    val sigs = minhashSignatures(shingles)
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"m${4 * j + r}").cast("string")): _*).as("bv"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = shingles.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+    val sb = shingles.withColumnsRenamed(Map("doc_id" -> "doc_b"))
+    val inter = cand
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    withJaccard(inter, sizes, minJ)
+  }
+
+  /** SimHash: 60-bit signature from md5-derived word hashes (term
+    * frequency weighted), computed as 60 parallel sums in one groupBy. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", Hashing.md5Long(col("w")))
+    val sumAggs = (0 until 60).map(j =>
+      sum(expr(s"((h >> $j) & 1) * 2 - 1")).as(s"s$j"))
+    val sig = (0 until 60)
+      .map(j => expr(s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END"))
+      .reduce(_ + _)
+    words.groupBy("doc_id")
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .withColumn("simhash", sig)
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 15-bit band join (a ≤maxHamming-bit
+    * difference must leave ≥1 of 4 bands identical for maxHamming ≤ 3;
+    * for larger budgets it is a high-recall heuristic), then exact
+    * hamming ≤ maxHamming via bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(docs)
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), expr(s"(simhash >> ${15 * c}) & 32767").as("cv"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+    val x = chunks.withColumnsRenamed(Map("doc_id" -> "doc_a", "simhash" -> "sig_a"))
+    val y = chunks.withColumnsRenamed(Map("doc_id" -> "doc_b", "simhash" -> "sig_b"))
+    x.join(y, Seq("c", "cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: exact pairwise cosine ≥ minCos (a < b).
+    * Quadratic by design — the oracle-checkable baseline; use the LSH
+    * path in [[Similarity]] when n makes this infeasible. */
+  def embeddingPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.withColumnsRenamed(Map("vec_id" -> "vec_a", "v" -> "va"))
+    val b = e.withColumnsRenamed(Map("vec_id" -> "vec_b", "v" -> "vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: quality scoring,
+  * token counting, marker-based language ID. All pure `Column` algebra
+  * (codegen'd, no UDFs); the fingerprint op lives in
+  * [[graft.functions.Poly31Hash]] as a native Expression.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** Language marker words, checked in priority order (en first) — the
+    * CASE cascade below must match the oracle SQL's cascade exactly. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "los", "una"),
+    "fr" -> Seq("le", "les", "une"),
+    "de" -> Seq("der", "und", "ein"))
+
+  private def countIn(words: Column, set: Seq[String]): Column =
+    size(filter(words, w => w.isin(set.map(x => x: Any): _*))).cast("long")
+
+  /** Length / word / stopword / punctuation statistics per document. */
+  def quality(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(words).cast("long").as("n_words"),
+      (length(expr("replace(text, ' ', '')")).cast("long") / size(words).cast("long"))
+        .as("avg_word_len"),
+      (countIn(words, stopwords) / size(words).cast("long")).as("stop_ratio"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digits"))
+  }
+
+  /** Whitespace tokens vs BPE-ish regex tokens (letter runs, digit runs,
+    * single punctuation) with a chars-per-token ratio. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val bpe = regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      bpe.as("bpe_tokens"),
+      (length(col("text")).cast("long") / bpe).as("chars_per_token"))
+  }
+
+  /** Marker-word language ID with a deterministic priority cascade. */
+  def langId(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        langMarkers.map { case (l, ms) => countIn(words, ms).as(s"s_$l") }): _*)
+    val Seq(en, es, fr, de) = langMarkers.map { case (l, _) => col(s"s_$l") }
+    scored.withColumn("predicted_lang",
+      when(en >= es && en >= fr && en >= de, "en")
+        .when(es >= fr && es >= de, "es")
+        .when(fr >= de, "fr")
+        .otherwise("de"))
+  }
+}

@@ -1,0 +1,238 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Hashing, Poly31Hash}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (the north-star extras in
+  * BASELINE.json): dedup ×5, similarity search, text analysis,
+  * multimodal plumbing. Oracle SQL is *generated* from the same Scala
+  * constants the Spark operators use (MinHash permutations, SimHash bit
+  * widths, thresholds), so both engines execute literally the same
+  * arithmetic. `q_sim_ann_lsh` is intentionally oracle-free: LSH
+  * candidate recall is probabilistic, so its gate is the recall spec in
+  * SimilaritySpec plus the driver's rows-only check.
+  */
+object PipelinePack {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val JACCARD_MIN = 0.5
+  private val HAMMING_MAX = 8
+  private val COS_MIN = 0.35
+  private val TOPK = 10
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    "q_dedup_jaccard" -> { (s, d) =>
+      Dedup.jaccardPairs(Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    },
+    "q_dedup_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    },
+    "q_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    },
+    "q_dedup_embedding" -> { (s, d) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, d), COS_MIN)
+        .orderBy("vec_a", "vec_b")
+    },
+    "q_sim_cosine_topk" -> { (s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0, TOPK)
+        .orderBy("query_id", "rn")
+    },
+    "q_sim_ann_lsh" -> { (s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0, TOPK, 64)
+        .orderBy("query_id", "rn")
+    },
+    "q_text_quality" -> { (s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    "q_text_tokens" -> { (s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    "q_text_langid" -> { (s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    "q_text_fingerprint" -> { (s, d) =>
+      Poly31Hash.register(s)
+      Tables.documents(s, d)
+        .selectExpr("doc_id", "poly31(text) AS fp")
+        .orderBy("doc_id")
+    },
+    "q_mm_decode" -> { (s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.packPayload(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")
+    }
+  )
+
+  // ---- oracle SQL generation (same constants as the Spark side) ----
+
+  private val sh = Dedup.wordShinglesSql()
+
+  private val jaccardTail =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |           JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val minhashSql: String = {
+    val m = Hashing.M
+    val minCols = Hashing.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $m) AS m$i"
+    }.mkString(",\n       ")
+    val bandSelects = (0 until 4).map { j =>
+      val cols = (0 until 4).map(r => s"m${4 * j + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws('_', $cols) AS bv FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS ($sh),
+       |hs AS (SELECT doc_id, ${Hashing.md5ModSql("shingle")} AS h FROM sh),
+       |sigs AS (SELECT doc_id,
+       |       $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |$jaccardTail""".stripMargin
+  }
+
+  private val simhashSql: String = {
+    val sums = (0 until 60).map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS s$j")
+      .mkString(",\n       ")
+    val sig = (0 until 60).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val chunkSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, simhash, $c AS c, (simhash >> ${15 * c}) & 32767 AS cv FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |h AS (SELECT doc_id, ${Hashing.md5LongSql("w")} AS h FROM w),
+       |sums AS (SELECT doc_id,
+       |       $sums
+       |  FROM h GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums),
+       |chunks AS (
+       |  $chunkSelects)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HAMMING_MAX
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Sequential left-fold dot product from 0.0 — matches Spark's
+    * `aggregate` fold exactly (same IEEE addition order). */
+  private def dotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i])), (p, q) -> p + q)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val wordsFilterSql: (Seq[String]) => String = set =>
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH sh AS ($sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |$jaccardTail""".stripMargin,
+
+    "q_dedup_minhash_lsh" -> minhashSql,
+
+    "q_dedup_simhash" -> simhashSql,
+
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |s AS (SELECT vec_a, vec_b, round(${cosSql("va", "vb")}, 6) AS cosine FROM p)
+         |SELECT vec_a, vec_b, cosine FROM s
+         |WHERE cosine >= $COS_MIN ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_sim_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |s AS (SELECT query_id, e.vec_id, round(${cosSql("qv", "v")}, 6) AS cosine
+         |      FROM q, e WHERE e.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+         |      FROM s)
+         |SELECT query_id, rn, vec_id, cosine FROM r
+         |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |       CAST(length(replace(text, ' ', '')) AS BIGINT)
+         |         / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_word_len,
+         |       ${wordsFilterSql(TextAnalysis.stopwords)}
+         |         / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
+         |       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |       CAST(length(text) AS BIGINT)
+        |         / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      val scores = TextAnalysis.langMarkers
+        .map { case (l, ms) => s"${wordsFilterSql(ms)} AS s_$l" }
+        .mkString(",\n       ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS actual_lang,
+         |       $scores
+         |  FROM documents)
+         |SELECT doc_id, actual_lang, s_en, s_es, s_fr, s_de,
+         |       CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |            WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |            WHEN s_fr >= s_de THEN 'fr'
+         |            ELSE 'de' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(range(1, len(text) + 1),
+         |                           i -> unicode(substr(text, CAST(i AS INT), 1)))),
+         |            (a, b) -> (a * 31 + b) % ${Poly31Hash.P}) AS BIGINT) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_decode" ->
+      """SELECT doc_id,
+        |       CAST(strlen(text) AS BIGINT) AS payload_len,
+        |       md5(text) AS payload_md5,
+        |       CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
