@@ -28,11 +28,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    packs.RefOps.queries ++ packs.WarehousePack.queries ++ packs.PipelinePack.queries
+    packs.RefOps.queries ++ packs.WarehousePack.queries ++
+      packs.PipelinePack.queries ++ packs.SinksPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used only for ops DuckDB cannot express). */
   def oracleSql: Map[String, String] =
-    packs.RefOps.oracles ++ packs.WarehousePack.oracles ++ packs.PipelinePack.oracles
+    packs.RefOps.oracles ++ packs.WarehousePack.oracles ++
+      packs.PipelinePack.oracles ++ packs.SinksPack.oracles
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.LongType
+import graft.functions.Num
+
+/** Structured Streaming surface. The reference is batch-only (`@daily`
+  * Airflow reruns, SURVEY.md §2.13); these are the streaming-idiomatic
+  * supersets: the same tumbling aggregation runs identically over a
+  * batch DataFrame (oracle-checkable) and a `readStream` source with a
+  * watermark (exercised in StreamingSpec against the batch result).
+  */
+object StreamOps {
+
+  /** Hourly tumbling window aggregate per event type — works on batch
+    * and streaming inputs alike (same Catalyst plan family). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming variant: parquet source + 2-hour watermark (bounds state
+    * at scale; the deterministic test feed has no late data, so the
+    * streaming result must equal the batch result exactly). */
+  def tumblingHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a directory; select the single table file
+    // out of the shared sfDir with a glob.
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    tumblingHourly(events.withWatermark("ts", "2 hours"))
+  }
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user count
+    * and total (the custom-state analogue of the reference's count
+    * accumulation, SURVEY.md §2.5 A6). */
+  def runningPerUser(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, total)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "a b c d e f g h i j"),
+    (1L, "a b c d e f g h i k"), // near-dup of 0
+    (2L, "z y x w v u t s r q"),
+    (3L, "a b c d e f g h i j") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val out = Dedup.exact(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("jaccard pairs find the planted near-dup (and the exact dup)") {
+    val set = Dedup.jaccardPairs(Dedup.wordShingles(docs), 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(set.contains((0L, 3L))) // exact dup, jaccard 1.0
+    assert(set.contains((0L, 1L)) && set.contains((1L, 3L))) // near-dups
+    assert(!set.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH finds exactly the jaccard pairs on real data") {
+    val sh = Dedup.wordShingles(Tables.documents(spark, TestSpark.sf0001))
+    val exact = Dedup.jaccardPairs(sh, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = Dedup.minhashLshPairs(sh, 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh == exact) // at jaccard ≈ .98, every band collides
+    assert(exact.nonEmpty)
+  }
+
+  test("simhash distance is small for near-dups, large for unrelated") {
+    val out = Dedup.simhashPairs(docs, 60)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Long]("hamming"))).toMap
+    assert(out((0L, 3L)) == 0L) // identical text → identical signature
+    assert(out.get((0L, 1L)).forall(_ <= 20L))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val pairs = Dedup.embeddingPairs(emb, 0.35).collect()
+    assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    assert(pairs.forall(r => r.getAs[Double]("cosine") >= 0.35))
+  }
+}

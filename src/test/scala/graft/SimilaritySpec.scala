@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → −1") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)),
+      (Seq(1.0, 1.0, 0.0), Seq(-1.0, -1.0, 0.0))
+    ).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine(col("a"), col("b")), 9))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("brute-force top-k is k rows per query, ranked desc") {
+    val out = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, TestSpark.sf0001), col("vec_id") % 100 === 0, 10)
+    val byQuery = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty && byQuery.values.forall(_.length == 10))
+    byQuery.values.foreach { rows =>
+      val cos = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN recalls a useful fraction of true top-k") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val pred = col("vec_id") % 100 === 0
+    val truth = Similarity.bruteForceTopK(emb, pred, 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val ann = Similarity.annTopK(emb, pred, 10, 64).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      ann.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean ANN recall@10 = $mean%.2f")
+    assert(mean >= 0.2) // random-gaussian data is LSH-hostile; bound is a floor
+  }
+}

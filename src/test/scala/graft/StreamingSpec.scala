@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming tumbling agg over the parquet feed equals the batch result") {
+    val q = StreamOps.tumblingHourlyStream(spark, TestSpark.sf0001)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = StreamOps.tumblingHourly(Tables.events(spark, TestSpark.sf0001))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals equal the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val stateful = StreamOps.runningPerUser(spark, events)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toMap
+    val batch = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"))).toMap
+    assert(stateful == batch)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Poly31Hash
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("poly31 expression matches the reference implementation") {
+    assert(Poly31Hash.hash("abc") == 96354L) // (('a'*31+'b')*31+'c') mod 2^31−1
+    assert(Poly31Hash.hash("") == 0L)
+    Poly31Hash.register(spark)
+    val viaSql = Seq("abc", "", "the fast key").toDF("t")
+      .selectExpr("poly31(t)").collect().map(_.getLong(0)).toSeq
+    assert(viaSql == Seq(96354L, 0L, Poly31Hash.hash("the fast key")))
+  }
+
+  test("quality stats on a known document") {
+    val r = TextAnalysis.quality(Seq((7L, "the a data 42")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Long]("n_chars") == 13L)
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Double]("stop_ratio") == 0.5)
+    assert(r.getAs[Long]("n_digits") == 2L)
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val r = TextAnalysis.tokenCounts(Seq((1L, "ab1 cd!2")).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Long]("ws_tokens") == 2L)
+    assert(r.getAs[Long]("bpe_tokens") == 5L) // ab|1|cd|!|2
+  }
+
+  test("language ID picks the marker-dense language, en on ties") {
+    val out = TextAnalysis.langId(Seq(
+      (1L, "el los el perro", "es"),
+      (2L, "the a of thing", "en"),
+      (3L, "nothing matches here", "zh")
+    ).toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted_lang"))).toMap
+    assert(out(1L) == "es")
+    assert(out(2L) == "en")
+    assert(out(3L) == "en") // all-zero scores fall through to the en branch
+  }
+
+  test("multimodal decode: payload bytes round-trip with correct digest") {
+    val feats = Multimodal.extractFeatures(spark,
+        Multimodal.packPayload(Seq((5L, "hello")).toDF("doc_id", "text")))
+      .collect().head
+    assert(feats.payload_len == 5L)
+    assert(feats.payload_md5 == "5d41402abc4b2a76b9719d911017c592")
+    assert(feats.first_byte == 'h'.toLong)
+  }
+}
