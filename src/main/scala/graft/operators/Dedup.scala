@@ -51,12 +51,19 @@ object Dedup {
   /** All-pairs n-gram Jaccard ≥ minJ via inverted-index join. */
   def jaccardPairs(shingles: DataFrame, minJ: Double,
                    maxShingleDf: Long = 100000L): DataFrame = {
-    val filtered = shingles
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The plan references the shingle table 4× (two join sides, sizes,
+    // hot set); shingle generation is lambda-heavy, so materialize it
+    // once instead of recomputing per reference. (At 100 TB this would
+    // be a parquet-materialized intermediate, same idea.)
+    val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-shingle cap as a broadcast anti-join against the (tiny) set of
+    // over-frequent shingles — not a window over every row, which would
+    // sort-shuffle the whole shingle table just to compute frequencies.
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("shingle")
+    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = filtered.withColumnsRenamed(Map("doc_id" -> "doc_a"))
     val b = filtered.withColumnsRenamed(Map("doc_id" -> "doc_b"))
     val inter = a.join(b, Seq("shingle"))
@@ -91,7 +98,8 @@ object Dedup {
     * of 4 rows, bucket-join per band, then verify survivors with exact
     * jaccard ≥ minJ. Only candidate pairs (a vanishing fraction at any
     * scale) ever reach the verification join. */
-  def minhashLshPairs(shingles: DataFrame, minJ: Double): DataFrame = {
+  def minhashLshPairs(rawShingles: DataFrame, minJ: Double): DataFrame = {
+    val shingles = rawShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(shingles)
     val bandCols = (0 until 4).map { j =>
       struct(lit(j).as("band"),
@@ -155,12 +163,12 @@ object Dedup {
     * Quadratic by design — the oracle-checkable baseline; use the LSH
     * path in [[Similarity]] when n makes this infeasible. */
   def embeddingPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = Similarity.normalized(emb)
     val a = e.withColumnsRenamed(Map("vec_id" -> "vec_a", "v" -> "va"))
     val b = e.withColumnsRenamed(Map("vec_id" -> "vec_b", "v" -> "vb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .withColumn("cosine", round(expr("dotp(va, vb)"), 6))
       .filter(col("cosine") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }

@@ -2,39 +2,50 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
 
 /** Similarity search over an embedding column (Array[Float] in parquet,
   * cast to double for engine-stable arithmetic).
   *
-  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline
-  *    and the oracle-checked query. The query side is tiny and broadcast;
-  *    the corpus streams through one scan, so the plan is a single
-  *    broadcast-nested-loop + per-query top-k (no shuffle of the corpus).
-  *  - [[annTopK]]: random-hyperplane LSH. Signatures are computed per
-  *    row (narrow), candidates come from banded signature-bucket joins,
-  *    and only candidates get exact scoring — the 100 TB shape where a
-  *    full cross join is impossible.
+  * Vectors are L2-normalized ONCE per row, so cosine degrades to a
+  * single dot product per pair, computed by the codegen'd native
+  * [[DotProduct]] expression (no boxed higher-order lambdas in the
+  * pairwise hot loop).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — correctness baseline,
+  *    oracle-checked. Tiny broadcast query side × one corpus scan.
+  *  - [[annTopK]]: random-hyperplane LSH — signatures per row (narrow),
+  *    banded bucket joins produce candidates, exact scoring only on
+  *    candidates. The sub-quadratic 100 TB shape.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns. `aggregate` folds
-    * left-to-right from 0.0 — the exact same sequential IEEE sum DuckDB's
-    * `list_reduce` produces, so values match the oracle bit-for-bit. */
+  /** Cosine via higher-order functions (reference formulation, used in
+    * specs; hot paths use [[normalized]] + [[DotProduct]]). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** vec_id + L2-normalized array<double> vector. Registers the dotp
+    * SQL function on the frame's session. */
+  def normalized(emb: DataFrame): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(expr("dotp(raw, raw)")))
+      .select(col("vec_id"), transform(col("raw"), x => x / col("nrm")).as("v"))
+  }
+
   /** Exact top-k neighbours for each query row (queries = `queryPred`),
     * ranked by rounded cosine desc with vec_id tiebreak. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e = normalized(emb)
     val q = e.filter(queryPred)
       .withColumnsRenamed(Map("vec_id" -> "query_id", "v" -> "qv"))
     val scored = broadcast(q).crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cosine", round(expr("dotp(qv, v)"), 6))
     Warehouse.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("vec_id").asc), k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
@@ -46,19 +57,19 @@ object Similarity {
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
 
+  private def planeSql(p: Array[Double]): String =
+    p.map(d => s"${d}D").mkString("array(", ", ", ")")
+
   /** LSH ANN top-k: 16-bit sign signature, banded into 4×4-bit buckets;
     * a pair is a candidate if any band matches; exact cosine ranks the
     * candidates. Probabilistic recall (see SimilaritySpec). */
   def annTopK(emb: DataFrame, queryPred: Column, k: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(16, dim)
-    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val lp = typedlit(p.toSeq)
-      when(aggregate(zip_with(col("v"), lp, (x, y) => x * y),
-        lit(0.0), (acc, d) => acc + d) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    val signed = e.withColumn("sig", sigBits.reduce(_ + _))
-    val banded = signed.select(col("vec_id"), col("v"), col("sig"),
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN dotp(v, ${planeSql(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val signed = normalized(emb).withColumn("sig", expr(sigExpr))
+    val banded = signed.select(col("vec_id"), col("v"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), expr(s"(sig >> ${4 * c}) & 15").as("cv"))): _*)).as("b"))
       .select(col("vec_id"), col("v"), col("b.c").as("c"), col("b.cv").as("cv"))
@@ -68,7 +79,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
       .distinct()
-    val scored = cand.withColumn("cosine", round(cosine(col("qv"), col("v")), 6))
+    val scored = cand.withColumn("cosine", round(expr("dotp(qv, v)"), 6))
     Warehouse.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("vec_id").asc), k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))

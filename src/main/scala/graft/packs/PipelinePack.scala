@@ -137,13 +137,18 @@ object PipelinePack {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Sequential left-fold dot product from 0.0 — matches Spark's
-    * `aggregate` fold exactly (same IEEE addition order). */
+  /** Sequential left-fold dot product from 0.0 — matches the native
+    * DotProduct expression exactly (same IEEE addition order). */
   private def dotSql(x: String, y: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i])), (p, q) -> p + q)"
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  /** L2-normalized vectors CTE — mirrors Similarity.normalized (divide
+    * each element by sqrt(self-dot), then plain dot = cosine). */
+  private val normalizedCte =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+       |e AS (SELECT vec_id,
+       |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
+       |      FROM e0)""".stripMargin
 
   private val wordsFilterSql: (Seq[String]) => String = set =>
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
@@ -166,17 +171,17 @@ object PipelinePack {
     "q_dedup_simhash" -> simhashSql,
 
     "q_dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $normalizedCte,
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
          |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
-         |s AS (SELECT vec_a, vec_b, round(${cosSql("va", "vb")}, 6) AS cosine FROM p)
+         |s AS (SELECT vec_a, vec_b, round(${dotSql("va", "vb")}, 6) AS cosine FROM p)
          |SELECT vec_a, vec_b, cosine FROM s
          |WHERE cosine >= $COS_MIN ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_sim_cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $normalizedCte,
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-         |s AS (SELECT query_id, e.vec_id, round(${cosSql("qv", "v")}, 6) AS cosine
+         |s AS (SELECT query_id, e.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
          |      FROM q, e WHERE e.vec_id <> query_id),
          |r AS (SELECT query_id, vec_id, cosine,
          |             CAST(row_number() OVER (PARTITION BY query_id
