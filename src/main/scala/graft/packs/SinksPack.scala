@@ -82,6 +82,43 @@ object SinksPack {
     "q_st_tumbling_hourly" -> { (s, d) =>
       StreamOps.tumblingHourly(Tables.events(s, d))
         .orderBy("hour_start", "event_type")
+    },
+
+    // S1/P1/J2/F5 — nested JSON fixture pages (the API page shape) →
+    // read back → explode/dot-path flatten → clean.
+    "q_s1_json_pages_flatten" -> { (s, d) =>
+      graft.pipeline.Pipeline.scrapeAndClean(s, d, tmpPath("pipe_s1", d))
+        .orderBy("video_id")
+    },
+
+    // S5 — whole-object text read.
+    "q_s5_text_object" -> { (s, d) =>
+      val path = tmpPath("text", d)
+      graft.sources.JsonFixtureSource.writeTextObject(Tables.region(s, d), "r_name", path)
+      graft.sources.JsonFixtureSource.readTextObject(s, path)
+        .agg(count(lit(1)).as("n"), sum(length(col("value"))).cast("long").as("sum_len"))
+    },
+
+    // S7 — Google-Analytics-shaped comma CSV with dd/MM/yyyy dates:
+    // write, read with explicit schema, parse dates, aggregate monthly.
+    "q_s7_ga_csv" -> { (s, d) =>
+      val path = tmpPath("ga", d)
+      Tables.events(s, d)
+        .select(
+          graft.functions.Cleaning.gaDayString(col("ts")).as("ga_date"),
+          col("value"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").schema("ga_date STRING, value DOUBLE").csv(path)
+        .select(graft.functions.Cleaning.parseGaDay(col("ga_date")).as("day"), col("value"))
+        .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), graft.functions.Num.dsum(col("value")).as("sum_value"))
+        .orderBy("month")
+    },
+
+    // §3.1 end-to-end: scrape-fixture → clean → CSV → warehouse →
+    // regression, one row out (the reference's whole DAG).
+    "q_pipeline_e2e" -> { (s, d) =>
+      graft.pipeline.Pipeline.run(s, d, tmpPath("pipeline", d))
     }
   )
 
@@ -113,6 +150,39 @@ object SinksPack {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |       event_type, count(*) AS n_events,
          |       ${Num.dsumSql("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_s1_json_pages_flatten" -> {
+      def cleanSql(e: String): String =
+        s"""regexp_replace(regexp_replace(regexp_replace($e, ';', ',', 'g'),
+           | '[^\\x00-\\x7F]', '', 'g'), '\\\\t|\\\\n|\\\\r|[\\t\\n\\r]', '', 'g')"""
+          .stripMargin.replace("\n", "")
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS video_id,
+         |       strftime(o_orderdate, '%Y/%m/%d') AS date,
+         |       ${cleanSql("o_orderpriority")} AS video_title,
+         |       ${cleanSql("o_orderstatus")} AS video_description
+         |FROM orders ORDER BY video_id""".stripMargin
+    },
+
+    "q_s5_text_object" ->
+      """SELECT count(*) AS n, CAST(sum(length(r_name)) AS BIGINT) AS sum_len
+        |FROM region""".stripMargin,
+
+    "q_s7_ga_csv" ->
+      s"""SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n,
+         |       ${Num.dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH stats AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS views,
+        |         count(*) AS comments
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT round(regr_slope(comments, views), 6) AS b1,
+        |       round(regr_intercept(comments, views), 6) AS b0,
+        |       count(*) AS n_videos,
+        |       round(avg(views), 6) AS avg_views
+        |FROM stats""".stripMargin
   )
 }

@@ -15,7 +15,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.log.level", "WARN")
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-test-warehouse")
+        s"${sys.props("java.io.tmpdir")}/graft-test-warehouse-${ProcessHandle.current().pid()}")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
