@@ -119,6 +119,43 @@ object SinksPack {
     // regression, one row out (the reference's whole DAG).
     "q_pipeline_e2e" -> { (s, d) =>
       graft.pipeline.Pipeline.run(s, d, tmpPath("pipeline", d))
+    },
+
+    // K1 date-stamped keys as real partitioned writes: land events
+    // partitioned by day, read back with a partition predicate — the
+    // scan touches ONE directory (partition pruning, the scale story
+    // behind the reference's dated S3 keys).
+    "q_k1_partitioned_dates" -> { (s, d) =>
+      val path = tmpPath("part_days", d)
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .filter(col("day") === "2024-01-15")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // Bucketed co-located join: both sides pre-bucketed on the join key
+    // → SortMergeJoin with NO exchange (at 100 TB this is the difference
+    // between a full-cluster shuffle and none).
+    "q_x_bucketed_join" -> { (s, d) =>
+      val ot = "graft_bkt_orders"
+      val lt = "graft_bkt_lineitem"
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      // MERGE hint: keep the sort-merge join so the plan demonstrates
+      // bucket co-location (zero exchange between scan and join) instead
+      // of AQE broadcasting the small test-scale side.
+      s.table(ot).hint("merge").join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -172,6 +209,17 @@ object SinksPack {
       s"""SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n,
          |       ${Num.dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_k1_partitioned_dates" ->
+      s"""SELECT event_type, count(*) AS n, ${Num.dsumSql("value")} AS sum_value
+         |FROM events
+         |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_x_bucketed_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${Num.dsumSql("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_pipeline_e2e" ->
       """WITH stats AS (

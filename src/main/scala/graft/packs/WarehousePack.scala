@@ -76,6 +76,14 @@ object WarehousePack {
         .orderBy("event_type", "rn")
     },
 
+    // DISTINCT over a projection.
+    "q_x_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // Set ops (dedup semantics).
     "q_x_intersect" -> { (s, d) =>
       Tables.customer(s, d).select(col("c_custkey"))
@@ -182,6 +190,10 @@ object WarehousePack {
          |              ORDER BY total DESC, user_id ASC) AS BIGINT) AS rn
          |  FROM totals)
          |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    "q_x_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_x_intersect" ->
       """SELECT c_custkey FROM customer
