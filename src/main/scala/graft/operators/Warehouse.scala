@@ -55,6 +55,24 @@ object Warehouse {
         Num.dsum(col("value")).as("sum_value"))
   }
 
+  /** Skew-safe equi-join: salt the (skewed) fact side deterministically
+    * with `saltOf` ∈ [0, buckets) and replicate the dim side once per
+    * salt value, so one hot key spreads over `buckets` reducers instead
+    * of melting a single one. Result is identical to the plain join —
+    * the salt is deterministic plan plumbing, not data. (AQE's skew-join
+    * handles this adaptively at runtime; this is the explicit form for
+    * when a static plan is required.) */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, saltOf: Column, buckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(saltOf, lit(buckets)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated,
+      salted(factKey) === replicated(dimKey) &&
+        salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
   /** Top-k rows per group by an explicit total order (ties broken by the
     * caller's tiebreak column — never rely on row_number over a partial
     * order). */

@@ -119,6 +119,31 @@ object WarehousePack {
         .orderBy("user_id", "session_no")
     },
 
+    // Skew-salted join — result must equal the plain join (the salt is
+    // plan plumbing only); oracle is the unsalted SQL join.
+    "q_x_salted_join" -> { (s, d) =>
+      Warehouse.saltedJoin(
+          Tables.lineitem(s, d), Tables.orders(s, d),
+          "l_orderkey", "o_orderkey", col("l_linenumber"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Frame-spec window: per-user running total and lag delta.
+    "q_x_window_running" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("running_n",
+          count(lit(1)).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("running_n"),
+          (col("value") - coalesce(col("prev_value"), lit(0.0))).as("delta"))
+        .orderBy("event_id")
+    },
+
     // A6-style keyed counting via the warehouse join (items per order).
     "q_a6_count_per_key" -> { (s, d) =>
       Tables.orders(s, d)
@@ -239,6 +264,20 @@ object WarehousePack {
          |       ${Num.dsumSql("value")} AS sum_value
          |FROM sess GROUP BY user_id, session_no
          |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_x_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |       ${Num.dsumSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_x_window_running" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_n,
+        |       value - coalesce(lag(value) OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id), 0.0) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_a6_count_per_key" ->
       s"""SELECT o_orderkey, o_orderstatus, count(*) AS n_items, $dsumQty AS sum_qty
