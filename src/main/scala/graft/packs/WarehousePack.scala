@@ -144,6 +144,33 @@ object WarehousePack {
         .orderBy("event_id")
     },
 
+    // As-of join, composed from built-ins (preference (a) in the custom-
+    // operator ladder): for each purchase event, the most recent prior
+    // signup second of the same user — a conditional running max over
+    // the unioned timeline, no custom physical operator needed.
+    "q_x_asof_event_join" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("asof_signup_sec",
+          max(when(col("event_type") === "signup", col("sec"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"),
+          col("asof_signup_sec"),
+          (col("sec") - col("asof_signup_sec")).as("secs_since_signup"))
+        .orderBy("event_id")
+    },
+
+    // Sketch surface: HyperLogLog++ distinct estimate next to the exact
+    // count (oracle-free by nature — see WarehouseSpec for the bound).
+    "q_x_approx_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
     // A6-style keyed counting via the warehouse join (items per order).
     "q_a6_count_per_key" -> { (s, d) =>
       Tables.orders(s, d)
@@ -264,6 +291,20 @@ object WarehousePack {
          |       ${Num.dsumSql("value")} AS sum_value
          |FROM sess GROUP BY user_id, session_no
          |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_x_asof_event_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(CASE WHEN event_type = 'signup' THEN sec END)
+        |         OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS asof_signup_sec
+        |  FROM e)
+        |SELECT event_id, user_id, sec, asof_signup_sec,
+        |       sec - asof_signup_sec AS secs_since_signup
+        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "q_x_salted_join" ->
       s"""SELECT o_orderpriority, count(*) AS n,

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Warehouse
+
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join result equals the plain join") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    val salted = Warehouse.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+      col("l_linenumber"), 8).count()
+    assert(salted == plain)
+  }
+
+  test("approx distinct is within the configured error of exact") {
+    val r = SparkEntry.queries("q_x_approx_distinct")(spark, TestSpark.sf0001)
+      .collect().head
+    val approx = r.getAs[Long]("approx_parts").toDouble
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.1)
+  }
+
+  test("sessionize splits on the gap and keeps per-user totals") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 10.0),
+      (2L, "2024-01-01 00:30:00", 1L, 5.0),  // same session (gap 30m < 2h)
+      (3L, "2024-01-01 05:00:00", 1L, 2.0),  // new session
+      (4L, "2024-01-01 00:00:00", 2L, 7.0)
+    ).toDF("event_id", "ts_s", "user_id", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("user_id"), col("value"))
+    val out = Warehouse.sessionize(events, 7200L)
+      .orderBy("user_id", "session_no").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2L)
+    assert(out(0).getAs[Double]("sum_value") == 15.0)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+  }
+}
