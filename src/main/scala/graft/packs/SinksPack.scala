@@ -121,6 +121,12 @@ object SinksPack {
       graft.pipeline.Pipeline.run(s, d, tmpPath("pipeline", d))
     },
 
+    // Sliding windows (each event in two 2-hour windows, hourly slide).
+    "q_st_sliding_2h" -> { (s, d) =>
+      StreamOps.sliding2hHourly(Tables.events(s, d))
+        .orderBy("win_start", "event_type")
+    },
+
     // K1 date-stamped keys as real partitioned writes: land events
     // partitioned by day, read back with a partition predicate — the
     // scan touches ONE directory (partition pruning, the scale story
@@ -209,6 +215,17 @@ object SinksPack {
       s"""SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n,
          |       ${Num.dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_st_sliding_2h" ->
+      """WITH w AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |         event_type FROM events
+        |  UNION ALL
+        |  SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S'),
+        |         event_type FROM events)
+        |SELECT win_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q_k1_partitioned_dates" ->
       s"""SELECT event_type, count(*) AS n, ${Num.dsumSql("value")} AS sum_value

@@ -40,6 +40,17 @@ object StreamOps {
     tumblingHourly(events.withWatermark("ts", "2 hours"))
   }
 
+  /** Sliding 2-hour windows every hour — each event lands in exactly two
+    * windows. Batch face is oracle-checkable (union of the two grid
+    * alignments); streaming face works unchanged. */
+  def sliding2hHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 
