@@ -159,6 +159,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster resolution: connected components over near-dup
+    * pairs by iterative min-label propagation (the distributed
+    * alternating-join form of union-find; converges in O(log n)
+    * diameter rounds, each a partial-agg join — the standard shape for
+    * graph fixpoints at cluster scale). Output: one row per document
+    * that appears in any pair, labeled with the smallest doc_id of its
+    * component (the canonical survivor). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("u"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"), coalesce(col("nbr_min"), col("l.cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint() // truncate lineage per round
+      converged = updated.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.withColumn("is_canonical",
+      when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+  }
+
   /** Embedding near-dup: exact pairwise cosine ≥ minCos (a < b).
     * Quadratic by design — the oracle-checkable baseline; use the LSH
     * path in [[Similarity]] when n makes this infeasible. */

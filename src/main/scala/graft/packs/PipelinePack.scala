@@ -39,6 +39,11 @@ object PipelinePack {
       Dedup.simhashPairs(Tables.documents(s, d), HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     },
+    "q_dedup_clusters" -> { (s, d) =>
+      Dedup.duplicateClusters(
+          Dedup.jaccardPairs(Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN))
+        .orderBy("doc_id")
+    },
     "q_dedup_embedding" -> { (s, d) =>
       Dedup.embeddingPairs(Tables.embeddings(s, d), COS_MIN)
         .orderBy("vec_a", "vec_b")
@@ -167,6 +172,33 @@ object PipelinePack {
          |$jaccardTail""".stripMargin,
 
     "q_dedup_minhash_lsh" -> minhashSql,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |             JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN doc_id = cluster_id THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS is_canonical
+         |FROM labels ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
 

@@ -46,6 +46,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out.get((0L, 1L)).forall(_ <= 20L))
   }
 
+  test("duplicate clusters: a chain collapses to one component, min id wins") {
+    val pairs = Seq((1L, 5L), (5L, 9L), (20L, 30L)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("is_canonical"))).toSet
+    assert(out == Set(
+      (1L, 1L, 1L), (5L, 1L, 0L), (9L, 1L, 0L),
+      (20L, 20L, 1L), (30L, 20L, 0L)))
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val pairs = Dedup.embeddingPairs(emb, 0.35).collect()
