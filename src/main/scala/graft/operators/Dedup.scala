@@ -167,9 +167,14 @@ object Dedup {
     * that appears in any pair, labeled with the smallest doc_id of its
     * component (the canonical survivor). */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val rawEdges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The fixpoint loop runs many tiny jobs; size its parallelism to the
+    // edge set, not the session default (a 50-row graph on 32 shuffle
+    // partitions pays ~30 empty tasks per round).
+    val nEdges = rawEdges.count()
+    val edges = if (nEdges < 100000L) rawEdges.coalesce(1) else rawEdges
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
