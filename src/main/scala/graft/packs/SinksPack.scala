@@ -91,6 +91,17 @@ object SinksPack {
         .orderBy("video_id")
     },
 
+    // S2/J3/W2 — commentThreads pages with optional replies: write the
+    // nested fixture, read back, flatten parents (flag 0) + replies
+    // (flag 1), null-guarding threads without replies.
+    "q_s2_comment_threads_flatten" -> { (s, d) =>
+      val path = tmpPath("threads", d)
+      graft.sources.JsonFixtureSource.writeCommentThreadPages(
+        s, Tables.orders(s, d), Tables.lineitem(s, d), path)
+      graft.sources.JsonFixtureSource.readAndFlattenCommentThreads(s, path)
+        .orderBy("video_id", "reply_flag", "likes")
+    },
+
     // S5 — whole-object text read.
     "q_s5_text_object" -> { (s, d) =>
       val path = tmpPath("text", d)
@@ -206,6 +217,23 @@ object SinksPack {
          |       ${cleanSql("o_orderstatus")} AS video_description
          |FROM orders ORDER BY video_id""".stripMargin
     },
+
+    "q_s2_comment_threads_flatten" ->
+      """SELECT * FROM (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS video_id,
+        |         strftime(o_orderdate, '%Y/%m/%d') AS date,
+        |         o_orderpriority AS comment,
+        |         o_orderstatus AS author,
+        |         CAST(o_orderkey % 100 AS BIGINT) AS likes,
+        |         CAST(0 AS BIGINT) AS reply_flag
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS VARCHAR),
+        |         strftime(l_shipdate, '%Y/%m/%d'),
+        |         l_returnflag, l_linestatus,
+        |         CAST(l_linenumber AS BIGINT), 1
+        |  FROM lineitem)
+        |ORDER BY video_id, reply_flag, likes""".stripMargin,
 
     "q_s5_text_object" ->
       """SELECT count(*) AS n, CAST(sum(length(r_name)) AS BIGINT) AS sum_len

@@ -76,6 +76,29 @@ object WarehousePack {
         .orderBy("event_type", "rn")
     },
 
+    // Pivot (the inverse of the R2 unpivot): event counts per user, one
+    // column per event type (explicit value list keeps the schema
+    // deterministic — never let pivot scan for values at scale).
+    "q_x_pivot" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // Vocabulary analysis: top-20 words by frequency with rank.
+    "q_x_word_topk" -> { (s, d) =>
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      Warehouse.topKPerGroup(counts.withColumn("g", lit(1)), Seq("g"),
+          Seq(col("n").desc, col("word").asc), 20)
+        .select(col("rn"), col("word"), col("n"))
+        .orderBy("rn")
+    },
+
     // DISTINCT over a projection.
     "q_x_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -242,6 +265,23 @@ object WarehousePack {
          |              ORDER BY total DESC, user_id ASC) AS BIGINT) AS rn
          |  FROM totals)
          |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    "q_x_pivot" -> {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"CAST(count(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t")
+        .mkString(",\n       ")
+      s"""SELECT user_id,
+         |       $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "q_x_word_topk" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+        |ranked AS (SELECT word, n,
+        |                  CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rn
+        |           FROM counts)
+        |SELECT rn, word, n FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin,
 
     "q_x_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -46,6 +46,67 @@ object JsonFixtureSource {
         coalesce(col("item.snippet.title"), lit("")).as("video_title"),
         coalesce(col("item.snippet.description"), lit("")).as("video_description"))
 
+  /** S2-shaped commentThreads pages: orders are top-level comments,
+    * their lineitems are replies. Orders with no lineitems get NO
+    * `replies` field (like the API) — the flatten must null-guard.
+    * Page shape: `{items: [{snippet: {topLevelComment: {snippet: {…}}},
+    * replies: {comments: [{snippet: {…}}]}}]}`. */
+  def writeCommentThreadPages(spark: SparkSession, orders: DataFrame,
+                              lineitem: DataFrame, path: String): Unit = {
+    val replySnippet = struct(
+      col("l_returnflag").as("textOriginal"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("publishedAt"),
+      col("l_orderkey").cast("string").as("videoId"),
+      col("l_linestatus").as("authorDisplayName"),
+      col("l_linenumber").cast("long").as("likeCount"))
+    val replies = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(replySnippet.as("snippet")))).as("comments"))
+    val threads = orders
+      .join(replies, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        (col("o_orderkey") / 50).cast("long").as("page"),
+        struct(
+          struct( // items[].snippet.topLevelComment.snippet — ref shape
+            struct(struct(
+              col("o_orderpriority").as("textOriginal"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("publishedAt"),
+              col("o_orderkey").cast("string").as("videoId"),
+              col("o_orderstatus").as("authorDisplayName"),
+              (col("o_orderkey") % 100).as("likeCount")).as("snippet"))
+              .as("topLevelComment")).as("snippet"),
+          when(col("comments").isNotNull,
+            struct(col("comments").as("comments"))).as("replies")).as("item"))
+    threads
+      .groupBy("page")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .select("items")
+      .write.mode("overwrite").json(path)
+  }
+
+  /** S2/J3/W2 — flatten the thread pages: top-level comments (flag 0)
+    * unioned with exploded replies (flag 1), null-guarding threads
+    * without a `replies` field (P4). */
+  def readAndFlattenCommentThreads(spark: SparkSession, path: String): DataFrame = {
+    val items = spark.read.json(path)
+      .select(explode(col("items")).as("item"))
+    def project(snippet: org.apache.spark.sql.Column, flag: Int) = Seq(
+      snippet.getField("videoId").as("video_id"),
+      date_format(to_timestamp(snippet.getField("publishedAt"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'"), "yyyy/MM/dd").as("date"),
+      snippet.getField("textOriginal").as("comment"),
+      snippet.getField("authorDisplayName").as("author"),
+      snippet.getField("likeCount").cast("long").as("likes"),
+      lit(flag.toLong).as("reply_flag"))
+    val parents = items.select(
+      project(col("item.snippet.topLevelComment.snippet"), 0): _*)
+    val children = items
+      .filter(col("item.replies").isNotNull)
+      .select(explode(col("item.replies.comments")).as("c"))
+      .select(project(col("c.snippet"), 1): _*)
+    parents.unionByName(children)
+  }
+
   /** S5 — whole-object text read (the reference reads its API key this
     * way): write one value per line, read with spark.read.text. */
   def writeTextObject(df: DataFrame, textCol: String, path: String): Unit =
