@@ -24,11 +24,15 @@ object JsonFixtureSource {
           date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("publishedAt"),
           col("o_orderpriority").as("title"),
           col("o_orderstatus").as("description")).as("snippet")).as("item"))
+    // broadcast 1-row max instead of a global window (an unpartitioned
+    // window funnels everything to one task).
+    val maxPage = items.agg(max(col("page")).as("max_page"))
     val pages = items
       .groupBy("page")
       .agg(sort_array(collect_list(col("item"))).as("items"))
+      .crossJoin(broadcast(maxPage))
       .withColumn("nextPageToken",
-        when(col("page") < max(col("page")).over(), concat(lit("tok_"), col("page") + 1)))
+        when(col("page") < col("max_page"), concat(lit("tok_"), col("page") + 1)))
     pages.select("items", "nextPageToken")
       .write.mode("overwrite").json(path)
   }
