@@ -76,6 +76,19 @@ object WarehousePack {
         .orderBy("event_type", "rn")
     },
 
+    // Typed Dataset surface: case-class encoders, typed filter/map, then
+    // back to relational aggregation (the Dataset[T] face of the engine).
+    "q_x_typed_dataset" -> { (s, d) =>
+      import s.implicits._
+      graft.TypedTables.lineitem(s, d)
+        .filter(li => li.l_quantity > 10.0 && li.l_returnflag != "N")
+        .map(li => (li.l_returnflag, li.l_extendedprice * (1.0 - li.l_discount)))
+        .toDF("flag", "net")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("net")).as("net_total"))
+        .orderBy("flag")
+    },
+
     // Pivot (the inverse of the R2 unpivot): event counts per user, one
     // column per event type (explicit value list keeps the schema
     // deterministic — never let pivot scan for values at scale).
@@ -265,6 +278,13 @@ object WarehousePack {
          |              ORDER BY total DESC, user_id ASC) AS BIGINT) AS rn
          |  FROM totals)
          |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    "q_x_typed_dataset" ->
+      s"""SELECT l_returnflag AS flag, count(*) AS n,
+         |       ${Num.dsumSql("l_extendedprice * (1 - l_discount)")} AS net_total
+         |FROM lineitem
+         |WHERE l_quantity > 10 AND l_returnflag <> 'N'
+         |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
 
     "q_x_pivot" -> {
       val cols = Seq("click", "error", "purchase", "signup", "view")
