@@ -47,6 +47,15 @@ object TextAnalysis {
       (length(col("text")).cast("long") / bpe).as("chars_per_token"))
   }
 
+  /** Curation gate: keep documents passing the quality thresholds — the
+    * filtering step a training-data pipeline runs after scoring. */
+  def qualityFilter(docs: DataFrame, minWords: Long, maxWords: Long,
+                    maxStopRatio: Double): DataFrame =
+    quality(docs)
+      .filter(col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("stop_ratio") <= maxStopRatio)
+      .select(col("doc_id"), col("n_words"), col("stop_ratio"))
+
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")

@@ -62,6 +62,17 @@ object PipelinePack {
     "q_text_tokens" -> { (s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
     },
+    "q_text_quality_filter" -> { (s, d) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, d), 10L, 200L, 0.25)
+        .orderBy("doc_id")
+    },
+    "q_text_corpus_stats" -> { (s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).cast("long").as("total_ws_tokens"),
+          sum(col("bpe_tokens")).cast("long").as("total_bpe_tokens"))
+    },
     "q_text_langid" -> { (s, d) =>
       TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")
     },
@@ -240,6 +251,23 @@ object PipelinePack {
         |       CAST(length(text) AS BIGINT)
         |         / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         ${wordsFilterSql(TextAnalysis.stopwords)}
+         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_words, stop_ratio FROM q
+         |WHERE n_words >= 10 AND n_words <= 200 AND stop_ratio <= 0.25
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_corpus_stats" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "q_text_langid" -> {
       val scores = TextAnalysis.langMarkers

@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * the test tables, written as JSON, and read back through the real
   * `spark.read.json` + explode + dot-path flatten path. The flattening
   * code is exactly what a live paginated-REST source would feed.
+  *
+  * Reference shapes: search pages `04_Airflow_Dag/
+  * thehoxtontrend_full_pipeline_final.py:135-159` flattened at
+  * `:173-178`; commentThreads pages `:231-265` flattened with the
+  * reply-depth union at `:286-303`; S5 whole-object read `:129-133`.
   */
 object JsonFixtureSource {
 
