@@ -106,6 +106,50 @@ object RefOps {
         .orderBy("thread_id", "reply_flag", "item_no")
     },
 
+    // §2.8 scalar-surface battery — string functions (beyond the F1–F3
+    // chain) with engine-portable semantics.
+    "q_f_string_funcs" -> { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        substring(col("p_name"), 2, 5).as("sub"),
+        trim(concat(lit("  "), col("p_type"), lit("  "))).as("trimmed"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("p_brand")).as("rev"),
+        length(col("p_name")).cast("long").as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+        .orderBy("p_partkey")
+    },
+
+    // §2.8 scalar-surface battery — math functions (per-row IEEE ops are
+    // bit-identical across engines; only ln/exp/pow get a guard round).
+    "q_f_math_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("a"),
+        ceil(col("l_extendedprice")).cast("long").as("c"),
+        floor(col("l_extendedprice")).cast("long").as("f"),
+        round(log(col("l_extendedprice") + 1), 6).as("ln_p"),
+        round(sqrt(col("l_quantity")), 6).as("sq"),
+        round(pow(col("l_discount"), 2), 6).as("d2"),
+        pmod(col("l_orderkey"), lit(7)).as("m7"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Null semantics: null-safe equality, coalesce, count(col) vs
+    // count(*), null-aware aggregation.
+    "q_x_null_semantics" -> { (s, d) =>
+      val withNulls = Tables.part(s, d)
+        .withColumn("maybe_brand", nullif(col("p_brand"), lit("Brand#13")))
+      withNulls.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("maybe_brand")).as("n_nonnull"),
+        sum(when(col("maybe_brand") <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_null"),
+        sum(when(col("maybe_brand").isNull, 1L).otherwise(0L)).as("n_isnull"),
+        countDistinct(col("maybe_brand")).as("n_distinct_nonnull"))
+    },
+
     // O1 — multi-key mixed-direction sort (desc, asc, asc).
     "q_o1_multikey_sort" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -187,6 +231,39 @@ object RefOps {
         |  UNION ALL
         |  SELECT l_orderkey, 1, CAST(l_linenumber AS BIGINT), l_returnflag FROM lineitem)
         |ORDER BY thread_id, reply_flag, item_no""".stripMargin,
+
+    "q_f_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS up,
+        |       lower(p_brand) AS lo,
+        |       substr(p_name, 2, 5) AS sub,
+        |       trim('  ' || p_type || '  ') AS trimmed,
+        |       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |       reverse(p_brand) AS rev,
+        |       CAST(length(p_name) AS BIGINT) AS len,
+        |       concat_ws('|', p_brand, p_type) AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_f_math_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       abs(l_discount - 0.05) AS a,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS c,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS f,
+        |       round(ln(l_extendedprice + 1), 6) AS ln_p,
+        |       round(sqrt(l_quantity), 6) AS sq,
+        |       round(pow(l_discount, 2), 6) AS d2,
+        |       l_orderkey % 7 AS m7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_x_null_semantics" ->
+      """WITH t AS (SELECT nullif(p_brand, 'Brand#13') AS maybe_brand FROM part)
+        |SELECT count(*) AS n_rows,
+        |       count(maybe_brand) AS n_nonnull,
+        |       CAST(sum(CASE WHEN maybe_brand IS NOT DISTINCT FROM NULL
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+        |       CAST(sum(CASE WHEN maybe_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_isnull,
+        |       count(DISTINCT maybe_brand) AS n_distinct_nonnull
+        |FROM t""".stripMargin,
 
     "q_o1_multikey_sort" ->
       """SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
