@@ -76,6 +76,33 @@ object WarehousePack {
         .orderBy("event_type", "rn")
     },
 
+    // Percentiles: exact linear-interpolation quantiles per group.
+    "q_x_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+          round(min(col("l_extendedprice")), 6).as("mn"),
+          round(max(col("l_extendedprice")), 6).as("mx"))
+        .orderBy("l_returnflag")
+    },
+
+    // Date/time battery over the order calendar.
+    "q_f_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        datediff(to_date(lit("2002-01-01")), col("o_orderdate")).cast("long").as("days_to_2002"))
+        .orderBy("o_orderkey")
+    },
+
     // Typed Dataset surface: case-class encoders, typed filter/map, then
     // back to relational aggregation (the Dataset[T] face of the engine).
     "q_x_typed_dataset" -> { (s, d) =>
@@ -278,6 +305,26 @@ object WarehousePack {
          |              ORDER BY total DESC, user_id ASC) AS BIGINT) AS rn
          |  FROM totals)
          |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+
+    "q_x_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+        |       round(min(l_extendedprice), 6) AS mn,
+        |       round(max(l_extendedprice), 6) AS mx
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_f_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_x_typed_dataset" ->
       s"""SELECT l_returnflag AS flag, count(*) AS n,
