@@ -24,15 +24,22 @@ import graft.functions.Hashing
 object Dedup {
 
   /** Distinct word n-gram shingles per document (default n=3). Documents
-    * shorter than n words contribute their whole text as one shingle. */
-  def wordShingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val words = split(col("text"), " ")
-    docs.select(
-      col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
-  }
+    * shorter than n words contribute their whole text as one shingle.
+    * n=3 goes through the native [[graft.functions.WordShingles]]
+    * expression (one primitive pass per row); other n fall back to the
+    * equivalent Column algebra. */
+  def wordShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    if (n == 3) {
+      graft.functions.WordShingles.register(docs.sparkSession)
+      docs.select(col("doc_id"), explode(expr("shingles3(text)")).as("shingle"))
+    } else {
+      val words = split(col("text"), " ")
+      docs.select(
+        col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))).as("shingle"))
+    }
 
   /** The DuckDB mirror of [[wordShingles]] as a CTE body. */
   def wordShinglesSql(n: Int = 3): String =
