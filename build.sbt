@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Emoji literals in Demojize.scala must survive any platform default.
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 name := "dataengineeringindividualassignmentspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

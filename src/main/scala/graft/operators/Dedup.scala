@@ -23,6 +23,17 @@ import graft.functions.Hashing
   */
 object Dedup {
 
+  /** Hot-shingle document-frequency cap shared by [[jaccardPairs]] and
+    * the generated oracle SQL (see [[hotShingleCte]]): shingles appearing
+    * in more than this many documents are dropped from the intersection
+    * join on BOTH engines, so oracle parity holds at every scale factor
+    * (an uncapped oracle would diverge the moment any shingle's df
+    * crosses the cap). Doc sizes stay uncapped on both sides, so the
+    * jaccard of unaffected pairs is exact; pairs that only intersect via
+    * ubiquitous shingles are treated as non-duplicates — the standard
+    * prefix-filtering trade. */
+  val MaxShingleDf: Long = 100000L
+
   /** Distinct word n-gram shingles per document (default n=3). Documents
     * shorter than n words contribute their whole text as one shingle.
     * n=3 goes through the native [[graft.functions.WordShingles]]
@@ -55,9 +66,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
       .select(col("doc_id"), col("copies"))
 
+  /** The DuckDB mirror of the hot-shingle cap: shingle set with
+    * df ≤ [[MaxShingleDf]], as a CTE body over a shingle CTE named `sh`. */
+  def hotShingleCteSql: String =
+    s"""SELECT * FROM sh WHERE shingle NOT IN (
+       |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $MaxShingleDf)""".stripMargin
+
   /** All-pairs n-gram Jaccard ≥ minJ via inverted-index join. */
   def jaccardPairs(shingles: DataFrame, minJ: Double,
-                   maxShingleDf: Long = 100000L): DataFrame = {
+                   maxShingleDf: Long = MaxShingleDf): DataFrame = {
     // The plan references the shingle table 4× (two join sides, sizes,
     // hot set); shingle generation is lambda-heavy, so materialize it
     // once instead of recomputing per reference. (At 100 TB this would
@@ -167,13 +184,20 @@ object Dedup {
   }
 
   /** Duplicate-cluster resolution: connected components over near-dup
-    * pairs by iterative min-label propagation (the distributed
-    * alternating-join form of union-find; converges in O(log n)
-    * diameter rounds, each a partial-agg join — the standard shape for
-    * graph fixpoints at cluster scale). Output: one row per document
-    * that appears in any pair, labeled with the smallest doc_id of its
-    * component (the canonical survivor). */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    * pairs by iterative min-label propagation with pointer doubling
+    * (the distributed alternating-join form of union-find). Each round
+    * does a neighbour-min step AND a label-of-label shortcut, so the
+    * propagation distance shrinks geometrically — components of
+    * diameter up to 2^maxIter converge, vs maxIter for plain
+    * propagation. Convergence is read from a `changed` flag aggregated
+    * over the SAME checkpointed frame the round produces (one cheap
+    * local scan), not a separate join against the previous labels.
+    * Output: one row per document that appears in any pair, labeled
+    * with the smallest doc_id of its component (the canonical
+    * survivor). Throws if the round cap is hit unconverged — silently
+    * returning partial labels would diverge from the oracle's
+    * transitive closure. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val rawEdges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -185,38 +209,76 @@ object Dedup {
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    var converged = false
+    var converged = labels.isEmpty
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr_min"))
-      val updated = labels.as("l")
+      val stepped = labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("u"), "left")
         .select(col("l.doc_id").as("doc_id"),
+          col("l.cluster_id").as("old_cluster"),
           least(col("l.cluster_id"), coalesce(col("nbr_min"), col("l.cluster_id")))
+            .as("mid_cluster"))
+      // Pointer doubling: jump to the label of the current label. Every
+      // cluster_id is itself a doc_id present in `labels`, so the join
+      // always resolves; `left` + coalesce only guards the final round.
+      val updated = stepped
+        .join(labels.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cluster")),
+          col("mid_cluster") === col("p_id"), "left")
+        .select(col("doc_id"), col("old_cluster"),
+          least(col("mid_cluster"), coalesce(col("p_cluster"), col("mid_cluster")))
             .as("cluster_id"))
+        .withColumn("changed",
+          (col("cluster_id") =!= col("old_cluster")).cast("long"))
         .localCheckpoint() // truncate lineage per round
-      converged = updated.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels = updated
+      converged = updated.agg(coalesce(sum(col("changed")), lit(0L)))
+        .first().getLong(0) == 0L
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: not converged after $maxIter rounds " +
+          s"(component diameter > 2^$maxIter?) — refusing to return partial labels")
     labels.withColumn("is_canonical",
       when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
   }
 
   /** Embedding near-dup: exact pairwise cosine ≥ minCos (a < b).
-    * Quadratic by design — the oracle-checkable baseline; use the LSH
-    * path in [[Similarity]] when n makes this infeasible. */
+    * Quadratic by design — the oracle-checkable baseline for small n;
+    * [[embeddingPairsLsh]] is the sub-quadratic production path. */
   def embeddingPairs(emb: DataFrame, minCos: Double): DataFrame = {
     val e = Similarity.normalized(emb)
     val a = e.withColumnsRenamed(Map("vec_id" -> "vec_a", "v" -> "va"))
     val b = e.withColumnsRenamed(Map("vec_id" -> "vec_b", "v" -> "vb"))
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(expr("dotp(va, vb)"), 6))
+      .filter(col("cosine") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Embedding near-dup, LSH-prefiltered: candidate pairs come from
+    * [[Similarity.bandedIds]]'s hyperplane buckets (id-only band rows
+    * self-joined per bucket — Σ bucket² work, never n²), then ONLY the
+    * candidates are exact-cosine-verified. Deterministic given the
+    * seeded hyperplanes, so the DuckDB oracle replays the identical
+    * signature arithmetic and the output is hash-gated like any exact
+    * query. This is the 100 TB shape for what [[embeddingPairs]] states
+    * quadratically. */
+  def embeddingPairsLsh(emb: DataFrame, minCos: Double, dim: Int): DataFrame = {
+    val e = Similarity.normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Similarity.bandedIds(e, dim)
+    val cand = bands.as("x").join(bands.as("y"), Seq("c", "cv"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .withColumn("cosine", round(expr("dotp(va, vb)"), 6))
       .filter(col("cosine") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cosine"))

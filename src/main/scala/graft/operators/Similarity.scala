@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, TopKAggregator}
 
 /** Similarity search over an embedding column (Array[Float] in parquet,
   * cast to double for engine-stable arithmetic).
@@ -15,8 +15,13 @@ import graft.functions.DotProduct
   *  - [[bruteForceTopK]]: exact cosine top-k — correctness baseline,
   *    oracle-checked. Tiny broadcast query side × one corpus scan.
   *  - [[annTopK]]: random-hyperplane LSH — signatures per row (narrow),
-  *    banded bucket joins produce candidates, exact scoring only on
-  *    candidates. The sub-quadratic 100 TB shape.
+  *    banded bucket joins produce id-only candidates, exact scoring only
+  *    on candidates. The sub-quadratic 100 TB shape.
+  *
+  * Ranking in both goes through a bounded per-group top-k Aggregator
+  * ([[graft.functions.TopKAggregator]]): partial top-k buffers combine
+  * map-side, so only O(k) rows per query per partition cross the
+  * shuffle — NOT the full scored set sorted under a window.
   */
 object Similarity {
 
@@ -37,6 +42,22 @@ object Similarity {
       .select(col("vec_id"), transform(col("raw"), x => x / col("nrm")).as("v"))
   }
 
+  /** Rank scored (group, score, id) rows to the top k per group via the
+    * bounded aggregator; emits (group, rn, id, score) with rn 1-based in
+    * (score desc, id asc) order — exactly ROW_NUMBER's output for the
+    * same total order, without shuffling more than k rows per group per
+    * partition. */
+  def heapTopK(scored: DataFrame, groupCol: String, scoreCol: String,
+               idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    scored.groupBy(col(groupCol))
+      .agg(topk(col(scoreCol), col(idCol)).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as(idCol), col("col._1").as(scoreCol))
+  }
+
   /** Exact top-k neighbours for each query row (queries = `queryPred`),
     * ranked by rounded cosine desc with vec_id tiebreak. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
@@ -45,43 +66,60 @@ object Similarity {
       .withColumnsRenamed(Map("vec_id" -> "query_id", "v" -> "qv"))
     val scored = broadcast(q).crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(expr("dotp(qv, v)"), 6))
-    Warehouse.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("cosine").desc, col("vec_id").asc), k)
+      .select(col("query_id"), col("vec_id"),
+        round(expr("dotp(qv, v)"), 6).as("cosine"))
+    heapTopK(scored, "query_id", "cosine", "vec_id", k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
   }
 
-  /** Deterministic random hyperplanes (seeded): nPlanes × dim. */
-  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
-  }
+  /** Deterministic random hyperplanes (seeded): nPlanes × dim. Shared
+    * with the DuckDB oracle, which embeds the same literals. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    }
 
   private def planeSql(p: Array[Double]): String =
     p.map(d => s"${d}D").mkString("array(", ", ", ")")
 
-  /** LSH ANN top-k: 16-bit sign signature, banded into 4×4-bit buckets;
-    * a pair is a candidate if any band matches; exact cosine ranks the
-    * candidates. Probabilistic recall (see SimilaritySpec). */
-  def annTopK(emb: DataFrame, queryPred: Column, k: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(16, dim)
-    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+  /** The 16-bit sign-signature expression over a normalized vector
+    * column `v`: bit i set iff dotp(v, plane_i) > 0. */
+  def signatureExpr(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN dotp(v, ${planeSql(p)}) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
-    val signed = normalized(emb).withColumn("sig", expr(sigExpr))
-    val banded = signed.select(col("vec_id"), col("v"),
-      explode(array((0 until 4).map(c =>
+
+  /** Band rows (vec_id, c, cv): the 16-bit signature split into 4 bands
+    * of 4 bits. Id-narrow on purpose — candidate generation joins these
+    * tiny rows, never the vectors. `e` must be a [[normalized]] frame. */
+  def bandedIds(e: DataFrame, dim: Int): DataFrame = {
+    val planes = hyperplanes(16, dim)
+    e.withColumn("sig", expr(signatureExpr(planes)))
+      .select(col("vec_id"), explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), expr(s"(sig >> ${4 * c}) & 15").as("cv"))): _*)).as("b"))
-      .select(col("vec_id"), col("v"), col("b.c").as("c"), col("b.cv").as("cv"))
-    val q = banded.filter(queryPred)
-      .withColumnsRenamed(Map("vec_id" -> "query_id", "v" -> "qv"))
-    val cand = q.join(banded, Seq("c", "cv"))
+      .select(col("vec_id"), col("b.c").as("c"), col("b.cv").as("cv"))
+  }
+
+  /** LSH ANN top-k: 16-bit sign signature, banded into 4×4-bit buckets;
+    * a pair is a candidate if any band matches; exact cosine ranks the
+    * candidates. Deterministic given the seed — the oracle replays the
+    * same hyperplanes in SQL. */
+  def annTopK(emb: DataFrame, queryPred: Column, k: Int, dim: Int): DataFrame = {
+    val e = normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandedIds(e, dim)
+    val qb = bands.filter(queryPred).withColumnRenamed("vec_id", "query_id")
+    val cand = qb.join(bands, Seq("c", "cv"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
-    val scored = cand.withColumn("cosine", round(expr("dotp(qv, v)"), 6))
-    Warehouse.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("cosine").desc, col("vec_id").asc), k)
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("dotp(qv, v)"), 6).as("cosine"))
+    heapTopK(scored, "query_id", "cosine", "vec_id", k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
   }
 }

@@ -10,10 +10,11 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   * BASELINE.json): dedup ×5, similarity search, text analysis,
   * multimodal plumbing. Oracle SQL is *generated* from the same Scala
   * constants the Spark operators use (MinHash permutations, SimHash bit
-  * widths, thresholds), so both engines execute literally the same
-  * arithmetic. `q_sim_ann_lsh` is intentionally oracle-free: LSH
-  * candidate recall is probabilistic, so its gate is the recall spec in
-  * SimilaritySpec plus the driver's rows-only check.
+  * widths, hyperplanes, thresholds), so both engines execute literally
+  * the same arithmetic. Even the probabilistic LSH queries
+  * (`q_sim_ann_lsh`, `q_dedup_embedding_lsh`) are hard-gated: the
+  * hyperplanes are seeded constants replayed verbatim in SQL, so the
+  * candidate sets are deterministic and hash-comparable.
   */
 object PipelinePack {
   type Q = (SparkSession, String) => DataFrame
@@ -22,6 +23,7 @@ object PipelinePack {
   private val HAMMING_MAX = 8
   private val COS_MIN = 0.35
   private val TOPK = 10
+  private val DIM = 64
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> { (s, d) =>
@@ -46,6 +48,10 @@ object PipelinePack {
     },
     "q_dedup_embedding" -> { (s, d) =>
       Dedup.embeddingPairs(Tables.embeddings(s, d), COS_MIN)
+        .orderBy("vec_a", "vec_b")
+    },
+    "q_dedup_embedding_lsh" -> { (s, d) =>
+      Dedup.embeddingPairsLsh(Tables.embeddings(s, d), COS_MIN, DIM)
         .orderBy("vec_a", "vec_b")
     },
     "q_sim_cosine_topk" -> { (s, d) =>
@@ -166,6 +172,31 @@ object PipelinePack {
        |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
        |      FROM e0)""".stripMargin
 
+  /** Hyperplane-LSH CTEs shared by the embedding-LSH dedup and ANN
+    * oracles: the SAME seeded hyperplanes as
+    * [[Similarity.hyperplanes]] embedded as literals, signatures via the
+    * same sequential-fold dot product (identical IEEE arithmetic → the
+    * sign test branches identically on both engines), banded 4×4 bits
+    * exactly like [[Similarity.bandedIds]]. Expects the `e` CTE
+    * (normalized vectors) to be in scope. */
+  private val lshCtes: String = {
+    val planes = Similarity.hyperplanes(16, DIM)
+    val planeVals = planes.zipWithIndex
+      .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""planes(p_id, p) AS (VALUES
+       |    $planeVals),
+       |sigs AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN ${dotSql("v", "p")} > 0
+       |                       THEN (CAST(1 AS BIGINT) << p_id) ELSE 0 END)
+       |              AS BIGINT) AS sig
+       |  FROM e, planes GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, c, (sig >> (4 * c)) & 15 AS cv
+       |  FROM sigs, (VALUES (0), (1), (2), (3)) t(c))""".stripMargin
+  }
+
   private val wordsFilterSql: (Seq[String]) => String = set =>
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
 
@@ -174,11 +205,15 @@ object PipelinePack {
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
+    // fsh mirrors the Spark side's hot-shingle df cap (Dedup.MaxShingleDf,
+    // same constant both engines) so parity survives scale factors where
+    // some shingle's df crosses the cap. Sizes stay uncapped on both sides.
     "q_dedup_jaccard" ->
       s"""WITH sh AS ($sh),
+         |fsh AS (${Dedup.hotShingleCteSql}),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |$jaccardTail""".stripMargin,
 
@@ -186,10 +221,11 @@ object PipelinePack {
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE sh AS ($sh),
+         |fsh AS (${Dedup.hotShingleCteSql}),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |pairs AS (
          |  SELECT doc_a, doc_b
@@ -220,6 +256,39 @@ object PipelinePack {
          |s AS (SELECT vec_a, vec_b, round(${dotSql("va", "vb")}, 6) AS cosine FROM p)
          |SELECT vec_a, vec_b, cosine FROM s
          |WHERE cosine >= $COS_MIN ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_dedup_embedding_lsh" ->
+      s"""WITH $normalizedCte,
+         |$lshCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y
+         |    ON x.c = y.c AND x.cv = y.cv AND x.vec_id < y.vec_id),
+         |p AS (SELECT vec_a, vec_b, a.v AS va, b.v AS vb
+         |      FROM cand JOIN e a ON a.vec_id = vec_a
+         |                JOIN e b ON b.vec_id = vec_b),
+         |s AS (SELECT vec_a, vec_b, round(${dotSql("va", "vb")}, 6) AS cosine FROM p)
+         |SELECT vec_a, vec_b, cosine FROM s
+         |WHERE cosine >= $COS_MIN ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_sim_ann_lsh" ->
+      s"""WITH $normalizedCte,
+         |$lshCtes,
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+         |  FROM bands q JOIN bands b
+         |    ON q.c = b.c AND q.cv = b.cv AND b.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0),
+         |s AS (SELECT c2.query_id, c2.vec_id,
+         |             round(${dotSql("a.v", "b.v")}, 6) AS cosine
+         |      FROM cand c2 JOIN e a ON a.vec_id = c2.query_id
+         |                   JOIN e b ON b.vec_id = c2.vec_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+         |      FROM s)
+         |SELECT query_id, rn, vec_id, cosine FROM r
+         |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
 
     "q_sim_cosine_topk" ->
       s"""WITH $normalizedCte,
@@ -293,6 +362,11 @@ object PipelinePack {
          |            (a, b) -> (a * 31 + b) % ${Poly31Hash.P}) AS BIGINT) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NOTE: strlen (bytes) vs the Spark side's payload byte length, and
+    // unicode(first char) vs first payload byte, agree only for ASCII
+    // text — which the synthetic documents table guarantees. If non-ASCII
+    // testdata ever lands, switch to octet_length(encode(text)) and a
+    // byte-indexed first_byte on the oracle side.
     "q_mm_decode" ->
       """SELECT doc_id,
         |       CAST(strlen(text) AS BIGINT) AS payload_len,

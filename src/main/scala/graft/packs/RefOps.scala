@@ -3,7 +3,7 @@ package graft.packs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Cleaning
+import graft.functions.{Cleaning, Demojize}
 import graft.operators.{Regression, Reshape}
 
 /** Queries derived 1:1 from the reference's operator inventory
@@ -38,6 +38,23 @@ object RefOps {
           Cleaning.stripNonAscii(Cleaning.escapeDelimiter(dirty)).as("f2"),
           Cleaning.cleanChain(dirty).as("cleaned"))
         .orderBy("p_partkey")
+    },
+
+    // F4 — demojize: emoji → #*name#* over deterministically
+    // emoji-decorated text (documents are ASCII by construction, so the
+    // emoji under test are injected from the same shared constant list
+    // on both engines — two per row, exercising multi-codepoint
+    // skin-tone sequences and the longest-first ordering).
+    "q_f4_demojize" -> { (s, d) =>
+      val ems = Demojize.mapping.map(_._1)
+      val n = ems.size
+      def pick(idx: org.apache.spark.sql.Column) =
+        element_at(array(ems.map(lit): _*), (pmod(idx, lit(n)) + 1).cast("int"))
+      val raw = concat(col("text"), lit(" "), pick(col("doc_id")),
+        lit(" and "), pick(col("doc_id") * 7 + 3))
+      Tables.documents(s, d)
+        .select(col("doc_id"), Demojize.demojize(raw).as("demojized"))
+        .orderBy("doc_id")
     },
 
     // F5 + S7 — day truncation/reformat and GA dd/MM/yyyy round trip.
@@ -190,6 +207,16 @@ object RefOps {
         |SELECT p_partkey, f1, f2,
         |       regexp_replace(f2, '\\t|\\n|\\r|[\t\n\r]', '', 'g') AS cleaned
         |FROM f2 ORDER BY p_partkey""".stripMargin,
+
+    "q_f4_demojize" -> {
+      val ems = Demojize.mapping.map(_._1)
+      val n = ems.size
+      val emList = ems.map(e => s"'$e'").mkString("[", ", ", "]")
+      def pick(idx: String) = s"($emList)[$idx % $n + 1]"
+      val raw = s"(text || ' ' || ${pick("doc_id")} || ' and ' || ${pick("(doc_id * 7 + 3)")})"
+      s"""SELECT doc_id, ${Demojize.demojizeSql(raw)} AS demojized
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_f5_date_normalize" ->
       """SELECT event_id,

