@@ -100,6 +100,36 @@ object SinksPack {
         .orderBy("o_orderstatus")
     },
 
+    // K3 over a REAL JDBC sink (embedded Derby — ships with the JVM
+    // distribution's jar set, zero egress): batched `df.write.jdbc`
+    // create + append — the set-based replacement for the reference's
+    // per-row executemany/commit loop
+    // (04_Airflow_Dag/thehoxtontrend_full_pipeline_final.py:598-657) —
+    // then a PARTITIONED JDBC read-back (partitionColumn/numPartitions,
+    // the shape that lets 1000 executors each pull a key range instead
+    // of one task streaming the whole table).
+    "q_k3_jdbc_roundtrip" -> { (s, d) =>
+      System.setProperty("derby.stream.error.file", s"${sys.props("java.io.tmpdir")}/graft_derby.log")
+      val url = s"jdbc:derby:${tmpPath("derbydb", d)};create=true"
+      val table = "GRAFT_JDBC_ORDERS"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+      def writer(mode: String) = o.write.mode(mode).format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("batchsize", 1000)
+      writer("overwrite").save()
+      writer("append").save()
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "1").option("upperBound", "1000000")
+        .option("numPartitions", "8")
+        .load()
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
     // A5/§2.12 — RMSE via the typed Aggregator vs the closed form: the
     // two columns must agree (and both match the oracle's formula).
     "q_a5_rmse_udaf" -> { (s, d) =>
@@ -226,6 +256,10 @@ object SinksPack {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_k3_table_append" ->
+      """SELECT o_orderstatus, CAST(2 * count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_k3_jdbc_roundtrip" ->
       """SELECT o_orderstatus, CAST(2 * count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
