@@ -25,9 +25,11 @@ import graft.functions.Cleaning
   *    description table's 201 video_ids.
   */
 class GoldenParitySpec extends AnyFunSuite {
-  // `[` / `]` are glob metacharacters to Hadoop's path resolution —
-  // escape them so the literal directory name matches.
-  private val dir = "/root/reference/02_YouTube_API_Tables\\[Test_Run\\]"
+  // `[` / `]` are glob metacharacters to Hadoop's path listing (the
+  // multiLine CSV reader goes through BinaryFileRDD's glob, where
+  // backslash escapes are NOT honored) — so copy the goldens once per
+  // JVM to a bracket-free temp dir and read from there.
+  private lazy val dir: String = GoldenParitySpec.bracketFreeDir
   private lazy val spark = TestSpark.spark
 
   private def goldenCsv(name: String) =
@@ -119,5 +121,21 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(tagsDf.select("video_id").distinct().exceptAll(dv).isEmpty)
     assert(dv.exceptAll(tagsDf.select("video_id").distinct()).isEmpty)
     assert(comments.count() === 18952L)
+  }
+}
+
+object GoldenParitySpec {
+  /** Copies the reference's golden CSVs out of the bracketed directory
+    * (a Hadoop-glob hazard) into a plain temp path, once per JVM.
+    */
+  lazy val bracketFreeDir: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get("/root/reference/02_YouTube_API_Tables[Test_Run]")
+    val dst = Files.createTempDirectory("golden_csv_")
+    Files.list(src).forEach { p =>
+      Files.copy(p, dst.resolve(p.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst.toFile.deleteOnExit()
+    dst.toString
   }
 }
