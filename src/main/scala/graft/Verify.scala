@@ -37,6 +37,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release caches an operator persisted (annTopK, jaccardPairs, …):
+      // across ~60 queries in one session the MEMORY_AND_DISK handles
+      // would otherwise accumulate for the life of the JVM.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -22,8 +22,16 @@ class TopKAggregator(k: Int)
 
   // Strict total order: score desc, then id asc (the same tiebreak the
   // oracle's ROW_NUMBER ... ORDER BY score DESC, id ASC applies).
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare keeps the order total when a NaN score
+  // appears (zero-norm vector: 0/0): NaN sorts as the LARGEST value —
+  // the same place DuckDB's ORDER BY ... DESC puts it — instead of
+  // making sortWith's ordering non-strict via raw `>`. `+ 0.0`
+  // canonicalizes -0.0 to 0.0 so the two zeros tie (as SQL comparison
+  // does) rather than ordering -0.0 < 0.0 as Double.compare would.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1 + 0.0, b._1 + 0.0)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
     if (s.length <= 4 * k) s else s.sortWith(better).take(k)
@@ -41,4 +49,35 @@ class TopKAggregator(k: Int)
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}
+
+/** [[TopKAggregator]]'s (count, word) sibling for string-keyed ranking
+  * — count DESC, word ASC, the ROW_NUMBER order of a vocabulary top-k.
+  * Exact long counts, so no float-order subtleties. Same bounded-buffer
+  * contract: at most `4k` candidates per partial, O(k) rows per
+  * partition across the shuffle — what replaces the row_number-over-
+  * lit(1)-window shape that funnels an entire vocabulary through one
+  * task. */
+class TopKStringAggregator(k: Int)
+    extends Aggregator[(Long, String), Seq[(Long, String)], Seq[(Long, String)]] {
+
+  private def better(a: (Long, String), b: (Long, String)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(s: Seq[(Long, String)]): Seq[(Long, String)] =
+    if (s.length <= 4 * k) s else s.sortWith(better).take(k)
+
+  override def zero: Seq[(Long, String)] = Vector.empty
+
+  override def reduce(b: Seq[(Long, String)], in: (Long, String)): Seq[(Long, String)] =
+    trim(b :+ in)
+
+  override def merge(a: Seq[(Long, String)], b: Seq[(Long, String)]): Seq[(Long, String)] =
+    trim(a ++ b)
+
+  override def finish(b: Seq[(Long, String)]): Seq[(Long, String)] =
+    b.sortWith(better).take(k)
+
+  override def bufferEncoder: Encoder[Seq[(Long, String)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Long, String)]] = ExpressionEncoder()
 }

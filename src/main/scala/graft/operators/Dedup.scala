@@ -67,10 +67,16 @@ object Dedup {
       .select(col("doc_id"), col("copies"))
 
   /** The DuckDB mirror of the hot-shingle cap: shingle set with
-    * df ≤ [[MaxShingleDf]], as a CTE body over a shingle CTE named `sh`. */
+    * df ≤ [[MaxShingleDf]], as a CTE body over a shingle CTE named `sh`.
+    * NOT EXISTS (not NOT IN) so NULL semantics match the Spark side's
+    * left_anti join exactly: a NULL shingle row is KEPT by both — under
+    * NOT IN it would be dropped, and a NULL in the hot set would empty
+    * the whole filter. */
   def hotShingleCteSql: String =
-    s"""SELECT * FROM sh WHERE shingle NOT IN (
-       |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > $MaxShingleDf)""".stripMargin
+    s"""SELECT * FROM sh s WHERE NOT EXISTS (
+       |  SELECT 1 FROM (SELECT shingle FROM sh GROUP BY shingle
+       |                 HAVING count(*) > $MaxShingleDf) h
+       |  WHERE h.shingle = s.shingle)""".stripMargin
 
   /** All-pairs n-gram Jaccard ≥ minJ via inverted-index join. */
   def jaccardPairs(shingles: DataFrame, minJ: Double,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{DotProduct, TopKAggregator}
+import graft.functions.{DotProduct, TopKAggregator, TopKStringAggregator}
 
 /** Similarity search over an embedding column (Array[Float] in parquet,
   * cast to double for engine-stable arithmetic).
@@ -56,6 +56,20 @@ object Similarity {
       .select(col(groupCol), posexplode(col("top")))
       .select(col(groupCol), (col("pos") + 1).cast("long").as("rn"),
         col("col._2").as(idCol), col("col._1").as(scoreCol))
+  }
+
+  /** Global (ungrouped) bounded top-k over (count, word) rows — count
+    * desc, word asc, 1-based rn — via [[TopKStringAggregator]]. Partial
+    * buffers combine map-side, so each partition contributes at most
+    * O(k) rows to the single final-merge task, vs a row_number window
+    * over `lit(1)` that sorts the ENTIRE vocabulary in one task. */
+  def heapTopKWords(counts: DataFrame, scoreCol: String, wordCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKStringAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String)]())
+    counts.agg(topk(col(scoreCol), col(wordCol)).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as(wordCol), col("col._1").as(scoreCol))
   }
 
   /** Exact top-k neighbours for each query row (queries = `queryPred`),

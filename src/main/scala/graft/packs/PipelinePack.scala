@@ -24,6 +24,12 @@ object PipelinePack {
   private val COS_MIN = 0.35
   private val TOPK = 10
   private val DIM = 64
+  /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
+    * oracle-definition query runs on a bounded `vec_id < cap` slice (same
+    * predicate both engines — still oracle-exact), so no benched query is
+    * O(n²) in the table size at any scale factor. The full-table path is
+    * [[Dedup.embeddingPairsLsh]] (`q_dedup_embedding_lsh`). */
+  private val EXACT_PAIRS_CAP = 1000L
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> { (s, d) =>
@@ -47,7 +53,8 @@ object PipelinePack {
         .orderBy("doc_id")
     },
     "q_dedup_embedding" -> { (s, d) =>
-      Dedup.embeddingPairs(Tables.embeddings(s, d), COS_MIN)
+      Dedup.embeddingPairs(
+          Tables.embeddings(s, d).filter(col("vec_id") < EXACT_PAIRS_CAP), COS_MIN)
         .orderBy("vec_a", "vec_b")
     },
     "q_dedup_embedding_lsh" -> { (s, d) =>
@@ -165,12 +172,16 @@ object PipelinePack {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i])), (p, q) -> p + q)"
 
   /** L2-normalized vectors CTE — mirrors Similarity.normalized (divide
-    * each element by sqrt(self-dot), then plain dot = cosine). */
-  private val normalizedCte =
-    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+    * each element by sqrt(self-dot), then plain dot = cosine). `where`
+    * lets the exact-baseline oracle apply the same vec_id cap the Spark
+    * side does before normalization. */
+  private def normalizedCteWhere(where: String): String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings$where),
        |e AS (SELECT vec_id,
        |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
        |      FROM e0)""".stripMargin
+
+  private val normalizedCte = normalizedCteWhere("")
 
   /** Hyperplane-LSH CTEs shared by the embedding-LSH dedup and ANN
     * oracles: the SAME seeded hyperplanes as
@@ -250,7 +261,7 @@ object PipelinePack {
     "q_dedup_simhash" -> simhashSql,
 
     "q_dedup_embedding" ->
-      s"""WITH $normalizedCte,
+      s"""WITH ${normalizedCteWhere(s" WHERE vec_id < $EXACT_PAIRS_CAP")},
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
          |      FROM e a JOIN e b ON a.vec_id < b.vec_id),
          |s AS (SELECT vec_a, vec_b, round(${dotSql("va", "vb")}, 6) AS cosine FROM p)

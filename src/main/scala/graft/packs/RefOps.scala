@@ -212,7 +212,10 @@ object RefOps {
       val ems = Demojize.mapping.map(_._1)
       val n = ems.size
       val emList = ems.map(e => s"'$e'").mkString("[", ", ", "]")
-      def pick(idx: String) = s"($emList)[$idx % $n + 1]"
+      // (x % n + n) % n mirrors Spark's pmod for ANY sign of x — DuckDB's
+      // plain % returns a negative remainder for negative x, which would
+      // index out of range if doc_id were ever negative.
+      def pick(idx: String) = s"($emList)[(($idx) % $n + $n) % $n + 1]"
       val raw = s"(text || ' ' || ${pick("doc_id")} || ' and ' || ${pick("(doc_id * 7 + 3)")})"
       s"""SELECT doc_id, ${Demojize.demojizeSql(raw)} AS demojized
          |FROM documents ORDER BY doc_id""".stripMargin

@@ -119,11 +119,18 @@ object SinksPack {
         .option("batchsize", 1000)
       writer("overwrite").save()
       writer("append").save()
+      // Partition bounds from the ACTUAL key range of the written frame —
+      // hardcoded bounds skew at other scale factors (every key above the
+      // constant upperBound lands in the final stride partition). One tiny
+      // agg on the source parquet; at 100 TB this would be a dictionary /
+      // catalog-stats lookup, same idea.
+      val mm = o.agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       s.read.format("jdbc")
         .option("url", url).option("dbtable", table)
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("partitionColumn", "o_orderkey")
-        .option("lowerBound", "1").option("upperBound", "1000000")
+        .option("lowerBound", lo.toString).option("upperBound", (hi + 1).toString)
         .option("numPartitions", "8")
         .load()
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))

@@ -128,13 +128,16 @@ object WarehousePack {
         .orderBy("user_id")
     },
 
-    // Vocabulary analysis: top-20 words by frequency with rank.
+    // Vocabulary analysis: top-20 words by frequency with rank. Ranking
+    // goes through the bounded heap aggregator (map-side partial top-k,
+    // O(k) rows per partition to the final merge) — NOT a row_number
+    // window over a constant group, which would funnel every distinct
+    // word of a 100 TB corpus's vocabulary through one task.
     "q_x_word_topk" -> { (s, d) =>
       val counts = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
-      Warehouse.topKPerGroup(counts.withColumn("g", lit(1)), Seq("g"),
-          Seq(col("n").desc, col("word").asc), 20)
+      graft.operators.Similarity.heapTopKWords(counts, "n", "word", 20)
         .select(col("rn"), col("word"), col("n"))
         .orderBy("rn")
     },
@@ -226,12 +229,19 @@ object WarehousePack {
         .orderBy("event_id")
     },
 
-    // Sketch surface: HyperLogLog++ distinct estimate next to the exact
-    // count (oracle-free by nature — see WarehouseSpec for the bound).
+    // Sketch surface: HyperLogLog++ distinct estimate, half-gated — the
+    // exact count is oracle-checked (rows/schema/hash), and the sketch is
+    // gated through a derived bounded-error verdict the oracle asserts as
+    // a literal 1 (the estimate itself can't hash-match across engines:
+    // DuckDB's HLL is a different implementation). The raw estimate's
+    // error bound is additionally spec-bound in WarehouseSpec.
     "q_x_approx_distinct" -> { (s, d) =>
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).cast("long").as("approx_within_5pct"))
     },
 
     // A6-style keyed counting via the warehouse join (items per order).
@@ -431,6 +441,14 @@ object WarehousePack {
       s"""SELECT o_orderkey, o_orderstatus, count(*) AS n_items, $dsumQty AS sum_qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderkey, o_orderstatus
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+
+    // Half-gate: the exact column must hash-match; the sketch is asserted
+    // through the bounded-error verdict (1 iff |approx−exact| ≤ 5%·exact,
+    // which HLL at rsd=0.02 satisfies with overwhelming margin).
+    "q_x_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       CAST(1 AS BIGINT) AS approx_within_5pct
+        |FROM lineitem""".stripMargin
   )
 }

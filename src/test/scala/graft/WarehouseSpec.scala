@@ -17,11 +17,19 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("approx distinct is within the configured error of exact") {
-    val r = SparkEntry.queries("q_x_approx_distinct")(spark, TestSpark.sf0001)
-      .collect().head
+    // Raw-estimate bound (the query itself now emits the derived verdict
+    // column, so assert the underlying sketch error here directly).
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts")).collect().head
     val approx = r.getAs[Long]("approx_parts").toDouble
     val exact = r.getAs[Long]("exact_parts").toDouble
     assert(math.abs(approx - exact) / exact < 0.1)
+    // And the shipped query's verdict column is 1 (within 5%).
+    val q = SparkEntry.queries("q_x_approx_distinct")(spark, TestSpark.sf0001)
+      .collect().head
+    assert(q.getAs[Long]("approx_within_5pct") == 1L)
   }
 
   test("sessionize splits on the gap and keeps per-user totals") {
