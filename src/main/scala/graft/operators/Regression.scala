@@ -36,15 +36,16 @@ object Regression {
 
   /** M2 — train/eval harness: fit on the modulo-train split, score RMSE
     * (A5) on the held-out rows. The 1-row coefficient frame is
-    * broadcast-joined (Catalyst does this automatically for a 1-row
-    * cross join), so the eval pass is a single scan of the test split. */
+    * explicitly broadcast (don't rely on size estimation for the
+    * grand-total aggregate), so the eval pass is a single scan of the
+    * test split — a BroadcastNestedLoopJoin, never a cartesian. */
   def trainEval(df: DataFrame, key: String, x: String, y: String): DataFrame = {
     val train = df.filter(isTrain(col(key)))
     val test  = df.filter(!isTrain(col(key)))
     val coef = train.agg(
       regr_slope(col(y), col(x)).as("b1"),
       regr_intercept(col(y), col(x)).as("b0"))
-    test.crossJoin(coef)
+    test.crossJoin(broadcast(coef))
       .agg(
         round(sqrt(avg(pow(col("b0") + col("b1") * col(x) - col(y), 2))), 6).as("rmse"),
         round(first(col("b1")), 6).as("b1"),

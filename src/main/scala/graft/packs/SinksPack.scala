@@ -147,7 +147,7 @@ object SinksPack {
       val coef = train.agg(
         regr_slope(col("l_extendedprice"), col("l_quantity")).as("b1"),
         regr_intercept(col("l_extendedprice"), col("l_quantity")).as("b0"))
-      test.crossJoin(coef)
+      test.crossJoin(broadcast(coef))
         .withColumn("pred", col("b0") + col("b1") * col("l_quantity"))
         .agg(
           round(rmseUdaf(col("pred"), col("l_extendedprice")), 6).as("rmse_udaf"),

@@ -113,6 +113,39 @@ class GoldenParitySpec extends AnyFunSuite {
     }
   }
 
+  test("tag table re-derives from its rolled-up tags-array via unpivotWithOrdinal") {
+    // The full R1+R2+P6+O1 composition on the reference's own data: roll
+    // the golden long-form table back up into the tags-array shape the
+    // pipeline starts from (no-tag videos → NULL array, the P5 default
+    // input), re-derive with OUR operator, and require value- and
+    // order-exact equality with the golden rows — 1,805 rows including
+    // the 6 placeholder rows the coalesce-before-explode semantics emit.
+    import org.apache.spark.sql.Row
+    val fixture = tagsDf
+      .select(col("video_id"), col("tag_number").cast("int").as("n"), col("tag_value"))
+      .groupBy("video_id")
+      .agg(when(count(col("tag_value")) === 0, lit(null))
+        .otherwise(transform(
+          sort_array(collect_list(struct(col("n").as("n"), col("tag_value").as("t")))),
+          x => x.getField("t"))).as("tags"))
+    val rederived = graft.operators.Reshape
+      .unpivotWithOrdinal(fixture, col("video_id"), col("tags"))
+      .select(col("id").as("video_id"), col("tag_number"),
+        coalesce(col("tag_value"), lit("")).as("tag_value"))
+      .orderBy(col("video_id").desc, col("tag_number").asc)
+      .collect().toSeq
+    val golden = tagsDf
+      .select(col("video_id"), col("tag_number").cast("long").as("tag_number"),
+        coalesce(col("tag_value"), lit("")).as("tag_value"))
+      .orderBy(col("video_id").desc, col("tag_number").asc)
+      .collect().toSeq
+    assert(golden.length === 1805)
+    assert(rederived.length === golden.length)
+    rederived.zip(golden).zipWithIndex.foreach { case ((r: Row, g: Row), i) =>
+      assert(r === g, s"row $i differs: rederived=$r golden=$g")
+    }
+  }
+
   test("statistics and tags cover exactly the description table's videos") {
     val dv = descs.select("video_id").distinct()
     assert(dv.count() === 201L)

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the scale properties the operators were
+  * designed around, enforced in CI instead of eyeballed via
+  * [[graft.Explain]]:
+  *
+  *  - predicate pushdown + column pruning reach the parquet scan;
+  *  - the bucketed join's subtree is exchange-free (co-located SMJ);
+  *  - no query plans a CartesianProduct except the one documented
+  *    exact baseline (`q_dedup_embedding`, bounded by its vec_id cap);
+  *  - AQE's skew-join split fires on an UNSALTED skewed join — the
+  *    evidence for when the explicit salt (Warehouse.saltedJoin) is and
+  *    isn't needed: AQE handles shuffle-join skew at runtime, so manual
+  *    salting is for the cases AQE can't see (streaming state, skewed
+  *    aggregation keys, or engines/configs without AQE).
+  *
+  * Static `sparkPlan` (pre-AQE) is asserted for the shape checks so the
+  * results are deterministic; the skew test executes and inspects the
+  * final adaptive plan.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
+
+  test("q_x_groupby_q1: shipdate predicate is pushed to the scan, columns pruned") {
+    val scans = plan("q_x_groupby_q1").collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a parquet FileSourceScan")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_shipdate"), s"l_shipdate not pushed down; PushedFilters=$pushed")
+    val readSchema = scans.map(_.metadata.getOrElse("ReadSchema", "")).mkString
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan reads l_orderkey the query never uses; ReadSchema=$readSchema")
+  }
+
+  test("q_x_bucketed_join: no exchange between the bucketed scans and the SMJ") {
+    val smjs = plan("q_x_bucketed_join").collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a SortMergeJoin (MERGE hint pins it)")
+    val shuffles = smjs.head.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"bucketed join shuffles before joining:\n${smjs.head}")
+  }
+
+  test("no CartesianProduct in any query except the documented exact baseline") {
+    // q_dedup_embedding is the deliberate exact all-pairs oracle baseline,
+    // bounded to a vec_id slice — every other query must join with keys
+    // or an explicit broadcast.
+    val allowed = Set("q_dedup_embedding")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(allowed).filter { name =>
+      plan(name).collect { case c: CartesianProductExec => c }.nonEmpty
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
+  }
+
+  test("AQE splits the skewed partition of an unsalted shuffle join") {
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // Tuned down so the ~MB-scale test skew crosses the production
+      // thresholds (defaults are 256MB-scale).
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k",
+      // Force a shuffle join so the skew machinery (not broadcast) kicks in.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the left rows share one hot key — the unsalted twin of
+      // q_x_salted_join's shape.
+      val left = spark.range(0, 100000)
+        .select(when(col("id") < 90000, 0L).otherwise(col("id")).as("k"), col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // collect() (not count(), which builds a SEPARATE QueryExecution)
+      // executes THIS frame's plan so AQE finalizes it in place.
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"AQE skew split did not fire; final plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
