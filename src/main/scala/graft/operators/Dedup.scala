@@ -252,6 +252,22 @@ object Dedup {
       when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
   }
 
+  /** Dedup RESOLUTION — the step after pair-finding in a real curation
+    * pipeline: resolve pairs to clusters, then keep exactly one survivor
+    * per duplicate cluster (the min-id canonical) alongside every
+    * untouched document. Output: (doc_id, status) with status ∈
+    * {unique, canonical}; dropped duplicates simply don't appear. The
+    * join is key-equi on doc_id, so the whole policy is one
+    * hash-partitioned pass over the corpus plus the cluster fixpoint. */
+  def resolveCanonical(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    docs.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .withColumn("status",
+        when(col("cluster_id").isNull, "unique").otherwise("canonical"))
+      .select(col("doc_id"), col("status"))
+  }
+
   /** Embedding near-dup: exact pairwise cosine ≥ minCos (a < b).
     * Quadratic by design — the oracle-checkable baseline for small n;
     * [[embeddingPairsLsh]] is the sub-quadratic production path. */

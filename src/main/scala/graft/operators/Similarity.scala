@@ -86,6 +86,43 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
   }
 
+  /** IVF-style ANN: a coarse quantizer over deterministic centroids (the
+    * normalized vectors whose `vec_id % centStride == 0` — seeded by the
+    * data itself, so the oracle replays the identical centroid set),
+    * inverted lists by nearest-centroid assignment, and `nProbe`-list
+    * probing. Work is n·|centroids| assignment dots plus exact scoring of
+    * ONLY the probed lists — the classic sub-quadratic alternative to
+    * [[annTopK]]'s hash buckets when recall should follow data geometry
+    * rather than random hyperplanes. |centroids| stays bounded (stride on
+    * vec_id), so the centroid table broadcasts at any corpus size. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nProbe: Int,
+              centStride: Long): DataFrame = {
+    val e = normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scoredCent = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), expr("dotp(v, cv)").as("cd"))
+    // Per-vector centroid ranking: each window partition is one vector's
+    // |centroids| rows — bounded, never a corpus-wide sort.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cd").desc, col("cid").asc)
+    val ranked = scoredCent.withColumn("crn", row_number().over(w))
+    val lists = ranked.filter(col("crn") === 1).select("vec_id", "cid")
+    val probes = ranked.filter(queryPred && col("crn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = probes.join(lists, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("dotp(qv, v)"), 6).as("cosine"))
+    heapTopK(scored, "query_id", "cosine", "vec_id", k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes (seeded): nPlanes × dim. Shared
     * with the DuckDB oracle, which embeds the same literals. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =

@@ -56,6 +56,28 @@ object TextAnalysis {
         col("stop_ratio") <= maxStopRatio)
       .select(col("doc_id"), col("n_words"), col("stop_ratio"))
 
+  /** Per-document top-k TF-IDF terms: tf from one word-explode groupBy,
+    * df from a second (both map-side-combining), idf = ln((N+1)/(df+1)),
+    * score rounded to 6 BEFORE ranking so both engines rank identical
+    * values (raw ln ulps could otherwise flip near-ties). The ranking
+    * window partitions by doc_id — each partition is one document's
+    * vocabulary, bounded regardless of corpus size. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("score"))
+  }
+
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")

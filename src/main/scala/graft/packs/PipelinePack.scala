@@ -24,6 +24,11 @@ object PipelinePack {
   private val COS_MIN = 0.35
   private val TOPK = 10
   private val DIM = 64
+  /** IVF coarse quantizer: vectors with `vec_id % CENT_STRIDE == 0` are
+    * the centroids (data-seeded, deterministic, oracle-replayable);
+    * queries probe their NPROBE nearest inverted lists. */
+  private val CENT_STRIDE = 61L
+  private val NPROBE = 2
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -69,6 +74,21 @@ object PipelinePack {
       Similarity.annTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0, TOPK, 64)
         .orderBy("query_id", "rn")
     },
+    "q_sim_ivf_topk" -> { (s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0,
+          TOPK, NPROBE, CENT_STRIDE)
+        .orderBy("query_id", "rn")
+    },
+    "q_dedup_canonical_docs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.resolveCanonical(docs,
+          Dedup.jaccardPairs(Dedup.wordShingles(docs), JACCARD_MIN))
+        .orderBy("doc_id")
+    },
+    "q_text_tfidf" -> { (s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
+        .orderBy("doc_id", "rn")
+    },
     "q_text_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
     },
@@ -104,6 +124,34 @@ object PipelinePack {
   // ---- oracle SQL generation (same constants as the Spark side) ----
 
   private val sh = Dedup.wordShinglesSql()
+
+  /** Shingle → capped-intersection → jaccard-pairs → connected-component
+    * CTE chain ending in `labels(doc_id, cluster_id)` — the shared body
+    * of the cluster and canonical-resolution oracles (prefix with
+    * `WITH RECURSIVE`). */
+  private lazy val clusterCtes =
+    s"""sh AS ($sh),
+       |fsh AS (${Dedup.hotShingleCteSql}),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |             JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |labels AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u)""".stripMargin
 
   private val jaccardTail =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
@@ -231,32 +279,22 @@ object PipelinePack {
     "q_dedup_minhash_lsh" -> minhashSql,
 
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS ($sh),
-         |fsh AS (${Dedup.hotShingleCteSql}),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-         |             JOIN sizes sb ON sb.doc_id = doc_b
-         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |labels AS (
-         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |  FROM reach GROUP BY u)
+      s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, cluster_id,
          |       CASE WHEN doc_id = cluster_id THEN CAST(1 AS BIGINT)
          |            ELSE CAST(0 AS BIGINT) END AS is_canonical
          |FROM labels ORDER BY doc_id""".stripMargin,
+
+    // Resolution policy on top of the same transitive closure: keep
+    // unique docs and the min-id canonical of every duplicate cluster.
+    "q_dedup_canonical_docs" ->
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT d.doc_id,
+         |       CASE WHEN l.doc_id IS NULL THEN 'unique'
+         |            ELSE 'canonical' END AS status
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
 
@@ -300,6 +338,54 @@ object PipelinePack {
          |      FROM s)
          |SELECT query_id, rn, vec_id, cosine FROM r
          |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    // IVF: centroid set, nearest-centroid assignment, nProbe-list
+    // probing, exact scoring of probed lists — identical arithmetic
+    // (sequential-fold dots) both engines, so assignment argmax and the
+    // final ranking agree bit-for-bit.
+    "q_sim_ivf_topk" ->
+      s"""WITH $normalizedCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         WHERE vec_id % $CENT_STRIDE = 0),
+         |sc AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, cent),
+         |a AS (SELECT vec_id, cid,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY cd DESC, cid ASC) AS crn
+         |      FROM sc),
+         |lists AS (SELECT vec_id, cid FROM a WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid FROM a
+         |           WHERE vec_id % 100 = 0 AND crn <= $NPROBE),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, l.vec_id
+         |  FROM probes p JOIN lists l
+         |    ON p.cid = l.cid AND l.vec_id <> p.query_id),
+         |s AS (SELECT c2.query_id, c2.vec_id,
+         |             round(${dotSql("a2.v", "b2.v")}, 6) AS cosine
+         |      FROM cand c2 JOIN e a2 ON a2.vec_id = c2.query_id
+         |                   JOIN e b2 ON b2.vec_id = c2.vec_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+         |      FROM s)
+         |SELECT query_id, rn, vec_id, cosine FROM r
+         |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    // Score rounded to 6 BEFORE ranking on both engines (ln ulps must
+    // not decide a rank).
+    "q_text_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, tf.word, tf,
+        |             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+        |      FROM tf JOIN df ON tf.word = df.word, n),
+        |r AS (SELECT doc_id, word, tf, score,
+        |             CAST(row_number() OVER (PARTITION BY doc_id
+        |                  ORDER BY score DESC, word ASC) AS BIGINT) AS rn
+        |      FROM s)
+        |SELECT doc_id, rn, word, tf, score FROM r
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "q_sim_cosine_topk" ->
       s"""WITH $normalizedCte,

@@ -55,6 +55,24 @@ object WarehousePack {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Explicit GROUPING SETS with grouping() markers (the SQL face of the
+    // engine; grouping() disambiguates subtotal NULLs from data NULLs —
+    // rollup/cube's general form).
+    "q_x_grouping_sets" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           |       ${Num.dsumSql("l_quantity")} AS sum_qty,
+           |       count(*) AS n
+           |FROM lineitem_gs
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY g_flag, g_status,
+           |         l_returnflag ASC NULLS FIRST,
+           |         l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
     // Window ranking: top-3 parts per brand by price (total order).
     "q_x_window_rank" -> { (s, d) =>
       Warehouse.topKPerGroup(
@@ -295,6 +313,18 @@ object WarehousePack {
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_x_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+         |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+         |       $dsumQty AS sum_qty,
+         |       count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY g_flag, g_status,
+         |         l_returnflag ASC NULLS FIRST,
+         |         l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_x_window_rank" ->
       """SELECT * FROM (

@@ -56,6 +56,17 @@ class DedupSpec extends AnyFunSuite {
       (20L, 20L, 1L), (30L, 20L, 0L)))
   }
 
+  test("canonical resolution keeps uniques and one survivor per cluster") {
+    val corpus = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"), // chain 1-2, 2-3 → canonical 1
+      (7L, "y")                        // untouched
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveCanonical(corpus, pairs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toSet
+    assert(out == Set((1L, "canonical"), (7L, "unique"))) // 2 and 3 dropped
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val pairs = Dedup.embeddingPairs(emb, 0.35).collect()

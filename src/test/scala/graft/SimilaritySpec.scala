@@ -46,4 +46,29 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"mean ANN recall@10 = $mean%.2f")
     assert(mean >= 0.2) // random-gaussian data is LSH-hostile; bound is a floor
   }
+
+  test("IVF ANN: k ranked rows per query from probed lists, sane recall") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val pred = col("vec_id") % 100 === 0
+    val out = Similarity.ivfTopK(emb, pred, 10, 2, 61L).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 10)
+      val cos = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val truth = Similarity.bruteForceTopK(emb, pred, 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val ivf = byQuery.view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      ivf.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean IVF recall@10 = $mean%.2f")
+    // Gaussian data scatters neighbours across lists; nProbe=2 of ~30
+    // lists still has to beat random chance (~2/30) by a wide margin.
+    assert(mean >= 0.15)
+  }
 }

@@ -46,6 +46,23 @@ class TextSpec extends AnyFunSuite {
     assert(out(3L) == "en") // all-zero scores fall through to the en branch
   }
 
+  test("tfidf: rare term outranks common term, k bounds the output") {
+    // "rare" appears once in the corpus, "common" in every doc: idf of
+    // common = ln(1) scaled → lowest score, rare ranks first for doc 1.
+    val corpus = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, 2).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 2))
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("rn"))
+    assert(d1.head.getAs[String]("word") == "rare")
+    // common is in all 3 docs: idf = ln(4/4) = 0 → score 0, never first
+    assert(d1.head.getAs[Double]("score") > 0.0)
+  }
+
   test("multimodal decode: payload bytes round-trip with correct digest") {
     val feats = Multimodal.extractFeatures(spark,
         Multimodal.packPayload(Seq((5L, "hello")).toDF("doc_id", "text")))
