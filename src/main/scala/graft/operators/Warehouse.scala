@@ -73,6 +73,29 @@ object Warehouse {
       .drop("__salt")
   }
 
+  /** RANGE join at scale (composed from built-ins, preference (a) in the
+    * custom-operator ladder): join `points(…, sec)` to
+    * `intervals(…, start_sec, end_sec)` where `sec ∈ [start_sec,
+    * end_sec)` — WITHOUT the nested-loop/cartesian plan a naive non-equi
+    * join produces. Each interval explodes to the `binWidth`-sized bins
+    * it overlaps (a handful when intervals are at most a few bins long),
+    * each point maps to exactly ONE bin, and the bin key turns the range
+    * predicate into an equi-join Catalyst can hash/sort-merge partition;
+    * the exact range filter then prunes the bin-collisions. A point
+    * meets an interval in precisely one bin (the point's own), so no
+    * dedup is needed. */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      binWidth: Long): DataFrame = {
+    val binned = intervals.withColumn("bin",
+      explode(sequence(
+        floor(col("start_sec") / binWidth).cast("long"),
+        floor((col("end_sec") - 1) / binWidth).cast("long"))))
+    points.withColumn("bin", floor(col("sec") / binWidth).cast("long"))
+      .join(binned, Seq("bin"))
+      .filter(col("sec") >= col("start_sec") && col("sec") < col("end_sec"))
+      .drop("bin")
+  }
+
   /** Top-k rows per group by an explicit total order (ties broken by the
     * caller's tiebreak column — never rely on row_number over a partial
     * order). */

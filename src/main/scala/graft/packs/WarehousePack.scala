@@ -262,6 +262,26 @@ object WarehousePack {
             <= col("exact_parts") * 0.05).cast("long").as("approx_within_5pct"))
     },
 
+    // Non-equi RANGE join via bin bucketing: lineitem ship-times against
+    // week-long windows anchored at sampled order dates. The bin key
+    // makes it an equi-join (hash-partitionable at any scale) instead of
+    // the nested-loop plan `p.sec BETWEEN i.start AND i.end` would get.
+    "q_x_range_join_binned" -> { (s, d) =>
+      val weekSec = 7L * 86400L
+      val intervals = Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .select(col("o_orderkey").as("i_id"),
+          unix_timestamp(col("o_orderdate")).as("start_sec"),
+          (unix_timestamp(col("o_orderdate")) + weekSec).as("end_sec"))
+      val points = Tables.lineitem(s, d)
+        .select(col("l_extendedprice"), unix_timestamp(col("l_shipdate")).as("sec"))
+      Warehouse.binnedRangeJoin(points, intervals, weekSec)
+        .groupBy(col("i_id"))
+        .agg(count(lit(1)).as("n_points"),
+          Num.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("i_id")
+    },
+
     // A6-style keyed counting via the warehouse join (items per order).
     "q_a6_count_per_key" -> { (s, d) =>
       Tables.orders(s, d)
@@ -466,6 +486,22 @@ object WarehousePack {
         |       value - coalesce(lag(value) OVER (PARTITION BY user_id
         |            ORDER BY ts, event_id), 0.0) AS delta
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // DuckDB evaluates the range predicate directly (IEJoin); results
+    // must equal the binned equi-join exactly.
+    "q_x_range_join_binned" ->
+      s"""WITH i AS (
+         |  SELECT o_orderkey AS i_id,
+         |         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS start_sec,
+         |         CAST(floor(epoch(o_orderdate)) AS BIGINT) + 604800 AS end_sec
+         |  FROM orders WHERE o_orderkey % 997 = 0),
+         |p AS (SELECT l_extendedprice,
+         |             CAST(floor(epoch(l_shipdate)) AS BIGINT) AS sec
+         |      FROM lineitem)
+         |SELECT i_id, count(*) AS n_points,
+         |       ${Num.dsumSql("l_extendedprice")} AS sum_price
+         |FROM i JOIN p ON p.sec >= i.start_sec AND p.sec < i.end_sec
+         |GROUP BY i_id ORDER BY i_id""".stripMargin,
 
     "q_a6_count_per_key" ->
       s"""SELECT o_orderkey, o_orderstatus, count(*) AS n_items, $dsumQty AS sum_qty

@@ -51,6 +51,28 @@ object StreamOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("n_events"))
 
+  /** Streaming session windows (gap-based) per user — the streaming twin
+    * of [[graft.operators.Warehouse.sessionize]], via the native
+    * `session_window` state operator. The spec runs it complete-mode
+    * over the finite parquet feed (no watermark → every session emits),
+    * proving parity with the batch sessionize; a production deployment
+    * adds `withWatermark` + append mode so session state stays bounded. */
+  def sessionizedStream(spark: SparkSession, dir: String, gapSec: Long): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    events
+      .groupBy(session_window(col("ts"), s"$gapSec seconds").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -25,6 +25,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows equal the batch sessionize") {
+    val q = StreamOps.sessionizedStream(spark, TestSpark.sf0001, 7200L)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("session_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("session_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      val batch = graft.operators.Warehouse
+        .sessionize(Tables.events(spark, TestSpark.sf0001), 7200L)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("session_start"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, TestSpark.sf0001)

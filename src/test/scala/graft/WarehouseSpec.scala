@@ -32,6 +32,21 @@ class WarehouseSpec extends AnyFunSuite {
     assert(q.getAs[Long]("approx_within_5pct") == 1L)
   }
 
+  test("binned range join equals the direct non-equi join") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 25L), (5L, -3L))
+      .toDF("p_id", "sec")
+    val intervals = Seq((100L, 0L, 10L), (200L, 9L, 20L), (300L, 30L, 40L))
+      .toDF("i_id", "start_sec", "end_sec")
+    val binned = Warehouse.binnedRangeJoin(points, intervals, 7L)
+      .select("i_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = points.join(intervals,
+        col("sec") >= col("start_sec") && col("sec") < col("end_sec"))
+      .select("i_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == direct)
+    assert(binned == Set((100L, 1L), (200L, 2L), (200L, 3L))) // 25, -3 unmatched
+  }
+
   test("sessionize splits on the gap and keeps per-user totals") {
     import spark.implicits._
     val events = Seq(
