@@ -78,6 +78,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("score"))
   }
 
+  /** Fixed-window word chunking with stride — the context-window prep
+    * step of a training pipeline. Chunk i covers words
+    * [i·stride+1, i·stride+window]; chunks = ⌊(len−1)/stride⌋+1, so
+    * every word lands in ≥1 chunk (tail chunks run short rather than
+    * dropping words). One generator per row, no shuffle — output is a
+    * constant factor of the input at any corpus size. */
+  def chunkWords(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs
+      .withColumn("ws", ws)
+      .withColumn("n_chunks",
+        (floor((size(col("ws")) - 1) / lit(stride)) + 1).cast("long"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1), i => struct(
+          concat_ws(" ", slice(col("ws"), (i * stride + 1).cast("int"), lit(window))).as("t"),
+          size(slice(col("ws"), (i * stride + 1).cast("int"), lit(window))).cast("long").as("nw")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_no"),
+        col("col.t").as("chunk_text"), col("col.nw").as("n_chunk_words"))
+  }
+
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")

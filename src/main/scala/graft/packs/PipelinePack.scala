@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Hashing, Poly31Hash}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (the north-star extras in
   * BASELINE.json): dedup ×5, similarity search, text analysis,
@@ -29,6 +29,13 @@ object PipelinePack {
     * queries probe their NPROBE nearest inverted lists. */
   private val CENT_STRIDE = 61L
   private val NPROBE = 2
+  /** Data-mixing rates for the stratified sample (per-language Bernoulli
+    * keep-probabilities; shared literals with the oracle). */
+  private val SAMPLE_RATES = Seq("en" -> 0.5, "es" -> 0.25, "fr" -> 0.75)
+  private val SAMPLE_DEFAULT = 0.1
+  /** Context-window chunking: 50-word windows, 40-word stride. */
+  private val CHUNK_W = 50
+  private val CHUNK_S = 40
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -88,6 +95,31 @@ object PipelinePack {
     "q_text_tfidf" -> { (s, d) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
         .orderBy("doc_id", "rn")
+    },
+    // Data mixing: deterministic content-keyed stratified sample.
+    "q_text_stratified_sample" -> { (s, d) =>
+      Sampling.stratified(Tables.documents(s, d), col("doc_id"), col("lang"),
+          SAMPLE_RATES, SAMPLE_DEFAULT)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    // Per-group quantile gate: keep docs above their language's median
+    // word count (two-pass: tiny per-lang agg broadcast back to the scan).
+    "q_text_above_group_median" -> { (s, d) =>
+      val q = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      val med = q.groupBy("lang")
+        .agg(expr("percentile(n_words, 0.5)").as("median_words"))
+      q.join(broadcast(med), Seq("lang"))
+        .filter(col("n_words") > col("median_words"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          round(col("median_words"), 6).as("med"))
+        .orderBy("doc_id")
+    },
+    // Context-window chunking with stride.
+    "q_text_chunks" -> { (s, d) =>
+      TextAnalysis.chunkWords(Tables.documents(s, d), CHUNK_W, CHUNK_S)
+        .orderBy("doc_id", "chunk_no")
     },
     "q_text_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
@@ -369,6 +401,38 @@ object PipelinePack {
          |      FROM s)
          |SELECT query_id, rn, vec_id, cosine FROM r
          |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    // Same md5→uniform arithmetic as Sampling.uniformOf; the CASE
+    // cascade evaluates the rates in the same (reverse-fold) priority.
+    "q_text_stratified_sample" -> {
+      val rateCase = SAMPLE_RATES.reverse
+        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }
+        .mkString("CASE ", " ", s" ELSE $SAMPLE_DEFAULT END")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.uniformSql("doc_id")} < $rateCase
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_above_group_median" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |           FROM documents),
+        |m AS (SELECT lang, quantile_cont(n_words, 0.5) AS median_words
+        |      FROM q GROUP BY lang)
+        |SELECT doc_id, q.lang, n_words, round(median_words, 6) AS med
+        |FROM q JOIN m ON q.lang = m.lang
+        |WHERE n_words > median_words
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_chunks" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |             unnest(range(0, CAST(floor((len(ws) - 1) / $CHUNK_S.0) AS BIGINT) + 1)) AS i
+         |      FROM w)
+         |SELECT doc_id, i + 1 AS chunk_no,
+         |       array_to_string(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)], ' ') AS chunk_text,
+         |       CAST(len(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)]) AS BIGINT) AS n_chunk_words
+         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
 
     // Score rounded to 6 BEFORE ranking on both engines (ln ulps must
     // not decide a rank).

@@ -137,6 +137,18 @@ object SinksPack {
         .orderBy("o_orderstatus")
     },
 
+    // ORC sink/source round trip (the columnar-format sibling of the
+    // parquet path; same pushdown/pruning machinery applies on read).
+    "q_s_orc_roundtrip" -> { (s, d) =>
+      val path = tmpPath("orc", d)
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // A5/§2.12 — RMSE via the typed Aggregator vs the closed form: the
     // two columns must agree (and both match the oracle's formula).
     "q_a5_rmse_udaf" -> { (s, d) =>
@@ -269,6 +281,10 @@ object SinksPack {
     "q_k3_jdbc_roundtrip" ->
       """SELECT o_orderstatus, CAST(2 * count(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_s_orc_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${Num.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_a5_rmse_udaf" ->
       """WITH coef AS (

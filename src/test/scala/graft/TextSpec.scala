@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Poly31Hash
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Multimodal, Sampling, TextAnalysis}
 
 class TextSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -61,6 +61,31 @@ class TextSpec extends AnyFunSuite {
     assert(d1.head.getAs[String]("word") == "rare")
     // common is in all 3 docs: idf = ln(4/4) = 0 → score 0, never first
     assert(d1.head.getAs[Double]("score") > 0.0)
+  }
+
+  test("chunking: 50-word windows on 40-word stride cover every word") {
+    val text = (1 to 90).map(i => s"w$i").mkString(" ")
+    val out = TextAnalysis.chunkWords(Seq((1L, text)).toDF("doc_id", "text"), 50, 40)
+      .orderBy("chunk_no").collect()
+    // 90 words → ⌊89/40⌋+1 = 3 chunks: [1..50], [41..90], [81..90]
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n_chunk_words")).toSeq == Seq(50L, 50L, 10L))
+    assert(out(0).getAs[String]("chunk_text").startsWith("w1 w2 "))
+    assert(out(1).getAs[String]("chunk_text").startsWith("w41 "))
+    assert(out(2).getAs[String]("chunk_text") == (81 to 90).map("w" + _).mkString(" "))
+  }
+
+  test("stratified sample is deterministic and respects degenerate rates") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val all = docs.count()
+    val keepAll = Sampling.stratified(docs, col("doc_id"), col("lang"), Nil, 1.0).count()
+    val keepNone = Sampling.stratified(docs, col("doc_id"), col("lang"), Nil, 0.0).count()
+    assert(keepAll == all && keepNone == 0L)
+    val ids1 = Sampling.stratified(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 0.5), 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratified(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 0.5), 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.nonEmpty && ids1.size < all)
   }
 
   test("multimodal decode: payload bytes round-trip with correct digest") {
