@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, Poly31Hash, WordShingles}
+
+/** The library's `SparkSessionExtensions` entry point — the deployment
+  * path for the native codegen Expressions (`dotp`, `poly31`,
+  * `shingles3`). A user session opts in with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`), and
+  * the functions resolve in ANY SQL/DataFrame context of that session —
+  * no per-frame `register()` call, and injection happens before the
+  * session's first query, which is what a shared 1000-executor cluster
+  * deployment needs. The per-operator `register()` helpers remain for
+  * ad-hoc sessions; both routes bind the same Expression classes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      (exprs: Seq[Expression]) => builder(exprs))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("dotp", es => DotProduct(es(0), es(1))))
+    ext.injectFunction(fn("poly31", es => Poly31Hash(es.head)))
+    ext.injectFunction(fn("shingles3", es => WordShingles(es.head, 3)))
+  }
+}

@@ -14,6 +14,10 @@ object Verify {
     val b = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // The library's custom Expressions (dotp/poly31/shingles3) via the
+      // standard extensions hook — how a cluster deployment would load
+      // them; operators also self-register for foreign sessions.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.log.level", "WARN")

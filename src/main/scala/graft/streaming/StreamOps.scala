@@ -24,21 +24,35 @@ object StreamOps {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** The events table as a stream: parquet `FileStreamSource` needs a
+    * directory, so the single table file is selected out of the shared
+    * sfDir with a glob; the TIMESTAMP(NANOS) rescale mirrors
+    * `Tables.events`. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Streaming variant: parquet source + 2-hour watermark (bounds state
     * at scale; the deterministic test feed has no late data, so the
     * streaming result must equal the batch result exactly). */
-  def tumblingHourlyStream(spark: SparkSession, dir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // FileStreamSource requires a directory; select the single table file
-    // out of the shared sfDir with a glob.
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    tumblingHourly(events.withWatermark("ts", "2 hours"))
-  }
+  def tumblingHourlyStream(spark: SparkSession, dir: String): DataFrame =
+    tumblingHourly(eventsStream(spark, dir).withWatermark("ts", "2 hours"))
+
+  /** Streaming exact dedup — the streaming face of `Dedup.exact`: the
+    * feed is deliberately doubled (each event ×2), and stateful
+    * `dropDuplicates` on the key emits each event exactly once. In
+    * production add `withWatermark` (or `dropDuplicatesWithinWatermark`)
+    * so the seen-keys state stays bounded to the late-data horizon. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .select("event_id", "user_id", "ts")
+      .dropDuplicates("event_id")
 
   /** Sliding 2-hour windows every hour — each event lands in exactly two
     * windows. Batch face is oracle-checkable (union of the two grid
@@ -57,21 +71,13 @@ object StreamOps {
     * over the finite parquet feed (no watermark → every session emits),
     * proving parity with the batch sessionize; a production deployment
     * adds `withWatermark` + append mode so session state stays bounded. */
-  def sessionizedStream(spark: SparkSession, dir: String, gapSec: Long): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    events
+  def sessionizedStream(spark: SparkSession, dir: String, gapSec: Long): DataFrame =
+    eventsStream(spark, dir)
       .groupBy(session_window(col("ts"), s"$gapSec seconds").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), Num.dsum(col("value")).as("sum_value"))
       .select(col("user_id"),
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
-  }
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)

@@ -54,4 +54,17 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("GraftExtensions injects dotp/poly31/shingles3 session-wide") {
+    // TestSpark sets spark.sql.extensions=graft.GraftExtensions, so the
+    // functions resolve in plain SQL with no register() call.
+    val spark = TestSpark.spark
+    val r = spark.sql(
+      """SELECT dotp(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       poly31('ab') AS p,
+        |       size(shingles3('a b c d')) AS s""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == (('a'.toLong * 31 + 'b') % graft.functions.Poly31Hash.P))
+    assert(r.getInt(2) == 2) // "a b c", "b c d"
+  }
 }

@@ -47,6 +47,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates dedups the doubled feed exactly") {
+    val q = StreamOps.dedupStream(spark, TestSpark.sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").count()
+      val batch = Tables.events(spark, TestSpark.sf0001)
+        .select("event_id").distinct().count()
+      assert(streamed == batch)
+      assert(batch > 0L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, TestSpark.sf0001)

@@ -11,6 +11,7 @@ object TestSpark {
     val b = SparkSession.builder()
       .appName("graft-test")
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.log.level", "WARN")
