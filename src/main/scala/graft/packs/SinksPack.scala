@@ -137,6 +137,30 @@ object SinksPack {
         .orderBy("o_orderstatus")
     },
 
+    // Malformed-input resilience: PERMISSIVE JSON read with a corrupt-
+    // record column — odd-keyed nation rows are written as broken JSON,
+    // and the read must capture them in _corrupt_record while parsing
+    // the good lines (the real-world ingestion failure mode the
+    // reference's per-row try/except handles driver-side).
+    "q_s_json_corrupt" -> { (s, d) =>
+      val path = tmpPath("jsoncorrupt", d)
+      Tables.nation(s, d).select(
+        when(pmod(col("n_nationkey"), lit(2)) === 1,
+            concat(lit("{broken "), col("n_name")))
+          .otherwise(concat(lit("{\"k\": "), col("n_nationkey"),
+            lit(", \"name\": \""), col("n_name"), lit("\"}")))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.schema("k LONG, name STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .agg(
+          count(col("k")).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("k")).cast("long").as("sum_good_keys"))
+    },
+
     // ORC sink/source round trip (the columnar-format sibling of the
     // parquet path; same pushdown/pruning machinery applies on read).
     "q_s_orc_roundtrip" -> { (s, d) =>
@@ -285,6 +309,13 @@ object SinksPack {
     "q_s_orc_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n, ${Num.dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mirrors the even/odd corruption rule the fixture was written with.
+    "q_s_json_corrupt" ->
+      """SELECT CAST(count(CASE WHEN n_nationkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_good,
+        |       CAST(count(CASE WHEN n_nationkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_corrupt,
+        |       CAST(sum(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey END) AS BIGINT) AS sum_good_keys
+        |FROM nation""".stripMargin,
 
     "q_a5_rmse_udaf" ->
       """WITH coef AS (

@@ -160,6 +160,39 @@ object WarehousePack {
         .orderBy("rn")
     },
 
+    // Full outer join over mostly-disjoint key ranges (order months are
+    // 1992–98, event months 2024 → real outer semantics on both sides).
+    "q_x_full_outer_join" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("month"), "full_outer")
+        .select(col("month"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("month")
+    },
+
+    // Analytic-window battery: ntile/percent_rank/cume_dist/dense_rank
+    // over a total order (price, orderkey, linenumber unique per flag).
+    "q_x_window_funcs" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        dense_rank().over(w).cast("long").as("dr"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    },
+
     // DISTINCT over a projection.
     "q_x_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -409,6 +442,29 @@ object WarehousePack {
         |                  CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS BIGINT) AS rn
         |           FROM counts)
         |SELECT rn, word, n FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin,
+
+    "q_x_full_outer_join" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |e AS (SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |SELECT coalesce(o.month, e.month) AS month,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(n_events, 0) AS n_events
+        |FROM o FULL JOIN e ON o.month = e.month
+        |ORDER BY month""".stripMargin,
+
+    "q_x_window_funcs" ->
+      """SELECT l_returnflag, l_orderkey,
+        |       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS dr
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
 
     "q_x_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

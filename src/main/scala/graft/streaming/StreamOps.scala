@@ -79,6 +79,41 @@ object StreamOps {
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within the preceding hour. Both sides carry watermarks and
+    * the join condition bounds the event-time distance, so each side's
+    * buffered state is limited to the watermark horizon — the canonical
+    * scalable stream-stream join shape. Inner join → matches emit as
+    * soon as both sides arrive. */
+  def purchasesNearSignupsStream(spark: SparkSession, dir: String): DataFrame = {
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(signups,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"))
+      .select(col("p_id"), col("p_user"),
+        date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+  }
+
+  /** The batch twin of [[purchasesNearSignupsStream]] for parity specs. */
+  def purchasesNearSignupsBatch(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    purchases.join(signups,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"))
+      .select(col("p_id"), col("p_user"),
+        date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -47,6 +47,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val q = StreamOps.purchasesNearSignupsStream(spark, TestSpark.sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_out").collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("p_user"),
+          r.getAs[String]("signup_ts"))).toSet
+      val batch = StreamOps
+        .purchasesNearSignupsBatch(Tables.events(spark, TestSpark.sf0001))
+        .collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("p_user"),
+          r.getAs[String]("signup_ts"))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates dedups the doubled feed exactly") {
     val q = StreamOps.dedupStream(spark, TestSpark.sf0001)
       .writeStream.outputMode("append")
