@@ -73,6 +73,23 @@ object Warehouse {
       .drop("__salt")
   }
 
+  /** SCD-1 upsert (MERGE without a table format): changed rows override
+    * current ones, new keys insert, untouched rows carry over — one
+    * full-outer join on the key, entirely shuffle-partitioned by that
+    * key. The set-based replacement for row-at-a-time warehouse updates;
+    * at 100 TB both sides hash-partition on `key` and the merge is a
+    * single co-partitioned pass (bucket both sides to also skip the
+    * shuffle). */
+  def upsert(current: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val renamed = changes.columns.foldLeft(changes)(
+      (df, c) => df.withColumnRenamed(c, s"__chg_$c"))
+    current.join(renamed, col(key) === col(s"__chg_$key"), "full_outer")
+      .select(
+        coalesce(col(key), col(s"__chg_$key")).as(key) +:
+          current.columns.filterNot(_ == key).toIndexedSeq.map(c =>
+            coalesce(col(s"__chg_$c"), col(c)).as(c)): _*)
+  }
+
   /** RANGE join at scale (composed from built-ins, preference (a) in the
     * custom-operator ladder): join `points(…, sec)` to
     * `intervals(…, start_sec, end_sec)` where `sec ∈ [start_sec,

@@ -315,6 +315,35 @@ object WarehousePack {
         .orderBy("i_id")
     },
 
+    // SCD-1 upsert: every 10th order's status flips to 'U' (price +1),
+    // 25 synthetic new keys insert; merge = one full-outer join.
+    "q_x_upsert_snapshot" -> { (s, d) =>
+      val cur = Tables.orders(s, d).select(
+        col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice"), 6).as("price"))
+      val updates = cur.filter(pmod(col("key"), lit(10)) === 0)
+        .select(col("key"), lit("U").as("status"),
+          round(col("price") + 1.0, 6).as("price"))
+      val inserts = Tables.nation(s, d).select(
+        (col("n_nationkey") + lit(900000000L)).as("key"),
+        lit("N").as("status"),
+        col("n_nationkey").cast("double").as("price"))
+      Warehouse.upsert(cur, updates.unionByName(inserts), "key")
+        .orderBy("key")
+    },
+
+    // Sketch surface #2: KLL/GK-style approximate percentile, half-gated
+    // like the HLL query — exact quantile oracle-checked, the sketch
+    // asserted through a bounded-error verdict.
+    "q_x_approx_quantiles" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"))
+        .select(col("exact_p50"),
+          (abs(col("ap50") - col("exact_p50"))
+            <= col("exact_p50") * 0.01).cast("long").as("approx_within_1pct"))
+    },
+
     // A6-style keyed counting via the warehouse join (items per order).
     "q_a6_count_per_key" -> { (s, d) =>
       Tables.orders(s, d)
@@ -564,6 +593,27 @@ object WarehousePack {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderkey, o_orderstatus
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_upsert_snapshot" ->
+      """WITH cur AS (SELECT o_orderkey AS key, o_orderstatus AS status,
+        |                    round(o_totalprice, 6) AS price
+        |             FROM orders),
+        |chg AS (
+        |  SELECT key, 'U' AS status, round(price + 1.0, 6) AS price
+        |  FROM cur WHERE key % 10 = 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 900000000, 'N', CAST(n_nationkey AS DOUBLE)
+        |  FROM nation)
+        |SELECT coalesce(cur.key, chg.key) AS key,
+        |       coalesce(chg.status, cur.status) AS status,
+        |       coalesce(chg.price, cur.price) AS price
+        |FROM cur FULL JOIN chg ON cur.key = chg.key
+        |ORDER BY key""".stripMargin,
+
+    "q_x_approx_quantiles" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |       CAST(1 AS BIGINT) AS approx_within_1pct
+        |FROM lineitem""".stripMargin,
 
     // Half-gate: the exact column must hash-match; the sketch is asserted
     // through the bounded-error verdict (1 iff |approx−exact| ≤ 5%·exact,
