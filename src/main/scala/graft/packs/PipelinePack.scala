@@ -3,7 +3,7 @@ package graft.packs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Hashing, Poly31Hash}
+import graft.functions.{Hashing, Num, Poly31Hash}
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators (the north-star extras in
@@ -120,6 +120,22 @@ object PipelinePack {
     "q_text_chunks" -> { (s, d) =>
       TextAnalysis.chunkWords(Tables.documents(s, d), CHUNK_W, CHUNK_S)
         .orderBy("doc_id", "chunk_no")
+    },
+    // Word-distribution entropy per doc (repetition signal: low entropy
+    // = degenerate/repeated text). H = ln(n) − Σ tf·ln(tf) / n, one
+    // narrow groupBy chain; score rounded to 6 on both engines.
+    "q_text_entropy" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).cast("long").as("n_words"),
+          // the Σ tf·ln(tf) term is an order-dependent double sum →
+          // decimal-stable dsum keeps it identical at any parallelism
+          round(log(sum(col("tf"))) -
+            graft.functions.Num.dsum(col("tf") * log(col("tf"))) / sum(col("tf")), 6)
+            .as("entropy"))
+        .orderBy("doc_id")
     },
     "q_text_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
@@ -423,6 +439,13 @@ object PipelinePack {
         |FROM q JOIN m ON q.lang = m.lang
         |WHERE n_words > median_words
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_entropy" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |       round(ln(sum(tf)) - ${Num.dsumSql("tf * ln(tf)")} / sum(tf), 6) AS entropy
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_chunks" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -114,6 +114,24 @@ object StreamOps {
         date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
   }
 
+  /** Streaming → JDBC warehouse via `foreachBatch`: each micro-batch
+    * overwrites the aggregate table with the current complete-mode
+    * counts — the standard bridge from a stream to any batch sink Spark
+    * has no native streaming writer for (the streaming face of the K3
+    * warehouse load). Returns the started query; callers stop it. */
+  def aggToJdbcStream(spark: SparkSession, dir: String, url: String,
+                      table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    eventsStream(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", table)
+          .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          .save()
+      }
+      .start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

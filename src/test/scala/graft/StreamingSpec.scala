@@ -82,6 +82,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {
+    import org.apache.spark.sql.functions._
+    System.setProperty("derby.stream.error.file",
+      s"${sys.props("java.io.tmpdir")}/graft_derby_test.log")
+    val url = s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_stream_jdbc_" +
+      s"${ProcessHandle.current().pid()};create=true"
+    val q = StreamOps.aggToJdbcStream(spark, TestSpark.sf0001, url, "STREAM_COUNTS")
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "STREAM_COUNTS")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toMap
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toMap
+    assert(landed == batch && batch.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, TestSpark.sf0001)
