@@ -203,14 +203,24 @@ object Dedup {
     * survivor). Throws if the round cap is hit unconverged — silently
     * returning partial labels would diverge from the oracle's
     * transitive closure. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        smallGraphEdges: Long = 10000000L): DataFrame = {
     val rawEdges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The fixpoint loop runs many tiny jobs; size its parallelism to the
-    // edge set, not the session default (a 50-row graph on 32 shuffle
-    // partitions pays ~30 empty tasks per round).
     val nEdges = rawEdges.count()
+    // The near-dup pair graph is orders of magnitude smaller than the
+    // corpus (it holds only documents with at least one near-duplicate),
+    // so below the threshold the exact component labeling runs as ONE
+    // executor task (union-find over the edge list — still no driver
+    // data), replacing ~5 jobs per fixpoint round with a single pass.
+    // Above it, the O(log n)-round distributed fixpoint below takes over.
+    if (nEdges <= smallGraphEdges)
+      return smallGraphClusters(rawEdges).withColumn("is_canonical",
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+    // Size the fixpoint's parallelism to the edge set, not the session
+    // default (a small graph on 32 shuffle partitions pays ~30 empty
+    // tasks per round).
     val edges = if (nEdges < 100000L) rawEdges.coalesce(1) else rawEdges
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -250,6 +260,39 @@ object Dedup {
           s"(component diameter > 2^$maxIter?) — refusing to return partial labels")
     labels.withColumn("is_canonical",
       when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+  }
+
+  /** Exact connected components for an edge set that fits one task:
+    * path-compressed union-find, always rooting at the smaller id, so
+    * the final root of every node IS its component minimum — the same
+    * labels the distributed fixpoint (and the oracle's transitive
+    * closure) produce. Runs on an executor via `mapPartitions`; the
+    * driver never sees a row. */
+  private def smallGraphClusters(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            if (ru < rv) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        parent.keysIterator.map(k => (k, find(k))).toSeq.iterator
+      }
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Dedup RESOLUTION — the step after pair-finding in a real curation

@@ -257,6 +257,10 @@ object SinksPack {
       val path = tmpPath("part_days", d)
       Tables.events(s, d)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        // co-locate each day before the partitioned write: one file per
+        // partition dir instead of one per (task × day) — the
+        // small-files discipline that matters most at warehouse scale
+        .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(path)
       s.read.parquet(path)
         .filter(col("day") === "2024-01-15")

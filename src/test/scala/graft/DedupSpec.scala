@@ -48,12 +48,16 @@ class DedupSpec extends AnyFunSuite {
 
   test("duplicate clusters: a chain collapses to one component, min id wins") {
     val pairs = Seq((1L, 5L), (5L, 9L), (20L, 30L)).toDF("doc_a", "doc_b")
-    val out = Dedup.duplicateClusters(pairs)
-      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
-        r.getAs[Long]("is_canonical"))).toSet
-    assert(out == Set(
+    val expected = Set(
       (1L, 1L, 1L), (5L, 1L, 0L), (9L, 1L, 0L),
-      (20L, 20L, 1L), (30L, 20L, 0L)))
+      (20L, 20L, 1L), (30L, 20L, 0L))
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("is_canonical"))).toSet
+    // single-task union-find path (default threshold)
+    assert(labels(Dedup.duplicateClusters(pairs)) == expected)
+    // distributed fixpoint path (threshold forced to 0) — same labels
+    assert(labels(Dedup.duplicateClusters(pairs, smallGraphEdges = 0L)) == expected)
   }
 
   test("canonical resolution keeps uniques and one survivor per cluster") {
