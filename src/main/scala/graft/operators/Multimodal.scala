@@ -48,4 +48,22 @@ object Multimodal {
       it.map(FakeDecoder.features(md, _))
     }
   }
+
+  /** Frame sampling over a binary payload: treat the payload as
+    * `frameSize`-byte frames and keep every `stride`-th one (the
+    * video-frame-sampling shape). Pure Column algebra — binary
+    * `substring` + one generator per row, fully codegen'd, no UDF; a
+    * real container format would swap the fixed-size slicing for a
+    * codec's frame index, leaving the plan shape unchanged. Payloads
+    * shorter than one frame yield no rows. */
+  def sampleFrames(packed: DataFrame, frameSize: Int, stride: Int): DataFrame =
+    packed
+      .withColumn("n_frames", floor(length(col("payload")) / frameSize).cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L),
+          floor((col("n_frames") - 1) / stride).cast("long"))).as("i"))
+      .select(col("doc_id"), (col("i") * stride).as("frame_no"),
+        md5(expr(s"substring(payload, cast(i * $stride * $frameSize + 1 as int), $frameSize)"))
+          .as("frame_md5"))
 }

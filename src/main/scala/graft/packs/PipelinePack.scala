@@ -166,6 +166,12 @@ object PipelinePack {
     "q_mm_decode" -> { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.packPayload(Tables.documents(s, d)))
         .toDF().orderBy("doc_id")
+    },
+    // Frame sampling: 16-byte frames, keep every 4th — binary substring
+    // plumbing with one generator per row, no UDF.
+    "q_mm_frame_sample" -> { (s, d) =>
+      Multimodal.sampleFrames(Multimodal.packPayload(Tables.documents(s, d)), 16, 4)
+        .orderBy("doc_id", "frame_no")
     }
   )
 
@@ -545,6 +551,21 @@ object PipelinePack {
          |                           i -> unicode(substr(text, CAST(i AS INT), 1)))),
          |            (a, b) -> (a * 31 + b) % ${Poly31Hash.P}) AS BIGINT) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same ASCII-text assumption as q_mm_decode (substr on text ==
+    // substring on the UTF-8 payload bytes); frames = ⌊len/16⌋, sampled
+    // indices 0, 4, 8, … — identical arithmetic both engines.
+    "q_mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         CAST(floor(strlen(text) / 16) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (SELECT doc_id, text,
+        |             unnest(range(0, CAST(floor((n_frames - 1) / 4.0) AS BIGINT) + 1)) AS i
+        |      FROM f WHERE n_frames > 0)
+        |SELECT doc_id, i * 4 AS frame_no,
+        |       md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5
+        |FROM s ORDER BY doc_id, frame_no""".stripMargin,
 
     // NOTE: strlen (bytes) vs the Spark side's payload byte length, and
     // unicode(first char) vs first payload byte, agree only for ASCII

@@ -47,6 +47,26 @@ class WarehouseSpec extends AnyFunSuite {
     assert(binned == Set((100L, 1L), (200L, 2L), (200L, 3L))) // 25, -3 unmatched
   }
 
+  test("binned range join equals direct join over randomized cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val pts = Seq.fill(25)((rnd.nextLong(50), rnd.between(-100L, 100L)))
+        .toDF("p_id", "sec")
+      val ivs = Seq.fill(12) {
+        val st = rnd.between(-100L, 100L)
+        (rnd.between(100L, 150L), st, st + rnd.between(1L, 60L))
+      }.toDF("i_id", "start_sec", "end_sec")
+      val binWidth = rnd.between(1L, 25L)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("i_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val binned = pairs(Warehouse.binnedRangeJoin(pts, ivs, binWidth))
+      val direct = pairs(pts.join(ivs,
+        col("sec") >= col("start_sec") && col("sec") < col("end_sec")))
+      assert(binned == direct, s"binWidth=$binWidth")
+    }
+  }
+
   test("sessionize splits on the gap and keeps per-user totals") {
     import spark.implicits._
     val events = Seq(
