@@ -247,6 +247,24 @@ object WarehousePack {
         .orderBy("o_orderpriority")
     },
 
+    // RANGE frame (value-based, not row-based): per-user trailing-hour
+    // event count and sum over the event-time axis — the window
+    // mechanics behind "activity in the last N minutes" features.
+    "q_x_range_frame" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("sec"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          // decimal cast INSIDE the windowed sum (dsum's stability trick,
+          // applied to a frame aggregate)
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_last_hour"))
+        .orderBy("event_id")
+    },
+
     // Frame-spec window: per-user running total and lag delta.
     "q_x_window_running" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -563,6 +581,16 @@ object WarehousePack {
          |       ${Num.dsumSql("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_x_range_frame" ->
+      s"""SELECT event_id, user_id,
+         |       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         |       count(*) OVER w AS n_last_hour,
+         |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_hour
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
 
     "q_x_window_running" ->
       """SELECT event_id, user_id,
