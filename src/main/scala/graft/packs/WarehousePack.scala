@@ -193,6 +193,17 @@ object WarehousePack {
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     },
 
+    // Deterministic array aggregation: collect_set → sorted → joined to
+    // a string (array aggs are only oracle-comparable once ordered).
+    "q_x_array_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // DISTINCT over a projection.
     "q_x_distinct" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -512,6 +523,12 @@ object WarehousePack {
         |WINDOW w AS (PARTITION BY l_returnflag
         |             ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC)
         |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_x_array_agg" ->
+      """SELECT o_orderpriority,
+        |       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_x_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
