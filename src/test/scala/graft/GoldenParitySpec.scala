@@ -146,6 +146,41 @@ class GoldenParitySpec extends AnyFunSuite {
     }
   }
 
+  test("K1 writer reproduces the golden tag CSV byte-for-byte") {
+    // The strongest writer claim available: re-derive the tag table
+    // (previous test proves value parity), write it with OUR `;`-CSV
+    // sink, and require the produced file to equal the reference's
+    // committed artifact byte-for-byte — header, row order, separators,
+    // empty-field encoding, line endings, everything.
+    import java.nio.file.{Files, Paths}
+    val fixture = tagsDf
+      .select(col("video_id"), col("tag_number").cast("int").as("n"), col("tag_value"))
+      .groupBy("video_id")
+      .agg(when(count(col("tag_value")) === 0, lit(null))
+        .otherwise(transform(
+          sort_array(collect_list(struct(col("n").as("n"), col("tag_value").as("t")))),
+          x => x.getField("t"))).as("tags"))
+    val outDir = Files.createTempDirectory("golden_w_").toString
+    graft.operators.Reshape
+      .unpivotWithOrdinal(fixture, col("video_id"), col("tags"))
+      .select(col("id").as("video_id"), col("tag_number"),
+        coalesce(col("tag_value"), lit("")).as("tag_value"))
+      .coalesce(1)
+      .sortWithinPartitions(col("video_id").desc, col("tag_number").asc)
+      .write.mode("overwrite")
+      .option("sep", ";").option("header", "true")
+      .option("emptyValue", "") // bare empty field, not "" — pandas QUOTE_MINIMAL
+      .csv(outDir)
+    val part = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".csv")).head.toPath
+    val ours = Files.readAllBytes(part)
+    val golden = Files.readAllBytes(
+      Paths.get(s"$dir/Video_Tags_Table.csv"))
+    assert(ours.length === golden.length,
+      s"byte length differs: ours=${ours.length} golden=${golden.length}")
+    assert(java.util.Arrays.equals(ours, golden), "byte content differs")
+  }
+
   test("statistics and tags cover exactly the description table's videos") {
     val dv = descs.select("video_id").distinct()
     assert(dv.count() === 201L)
