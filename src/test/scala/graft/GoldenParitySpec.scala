@@ -181,6 +181,39 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(ours, golden), "byte content differs")
   }
 
+  test("S6 reader + K1 writer are a byte-identity on every golden CSV") {
+    // Read each golden with the multiLine `;`-CSV source and write it
+    // straight back with the `;`-CSV sink (quote-doubling escape, bare
+    // empty fields — the pandas QUOTE_MINIMAL dialect). Byte equality on
+    // all four files proves the reader/writer pair round-trips the
+    // reference's real artifacts exactly — including the quoted
+    // embedded-newline fields in descriptions and comments.
+    import java.nio.file.{Files, Paths}
+    Seq("Video_Tags_Table.csv", "Video_Statistics_Table.csv",
+        "Video_Description_Table.csv", "Video_Comments_Table.csv")
+      .foreach { name =>
+        val outDir = Files.createTempDirectory(s"golden_rt_").toString
+        goldenCsv(name)
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("sep", ";").option("header", "true")
+          .option("quote", "\"").option("escape", "\"")
+          .option("emptyValue", "")
+          // the CSV WRITER trims field whitespace by default — the
+          // goldens carry leading spaces that must survive
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(outDir)
+        val part = new java.io.File(outDir).listFiles()
+          .filter(_.getName.endsWith(".csv")).head.toPath
+        val ours = Files.readAllBytes(part)
+        val golden = Files.readAllBytes(Paths.get(s"$dir/$name"))
+        assert(ours.length === golden.length,
+          s"$name: byte length differs ours=${ours.length} golden=${golden.length}")
+        assert(java.util.Arrays.equals(ours, golden), s"$name: byte content differs")
+      }
+  }
+
   test("statistics and tags cover exactly the description table's videos") {
     val dv = descs.select("video_id").distinct()
     assert(dv.count() === 201L)
