@@ -373,6 +373,31 @@ object WarehousePack {
             <= col("exact_p50") * 0.01).cast("long").as("approx_within_1pct"))
     },
 
+    // Data-quality expectation report: uniqueness, null, range, and
+    // referential-integrity checks as ONE query (union of four
+    // aggregates — each a partial-agg scan or key-equi anti join; no
+    // driver-side loop over checks). The warehouse-health face of the
+    // reference's per-row try/except validation.
+    "q_x_quality_report" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val uniq = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations"))
+        .select(lit("orders.o_orderkey.unique").as("check"), col("violations"))
+      val nulls = orders.agg(
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("violations"))
+        .select(lit("orders.o_orderstatus.not_null").as("check"), col("violations"))
+      val range = li.agg(
+        sum(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("violations"))
+        .select(lit("lineitem.l_quantity.in_(0,50]").as("check"), col("violations"))
+      val orphans = li.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("lineitem.l_orderkey.fk_orders").as("check"), col("violations"))
+      uniq.unionByName(nulls).unionByName(range).unionByName(orphans)
+        .orderBy("check")
+    },
+
     // A6-style keyed counting via the warehouse join (items per order).
     "q_a6_count_per_key" -> { (s, d) =>
       Tables.orders(s, d)
@@ -638,6 +663,25 @@ object WarehousePack {
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderkey, o_orderstatus
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_x_quality_report" ->
+      """SELECT * FROM (
+        |  SELECT 'orders.o_orderkey.unique' AS "check",
+        |         count(*) - count(DISTINCT o_orderkey) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.o_orderstatus.not_null',
+        |         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity.in_(0,50]',
+        |         CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey.fk_orders', count(*)
+        |  FROM lineitem WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |ORDER BY "check"""".stripMargin,
 
     "q_x_upsert_snapshot" ->
       """WITH cur AS (SELECT o_orderkey AS key, o_orderstatus AS status,
