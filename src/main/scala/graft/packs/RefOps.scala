@@ -75,6 +75,17 @@ object RefOps {
         .orderBy(col("p_partkey").desc, col("tag_number").asc)
     },
 
+    // Outer generator: explode_outer keeps rows whose array is NULL or
+    // empty (one row, null element) — the built-in face of the P5
+    // coalesce-before-explode pattern.
+    "q_r_explode_outer" -> { (s, d) =>
+      val arr = when(pmod(col("p_partkey"), lit(7)) === 0, lit(null))
+        .otherwise(split(col("p_type"), " "))
+      Tables.part(s, d)
+        .select(col("p_partkey"), explode_outer(arr).as("word"))
+        .orderBy(col("p_partkey"), col("word").asc_nulls_first)
+    },
+
     // P4/P5/P6 — null-safe defaults + NA row drop.
     "q_p5_null_default" -> { (s, d) =>
       Tables.part(s, d)
@@ -235,6 +246,17 @@ object RefOps {
         |         unnest(string_split(p_type, ' ')) AS tag_value
         |  FROM part)
         |ORDER BY p_partkey DESC, tag_number ASC""".stripMargin,
+
+    // [NULL]-substitution mirrors explode_outer's null/empty-array row.
+    "q_r_explode_outer" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |         CASE WHEN p_partkey % 7 = 0 THEN [NULL]
+        |              WHEN len(string_split(p_type, ' ')) = 0 THEN [NULL]
+        |              ELSE string_split(p_type, ' ') END AS arr
+        |  FROM part)
+        |SELECT p_partkey, unnest(arr) AS word FROM t
+        |ORDER BY p_partkey, word ASC NULLS FIRST""".stripMargin,
 
     "q_p5_null_default" ->
       """SELECT p_partkey,
