@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dotp", es => DotProduct(es(0), es(1))))
     ext.injectFunction(fn("poly31", es => Poly31Hash(es.head)))
     ext.injectFunction(fn("shingles3", es => WordShingles(es.head, 3)))
+    // Plan-hygiene lint: warn (never mutate) on single-reducer windows.
+    ext.injectOptimizerRule(_ => new graft.plans.SingleReducerWindowWarning)
   }
 }

@@ -60,6 +60,22 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
   }
 
+  test("injected lint rule flags single-reducer windows, stays quiet otherwise") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val hits = graft.plans.SingleReducerWindowWarning.hits
+    val base = Tables.part(spark, d).select(col("p_partkey"), col("p_brand"))
+    // partitioned window → no new hits
+    val before = hits.get()
+    base.withColumn("rn",
+        row_number().over(W.partitionBy("p_brand").orderBy("p_partkey")))
+      .queryExecution.optimizedPlan
+    assert(hits.get() === before, "partitioned window must not trip the lint")
+    // global window (empty PARTITION BY) → the lint fires
+    base.withColumn("rn", row_number().over(W.orderBy("p_partkey")))
+      .queryExecution.optimizedPlan
+    assert(hits.get() > before, "global window should trip the lint")
+  }
+
   test("AQE splits the skewed partition of an unsalted shuffle join") {
     val confs = Map(
       "spark.sql.adaptive.enabled" -> "true",
