@@ -49,6 +49,28 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, orig_len: Long, resized_len: Long,
+                          resized_md5: String)
+
+  /** "Resize" a binary payload by keeping every `factor`-th byte — the
+    * deterministic stand-in for an image/audio downsample (no codecs in
+    * this environment; a real resize swaps the byte stride for a codec
+    * call with the identical typed mapPartitions plumbing). */
+  def resizePayloads(spark: SparkSession, packed: DataFrame,
+                     factor: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    packed.as[Media].mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val small = Array.tabulate(
+          (m.payload.length + factor - 1) / factor)(i => m.payload(i * factor))
+        md.reset()
+        ResizedMedia(m.doc_id, m.payload.length.toLong, small.length.toLong,
+          md.digest(small).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   /** Frame sampling over a binary payload: treat the payload as
     * `frameSize`-byte frames and keep every `stride`-th one (the
     * video-frame-sampling shape). Pure Column algebra — binary

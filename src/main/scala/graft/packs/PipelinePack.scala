@@ -172,6 +172,13 @@ object PipelinePack {
     "q_mm_frame_sample" -> { (s, d) =>
       Multimodal.sampleFrames(Multimodal.packPayload(Tables.documents(s, d)), 16, 4)
         .orderBy("doc_id", "frame_no")
+    },
+    // "Resize": every-4th-byte downsample via the typed per-partition
+    // path (codec stand-in; plumbing is the production shape).
+    "q_mm_resize" -> { (s, d) =>
+      Multimodal.resizePayloads(s,
+          Multimodal.packPayload(Tables.documents(s, d)), 4)
+        .toDF().orderBy("doc_id")
     }
   )
 
@@ -566,6 +573,22 @@ object PipelinePack {
         |SELECT doc_id, i * 4 AS frame_no,
         |       md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5
         |FROM s ORDER BY doc_id, frame_no""".stripMargin,
+
+    // Every-4th-char mirror of the byte stride (ASCII assumption as in
+    // q_mm_decode: one char == one byte).
+    "q_mm_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CAST(strlen(text) AS BIGINT) AS orig_len,
+        |         array_to_string(
+        |           list_transform(
+        |             range(0, CAST(ceil(strlen(text) / 4.0) AS BIGINT)),
+        |             i -> substr(text, CAST(i * 4 + 1 AS INT), 1)), '') AS small
+        |  FROM documents)
+        |SELECT doc_id, orig_len,
+        |       CAST(strlen(small) AS BIGINT) AS resized_len,
+        |       md5(small) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // NOTE: strlen (bytes) vs the Spark side's payload byte length, and
     // unicode(first char) vs first payload byte, agree only for ASCII
