@@ -117,6 +117,16 @@ object RefOps {
         .orderBy("event_id")
     },
 
+    // J1 via Spark 4's VARIANT type: parse_json → variant_get typed
+    // extraction — the open-schema semi-structured path (vs from_json's
+    // fixed schema in q_j1_json_extract).
+    "q_j_variant" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .orderBy("event_id")
+    },
+
     // J3/W2/O4 — hierarchy flatten: orders are parents (flag 0),
     // lineitems are replies (flag 1), unioned long-form.
     "q_w2_hierarchy_flatten" -> { (s, d) =>
@@ -272,6 +282,10 @@ object RefOps {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_j1_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_j_variant" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -135,6 +135,31 @@ object StreamOps {
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  /** Variable-arity keyed state via flatMapGroupsWithState: emit a row
+    * ONLY for users whose running total crosses `threshold` in this
+    * batch (0 or 1 rows per group per invocation — the shape
+    * mapGroupsWithState's exactly-one-row contract can't express).
+    * Alert-style monitoring over keyed state. */
+  def thresholdAlerts(spark: SparkSession, events: DataFrame,
+                      threshold: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          state.update(UserRunning(uid, n, total))
+          if (prev.total < threshold && total >= threshold)
+            Iterator(UserRunning(uid, n, total))
+          else Iterator.empty
+      }
+      .toDF()
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user count
     * and total (the custom-state analogue of the reference's count
     * accumulation, SURVEY.md §2.5 A6). */

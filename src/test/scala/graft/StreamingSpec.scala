@@ -100,6 +100,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed == batch && batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState emits exactly the users crossing the threshold") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val threshold = 100.0
+    val alerts = StreamOps.thresholdAlerts(spark, events, threshold)
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    val expected = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(sum(col("value")).as("total"))
+      .filter(col("total") >= threshold)
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    assert(alerts == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, TestSpark.sf0001)
