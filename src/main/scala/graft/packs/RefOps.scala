@@ -175,6 +175,23 @@ object RefOps {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // §2.8/§2.9 — higher-order array-function battery: transform /
+    // filter / exists / sort / slice / contains over split word lists
+    // (codegen'd Column lambdas, serialized to strings for parity).
+    "q_f_array_funcs" -> { (s, d) =>
+      val ws = split(col("p_type"), " ")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        size(ws).cast("long").as("n"),
+        concat_ws(",", sort_array(ws)).as("sorted_ws"),
+        concat_ws(",", transform(ws, w => upper(w))).as("upper_ws"),
+        concat_ws(",", filter(ws, w => length(w) > 5)).as("long_ws"),
+        array_contains(ws, "BRASS").cast("long").as("has_brass"),
+        exists(ws, w => w.startsWith("P")).cast("long").as("any_p"),
+        concat_ws(",", slice(ws, 1, 2)).as("first2"))
+        .orderBy("p_partkey")
+    },
+
     // Null semantics: null-safe equality, coalesce, count(col) vs
     // count(*), null-aware aggregation.
     "q_x_null_semantics" -> { (s, d) =>
@@ -320,6 +337,18 @@ object RefOps {
         |       round(pow(l_discount, 2), 6) AS d2,
         |       l_orderkey % 7 AS m7
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_f_array_funcs" ->
+      """WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS ws FROM part)
+        |SELECT p_partkey,
+        |       CAST(len(ws) AS BIGINT) AS n,
+        |       array_to_string(list_sort(ws), ',') AS sorted_ws,
+        |       array_to_string(list_transform(ws, w -> upper(w)), ',') AS upper_ws,
+        |       coalesce(array_to_string(list_filter(ws, w -> length(w) > 5), ','), '') AS long_ws,
+        |       CAST(list_contains(ws, 'BRASS') AS BIGINT) AS has_brass,
+        |       CAST(len(list_filter(ws, w -> w LIKE 'P%')) > 0 AS BIGINT) AS any_p,
+        |       array_to_string(ws[1:2], ',') AS first2
+        |FROM t ORDER BY p_partkey""".stripMargin,
 
     "q_x_null_semantics" ->
       """WITH t AS (SELECT nullif(p_brand, 'Brand#13') AS maybe_brand FROM part)

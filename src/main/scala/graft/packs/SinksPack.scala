@@ -137,6 +137,20 @@ object SinksPack {
         .orderBy("o_orderstatus")
     },
 
+    // XML sink/source round trip (Spark 4's built-in XML source — the
+    // remaining text-format sibling of CSV/JSON).
+    "q_s_xml_roundtrip" -> { (s, d) =>
+      val path = tmpPath("xml", d)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "customer").save(path)
+      s.read.format("xml").option("rowTag", "customer").load(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Num.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+
     // Malformed-input resilience: PERMISSIVE JSON read with a corrupt-
     // record column — odd-keyed nation rows are written as broken JSON,
     // and the read must capture them in _corrupt_record while parsing
@@ -313,6 +327,10 @@ object SinksPack {
     "q_s_orc_roundtrip" ->
       s"""SELECT l_returnflag, count(*) AS n, ${Num.dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_s_xml_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${Num.dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // Mirrors the even/odd corruption rule the fixture was written with.
     "q_s_json_corrupt" ->
