@@ -32,6 +32,24 @@ class WarehouseSpec extends AnyFunSuite {
     assert(q.getAs[Long]("approx_within_5pct") == 1L)
   }
 
+  test("upsert: changes override, inserts land, untouched rows carry over") {
+    import spark.implicits._
+    val cur = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("key", "status", "price")
+    val changes = Seq((2L, "B", 21.0), (9L, "new", 90.0))
+      .toDF("key", "status", "price")
+    val out = Warehouse.upsert(cur, changes, "key")
+      .collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("status"), r.getAs[Double]("price")))
+      .toSet
+    assert(out == Set(
+      (1L, "a", 10.0),  // untouched
+      (2L, "B", 21.0),  // updated
+      (3L, "c", 30.0),  // untouched
+      (9L, "new", 90.0) // inserted
+    ))
+  }
+
   test("binned range join equals the direct non-equi join") {
     import spark.implicits._
     val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 25L), (5L, -3L))
