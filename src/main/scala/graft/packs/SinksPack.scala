@@ -137,6 +137,28 @@ object SinksPack {
         .orderBy("o_orderstatus")
     },
 
+    // Schema evolution: two parquet generations with different columns
+    // (an added column) read back as ONE table via mergeSchema — the
+    // append-only warehouse's schema-drift reality. Old-generation rows
+    // null-fill the new column.
+    "q_s_schema_evolution" -> { (s, d) =>
+      val path = tmpPath("evolve", d)
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 6).as("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          Num.dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_new_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // XML sink/source round trip (Spark 4's built-in XML source — the
     // remaining text-format sibling of CSV/JSON).
     "q_s_xml_roundtrip" -> { (s, d) =>
@@ -331,6 +353,14 @@ object SinksPack {
     "q_s_xml_roundtrip" ->
       s"""SELECT c_mktsegment, count(*) AS n, ${Num.dsumSql("c_acctbal")} AS sum_bal
          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Even keys are the legacy generation (no price column → legacy
+    // count); odd keys carry the evolved column.
+    "q_s_schema_evolution" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+         |       ${Num.dsumSql("CASE WHEN o_orderkey % 2 = 1 THEN round(o_totalprice, 6) ELSE 0.0 END")} AS sum_new_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Mirrors the even/odd corruption rule the fixture was written with.
     "q_s_json_corrupt" ->
