@@ -36,6 +36,11 @@ object PipelinePack {
   /** Context-window chunking: 50-word windows, 40-word stride. */
   private val CHUNK_W = 50
   private val CHUNK_S = 40
+  /** Multimodal frame sampling / resize constants (shared with the
+    * oracles so both engines slice identically). */
+  private val FRAME_SIZE = 16
+  private val FRAME_STRIDE = 4
+  private val RESIZE_FACTOR = 4
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -170,14 +175,15 @@ object PipelinePack {
     // Frame sampling: 16-byte frames, keep every 4th — binary substring
     // plumbing with one generator per row, no UDF.
     "q_mm_frame_sample" -> { (s, d) =>
-      Multimodal.sampleFrames(Multimodal.packPayload(Tables.documents(s, d)), 16, 4)
+      Multimodal.sampleFrames(Multimodal.packPayload(Tables.documents(s, d)),
+          FRAME_SIZE, FRAME_STRIDE)
         .orderBy("doc_id", "frame_no")
     },
-    // "Resize": every-4th-byte downsample via the typed per-partition
-    // path (codec stand-in; plumbing is the production shape).
+    // "Resize": every-RESIZE_FACTOR-th-byte downsample via the typed
+    // per-partition path (codec stand-in; plumbing is the production shape).
     "q_mm_resize" -> { (s, d) =>
       Multimodal.resizePayloads(s,
-          Multimodal.packPayload(Tables.documents(s, d)), 4)
+          Multimodal.packPayload(Tables.documents(s, d)), RESIZE_FACTOR)
         .toDF().orderBy("doc_id")
     }
   )
@@ -563,32 +569,32 @@ object PipelinePack {
     // substring on the UTF-8 payload bytes); frames = ⌊len/16⌋, sampled
     // indices 0, 4, 8, … — identical arithmetic both engines.
     "q_mm_frame_sample" ->
-      """WITH f AS (
-        |  SELECT doc_id, text,
-        |         CAST(floor(strlen(text) / 16) AS BIGINT) AS n_frames
-        |  FROM documents),
-        |s AS (SELECT doc_id, text,
-        |             unnest(range(0, CAST(floor((n_frames - 1) / 4.0) AS BIGINT) + 1)) AS i
-        |      FROM f WHERE n_frames > 0)
-        |SELECT doc_id, i * 4 AS frame_no,
-        |       md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5
-        |FROM s ORDER BY doc_id, frame_no""".stripMargin,
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |         CAST(floor(strlen(text) / $FRAME_SIZE) AS BIGINT) AS n_frames
+         |  FROM documents),
+         |s AS (SELECT doc_id, text,
+         |             unnest(range(0, CAST(floor((n_frames - 1) / $FRAME_STRIDE.0) AS BIGINT) + 1)) AS i
+         |      FROM f WHERE n_frames > 0)
+         |SELECT doc_id, i * $FRAME_STRIDE AS frame_no,
+         |       md5(substr(text, CAST(i * ${FRAME_STRIDE * FRAME_SIZE} + 1 AS INT), $FRAME_SIZE)) AS frame_md5
+         |FROM s ORDER BY doc_id, frame_no""".stripMargin,
 
-    // Every-4th-char mirror of the byte stride (ASCII assumption as in
-    // q_mm_decode: one char == one byte).
+    // Every-RESIZE_FACTOR-th-char mirror of the byte stride (ASCII
+    // assumption as in q_mm_decode: one char == one byte).
     "q_mm_resize" ->
-      """WITH r AS (
-        |  SELECT doc_id,
-        |         CAST(strlen(text) AS BIGINT) AS orig_len,
-        |         array_to_string(
-        |           list_transform(
-        |             range(0, CAST(ceil(strlen(text) / 4.0) AS BIGINT)),
-        |             i -> substr(text, CAST(i * 4 + 1 AS INT), 1)), '') AS small
-        |  FROM documents)
-        |SELECT doc_id, orig_len,
-        |       CAST(strlen(small) AS BIGINT) AS resized_len,
-        |       md5(small) AS resized_md5
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         CAST(strlen(text) AS BIGINT) AS orig_len,
+         |         array_to_string(
+         |           list_transform(
+         |             range(0, CAST(ceil(strlen(text) / $RESIZE_FACTOR.0) AS BIGINT)),
+         |             i -> substr(text, CAST(i * $RESIZE_FACTOR + 1 AS INT), 1)), '') AS small
+         |  FROM documents)
+         |SELECT doc_id, orig_len,
+         |       CAST(strlen(small) AS BIGINT) AS resized_len,
+         |       md5(small) AS resized_md5
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // NOTE: strlen (bytes) vs the Spark side's payload byte length, and
     // unicode(first char) vs first payload byte, agree only for ASCII
