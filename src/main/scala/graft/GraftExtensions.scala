@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Poly31Hash, WordShingles}
+import graft.functions.{DemojizeExpr, DotProduct, Poly31Hash, WordShingles}
 
 /** The library's `SparkSessionExtensions` entry point — the deployment
   * path for the native codegen Expressions (`dotp`, `poly31`,
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dotp", es => DotProduct(es(0), es(1))))
     ext.injectFunction(fn("poly31", es => Poly31Hash(es.head)))
     ext.injectFunction(fn("shingles3", es => WordShingles(es.head, 3)))
+    ext.injectFunction(fn("demojize", es => DemojizeExpr(es.head)))
     // Plan-hygiene lint: warn (never mutate) on single-reducer windows.
     ext.injectOptimizerRule(_ => new graft.plans.SingleReducerWindowWarning)
   }

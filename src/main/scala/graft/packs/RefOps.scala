@@ -255,8 +255,15 @@ object RefOps {
       // index out of range if doc_id were ever negative.
       def pick(idx: String) = s"($emList)[(($idx) % $n + $n) % $n + 1]"
       val raw = s"(text || ' ' || ${pick("doc_id")} || ' and ' || ${pick("(doc_id * 7 + 3)")})"
-      s"""SELECT doc_id, ${Demojize.demojizeSql(raw)} AS demojized
-         |FROM documents ORDER BY doc_id""".stripMargin
+      // The replace chain is layered across CTE steps: DuckDB's binder
+      // caps expression depth at 128, and the full table is ~350 deep.
+      val batches = Demojize.demojizeSqlBatches("t")
+      val ctes = s"d0 AS (SELECT doc_id, $raw AS t FROM documents)" +:
+        batches.zipWithIndex.map { case (b, i) =>
+          s"d${i + 1} AS (SELECT doc_id, $b AS t FROM d$i)"
+        }
+      s"""WITH ${ctes.mkString(",\n")}
+         |SELECT doc_id, t AS demojized FROM d${batches.size} ORDER BY doc_id""".stripMargin
     },
 
     "q_f5_date_normalize" ->

@@ -104,12 +104,23 @@ class GoldenParitySpec extends AnyFunSuite {
     val overlap = tokens.collect().map(_.getString(0)).toSet.intersect(ours)
     assert(overlap.contains("OK_hand_light_skin_tone"))
     assert(overlap.contains("grinning_face"))
-    overlap.foreach { name =>
-      val em = graft.functions.Demojize.mapping.find(_._2 == name).get._1
-      val out = spark.range(1)
-        .select(graft.functions.Demojize.demojize(lit(s"x $em y")).as("t"))
-        .head().getString(0)
-      assert(out === s"x #*$name#* y")
+    // The mapping must cover (at least) the 100 most frequent golden
+    // tokens, and every covered name must round-trip through demojize.
+    assert(overlap.size >= 100,
+      s"mapping covers only ${overlap.size} of the golden corpus's tokens")
+    val top100 = tokens.orderBy(desc("count"), asc("name"))
+      .limit(100).collect().map(_.getString(0))
+    val uncoveredTop = top100.filterNot(ours)
+    assert(uncoveredTop.isEmpty,
+      s"top-100 golden tokens missing from mapping: ${uncoveredTop.mkString(", ")}")
+    import spark.implicits._
+    val covered = graft.functions.Demojize.mapping.filter { case (_, n) => overlap.contains(n) }
+    val roundTrips = covered.toDF("em", "name")
+      .select(col("name"),
+        graft.functions.Demojize.demojize(concat(lit("x "), col("em"), lit(" y"))).as("t"))
+      .collect()
+    roundTrips.foreach { r =>
+      assert(r.getString(1) === s"x #*${r.getString(0)}#* y", s"name ${r.getString(0)}")
     }
   }
 
