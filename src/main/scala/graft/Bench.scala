@@ -9,18 +9,26 @@ object Bench {
     // fixtures so fixture-backed queries time their read path, not setup.
     SparkEntry.entry(spark).count()
     packs.SinksPack.prewarm(spark, sfDir)
+    // Median of 3 runs per query: single-run timings vary 2-4× run to
+    // run (JIT, page cache, AQE re-plans) — medians make round-over-round
+    // BENCH comparisons signal instead of noise. The first run (recorded
+    // separately) additionally absorbs any fixture setup.
+    val runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches an operator persisted so queries don't fight for heap
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+        // No clearCache: operators release their own caches
+        // (Dedup.materializeThenRelease), spec-enforced.
+      }
+      (name, times.sorted.apply(runs / 2), times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double) =
+      results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""queries":${jmap(_._2)},"queries_first":${jmap(_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

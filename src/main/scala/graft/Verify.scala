@@ -41,10 +41,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Release caches an operator persisted (annTopK, jaccardPairs, …):
-      // across ~60 queries in one session the MEMORY_AND_DISK handles
-      // would otherwise accumulate for the life of the JVM.
-      spark.catalog.clearCache()
+      // No clearCache here: cache lifecycle is operator-owned
+      // (Dedup.materializeThenRelease) — CacheLifecycleSpec enforces it.
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -282,7 +282,7 @@ object Demojize {
 
   /** (emoji, python-emoji-library name). Plain entries plus the
     * generated bare + toned forms of every toned base. Shared verbatim
-    * with the DuckDB oracle via [[demojizeSql]]. */
+    * with the DuckDB oracle via [[demojizeSqlBatches]]. */
   val mapping: Seq[(String, String)] = {
     val tonedSimple = tonedBases.flatMap { case (b, n) =>
       (b -> n) +: tones.map { case (tn, tc) => (b + tc) -> s"${n}_$tn" }

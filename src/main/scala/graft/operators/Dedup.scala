@@ -23,6 +23,21 @@ import graft.functions.Hashing
   */
 object Dedup {
 
+  /** Materialize `result` eagerly (localCheckpoint — RDD-level blocks,
+    * released by Spark's ContextCleaner once the returned frame is
+    * unreachable), then drop the operator's Dataset-level caches. Every
+    * caching operator funnels through this so its CacheManager
+    * footprint is ZERO by the time it returns: callers get a
+    * self-contained frame, never a persist handle they must remember to
+    * release (a long-lived library session would otherwise accumulate
+    * MEMORY_AND_DISK entries for the JVM's life). */
+  private[operators] def materializeThenRelease(result: DataFrame,
+                                                cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Hot-shingle document-frequency cap shared by [[jaccardPairs]] and
     * the generated oracle SQL (see [[hotShingleCte]]): shingles appearing
     * in more than this many documents are dropped from the intersection
@@ -99,7 +114,7 @@ object Dedup {
     val inter = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    withJaccard(inter, sizes, minJ)
+    materializeThenRelease(withJaccard(inter, sizes, minJ), sh)
   }
 
   /** Attach |A|,|B| and the jaccard i/(|A|+|B|−i); filter ≥ minJ. */
@@ -149,7 +164,7 @@ object Dedup {
       .join(sa, Seq("doc_a"))
       .join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    withJaccard(inter, sizes, minJ)
+    materializeThenRelease(withJaccard(inter, sizes, minJ), shingles)
   }
 
   /** SimHash: 60-bit signature from md5-derived word hashes (term
@@ -216,8 +231,10 @@ object Dedup {
     // data), replacing ~5 jobs per fixpoint round with a single pass.
     // Above it, the O(log n)-round distributed fixpoint below takes over.
     if (nEdges <= smallGraphEdges)
-      return smallGraphClusters(rawEdges).withColumn("is_canonical",
-        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+      return materializeThenRelease(
+        smallGraphClusters(rawEdges).withColumn("is_canonical",
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)),
+        rawEdges)
     // Size the fixpoint's parallelism to the edge set, not the session
     // default (a small graph on 32 shuffle partitions pays ~30 empty
     // tasks per round).
@@ -258,6 +275,9 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters: not converged after $maxIter rounds " +
           s"(component diameter > 2^$maxIter?) — refusing to return partial labels")
+    // `labels` is localCheckpointed (materialized) by the last round, so
+    // the edge cache can be dropped without triggering recompute.
+    rawEdges.unpersist(blocking = false)
     labels.withColumn("is_canonical",
       when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
   }
@@ -341,11 +361,12 @@ object Dedup {
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    cand
+    val pairs = cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .withColumn("cosine", round(expr("dotp(va, vb)"), 6))
       .filter(col("cosine") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
+    materializeThenRelease(pairs, e)
   }
 }

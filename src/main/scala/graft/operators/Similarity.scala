@@ -119,8 +119,9 @@ object Similarity {
       .join(e, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(expr("dotp(qv, v)"), 6).as("cosine"))
-    heapTopK(scored, "query_id", "cosine", "vec_id", k)
+    val out = heapTopK(scored, "query_id", "cosine", "vec_id", k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+    Dedup.materializeThenRelease(out, e)
   }
 
   /** Deterministic random hyperplanes (seeded): nPlanes × dim. Shared
@@ -170,7 +171,8 @@ object Similarity {
       .join(e, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(expr("dotp(qv, v)"), 6).as("cosine"))
-    heapTopK(scored, "query_id", "cosine", "vec_id", k)
+    val ranked = heapTopK(scored, "query_id", "cosine", "vec_id", k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+    Dedup.materializeThenRelease(ranked, e)
   }
 }

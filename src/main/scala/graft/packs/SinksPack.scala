@@ -19,7 +19,7 @@ object SinksPack {
   // pid-unique so two JVMs on the same scale factor (sbt test alongside
   // Verify/Bench) never race on the same overwrite-write + read-back dirs.
   private val pid = java.lang.ProcessHandle.current().pid()
-  private def tmpPath(kind: String, d: String): String =
+  private[packs] def tmpPath(kind: String, d: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${pid}_${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Once-per-JVM fixture writes: a query's *setup* I/O (writing the
@@ -29,7 +29,7 @@ object SinksPack {
     * written content is deterministic in (kind, sfDir). NOT used where
     * re-execution is the semantics under test (e.g. k3's append). */
   private val fixtureDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def ensureFixture(key: String)(write: => Unit): Unit =
+  private[packs] def ensureFixture(key: String)(write: => Unit): Unit =
     if (!fixtureDone.contains(key)) fixtureDone.synchronized {
       if (!fixtureDone.contains(key)) { write; fixtureDone.add(key) }
     }
