@@ -219,7 +219,7 @@ object Dedup {
     * returning partial labels would diverge from the oracle's
     * transitive closure. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-                        smallGraphEdges: Long = 10000000L): DataFrame = {
+                        smallGraphEdges: Long = 1000000L): DataFrame = {
     val rawEdges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -283,34 +283,55 @@ object Dedup {
   }
 
   /** Exact connected components for an edge set that fits one task:
-    * path-compressed union-find, always rooting at the smaller id, so
-    * the final root of every node IS its component minimum — the same
-    * labels the distributed fixpoint (and the oracle's transitive
-    * closure) produce. Runs on an executor via `mapPartitions`; the
-    * driver never sees a row. */
+    * path-compressed union-find over PRIMITIVE arrays (edge buffers →
+    * sorted distinct node ids → int parent indices; node ids are sorted,
+    * so a smaller index IS a smaller doc_id and min-rooting by index
+    * roots every component at its minimum — the same labels the
+    * distributed fixpoint and the oracle's transitive closure produce).
+    * Zero boxed collections and no materialized label Seq, so the task's
+    * footprint is ~32 bytes/edge — at the 1M-edge cutover that is tens
+    * of MB, far from executor-memory trouble. Runs on an executor via
+    * `mapPartitions`; the driver never sees a row. */
   private def smallGraphClusters(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
+        val ub = new scala.collection.mutable.ArrayBuilder.ofLong
+        val vb = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (u, v) => ub += u; vb += v }
+        val us = ub.result(); val vs = vb.result()
+        // Sorted distinct node ids (in-place dedupe, no hash sets).
+        val all = new Array[Long](us.length + vs.length)
+        System.arraycopy(us, 0, all, 0, us.length)
+        System.arraycopy(vs, 0, all, us.length, vs.length)
+        java.util.Arrays.sort(all)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val nodes = java.util.Arrays.copyOf(all, n)
+        def idx(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
           var r = x
           while (parent(r) != r) r = parent(r)
           var c = x
-          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        it.foreach { case (u, v) =>
-          parent.getOrElseUpdate(u, u)
-          parent.getOrElseUpdate(v, v)
-          val ru = find(u); val rv = find(v)
+        var e = 0
+        while (e < us.length) {
+          val ru = find(idx(us(e))); val rv = find(idx(vs(e)))
           if (ru != rv) {
             if (ru < rv) parent(rv) = ru else parent(ru) = rv
           }
+          e += 1
         }
-        parent.keysIterator.map(k => (k, find(k))).toSeq.iterator
+        Iterator.tabulate(n)(i => (nodes(i), nodes(find(i))))
       }
       .toDF("doc_id", "cluster_id")
   }

@@ -76,18 +76,24 @@ object Warehouse {
   /** SCD-1 upsert (MERGE without a table format): changed rows override
     * current ones, new keys insert, untouched rows carry over — one
     * full-outer join on the key, entirely shuffle-partitioned by that
-    * key. The set-based replacement for row-at-a-time warehouse updates;
-    * at 100 TB both sides hash-partition on `key` and the merge is a
-    * single co-partitioned pass (bucket both sides to also skip the
-    * shuffle). */
+    * key. A literal `true` presence marker on the changes side decides
+    * which row won the join, so a change row carrying an explicit NULL
+    * in a non-key column DOES overwrite the current value (true MERGE
+    * semantics — a per-column coalesce would silently keep the stale
+    * value). The set-based replacement for row-at-a-time warehouse
+    * updates; at 100 TB both sides hash-partition on `key` and the
+    * merge is a single co-partitioned pass (bucket both sides to also
+    * skip the shuffle). */
   def upsert(current: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val renamed = changes.columns.foldLeft(changes)(
       (df, c) => df.withColumnRenamed(c, s"__chg_$c"))
+      .withColumn("__chg_present", lit(true))
     current.join(renamed, col(key) === col(s"__chg_$key"), "full_outer")
       .select(
         coalesce(col(key), col(s"__chg_$key")).as(key) +:
           current.columns.filterNot(_ == key).toIndexedSeq.map(c =>
-            coalesce(col(s"__chg_$c"), col(c)).as(c)): _*)
+            // when() is null-safe here: absent marker (NULL) → otherwise.
+            when(col("__chg_present"), col(s"__chg_$c")).otherwise(col(c)).as(c)): _*)
   }
 
   /** RANGE join at scale (composed from built-ins, preference (a) in the

@@ -233,6 +233,13 @@ object SinksPack {
         .orderBy("hour_start", "event_type")
     },
 
+    // Batch face of the stateful threshold-alert stream: first event at
+    // which each user's running total crosses the alert threshold.
+    "q_st_threshold_alerts" -> { (s, d) =>
+      StreamOps.thresholdCrossingsBatch(Tables.events(s, d), StreamOps.AlertThreshold)
+        .orderBy("user_id", "crossing_event")
+    },
+
     // S1/P1/J2/F5 — nested JSON fixture pages (the API page shape) →
     // read back → explode/dot-path flatten → clean.
     "q_s1_json_pages_flatten" -> { (s, d) =>
@@ -384,6 +391,19 @@ object SinksPack {
          |       event_type, count(*) AS n_events,
          |       ${Num.dsumSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_st_threshold_alerts" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+         |         sum(CAST(value AS DECIMAL(18,6))) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM events)
+         |SELECT user_id, event_id AS crossing_event,
+         |       round(CAST(cum AS DOUBLE), 6) AS total_at_crossing
+         |FROM c
+         |WHERE cum - v < ${StreamOps.AlertThreshold} AND cum >= ${StreamOps.AlertThreshold}
+         |ORDER BY user_id, crossing_event""".stripMargin,
 
     "q_s1_json_pages_flatten" -> {
       def cleanSql(e: String): String =

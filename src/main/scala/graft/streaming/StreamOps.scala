@@ -135,11 +135,22 @@ object StreamOps {
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  /** Canonicalize an accumulated double before comparing it: group
+    * iterators (and batch partial-merges) present values in an
+    * unspecified order, so two runs of the same data can differ by ulps
+    * — rounding to 6 decimals makes the threshold-crossing decision
+    * order-independent (matching the engine-wide dsum/round-6 oracle
+    * discipline). */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Variable-arity keyed state via flatMapGroupsWithState: emit a row
     * ONLY for users whose running total crosses `threshold` in this
     * batch (0 or 1 rows per group per invocation — the shape
     * mapGroupsWithState's exactly-one-row contract can't express).
-    * Alert-style monitoring over keyed state. */
+    * Alert-style monitoring over keyed state. The crossing test runs on
+    * [[round6]]-canonicalized totals so it cannot flip with the
+    * accumulation order. */
   def thresholdAlerts(spark: SparkSession, events: DataFrame,
                       threshold: Double): DataFrame = {
     import spark.implicits._
@@ -153,11 +164,37 @@ object StreamOps {
           var total = prev.total
           it.foreach { e => n += 1; total += e.value }
           state.update(UserRunning(uid, n, total))
-          if (prev.total < threshold && total >= threshold)
+          if (round6(prev.total) < threshold && round6(total) >= threshold)
             Iterator(UserRunning(uid, n, total))
           else Iterator.empty
       }
       .toDF()
+  }
+
+  /** Threshold shared by [[thresholdAlerts]]'s spec and the
+    * `q_st_threshold_alerts` query + oracle. */
+  val AlertThreshold: Double = 100.0
+
+  /** The oracle-checkable batch face of [[thresholdAlerts]]: for each
+    * user, the event at which the running total — accumulated in event
+    * order (ts, event_id) — first crosses `threshold`, with the total
+    * at that moment. The cumulative sum runs in DECIMAL(18,6), so the
+    * running values are exact and identical on any engine (a double
+    * cumulative sum would drift by ulps between implementations). The
+    * window partitions by user, so no partition ever exceeds one user's
+    * events — scale-safe. */
+  def thresholdCrossingsBatch(events: DataFrame, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .withColumn("cum", sum(col("v")).over(w))
+      .filter(col("cum") - col("v") < threshold && col("cum") >= threshold)
+      .select(col("user_id"), col("event_id").as("crossing_event"),
+        round(col("cum").cast("double"), 6).as("total_at_crossing"))
   }
 
   /** Custom keyed state via mapGroupsWithState: running per-user count

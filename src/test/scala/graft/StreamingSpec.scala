@@ -108,7 +108,9 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("user_id")).toSet
     val expected = Tables.events(spark, TestSpark.sf0001)
       .groupBy("user_id").agg(sum(col("value")).as("total"))
-      .filter(col("total") >= threshold)
+      // round-6 on both sides: the batch sum's partial-merge order and
+      // the stateful fold's iterator order may differ by ulps.
+      .filter(round(col("total"), 6) >= threshold)
       .collect().map(_.getAs[Long]("user_id")).toSet
     assert(alerts == expected)
     assert(expected.nonEmpty)

@@ -50,6 +50,19 @@ class WarehouseSpec extends AnyFunSuite {
     ))
   }
 
+  test("upsert: an explicit NULL in a change row overwrites the current value") {
+    import spark.implicits._
+    val cur = Seq((1L, Some("a")), (2L, Some("b"))).toDF("key", "status")
+    val changes = Seq((2L, None: Option[String])).toDF("key", "status")
+    val out = Warehouse.upsert(cur, changes, "key")
+      .collect()
+      .map(r => (r.getAs[Long]("key"), Option(r.getAs[String]("status"))))
+      .toSet
+    // MERGE semantics: the change row wins wholesale, so key 2's status
+    // becomes NULL — a per-column coalesce would have kept "b".
+    assert(out == Set((1L, Some("a")), (2L, None)))
+  }
+
   test("binned range join equals the direct non-equi join") {
     import spark.implicits._
     val points = Seq((1L, 5L), (2L, 10L), (3L, 17L), (4L, 25L), (5L, -3L))
