@@ -10,9 +10,10 @@ import graft.functions.Hashing
   * Scale shapes (the point of each design):
   *  - exact: one hash-partitioned groupBy on the text — the canonical
   *    100 TB dedup; no driver state.
-  *  - jaccard: inverted-index self-join on shingles — cost Σ df(s)²;
-  *    bounded by `maxShingleDf` (drop ubiquitous shingles, standard
-  *    prefix-filtering practice) so a hot shingle can't explode the join.
+  *  - jaccard: positional prefix filtering + inverted-index self-join —
+  *    only each doc's prefix (rarest shingles in a global df order)
+  *    generates candidates, so a hot shingle can't explode the join and
+  *    the result is still the EXACT all-pairs jaccard.
   *  - minhash: fixed-width signatures (16 mins in ONE groupBy pass — no
   *    per-permutation explosion), banded bucket join → candidates only,
   *    then exact-jaccard verification of the tiny candidate set.
@@ -37,17 +38,6 @@ object Dedup {
     cached.foreach(_.unpersist(blocking = false))
     out
   }
-
-  /** Hot-shingle document-frequency cap shared by [[jaccardPairs]] and
-    * the generated oracle SQL (see [[hotShingleCte]]): shingles appearing
-    * in more than this many documents are dropped from the intersection
-    * join on BOTH engines, so oracle parity holds at every scale factor
-    * (an uncapped oracle would diverge the moment any shingle's df
-    * crosses the cap). Doc sizes stay uncapped on both sides, so the
-    * jaccard of unaffected pairs is exact; pairs that only intersect via
-    * ubiquitous shingles are treated as non-duplicates — the standard
-    * prefix-filtering trade. */
-  val MaxShingleDf: Long = 100000L
 
   /** Distinct word n-gram shingles per document (default n=3). Documents
     * shorter than n words contribute their whole text as one shingle.
@@ -81,38 +71,46 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("copies"))
       .select(col("doc_id"), col("copies"))
 
-  /** The DuckDB mirror of the hot-shingle cap: shingle set with
-    * df ≤ [[MaxShingleDf]], as a CTE body over a shingle CTE named `sh`.
-    * NOT EXISTS (not NOT IN) so NULL semantics match the Spark side's
-    * left_anti join exactly: a NULL shingle row is KEPT by both — under
-    * NOT IN it would be dropped, and a NULL in the hot set would empty
-    * the whole filter. */
-  def hotShingleCteSql: String =
-    s"""SELECT * FROM sh s WHERE NOT EXISTS (
-       |  SELECT 1 FROM (SELECT shingle FROM sh GROUP BY shingle
-       |                 HAVING count(*) > $MaxShingleDf) h
-       |  WHERE h.shingle = s.shingle)""".stripMargin
-
-  /** All-pairs n-gram Jaccard ≥ minJ via inverted-index join. */
-  def jaccardPairs(shingles: DataFrame, minJ: Double,
-                   maxShingleDf: Long = MaxShingleDf): DataFrame = {
-    // The plan references the shingle table 4× (two join sides, sizes,
-    // hot set); shingle generation is lambda-heavy, so materialize it
-    // once instead of recomputing per reference. (At 100 TB this would
-    // be a parquet-materialized intermediate, same idea.)
+  /** All-pairs n-gram Jaccard ≥ minJ, EXACT, via positional prefix
+    * filtering (the AllPairs/PPJoin family): order every document's
+    * shingles by a global (df ASC, shingle ASC) total order and index
+    * only its PREFIX — the first |d| − ⌈minJ·|d|⌉ + 1 shingles. The
+    * prefix-filter lemma (holds for ANY global total order): two sets
+    * with jaccard ≥ minJ must share at least one prefix shingle, so
+    * candidate generation is LOSSLESS; survivors are verified with the
+    * exact jaccard over the FULL shingle sets. Scale shape: the join
+    * cost is Σ df_prefix(s)² — a stop-shingle sits LAST in the df order
+    * and almost never enters a prefix, so the cost self-bounds with
+    * corpus redundancy instead of relying on a hand-sized df cap that
+    * silently changes the metric (the old `maxShingleDf` approach). The
+    * per-doc ordering window partitions by doc_id — bounded by one
+    * document's shingle count, never a corpus-wide sort. */
+  def jaccardPairs(shingles: DataFrame, minJ: Double): DataFrame = {
+    // The plan references the shingle table 4× (prefix build, sizes, two
+    // verification sides); shingle generation is lambda-heavy, so
+    // materialize it once instead of recomputing per reference. (At
+    // 100 TB this would be a parquet-materialized intermediate — and the
+    // pairs fixture in PipelinePack does exactly that one level up.)
     val sh = shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Hot-shingle cap as a broadcast anti-join against the (tiny) set of
-    // over-frequent shingles — not a window over every row, which would
-    // sort-shuffle the whole shingle table just to compute frequencies.
-    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select("shingle")
-    val filtered = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = filtered.withColumnsRenamed(Map("doc_id" -> "doc_a"))
-    val b = filtered.withColumnsRenamed(Map("doc_id" -> "doc_b"))
-    val inter = a.join(b, Seq("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    val pref = sh.join(dfs, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n") - ceil(lit(minJ) * col("n")) + lit(1))
+      .select("doc_id", "shingle")
+    val a = pref.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+    val b = pref.withColumnsRenamed(Map("doc_id" -> "doc_b"))
+    val cand = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sh.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+    val sb = sh.withColumnsRenamed(Map("doc_id" -> "doc_b"))
+    val inter = cand
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     materializeThenRelease(withJaccard(inter, sizes, minJ), sh)
   }

@@ -59,14 +59,27 @@ object Similarity {
   }
 
   /** Global (ungrouped) bounded top-k over (count, word) rows — count
-    * desc, word asc, 1-based rn — via [[TopKStringAggregator]]. Partial
-    * buffers combine map-side, so each partition contributes at most
-    * O(k) rows to the single final-merge task, vs a row_number window
-    * over `lit(1)` that sorts the ENTIRE vocabulary in one task. */
-  def heapTopKWords(counts: DataFrame, scoreCol: String, wordCol: String, k: Int): DataFrame = {
-    val topk = udaf(new TopKStringAggregator(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String)]())
-    counts.agg(topk(col(scoreCol), col(wordCol)).as("top"))
+    * desc, word asc, 1-based rn — via [[TopKStringAggregator]], as a
+    * TWO-LEVEL (tree) merge: level 1 takes the exact top-k within each
+    * of `fanout` partition groups (the global top-k is contained in the
+    * union of group top-ks, so this loses nothing), level 2 ranks the
+    * ≤ fanout·k survivors. Partial buffers still combine map-side, and
+    * no single task ever receives more than max(P/fanout, fanout)·k
+    * rows — at extreme partition counts the old single final merge
+    * (one task receiving P·k rows) was the pinch point; with
+    * fanout ≈ √P both levels are O(k·√P). Contract: `counts` carries
+    * ONE fully-aggregated row per word (what a groupBy produces) — a
+    * word split across partition groups would rank partial scores. */
+  def heapTopKWords(counts: DataFrame, scoreCol: String, wordCol: String, k: Int,
+                    fanout: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String)]()
+    val topk = udaf(new TopKStringAggregator(k), enc)
+    val groupWinners = counts
+      .withColumn("__g", pmod(spark_partition_id(), lit(fanout)))
+      .groupBy("__g").agg(topk(col(scoreCol), col(wordCol)).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._1").as(scoreCol), col("t._2").as(wordCol))
+    groupWinners.agg(topk(col(scoreCol), col(wordCol)).as("top"))
       .select(posexplode(col("top")))
       .select((col("pos") + 1).cast("long").as("rn"),
         col("col._2").as(wordCol), col("col._1").as(scoreCol))

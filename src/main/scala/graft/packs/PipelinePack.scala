@@ -212,11 +212,10 @@ object PipelinePack {
     * `WITH RECURSIVE`). */
   private lazy val clusterCtes =
     s"""sh AS ($sh),
-       |fsh AS (${Dedup.hotShingleCteSql}),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
        |pairs AS (
        |  SELECT doc_a, doc_b
@@ -345,15 +344,15 @@ object PipelinePack {
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
-    // fsh mirrors the Spark side's hot-shingle df cap (Dedup.MaxShingleDf,
-    // same constant both engines) so parity survives scale factors where
-    // some shingle's df crosses the cap. Sizes stay uncapped on both sides.
+    // The oracle states the DEFINITION (full inverted-index intersection
+    // → exact jaccard); the Spark side's positional prefix filter is a
+    // lossless candidate pruning of the same result, so no cap/filter
+    // CTE is mirrored — both engines compute the true all-pairs jaccard.
     "q_dedup_jaccard" ->
       s"""WITH sh AS ($sh),
-         |fsh AS (${Dedup.hotShingleCteSql}),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM fsh a JOIN fsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id),
          |$jaccardTail""".stripMargin,
 
