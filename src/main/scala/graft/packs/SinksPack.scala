@@ -247,6 +247,21 @@ object SinksPack {
         .orderBy("video_id")
     },
 
+    // S1 through the REAL engine surface: the DataSource V2
+    // TableProvider over token-chained pages, with the publishedAfter
+    // predicate pushed into the source (no residual Spark filter —
+    // PlanHygieneSpec asserts it).
+    "q_s1_paged_source" -> { (s, d) =>
+      val path = tmpPath("paged_src", d)
+      ensureFixture(path) {
+        graft.sources.JsonFixtureSource.writeSearchPagesPartitioned(
+          s, Tables.orders(s, d), path)
+      }
+      s.read.format("graft.sources.PagedJsonSource").option("path", path).load()
+        .filter(col("published_at") > graft.sources.PagedJsonSource.PublishedAfter)
+        .orderBy("video_id")
+    },
+
     // S2/J3/W2 — commentThreads pages with optional replies: write the
     // nested fixture, read back, flatten parents (flag 0) + replies
     // (flag 1), null-guarding threads without replies.
@@ -404,6 +419,16 @@ object SinksPack {
          |FROM c
          |WHERE cum - v < ${StreamOps.AlertThreshold} AND cum >= ${StreamOps.AlertThreshold}
          |ORDER BY user_id, crossing_event""".stripMargin,
+
+    "q_s1_paged_source" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS video_id,
+         |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS published_at,
+         |       o_orderpriority AS title,
+         |       o_orderstatus AS description
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') >
+         |      '${graft.sources.PagedJsonSource.PublishedAfter}'
+         |ORDER BY video_id""".stripMargin,
 
     "q_s1_json_pages_flatten" -> {
       def cleanSql(e: String): String =

@@ -55,6 +55,35 @@ object JsonFixtureSource {
         coalesce(col("item.snippet.title"), lit("")).as("video_title"),
         coalesce(col("item.snippet.description"), lit("")).as("video_description"))
 
+  /** The same S1 page shape, laid out for [[PagedJsonSource]]: one
+    * `page=N` directory per page, each holding ONE JSON object
+    * (`{items, nextPageToken}` — the page payload exactly as the API
+    * returns it; `partitionBy` pulls the page number into the path).
+    * `nextPageToken` points at the next EXISTING page via `lead()`, so
+    * the chain never dangles across sparse orderkey ranges. (The
+    * unpartitioned lead window runs one row per PAGE through a single
+    * reducer — fixture setup, bounded, not a benched query plan.) */
+  def writeSearchPagesPartitioned(spark: SparkSession, orders: DataFrame,
+                                  path: String, keysPerPage: Long = 2000L): Unit = {
+    val items = orders.select(
+      (col("o_orderkey") / keysPerPage).cast("long").as("page"),
+      struct(
+        struct(col("o_orderkey").cast("string").as("videoId")).as("id"),
+        struct(
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("publishedAt"),
+          col("o_orderpriority").as("title"),
+          col("o_orderstatus").as("description")).as("snippet")).as("item"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("page")
+    val pages = items.groupBy("page")
+      .agg(sort_array(collect_list(col("item"))).as("items"))
+      .withColumn("nextPageToken",
+        when(lead(col("page"), 1).over(w).isNotNull,
+          concat(lit("tok_"), lead(col("page"), 1).over(w))))
+    pages.select("page", "items", "nextPageToken")
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("page").json(path)
+  }
+
   /** S2-shaped commentThreads pages: orders are top-level comments,
     * their lineitems are replies. Orders with no lineitems get NO
     * `replies` field (like the API) — the flatten must null-guard.

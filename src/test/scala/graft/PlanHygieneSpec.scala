@@ -41,6 +41,24 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"scan reads l_orderkey the query never uses; ReadSchema=$readSchema")
   }
 
+  test("q_s1_paged_source: publishedAfter is pushed into the V2 source, no residual filter") {
+    val p = plan("q_s1_paged_source")
+    val scans = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScan over PagedJsonSource")
+    val scan = scans.head.scan.asInstanceOf[graft.sources.PagedScan]
+    assert(scan.pushed.nonEmpty, "publishedAfter filter was not pushed into the source")
+    assert(scan.pushed.mkString.contains("published_at"))
+    // The source declared the filter handled, so Spark must not plan a
+    // residual Filter re-evaluating it.
+    val residual = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("published_at") => f
+    }
+    assert(residual.isEmpty, s"residual filter survived pushdown: $residual")
+  }
+
   test("q_x_bucketed_join: no exchange between the bucketed scans and the SMJ") {
     val smjs = plan("q_x_bucketed_join").collect { case j: SortMergeJoinExec => j }
     assert(smjs.nonEmpty, "expected a SortMergeJoin (MERGE hint pins it)")
