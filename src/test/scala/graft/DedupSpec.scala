@@ -20,6 +20,45 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("prefix-filtered jaccard equals brute-force all-pairs on random corpora") {
+    // The prefix-filter lemma in practice: for random word documents,
+    // jaccardPairs (prefix candidates + full-set verification) must
+    // produce EXACTLY the pairs a quadratic shingle-set comparison
+    // finds — lossless candidate generation, no threshold edge missed.
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("red", "blue", "green", "ox", "hen", "fox", "owl", "elk")
+    // Base docs plus mutated twins (one word substituted) so the corpus
+    // is guaranteed to contain qualifying near-dup pairs at several
+    // jaccard levels, not just whatever random collisions produce.
+    val bases = (0 until 20).map { _ =>
+      Array.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val docsSeq = bases.zipWithIndex.flatMap { case (ws, i) =>
+      val twin = ws.clone()
+      twin(rnd.nextInt(twin.length)) = vocab(rnd.nextInt(vocab.length))
+      Seq((2L * i, ws.mkString(" ")), (2L * i + 1, twin.mkString(" ")))
+    }
+    val docs = docsSeq.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(Dedup.wordShingles(docs), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute force over the same 3-shingle sets, in plain Scala.
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 3) Set(t)
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val local = docs.collect().map(r => (r.getLong(0), shingles(r.getString(1))))
+    val want = (for {
+      (a, sa) <- local; (b, sb) <- local if a < b
+      i = (sa & sb).size
+      j = i.toDouble / (sa.size + sb.size - i)
+      // mirror the operator's round-to-6 before thresholding
+      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.3
+    } yield (a, b)).toSet
+    assert(got == want, s"prefix filter diverged: got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty, "test corpus produced no qualifying pairs — tighten vocab")
+  }
+
   test("jaccard pairs find the planted near-dup (and the exact dup)") {
     val set = Dedup.jaccardPairs(Dedup.wordShingles(docs), 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{JsonFixtureSource, PagedJsonSource}
+
+/** The DataSource V2 paged-JSON provider: row parity with the table it
+  * was generated from, source-side filtering, and loud failure on a
+  * broken page chain (a silently dropped page would be data loss). */
+class PagedSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def freshFixture(name: String): String = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_pagedspec_${name}_" +
+      ProcessHandle.current().pid()
+    JsonFixtureSource.writeSearchPagesPartitioned(
+      spark, Tables.orders(spark, d), path, keysPerPage = 500L)
+    path
+  }
+
+  private def readPaged(path: String) =
+    spark.read.format("graft.sources.PagedJsonSource").option("path", path).load()
+
+  test("paged source returns every order exactly once, schema flattened") {
+    val path = freshFixture("parity")
+    val got = readPaged(path).select("video_id").collect().map(_.getString(0)).toSet
+    val want = Tables.orders(spark, d)
+      .select(col("o_orderkey").cast("string")).collect().map(_.getString(0)).toSet
+    assert(got == want)
+  }
+
+  test("pushed publishedAfter bound filters inside the source") {
+    val path = freshFixture("filter")
+    val bound = PagedJsonSource.PublishedAfter
+    val got = readPaged(path).filter(col("published_at") > bound).count()
+    val want = Tables.orders(spark, d)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'") > bound)
+      .count()
+    assert(got == want)
+    assert(got > 0 && got < Tables.orders(spark, d).count(),
+      "bound should be selective for the fixture data")
+  }
+
+  test("a broken nextPageToken chain fails loudly instead of dropping pages") {
+    val path = freshFixture("broken")
+    // Corrupt one middle page's token in place.
+    val pageDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("page=")).sortBy(_.getName)
+    assume(pageDirs.length >= 3, "need several pages to corrupt a middle one")
+    val part = pageDirs(1).listFiles().filter(_.getName.startsWith("part-")).head
+    val txt = new String(Files.readAllBytes(part.toPath), "UTF-8")
+    assert(txt.contains("tok_"), "middle page should carry a token")
+    Files.write(part.toPath,
+      txt.replaceAll("\"nextPageToken\":\"tok_\\d+\"", "\"nextPageToken\":\"tok_999999\"")
+        .getBytes("UTF-8"))
+    // Drop the Hadoop LocalFS checksum sidecar — otherwise the CRC
+    // mismatch fires before the reader's own chain validation.
+    val crc = new java.io.File(pageDirs(1), s".${part.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val e = intercept[Exception] { readPaged(path).count() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("broken page chain")),
+      s"expected the broken-chain error, got: ${chain(e).mkString(" | ")}")
+  }
+}
