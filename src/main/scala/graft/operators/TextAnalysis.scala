@@ -98,6 +98,49 @@ object TextAnalysis {
         col("col.t").as("chunk_text"), col("col.nw").as("n_chunk_words"))
   }
 
+  /** Email + phone patterns shared verbatim with the DuckDB oracle —
+    * both engines' regex dialects (Java / RE2) read these identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing for training corpora: redact emails and phone-shaped
+    * digit runs with typed placeholders. A narrow codegen'd
+    * `regexp_replace` chain — per-row, no shuffle, linear in the scan. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** The DuckDB mirror of [[scrubPii]] (global replace flag). */
+  def scrubPiiSql(e: String): String =
+    s"regexp_replace(regexp_replace($e, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$PhoneRe', '<PHONE>', 'g')"
+
+  /** Sequence packing for LLM training: assign documents to fixed-size
+    * token sequences (greedy streaming pack in doc_id order) WITHIN
+    * deterministic (lang, shard) groups — the standard distributed
+    * shape: each shard packs independently, so parallelism is
+    * |langs|·|shards| and no global sort exists (at 100 TB, raise
+    * `shards` — packing quality is unaffected because sequences never
+    * span shards anyway). The shard is md5-derived from doc_id
+    * (engine-portable); `seq_no` = floor(tokens-before-this-doc /
+    * seqLen), i.e. a document spills into the next sequence when the
+    * running total crosses a boundary — documents are never split.
+    * Pure integer window arithmetic → exact on any engine. */
+  def packSequences(docs: DataFrame, seqLen: Long, shards: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (graft.functions.Hashing.md5Mod(col("doc_id").cast("string")) % shards)
+          .as("shard"))
+      .withColumn("cum", sum(col("n_words")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_words"),
+        floor((col("cum") - col("n_words")) / seqLen).cast("long").as("seq_no"))
+  }
+
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")

@@ -36,6 +36,9 @@ object PipelinePack {
   /** Context-window chunking: 50-word windows, 40-word stride. */
   private val CHUNK_W = 50
   private val CHUNK_S = 40
+  /** Sequence packing: 2048-token sequences over 8 md5 shards. */
+  private val SEQ_LEN = 2048L
+  private val SHARDS = 8L
   /** Multimodal frame sampling / resize constants (shared with the
     * oracles so both engines slice identically). */
   private val FRAME_SIZE = 16
@@ -135,6 +138,25 @@ object PipelinePack {
           round(col("median_words"), 6).as("med"))
         .orderBy("doc_id")
     },
+    // PII scrubbing: the documents are synthetic ASCII, so emails and
+    // phone numbers are INJECTED deterministically from doc_id (same
+    // construction in the oracle) and then redacted by the scrubber.
+    "q_text_pii_scrub" -> { (s, d) =>
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.scrubPii(raw).as("scrubbed"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: docs → fixed-size training sequences per
+    // (lang, md5-shard), greedy in doc_id order.
+    "q_text_seq_pack" -> { (s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), SEQ_LEN, SHARDS)
+        .orderBy("doc_id")
+    },
+
     // Context-window chunking with stride.
     "q_text_chunks" -> { (s, d) =>
       TextAnalysis.chunkWords(Tables.documents(s, d), CHUNK_W, CHUNK_S)
@@ -478,6 +500,29 @@ object PipelinePack {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
          |       round(ln(sum(tf)) - ${Num.dsumSql("tf * ln(tf)")} / sum(tf), 6) AS entropy
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii_scrub" -> {
+      val raw = "(text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or call 555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+      s"""SELECT doc_id, ${TextAnalysis.scrubPiiSql(raw)} AS scrubbed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         (${Hashing.md5ModSql("CAST(doc_id AS VARCHAR)")} % $SHARDS) AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, shard, n_words,
+         |         sum(n_words) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, lang, shard, n_words,
+         |       CAST(floor((cum - n_words) / $SEQ_LEN.0) AS BIGINT) AS seq_no
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_text_chunks" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
