@@ -88,6 +88,44 @@ class TextSpec extends AnyFunSuite {
     assert(ids1 == ids2 && ids1.nonEmpty && ids1.size < all)
   }
 
+  test("scrubPii leaves no email or phone surface forms behind") {
+    val dirty = Seq(
+      (1L, "mail me at alice.smith+x@sub.example.co.uk today"),
+      (2L, "call 555-0199 or 555-1234 now"),
+      (3L, "both bob@ex.io and 555-7777 appear"),
+      (4L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = dirty.select(col("doc_id"),
+        TextAnalysis.scrubPii(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1) == "mail me at <EMAIL> today")
+    assert(out(2) == "call <PHONE> or <PHONE> now")
+    assert(out(3) == "both <EMAIL> and <PHONE> appear")
+    assert(out(4) == "clean text with no pii at all")
+  }
+
+  test("packSequences: per-shard sequences are contiguous and boundary-aligned") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val seqLen = 512L
+    val packed = TextAnalysis.packSequences(docs, seqLen, 4L).collect()
+    assert(packed.length == docs.count())
+    packed.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case ((lang, shard), rows) =>
+        val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+        var cum = 0L
+        ordered.foreach { r =>
+          // seq_no is exactly the boundary count the running total has
+          // crossed BEFORE this document — greedy streaming pack.
+          assert(r.getAs[Long]("seq_no") == cum / seqLen,
+            s"($lang,$shard) doc ${r.getAs[Long]("doc_id")}")
+          cum += r.getAs[Long]("n_words")
+        }
+        // sequence ids are non-decreasing and start at 0
+        val seqs = ordered.map(_.getAs[Long]("seq_no"))
+        assert(seqs.head == 0L && seqs.zip(seqs.tail).forall { case (a, b) => a <= b })
+      }
+  }
+
   test("multimodal decode: payload bytes round-trip with correct digest") {
     val feats = Multimodal.extractFeatures(spark,
         Multimodal.packPayload(Seq((5L, "hello")).toDF("doc_id", "text")))
