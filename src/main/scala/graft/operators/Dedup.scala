@@ -350,6 +350,46 @@ object Dedup {
       .select(col("doc_id"), col("status"))
   }
 
+  /** Benchmark decontamination — the train/test-overlap check every
+    * training pipeline needs: flag corpus documents sharing at least
+    * `minShared` distinct shingles with ANY benchmark document. Shape:
+    * the benchmark shingle set is tiny relative to the corpus, so the
+    * inverted-index join is a broadcast semi-join against a distinct
+    * shingle list — one corpus-shingle scan, no self-join, no
+    * quadratic term at any corpus size. Both inputs are
+    * [[wordShingles]]-shaped (distinct per doc), so `count(*)` after
+    * the join IS the distinct shared-shingle count. */
+  def decontaminate(corpusShingles: DataFrame, benchShingles: DataFrame,
+                    minShared: Long): DataFrame =
+    corpusShingles
+      .join(broadcast(benchShingles.select(col("shingle")).distinct()), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+
+  /** Dedup resolution with a QUALITY policy: like [[resolveCanonical]],
+    * but the survivor of each duplicate cluster is the highest-quality
+    * document (by `scoreCol`, descending; doc_id ascending tiebreak)
+    * instead of the smallest id. The ranking window partitions by
+    * cluster — bounded by one cluster's size, never corpus-wide. */
+  def resolveBestQuality(docs: DataFrame, pairs: DataFrame,
+                         scoreCol: Column): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val scored = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("__score", scoreCol)
+    // Uniques bypass the ranking entirely: they all carry a NULL
+    // cluster_id, and routing them through the window would pile the
+    // whole non-duplicate corpus into ONE window partition.
+    val uniques = scored.filter(col("cluster_id").isNull)
+      .select(col("doc_id"), lit("unique").as("status"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("__score").desc, col("doc_id").asc)
+    val survivors = scored.filter(col("cluster_id").isNotNull)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), lit("best_quality").as("status"))
+    uniques.unionByName(survivors)
+  }
+
   /** Embedding near-dup: exact pairwise cosine ≥ minCos (a < b).
     * Quadratic by design — the oracle-checkable baseline for small n;
     * [[embeddingPairsLsh]] is the sub-quadratic production path. */

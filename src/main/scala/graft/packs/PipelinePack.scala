@@ -39,6 +39,10 @@ object PipelinePack {
   /** Sequence packing: 2048-token sequences over 8 md5 shards. */
   private val SEQ_LEN = 2048L
   private val SHARDS = 8L
+  /** Decontamination: every 97th doc is the "benchmark"; ≥3 shared
+    * shingles flags a training doc as contaminated. */
+  private val BENCH_MOD = 97L
+  private val MIN_SHARED = 3L
   /** Multimodal frame sampling / resize constants (shared with the
     * oracles so both engines slice identically). */
   private val FRAME_SIZE = 16
@@ -114,6 +118,24 @@ object PipelinePack {
       Dedup.resolveCanonical(Tables.documents(s, d), jaccardPairsFixture(s, d))
         .orderBy("doc_id")
     },
+    // Benchmark decontamination: docs with doc_id % BENCH_MOD == 0 act
+    // as the held-out benchmark; corpus docs sharing ≥ MIN_SHARED
+    // shingles with any of them are flagged.
+    "q_dedup_decontaminate" -> { (s, d) =>
+      val sh = Dedup.wordShingles(Tables.documents(s, d))
+      val bench = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) === 0)
+      val corpus = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) =!= 0)
+      Dedup.decontaminate(corpus, bench, MIN_SHARED).orderBy("doc_id")
+    },
+
+    // Quality-policy dedup resolution: longest doc survives its cluster.
+    "q_dedup_quality_survivor" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.resolveBestQuality(docs, jaccardPairsFixture(s, d),
+          size(split(col("text"), " ")).cast("long"))
+        .orderBy("doc_id")
+    },
+
     "q_text_tfidf" -> { (s, d) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
         .orderBy("doc_id", "rn")
@@ -397,6 +419,33 @@ object PipelinePack {
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_decontaminate" ->
+      s"""WITH sh AS ($sh),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $BENCH_MOD = 0),
+         |corpus AS (SELECT * FROM sh WHERE doc_id % $BENCH_MOD <> 0)
+         |SELECT doc_id, count(*) AS shared_shingles
+         |FROM corpus JOIN bench USING (shingle)
+         |GROUP BY doc_id HAVING count(*) >= $MIN_SHARED
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same transitive closure as the min-id resolution, but the
+    // survivor is the longest document (word count desc, doc_id asc).
+    "q_dedup_quality_survivor" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |scored AS (
+         |  SELECT d.doc_id, l.cluster_id,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS score
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, cluster_id,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY score DESC, doc_id ASC) AS rk
+         |  FROM scored WHERE cluster_id IS NOT NULL)
+         |SELECT doc_id, 'unique' AS status FROM scored WHERE cluster_id IS NULL
+         |UNION ALL
+         |SELECT doc_id, 'best_quality' AS status FROM ranked WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" -> simhashSql,
 
