@@ -179,6 +179,22 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Self-repetition signal: 1 − distinct-3-grams / total-3-grams.
+    // A doc repeating the same phrases has few distinct shingles
+    // relative to its length — the n-gram complement of q_text_entropy.
+    // Narrow: one shingle groupBy against a per-doc word count.
+    "q_text_repetition" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val total = docs.select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 2, lit(1)).cast("long").as("n_grams"))
+      val distinctSh = Dedup.wordShingles(docs)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      total.join(distinctSh, Seq("doc_id"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_grams"), 6).as("repetition"))
+        .orderBy("doc_id")
+    },
+
     // Context-window chunking with stride.
     "q_text_chunks" -> { (s, d) =>
       TextAnalysis.chunkWords(Tables.documents(s, d), CHUNK_W, CHUNK_S)
@@ -572,6 +588,17 @@ object PipelinePack {
          |SELECT doc_id, lang, shard, n_words,
          |       CAST(floor((cum - n_words) / $SEQ_LEN.0) AS BIGINT) AS seq_no
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH sh AS ($sh),
+         |t AS (SELECT doc_id,
+         |             CAST(greatest(len(string_split(text, ' ')) - 2, 1) AS BIGINT) AS n_grams
+         |      FROM documents),
+         |ds AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_distinct,
+         |       round(1.0 - n_distinct / n_grams, 6) AS repetition
+         |FROM t JOIN ds USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_chunks" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
