@@ -24,11 +24,27 @@ object Bench {
       }
       (name, times.sorted.apply(runs / 2), times.head)
     }
-    def jmap(f: ((String, Double, Double)) => Double) =
-      results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    def r3(d: Double) = math.round(d * 1000) / 1000.0
+    def jmap(rs: Seq[(String, Double, Double)], f: ((String, Double, Double)) => Double) =
+      rs.map { r => "\"" + r._1 + "\":" + r3(f(r)) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""queries":${jmap(_._2)},"queries_first":${jmap(_._3)},"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of the bench log, so the stdout
+    // line must stay well under ~2 KB or it truncates mid-JSON and the
+    // driver records parsed:null (happened in r4 with all 98 queries ×
+    // two maps at full double precision). Headline = the 24 slowest
+    // medians (the ones a reader would ask about); every query's
+    // median + first-run goes to BENCH_FULL.json, committed in-repo.
+    val headline = results.sortBy(-_._2).take(24).sortBy(_._1)
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+        s""""n_queries":${results.size},""" +
+        s""""queries":${jmap(results, _._2)},""" +
+        s""""queries_first":${jmap(results, _._3)},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+      s""""n_queries":${results.size},"queries":${jmap(headline, _._2)},""" +
+      s""""sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -33,4 +33,26 @@ object Sampling {
     }
     df.filter(uniformOf(idCol) < rate)
   }
+
+  /** Weighted domain mixing: replicate each row `floor(w)` times plus a
+    * deterministic Bernoulli(frac(w)) extra copy, where `w` is its
+    * domain's mix weight — the up/down-sampling step that turns raw
+    * source proportions into a target training mixture (w = 0 excludes a
+    * domain; w = 2.5 emits 2 or 3 copies). The fractional coin is the
+    * same md5-uniform as [[stratified]], so the mixture is reproducible
+    * on any engine and any partitioning. One generator per row, no
+    * shuffle — output is Σ wᵢ·|domainᵢ| regardless of parallelism. */
+  def weightedMix(df: DataFrame, idCol: Column, domainCol: Column,
+                  weights: Seq[(String, Double)], defaultW: Double): DataFrame = {
+    val w = weights.foldLeft(lit(defaultW): Column) { case (acc, (k, v)) =>
+      when(domainCol === k, lit(v)).otherwise(acc)
+    }
+    val copies = (floor(w) +
+      when(uniformOf(idCol) < w - floor(w), lit(1L)).otherwise(lit(0L))).cast("long")
+    df.withColumn("n_copies", copies)
+      .withColumn("copy_no", explode(
+        when(col("n_copies") > 0, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("n_copies")
+  }
 }

@@ -141,6 +141,84 @@ object TextAnalysis {
         floor((col("cum") - col("n_words")) / seqLen).cast("long").as("seq_no"))
   }
 
+  /** Gopher-rule thresholds (Rae et al. 2021, "Scaling Language Models" —
+    * the public corpus-filtering heuristics), shared with the oracle. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinWordLen = 3.0
+  val GopherMaxWordLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStop = 2L
+  val GopherMaxSymbolRatio = 0.1
+  /** Hash-or-ellipsis runs per word — the Gopher "symbol ratio". */
+  val SymbolRe = "#|\\.\\.\\."
+
+  /** Gopher-style quality rules per document: word-count bounds, mean
+    * word length bounds, fraction of words containing an alphabetic
+    * character, stopword floor, symbol-to-word ratio. Every signal is a
+    * single-op IEEE division of exact integers, so both engines compute
+    * bit-identical doubles and the threshold comparisons cannot diverge.
+    * Narrow (per-row, codegen'd, no shuffle) — linear in the scan at any
+    * corpus size. */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("long")
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      (length(expr("replace(text, ' ', '')")).cast("long") / nWords)
+        .as("mean_word_len"),
+      (size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long") / nWords)
+        .as("alpha_frac"),
+      countIn(words, stopwords).as("n_stop"),
+      (regexp_count(col("text"), lit(SymbolRe)).cast("long") / nWords)
+        .as("symbol_ratio"))
+      .withColumn("passes",
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords &&
+          col("mean_word_len") >= GopherMinWordLen &&
+          col("mean_word_len") <= GopherMaxWordLen &&
+          col("alpha_frac") >= GopherMinAlphaFrac &&
+          col("n_stop") >= GopherMinStop &&
+          col("symbol_ratio") <= GopherMaxSymbolRatio).cast("long"))
+  }
+
+  /** Corpus-level line dedup (the CCNet / RefinedWeb preprocessing step:
+    * drop lines duplicated across documents — boilerplate, headers,
+    * navigation). The synthetic corpus has no newlines, so the "line"
+    * segmenter is a deterministic fixed-width word window (the operator
+    * shape — explode → corpus-wide distinct-doc count → anti-join →
+    * order-preserving reassembly — is exactly the production one; only
+    * the segmenter constant differs). Scale: the segment count is a
+    * hash-partitioned two-level aggregate; the hot-segment set (segments
+    * in > maxDocs documents) is by construction a tiny fraction of the
+    * corpus, anti-joined back; reassembly groups by doc_id, so no
+    * partition ever exceeds one document's segments. */
+  def lineDedup(docs: DataFrame, lineW: Int, maxDocs: Long): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nSegs = (floor((size(ws) - 1) / lit(lineW)) + 1).cast("long")
+    val segs = docs
+      .withColumn("ws", ws)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), nSegs - 1), i =>
+          concat_ws(" ", slice(col("ws"), (i * lineW + 1).cast("int"), lit(lineW))))))
+      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
+    val hot = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select("seg")
+    val kept = segs.join(hot, Seq("seg"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+            s => s.getField("seg"))).as("kept_text"))
+    docs.select(col("doc_id"), nSegs.as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
+  }
+
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")

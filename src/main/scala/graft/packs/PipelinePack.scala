@@ -48,6 +48,15 @@ object PipelinePack {
   private val FRAME_SIZE = 16
   private val FRAME_STRIDE = 4
   private val RESIZE_FACTOR = 4
+  /** Corpus line-dedup: 5-word segments ("lines" — the synthetic corpus
+    * has no newlines), dropped when they appear in more than 1 document. */
+  private val LINE_W = 5
+  private val LINE_MAX_DOCS = 1L
+  /** Domain-mix weights: upsample src0/src1, downsample src2, EXCLUDE
+    * src3, everything else passes through at 1×. */
+  private val MIX_WEIGHTS = Seq(
+    "src0" -> 3.0, "src1" -> 2.5, "src2" -> 0.5, "src3" -> 0.0)
+  private val MIX_DEFAULT = 1.0
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -218,6 +227,25 @@ object PipelinePack {
     },
     "q_text_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    // Gopher-style corpus filtering rules (word bounds, mean word
+    // length, alpha fraction, stopword floor, symbol ratio).
+    "q_text_gopher_quality" -> { (s, d) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    // CCNet-style corpus line dedup: drop fixed-width segments that
+    // appear in more than LINE_MAX_DOCS documents, reassemble in order.
+    "q_text_line_dedup" -> { (s, d) =>
+      TextAnalysis.lineDedup(Tables.documents(s, d), LINE_W, LINE_MAX_DOCS)
+        .orderBy("doc_id")
+    },
+    // Weighted domain mixing: replicate/drop per-source to hit a target
+    // training mixture (deterministic fractional copies).
+    "q_text_domain_mix" -> { (s, d) =>
+      Sampling.weightedMix(Tables.documents(s, d), col("doc_id"), col("source"),
+          MIX_WEIGHTS, MIX_DEFAULT)
+        .select(col("doc_id"), col("source"), col("copy_no"))
+        .orderBy("doc_id", "copy_no")
     },
     "q_text_tokens" -> { (s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
@@ -649,6 +677,67 @@ object PipelinePack {
          |         / CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ratio,
          |       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_gopher_quality" -> {
+      import TextAnalysis._
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT)
+         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_word_len,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS alpha_frac,
+         |         ${wordsFilterSql(TextAnalysis.stopwords)} AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '$SymbolRe')) AS BIGINT)
+         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS symbol_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop, symbol_ratio,
+         |       CAST(CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |                  AND mean_word_len >= $GopherMinWordLen
+         |                  AND mean_word_len <= $GopherMaxWordLen
+         |                  AND alpha_frac >= $GopherMinAlphaFrac
+         |                  AND n_stop >= $GopherMinStop
+         |                  AND symbol_ratio <= $GopherMaxSymbolRatio
+         |             THEN 1 ELSE 0 END AS BIGINT) AS passes
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |seg AS (
+         |  SELECT doc_id, i AS seg_no,
+         |         array_to_string(ws[CAST(i * $LINE_W + 1 AS INT):CAST(i * $LINE_W + $LINE_W AS INT)], ' ') AS seg
+         |  FROM w, unnest(range(0, CAST(floor((len(ws) - 1) / $LINE_W.0) AS BIGINT) + 1)) t(i)),
+         |hot AS (SELECT seg FROM seg GROUP BY seg
+         |        HAVING count(DISTINCT doc_id) > $LINE_MAX_DOCS),
+         |kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(seg, ' ' ORDER BY seg_no) AS kept_text
+         |  FROM seg s WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.seg = s.seg)
+         |  GROUP BY doc_id)
+         |SELECT doc_id,
+         |       CAST(floor((len(string_split(text, ' ')) - 1) / $LINE_W.0) AS BIGINT) + 1 AS n_segs,
+         |       COALESCE(n_kept, 0) AS n_kept,
+         |       md5(COALESCE(kept_text, '')) AS kept_md5
+         |FROM documents LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same reverse-fold CASE priority as the stratified-sample oracle;
+    // the fractional coin replays Sampling.uniformOf verbatim.
+    "q_text_domain_mix" -> {
+      val wCase = MIX_WEIGHTS.reverse
+        .map { case (k, v) => s"WHEN source = '$k' THEN $v" }
+        .mkString("CASE ", " ", s" ELSE $MIX_DEFAULT END")
+      s"""WITH t AS (SELECT doc_id, source, $wCase AS w FROM documents),
+         |c AS (SELECT doc_id, source,
+         |             CAST(floor(w) + CASE WHEN ${Sampling.uniformSql("doc_id")} < w - floor(w)
+         |                                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |      FROM t)
+         |SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_no
+         |FROM c
+         |ORDER BY doc_id, copy_no""".stripMargin
+    },
 
     "q_text_tokens" ->
       """SELECT doc_id,

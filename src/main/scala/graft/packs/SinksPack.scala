@@ -240,6 +240,14 @@ object SinksPack {
         .orderBy("user_id", "crossing_event")
     },
 
+    // Batch face of horizon-bounded streaming dedup
+    // (dropDuplicatesWithinWatermark): first event per (user, type)
+    // within each hourly window.
+    "q_st_dedup_horizon" -> { (s, d) =>
+      StreamOps.firstPerKeyHourBatch(Tables.events(s, d))
+        .orderBy("user_id", "event_type", "hour_start")
+    },
+
     // S1/P1/J2/F5 — nested JSON fixture pages (the API page shape) →
     // read back → explode/dot-path flatten → clean.
     "q_s1_json_pages_flatten" -> { (s, d) =>
@@ -419,6 +427,18 @@ object SinksPack {
          |FROM c
          |WHERE cum - v < ${StreamOps.AlertThreshold} AND cum >= ${StreamOps.AlertThreshold}
          |ORDER BY user_id, crossing_event""".stripMargin,
+
+    "q_st_dedup_horizon" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, date_trunc('hour', ts) AS h, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |       strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_id AS first_event
+        |FROM c WHERE rn = 1
+        |ORDER BY user_id, event_type, hour_start""".stripMargin,
 
     "q_s1_paged_source" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS video_id,

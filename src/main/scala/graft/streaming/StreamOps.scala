@@ -54,6 +54,38 @@ object StreamOps {
       .select("event_id", "user_id", "ts")
       .dropDuplicates("event_id")
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * drops a key's dedup state once the watermark passes it, so state
+    * size is the keys-per-horizon rate, not the stream's lifetime key
+    * count — the only dedup shape that survives an unbounded stream.
+    * The feed is doubled like [[dedupStream]]; with no late data the
+    * result equals the batch distinct set exactly (StreamingSpec). */
+  def dedupWithinWatermarkStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withColumn("copy", explode(array(lit(1), lit(2))))
+      .select("event_id", "user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id")
+
+  /** The oracle-checkable batch face of horizon-bounded dedup: the first
+    * event per (user, event_type) within each hourly tumbling window —
+    * what a deduped-at-the-horizon stream retains when the key is
+    * (user, type) and the horizon is the hour. Ranking windows partition
+    * by (user, type, hour), so no partition exceeds one key-hour. */
+  def firstPerKeyHourBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"), col("h"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("h", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_id").as("first_event"))
+  }
+
   /** Sliding 2-hour windows every hour — each event lands in exactly two
     * windows. Batch face is oracle-checkable (union of the two grid
     * alignments); streaming face works unchanged. */

@@ -82,6 +82,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups the doubled feed with bounded state") {
+    val q = StreamOps.dedupWithinWatermarkStream(spark, TestSpark.sf0001)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wm_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // No late data in the finite feed → the horizon-bounded dedup
+      // equals the exact distinct set.
+      val streamed = spark.table("dedup_wm_out").count()
+      val batch = Tables.events(spark, TestSpark.sf0001)
+        .select("event_id").distinct().count()
+      assert(streamed == batch)
+      assert(batch > 0L)
+    } finally q.stop()
+  }
+
   test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {
     import org.apache.spark.sql.functions._
     System.setProperty("derby.stream.error.file",

@@ -34,6 +34,57 @@ class TextSpec extends AnyFunSuite {
     assert(r.getAs[Long]("bpe_tokens") == 5L) // ab|1|cd|!|2
   }
 
+  test("gopher rules: short doc fails word floor, normal doc passes") {
+    val out = TextAnalysis.gopherQuality(Seq(
+      (1L, "too short"),
+      // 52 words, all alphabetic, stopwords present, mean length in range
+      (2L, (Seq.fill(25)("the fast") :+ "a value").mkString(" "))
+    ).toDF("doc_id", "text"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r)).toMap
+    assert(out(1L).getAs[Long]("passes") == 0L) // n_words = 2 < 50
+    assert(out(2L).getAs[Long]("n_words") == 52L)
+    assert(out(2L).getAs[Long]("passes") == 1L)
+    assert(out(2L).getAs[Double]("alpha_frac") == 1.0)
+  }
+
+  test("line dedup drops cross-doc duplicate segments, keeps order") {
+    // Docs 1 and 2 share their first 5-word segment ("a b c d e");
+    // doc 3 is disjoint. With maxDocs=1 the shared segment is dropped
+    // from both, the unique tails survive in position order.
+    val docs = Seq(
+      (1L, "a b c d e k1 k2 k3 k4 k5"),
+      (2L, "a b c d e m1 m2 m3 m4 m5"),
+      (3L, "z1 z2 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(docs, 5, 1L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r)).toMap
+    assert(out(1L).getAs[Long]("n_segs") == 2L)
+    assert(out(1L).getAs[Long]("n_kept") == 1L)
+    assert(out(3L).getAs[Long]("n_kept") == 1L)
+    // kept text of doc 1 is exactly its second segment
+    val expectedMd5 = Seq("k1 k2 k3 k4 k5").toDF("t")
+      .select(md5(col("t"))).collect().head.getString(0)
+    assert(out(1L).getAs[String]("kept_md5") == expectedMd5)
+    // a doc whose every segment is dropped still appears, with md5('')
+    val allDup = TextAnalysis.lineDedup(Seq(
+      (1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text"), 5, 1L)
+      .collect()
+    assert(allDup.length == 2 && allDup.forall(_.getAs[Long]("n_kept") == 0L))
+  }
+
+  test("weighted mix: integer weights replicate, zero weight excludes") {
+    val df = Seq(
+      (1L, "keep3"), (2L, "drop"), (3L, "one")
+    ).toDF("doc_id", "source")
+    val out = Sampling.weightedMix(df, col("doc_id"), col("source"),
+        Seq("keep3" -> 3.0, "drop" -> 0.0), 1.0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_no")))
+    assert(out.count(_._1 == 1L) == 3)          // w=3.0 → exactly 3 copies
+    assert(!out.exists(_._1 == 2L))             // w=0.0 → excluded
+    assert(out.count(_._1 == 3L) == 1)          // default w=1.0 → 1 copy
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("language ID picks the marker-dense language, en on ties") {
     val out = TextAnalysis.langId(Seq(
       (1L, "el los el perro", "es"),
