@@ -137,6 +137,57 @@ object Similarity {
     Dedup.materializeThenRelease(out, e)
   }
 
+  /** One Lloyd assignment round: nearest centroid by inner product
+    * (vectors are normalized, so this is spherical k-means assignment),
+    * deterministic cid-asc tie-break. The centroid table is bounded
+    * (data-seeded stride) and broadcast; the per-vector ranking window
+    * partitions by vec_id — |centroids| rows each, corpus-independent. */
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), expr("dotp(v, cv)").as("cd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cd").desc, col("cid").asc)
+    scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1).select("vec_id", "cid")
+  }
+
+  /** Distributed k-means (Lloyd's iterations) over the embedding column —
+    * the clustering step a curation pipeline runs for diversity sampling
+    * or IVF index training. Centroids seed from the data (vec_id %
+    * centStride == 0, like [[ivfTopK]]); each iteration assigns every
+    * vector to its nearest centroid by inner product and recomputes
+    * centroids as the per-dimension mean of their members. The mean is a
+    * decimal-stable [[graft.functions.Num.dsum]] / count rounded to 6, so
+    * centroid components — and therefore every later assignment argmax —
+    * are bit-identical on any engine and any partitioning (a raw double
+    * mean would drift by ulps and could flip an argmax). Emits one row
+    * per surviving centroid: member count + centroid L2 norm. Scale: per
+    * iteration one broadcast-assignment scan (n·|centroids| codegen'd
+    * dots) + one (cid, dim)-keyed map-side-combining aggregate; centroid
+    * state is O(|centroids|·dim), never corpus-sized. */
+  def kmeansClusters(emb: DataFrame, centStride: Long, iters: Int): DataFrame = {
+    val e = normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cent = e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val members = assignToCentroids(e, cent).join(e, Seq("vec_id"))
+      cent = members
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(graft.functions.Num.dsum(col("col")) / count(lit(1)), 6).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    val out = assignToCentroids(e, cent)
+      .groupBy("cid").agg(count(lit(1)).as("n_assigned"))
+      .join(cent, Seq("cid"))
+      .select(col("cid"), col("n_assigned"),
+        round(sqrt(expr("dotp(cv, cv)")), 6).as("centroid_norm"))
+    Dedup.materializeThenRelease(out, e)
+  }
+
   /** Deterministic random hyperplanes (seeded): nPlanes × dim. Shared
     * with the DuckDB oracle, which embeds the same literals. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =

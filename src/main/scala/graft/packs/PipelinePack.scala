@@ -52,6 +52,10 @@ object PipelinePack {
     * has no newlines), dropped when they appear in more than 1 document. */
   private val LINE_W = 5
   private val LINE_MAX_DOCS = 1L
+  /** K-means: data-seeded centroids every KM_STRIDE-th vector, KM_ITERS
+    * Lloyd iterations (constants shared with the generated oracle CTEs). */
+  private val KM_STRIDE = 101L
+  private val KM_ITERS = 2
   /** Domain-mix weights: upsample src0/src1, downsample src2, EXCLUDE
     * src3, everything else passes through at 1×. */
   private val MIX_WEIGHTS = Seq(
@@ -122,6 +126,12 @@ object PipelinePack {
       Similarity.ivfTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0,
           TOPK, NPROBE, CENT_STRIDE)
         .orderBy("query_id", "rn")
+    },
+    // Distributed k-means (Lloyd): data-seeded centroids, 2 iterations,
+    // decimal-stable centroid means → engine-identical assignments.
+    "q_sim_kmeans" -> { (s, d) =>
+      Similarity.kmeansClusters(Tables.embeddings(s, d), KM_STRIDE, KM_ITERS)
+        .orderBy("cid")
     },
     "q_dedup_canonical_docs" -> { (s, d) =>
       Dedup.resolveCanonical(Tables.documents(s, d), jaccardPairsFixture(s, d))
@@ -564,6 +574,38 @@ object PipelinePack {
          |      FROM s)
          |SELECT query_id, rn, vec_id, cosine FROM r
          |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    // Mirrors Similarity.kmeansClusters iteration for iteration: the
+    // CTE chain below is GENERATED for the same KM_ITERS the Spark loop
+    // runs — c0 is the data-seeded centroid set, each round is
+    // (assignment argmax by sequential-fold dot, decimal-stable
+    // per-dimension mean rounded to 6). Identical arithmetic both
+    // engines → identical assignments, counts, and norms.
+    "q_sim_kmeans" -> {
+      def assignCtes(i: Int): String =
+        s"""s$i AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, c${i - 1}),
+           |a$i AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |         ORDER BY cd DESC, cid ASC) AS rn FROM s$i) WHERE rn = 1)""".stripMargin
+      def recomputeCtes(i: Int): String =
+        s"""x$i AS (SELECT a$i.cid, t.pos, e.v[CAST(t.pos AS INT)] AS val
+           |        FROM a$i JOIN e USING (vec_id), unnest(range(1, ${DIM + 1})) t(pos)),
+           |m$i AS (SELECT cid, pos, round(${Num.dsumSql("val")} / count(*), 6) AS m
+           |        FROM x$i GROUP BY cid, pos),
+           |c$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m$i GROUP BY cid)""".stripMargin
+      val iterations = (1 to KM_ITERS)
+        .map(i => s"${assignCtes(i)},\n${recomputeCtes(i)}").mkString(",\n")
+      val fin = KM_ITERS + 1
+      s"""WITH $normalizedCte,
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $KM_STRIDE = 0),
+         |$iterations,
+         |${assignCtes(fin)},
+         |n AS (SELECT cid, count(*) AS n_assigned FROM a$fin GROUP BY cid)
+         |SELECT n.cid, n_assigned,
+         |       round(sqrt(${dotSql("cv", "cv")}), 6) AS centroid_norm
+         |FROM n JOIN c$KM_ITERS USING (cid)
+         |ORDER BY cid""".stripMargin
+    },
 
     // Same md5→uniform arithmetic as Sampling.uniformOf; the CASE
     // cascade evaluates the rates in the same (reverse-fold) priority.

@@ -71,4 +71,23 @@ class SimilaritySpec extends AnyFunSuite {
     // lists still has to beat random chance (~2/30) by a wide margin.
     assert(mean >= 0.15)
   }
+
+  test("k-means: assignments partition the corpus, iterations tighten clusters") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val n = emb.count()
+    val out = Similarity.kmeansClusters(emb, 101L, 2).collect()
+    // Every vector lands in exactly one surviving cluster.
+    assert(out.map(_.getAs[Long]("n_assigned")).sum == n)
+    // Mean of unit vectors is inside the unit ball.
+    assert(out.forall(_.getAs[Double]("centroid_norm") <= 1.000001))
+    assert(out.length >= 2)
+    // Deterministic under repartition (decimal means + rounded argmax
+    // inputs): same clusters, same counts, same norms.
+    val again = Similarity.kmeansClusters(emb.repartition(7), 101L, 2).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_assigned"),
+        r.getAs[Double]("centroid_norm"))).sortBy(_._1).toSeq
+    assert(key(again) == key(out))
+  }
 }
