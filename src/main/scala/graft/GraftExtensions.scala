@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("demojize", es => DemojizeExpr(es.head)))
     // Plan-hygiene lint: warn (never mutate) on single-reducer windows.
     ext.injectOptimizerRule(_ => new graft.plans.SingleReducerWindowWarning)
+    // Whole-operator replacement: row_number-then-filter(<=k) plans as
+    // the streaming TopKPerGroupExec (no window buffering) — custom
+    // LogicalPlan + optimizer Rule + SparkStrategy + SparkPlan.
+    ext.injectOptimizerRule(_ => new graft.plans.TopKPerGroupRewrite)
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
   }
 }

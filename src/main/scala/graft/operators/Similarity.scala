@@ -188,6 +188,35 @@ object Similarity {
     Dedup.materializeThenRelease(out, e)
   }
 
+  /** Scalar int8 quantization of the embedding column — the
+    * storage-compression step of a vector index at scale (4× smaller
+    * than float32, 8× smaller than the double working set). Per
+    * dimension, the corpus min/max define a 255-step grid; each value
+    * maps to its nearest grid point. min/max of doubles are
+    * order-independent (exact on any engine / partitioning), and the
+    * quantize/reconstruct arithmetic is spelled identically in the
+    * oracle, so codes and error stats match bit-for-bit. Emits one row
+    * per vector: integer code sum (exact) + max/mean absolute
+    * reconstruction error. Shape: one narrow explode (n·dim rows), a
+    * 64-row broadcast of the per-dim grid, one keyed agg — no
+    * corpus-sized shuffle beyond the vec_id combine. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos"), col("col").as("val"))
+    val grid = x.groupBy("pos").agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+    val q = x.join(broadcast(grid), Seq("pos"))
+      .withColumn("qv",
+        least(greatest(round((col("val") - col("mn")) * 255 / (col("mx") - col("mn")), 0),
+          lit(0.0)), lit(255.0)).cast("long"))
+      .withColumn("err",
+        abs(col("val") - (col("mn") + col("qv") * (col("mx") - col("mn")) / 255)))
+    q.groupBy("vec_id")
+      .agg(sum(col("qv")).cast("long").as("q_sum"),
+        round(max(col("err")), 6).as("max_abs_err"),
+        round(graft.functions.Num.dsum(col("err")) / count(lit(1)), 6).as("mean_abs_err"))
+  }
+
   /** Deterministic random hyperplanes (seeded): nPlanes × dim. Shared
     * with the DuckDB oracle, which embeds the same literals. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =

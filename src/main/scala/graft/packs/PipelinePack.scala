@@ -127,6 +127,11 @@ object PipelinePack {
           TOPK, NPROBE, CENT_STRIDE)
         .orderBy("query_id", "rn")
     },
+    // Scalar int8 quantization: per-dim corpus min/max grid, nearest
+    // code, reconstruction-error stats.
+    "q_sim_quantize_int8" -> { (s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d)).orderBy("vec_id")
+    },
     // Distributed k-means (Lloyd): data-seeded centroids, 2 iterations,
     // decimal-stable centroid means → engine-identical assignments.
     "q_sim_kmeans" -> { (s, d) =>
@@ -574,6 +579,25 @@ object PipelinePack {
          |      FROM s)
          |SELECT query_id, rn, vec_id, cosine FROM r
          |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    // Same explode → per-dim min/max grid → quantize/reconstruct
+    // arithmetic, spelled identically (same association order), so the
+    // integer codes — and therefore q_sum — are exact on both engines.
+    "q_sim_quantize_int8" ->
+      s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings),
+         |x AS (SELECT vec_id, t.pos, raw[CAST(t.pos AS INT)] AS val
+         |      FROM e0, unnest(range(1, ${DIM + 1})) t(pos)),
+         |d AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM x GROUP BY pos),
+         |q AS (SELECT vec_id, val, mn, mx,
+         |             CAST(least(greatest(round((val - mn) * 255 / (mx - mn), 0), 0), 255) AS BIGINT) AS qv
+         |      FROM x JOIN d ON x.pos = d.pos),
+         |r AS (SELECT vec_id, qv,
+         |             abs(val - (mn + qv * (mx - mn) / 255)) AS err
+         |      FROM q)
+         |SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum,
+         |       round(max(err), 6) AS max_abs_err,
+         |       round(${Num.dsumSql("err")} / count(*), 6) AS mean_abs_err
+         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Mirrors Similarity.kmeansClusters iteration for iteration: the
     // CTE chain below is GENERATED for the same KM_ITERS the Spark loop

@@ -72,6 +72,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.15)
   }
 
+  test("int8 quantization: codes bounded, error within a grid step, deterministic") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity.quantizeInt8(emb).collect()
+    assert(out.length == emb.count())
+    assert(out.forall { r =>
+      val qs = r.getAs[Long]("q_sum"); qs >= 0L && qs <= 255L * 64
+    })
+    // Nearest-grid-point error is ≤ half the widest dimension's step.
+    val step = emb.select(posexplode(col("embedding").cast("array<double>")))
+      .agg(max(col("col")) - min(col("col"))).collect().head.getDouble(0) / 255
+    assert(out.forall(_.getAs[Double]("max_abs_err") <= step / 2 + 1e-9))
+    assert(out.forall(r =>
+      r.getAs[Double]("mean_abs_err") <= r.getAs[Double]("max_abs_err")))
+    val again = Similarity.quantizeInt8(emb.repartition(7)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("q_sum"))).sorted.toSeq
+    assert(again == out.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("q_sum"))).sorted.toSeq)
+  }
+
   test("k-means: assignments partition the corpus, iterations tighten clusters") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
