@@ -41,6 +41,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"scan reads l_orderkey the query never uses; ReadSchema=$readSchema")
   }
 
+  test("q_text_tfidf: the rank filter plans through the native TopKPerGroupExec") {
+    // the library's own row_number-then-filter queries must actually hit
+    // the injected whole-operator path, not fall back to WindowExec
+    val p = plan("q_text_tfidf")
+    assert(p.collect { case e: graft.plans.TopKPerGroupExec => e }.nonEmpty,
+      s"q_text_tfidf did not plan the native top-k operator:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "WindowExec survived alongside the top-k rewrite")
+  }
+
   test("q_s1_paged_source: publishedAfter is pushed into the V2 source, no residual filter") {
     val p = plan("q_s1_paged_source")
     val scans = p.collect {
