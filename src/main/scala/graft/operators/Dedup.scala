@@ -137,20 +137,24 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The 4×4 LSH band rows (doc_id, band, bv) of a signature frame. */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"m${4 * j + r}").cast("string")): _*).as("bv"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+  }
+
   /** MinHash + LSH near-dup pairs: band the k=16 signature into 4 bands
     * of 4 rows, bucket-join per band, then verify survivors with exact
     * jaccard ≥ minJ. Only candidate pairs (a vanishing fraction at any
     * scale) ever reach the verification join. */
   def minhashLshPairs(rawShingles: DataFrame, minJ: Double): DataFrame = {
     val shingles = rawShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(shingles)
-    val bandCols = (0 until 4).map { j =>
-      struct(lit(j).as("band"),
-        concat_ws("_", (0 until 4).map(r => col(s"m${4 * j + r}").cast("string")): _*).as("bv"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val bands = bandsOf(minhashSignatures(shingles))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -163,6 +167,43 @@ object Dedup {
       .join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     materializeThenRelease(withJaccard(inter, sizes, minJ), shingles)
+  }
+
+  /** Incremental ingestion dedup: flag documents of a NEW batch that
+    * near-duplicate the EXISTING corpus — the shape a production
+    * pipeline actually runs day over day (the batch is small; the corpus
+    * index of band rows is the precomputed state). Same MinHash bands as
+    * [[minhashLshPairs]], but candidates join batch bands against corpus
+    * bands only (never corpus × corpus), so per-ingest cost scales with
+    * the batch, not the corpus. Survivors verify with exact jaccard;
+    * each flagged doc reports its best corpus match (jaccard desc,
+    * doc_old asc — a row_number top-1, which plans through the native
+    * TopKPerGroupExec). */
+  def minhashLshAgainstCorpus(rawShingles: DataFrame, batchPred: Column,
+                              minJ: Double): DataFrame = {
+    val shingles = rawShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(minhashSignatures(shingles))
+    val newB = bands.filter(batchPred)
+      .withColumnsRenamed(Map("doc_id" -> "doc_new"))
+    val oldB = bands.filter(!batchPred)
+      .withColumnsRenamed(Map("doc_id" -> "doc_old"))
+    val cand = newB.join(oldB, Seq("band", "bv"))
+      .select("doc_new", "doc_old").distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shingles.withColumnsRenamed(Map("doc_id" -> "doc_new")), Seq("doc_new"))
+      .join(shingles.withColumnsRenamed(Map("doc_id" -> "doc_old")), Seq("doc_old", "shingle"))
+      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("i"))
+    val j = inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_new", "n" -> "na")), Seq("doc_new"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_old", "n" -> "nb")), Seq("doc_old"))
+      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= minJ)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_new").orderBy(col("jaccard").desc, col("doc_old").asc)
+    val best = j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_new"), col("doc_old").as("best_match"), col("jaccard"))
+    materializeThenRelease(best, shingles)
   }
 
   /** SimHash: 60-bit signature from md5-derived word hashes (term

@@ -52,6 +52,10 @@ object PipelinePack {
     * has no newlines), dropped when they appear in more than 1 document. */
   private val LINE_W = 5
   private val LINE_MAX_DOCS = 1L
+  /** Incremental ingestion dedup: docs with doc_id % INC_MOD == INC_REM
+    * are the "new batch"; the rest are the existing corpus. */
+  private val INC_MOD = 10L
+  private val INC_REM = 7L
   /** K-means: data-seeded centroids every KM_STRIDE-th vector, KM_ITERS
     * Lloyd iterations (constants shared with the generated oracle CTEs). */
   private val KM_STRIDE = 101L
@@ -97,6 +101,14 @@ object PipelinePack {
     "q_dedup_minhash_lsh" -> { (s, d) =>
       Dedup.minhashLshPairs(Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
         .orderBy("doc_a", "doc_b")
+    },
+    // Incremental ingestion: flag new-batch docs near-duplicating the
+    // existing corpus; per-ingest cost ∝ batch, not corpus.
+    "q_dedup_incremental" -> { (s, d) =>
+      Dedup.minhashLshAgainstCorpus(
+          Dedup.wordShingles(Tables.documents(s, d)),
+          pmod(col("doc_id"), lit(INC_MOD)) === INC_REM, JACCARD_MIN)
+        .orderBy("doc_new")
     },
     "q_dedup_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), HAMMING_MAX)
@@ -344,7 +356,9 @@ object PipelinePack {
        |WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val minhashSql: String = {
+  /** sh → signature → 4×4 band CTEs shared by the all-pairs and the
+    * incremental (batch-vs-corpus) MinHash oracles. */
+  private val minhashBandCtes: String = {
     val m = Hashing.M
     val minCols = Hashing.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $m) AS m$i"
@@ -353,13 +367,17 @@ object PipelinePack {
       val cols = (0 until 4).map(r => s"m${4 * j + r}").mkString(", ")
       s"SELECT doc_id, $j AS band, concat_ws('_', $cols) AS bv FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS ($sh),
+    s"""sh AS ($sh),
        |hs AS (SELECT doc_id, ${Hashing.md5ModSql("shingle")} AS h FROM sh),
        |sigs AS (SELECT doc_id,
        |       $minCols
        |  FROM hs GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  private val minhashSql: String = {
+    s"""WITH $minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -460,6 +478,33 @@ object PipelinePack {
          |$jaccardTail""".stripMargin,
 
     "q_dedup_minhash_lsh" -> minhashSql,
+
+    "q_dedup_incremental" ->
+      s"""WITH $minhashBandCtes,
+         |newb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD = $INC_REM),
+         |oldb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD <> $INC_REM),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+         |  FROM newb n JOIN oldb o ON n.band = o.band AND n.bv = o.bv),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_new, c.doc_old, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_new
+         |  JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+         |  GROUP BY c.doc_new, c.doc_old),
+         |j AS (
+         |  SELECT doc_new, doc_old, round(i / (sa.n + sb.n - i), 6) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.doc_id = doc_new
+         |             JOIN sizes sb ON sb.doc_id = doc_old
+         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
+         |r AS (
+         |  SELECT doc_new, doc_old, jaccard,
+         |         row_number() OVER (PARTITION BY doc_new
+         |                            ORDER BY jaccard DESC, doc_old ASC) AS rn
+         |  FROM j)
+         |SELECT doc_new, doc_old AS best_match, jaccard
+         |FROM r WHERE rn = 1 ORDER BY doc_new""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes

@@ -20,6 +20,30 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("incremental dedup flags only new-batch docs duplicating the corpus") {
+    import org.apache.spark.sql.functions._
+    // batch = odd ids. Doc 1 (new) is a one-word-changed twin of corpus
+    // doc 0 (jaccard ≈ 0.93 — high enough that the 4×4 bands collide);
+    // doc 3 (new) exact-dups doc 0; doc 2 (corpus) is disjoint and the
+    // corpus docs themselves are never flagged.
+    val base = (0 until 30).map(i => s"w$i")
+    val twin = base.updated(29, "changed")
+    val inc = Seq(
+      (0L, base.mkString(" ")),
+      (1L, twin.mkString(" ")),
+      (2L, (0 until 30).map(i => s"z$i").mkString(" ")),
+      (3L, base.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashLshAgainstCorpus(
+        Dedup.wordShingles(inc), pmod(col("doc_id"), lit(2L)) === 1, 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("jaccard"))).sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 3L))
+    assert(out.forall(_._2 == 0L))
+    assert(out.find(_._1 == 3L).get._3 == 1.0) // exact dup → jaccard 1
+  }
+
   test("prefix-filtered jaccard equals brute-force all-pairs on random corpora") {
     // The prefix-filter lemma in practice: for random word documents,
     // jaccardPairs (prefix candidates + full-set verification) must
