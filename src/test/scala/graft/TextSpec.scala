@@ -72,6 +72,60 @@ class TextSpec extends AnyFunSuite {
     assert(allDup.length == 2 && allDup.forall(_.getAs[Long]("n_kept") == 0L))
   }
 
+  test("line dedup invariants on a random corpus") {
+    // Randomized (seeded) corpus: duplicated docs create hot segments,
+    // unique docs don't. Invariants: n_kept ≤ n_segs; a doc whose
+    // segments are all corpus-unique reassembles to EXACTLY its
+    // original text (the segmenter is a non-overlapping cover, so
+    // concat(kept) == text when nothing is dropped).
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 50).map(i => s"t$i")
+    val originals = (0 until 15).map { i =>
+      (i.toLong, Array.fill(6 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // clone a few docs under new ids → their segments become hot
+    val cloned = originals.take(4).map { case (id, t) => (id + 100L, t) }
+    val corpus = (originals ++ cloned).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(corpus, 5, 1L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r)).toMap
+    assert(out.size == originals.size + cloned.size)
+    assert(out.values.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs")))
+    // cloned docs (and their originals) lose every segment
+    cloned.foreach { case (id, _) =>
+      assert(out(id).getAs[Long]("n_kept") == 0L)
+      assert(out(id - 100L).getAs[Long]("n_kept") == 0L)
+    }
+    // fully-unique docs reassemble byte-identically
+    val md5s = originals.drop(4).map { case (id, t) =>
+      (id, java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    }
+    md5s.foreach { case (id, m) =>
+      if (out(id).getAs[Long]("n_kept") == out(id).getAs[Long]("n_segs"))
+        assert(out(id).getAs[String]("kept_md5") == m)
+    }
+    assert(md5s.count { case (id, m) => out(id).getAs[String]("kept_md5") == m } >= 5)
+  }
+
+  test("weighted mix count law: every row emits floor(w) or ceil(w) copies") {
+    val rnd = new scala.util.Random(23)
+    val domains = Seq("d0" -> 0.3, "d1" -> 1.7, "d2" -> 2.0, "d3" -> 0.0)
+    val rows = (0 until 200).map(i => (i.toLong, s"d${rnd.nextInt(5)}")) // d4 → default
+    val df = rows.toDF("doc_id", "source")
+    val out = Sampling.weightedMix(df, col("doc_id"), col("source"), domains, 1.0)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy_no")))
+    val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+    rows.foreach { case (id, src) =>
+      val w = domains.toMap.getOrElse(src, 1.0)
+      val n = copies.getOrElse(id, 0)
+      assert(n == math.floor(w).toInt || n == math.ceil(w).toInt,
+        s"doc $id ($src, w=$w) emitted $n copies")
+      // copy_no is dense 1..n
+      val cs = out.filter(_._1 == id).map(_._2).sorted.toSeq
+      assert(cs == (1 to n).map(_.toLong))
+    }
+  }
+
   test("weighted mix: integer weights replicate, zero weight excludes") {
     val df = Seq(
       (1L, "keep3"), (2L, "drop"), (3L, "one")
