@@ -172,6 +172,30 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Curation dashboard: per-source doc/token counts, Gopher pass
+    // rate, and near-dup incidence (docs appearing in any jaccard pair,
+    // off the shared pairs fixture) — the corpus-health report a
+    // pipeline emits per ingest. One narrow scan + one broadcast-able
+    // dup-id join + one source-keyed aggregate.
+    "q_text_source_report" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val g = TextAnalysis.gopherQuality(docs).select(col("doc_id"), col("passes"))
+      val toks = TextAnalysis.tokenCounts(docs).select(col("doc_id"), col("ws_tokens"))
+      val pairs = jaccardPairsFixture(s, d)
+      val dupIds = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      docs.select(col("doc_id"), col("source"))
+        .join(g, Seq("doc_id")).join(toks, Seq("doc_id"))
+        .join(broadcast(dupIds), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).cast("long").as("total_ws_tokens"),
+          round(sum(col("passes")) / count(lit(1)), 6).as("gopher_pass_rate"),
+          sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("dup_docs"),
+          round(sum(coalesce(col("is_dup"), lit(0L))) / count(lit(1)), 6).as("dup_rate"))
+        .orderBy("source")
+    },
     "q_text_tfidf" -> { (s, d) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
         .orderBy("doc_id", "rn")
@@ -748,6 +772,57 @@ object PipelinePack {
          |       array_to_string(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)], ' ') AS chunk_text,
          |       CAST(len(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)]) AS BIGINT) AS n_chunk_words
          |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // Same signal constants as the gopher oracle, same pairs chain as
+    // the jaccard oracle; dup membership via EXISTS (NULL-safe).
+    "q_text_source_report" -> {
+      import TextAnalysis._
+      s"""WITH sh AS ($sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+         |             JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM pairs
+         |  UNION ALL SELECT doc_b AS doc_id FROM pairs) u),
+         |s AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |         CAST(length(replace(text, ' ', '')) AS BIGINT)
+         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_word_len,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS alpha_frac,
+         |         ${wordsFilterSql(TextAnalysis.stopwords)} AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '$SymbolRe')) AS BIGINT)
+         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS symbol_ratio
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, source, ws_tokens,
+         |         CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |               AND mean_word_len >= $GopherMinWordLen
+         |               AND mean_word_len <= $GopherMaxWordLen
+         |               AND alpha_frac >= $GopherMinAlphaFrac
+         |               AND n_stop >= $GopherMinStop
+         |               AND symbol_ratio <= $GopherMaxSymbolRatio
+         |          THEN 1 ELSE 0 END AS passes,
+         |         CASE WHEN EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = s.doc_id)
+         |          THEN 1 ELSE 0 END AS is_dup
+         |  FROM s)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |       round(sum(passes) / count(*), 6) AS gopher_pass_rate,
+         |       CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+         |       round(sum(is_dup) / count(*), 6) AS dup_rate
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // Score rounded to 6 BEFORE ranking on both engines (ln ulps must
     // not decide a rank).
