@@ -229,6 +229,45 @@ object StreamOps {
         round(col("cum").cast("double"), 6).as("total_at_crossing"))
   }
 
+  /** Spark 4's arbitrary-state API: the [[runningPerUser]] aggregate as
+    * a `StatefulProcessor` over `transformWithState` — typed ValueState
+    * per key, explicit init/handle lifecycle, RocksDB-backed state
+    * store. This is the current-generation replacement for
+    * mapGroupsWithState (composable state variables, timers, TTL); the
+    * spec proves it emits the same totals as the batch aggregate. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[UserRunning] = _
+    override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserRunning]("running",
+        Encoders.product[UserRunning], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserRunning] = {
+      val prev = if (state.exists()) state.get() else UserRunning(key, 0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val next = UserRunning(key, n, total)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** [[RunningTotalProcessor]] wired over the parquet feed (requires the
+    * RocksDB state store provider — set in the spec's session confs). */
+  def runningPerUserTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    eventsStream(spark, dir)
+      .select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user count
     * and total (the custom-state analogue of the reference's count
     * accumulation, SURVEY.md §2.5 A6). */

@@ -133,6 +133,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("transformWithState (Spark 4 arbitrary state) equals the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamOps.runningPerUserTws(spark, TestSpark.sf0001)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_out")
+        .start()
+      try {
+        q.processAllAvailable()
+        // Update mode re-emits a key on every batch it appears in — the
+        // final state per user is the row with the largest count.
+        val streamed = spark.table("tws_out")
+          .groupBy("user_id")
+          .agg(max(struct(col("n"), col("total"))).as("s"))
+          .select(col("user_id"), col("s.n"), col("s.total"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.round(r.getDouble(2) * 1e6) / 1e6)).toSet
+        val batch = Tables.events(spark, TestSpark.sf0001)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.round(r.getDouble(2) * 1e6) / 1e6)).toSet
+        assert(streamed == batch && batch.nonEmpty)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, TestSpark.sf0001)
