@@ -29,6 +29,10 @@ object SinksPack {
     * written content is deterministic in (kind, sfDir). NOT used where
     * re-execution is the semantics under test (e.g. k3's append). */
   private val fixtureDone = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Records per JSONL export shard (shared with the oracle's
+    * ceil(n/shard) expectation). */
+  private val JsonlShardRows = 5000L
   private[packs] def ensureFixture(key: String)(write: => Unit): Unit =
     if (!fixtureDone.contains(key)) fixtureDone.synchronized {
       if (!fixtureDone.contains(key)) { write; fixtureDone.add(key) }
@@ -240,6 +244,26 @@ object SinksPack {
         .orderBy("user_id", "crossing_event")
     },
 
+    // JSONL sharded export: the training-data export shape — JSON Lines
+    // with a bounded records-per-shard (dataloaders want fixed-size
+    // shards, and a single giant file serializes the downstream read).
+    // One writer task + maxRecordsPerFile → deterministically
+    // ceil(n/SHARD_ROWS) shards; read back via the _metadata column to
+    // prove the shard count, and re-aggregate to prove the JSON round
+    // trip is lossless.
+    "q_k_jsonl_shards" -> { (s, d) =>
+      val path = tmpPath("jsonl_shards", d)
+      Tables.events(s, d).select("event_id", "user_id", "value")
+        .repartition(1).sortWithinPartitions("event_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", JsonlShardRows).json(path)
+      s.read.schema("event_id BIGINT, user_id BIGINT, value DOUBLE").json(path)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("_metadata.file_path")).cast("long").as("n_shards"),
+          Num.dsum(col("value")).as("sum_value"))
+    },
+
     // Batch face of horizon-bounded streaming dedup
     // (dropDuplicatesWithinWatermark): first event per (user, type)
     // within each hourly window.
@@ -427,6 +451,12 @@ object SinksPack {
          |FROM c
          |WHERE cum - v < ${StreamOps.AlertThreshold} AND cum >= ${StreamOps.AlertThreshold}
          |ORDER BY user_id, crossing_event""".stripMargin,
+
+    "q_k_jsonl_shards" ->
+      s"""SELECT count(*) AS n_rows,
+         |       CAST(ceil(count(*) / $JsonlShardRows.0) AS BIGINT) AS n_shards,
+         |       ${Num.dsumSql("value")} AS sum_value
+         |FROM events""".stripMargin,
 
     "q_st_dedup_horizon" ->
       """WITH c AS (
