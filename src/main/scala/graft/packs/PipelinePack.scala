@@ -239,6 +239,25 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Materialized training sequences: the packing assignment joined
+    // back to the text and rolled up per (lang, shard, seq_no) — doc
+    // count, token total, and the md5 of the concatenated sequence text
+    // in doc_id order (what the dataloader would actually read). Each
+    // group is one sequence (Σ n_words ≤ seqLen plus one spill doc), so
+    // the collect_list is bounded by construction.
+    "q_text_seq_materialize" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.packSequences(docs, SEQ_LEN, SHARDS)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .groupBy("lang", "shard", "seq_no")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("seq_tokens"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")))).as("seq_md5"))
+        .orderBy("lang", "shard", "seq_no")
+    },
+
     // Self-repetition signal: 1 − distinct-3-grams / total-3-grams.
     // A doc repeating the same phrases has few distinct shingles
     // relative to its length — the n-gram complement of q_text_entropy.
@@ -480,6 +499,24 @@ object PipelinePack {
        |  SELECT vec_id, c, (sig >> (4 * c)) & 15 AS cv
        |  FROM sigs, (VALUES (0), (1), (2), (3)) t(c))""".stripMargin
   }
+
+  /** doc → (lang, shard, n_words, seq_no) packing CTEs shared by the
+    * assignment and materialization oracles (ends in CTE `p`). */
+  private val seqPackCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         (${Hashing.md5ModSql("CAST(doc_id AS VARCHAR)")} % $SHARDS) AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_words,
+       |         sum(n_words) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id, lang, shard, n_words,
+       |         CAST(floor((cum - n_words) / $SEQ_LEN.0) AS BIGINT) AS seq_no
+       |  FROM c)""".stripMargin
 
   private val wordsFilterSql: (Seq[String]) => String = set =>
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
@@ -738,19 +775,18 @@ object PipelinePack {
     },
 
     "q_text_seq_pack" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |         (${Hashing.md5ModSql("CAST(doc_id AS VARCHAR)")} % $SHARDS) AS shard
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, lang, shard, n_words,
-         |         sum(n_words) OVER (PARTITION BY lang, shard ORDER BY doc_id
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t)
-         |SELECT doc_id, lang, shard, n_words,
-         |       CAST(floor((cum - n_words) / $SEQ_LEN.0) AS BIGINT) AS seq_no
-         |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH $seqPackCtes
+         |SELECT doc_id, lang, shard, n_words, seq_no
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_text_seq_materialize" ->
+      s"""WITH $seqPackCtes
+         |SELECT p.lang, shard, seq_no, count(*) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS seq_tokens,
+         |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
+         |FROM p JOIN documents USING (doc_id)
+         |GROUP BY p.lang, shard, seq_no
+         |ORDER BY p.lang, shard, seq_no""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH sh AS ($sh),
