@@ -200,6 +200,28 @@ object PipelinePack {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
         .orderBy("doc_id", "rn")
     },
+    // Deterministic three-way train/val/test split (80/10/10 on the
+    // md5-uniform): per-(lang, split) counts — the split audit a
+    // training pipeline logs. Pure narrow classify + one keyed agg.
+    "q_text_split_report" -> { (s, d) =>
+      val u = Sampling.uniformOf(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")
+    },
+    // Retrieval with payload fetch: exact top-k neighbours of the query
+    // vectors joined back to the documents table (vec_id = doc_id in
+    // the synthetic data) — the end-to-end RAG shape: rank in vector
+    // space, then fetch the text (here its md5) via one key-equi join.
+    "q_sim_retrieve_text" -> { (s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0, TOPK)
+        .join(Tables.documents(s, d).select(col("doc_id").as("vec_id"),
+          md5(col("text")).as("text_md5")), Seq("vec_id"))
+        .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"), col("text_md5"))
+        .orderBy("query_id", "rn")
+    },
     // Data mixing: deterministic content-keyed stratified sample.
     "q_text_stratified_sample" -> { (s, d) =>
       Sampling.stratified(Tables.documents(s, d), col("doc_id"), col("lang"),
@@ -747,6 +769,31 @@ object PipelinePack {
          |WHERE ${Sampling.uniformSql("doc_id")} < $rateCase
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_split_report" ->
+      s"""WITH s AS (
+         |  SELECT lang,
+         |         CASE WHEN ${Sampling.uniformSql("doc_id")} < 0.8 THEN 'train'
+         |              WHEN ${Sampling.uniformSql("doc_id")} < 0.9 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT lang, split, count(*) AS n_docs
+         |FROM s GROUP BY lang, split
+         |ORDER BY lang, split""".stripMargin,
+
+    "q_sim_retrieve_text" ->
+      s"""WITH $normalizedCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |s AS (SELECT query_id, e.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
+         |      FROM q, e WHERE e.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+         |      FROM s),
+         |k AS (SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= $TOPK)
+         |SELECT query_id, rn, vec_id, cosine, md5(text) AS text_md5
+         |FROM k JOIN documents ON doc_id = vec_id
+         |ORDER BY query_id, rn""".stripMargin,
 
     "q_text_above_group_median" ->
       """WITH q AS (SELECT doc_id, lang,
