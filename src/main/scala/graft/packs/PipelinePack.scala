@@ -200,6 +200,23 @@ object PipelinePack {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
         .orderBy("doc_id", "rn")
     },
+    // Tokenizer-training support: the global adjacent-pair histogram —
+    // the expensive distributed step of BPE training (each merge round
+    // re-ranks corpus-wide pair counts) — with the top candidates
+    // ranked through the bounded two-level heap (never a global sort of
+    // the histogram). Bigrams come from one zip_with per row (narrow);
+    // the histogram is a map-side-combining groupBy on pair.
+    "q_text_bpe_candidates" -> { (s, d) =>
+      val ws = split(col("text"), " ")
+      val pairs = Tables.documents(s, d)
+        .select(explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      Similarity.heapTopKWords(pairs, "n", "pair", 10)
+        .select(col("rn"), col("pair"), col("n"))
+        .orderBy("rn")
+    },
     // Deterministic three-way train/val/test split (80/10/10 on the
     // md5-uniform): per-(lang, split) counts — the split audit a
     // training pipeline logs. Pure narrow classify + one keyed agg.
@@ -769,6 +786,16 @@ object PipelinePack {
          |WHERE ${Sampling.uniformSql("doc_id")} < $rateCase
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_bpe_candidates" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS pair
+        |      FROM w, unnest(range(1, len(ws))) t(i)),
+        |c AS (SELECT pair, count(*) AS n FROM b GROUP BY pair),
+        |r AS (SELECT pair, n,
+        |             CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rn
+        |      FROM c)
+        |SELECT rn, pair, n FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
 
     "q_text_split_report" ->
       s"""WITH s AS (
