@@ -187,18 +187,17 @@ object Dedup {
       .withColumnsRenamed(Map("doc_id" -> "doc_new"))
     val oldB = bands.filter(!batchPred)
       .withColumnsRenamed(Map("doc_id" -> "doc_old"))
+    // doc_a = new side, doc_b = corpus side, so the shared jaccard
+    // verification helper applies unchanged.
     val cand = newB.join(oldB, Seq("band", "bv"))
-      .select("doc_new", "doc_old").distinct()
+      .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b")).distinct()
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(shingles.withColumnsRenamed(Map("doc_id" -> "doc_new")), Seq("doc_new"))
-      .join(shingles.withColumnsRenamed(Map("doc_id" -> "doc_old")), Seq("doc_old", "shingle"))
-      .groupBy("doc_new", "doc_old").agg(count(lit(1)).as("i"))
-    val j = inter
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_new", "n" -> "na")), Seq("doc_new"))
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_old", "n" -> "nb")), Seq("doc_old"))
-      .withColumn("jaccard", round(col("i") / (col("na") + col("nb") - col("i")), 6))
-      .filter(col("jaccard") >= minJ)
+      .join(shingles.withColumnsRenamed(Map("doc_id" -> "doc_a")), Seq("doc_a"))
+      .join(shingles.withColumnsRenamed(Map("doc_id" -> "doc_b")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val j = withJaccard(inter, sizes, minJ)
+      .withColumnsRenamed(Map("doc_a" -> "doc_new", "doc_b" -> "doc_old"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_new").orderBy(col("jaccard").desc, col("doc_old").asc)
     val best = j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

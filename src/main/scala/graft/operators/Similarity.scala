@@ -180,12 +180,18 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
     }
-    val out = assignToCentroids(e, cent)
+    // Materialize the final centroids once: they feed BOTH the final
+    // assignment broadcast and the norm join below, and an
+    // un-materialized `cent` would re-execute the whole multi-iteration
+    // Lloyd lineage twice (the two consumers use different exchange
+    // shapes, so ReuseExchange cannot dedupe them).
+    val finalCent = cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = assignToCentroids(e, finalCent)
       .groupBy("cid").agg(count(lit(1)).as("n_assigned"))
-      .join(cent, Seq("cid"))
+      .join(finalCent, Seq("cid"))
       .select(col("cid"), col("n_assigned"),
         round(sqrt(expr("dotp(cv, cv)")), 6).as("centroid_norm"))
-    Dedup.materializeThenRelease(out, e)
+    Dedup.materializeThenRelease(out, e, finalCent)
   }
 
   /** Scalar int8 quantization of the embedding column — the
@@ -205,12 +211,16 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
       .select(col("vec_id"), col("pos"), col("col").as("val"))
     val grid = x.groupBy("pos").agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+    // A corpus-constant dimension (mx == mn) has no grid: code 0, error
+    // 0 — guarded explicitly, else the division is ANSI-mode-dependent
+    // on Spark and NaN-producing on the oracle side.
+    val degenerate = col("mx") === col("mn")
     val q = x.join(broadcast(grid), Seq("pos"))
-      .withColumn("qv",
+      .withColumn("qv", when(degenerate, lit(0L)).otherwise(
         least(greatest(round((col("val") - col("mn")) * 255 / (col("mx") - col("mn")), 0),
-          lit(0.0)), lit(255.0)).cast("long"))
-      .withColumn("err",
-        abs(col("val") - (col("mn") + col("qv") * (col("mx") - col("mn")) / 255)))
+          lit(0.0)), lit(255.0)).cast("long")))
+      .withColumn("err", when(degenerate, lit(0.0)).otherwise(
+        abs(col("val") - (col("mn") + col("qv") * (col("mx") - col("mn")) / 255))))
     q.groupBy("vec_id")
       .agg(sum(col("qv")).cast("long").as("q_sum"),
         round(max(col("err")), 6).as("max_abs_err"),

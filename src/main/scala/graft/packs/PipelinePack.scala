@@ -557,6 +557,48 @@ object PipelinePack {
        |         CAST(floor((cum - n_words) / $SEQ_LEN.0) AS BIGINT) AS seq_no
        |  FROM c)""".stripMargin
 
+  /** query → scored → ranked CTE chain of the exact cosine top-k
+    * (expects the normalized `e` CTE in scope) — shared by the
+    * cosine-top-k and retrieval oracles so the tie-break/rounding
+    * spelling cannot drift between them. */
+  private lazy val cosineTopKCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       |s AS (SELECT query_id, e.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
+       |      FROM q, e WHERE e.vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, cosine,
+       |             CAST(row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+       |      FROM s)""".stripMargin
+
+  /** Gopher signal columns over `documents` (`extraCols` lands between
+    * doc_id and the signals) and the shared pass-threshold CASE — ONE
+    * spelling for the per-doc oracle and the per-source report. */
+  private def gopherSignalsSql(extraCols: String): String = {
+    import TextAnalysis.SymbolRe
+    s"""SELECT doc_id,$extraCols
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT)
+       |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_word_len,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+       |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS alpha_frac,
+       |         ${wordsFilterSql(TextAnalysis.stopwords)} AS n_stop,
+       |         CAST(len(regexp_extract_all(text, '$SymbolRe')) AS BIGINT)
+       |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS symbol_ratio
+       |  FROM documents""".stripMargin
+  }
+
+  private lazy val gopherPassCase: String = {
+    import TextAnalysis._
+    s"""CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+       |               AND mean_word_len >= $GopherMinWordLen
+       |               AND mean_word_len <= $GopherMaxWordLen
+       |               AND alpha_frac >= $GopherMinAlphaFrac
+       |               AND n_stop >= $GopherMinStop
+       |               AND symbol_ratio <= $GopherMaxSymbolRatio
+       |          THEN 1 ELSE 0 END""".stripMargin
+  }
+
   private val wordsFilterSql: (Seq[String]) => String = set =>
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
 
@@ -734,10 +776,14 @@ object PipelinePack {
          |      FROM e0, unnest(range(1, ${DIM + 1})) t(pos)),
          |d AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM x GROUP BY pos),
          |q AS (SELECT vec_id, val, mn, mx,
-         |             CAST(least(greatest(round((val - mn) * 255 / (mx - mn), 0), 0), 255) AS BIGINT) AS qv
+         |             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+         |                  ELSE CAST(least(greatest(round((val - mn) * 255 / (mx - mn), 0), 0), 255) AS BIGINT)
+         |             END AS qv
          |      FROM x JOIN d ON x.pos = d.pos),
          |r AS (SELECT vec_id, qv,
-         |             abs(val - (mn + qv * (mx - mn) / 255)) AS err
+         |             CASE WHEN mx = mn THEN 0.0
+         |                  ELSE abs(val - (mn + qv * (mx - mn) / 255))
+         |             END AS err
          |      FROM q)
          |SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum,
          |       round(max(err), 6) AS max_abs_err,
@@ -810,13 +856,7 @@ object PipelinePack {
 
     "q_sim_retrieve_text" ->
       s"""WITH $normalizedCte,
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-         |s AS (SELECT query_id, e.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
-         |      FROM q, e WHERE e.vec_id <> query_id),
-         |r AS (SELECT query_id, vec_id, cosine,
-         |             CAST(row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
-         |      FROM s),
+         |$cosineTopKCtes,
          |k AS (SELECT query_id, rn, vec_id, cosine FROM r WHERE rn <= $TOPK)
          |SELECT query_id, rn, vec_id, cosine, md5(text) AS text_md5
          |FROM k JOIN documents ON doc_id = vec_id
@@ -885,8 +925,7 @@ object PipelinePack {
 
     // Same signal constants as the gopher oracle, same pairs chain as
     // the jaccard oracle; dup membership via EXISTS (NULL-safe).
-    "q_text_source_report" -> {
-      import TextAnalysis._
+    "q_text_source_report" ->
       s"""WITH sh AS ($sh),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
@@ -902,27 +941,10 @@ object PipelinePack {
          |  SELECT doc_a AS doc_id FROM pairs
          |  UNION ALL SELECT doc_b AS doc_id FROM pairs) u),
          |s AS (
-         |  SELECT doc_id, source,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |         CAST(length(replace(text, ' ', '')) AS BIGINT)
-         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_word_len,
-         |         CAST(len(list_filter(string_split(text, ' '),
-         |                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS alpha_frac,
-         |         ${wordsFilterSql(TextAnalysis.stopwords)} AS n_stop,
-         |         CAST(len(regexp_extract_all(text, '$SymbolRe')) AS BIGINT)
-         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS symbol_ratio
-         |  FROM documents),
+         |  ${gopherSignalsSql(" source,")}),
          |p AS (
-         |  SELECT doc_id, source, ws_tokens,
-         |         CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
-         |               AND mean_word_len >= $GopherMinWordLen
-         |               AND mean_word_len <= $GopherMaxWordLen
-         |               AND alpha_frac >= $GopherMinAlphaFrac
-         |               AND n_stop >= $GopherMinStop
-         |               AND symbol_ratio <= $GopherMaxSymbolRatio
-         |          THEN 1 ELSE 0 END AS passes,
+         |  SELECT doc_id, source, n_words AS ws_tokens,
+         |         $gopherPassCase AS passes,
          |         CASE WHEN EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = s.doc_id)
          |          THEN 1 ELSE 0 END AS is_dup
          |  FROM s)
@@ -931,8 +953,7 @@ object PipelinePack {
          |       round(sum(passes) / count(*), 6) AS gopher_pass_rate,
          |       CAST(sum(is_dup) AS BIGINT) AS dup_docs,
          |       round(sum(is_dup) / count(*), 6) AS dup_rate
-         |FROM p GROUP BY source ORDER BY source""".stripMargin
-    },
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
     // Score rounded to 6 BEFORE ranking on both engines (ln ulps must
     // not decide a rank).
@@ -953,13 +974,7 @@ object PipelinePack {
 
     "q_sim_cosine_topk" ->
       s"""WITH $normalizedCte,
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
-         |s AS (SELECT query_id, e.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
-         |      FROM q, e WHERE e.vec_id <> query_id),
-         |r AS (SELECT query_id, vec_id, cosine,
-         |             CAST(row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
-         |      FROM s)
+         |$cosineTopKCtes
          |SELECT query_id, rn, vec_id, cosine FROM r
          |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
 
@@ -974,30 +989,12 @@ object PipelinePack {
          |       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_text_gopher_quality" -> {
-      import TextAnalysis._
+    "q_text_gopher_quality" ->
       s"""WITH s AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |         CAST(length(replace(text, ' ', '')) AS BIGINT)
-         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS mean_word_len,
-         |         CAST(len(list_filter(string_split(text, ' '),
-         |                              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS alpha_frac,
-         |         ${wordsFilterSql(TextAnalysis.stopwords)} AS n_stop,
-         |         CAST(len(regexp_extract_all(text, '$SymbolRe')) AS BIGINT)
-         |           / CAST(len(string_split(text, ' ')) AS BIGINT) AS symbol_ratio
-         |  FROM documents)
+         |  ${gopherSignalsSql("")})
          |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop, symbol_ratio,
-         |       CAST(CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
-         |                  AND mean_word_len >= $GopherMinWordLen
-         |                  AND mean_word_len <= $GopherMaxWordLen
-         |                  AND alpha_frac >= $GopherMinAlphaFrac
-         |                  AND n_stop >= $GopherMinStop
-         |                  AND symbol_ratio <= $GopherMaxSymbolRatio
-         |             THEN 1 ELSE 0 END AS BIGINT) AS passes
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+         |       CAST($gopherPassCase AS BIGINT) AS passes
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_line_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

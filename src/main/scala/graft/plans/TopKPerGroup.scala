@@ -42,6 +42,10 @@ case class TopKPerGroup(
     rnAttr: Attribute,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rnAttr
+  // rn is produced HERE, not read from below — without this the node
+  // reports a non-empty missingInput and plan-validation modes
+  // (spark.sql.planChangeValidation) reject the rewritten plan.
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr :: Nil)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -79,9 +83,28 @@ class TopKPerGroupRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Float/double group keys need NormalizeFloatingNumbers (0.0 vs -0.0,
+    * NaN bit patterns) before byte-wise grouping, and that rule runs
+    * AFTER this batch and doesn't know our node — so leave such windows
+    * on the WindowExec path. */
+  private def containsFloat(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+      case a: ArrayType => containsFloat(a.elementType)
+      case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+      case _ => false
+    }
+  }
+
+  private def hasFloatKey(partitionSpec: Seq[Expression]): Boolean =
+    partitionSpec.exists(e => containsFloat(e.dataType))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case f @ Filter(cond, w: WindowPlan)
-        if w.windowExpressions.size == 1 && w.orderSpec.nonEmpty =>
+        if w.windowExpressions.size == 1 && w.orderSpec.nonEmpty &&
+          !hasFloatKey(w.partitionSpec) =>
       val rnOpt = w.windowExpressions.head match {
         case a @ Alias(WindowExpression(RowNumber(), _), _) => Some(a.toAttribute)
         case _ => None
@@ -118,6 +141,7 @@ case class TopKPerGroupExec(
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr :: Nil)
 
   // The same requirements WindowExec would declare — EnsureRequirements
   // inserts the identical hash exchange + sort, so the plan differs only
@@ -141,16 +165,18 @@ case class TopKPerGroupExec(
       val joined = new JoinedRow
       val rnRow = new SpecificInternalRow(Seq(rn.dataType))
       var current: UnsafeRow = null
-      var rank = 0
+      // Long, and only advanced while ≤ k: an Int counter free-running
+      // over a >2^31-row group would wrap negative and re-emit.
+      var rank = 0L
       iter.flatMap { row =>
         val g = grouping(row)
         if (current == null || g != current) {
           current = g.copy()
-          rank = 0
+          rank = 0L
         }
-        rank += 1
-        if (rank <= kLocal) {
-          rnRow.setInt(0, rank)
+        if (rank < kLocal) {
+          rank += 1
+          rnRow.setInt(0, rank.toInt)
           Some(result(joined(row, rnRow)): InternalRow)
         } else None
       }

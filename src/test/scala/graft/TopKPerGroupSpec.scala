@@ -70,6 +70,19 @@ class TopKPerGroupSpec extends AnyFunSuite {
       .collect { case e: TopKPerGroupExec => e }.isEmpty)
   }
 
+  test("float/double partition keys keep the WindowExec path") {
+    // 0.0 vs -0.0 / NaN bit patterns need NormalizeFloatingNumbers,
+    // which runs after the rewrite batch and doesn't know our node —
+    // the rewrite must decline these windows.
+    val fdf = Seq((0.0, 1L), (-0.0, 2L), (2.0, 3L)).toDF("g", "id")
+    val wf = Window.partitionBy("g").orderBy("id")
+    val q = fdf.withColumn("rn", row_number().over(wf)).filter(col("rn") <= 1)
+    assert(q.queryExecution.sparkPlan
+      .collect { case e: TopKPerGroupExec => e }.isEmpty)
+    // 0.0 and -0.0 are ONE group under window semantics
+    assert(q.count() == 2)
+  }
+
   test("matches the window formulation on real data (q_x_window_rank shape)") {
     val events = Tables.events(spark, TestSpark.sf0001)
     val ww = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
