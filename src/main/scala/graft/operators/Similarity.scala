@@ -194,6 +194,82 @@ object Similarity {
     Dedup.materializeThenRelease(out, e, finalCent)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then deduplicate ONLY within clusters — pairwise cosine is
+    * confined to cluster members, so the quadratic all-pairs blowup
+    * never forms. Centroids are data-seeded (vec_id % centStride == 0,
+    * same scheme as [[ivfTopK]]/[[kmeansClusters]], so the oracle
+    * replays the identical set); each vector is assigned to its nearest
+    * centroid by inner product (bounded broadcast, deterministic cid-asc
+    * tiebreak); within a cluster, a vector is DROPPED when a
+    * smaller-vec_id member sits at rounded cosine ≥ minCos (keep-lowest
+    * — the deterministic stand-in for the paper's keep-farthest-from-
+    * centroid policy). Emits one row per vector: (vec_id, cid, kept).
+    * Scale: centroid count grows ∝ corpus (fixed stride), so expected
+    * cluster size stays a CONSTANT (≈ centStride) — the within-cluster
+    * self-join costs Σ|cluster|² ≈ n·centStride, linear in the corpus;
+    * this is precisely the paper's scaling argument. */
+  def semDedup(emb: DataFrame, centStride: Long, minCos: Double): DataFrame = {
+    val e = normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assign = assignToCentroids(e, cent)
+    val members = assign.join(e, Seq("vec_id"))
+    val a = members.select(col("cid"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = members.select(col("cid"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b") &&
+        round(expr("dotp(va, vb)"), 6) >= minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    val out = assign.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("hit").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+    Dedup.materializeThenRelease(out, e)
+  }
+
+  /** Product quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each normalized
+    * vector into `m` contiguous subvectors; quantize each subvector to
+    * its nearest (squared-L2) centroid in a per-subspace codebook. The
+    * codebooks are data-seeded — subspace s's codebook is the s-th
+    * slice of the vectors with vec_id % centStride == 0 — so the oracle
+    * rebuilds them exactly. Distances are ‖x‖²+‖c‖²−2x·c via three
+    * sequential-fold dot products (identical IEEE arithmetic both
+    * engines) and are rounded to 6 BEFORE the argmin so an ulp can
+    * never flip a code. Emits the long-form code table (vec_id, sub_no,
+    * code, sq_err) — n·m rows, the PQ index a vector store ships to
+    * disk at 1/(32·sub/8)th of float32. Scale: one narrow subspace
+    * explode, a bounded codebook broadcast, one per-(vector, subspace)
+    * ranking window of |codebook| rows — no corpus-sized shuffle beyond
+    * the explode's own combine. */
+  def pqEncode(emb: DataFrame, centStride: Long, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val e = normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def subspaces(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol),
+        posexplode(array((0 until m).map(s =>
+          expr(s"slice($vecCol, ${s * sub + 1}, $sub)")): _*)))
+        .select(col(idCol), col("pos").cast("long").as("sub_no"), col("col").as("sv"))
+    val ex = subspaces(e, "vec_id", "v")
+    val cb = subspaces(
+      e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
+        .select(col("vec_id").as("cid"), col("v")), "cid", "v")
+      .withColumnRenamed("sv", "cv")
+    val scored = ex.join(broadcast(cb), Seq("sub_no"))
+      .select(col("vec_id"), col("sub_no"), col("cid"),
+        round(expr("dotp(sv, sv)") + expr("dotp(cv, cv)")
+          - lit(2) * expr("dotp(sv, cv)"), 6).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub_no").orderBy(col("d").asc, col("cid").asc)
+    val out = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub_no"), col("cid").as("code"), col("d").as("sq_err"))
+    Dedup.materializeThenRelease(out, e)
+  }
+
   /** Scalar int8 quantization of the embedding column — the
     * storage-compression step of a vector index at scale (4× smaller
     * than float32, 8× smaller than the double working set). Per

@@ -219,6 +219,78 @@ object TextAnalysis {
         md5(coalesce(col("kept_text"), lit(""))).as("kept_md5"))
   }
 
+  /** Cross-document duplicated n-gram START positions: every n-word
+    * gram (by word position) whose text occurs in at least `minDocs`
+    * DISTINCT documents, emitted as (doc_id, start_i) for every
+    * occurrence. The building block of exact-substring training-data
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — the reference pipeline has no such
+    * operator; this is the LLM-curation superset): grams are generated
+    * by pure array algebra on the split text (one generator per row, no
+    * shuffle), the gram → distinct-doc-frequency aggregate is one
+    * hash-partitioned two-level groupBy over md5(gram) (16-byte keys
+    * cross the shuffle, never the gram strings), and the duplicated-gram
+    * set joins back onto the narrow (doc_id, start_i, hash) rows. At
+    * 100 TB every stage is linear in the corpus: no pairwise join ever
+    * forms — doc multiplicity only meets the BOUNDED duplicated-hash
+    * set. */
+  def dupGramHits(docs: DataFrame, n: Int, minDocs: Long): DataFrame = {
+    val ws = split(col("text"), " ")
+    val grams = docs
+      .withColumn("ws", ws)
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), (size(col("ws")) - n).cast("long")),
+          i => md5(concat_ws(" ", slice(col("ws"), (i + 1).cast("int"), lit(n)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("start_i"), col("col").as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gh")
+    grams.join(dup, Seq("gh")).select("doc_id", "start_i")
+  }
+
+  /** Maximal duplicated SPANS per document: the word-index intervals
+    * covered by cross-document duplicated n-grams ([[dupGramHits]]),
+    * with overlapping/adjacent gram intervals [s, s+n-1] merged into
+    * disjoint islands (classic gaps-and-islands: an island breaks when
+    * the next duplicated start is more than n positions after the
+    * previous one). Emits (doc_id, span_start, span_end, span_words)
+    * with word indices 0-based inclusive. The merge window partitions by
+    * doc_id — bounded by one document's gram count, never corpus-wide. */
+  def dupSpans(docs: DataFrame, n: Int, minDocs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start_i")
+    dupGramHits(docs, n, minDocs)
+      .withColumn("brk",
+        when(col("start_i") - lag(col("start_i"), 1).over(w) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("start_i")).as("span_start"),
+        (max(col("start_i")) + (n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_words"))
+  }
+
+  /** Per-document duplication coverage: how much of each document's
+    * text sits inside a cross-document duplicated span ([[dupSpans]] —
+    * the islands are disjoint by construction, so summing their lengths
+    * counts each covered word exactly once). The curation signal used to
+    * drop or trim heavily-duplicated documents. Left join keeps docs
+    * with zero duplicated material (ratio 0). */
+  def dupCoverage(docs: DataFrame, n: Int, minDocs: Long): DataFrame = {
+    val spans = dupSpans(docs, n, minDocs)
+      .groupBy("doc_id").agg(sum(col("span_words")).as("dup_words"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        round(coalesce(col("dup_words"), lit(0L)) / col("n_words"), 6).as("dup_ratio"))
+  }
+
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")

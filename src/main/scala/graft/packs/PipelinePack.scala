@@ -65,6 +65,18 @@ object PipelinePack {
   private val MIX_WEIGHTS = Seq(
     "src0" -> 3.0, "src1" -> 2.5, "src2" -> 0.5, "src3" -> 0.0)
   private val MIX_DEFAULT = 1.0
+  /** Exact-substring span dedup (Lee et al. 2022): SPAN_N-word grams
+    * occurring in ≥ SPAN_MIN_DOCS distinct documents, merged into
+    * maximal per-doc spans. */
+  private val SPAN_N = 4
+  private val SPAN_MIN_DOCS = 2L
+  /** SemDeDup: data-seeded cluster stride (expected cluster size) and
+    * the within-cluster near-dup cosine threshold (shares COS_MIN). */
+  private val SEM_STRIDE = 47L
+  /** Product quantization: M subspaces over DIM dims; the per-subspace
+    * codebooks are the subvectors of every PQ_STRIDE-th vector. */
+  private val PQ_M = 4
+  private val PQ_STRIDE = 67L
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -356,6 +368,30 @@ object PipelinePack {
         .select(col("doc_id"), col("source"), col("copy_no"))
         .orderBy("doc_id", "copy_no")
     },
+    // Exact-substring dedup (Lee et al. 2022): maximal per-doc word
+    // spans covered by cross-document duplicated SPAN_N-grams.
+    "q_text_span_dedup" -> { (s, d) =>
+      TextAnalysis.dupSpans(Tables.documents(s, d), SPAN_N, SPAN_MIN_DOCS)
+        .orderBy("doc_id", "span_start")
+    },
+    // Per-document duplication coverage ratio from the same spans —
+    // the drop/trim curation signal.
+    "q_text_dup_coverage" -> { (s, d) =>
+      TextAnalysis.dupCoverage(Tables.documents(s, d), SPAN_N, SPAN_MIN_DOCS)
+        .orderBy("doc_id")
+    },
+    // SemDeDup: within-cluster semantic near-dup removal over the
+    // embedding space (keep-lowest-id policy).
+    "q_sim_semdedup" -> { (s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), SEM_STRIDE, COS_MIN)
+        .orderBy("vec_id")
+    },
+    // Product-quantization encode: per-subspace nearest-codebook codes
+    // + squared reconstruction error, long form.
+    "q_sim_pq" -> { (s, d) =>
+      Similarity.pqEncode(Tables.embeddings(s, d), PQ_STRIDE, PQ_M, DIM)
+        .orderBy("vec_id", "sub_no")
+    },
     "q_text_tokens" -> { (s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
     },
@@ -513,6 +549,28 @@ object PipelinePack {
        |      FROM e0)""".stripMargin
 
   private val normalizedCte = normalizedCteWhere("")
+
+  /** Shared CTE chain for the exact-substring span-dedup oracles —
+    * mirrors [[TextAnalysis.dupGramHits]]/[[TextAnalysis.dupSpans]]:
+    * 0-based gram starts over the space-split words, md5'd gram text,
+    * distinct-doc df gate, and the gaps-and-islands merge (break when
+    * the gap between duplicated starts exceeds SPAN_N). */
+  private val dupSpanCtes: String =
+    s"""wsd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS start_i,
+       |             md5(array_to_string(ws[CAST(i AS INT):CAST(i + ${SPAN_N - 1} AS INT)], ' ')) AS gh
+       |      FROM wsd, unnest(range(1, len(ws) - $SPAN_N + 2)) t(i)),
+       |dup AS (SELECT gh FROM g GROUP BY gh
+       |        HAVING count(DISTINCT doc_id) >= $SPAN_MIN_DOCS),
+       |hits AS (SELECT doc_id, start_i FROM g JOIN dup USING (gh)),
+       |brks AS (SELECT doc_id, start_i,
+       |               CASE WHEN start_i - lag(start_i) OVER (PARTITION BY doc_id ORDER BY start_i) <= $SPAN_N
+       |                    THEN 0 ELSE 1 END AS brk
+       |        FROM hits),
+       |isl AS (SELECT doc_id, start_i,
+       |               sum(brk) OVER (PARTITION BY doc_id ORDER BY start_i
+       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_no
+       |        FROM brks)""".stripMargin
 
   /** Hyperplane-LSH CTEs shared by the embedding-LSH dedup and ANN
     * oracles: the SAME seeded hyperplanes as
@@ -822,6 +880,53 @@ object PipelinePack {
          |ORDER BY cid""".stripMargin
     },
 
+    // Mirrors Similarity.semDedup: same data-seeded centroids, same
+    // raw-fold assignment argmax (identical IEEE arithmetic both
+    // engines), same rounded-cosine ≥ COS_MIN within-cluster pair gate,
+    // same keep-lowest-vec_id policy (LEFT JOIN NULL-test, never NOT
+    // IN).
+    "q_sim_semdedup" ->
+      s"""WITH $normalizedCte,
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $SEM_STRIDE = 0),
+         |s AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, c0),
+         |a AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY cd DESC, cid ASC) AS rn FROM s) WHERE rn = 1),
+         |mm AS (SELECT a.vec_id, cid, v FROM a JOIN e USING (vec_id)),
+         |p AS (SELECT DISTINCT y.vec_id FROM mm x JOIN mm y
+         |      ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |      WHERE round(${dotSql("x.v", "y.v")}, 6) >= $COS_MIN)
+         |SELECT a.vec_id, cid,
+         |       CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // Mirrors Similarity.pqEncode: same subspace slicing, same
+    // data-seeded per-subspace codebooks, same ‖x‖²+‖c‖²−2x·c
+    // sequential-fold distance rounded to 6 BEFORE the argmin, same
+    // cid-asc tiebreak.
+    "q_sim_pq" -> {
+      val sub = DIM / PQ_M
+      def slices(src: String, id: String, idAs: String): String =
+        s"""SELECT $id AS $idAs, CAST(t.s AS BIGINT) AS sub_no,
+           |       ws_v[CAST(t.s * $sub + 1 AS INT):CAST(t.s * $sub + $sub AS INT)] AS sv
+           |FROM (SELECT $id, v AS ws_v FROM $src) z, unnest(range(0, $PQ_M)) t(s)""".stripMargin
+      s"""WITH $normalizedCte,
+         |cb0 AS (SELECT vec_id, v FROM e WHERE vec_id % $PQ_STRIDE = 0),
+         |ex AS (${slices("e", "vec_id", "vec_id")}),
+         |cx AS (SELECT cid, sub_no, sv AS cv FROM (${slices("cb0", "vec_id", "cid")}) q),
+         |sc AS (SELECT vec_id, sub_no, cid,
+         |              round(${dotSql("sv", "sv")} + ${dotSql("cv", "cv")}
+         |                    - 2 * ${dotSql("sv", "cv")}, 6) AS d
+         |       FROM ex JOIN cx USING (sub_no)),
+         |r AS (SELECT vec_id, sub_no, cid, d,
+         |             row_number() OVER (PARTITION BY vec_id, sub_no
+         |                                ORDER BY d ASC, cid ASC) AS rn
+         |      FROM sc)
+         |SELECT vec_id, sub_no, cid AS code, d AS sq_err
+         |FROM r WHERE rn = 1 ORDER BY vec_id, sub_no""".stripMargin
+    },
+
     // Same md5→uniform arithmetic as Sampling.uniformOf; the CASE
     // cascade evaluates the rates in the same (reverse-fold) priority.
     "q_text_stratified_sample" -> {
@@ -1031,6 +1136,30 @@ object PipelinePack {
          |FROM c
          |ORDER BY doc_id, copy_no""".stripMargin
     },
+
+    // Gram generation, duplicated-gram df gate, and gaps-and-islands
+    // span merge spelled exactly like TextAnalysis.dupGramHits/dupSpans
+    // (same 0-based starts, same md5'd gram text, same break-when-gap
+    // > SPAN_N rule).
+    "q_text_span_dedup" ->
+      s"""WITH $dupSpanCtes
+         |SELECT doc_id, CAST(min(start_i) AS BIGINT) AS span_start,
+         |       CAST(max(start_i) + ${SPAN_N - 1} AS BIGINT) AS span_end,
+         |       CAST(max(start_i) + $SPAN_N - min(start_i) AS BIGINT) AS span_words
+         |FROM isl GROUP BY doc_id, isl_no
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_text_dup_coverage" ->
+      s"""WITH $dupSpanCtes,
+         |sp AS (SELECT doc_id, max(start_i) + $SPAN_N - min(start_i) AS span_words
+         |       FROM isl GROUP BY doc_id, isl_no),
+         |dw AS (SELECT doc_id, sum(span_words) AS dup_words FROM sp GROUP BY doc_id)
+         |SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |       CAST(COALESCE(dup_words, 0) AS BIGINT) AS dup_words,
+         |       round(COALESCE(dup_words, 0) / len(string_split(text, ' ')), 6) AS dup_ratio
+         |FROM documents LEFT JOIN dw USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

@@ -264,6 +264,15 @@ object SinksPack {
           Num.dsum(col("value")).as("sum_value"))
     },
 
+    // Batch face of the stream-stream interval join
+    // (purchasesNearSignupsStream): purchases within 1 hour after the
+    // same user's signup. One purchase can match several signups, so
+    // the total order includes the matched signup timestamp.
+    "q_st_purchase_join" -> { (s, d) =>
+      StreamOps.purchasesNearSignupsBatch(Tables.events(s, d))
+        .orderBy("p_id", "signup_ts")
+    },
+
     // Batch face of horizon-bounded streaming dedup
     // (dropDuplicatesWithinWatermark): first event per (user, type)
     // within each hourly window.
@@ -457,6 +466,16 @@ object SinksPack {
          |       CAST(ceil(count(*) / $JsonlShardRows.0) AS BIGINT) AS n_shards,
          |       ${Num.dsumSql("value")} AS sum_value
          |FROM events""".stripMargin,
+
+    "q_st_purchase_join" ->
+      """WITH s AS (SELECT user_id AS s_user, ts AS s_ts FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p_id, p_user, strftime(s_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        |FROM p JOIN s ON p_user = s_user
+        |               AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR
+        |ORDER BY p_id, signup_ts""".stripMargin,
 
     "q_st_dedup_horizon" ->
       """WITH c AS (

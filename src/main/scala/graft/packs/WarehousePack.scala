@@ -73,6 +73,23 @@ object WarehousePack {
            |         l_linestatus ASC NULLS FIRST""".stripMargin)
     },
 
+    // LATERAL correlated subquery (SQL:1999 lateral derived table —
+    // the SQL face of per-row top-k): for each nation, its 3 richest
+    // customers. Catalyst decorrelates the correlated ORDER BY + LIMIT
+    // into a ranked window under a key-equi join — no nested-loop
+    // per-nation re-scan survives in the physical plan.
+    "q_x_lateral" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_lt")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lt")
+      s.sql(
+        """SELECT n_name, c_custkey, c_acctbal
+          |FROM nation_lt,
+          |     LATERAL (SELECT c_custkey, c_acctbal FROM customer_lt
+          |              WHERE c_nationkey = n_nationkey
+          |              ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) top_c
+          |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+    },
+
     // Window ranking: top-3 parts per brand by price (total order).
     "q_x_window_rank" -> { (s, d) =>
       Warehouse.topKPerGroup(
@@ -477,6 +494,14 @@ object WarehousePack {
         |         p_partkey, p_retailprice
         |  FROM part)
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q_x_lateral" ->
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation,
+        |     LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |              WHERE c_nationkey = n_nationkey
+        |              ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 3) top_c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin,
 
     "q_x_topk_users" ->
       s"""WITH totals AS (

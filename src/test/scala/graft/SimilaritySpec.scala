@@ -110,4 +110,38 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Double]("centroid_norm"))).sortBy(_._1).toSeq
     assert(key(again) == key(out))
   }
+
+  test("semDedup: total partition, lowest cluster member survives, drops exist") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity.semDedup(emb, 47L, 0.35).collect()
+    assert(out.length == emb.count())
+    assert(out.forall(r => Set(0L, 1L)(r.getAs[Long]("kept"))))
+    // Something must be semantically near-dup at this threshold.
+    assert(out.exists(_.getAs[Long]("kept") == 0L))
+    // The smallest vec_id in every cluster has no smaller-id pair to
+    // lose to — it is always kept.
+    val byCluster = out.groupBy(_.getAs[Long]("cid"))
+    byCluster.values.foreach { rows =>
+      val lowest = rows.minBy(_.getAs[Long]("vec_id"))
+      assert(lowest.getAs[Long]("kept") == 1L)
+    }
+  }
+
+  test("pqEncode: m codes per vector from the codebook, seeds reconstruct exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity.pqEncode(emb, 67L, 4, 64).collect()
+    val byVec = out.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.size == emb.count())
+    assert(byVec.values.forall(rs =>
+      rs.map(_.getAs[Long]("sub_no")).sorted.toSeq == Seq(0L, 1L, 2L, 3L)))
+    // Codes come from the data-seeded codebook, errors are squared L2.
+    assert(out.forall(_.getAs[Long]("code") % 67L == 0L))
+    assert(out.forall(_.getAs[Double]("sq_err") >= 0.0))
+    // A codebook seed's own subvector sits at distance 0 in every
+    // subspace, so its winning error must be exactly 0.
+    assert(out.filter(_.getAs[Long]("vec_id") % 67L == 0L)
+      .forall(_.getAs[Double]("sq_err") == 0.0))
+  }
 }

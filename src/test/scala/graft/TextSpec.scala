@@ -231,6 +231,42 @@ class TextSpec extends AnyFunSuite {
       }
   }
 
+  test("dupSpans finds the exact shared substring and merges overlapping grams") {
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "z z a b c d e y")
+    ).toDF("doc_id", "text")
+    // Shared 4-grams: "a b c d" (starts 0 / 2) and "b c d e" (1 / 3) —
+    // one merged island per doc covering the 5 shared words.
+    val spans = TextAnalysis.dupSpans(docs, 4, 2L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_words"))).sorted.toSeq
+    assert(spans == Seq((0L, 0L, 4L, 5L), (1L, 2L, 6L, 5L)))
+    val cov = TextAnalysis.dupCoverage(docs, 4, 2L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("dup_words"), r.getAs[Double]("dup_ratio"))).sorted.toSeq
+    assert(cov == Seq((0L, 8L, 5L, 0.625), (1L, 8L, 5L, 0.625)))
+  }
+
+  test("dupSpans islands are disjoint and within document bounds") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val lens = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spans = TextAnalysis.dupSpans(docs, 4, 2L).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getAs[Long]("span_start") >= 0L)
+      assert(r.getAs[Long]("span_end") < lens(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("span_words") >= 4L)
+    }
+    spans.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("span_start"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b.getAs[Long]("span_start") > a.getAs[Long]("span_end") + 1)
+      }
+    }
+  }
+
   test("multimodal decode: payload bytes round-trip with correct digest") {
     val feats = Multimodal.extractFeatures(spark,
         Multimodal.packPayload(Seq((5L, "hello")).toDF("doc_id", "text")))
