@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Num
+
+/** Distributed graph analytics over edge-list DataFrames.
+  *
+  * Connected components live in [[Dedup.duplicateClusters]] (they ARE
+  * the dedup-cluster resolution); this object holds the rank/centrality
+  * side. Everything is plain DataFrame algebra — an iteration is one
+  * key-equi join plus one map-side-combining aggregate, the same shape
+  * as [[Similarity.kmeansClusters]]' Lloyd rounds, so a 1000-executor
+  * cluster runs each round as a single hash-partitioned shuffle with no
+  * driver-side state beyond the loop counter.
+  */
+object Graph {
+
+  /** PageRank over an UNDIRECTED edge list (the list is symmetrized and
+    * deduplicated, so every node has out-degree ≥ 1 and the dangling-
+    * node correction vanishes). Deterministic across engines and
+    * partitionings: per-edge contributions pr/deg are single IEEE
+    * divisions, their in-sum is DECIMAL(18,6)-exact ([[Num.dsum]]), and
+    * each iteration's rank is rounded to 6 — so the whole trajectory is
+    * replayable in SQL literal-for-literal. Scale: state is one
+    * (node, pr) row per node; an iteration shuffles the edge list once
+    * on src and once on dst — linear in |E| per round, the canonical
+    * distributed PageRank shape. */
+  def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n1 = broadcast(deg.agg(count(lit(1)).cast("long").as("n_nodes")))
+    var pr = deg.select(col("src").as("node")).crossJoin(n1)
+      .select(col("node"), round(lit(1.0) / col("n_nodes"), 6).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = und
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+      pr = contrib.groupBy("node")
+        .agg(Num.dsum(col("c")).as("in_sum"))
+        .crossJoin(n1)
+        .select(col("node"),
+          round(lit(1 - damping) / col("n_nodes")
+            + lit(damping) * col("in_sum"), 6).as("pr"))
+    }
+    val out = pr.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node"), col("deg"), col("pr"))
+    Dedup.materializeThenRelease(out, und)
+  }
+
+  /** The customer↔supplier trade graph implied by the warehouse schema:
+    * an edge for every (customer, supplier) pair that shares at least
+    * one order line. Prefixed node labels keep the two key spaces
+    * disjoint. */
+  def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+}

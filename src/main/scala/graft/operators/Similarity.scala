@@ -246,28 +246,92 @@ object Similarity {
     * ranking window of |codebook| rows — no corpus-sized shuffle beyond
     * the explode's own combine. */
   def pqEncode(emb: DataFrame, centStride: Long, m: Int, dim: Int): DataFrame = {
-    val sub = dim / m
     val e = normalized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def subspaces(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    val out = pqScored(e, centStride, m, dim / m)
+      .withColumn("rn", row_number().over(pqArgminWindow)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub_no"), col("cid").as("code"), col("d").as("sq_err"))
+    Dedup.materializeThenRelease(out, e)
+  }
+
+  /** Every (vector, subspace, codebook-entry) squared-L2 distance —
+    * shared by [[pqEncode]] and [[pqAdcTopK]] so the codes and the ADC
+    * lookup tables are byte-identical by construction. */
+  private def pqScored(e: DataFrame, centStride: Long, m: Int, sub: Int): DataFrame = {
+    def subspaces(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol),
         posexplode(array((0 until m).map(s =>
-          expr(s"slice($vecCol, ${s * sub + 1}, $sub)")): _*)))
+          expr(s"slice(v, ${s * sub + 1}, $sub)")): _*)))
         .select(col(idCol), col("pos").cast("long").as("sub_no"), col("col").as("sv"))
-    val ex = subspaces(e, "vec_id", "v")
+    val ex = subspaces(e, "vec_id")
     val cb = subspaces(
       e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
-        .select(col("vec_id").as("cid"), col("v")), "cid", "v")
+        .select(col("vec_id").as("cid"), col("v")), "cid")
       .withColumnRenamed("sv", "cv")
-    val scored = ex.join(broadcast(cb), Seq("sub_no"))
+    ex.join(broadcast(cb), Seq("sub_no"))
       .select(col("vec_id"), col("sub_no"), col("cid"),
         round(expr("dotp(sv, sv)") + expr("dotp(cv, cv)")
           - lit(2) * expr("dotp(sv, cv)"), 6).as("d"))
-    val w = org.apache.spark.sql.expressions.Window
+  }
+
+  private def pqArgminWindow =
+    org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id", "sub_no").orderBy(col("d").asc, col("cid").asc)
-    val out = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub_no"), col("cid").as("code"), col("d").as("sq_err"))
-    Dedup.materializeThenRelease(out, e)
+
+  /** PQ asymmetric-distance (ADC) top-k retrieval: corpus vectors are
+    * represented ONLY by their m codebook codes ([[pqEncode]]'s output);
+    * a query's distance to a corpus vector is the sum of its
+    * per-subspace distances to the vector's code centroids, looked up
+    * from an m·|codebook| table computed once per query. This is how a
+    * PQ index actually serves search at scale: the corpus-side work per
+    * query is m hash-join lookups + a sum per candidate — NO full-dim
+    * arithmetic ever touches a corpus vector at query time. The
+    * per-subspace distances are rounded (6) before the DECIMAL-exact
+    * sum, so the ADC scores — and the ranking — are engine-identical.
+    * Ranking goes through a rank-filter window, which the injected
+    * [[graft.plans.TopKPerGroup]] rewrite compiles to the native
+    * streaming top-k physical operator. */
+  def pqAdcTopK(emb: DataFrame, queryPred: Column, k: Int,
+                centStride: Long, m: Int, dim: Int): DataFrame = {
+    val e = normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = pqScored(e, centStride, m, dim / m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = scored
+      .withColumn("rn", row_number().over(pqArgminWindow)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub_no"), col("cid").as("code"))
+    val dtab = scored.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("sub_no"),
+        col("cid").as("code"), col("d"))
+    val adist = codes.join(dtab, Seq("sub_no", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(graft.functions.Num.dsum(col("d")), 6).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val out = adist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("adist"))
+    Dedup.materializeThenRelease(out, e, scored)
+  }
+
+  /** Recall@k of the hyperplane-LSH ANN ([[annTopK]]) against the exact
+    * brute-force ranking ([[bruteForceTopK]]), computed IN-ENGINE per
+    * query: both top-k tables are deterministic, so the overlap count —
+    * the index-quality metric a curation pipeline monitors before
+    * trusting an ANN index — is oracle-checkable like any other query.
+    * Left join keeps queries the ANN missed entirely (recall 0). */
+  def annRecallReport(emb: DataFrame, queryPred: Column, k: Int, dim: Int): DataFrame = {
+    val truth = bruteForceTopK(emb, queryPred, k)
+      .select(col("query_id"), col("vec_id"))
+    val ann = annTopK(emb, queryPred, k, dim)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    truth.join(ann, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
   }
 
   /** Scalar int8 quantization of the embedding column — the

@@ -392,6 +392,20 @@ object PipelinePack {
       Similarity.pqEncode(Tables.embeddings(s, d), PQ_STRIDE, PQ_M, DIM)
         .orderBy("vec_id", "sub_no")
     },
+    // PQ asymmetric-distance retrieval: query-side distance tables ×
+    // corpus codes — the serving path of a PQ index.
+    "q_sim_pq_adc" -> { (s, d) =>
+      Similarity.pqAdcTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0,
+          TOPK, PQ_STRIDE, PQ_M, DIM)
+        .orderBy("query_id", "rn")
+    },
+    // In-engine ANN index-quality evaluation: recall@k of the LSH index
+    // against the exact brute-force ranking.
+    "q_sim_recall" -> { (s, d) =>
+      Similarity.annRecallReport(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, DIM)
+        .orderBy("query_id")
+    },
     "q_text_tokens" -> { (s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
     },
@@ -614,6 +628,29 @@ object PipelinePack {
        |  SELECT doc_id, lang, shard, n_words,
        |         CAST(floor((cum - n_words) / $SEQ_LEN.0) AS BIGINT) AS seq_no
        |  FROM c)""".stripMargin
+
+  /** Subspace slicing → data-seeded codebooks → rounded squared-L2
+    * distance table (`sc`) → per-(vector, subspace) argmin ranking
+    * (`pqr`) shared by the PQ-encode and PQ-ADC oracles — one spelling
+    * of the distance arithmetic for both (expects the `e` CTE). */
+  private lazy val pqCtes: String = {
+    val sub = DIM / PQ_M
+    def slices(src: String, id: String, idAs: String): String =
+      s"""SELECT $id AS $idAs, CAST(t.s AS BIGINT) AS sub_no,
+         |       ws_v[CAST(t.s * $sub + 1 AS INT):CAST(t.s * $sub + $sub AS INT)] AS sv
+         |FROM (SELECT $id, v AS ws_v FROM $src) z, unnest(range(0, $PQ_M)) t(s)""".stripMargin
+    s"""cb0 AS (SELECT vec_id, v FROM e WHERE vec_id % $PQ_STRIDE = 0),
+       |ex AS (${slices("e", "vec_id", "vec_id")}),
+       |cx AS (SELECT cid, sub_no, sv AS cv FROM (${slices("cb0", "vec_id", "cid")}) q),
+       |sc AS (SELECT vec_id, sub_no, cid,
+       |              round(${dotSql("sv", "sv")} + ${dotSql("cv", "cv")}
+       |                    - 2 * ${dotSql("sv", "cv")}, 6) AS d
+       |       FROM ex JOIN cx USING (sub_no)),
+       |pqr AS (SELECT vec_id, sub_no, cid, d,
+       |              row_number() OVER (PARTITION BY vec_id, sub_no
+       |                                 ORDER BY d ASC, cid ASC) AS rn
+       |        FROM sc)""".stripMargin
+  }
 
   /** query → scored → ranked CTE chain of the exact cosine top-k
     * (expects the normalized `e` CTE in scope) — shared by the
@@ -905,27 +942,65 @@ object PipelinePack {
     // data-seeded per-subspace codebooks, same ‖x‖²+‖c‖²−2x·c
     // sequential-fold distance rounded to 6 BEFORE the argmin, same
     // cid-asc tiebreak.
-    "q_sim_pq" -> {
-      val sub = DIM / PQ_M
-      def slices(src: String, id: String, idAs: String): String =
-        s"""SELECT $id AS $idAs, CAST(t.s AS BIGINT) AS sub_no,
-           |       ws_v[CAST(t.s * $sub + 1 AS INT):CAST(t.s * $sub + $sub AS INT)] AS sv
-           |FROM (SELECT $id, v AS ws_v FROM $src) z, unnest(range(0, $PQ_M)) t(s)""".stripMargin
+    "q_sim_pq" ->
       s"""WITH $normalizedCte,
-         |cb0 AS (SELECT vec_id, v FROM e WHERE vec_id % $PQ_STRIDE = 0),
-         |ex AS (${slices("e", "vec_id", "vec_id")}),
-         |cx AS (SELECT cid, sub_no, sv AS cv FROM (${slices("cb0", "vec_id", "cid")}) q),
-         |sc AS (SELECT vec_id, sub_no, cid,
-         |              round(${dotSql("sv", "sv")} + ${dotSql("cv", "cv")}
-         |                    - 2 * ${dotSql("sv", "cv")}, 6) AS d
-         |       FROM ex JOIN cx USING (sub_no)),
-         |r AS (SELECT vec_id, sub_no, cid, d,
-         |             row_number() OVER (PARTITION BY vec_id, sub_no
-         |                                ORDER BY d ASC, cid ASC) AS rn
-         |      FROM sc)
+         |$pqCtes
          |SELECT vec_id, sub_no, cid AS code, d AS sq_err
-         |FROM r WHERE rn = 1 ORDER BY vec_id, sub_no""".stripMargin
-    },
+         |FROM pqr WHERE rn = 1 ORDER BY vec_id, sub_no""".stripMargin,
+
+    // Mirrors Similarity.pqAdcTopK: codes + per-query distance tables
+    // both read the SAME `sc` distance CTE, ADC score is the
+    // DECIMAL-exact sum of the m rounded lookups, ranking ascends with
+    // vec_id tiebreak.
+    "q_sim_pq_adc" ->
+      s"""WITH $normalizedCte,
+         |$pqCtes,
+         |codes AS (SELECT vec_id, sub_no, cid AS code FROM pqr WHERE rn = 1),
+         |dtab AS (SELECT vec_id AS query_id, sub_no, cid AS code, d
+         |         FROM sc WHERE vec_id % 100 = 0),
+         |ad AS (SELECT query_id, codes.vec_id,
+         |              round(${Num.dsumSql("d")}, 6) AS adist
+         |       FROM codes JOIN dtab USING (sub_no, code)
+         |       WHERE codes.vec_id <> dtab.query_id
+         |       GROUP BY query_id, codes.vec_id),
+         |adr AS (SELECT query_id, vec_id, adist,
+         |              CAST(row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rn
+         |        FROM ad)
+         |SELECT query_id, rn, vec_id, adist FROM adr
+         |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    // Mirrors Similarity.annRecallReport: the exact chain and the LSH
+    // chain are the same CTEs the q_sim_cosine_topk / q_sim_ann_lsh
+    // oracles use; recall is overlap / k with ANN-missed queries kept
+    // at 0 by the LEFT JOIN.
+    "q_sim_recall" ->
+      s"""WITH $normalizedCte,
+         |$cosineTopKCtes,
+         |$lshCtes,
+         |acand AS (
+         |  SELECT DISTINCT q2.vec_id AS query_id, b.vec_id
+         |  FROM bands q2 JOIN bands b
+         |    ON q2.c = b.c AND q2.cv = b.cv AND b.vec_id <> q2.vec_id
+         |  WHERE q2.vec_id % 100 = 0),
+         |anns AS (SELECT c2.query_id, c2.vec_id,
+         |                round(${dotSql("a.v", "b.v")}, 6) AS cosine
+         |         FROM acand c2 JOIN e a ON a.vec_id = c2.query_id
+         |                      JOIN e b ON b.vec_id = c2.vec_id),
+         |ar AS (SELECT query_id, vec_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY cosine DESC, vec_id ASC) AS rn
+         |       FROM anns),
+         |tk AS (SELECT query_id, vec_id FROM r WHERE rn <= $TOPK),
+         |ak AS (SELECT query_id, vec_id FROM ar WHERE rn <= $TOPK),
+         |j AS (SELECT tk.query_id,
+         |             CAST(sum(CASE WHEN ak.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+         |      FROM tk LEFT JOIN ak ON tk.query_id = ak.query_id
+         |                          AND tk.vec_id = ak.vec_id
+         |      GROUP BY tk.query_id)
+         |SELECT query_id, n_hits,
+         |       round(n_hits / CAST($TOPK AS DOUBLE), 6) AS recall
+         |FROM j ORDER BY query_id""".stripMargin,
 
     // Same md5→uniform arithmetic as Sampling.uniformOf; the CASE
     // cascade evaluates the rates in the same (reverse-fold) priority.

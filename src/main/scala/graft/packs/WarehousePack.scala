@@ -15,7 +15,21 @@ import graft.operators.Warehouse
 object WarehousePack {
   type Q = (SparkSession, String) => DataFrame
 
+  /** PageRank over the customer↔supplier trade graph: damping and
+    * iteration count shared with the generated oracle CTE chain. */
+  private val PR_DAMPING = 0.85
+  private val PR_ITERS = 3
+
   val queries: Map[String, Q] = Map(
+    // PageRank centrality over the (customer, supplier) co-order graph
+    // — iterative damped rank with decimal-exact contribution sums.
+    "q_x_pagerank" -> { (s, d) =>
+      graft.operators.Graph.pageRank(
+          graft.operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
+          PR_DAMPING, PR_ITERS)
+        .orderBy("node")
+    },
+
     // Star join over the full schema with broadcast dims + partial aggs.
     "q_x_star_join_agg" -> { (s, d) =>
       Warehouse.starRevenue(
@@ -494,6 +508,34 @@ object WarehousePack {
         |         p_partkey, p_retailprice
         |  FROM part)
         |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    // GENERATED iteration CTEs (kmeans-oracle discipline): same
+    // symmetrized edge set, same 1/N start, same rounded damped update
+    // with DECIMAL-exact in-sums — the whole trajectory replays.
+    "q_x_pagerank" -> {
+      def iter(i: Int): String =
+        s"""p$i AS (
+           |  SELECT ed.dst AS node,
+           |         round(CAST(${1 - PR_DAMPING} AS DOUBLE) / (SELECT n_nodes FROM nn)
+           |               + CAST($PR_DAMPING AS DOUBLE) * ${Num.dsumSql("p.pr / deg.deg")}, 6) AS pr
+           |  FROM ed JOIN p${i - 1} p ON ed.src = p.node
+           |          JOIN deg ON deg.src = ed.src
+           |  GROUP BY ed.dst)""".stripMargin
+      s"""WITH ed0 AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |ed AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+         |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |nn AS (SELECT count(*) AS n_nodes FROM deg),
+         |p0 AS (SELECT src AS node,
+         |              round(CAST(1.0 AS DOUBLE) / (SELECT n_nodes FROM nn), 6) AS pr
+         |       FROM deg),
+         |${(1 to PR_ITERS).map(iter).mkString(",\n")}
+         |SELECT p.node, deg.deg, p.pr
+         |FROM p$PR_ITERS p JOIN deg ON deg.src = p.node
+         |ORDER BY p.node""".stripMargin
+    },
 
     "q_x_lateral" ->
       """SELECT n_name, c_custkey, c_acctbal

@@ -144,4 +144,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.filter(_.getAs[Long]("vec_id") % 67L == 0L)
       .forall(_.getAs[Double]("sq_err") == 0.0))
   }
+
+  test("pqAdcTopK: k ascending-distance rows per query, self excluded") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity.pqAdcTopK(emb, col("vec_id") % 100 === 0, 10, 67L, 4, 64)
+      .collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty && byQuery.values.forall(_.length == 10))
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.forall(_.getAs[Long]("vec_id") != qid))
+      val d = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("adist"))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("annRecallReport: one row per query, recall = hits/k in [0, 1]") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val nQueries = emb.filter(col("vec_id") % 100 === 0).count()
+    val out = Similarity.annRecallReport(emb, col("vec_id") % 100 === 0, 10, 64)
+      .collect()
+    assert(out.length == nQueries)
+    out.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 10L)
+      assert(r.getAs[Double]("recall") == hits / 10.0)
+    }
+  }
 }
