@@ -85,6 +85,28 @@ object Similarity {
         col("col._2").as(wordCol), col("col._1").as(scoreCol))
   }
 
+  /** Global (ungrouped) bounded top-k over (score, id) rows — score
+    * desc, id asc, 1-based rn — the [[TopKAggregator]] twin of
+    * [[heapTopKWords]], with the same two-level tree merge: level 1
+    * takes the exact top-k within each of `fanout` partition groups,
+    * level 2 ranks the ≤ fanout·k survivors, so no task ever receives
+    * more than max(P/fanout, fanout)·k rows. Contract: `scored` carries
+    * ONE fully-scored row per id. */
+  def heapTopKGlobal(scored: DataFrame, scoreCol: String, idCol: String, k: Int,
+                     fanout: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]()
+    val topk = udaf(new TopKAggregator(k), enc)
+    val groupWinners = scored
+      .withColumn("__g", pmod(spark_partition_id(), lit(fanout)))
+      .groupBy("__g").agg(topk(col(scoreCol), col(idCol)).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._1").as(scoreCol), col("t._2").as(idCol))
+    groupWinners.agg(topk(col(scoreCol), col(idCol)).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as(idCol), col("col._1").as(scoreCol))
+  }
+
   /** Exact top-k neighbours for each query row (queries = `queryPred`),
     * ranked by rounded cosine desc with vec_id tiebreak. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {

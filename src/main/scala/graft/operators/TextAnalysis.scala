@@ -291,6 +291,82 @@ object TextAnalysis {
         round(coalesce(col("dup_words"), lit(0L)) / col("n_words"), 6).as("dup_ratio"))
   }
 
+  /** BM25 constants (Robertson/Spärck Jones; the Lucene-default
+    * parametrization) — shared with the oracle SQL. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 document retrieval for a fixed query-term set: the classic
+    * keyword-search scoring a curation pipeline uses to pull topical
+    * slices out of a corpus. idf = ln(1 + (N − df + ½)/(df + ½)) (the
+    * Lucene form — always positive), tf normalized by doc length against
+    * the corpus mean. Scale shape: the word explode is filtered to the
+    * query terms BEFORE the tf groupBy (narrow, codegen'd — only
+    * matching words ever shuffle); df is a ≤|terms|-row aggregate
+    * broadcast back; avgdl is a 1-row broadcast; the per-doc term sum is
+    * decimal-stable and rounded to 6 BEFORE ranking; the global top-k
+    * runs through the bounded tree-merge aggregator, so only O(k) rows
+    * per partition group cross the final exchange — no single-reducer
+    * window at any corpus size. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val dlen = size(split(col("text"), " ")).cast("long")
+    val dl = docs.select(col("doc_id"), dlen.as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(dlen).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").isin(terms.map(x => x: Any): _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (lit(Bm25K1) + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - Bm25B + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(graft.functions.Num.dsum(col("term_score")), 6).as("score"))
+    Similarity.heapTopKGlobal(scored, "score", "doc_id", k)
+  }
+
+  /** Word-distribution drift between two corpus snapshots (KL
+    * divergence both directions, per language) — the regression check a
+    * pipeline runs when a new crawl lands: a jump in KL(new‖old) flags a
+    * shifted source mix before it reaches training. Laplace add-1
+    * smoothing over the joint per-lang vocabulary keeps both directions
+    * finite. Engine-exactness: the log argument is a ratio of EXACT
+    * integer products (each factor < 2⁵³, cast to double before the
+    * multiply on both engines), terms are decimal-stable-summed and the
+    * final divergence rounded to 6. Scale: two map-side-combining
+    * groupBys (lang×word, then lang) and a broadcast-size totals join —
+    * linear in the corpus, no pairwise anything. */
+  def klDrift(docs: DataFrame, isB: Column): DataFrame = {
+    val words = docs.select(col("lang"), isB.as("is_b"),
+      explode(split(col("text"), " ")).as("word"))
+    val cnt = words.groupBy("lang", "word").agg(
+      sum(when(!col("is_b"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("is_b"), 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.groupBy("lang").agg(
+      sum(col("ca")).as("ta"), sum(col("cb")).as("tb"), count(lit(1)).as("v"))
+    val pa = (col("ca") + 1).cast("double") * (col("tb") + col("v")).cast("double")
+    val pb = (col("cb") + 1).cast("double") * (col("ta") + col("v")).cast("double")
+    cnt.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("ta"), col("tb"), col("v"),
+        ((col("ca") + 1).cast("double") * log(pa / pb)).as("t_ab"),
+        ((col("cb") + 1).cast("double") * log(pb / pa)).as("t_ba"))
+      .groupBy("lang", "ta", "tb", "v")
+      .agg(
+        round(graft.functions.Num.dsum(col("t_ab")) / (col("ta") + col("v")), 6).as("kl_ab"),
+        round(graft.functions.Num.dsum(col("t_ba")) / (col("tb") + col("v")), 6).as("kl_ba"))
+      .select(col("lang"), col("v").as("n_vocab"),
+        col("ta").as("tokens_a"), col("tb").as("tokens_b"),
+        col("kl_ab"), col("kl_ba"))
+  }
+
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")

@@ -77,6 +77,10 @@ object PipelinePack {
     * codebooks are the subvectors of every PQ_STRIDE-th vector. */
   private val PQ_M = 4
   private val PQ_STRIDE = 67L
+  /** BM25 retrieval: fixed deterministic query-term set + result size
+    * (shared literals with the oracle). */
+  private val BM25_TERMS = Seq("spark", "join", "window")
+  private val BM25_K = 20
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -405,6 +409,19 @@ object PipelinePack {
       Similarity.annRecallReport(Tables.embeddings(s, d),
           col("vec_id") % 100 === 0, TOPK, DIM)
         .orderBy("query_id")
+    },
+    // BM25 keyword retrieval: topical-slice extraction over the corpus.
+    // Score rounded to 6 before ranking; global top-k via the bounded
+    // tree-merge aggregator (no single-reducer window).
+    "q_text_bm25" -> { (s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), BM25_TERMS, BM25_K)
+        .orderBy("rn")
+    },
+    // Corpus-drift report: per-lang smoothed KL divergence between the
+    // even-doc_id and odd-doc_id snapshots (both directions).
+    "q_text_kl_drift" -> { (s, d) =>
+      TextAnalysis.klDrift(Tables.documents(s, d), pmod(col("doc_id"), lit(2L)) === 1)
+        .orderBy("lang")
     },
     "q_text_tokens" -> { (s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
@@ -1134,6 +1151,60 @@ object PipelinePack {
          |       CAST(sum(is_dup) AS BIGINT) AS dup_docs,
          |       round(sum(is_dup) / count(*), 6) AS dup_rate
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same parenthesization as the Spark expression tree — every factor
+    // is exact (integer counts, one-division avgdl), so both engines
+    // compute identical doubles; term sum decimal-stable, score rounded
+    // to 6 before ranking.
+    "q_text_bm25" -> {
+      val inList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |            FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |              CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+         |       FROM documents),
+         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+         |       WHERE word IN ($inList) GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |s AS (SELECT doc_id,
+         |             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |               (tf * (${TextAnalysis.Bm25K1} + 1.0)) /
+         |               (tf + ${TextAnalysis.Bm25K1} * (1.0 - ${TextAnalysis.Bm25B} +
+         |                ${TextAnalysis.Bm25B} * dl / avgdl)) AS term_score
+         |      FROM tf JOIN df USING (word) JOIN dl USING (doc_id), st),
+         |g AS (SELECT doc_id, round(${Num.dsumSql("term_score")}, 6) AS score
+         |      FROM s GROUP BY doc_id),
+         |r AS (SELECT doc_id, score,
+         |             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+         |      FROM g)
+         |SELECT rn, doc_id, score FROM r WHERE rn <= $BM25_K ORDER BY rn""".stripMargin
+    },
+
+    // The log argument is a ratio of exact integer products (cast to
+    // double before the multiply, same as the Spark side); terms
+    // decimal-stable-summed, divergence rounded to 6.
+    "q_text_kl_drift" ->
+      s"""WITH w AS (SELECT lang, (doc_id % 2 = 1) AS is_b,
+         |                  unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |cnt AS (SELECT lang, word,
+         |               count(*) FILTER (WHERE NOT is_b) AS ca,
+         |               count(*) FILTER (WHERE is_b) AS cb
+         |        FROM w GROUP BY lang, word),
+         |tot AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS ta,
+         |               CAST(sum(cb) AS BIGINT) AS tb, count(*) AS v
+         |        FROM cnt GROUP BY lang),
+         |t AS (SELECT lang, ta, tb, v,
+         |             (ca + 1) * ln((CAST(ca + 1 AS DOUBLE) * (tb + v)) /
+         |                           (CAST(cb + 1 AS DOUBLE) * (ta + v))) AS t_ab,
+         |             (cb + 1) * ln((CAST(cb + 1 AS DOUBLE) * (ta + v)) /
+         |                           (CAST(ca + 1 AS DOUBLE) * (tb + v))) AS t_ba
+         |      FROM cnt JOIN tot USING (lang))
+         |SELECT lang, v AS n_vocab, ta AS tokens_a, tb AS tokens_b,
+         |       round(${Num.dsumSql("t_ab")} / (ta + v), 6) AS kl_ab,
+         |       round(${Num.dsumSql("t_ba")} / (tb + v), 6) AS kl_ba
+         |FROM t GROUP BY lang, ta, tb, v ORDER BY lang""".stripMargin,
 
     // Score rounded to 6 BEFORE ranking on both engines (ln ulps must
     // not decide a rank).
