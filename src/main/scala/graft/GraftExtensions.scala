@@ -32,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("poly31", es => Poly31Hash(es.head)))
     ext.injectFunction(fn("shingles3", es => WordShingles(es.head, 3)))
     ext.injectFunction(fn("demojize", es => DemojizeExpr(es.head)))
+    ext.injectFunction(fn("zorder2", es => graft.functions.ZOrder2(es(0), es(1))))
+    // Spark's internal bloom build/probe pair — see
+    // graft.functions.BloomProbe.
+    ext.injectFunction(fn("bloom_filter_agg", es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))))
+    ext.injectFunction(fn("might_contain", es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
     // Plan-hygiene lint: warn (never mutate) on single-reducer windows.
     ext.injectOptimizerRule(_ => new graft.plans.SingleReducerWindowWarning)
     // Whole-operator replacement: row_number-then-filter(<=k) plans as

@@ -406,6 +406,41 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s shape for when
+    * even the DISTINCT benchmark shingle set is too large to broadcast
+    * as an exact hash relation: `bloom_filter_agg` compacts it into a
+    * fixed-size bit array (one 1-row aggregate — a few MB broadcast to
+    * every executor regardless of benchmark size, as a scalar subquery,
+    * the same plan shape Spark's own runtime row-level filtering
+    * plants), and the corpus scan probes it with `might_contain` — no
+    * join at all on the corpus side. Bloom filters admit NO false
+    * negatives, so every truly-contaminated document is flagged; false
+    * positives are bounded by the sizing (numBits/estItems ≈ 84
+    * bits/key here → per-probe fpp ≈ 2⁻⁵⁸, vanishing at document
+    * granularity). Deterministic: the bit set is an OR of fixed
+    * per-item hashes — insertion-order- and partitioning-free — so the
+    * flagged set is a pure function of (data, sizing constants). */
+  def decontaminateBloom(corpusShingles: DataFrame, benchShingles: DataFrame,
+                         minShared: Long, estItems: Long, numBits: Long): DataFrame = {
+    val s = corpusShingles.sparkSession
+    graft.functions.BloomProbe.register(s)
+    // No DISTINCT on the bench side: bloom insertion is idempotent, so
+    // deduping the keys first would only add a shuffle.
+    benchShingles.select(col("shingle")).createOrReplaceTempView("__bloom_bench")
+    corpusShingles.createOrReplaceTempView("__bloom_corpus")
+    s.sql(
+      s"""SELECT doc_id, count(*) AS shared_shingles
+         |FROM __bloom_corpus
+         |WHERE might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(shingle),
+         |                           CAST($estItems AS BIGINT),
+         |                           CAST($numBits AS BIGINT))
+         |   FROM __bloom_bench),
+         |  xxhash64(shingle))
+         |GROUP BY doc_id
+         |HAVING count(*) >= $minShared""".stripMargin)
+  }
+
   /** Dedup resolution with a QUALITY policy: like [[resolveCanonical]],
     * but the survivor of each duplicate cluster is the highest-quality
     * document (by `scoreCol`, descending; doc_id ascending tiebreak)

@@ -77,6 +77,12 @@ object PipelinePack {
     * codebooks are the subvectors of every PQ_STRIDE-th vector. */
   private val PQ_M = 4
   private val PQ_STRIDE = 67L
+  /** Bloom decontamination sizing: ~84 bits/key at the estimated item
+    * count → per-probe fpp ≈ 2⁻⁵⁸, so zero expected false-positive
+    * docs; the query still carries an explicit FP-count bound verdict. */
+  private val BLOOM_ITEMS = 100000L
+  private val BLOOM_BITS = 1L << 23
+  private val BLOOM_FP_DOC_BOUND = 2L
   /** BM25 retrieval: fixed deterministic query-term set + result size
     * (shared literals with the oracle). */
   private val BM25_TERMS = Seq("spark", "join", "window")
@@ -178,6 +184,29 @@ object PipelinePack {
       val bench = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) === 0)
       val corpus = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) =!= 0)
       Dedup.decontaminate(corpus, bench, MIN_SHARED).orderBy("doc_id")
+    },
+
+    // Bloom-filter decontamination (the beyond-broadcast scale path):
+    // half-gated like the sketches — the exact flag set + shared-shingle
+    // counts are hash-checked, and two verdict columns assert the bloom
+    // path's guarantees (no false negatives; FP doc count within bound).
+    "q_dedup_bloom" -> { (s, d) =>
+      val sh = Dedup.wordShingles(Tables.documents(s, d))
+      val corpus = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) =!= 0)
+      val bench = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) === 0)
+      val exact = Dedup.decontaminate(corpus, bench, MIN_SHARED)
+      val bloom = Dedup.decontaminateBloom(corpus, bench, MIN_SHARED,
+        BLOOM_ITEMS, BLOOM_BITS)
+      val fpDocs = bloom.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("fp_docs"))
+      exact
+        .join(bloom.select(col("doc_id"), lit(1L).as("bloom_flagged")),
+          Seq("doc_id"), "left")
+        .crossJoin(broadcast(fpDocs))
+        .select(col("doc_id"), col("shared_shingles"),
+          coalesce(col("bloom_flagged"), lit(0L)).as("bloom_flagged"),
+          (col("fp_docs") <= BLOOM_FP_DOC_BOUND).cast("long").as("fp_within_bound"))
+        .orderBy("doc_id")
     },
 
     // Quality-policy dedup resolution: longest doc survives its cluster.
@@ -783,6 +812,21 @@ object PipelinePack {
          |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $BENCH_MOD = 0),
          |corpus AS (SELECT * FROM sh WHERE doc_id % $BENCH_MOD <> 0)
          |SELECT doc_id, count(*) AS shared_shingles
+         |FROM corpus JOIN bench USING (shingle)
+         |GROUP BY doc_id HAVING count(*) >= $MIN_SHARED
+         |ORDER BY doc_id""".stripMargin,
+
+    // Exact columns recomputed; the bloom-path verdicts are asserted as
+    // literal 1 (no-false-negative is a bloom-filter theorem; the FP
+    // bound is deterministic given the fixed hash family and sizing,
+    // verified at both SFs).
+    "q_dedup_bloom" ->
+      s"""WITH sh AS ($sh),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % $BENCH_MOD = 0),
+         |corpus AS (SELECT * FROM sh WHERE doc_id % $BENCH_MOD <> 0)
+         |SELECT doc_id, count(*) AS shared_shingles,
+         |       CAST(1 AS BIGINT) AS bloom_flagged,
+         |       CAST(1 AS BIGINT) AS fp_within_bound
          |FROM corpus JOIN bench USING (shingle)
          |GROUP BY doc_id HAVING count(*) >= $MIN_SHARED
          |ORDER BY doc_id""".stripMargin,

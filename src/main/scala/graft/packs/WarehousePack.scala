@@ -289,6 +289,24 @@ object WarehousePack {
         .orderBy("o_orderpriority")
     },
 
+    // Z-order layout audit: bucket lineitem by the top bits of the
+    // Morton key over (l_partkey, l_suppkey) and report each bucket's
+    // extent in BOTH dimensions — the file-footer min/max a z-sorted
+    // write would give every file, i.e. the evidence that scans
+    // filtering on EITHER column could prune. Native codegen'd
+    // zorder2 Expression; oracle replays the bit-sum definition.
+    "q_x_zorder" -> { (s, d) =>
+      graft.functions.ZOrder2.register(s)
+      Tables.lineitem(s, d)
+        .selectExpr("zorder2(l_partkey, l_suppkey) AS z",
+          "l_partkey", "l_suppkey")
+        .groupBy(shiftright(col("z"), 18).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+        .orderBy("z_bucket")
+    },
+
     // RANGE frame (value-based, not row-based): per-user trailing-hour
     // event count and sum over the event-time axis — the window
     // mechanics behind "activity in the last N minutes" features.
@@ -697,6 +715,17 @@ object WarehousePack {
          |       ${Num.dsumSql("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Morton key replayed as 32 integer div/mod terms (ZOrder2.sql) —
+    // no dialect bit operators, exact on both engines.
+    "q_x_zorder" ->
+      s"""WITH z AS (SELECT ${graft.functions.ZOrder2.sql("l_partkey", "l_suppkey")} AS z,
+         |                  l_partkey, l_suppkey
+         |           FROM lineitem)
+         |SELECT (z // ${1L << 18}) AS z_bucket, count(*) AS n,
+         |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
 
     "q_x_range_frame" ->
       s"""SELECT event_id, user_id,

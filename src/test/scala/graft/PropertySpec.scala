@@ -55,6 +55,54 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("zorder2 mask-spread equals the bit-sum definition (the oracle formula)") {
+    def naive(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+      }.reduce(_ | _)
+    check(Prop.forAll(Gen.choose(0L, 70000L), Gen.choose(0L, 70000L)) { (x, y) =>
+      graft.functions.ZOrder2.morton(x, y) == naive(x, y)
+    })
+  }
+
+  test("zorder2 known values: full-x, full-y, both") {
+    import graft.functions.ZOrder2.morton
+    assert(morton(0xFFFFL, 0L) == 0xAAAAAAAAL)
+    assert(morton(0L, 0xFFFFL) == 0x55555555L)
+    assert(morton(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+    assert(morton(1L, 0L) == 2L)
+    assert(morton(0L, 1L) == 1L)
+  }
+
+  test("zorder2 preserves quadrant order: top bits of z are the top bits of (x, y)") {
+    // The property data skipping relies on: bucketing z by its top 2k
+    // bits groups rows into the k-bit quadrant grid of (x, y).
+    check(Prop.forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (x, y) =>
+      val z = graft.functions.ZOrder2.morton(x, y)
+      (z >> 30) == (((x >> 15) << 1) | (y >> 15))
+    })
+  }
+
+  test("bloom build/probe pair: no false negatives, fp rate within sizing bound") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.BloomProbe.register(spark)
+    (0L until 2000L).map(i => s"key_$i").toDF("k").createOrReplaceTempView("__bp_build")
+    (0L until 20000L).map(i => s"probe_$i").toDF("k")
+      .union(Seq("key_7", "key_1999").toDF("k"))
+      .createOrReplaceTempView("__bp_probe")
+    val hits = spark.sql(
+      """SELECT k FROM __bp_probe
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(k), CAST(100000 AS BIGINT),
+        |                           CAST(8388608 AS BIGINT)) FROM __bp_build),
+        |  xxhash64(k))""".stripMargin).as[String].collect().toSet
+    assert(hits.contains("key_7") && hits.contains("key_1999"),
+      "bloom filters must never miss an inserted key")
+    // ~84 bits/key sizing → per-probe fpp ≈ 2^-58; 20k probes should FP ~never.
+    assert((hits - "key_7" - "key_1999").isEmpty, s"unexpected false positives: $hits")
+  }
+
   test("GraftExtensions injects dotp/poly31/shingles3 session-wide") {
     // TestSpark sets spark.sql.extensions=graft.GraftExtensions, so the
     // functions resolve in plain SQL with no register() call.
