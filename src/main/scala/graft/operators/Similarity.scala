@@ -216,6 +216,55 @@ object Similarity {
     Dedup.materializeThenRelease(out, e, finalCent)
   }
 
+  /** Top principal component of the (centered, normalized) embedding
+    * cloud via distributed power iteration — the dimensionality-
+    * reduction / dominant-direction probe a curation pipeline runs to
+    * detect collapsed or degenerate embedding batches. Math shape: with
+    * C the centered data matrix, each iteration computes v ←
+    * normalize(Cᵀ(Cv)) — two map-side-combining aggregates per
+    * iteration (one keyed by vec_id for the projections d = Cv, one
+    * keyed by dimension for the back-projection u = Cᵀd) against a
+    * broadcast direction vector of `dim` rows; NO d×d covariance matrix
+    * is ever materialized, so the cost per iteration is linear in the
+    * corpus and the state is O(dim). Engine-exactness (the kmeans
+    * discipline): every sum crosses partitions as an exact
+    * DECIMAL(18,6) ([[graft.functions.Num.dsum]]), the direction is
+    * rounded to 6 after each normalization, and the start vector is the
+    * constant 1/√dim — so loadings and the Rayleigh-quotient eigenvalue
+    * are bit-identical on any engine at any parallelism. Emits one row
+    * per dimension: (dim, loading, lambda). */
+  def pcaPower(emb: DataFrame, iters: Int, dim: Int): DataFrame = {
+    import graft.functions.Num
+    val ss = emb.sparkSession
+    val ev = normalized(emb)
+      .select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("val"))
+    val mean = ev.groupBy("pos")
+      .agg(round(Num.dsum(col("val")) / count(lit(1)), 6).as("m"))
+    val c = ev.join(broadcast(mean), Seq("pos"))
+      .select(col("vec_id"), col("pos"), (col("val") - col("m")).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v: DataFrame = ss.range(1, dim + 1)
+      .select(col("id").as("pos"), lit(1.0 / math.sqrt(dim)).as("w"))
+    for (_ <- 1 to iters) {
+      val d = c.join(broadcast(v), Seq("pos"))
+        .groupBy("vec_id").agg(Num.dsum(col("cv") * col("w")).as("d"))
+      val u = c.join(d, Seq("vec_id"))
+        .groupBy("pos").agg(Num.dsum(col("cv") * col("d")).as("u"))
+      val nn = u.agg(sqrt(Num.dsum(col("u") * col("u"))).as("norm"))
+      v = u.crossJoin(broadcast(nn))
+        .select(col("pos"), round(col("u") / col("norm"), 6).as("w"))
+    }
+    val dF = c.join(broadcast(v), Seq("pos"))
+      .groupBy("vec_id").agg(Num.dsum(col("cv") * col("w")).as("d"))
+    val lambda = dF
+      .agg(round(Num.dsum(col("d") * col("d")) / count(lit(1)), 6).as("lambda"))
+    val out = v.crossJoin(broadcast(lambda))
+      .select(col("pos").as("dim"), col("w").as("loading"), col("lambda"))
+    Dedup.materializeThenRelease(out, c)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space, then deduplicate ONLY within clusters — pairwise cosine is

@@ -77,6 +77,10 @@ object PipelinePack {
     * codebooks are the subvectors of every PQ_STRIDE-th vector. */
   private val PQ_M = 4
   private val PQ_STRIDE = 67L
+  /** PCA power iteration: fixed iteration count, constant 1/√DIM start
+    * vector (constants shared with the generated per-iteration oracle
+    * CTEs, like k-means). */
+  private val PCA_ITERS = 3
   /** Bloom decontamination sizing: ~84 bits/key at the estimated item
     * count → per-probe fpp ≈ 2⁻⁵⁸, so zero expected false-positive
     * docs; the query still carries an explicit FP-count bound verdict. */
@@ -412,6 +416,12 @@ object PipelinePack {
     "q_text_dup_coverage" -> { (s, d) =>
       TextAnalysis.dupCoverage(Tables.documents(s, d), SPAN_N, SPAN_MIN_DOCS)
         .orderBy("doc_id")
+    },
+    // Top principal component via distributed power iteration (no d×d
+    // covariance matrix, state O(dim)); loadings + Rayleigh eigenvalue.
+    "q_sim_pca_power" -> { (s, d) =>
+      Similarity.pcaPower(Tables.embeddings(s, d), PCA_ITERS, DIM)
+        .orderBy("dim")
     },
     // SemDeDup: within-cluster semantic near-dup removal over the
     // embedding space (keep-lowest-id policy).
@@ -976,6 +986,36 @@ object PipelinePack {
          |       round(sqrt(${dotSql("cv", "cv")}), 6) AS centroid_norm
          |FROM n JOIN c$KM_ITERS USING (cid)
          |ORDER BY cid""".stripMargin
+    },
+
+    // Mirrors Similarity.pcaPower iteration for iteration: same centered
+    // long-form matrix, every cross-partition sum the same exact
+    // DECIMAL(18,6), direction rounded to 6 after each normalization,
+    // same constant 1/√DIM start — loadings and lambda bit-identical.
+    "q_sim_pca_power" -> {
+      def iterCtes(i: Int): String =
+        s"""d$i AS (SELECT vec_id, ${Num.dsumSql("cv * w")} AS d
+           |        FROM c JOIN v${i - 1} USING (pos) GROUP BY vec_id),
+           |u$i AS (SELECT pos, ${Num.dsumSql("cv * d")} AS u
+           |        FROM c JOIN d$i USING (vec_id) GROUP BY pos),
+           |n$i AS (SELECT sqrt(${Num.dsumSql("u * u")}) AS norm FROM u$i),
+           |v$i AS (SELECT pos, round(u / norm, 6) AS w FROM u$i, n$i)""".stripMargin
+      val iterations = (1 to PCA_ITERS).map(iterCtes).mkString(",\n")
+      s"""WITH $normalizedCte,
+         |ev AS (SELECT vec_id, CAST(t.pos AS BIGINT) AS pos,
+         |              v[CAST(t.pos AS INT)] AS val
+         |       FROM e, unnest(range(1, ${DIM + 1})) t(pos)),
+         |mm AS (SELECT pos, round(${Num.dsumSql("val")} / count(*), 6) AS m
+         |       FROM ev GROUP BY pos),
+         |c AS (SELECT vec_id, ev.pos, val - m AS cv FROM ev JOIN mm USING (pos)),
+         |v0 AS (SELECT CAST(t.pos AS BIGINT) AS pos, ${1.0 / math.sqrt(DIM)} AS w
+         |       FROM unnest(range(1, ${DIM + 1})) t(pos)),
+         |$iterations,
+         |df AS (SELECT vec_id, ${Num.dsumSql("cv * w")} AS d
+         |       FROM c JOIN v$PCA_ITERS USING (pos) GROUP BY vec_id),
+         |l AS (SELECT round(${Num.dsumSql("d * d")} / count(*), 6) AS lambda FROM df)
+         |SELECT pos AS dim, w AS loading, lambda
+         |FROM v$PCA_ITERS, l ORDER BY dim""".stripMargin
     },
 
     // Mirrors Similarity.semDedup: same data-seeded centroids, same

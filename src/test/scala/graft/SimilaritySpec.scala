@@ -30,6 +30,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pcaPower: unit-norm loadings, positive eigenvalue, repartition-stable") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity.pcaPower(emb, 3, 64).collect()
+    assert(out.length == 64)
+    val loadings = out.map(_.getAs[Double]("loading"))
+    val norm2 = loadings.map(x => x * x).sum
+    // components are rounded to 6dp AFTER normalization; 64 dims of
+    // rounding move the squared norm by < 64·2e-6
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"norm² = $norm2")
+    val lambda = out.head.getAs[Double]("lambda")
+    assert(lambda > 0.0 && out.forall(_.getAs[Double]("lambda") == lambda))
+    // variance along the principal direction must be >= the average
+    // per-dimension variance of unit vectors (trace/dim = 1/64-ish)
+    assert(lambda >= 1.0 / 64)
+    val re = Similarity.pcaPower(emb.repartition(7, col("vec_id")), 3, 64)
+      .collect().map(r => (r.getAs[Long]("dim"), r.getAs[Double]("loading"))).toMap
+    assert(out.forall(r => re(r.getAs[Long]("dim")) == r.getAs[Double]("loading")),
+      "loadings must be bit-identical under repartitioning")
+  }
+
   test("LSH ANN recalls a useful fraction of true top-k") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     val pred = col("vec_id") % 100 === 0
