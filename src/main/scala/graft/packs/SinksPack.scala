@@ -82,6 +82,31 @@ object SinksPack {
         .orderBy("p_brand")
     },
 
+    // K1 through the ENGINE-SURFACE sink: same dirty payload as q_s6,
+    // written by the custom DSv2 GraftCsvSink (two-phase task commit,
+    // truncate-on-overwrite, RFC-4180 `;` quoting) and read back by the
+    // stock S6 reader — proving the sink's envelope is byte-compatible.
+    // Written twice (the second run exercises truncate idempotence; the
+    // aggregate would double if overwrite ever appended).
+    "q_k_dsv2_csv" -> { (s, d) =>
+      val dirty = Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"),
+        concat(col("p_name"), lit("\n"), col("p_type")).as("dirty"))
+      val path = tmpPath("dsv2csv", d)
+      dirty.write.format("graft.sources.GraftCsvSink")
+        .mode("overwrite").option("path", path).save()
+      dirty.write.format("graft.sources.GraftCsvSink")
+        .mode("overwrite").option("path", path).save()
+      s.read
+        .option("sep", ";").option("header", "true").option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"") // RFC-4180 quote doubling
+        .csv(path)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("dirty"))).cast("long").as("sum_len"))
+        .orderBy("p_brand")
+    },
+
     // K4/J5 — JSON write + read-back (schema inferred on read).
     "q_k4_json_roundtrip" -> { (s, d) =>
       val path = tmpPath("json", d)
@@ -393,6 +418,13 @@ object SinksPack {
 
   val oracles: Map[String, String] = Map(
     "q_s6_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(length(p_name || chr(10) || p_type)) AS BIGINT) AS sum_len
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Roundtrip identity: the DSv2-written CSV must read back to exactly
+    // the source aggregate (same oracle shape as q_s6).
+    "q_k_dsv2_csv" ->
       """SELECT p_brand, count(*) AS n,
         |       CAST(sum(length(p_name || chr(10) || p_type)) AS BIGINT) AS sum_len
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,

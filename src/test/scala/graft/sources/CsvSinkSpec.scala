@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The DSv2 `;`-CSV sink's write protocol, beyond what the roundtrip
+  * query gates: hostile-value quoting, truncate-on-overwrite
+  * idempotence, temp-dir hygiene, and task-level abort cleanup. */
+class CsvSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dir(name: String) =
+    s"${sys.props("java.io.tmpdir")}/graft_csvsink_${ProcessHandle.current().pid()}_$name"
+
+  test("hostile values round-trip through sink + stock reader") {
+    val path = dir("hostile")
+    val src = Seq(
+      (1L, "plain", 2.5),
+      (2L, "semi;colon", -0.5),
+      (3L, "qu\"ote", 0.0),
+      (4L, "multi\nline\r\nboth", 1.0),
+      (5L, null.asInstanceOf[String], 3.25)
+    ).toDF("id", "s", "x")
+    src.write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    val back = spark.read
+      .option("sep", ";").option("header", "true").option("multiLine", "true")
+      .option("quote", "\"").option("escape", "\"") // RFC-4180 quote doubling
+      .option("inferSchema", "true").csv(path)
+    val a = src.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("overwrite truncates (idempotent re-run) and leaves no temp dirs") {
+    val path = dir("trunc")
+    val src = (1L to 100L).toDF("id").withColumn("tag", lit("t"))
+    src.write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    src.write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    val back = spark.read.option("sep", ";").option("header", "true").csv(path)
+    assert(back.count() == 100L)
+    val entries = Files.list(Paths.get(path)).toArray.map(_.toString)
+    assert(entries.exists(_.endsWith("_SUCCESS")))
+    assert(!entries.exists(_.contains("_tmp_")), s"temp leftovers: ${entries.toSeq}")
+  }
+
+  test("task abort deletes its temp file; job abort deletes the temp dir") {
+    val path = dir("abort")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val bw = new GraftCsvBatchWrite(path, schema, "q-abort-test", truncate = false)
+    val factory = bw.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 42L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      7L, org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+    w.abort()
+    // the writer's temp file is gone; the job-level abort drops the dir
+    bw.abort(Array.empty)
+    val tmp = Paths.get(path, "_tmp_q-abort-test")
+    assert(!Files.exists(tmp), s"$tmp must be cleaned up")
+    // nothing was ever published
+    assert(!Files.exists(Paths.get(path, "part-00000.csv")))
+  }
+}
