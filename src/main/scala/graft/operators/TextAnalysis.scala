@@ -380,4 +380,44 @@ object TextAnalysis {
         .when(fr >= de, "fr")
         .otherwise("de"))
   }
+
+  /** Unigram language-model quality score (the CCNet-style perplexity
+    * proxy): fit an add-one-smoothed unigram LM on the corpus itself,
+    * then score each document by its mean per-token negative log
+    * probability — degenerate/rare-token documents score high, fluent
+    * in-distribution ones low. The per-word −ln p is rounded to 6 BEFORE
+    * the per-doc sum (so the sum is exact decimal arithmetic, identical
+    * at any parallelism and on any engine). Scale: vocabulary fit is one
+    * map-side-combining groupBy, the corpus totals are a 1-row broadcast,
+    * and the score join shuffles on `word` — linear in the corpus. */
+  def unigramLmScore(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(
+      sum(col("c")).cast("long").as("n_total"), count(lit(1)).as("v_size"))
+    val probs = vocab.crossJoin(broadcast(totals))
+      .select(col("word"),
+        round(-log((col("c") + lit(1.0)) / (col("n_total") + col("v_size"))), 6)
+          .as("neglogp"))
+    words.join(probs, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(graft.functions.Num.dsum(col("neglogp")) / count(lit(1)), 6)
+          .as("avg_neglogp"))
+  }
+
+  /** Word trigrams as a multiset (positional, unlike
+    * [[Dedup.wordShingles]]' per-doc distinct set): pure array algebra —
+    * two zip_with passes over three shifted slices, one generator per
+    * row, no shuffle. */
+  def wordTrigrams(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    docs.filter(n >= 3).select(
+      explode(zip_with(
+        zip_with(slice(ws, lit(1), n - 2), slice(ws, lit(2), n - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(ws, lit(3), n - 2),
+        (ab, c) => concat(ab, lit(" "), c))).as("gram"))
+  }
 }

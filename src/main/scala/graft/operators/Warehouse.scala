@@ -128,4 +128,64 @@ object Warehouse {
     df.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }
+
+  /** SCD Type-2 history build: turn an attribute change log into a
+    * versioned dimension with `valid_from`/`valid_to` intervals and an
+    * `is_current` flag (the companion to [[upsert]]'s SCD-1 overwrite).
+    *
+    * Two passes over the same (key)-partitioned, (ts, tiebreak)-sorted
+    * window — Catalyst reuses one Exchange for both sorts, so the whole
+    * build is a single shuffle at any scale:
+    *   1. collapse no-change rows (`lag` — a log row whose tracked
+    *      attribute equals its predecessor's opens no new version);
+    *   2. close each surviving version with the next one's start
+    *      (`lead`); the open version has NULL `valid_to_ts`.
+    *
+    * Null-safe on the attribute (`<=>`): a NULL→NULL run collapses, a
+    * NULL→value transition versions. */
+  def scd2(log: DataFrame, key: String, attr: String, ts: String,
+           tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tiebreak))
+    log
+      // row_number (not `lag IS NULL`) marks the first row: a lagged
+      // NULL is ambiguous when the attribute itself can be NULL.
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attr)))
+      .drop("__rn", "__prev")
+      .withColumn("valid_to_ts", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to_ts").isNull.cast("long"))
+  }
+
+  /** Exponentially weighted moving average over the trailing `span` rows
+    * of each partition: y = Σ_k w_k·x_{n−k} / Σ_k w_k with
+    * w_k = (1−alpha)^k (pandas `ewm(alpha).mean()` restricted to a
+    * bounded frame so the weighted sum is a FIXED expression tree).
+    *
+    * Engine-exact by construction: the weights and the per-length
+    * normalizers are Scala-computed double literals (the oracle embeds
+    * the identical literals), every lag term is combined left-to-right,
+    * and IEEE-754 arithmetic over identical literals in identical order
+    * is bit-identical on any engine — no decimal detour needed. One
+    * window pass, partitioned on `partCols`: no global sort, scales with
+    * the key cardinality. */
+  def ewma(df: DataFrame, partCols: Seq[String], order: Seq[Column],
+           value: Column, alpha: Double, span: Int): DataFrame = {
+    require(span >= 1 && alpha > 0 && alpha < 1, "need 0<alpha<1, span>=1")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    val terms = (0 until span).map { k =>
+      val xk = if (k == 0) value else coalesce(lag(value, k).over(w), lit(0.0))
+      xk * lit(math.pow(1 - alpha, k))
+    }
+    val numer = terms.reduce(_ + _)
+    // Normalizer by trailing-window length m = min(row_number, span):
+    // Σ_{k<m} (1−alpha)^k, precomputed exactly once in Scala.
+    val norms = (1 to span).map(m =>
+      (1 to m).map(k => math.pow(1 - alpha, k - 1)).sum)
+    val m = least(row_number().over(w), lit(span))
+    val denom = norms.zipWithIndex.foldLeft(lit(norms.last)) {
+      case (acc, (nv, i)) => when(m === i + 1, lit(nv)).otherwise(acc)
+    }
+    df.withColumn("ewma", round(numer / denom, 6))
+  }
 }

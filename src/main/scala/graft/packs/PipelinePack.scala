@@ -91,6 +91,11 @@ object PipelinePack {
     * (shared literals with the oracle). */
   private val BM25_TERMS = Seq("spark", "join", "window")
   private val BM25_K = 20
+  /** Misra–Gries heavy hitters: counter budget and report size. */
+  private val MG_K = 400
+  private val HH_TOP = 10
+  /** Deterministic per-language sample size. */
+  private val GRP_SAMPLE_K = 5
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -502,6 +507,56 @@ object PipelinePack {
       Multimodal.resizePayloads(s,
           Multimodal.packPayload(Tables.documents(s, d)), RESIZE_FACTOR)
         .toDF().orderBy("doc_id")
+    },
+
+    // Unigram-LM quality score: the CCNet-style perplexity proxy —
+    // corpus-fit add-one-smoothed unigram model, per-doc mean −ln p.
+    "q_text_unigram_lm" -> { (s, d) =>
+      TextAnalysis.unigramLmScore(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // Deterministic k-per-language sample in md5 order — the exact,
+    // repartition-stable form of "give me k random docs per stratum"
+    // (content-keyed, so re-runs and engine changes pick the SAME
+    // rows). Plans through the native TopKPerGroupExec rank rewrite:
+    // only k rows per group survive each partial, never a full sort.
+    "q_text_sample_per_group" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("h",
+          Hashing.md5Long(concat(lit("smp:"), col("doc_id").cast("string"))))
+      graft.operators.Warehouse.topKPerGroup(docs, Seq("lang"),
+          Seq(col("h").asc, col("doc_id").asc), GRP_SAMPLE_K)
+        .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+        .orderBy("lang", "rn")
+    },
+
+    // Misra–Gries heavy hitters over word trigrams (16k+ distinct grams
+    // vs a 400-counter buffer — the eviction and merge paths genuinely
+    // run). Half-gated like the other sketches: the top-N exact counts
+    // hash-match the oracle, and the verdict column asserts the MG
+    // theorems per row — est ≤ true (never overcounts) and
+    // true − est ≤ 2n/K (bounded undercount) — which hold for ANY
+    // partitioning/merge order, so the output is deterministic even
+    // though the summary itself isn't. A buggy sketch (overcount, lost
+    // mass beyond the bound) flips the verdict and fails the hash gate.
+    "q_text_heavy_hitters" -> { (s, d) =>
+      val grams = TextAnalysis.wordTrigrams(Tables.documents(s, d))
+      val mg = udaf(new graft.functions.MisraGries(MG_K),
+        org.apache.spark.sql.Encoders.STRING)
+      val est = grams.agg(mg(col("gram")).as("mg"))
+        .select(explode(col("mg")).as(Seq("gram", "mg_est")))
+      val totals = grams.agg(count(lit(1)).as("n_total"))
+      val top = Similarity.heapTopKWords(
+        grams.groupBy("gram").agg(count(lit(1)).as("n")), "n", "gram", HH_TOP)
+      top.join(broadcast(est), Seq("gram"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("rn"), col("gram"), col("n"),
+          ((coalesce(col("mg_est"), lit(0L)) <= col("n")) &&
+            ((col("n") - coalesce(col("mg_est"), lit(0L))).cast("double") <=
+              lit(2.0) * col("n_total") / MG_K)).cast("long")
+            .as("mg_within_bound"))
+        .orderBy("rn")
     }
   )
 
@@ -1481,6 +1536,45 @@ object PipelinePack {
         |       CAST(strlen(text) AS BIGINT) AS payload_len,
         |       md5(text) AS payload_md5,
         |       CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_unigram_lm" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_size FROM v),
+         |p AS (SELECT word,
+         |             round(-ln((c + 1.0) / (n_total + v_size)), 6) AS neglogp
+         |      FROM v, t)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(${Num.dsumSql("neglogp")} / count(*), 6) AS avg_neglogp
+         |FROM w JOIN p USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_sample_per_group" ->
+      s"""WITH h AS (SELECT doc_id, lang, source,
+         |                  ${Hashing.md5LongSql("concat('smp:', CAST(doc_id AS VARCHAR))")} AS h
+         |           FROM documents),
+         |r AS (SELECT lang, doc_id, source,
+         |             CAST(row_number() OVER (PARTITION BY lang
+         |                  ORDER BY h, doc_id) AS BIGINT) AS rn
+         |      FROM h)
+         |SELECT lang, rn, doc_id, source FROM r WHERE rn <= $GRP_SAMPLE_K
+         |ORDER BY lang, rn""".stripMargin,
+
+    // Exact trigram top-N; the sketch half of the gate is the literal-1
+    // verdict (the MG bound holds for any merge order — see the query).
+    "q_text_heavy_hitters" ->
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 3),
+         |g AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+         |                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+         |      FROM w),
+         |c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+         |r AS (SELECT gram, n,
+         |             CAST(row_number() OVER (ORDER BY n DESC, gram ASC) AS BIGINT) AS rn
+         |      FROM c)
+         |SELECT rn, gram, n, CAST(1 AS BIGINT) AS mg_within_bound
+         |FROM r WHERE rn <= $HH_TOP ORDER BY rn""".stripMargin
   )
 }

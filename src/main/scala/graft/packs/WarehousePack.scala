@@ -461,8 +461,83 @@ object WarehousePack {
         .groupBy(col("o_orderkey"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"), Num.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderkey")
+    },
+
+    // SCD Type-2 dimension history (the versioned companion to
+    // q_x_upsert_snapshot's SCD-1 merge): the events stream is the
+    // change log of each user's tracked attribute; no-change rows
+    // collapse, each version closes with the next one's start.
+    "q_x_scd2_history" -> { (s, d) =>
+      val log = Tables.events(s, d).select(
+        col("user_id"), col("event_type").as("attr"), col("ts"), col("event_id"))
+      Warehouse.scd2(log, "user_id", "attr", "ts", "event_id")
+        .select(col("user_id"), col("attr"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from", "attr")
+    },
+
+    // Trailing EWMA per user (pandas ewm-style smoothing over a bounded
+    // frame) — literal-for-literal identical arithmetic with the oracle.
+    "q_x_ewma" -> { (s, d) =>
+      Warehouse.ewma(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), Seq(col("ts"), col("event_id")),
+          col("value"), EWMA_ALPHA, EWMA_SPAN)
+        .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+        .orderBy("event_id")
+    },
+
+    // Robust per-group outlier report: median + MAD (the
+    // median-absolute-deviation robust z-score; 1.4826·MAD ≈ σ for
+    // normal data), counting rows beyond 3 robust sigmas. Exact
+    // percentiles are per-group in-memory aggregates — the exact-stats
+    // face; at unbounded group sizes the scale path is
+    // q_x_approx_quantiles' sketch. Two tiny per-flag aggregates
+    // broadcast back onto the scan; the unrounded median/MAD feed the
+    // comparisons on BOTH engines, and the 0.01-granular price grid
+    // keeps any last-ulp percentile difference away from the threshold.
+    "q_x_outliers_mad" -> { (s, d) =>
+      val x = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val med = x.groupBy("l_returnflag").agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = x.join(broadcast(med), Seq("l_returnflag"))
+      val mad = dev.groupBy("l_returnflag")
+        .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(max(col("med")), 6).as("med"),
+          round(max(col("mad")), 6).as("mad"),
+          count(lit(1)).as("n"),
+          sum((abs(col("x") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
+            .cast("long")).as("n_outliers"))
+        .orderBy("l_returnflag")
     }
   )
+
+  /** EWMA smoothing constants (shared with [[ewmaSql]] so both engines
+    * multiply by the exact same double literals). */
+  private val EWMA_ALPHA = 0.5
+  private val EWMA_SPAN = 8
+
+  /** The DuckDB spelling of [[Warehouse.ewma]]'s fixed expression tree —
+    * weights and normalizers are the same Scala-computed doubles
+    * (Double.toString round-trips, so DuckDB parses the identical
+    * values), combined in the same left-to-right order. */
+  private def ewmaSql: String = {
+    val terms = (0 until EWMA_SPAN).map { k =>
+      val wk = math.pow(1 - EWMA_ALPHA, k)
+      if (k == 0) s"value * $wk"
+      else s"coalesce(lag(value, $k) OVER w, 0.0) * $wk"
+    }.mkString(" + ")
+    val norms = (1 to EWMA_SPAN).map(m =>
+      (1 to m).map(k => math.pow(1 - EWMA_ALPHA, k - 1)).sum)
+    val cases = norms.zipWithIndex
+      .map { case (nv, i) => s"WHEN ${i + 1} THEN $nv" }.mkString(" ")
+    s"round(($terms) / (CASE least(CAST(row_number() OVER w AS BIGINT), $EWMA_SPAN) " +
+      s"$cases ELSE ${norms.last} END), 6)"
+  }
 
   private val dsumQty   = Num.dsumSql("l_quantity")
   private val dsumPrice = Num.dsumSql("l_extendedprice")
@@ -815,6 +890,45 @@ object WarehousePack {
     "q_x_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,
         |       CAST(1 AS BIGINT) AS approx_within_5pct
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q_x_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type AS attr, ts, event_id FROM events),
+        |l AS (SELECT *, lag(attr) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT user_id, attr, ts, event_id FROM l
+        |      WHERE prev IS NULL OR prev <> attr),
+        |v AS (SELECT user_id, attr, ts,
+        |             lead(ts) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS vt
+        |      FROM c)
+        |SELECT user_id, attr,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       CAST(vt IS NULL AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, valid_from, attr""".stripMargin,
+
+    "q_x_ewma" ->
+      s"""SELECT event_id, user_id, value, $ewmaSql AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin,
+
+    "q_x_outliers_mad" ->
+      """WITH x AS (SELECT l_returnflag, l_extendedprice AS x FROM lineitem),
+        |m AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med
+        |      FROM x GROUP BY l_returnflag),
+        |d AS (SELECT x.l_returnflag, x.x, m.med FROM x JOIN m USING (l_returnflag)),
+        |s AS (SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
+        |      FROM d GROUP BY l_returnflag)
+        |SELECT d.l_returnflag,
+        |       round(max(d.med), 6) AS med,
+        |       round(max(s.mad), 6) AS mad,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN abs(d.x - d.med) > 3.0 * 1.4826 * s.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN s USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin
   )
 }

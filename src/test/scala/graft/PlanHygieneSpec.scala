@@ -41,6 +41,15 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"scan reads l_orderkey the query never uses; ReadSchema=$readSchema")
   }
 
+  test("q_text_sample_per_group: plans through the native TopKPerGroupExec") {
+    val p = plan("q_text_sample_per_group")
+    assert(p.collect { case e: graft.plans.TopKPerGroupExec => e }.nonEmpty,
+      s"q_text_sample_per_group did not plan the native top-k operator:\n$p")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "WindowExec survived alongside the top-k rewrite")
+  }
+
   test("q_text_tfidf: the rank filter plans through the native TopKPerGroupExec") {
     // the library's own row_number-then-filter queries must actually hit
     // the injected whole-operator path, not fall back to WindowExec

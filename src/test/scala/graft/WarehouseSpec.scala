@@ -98,6 +98,74 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: collapses no-change rows, versions close with the next start") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "bronze", "2024-01-01 00:00:00", 1L),
+      (1L, "bronze", "2024-01-02 00:00:00", 2L), // no change → collapses
+      (1L, "silver", "2024-01-03 00:00:00", 3L),
+      (1L, "gold",   "2024-01-05 00:00:00", 4L),
+      (2L, "bronze", "2024-01-04 00:00:00", 5L)
+    ).toDF("user_id", "attr", "ts_s", "event_id")
+      .select(col("user_id"), col("attr"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_id"))
+    val out = Warehouse.scd2(log, "user_id", "attr", "ts", "event_id")
+      .select(col("user_id"), col("attr"),
+        date_format(col("ts"), "yyyy-MM-dd").as("vf"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd").as("vt"),
+        col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    assert(out == Set(
+      (1L, "bronze", "2024-01-01", Some("2024-01-03"), 0L),
+      (1L, "silver", "2024-01-03", Some("2024-01-05"), 0L),
+      (1L, "gold",   "2024-01-05", None, 1L),
+      (2L, "bronze", "2024-01-04", None, 1L)))
+  }
+
+  test("scd2: NULL attr runs collapse, NULL→value transitions version") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, None: Option[String], "2024-01-01 00:00:00", 1L),
+      (1L, None: Option[String], "2024-01-02 00:00:00", 2L), // NULL→NULL collapses
+      (1L, Some("x"), "2024-01-03 00:00:00", 3L)
+    ).toDF("user_id", "attr", "ts_s", "event_id")
+      .select(col("user_id"), col("attr"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_id"))
+    val out = Warehouse.scd2(log, "user_id", "attr", "ts", "event_id").collect()
+    assert(out.length == 2)
+  }
+
+  test("ewma equals the per-row weighted-mean reference computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 40).map(i =>
+      (i.toLong, (i % 3).toLong, rnd.nextInt(1000) / 100.0))
+    val df = rows.toDF("event_id", "user_id", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")) +
+        expr("make_interval(0, 0, 0, 0, 0, 0, event_id)"))
+    val alpha = 0.5
+    val span = 8
+    val got = Warehouse.ewma(df, Seq("user_id"), Seq(col("ts"), col("event_id")),
+        col("value"), alpha, span)
+      .select("event_id", "ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: brute-force trailing weighted mean per user in plain Scala
+    rows.groupBy(_._2).foreach { case (_, us) =>
+      val ordered = us.sortBy(_._1)
+      ordered.zipWithIndex.foreach { case ((id, _, _), i) =>
+        val window = ordered.slice(math.max(0, i - span + 1), i + 1).reverse
+        val numer = window.zipWithIndex
+          .map { case ((_, _, v), kk) => v * math.pow(1 - alpha, kk) }.sum
+        val denom = (0 until window.size).map(kk => math.pow(1 - alpha, kk)).sum
+        val want = BigDecimal(numer / denom)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(got(id) - want) < 1e-9, s"event $id: ${got(id)} vs $want")
+      }
+    }
+  }
+
   test("sessionize splits on the gap and keeps per-user totals") {
     import spark.implicits._
     val events = Seq(
