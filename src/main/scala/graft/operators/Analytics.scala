@@ -1,0 +1,410 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, Num}
+
+/** Behavioral / operational analytics the reference's warehouse schema
+  * implies but delegates downstream (SURVEY §2.13 superset): funnels,
+  * cohort retention, market-basket lift, fuzzy record linkage, time-series
+  * gap fill, and CDC snapshot diffs.
+  *
+  * Every operator is pure DataFrame algebra over keyed shuffles —
+  * hash-partitioned aggregations with map-side combine and co-partitioned
+  * equi-joins — so each plan scales linearly with input and never funnels
+  * rows through the driver or a single reducer.
+  */
+object Analytics {
+
+  /** Ordered-funnel stage counts: users whose first `stages(i)` event is
+    * strictly after their first qualifying `stages(i-1)` event.
+    *
+    * Each stage is a per-user min-aggregation (map-side combined) joined
+    * co-partitioned on user_id to the previous stage — N small shuffles
+    * on the same key, no window over the full event log. The final
+    * 3-row percent-of-first window is a constant-size partition.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    // Stage 1: first qualifying event per user.
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("sec")).as("t"))
+    val perStage = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("sec") > col("t_prev"))
+        .groupBy("user_id").agg(min(col("sec")).as("t"))
+    }
+    val counts = perStage.zip(stages.zipWithIndex).map { case (df, (name, i)) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(s"${i + 1}_$name"))
+    }.reduce(_.unionByName(_))
+    // Percent-of-first via a broadcast 1-row cross join (the coefficient
+    // pattern from Regression) — no global window.
+    val firstN = first.agg(count(lit(1)).cast("double").as("n_first"))
+    counts.crossJoin(broadcast(firstN))
+      .select(col("stage"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_first"), 6).as("pct_of_first"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; a cell (cohort_week, offset_week) counts distinct users of
+    * that cohort active that many weeks later. Weeks are integer epoch-day
+    * arithmetic (`day div 7` anchored at the epoch) — no engine-specific
+    * week-truncation semantics.
+    *
+    * Two keyed aggregations: first-day per user, then the cohort grid —
+    * both hash-partitioned; the first-day side re-joins co-partitioned
+    * on user_id.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events.select(
+      col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+    val firstDay = days.groupBy("user_id").agg(min(col("day")).as("day0"))
+    days.join(firstDay, Seq("user_id"))
+      .select(
+        expr("day0 div 7").as("cohort_week"),
+        expr("(day - day0) div 7").as("offset_week"),
+        col("user_id"))
+      .groupBy("cohort_week", "offset_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "offset_week")
+  }
+
+  /** Market-basket co-occurrence with lift: pairs of parts ordered
+    * together, scored by `lift = P(a,b) / (P(a)·P(b))`.
+    *
+    * The candidate set is the per-order self-join of the distinct
+    * (order, part) list — Σ basket² pairs, co-partitioned on the order
+    * key, never a global cross. Part marginals are a second small
+    * aggregate joined back broadcast-size. At 100 TB the basket-size cap
+    * is the knob: pair volume is Σ|basket|², so an upstream
+    * `filter(size < K)` bounds the explosion while keeping every
+    * realistic basket.
+    */
+  def basketLift(lineitem: DataFrame, minCo: Int, topN: Int): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
+    val partCounts = items.groupBy("pk").agg(count(lit(1)).as("n_pk"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    pairs
+      .join(partCounts.select(col("pk").as("part_a"), col("n_pk").as("n_a")), Seq("part_a"))
+      .join(partCounts.select(col("pk").as("part_b"), col("n_pk").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_co"),
+        round(col("n_co").cast("double") * col("n_orders") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy(col("n_co").desc, col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  /** Blocked fuzzy record linkage: candidate pairs share a blocking key
+    * (nation × market segment), scored by Levenshtein edit distance.
+    *
+    * Blocking is THE record-linkage scale move: candidates are
+    * Σ block² instead of n² — the block key is chosen so blocks stay
+    * O(n/|blocks|). The distance is computed once per candidate inside
+    * codegen (`levenshtein`), never per full cross pair.
+    */
+  def fuzzyLinkage(customer: DataFrame, maxDist: Int): DataFrame = {
+    val c = customer.select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    c.as("a")
+      .join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(
+        col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+        col("a.c_name").as("name_a"), col("b.c_name").as("name_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("key_a", "key_b")
+  }
+
+  /** Hourly gap fill over a per-user metric: a dense hour spine per user
+    * (generated, not shuffled), observed sums left-joined on, then both
+    * last-observation-carried-forward and linear interpolation between
+    * the bracketing observations.
+    *
+    * The spine is `sequence(min_hr, max_hr)` exploded per user — one
+    * generator per user row, linear in output. All window passes are
+    * per-user partitions ordered by hour: bounded by a user's own span,
+    * never a global sort.
+    */
+  def gapFillHourly(events: DataFrame, eventType: String, maxUserId: Long): DataFrame = {
+    val obs = events
+      .filter(col("event_type") === eventType && col("user_id") < maxUserId)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 3600").as("hr"),
+        col("value"))
+      .groupBy("user_id", "hr")
+      .agg(round(Num.dsum(col("value")), 6).as("v"))
+    val spine = obs.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+    val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after  = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(obs, Seq("user_id", "hr"), "left")
+      .withColumn("v_prev", last(col("v"), ignoreNulls = true).over(before))
+      .withColumn("h_prev", max(when(col("v").isNotNull, col("hr"))).over(before))
+      .withColumn("v_next", first(col("v"), ignoreNulls = true).over(after))
+      .withColumn("h_next", min(when(col("v").isNotNull, col("hr"))).over(after))
+      .select(col("user_id"), col("hr"), col("v"),
+        col("v_prev").as("v_locf"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("v_prev").isNull, col("v_next"))
+            .when(col("v_next").isNull, col("v_prev"))
+            .otherwise(col("v_prev") +
+              (col("v_next") - col("v_prev")) * (col("hr") - col("h_prev")) /
+                (col("h_next") - col("h_prev"))), 6).as("v_interp"))
+      .orderBy("user_id", "hr")
+  }
+
+  /** CDC snapshot diff: classify every key across two table snapshots as
+    * insert / delete / update (unchanged rows drop out). One full-outer
+    * equi-join on the key — co-partitioned, linear, the standard
+    * change-data-capture shape (the batch face of a Delta/Hudi change
+    * feed).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: String, valueCol: String): DataFrame = {
+    val o = oldSnap.select(col(key).as("k"), col(valueCol).as("old_v"))
+    val n = newSnap.select(col(key).as("k"), col(valueCol).as("new_v"))
+    o.join(n, Seq("k"), "full_outer")
+      .withColumn("change",
+        when(col("old_v").isNull, lit("insert"))
+          .when(col("new_v").isNull, lit("delete"))
+          .when(col("old_v") =!= col("new_v"), lit("update"))
+          .otherwise(lit("same")))
+      .filter(col("change") =!= "same")
+      .select(col("k"), col("change"), col("old_v"), col("new_v"))
+      .orderBy("k")
+  }
+
+  /** Count-Min sketch over per-key frequencies: `depth` md5-derived hash
+    * rows × `width` counters; a key's estimate is the min over its row
+    * cells. Like the HLL/quantile sketches this is half-gated — the
+    * exact count rides along so the oracle checks both the deterministic
+    * estimate AND the `est ≥ exact` sketch guarantee.
+    *
+    * Cells are built from the per-key exact counts (one keyed aggregate),
+    * so the sketch costs `depth` extra rows per DISTINCT key — not per
+    * event. The whole sketch is `depth × width` integers: broadcastable
+    * state, the reason Count-Min works at 100 TB.
+    */
+  def countMinEstimates(events: DataFrame, depth: Int, width: Int): DataFrame = {
+    val exact = events.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    def bucket(i: Int): Column =
+      Hashing.md5Long(concat(lit(s"cm$i:"), col("user_id").cast("string"))) % width
+    // (row, bucket, cell-count) — Σ of exact counts landing in the cell.
+    val cells = (0 until depth).map { i =>
+      exact.select(lit(i).as("row_i"), bucket(i).as("b"), col("exact"))
+    }.reduce(_.unionByName(_))
+      .groupBy("row_i", "b").agg(sum(col("exact")).as("cell"))
+    val probes = (0 until depth).map { i =>
+      exact.select(col("user_id"), col("exact"), lit(i).as("row_i"), bucket(i).as("b"))
+    }.reduce(_.unionByName(_))
+    probes.join(cells, Seq("row_i", "b"))
+      .groupBy("user_id", "exact")
+      .agg(min(col("cell")).as("est"))
+      .select(col("user_id"), col("exact"), col("est"),
+        (col("est") >= col("exact")).as("sketch_ok"))
+      .orderBy("user_id")
+  }
+
+  /** Rolling 7-day active users per day (WAU): each distinct (user, day)
+    * contributes to the 7 following days via a constant-width generator
+    * (×7 row fan-out, no self-join over the raw log), then one
+    * count-distinct per output day. Shuffle volume ∝ distinct user-days,
+    * never events; the two-level distinct aggregate handles hot days.
+    */
+  def rollingWau(events: DataFrame, windowDays: Int): DataFrame = {
+    val ud = events.select(
+      expr("unix_timestamp(ts) div 86400").as("day"), col("user_id")).distinct()
+    val bounds = ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day_out"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day_out").between(col("lo"), col("hi")))
+      .groupBy("day_out")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("day_out")
+  }
+
+  /** Interval×interval overlap join via week binning: each interval
+    * explodes to the fixed-width bins it covers, candidates equi-join on
+    * the bin (co-partitioned — never a nested loop over all pairs), the
+    * exact overlap predicate then filters, and `distinct` collapses the
+    * multi-bin double-counts. Candidates ∝ genuinely-near pairs per bin,
+    * the standard scale shape for temporal/genomic overlap joins.
+    */
+  def intervalOverlap(orders: DataFrame, maxKey: Long, spanSec: Long,
+                      binSec: Long): DataFrame = {
+    val iv = orders.filter(col("o_orderkey") <= maxKey).select(
+      col("o_orderkey").as("key"),
+      unix_timestamp(col("o_orderdate")).as("s"))
+      .withColumn("e", col("s") + spanSec)
+    val binned = iv.select(col("key"), col("s"), col("e"),
+      explode(sequence(expr(s"s div $binSec"), expr(s"(e - 1) div $binSec"))).as("bin"))
+    val a = binned.filter(col("key") % 2 === 0)
+    val b = binned.filter(col("key") % 2 === 1)
+      .select(col("bin"), col("key").as("b_key"), col("s").as("b_s"), col("e").as("b_e"))
+    a.join(b, Seq("bin"))
+      .filter(col("s") < col("b_e") && col("b_s") < col("e"))
+      .select(col("key").as("a_key"), col("b_key")).distinct()
+      .groupBy("a_key")
+      .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
+      .orderBy("a_key")
+  }
+
+  /** k-anonymity audit: group sizes over a quasi-identifier tuple; rows
+    * whose group has fewer than k members are re-identifiable. One keyed
+    * aggregate (map-side combined) — the data-governance gate a training
+    * corpus runs before release.
+    */
+  def kAnonymityAudit(customer: DataFrame, k: Long): DataFrame =
+    customer.select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("balance_band"))
+      .groupBy("nation", "segment", "balance_band")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+      .orderBy("nation", "segment", "balance_band")
+
+  /** Month-over-month revenue per region with absolute and relative
+    * deltas. Months are integer `year·100+month` keys; the lag window is
+    * partitioned by region (bounded by one region's month count — never a
+    * global sort). Revenue sums are decimal-exact.
+    */
+  def periodOverPeriod(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                       nation: DataFrame, region: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("yyyymm"))
+      .agg(round(Num.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("revenue"))
+    val w = Window.partitionBy("r_name").orderBy("yyyymm")
+    rev.withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("delta", round(col("revenue") - col("prev_revenue"), 6))
+      .withColumn("pct_change",
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue"), 6))
+      .orderBy("r_name", "yyyymm")
+  }
+
+  /** Number of range buckets the two-level global ranking fans out over.
+    * Constant, so the bucket-summary table (and its triangular offset
+    * join) is O(Buckets²) = bounded regardless of input size. */
+  val RankBuckets = 256
+
+  /** Prefix offsets across range buckets: `offset(b) = Σ count(b') for
+    * b' < b`, computed as a triangular join over the B-row bucket summary
+    * (broadcast, bounded B²) — the cross-bucket half of a distributed
+    * global rank, with no empty-PARTITION-BY window anywhere.
+    */
+  private def bucketOffsets(bucketCounts: DataFrame): DataFrame = {
+    val lower = bucketCounts.select(col("b").as("lb"), col("cnt").as("lcnt"))
+    bucketCounts.select(col("b"))
+      .join(broadcast(lower), col("lb") < col("b"), "left")
+      .groupBy("b")
+      .agg(coalesce(sum(col("lcnt")), lit(0L)).as("offset"))
+  }
+
+  /** Deterministic equi-width range bucket for a score given broadcast
+    * (lo, hi) stats: 0..B−1. Only used to PARTITION the rank computation;
+    * bucket boundaries never reach the result, so double edge-rounding in
+    * the bucket index cannot perturb output values. */
+  private def rangeBucket(score: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0)).otherwise(
+      least(lit(RankBuckets - 1),
+        floor((score - lo) / (hi - lo) * RankBuckets).cast("int")))
+
+  /** Rank-based ROC-AUC (Mann–Whitney U) with average ranks for ties,
+    * computed WITHOUT a global sort: scores collapse to per-distinct-score
+    * (count, positives) aggregates, prefix counts come from an in-bucket
+    * running sum (window PARTITIONED by range bucket) plus bounded
+    * cross-bucket offsets ([[bucketOffsets]]). Average ranks are exact
+    * multiples of 0.5 and the rank-sum runs through a decimal-exact Σ, so
+    * the result is bit-stable at any parallelism — identical to the
+    * oracle's single-node `rank()` formulation.
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("score")).agg(
+      count(lit(1)).as("n_s"),
+      sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_pos_s"))
+    val stats = g.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val bucketed = g.crossJoin(broadcast(stats))
+      .withColumn("b", rangeBucket(col("score"), col("lo"), col("hi")))
+    val before = Window.partitionBy("b").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = bucketed.groupBy("b").agg(sum(col("n_s")).as("cnt"))
+    val ranked = bucketed
+      .withColumn("cum_in", coalesce(sum(col("n_s")).over(before), lit(0L)))
+      .join(bucketOffsets(counts), Seq("b"))
+      // tie group of score s spans global ranks cum_less+1 .. cum_less+n_s
+      // → average rank cum_less + (n_s + 1)/2 (an exact multiple of 0.5).
+      .withColumn("arank",
+        (col("offset") + col("cum_in")).cast("double") +
+          (col("n_s").cast("double") + 1) / 2)
+    ranked.agg(
+        sum(col("n_pos_s")).as("n_pos"),
+        (sum(col("n_s")) - sum(col("n_pos_s"))).as("n_neg"),
+        Num.dsum(col("n_pos_s") * col("arank")).as("rank_sum"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("rank_sum") - col("n_pos").cast("double") * (col("n_pos") + 1) / 2) /
+          (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Decile calibration table: score-ordered `ntile(10)` buckets → observed
+    * positive rate and mean score per bucket. The global row number is the
+    * same two-level bucketed rank as [[rocAuc]] (tie-free via the unique
+    * key tiebreak); ntile is then the closed-form function of
+    * (row_number, n) — big buckets first, exactly SQL ntile semantics —
+    * so no single-reducer ntile window exists in the plan.
+    */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  keyCol: String, tiles: Int = 10): DataFrame = {
+    val base = scored.select(
+      col(scoreCol).as("score"), col(keyCol).as("k"), col(labelCol).as("y"))
+    val stats = base.agg(
+      min(col("score")).as("lo"), max(col("score")).as("hi"), count(lit(1)).as("n"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("b", rangeBucket(col("score"), col("lo"), col("hi")))
+    val inBucket = Window.partitionBy("b").orderBy("score", "k")
+    val counts = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+    bucketed
+      .withColumn("rn_in", row_number().over(inBucket).cast("long"))
+      .join(bucketOffsets(counts), Seq("b"))
+      .withColumn("rn", col("offset") + col("rn_in"))
+      // SQL ntile in closed form: q = n div t, r = n mod t; the first r
+      // buckets hold q+1 rows. Integer-exact on both engines.
+      .withColumn("q_", expr(s"n div $tiles"))
+      .withColumn("r_", expr(s"n % $tiles"))
+      .withColumn("decile",
+        when(col("rn") <= (col("q_") + 1) * col("r_"),
+            expr("(rn - 1) div (q_ + 1) + 1"))
+          .otherwise(expr("r_ + (rn - (q_ + 1) * r_ - 1) div greatest(q_, 1) + 1"))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("y")).cast("long").as("n_pos"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 6).as("pos_rate"),
+        round(Num.davg(col("score")), 6).as("avg_score"))
+      .orderBy("decile")
+  }
+}

@@ -406,6 +406,30 @@ object TextAnalysis {
           .as("avg_neglogp"))
   }
 
+  /** Flesch-reading-ease-style readability per document. Syllables use
+    * the standard vowel-group heuristic (runs of `[aeiouy]`), sentences
+    * the terminal-punctuation count (floored at 1 — the synthetic corpus
+    * has none, which just pins the words/sentence term to n_words).
+    * Narrow per-row regex counting inside codegen, no shuffle — linear
+    * in the scan at any corpus size. The score is a single round of a
+    * fixed-parenthesization double expression, so both engines compute
+    * the identical value. */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = size(split(col("text"), " ")).cast("long")
+    val nSents = greatest(regexp_count(col("text"), lit("[.!?]")).cast("long"), lit(1L))
+    val nSyl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    docs.select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+      .withColumn("bucket",
+        when(col("flesch") >= 60, lit("easy"))
+          .when(col("flesch") >= 30, lit("medium"))
+          .otherwise(lit("hard")))
+  }
+
   /** Word trigrams as a multiset (positional, unlike
     * [[Dedup.wordShingles]]' per-doc distinct set): pure array algebra —
     * two zip_with passes over three shifted slices, one generator per

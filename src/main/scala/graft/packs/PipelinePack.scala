@@ -367,6 +367,13 @@ object PipelinePack {
         .orderBy("doc_id")
     },
 
+    // Flesch-style readability: vowel-group syllables, terminal-punct
+    // sentences — per-row regex counting, narrow, no shuffle.
+    "q_text_readability" -> { (s, d) =>
+      graft.operators.TextAnalysis.readability(Tables.documents(s, d))
+        .orderBy("doc_id")
+    },
+
     // Context-window chunking with stride.
     "q_text_chunks" -> { (s, d) =>
       TextAnalysis.chunkWords(Tables.documents(s, d), CHUNK_W, CHUNK_S)
@@ -1248,6 +1255,24 @@ object PipelinePack {
          |       round(1.0 - n_distinct / n_grams, 6) AS repetition
          |FROM t JOIN ds USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         greatest(CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT),
+        |                  CAST(1 AS BIGINT)) AS n_sentences,
+        |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |             round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |                           - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+        |      FROM m)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+        |       CASE WHEN flesch >= 60 THEN 'easy'
+        |            WHEN flesch >= 30 THEN 'medium'
+        |            ELSE 'hard' END AS bucket
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_text_chunks" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

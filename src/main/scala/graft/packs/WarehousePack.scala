@@ -20,6 +20,27 @@ object WarehousePack {
   private val PR_DAMPING = 0.85
   private val PR_ITERS = 3
 
+  /** Shared constants for the round-5 behavioral-analytics queries —
+    * embedded verbatim in the generated oracle SQL so both engines
+    * compute from identical literals. */
+  private val FunnelStages = Seq("signup", "view", "purchase")
+  private val BasketMinCo = 2
+  private val BasketTopN = 50
+  private val LinkMaxDist = 2
+  private val GapFillMaxUser = 10L
+  private val SnapMaxKey = 5000L
+  private val SnapOldExcl = 3L  // keys missing from the old snapshot → inserts
+  private val SnapNewExcl = 7L  // keys missing from the new snapshot → deletes
+  private val SnapBumpEvery = 7L // every 7th key gets an updated price in the new snapshot
+  private val CmDepth = 4
+  private val CmWidth = 32
+  private val AucPosPriorities = Seq("1-URGENT", "2-HIGH")
+  private val WauWindowDays = 7
+  private val OverlapMaxKey = 2000L
+  private val OverlapSpanSec = 604800L
+  private val OverlapBinSec = 604800L
+  private val KAnonK = 5L
+
   val queries: Map[String, Q] = Map(
     // PageRank centrality over the (customer, supplier) co-order graph
     // — iterative damped rank with decimal-exact contribution sums.
@@ -513,6 +534,101 @@ object WarehousePack {
           sum((abs(col("x") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
             .cast("long")).as("n_outliers"))
         .orderBy("l_returnflag")
+    },
+
+    // Ordered funnel: per-stage user counts where each stage's first
+    // event is strictly after the previous stage's — N per-user min-aggs
+    // co-partitioned on user_id, no event-log window.
+    "q_x_funnel" -> { (s, d) =>
+      graft.operators.Analytics.funnel(Tables.events(s, d), FunnelStages)
+    },
+
+    // Weekly cohort retention grid in pure epoch-day integer arithmetic.
+    "q_x_cohort_retention" -> { (s, d) =>
+      graft.operators.Analytics.cohortRetention(Tables.events(s, d))
+    },
+
+    // Market-basket lift over co-ordered part pairs (Σ basket² candidate
+    // generation, never a global cross).
+    "q_x_basket_lift" -> { (s, d) =>
+      graft.operators.Analytics.basketLift(Tables.lineitem(s, d), BasketMinCo, BasketTopN)
+    },
+
+    // Blocked fuzzy record linkage: Levenshtein over nation×segment blocks.
+    "q_x_fuzzy_linkage" -> { (s, d) =>
+      graft.operators.Analytics.fuzzyLinkage(Tables.customer(s, d), LinkMaxDist)
+    },
+
+    // Dense hourly spine + LOCF + linear interpolation per user.
+    "q_x_gap_fill" -> { (s, d) =>
+      graft.operators.Analytics.gapFillHourly(Tables.events(s, d), "view", GapFillMaxUser)
+    },
+
+    // CDC snapshot diff: insert/delete/update classification between two
+    // deterministic snapshots of orders (one co-partitioned full-outer join).
+    "q_x_snapshot_diff" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= SnapMaxKey)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val oldSnap = base.filter(col("o_orderkey") % 10 =!= SnapOldExcl)
+      val newSnap = base.filter(col("o_orderkey") % 10 =!= SnapNewExcl)
+        .withColumn("o_totalprice",
+          col("o_totalprice") +
+            when(col("o_orderkey") % SnapBumpEvery === 0, lit(100.0)).otherwise(lit(0.0)))
+      graft.operators.Analytics
+        .snapshotDiff(oldSnap, newSnap, "o_orderkey", "o_totalprice")
+        .select(col("k").as("o_orderkey"), col("change"), col("old_v"), col("new_v"))
+    },
+
+    // Count-Min sketch frequency estimates (half-gated like the HLL /
+    // quantile sketches: exact count + est + the est≥exact guarantee).
+    "q_x_countmin" -> { (s, d) =>
+      graft.operators.Analytics.countMinEstimates(Tables.events(s, d), CmDepth, CmWidth)
+    },
+
+    // Rank-based ROC-AUC of price as a score for high order priority —
+    // distributed average-rank (two-level bucketed prefix sums, no
+    // global window).
+    "q_m_auc" -> { (s, d) =>
+      graft.operators.Analytics.rocAuc(
+        Tables.orders(s, d).select(col("o_totalprice").as("score"),
+          col("o_orderpriority").isin(AucPosPriorities.map(x => x: Any): _*)
+            .cast("int").as("y")),
+        "score", "y")
+    },
+
+    // Decile calibration of the same score: closed-form ntile over the
+    // two-level global row number.
+    "q_m_calibration" -> { (s, d) =>
+      graft.operators.Analytics.calibration(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice").as("score"),
+          col("o_orderpriority").isin(AucPosPriorities.map(x => x: Any): _*)
+            .cast("int").as("y")),
+        "score", "y", "o_orderkey")
+    },
+
+    // Rolling 7-day active users: constant-width generator fan-out, one
+    // count-distinct per day — never a self-join over the event log.
+    "q_x_rolling_wau" -> { (s, d) =>
+      graft.operators.Analytics.rollingWau(Tables.events(s, d), WauWindowDays)
+    },
+
+    // Interval×interval overlap via week-bin equi-join + exact predicate.
+    "q_x_interval_overlap" -> { (s, d) =>
+      graft.operators.Analytics.intervalOverlap(
+        Tables.orders(s, d), OverlapMaxKey, OverlapSpanSec, OverlapBinSec)
+    },
+
+    // k-anonymity audit over a quasi-identifier tuple.
+    "q_x_kanon" -> { (s, d) =>
+      graft.operators.Analytics.kAnonymityAudit(Tables.customer(s, d), KAnonK)
+    },
+
+    // Month-over-month revenue per region (lag window partitioned by region).
+    "q_x_period_over_period" -> { (s, d) =>
+      graft.operators.Analytics.periodOverPeriod(
+        Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))
     }
   )
 
@@ -929,6 +1045,225 @@ object WarehousePack {
         |       CAST(sum(CASE WHEN abs(d.x - d.med) > 3.0 * 1.4826 * s.mad
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM d JOIN s USING (l_returnflag)
-        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+
+    // GENERATED from FunnelStages — the same stage list, labels, and
+    // strictly-after semantics the Spark operator runs.
+    "q_x_funnel" -> {
+      val ctes = FunnelStages.zipWithIndex.tail.map { case (st, i) =>
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.sec) AS t FROM ev e
+           |  JOIN s$i ON e.user_id = s$i.user_id AND e.sec > s$i.t
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
+      }
+      val unions = FunnelStages.zipWithIndex.map { case (st, i) =>
+        s"SELECT '${i + 1}_$st' AS stage, count(*) AS n_users FROM s${i + 1}"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |            CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         |s1 AS (SELECT user_id, min(sec) AS t FROM ev
+         |       WHERE event_type = '${FunnelStages.head}' GROUP BY user_id),
+         |${ctes.mkString(",\n")},
+         |counts AS (
+         |  $unions)
+         |SELECT stage, n_users,
+         |       round(CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1), 6) AS pct_of_first
+         |FROM counts ORDER BY stage""".stripMargin
+    },
+
+    "q_x_cohort_retention" ->
+      """WITH ud AS (SELECT user_id,
+        |            CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS day0 FROM ud GROUP BY user_id)
+        |SELECT f.day0 // 7 AS cohort_week,
+        |       (ud.day - f.day0) // 7 AS offset_week,
+        |       count(DISTINCT ud.user_id) AS n_users
+        |FROM ud JOIN f ON ud.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_x_basket_lift" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pc AS (SELECT pk, count(*) AS n_pk FROM items GROUP BY pk),
+         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+         |pairs AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_co
+         |          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |          GROUP BY a.pk, b.pk
+         |          HAVING count(*) >= $BasketMinCo)
+         |SELECT part_a, part_b, n_co,
+         |       round(CAST(n_co AS DOUBLE) * (SELECT n_orders FROM n)
+         |             / (ca.n_pk * cb.n_pk), 6) AS lift
+         |FROM pairs
+         |JOIN pc ca ON ca.pk = pairs.part_a
+         |JOIN pc cb ON cb.pk = pairs.part_b
+         |ORDER BY n_co DESC, lift DESC, part_a, part_b
+         |LIMIT $BasketTopN""".stripMargin,
+
+    "q_x_fuzzy_linkage" ->
+      s"""SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         |       a.c_name AS name_a, b.c_name AS name_b,
+         |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         |FROM customer a JOIN customer b
+         |  ON a.c_nationkey = b.c_nationkey
+         | AND a.c_mktsegment = b.c_mktsegment
+         | AND a.c_custkey < b.c_custkey
+         |WHERE levenshtein(a.c_name, b.c_name) <= $LinkMaxDist
+         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q_x_gap_fill" ->
+      s"""WITH obs AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         |         round(${Num.dsumSql("value")}, 6) AS v
+         |  FROM events WHERE event_type = 'view' AND user_id < $GapFillMaxUser
+         |  GROUP BY 1, 2),
+         |bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM obs GROUP BY user_id),
+         |spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+         |j AS (SELECT s.user_id, s.hr, o.v
+         |      FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.hr = s.hr),
+         |w AS (SELECT user_id, hr, v,
+         |        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+         |          ROWS UNBOUNDED PRECEDING) AS v_prev,
+         |        max(CASE WHEN v IS NOT NULL THEN hr END) OVER (PARTITION BY user_id ORDER BY hr
+         |          ROWS UNBOUNDED PRECEDING) AS h_prev,
+         |        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+         |        min(CASE WHEN v IS NOT NULL THEN hr END) OVER (PARTITION BY user_id ORDER BY hr
+         |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS h_next
+         |      FROM j)
+         |SELECT user_id, hr, v, v_prev AS v_locf,
+         |       round(CASE WHEN v IS NOT NULL THEN v
+         |                  WHEN v_prev IS NULL THEN v_next
+         |                  WHEN v_next IS NULL THEN v_prev
+         |                  ELSE v_prev + (v_next - v_prev) * (hr - h_prev) / (h_next - h_prev)
+         |             END, 6) AS v_interp
+         |FROM w ORDER BY user_id, hr""".stripMargin,
+
+    "q_x_snapshot_diff" ->
+      s"""WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+         |           WHERE o_orderkey <= $SnapMaxKey),
+         |olds AS (SELECT o_orderkey AS k, o_totalprice AS old_v FROM o
+         |         WHERE o_orderkey % 10 <> $SnapOldExcl),
+         |news AS (SELECT o_orderkey AS k,
+         |                o_totalprice + CASE WHEN o_orderkey % $SnapBumpEvery = 0
+         |                                    THEN 100.0 ELSE 0.0 END AS new_v
+         |         FROM o WHERE o_orderkey % 10 <> $SnapNewExcl),
+         |j AS (SELECT coalesce(olds.k, news.k) AS o_orderkey, old_v, new_v
+         |      FROM olds FULL OUTER JOIN news ON olds.k = news.k),
+         |c AS (SELECT o_orderkey,
+         |             CASE WHEN old_v IS NULL THEN 'insert'
+         |                  WHEN new_v IS NULL THEN 'delete'
+         |                  WHEN old_v <> new_v THEN 'update'
+         |                  ELSE 'same' END AS change,
+         |             old_v, new_v
+         |      FROM j)
+         |SELECT o_orderkey, change, old_v, new_v FROM c
+         |WHERE change <> 'same' ORDER BY o_orderkey""".stripMargin,
+
+    // GENERATED from (CmDepth, CmWidth) — identical md5-derived buckets.
+    "q_x_countmin" -> {
+      val bucket = graft.functions.Hashing.md5LongSql(
+        "concat('cm', CAST(i AS VARCHAR), ':', CAST(user_id AS VARCHAR))")
+      s"""WITH exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id),
+         |probes AS (
+         |  SELECT user_id, exact, i, ($bucket % $CmWidth) AS b
+         |  FROM exact CROSS JOIN (SELECT unnest([${(0 until CmDepth).mkString(", ")}]) AS i)),
+         |cells AS (SELECT i, b, CAST(sum(exact) AS BIGINT) AS cell FROM probes GROUP BY i, b)
+         |SELECT p.user_id, p.exact, min(c.cell) AS est,
+         |       min(c.cell) >= p.exact AS sketch_ok
+         |FROM probes p JOIN cells c ON c.i = p.i AND c.b = p.b
+         |GROUP BY p.user_id, p.exact
+         |ORDER BY p.user_id""".stripMargin
+    },
+
+    // Single-node rank() face of the distributed average-rank AUC — the
+    // tie-group average rank is rank() + (|ties| − 1)/2 on the oracle and
+    // prefix-count + (|ties| + 1)/2 on the engine: identical values.
+    "q_m_auc" -> {
+      val posList = AucPosPriorities.map(p => s"'$p'").mkString(", ")
+      s"""WITH sc AS (SELECT o_totalprice AS score,
+         |                   CASE WHEN o_orderpriority IN ($posList) THEN 1 ELSE 0 END AS y
+         |            FROM orders),
+         |r AS (SELECT y,
+         |             CAST(rank() OVER (ORDER BY score) AS DOUBLE)
+         |               + (CAST(count(*) OVER (PARTITION BY score) AS DOUBLE) - 1) / 2 AS arank
+         |      FROM sc),
+         |a AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         |             CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         |             ${Num.dsumSql("CASE WHEN y = 1 THEN arank ELSE 0 END")} AS rank_sum
+         |      FROM r)
+         |SELECT n_pos, n_neg,
+         |       round((rank_sum - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)
+         |             / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+         |FROM a""".stripMargin
+    },
+
+    "q_m_calibration" -> {
+      val posList = AucPosPriorities.map(p => s"'$p'").mkString(", ")
+      s"""WITH sc AS (SELECT o_orderkey AS k, o_totalprice AS score,
+         |                   CASE WHEN o_orderpriority IN ($posList) THEN 1 ELSE 0 END AS y
+         |            FROM orders),
+         |b AS (SELECT y, score,
+         |             CAST(ntile(10) OVER (ORDER BY score, k) AS BIGINT) AS decile
+         |      FROM sc)
+         |SELECT decile, count(*) AS n_rows, CAST(sum(y) AS BIGINT) AS n_pos,
+         |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+         |       round(${Num.davgSql("score")}, 6) AS avg_score
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+    },
+
+    "q_x_rolling_wau" ->
+      s"""WITH ud AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |                            user_id FROM events),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+         |c AS (SELECT user_id, day + k AS day_out
+         |      FROM ud CROSS JOIN (SELECT unnest(range(0, $WauWindowDays)) AS k))
+         |SELECT day_out, count(DISTINCT user_id) AS wau
+         |FROM c, b WHERE day_out BETWEEN lo AND hi
+         |GROUP BY day_out ORDER BY day_out""".stripMargin,
+
+    "q_x_interval_overlap" ->
+      s"""WITH iv AS (SELECT o_orderkey AS key,
+         |                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS s,
+         |                   CAST(floor(epoch(o_orderdate)) AS BIGINT) + $OverlapSpanSec AS e
+         |            FROM orders WHERE o_orderkey <= $OverlapMaxKey),
+         |bn AS (SELECT key, s, e,
+         |              unnest(generate_series(s // $OverlapBinSec,
+         |                                     (e - 1) // $OverlapBinSec)) AS bin
+         |       FROM iv),
+         |a AS (SELECT * FROM bn WHERE key % 2 = 0),
+         |b AS (SELECT bin, key AS b_key, s AS b_s, e AS b_e FROM bn WHERE key % 2 = 1),
+         |p AS (SELECT DISTINCT a.key AS a_key, b.b_key
+         |      FROM a JOIN b ON a.bin = b.bin
+         |      WHERE a.s < b.b_e AND b.b_s < a.e)
+         |SELECT a_key, count(*) AS n_overlaps, min(b_key) AS first_b
+         |FROM p GROUP BY a_key ORDER BY a_key""".stripMargin,
+
+    "q_x_kanon" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+         |       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+         |       count(*) AS n
+         |FROM customer
+         |GROUP BY 1, 2, 3
+         |HAVING count(*) < $KAnonK
+         |ORDER BY nation, segment, balance_band""".stripMargin,
+
+    "q_x_period_over_period" ->
+      s"""WITH rev AS (
+         |  SELECT r_name,
+         |         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS yyyymm,
+         |         round(${Num.dsumSql("l_extendedprice * (1 - l_discount)")}, 6) AS revenue
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN region   ON n_regionkey = r_regionkey
+         |  GROUP BY 1, 2)
+         |SELECT r_name, yyyymm, revenue,
+         |       lag(revenue, 1) OVER w AS prev_revenue,
+         |       round(revenue - lag(revenue, 1) OVER w, 6) AS delta,
+         |       round((revenue - lag(revenue, 1) OVER w) / lag(revenue, 1) OVER w, 6)
+         |         AS pct_change
+         |FROM rev
+         |WINDOW w AS (PARTITION BY r_name ORDER BY yyyymm)
+         |ORDER BY r_name, yyyymm""".stripMargin
   )
 }
