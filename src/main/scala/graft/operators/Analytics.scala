@@ -370,6 +370,79 @@ object Analytics {
           (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Gini coefficient of a revenue-like concentration: customers ranked
+    * ascending by total spend, `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`.
+    * The global ascending rank is the same two-level bucketed machinery
+    * as [[rocAuc]] (unique (x, key) tiebreak), so no empty-PARTITION-BY
+    * window exists; Σx and Σ i·x run as exact decimal sums (the i·x
+    * product multiplies DECIMALS, never doubles, so both engines land
+    * on the identical scaled integer).
+    */
+  def giniConcentration(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey").as("k"))
+      .agg(round(Num.dsum(col("o_totalprice")), 6).as("x"))
+    val stats = rev.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val bucketed = rev.crossJoin(broadcast(stats))
+      .withColumn("b", rangeBucket(col("x"), col("lo"), col("hi")))
+    val inBucket = Window.partitionBy("b").orderBy("x", "k")
+    val counts = bucketed.groupBy("b").agg(count(lit(1)).as("cnt"))
+    bucketed
+      .withColumn("rn_in", row_number().over(inBucket).cast("long"))
+      .join(bucketOffsets(counts), Seq("b"))
+      .withColumn("i", col("offset") + col("rn_in"))
+      .agg(count(lit(1)).as("n_customers"),
+        Num.dsum(col("x")).as("tot"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)) *
+          col("i").cast(org.apache.spark.sql.types.DecimalType(12, 0)))
+          .cast("double").as("ix"))
+      .select(col("n_customers"),
+        round(col("tot"), 6).as("total_revenue"),
+        round((lit(2.0) * col("ix") - (col("n_customers") + 1) * col("tot")) /
+          (col("n_customers") * col("tot")), 6).as("gini"))
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: `p(to | from)` with counts. The sequence orders by
+    * (epoch second, event_type) — the tiebreak makes the TYPE sequence
+    * deterministic even when events share a second — and the lead window
+    * is partitioned by user (bounded by one user's history). The
+    * normalizing window runs over the |types|² aggregate, partitioned by
+    * the from-state: constant-size, never the event log.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_type")
+    ev.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Benford first-digit audit of a positive money column: observed digit
+    * shares vs `log10(1 + 1/d)`. The digit comes from the decimal string
+    * of `floor(x·100)` (exact integer cents — floored, never cast-rounded,
+    * so both engines truncate the identical double), making the hot path
+    * one narrow codegen'd projection + a 9-group aggregate.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val digits = orders.filter(col("o_totalprice") > 0)
+      .select(substring(floor(col("o_totalprice") * lit(100.0)).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).cast("double").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_p"),
+        round(abs(col("n") / col("total") -
+          log10(lit(1.0) + lit(1.0) / col("digit"))), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
   /** Decile calibration table: score-ordered `ntile(10)` buckets → observed
     * positive rate and mean score per bucket. The global row number is the
     * same two-level bucketed rank as [[rocAuc]] (tie-free via the unique

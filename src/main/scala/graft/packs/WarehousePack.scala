@@ -629,6 +629,22 @@ object WarehousePack {
       graft.operators.Analytics.periodOverPeriod(
         Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))
+    },
+
+    // Gini coefficient of customer spend (two-level distributed rank,
+    // decimal-exact Σx / Σ i·x).
+    "q_x_gini" -> { (s, d) =>
+      graft.operators.Analytics.giniConcentration(Tables.orders(s, d))
+    },
+
+    // First-order Markov transition matrix over user event sequences.
+    "q_x_markov_transitions" -> { (s, d) =>
+      graft.operators.Analytics.markovTransitions(Tables.events(s, d))
+    },
+
+    // Benford first-digit audit of order totals.
+    "q_x_benford" -> { (s, d) =>
+      graft.operators.Analytics.benfordAudit(Tables.orders(s, d))
     }
   )
 
@@ -1264,6 +1280,51 @@ object WarehousePack {
          |         AS pct_change
          |FROM rev
          |WINDOW w AS (PARTITION BY r_name ORDER BY yyyymm)
-         |ORDER BY r_name, yyyymm""".stripMargin
+         |ORDER BY r_name, yyyymm""".stripMargin,
+
+    // Single-node row_number() face of the distributed two-level rank —
+    // identical i per row because (x, k) is a unique sort key.
+    "q_x_gini" ->
+      s"""WITH rev AS (SELECT o_custkey AS k,
+         |                    round(${Num.dsumSql("o_totalprice")}, 6) AS x
+         |             FROM orders GROUP BY o_custkey),
+         |r AS (SELECT k, x,
+         |             CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i
+         |      FROM rev),
+         |a AS (SELECT count(*) AS n_customers,
+         |             ${Num.dsumSql("x")} AS tot,
+         |             CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(i AS DECIMAL(12,0)))
+         |                  AS DOUBLE) AS ix
+         |      FROM r)
+         |SELECT n_customers, round(tot, 6) AS total_revenue,
+         |       round((2.0 * ix - (n_customers + 1) * tot)
+         |             / (n_customers * tot), 6) AS gini
+         |FROM a""".stripMargin,
+
+    "q_x_markov_transitions" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |            CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY sec, event_type) AS to_type
+        |      FROM ev),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM s
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_x_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT)
+        |                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+        |SELECT digit, n,
+        |       round(n / total, 6) AS p,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+        |       round(abs(n / total - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+        |FROM c, t ORDER BY digit""".stripMargin
   )
 }

@@ -195,6 +195,52 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("gini equals the closed form on a hand-computed ladder, bounded in [0,1]") {
+    import spark.implicits._
+    // equal spend → G = 0 exactly
+    val flat = (1L to 8L).map(k => (k, 100.0)).toDF("o_custkey", "o_totalprice")
+    assert(Analytics.giniConcentration(flat).collect().head.getAs[Double]("gini") == 0.0)
+    // ladder 1..4 (one order per customer): G = (2·Σi·i − 5·Σi)/(4·Σi) = 0.25
+    val ladder = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("o_custkey", "o_totalprice")
+    assert(Analytics.giniConcentration(ladder).collect().head.getAs[Double]("gini") == 0.25)
+    // real data: bounded and deterministic under repartitioning
+    val o = Tables.orders(spark, d)
+    val g1 = Analytics.giniConcentration(o).collect().head
+    val g2 = Analytics.giniConcentration(o.repartition(7)).collect().head
+    assert(g1.getAs[Double]("gini") == g2.getAs[Double]("gini"))
+    assert(g1.getAs[Double]("gini") >= 0.0 && g1.getAs[Double]("gini") <= 1.0)
+  }
+
+  test("markov transitions: rows per from-state sum to p=1, counts match a direct pass") {
+    val out = Analytics.markovTransitions(Tables.events(spark, d)).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"p rows sum to $psum")
+    }
+    // total transitions = Σ per-user (events − 1)
+    val perUser = Tables.events(spark, d).groupBy("user_id").count().collect()
+    val expected = perUser.map(r => math.max(0L, r.getAs[Long]("count") - 1)).sum
+    assert(out.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("benford audit: digits 1-9 cover every positive row, probabilities sum to 1") {
+    val o = Tables.orders(spark, d)
+    val out = Analytics.benfordAudit(o).collect()
+    assert(out.map(_.getAs[Long]("digit")).forall(dg => dg >= 1 && dg <= 9))
+    assert(out.map(_.getAs[Long]("n")).sum == o.filter(col("o_totalprice") > 0).count())
+    assert(math.abs(out.map(_.getAs[Double]("p")).sum - 1.0) < 1e-4)
+    // the theoretical column is the Benford mass function (sums to 1 over 1..9)
+    val benfordSum = (1 to 9).map(dg => math.log10(1.0 + 1.0 / dg)).sum
+    assert(math.abs(benfordSum - 1.0) < 1e-12)
+    out.foreach { r =>
+      val expect = BigDecimal(math.log10(1.0 + 1.0 / r.getAs[Long]("digit")))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("benford_p") == expect)
+    }
+  }
+
   test("readability buckets agree with the flesch thresholds") {
     val out = graft.operators.TextAnalysis.readability(
       Tables.documents(spark, d)).collect()
