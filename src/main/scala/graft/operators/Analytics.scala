@@ -480,4 +480,228 @@ object Analytics {
         round(Num.davg(col("score")), 6).as("avg_score"))
       .orderBy("decile")
   }
+
+  /** χ² test of independence between two categorical columns: the
+    * contingency table with expected counts and per-cell contributions,
+    * plus the repeated (chi2, dof) totals.
+    *
+    * The hot path is ONE map-side-combined groupBy into |A|·|B| cells;
+    * marginals and the grand total are aggregates OF that bounded cell
+    * table, broadcast back — the raw table is scanned exactly once and
+    * nothing after the first aggregate scales with input rows.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("a").agg(sum(col("n")).as("a_tot"))
+    val colTot = cells.groupBy("b").agg(sum(col("n")).as("b_tot"))
+    val grand = cells.agg(sum(col("n")).cast("double").as("total"),
+      countDistinct(col("a")).as("n_a"), countDistinct(col("b")).as("n_b"))
+    val withExp = cells
+      .join(broadcast(rowTot), Seq("a")).join(broadcast(colTot), Seq("b"))
+      .crossJoin(broadcast(grand))
+      .withColumn("expected", col("a_tot") * col("b_tot") / col("total"))
+      .withColumn("contrib",
+        round((col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"), 6))
+    // χ² totals the ROUNDED contributions through DECIMAL — a raw double
+    // sum over the unordered cell table would be partition-order-dependent
+    // in the last ulps.
+    val totals = withExp.agg(round(Num.dsum(col("contrib")), 6).as("chi2"))
+    withExp.crossJoin(broadcast(totals))
+      .select(col("a").as(aCol), col("b").as(bCol), col("n"),
+        round(col("expected"), 6).as("expected"),
+        round(col("contrib"), 6).as("contrib"),
+        col("chi2"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"))
+      .orderBy(aCol, bCol)
+  }
+
+  /** Welch's unequal-variance t-test of a money column between one
+    * priority class and the rest — one conditional-aggregation scan
+    * (no join, no second pass). Sums are decimal-exact; Σx² runs at
+    * DECIMAL(38,6) because squared cents overflow 18 digits. The t
+    * statistic and Welch–Satterthwaite dof are closed-form doubles over
+    * those exact sums, so both engines evaluate the identical IEEE
+    * expression tree. The raw variances (~1e10) are reported at 2 dp:
+    * at that magnitude 6 dp sits below one double ulp, so the engines'
+    * decimal→double conversion (correctly-rounded vs two-step) could
+    * flip the last printed digit.
+    */
+  def welchTTest(orders: DataFrame, urgentPriority: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 6)
+    val x = col("o_totalprice")
+    val isA = col("o_orderpriority") === urgentPriority
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    def dsumIf(p: Column, c: Column) =
+      sum(when(p, c).otherwise(lit(0.0)).cast(big)).cast("double")
+    val agg = orders.agg(
+      cnt(isA).as("n_a"), cnt(!isA).as("n_b"),
+      dsumIf(isA, x).as("sx_a"), dsumIf(!isA, x).as("sx_b"),
+      dsumIf(isA, x * x).as("sxx_a"), dsumIf(!isA, x * x).as("sxx_b"))
+    def meanOf(s: Column, n: Column) = s / n
+    def varOf(sxx: Column, s: Column, n: Column) =
+      (sxx - s * s / n) / (n - 1)
+    agg.select(col("n_a"), col("n_b"),
+        meanOf(col("sx_a"), col("n_a")).as("m_a"),
+        meanOf(col("sx_b"), col("n_b")).as("m_b"),
+        varOf(col("sxx_a"), col("sx_a"), col("n_a")).as("v_a"),
+        varOf(col("sxx_b"), col("sx_b"), col("n_b")).as("v_b"))
+      .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"), round(col("m_b"), 6).as("mean_b"),
+        round(col("v_a"), 2).as("var_a"), round(col("v_b"), 2).as("var_b"),
+        round((col("m_a") - col("m_b")) / sqrt(col("se2")), 6).as("t_stat"),
+        round(col("se2") * col("se2") /
+          (col("v_a") * col("v_a") / (col("n_a") * col("n_a") * (col("n_a") - 1)) +
+           col("v_b") * col("v_b") / (col("n_b") * col("n_b") * (col("n_b") - 1))), 6)
+          .as("welch_dof"))
+  }
+
+  /** Pairwise Pearson correlation matrix over a set of numeric columns,
+    * computed from ONE aggregation pass of decimal-exact sufficient
+    * statistics (n, Σx, Σx², Σxy at DECIMAL(38,6) — squares overflow 18
+    * digits) and unpivoted to one row per unordered pair. Built-in
+    * `corr` is streaming-order-dependent in the last ulps; explicit sums
+    * make the double algebra identical on any engine and any partition
+    * count.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 6)
+    def s1(c: String) = sum(col(c).cast(big)).cast("double").as(s"s_$c")
+    def s2(a: String, b: String) =
+      sum((col(a) * col(b)).cast(big)).cast("double").as(s"s_${a}_$b")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = cols.map(s1) ++ cols.map(c => s2(c, c)) ++
+      pairs.map { case (a, b) => s2(a, b) }
+    val stat = df.agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+    val pairRows = pairs.map { case (a, b) =>
+      struct(lit(a).as("var_x"), lit(b).as("var_y"),
+        round((col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")) *
+               (col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+          .as("corr"))
+    }
+    stat.select(explode(array(pairRows: _*)).as("p"), col("n").cast("long").as("n"))
+      .select(col("p.var_x"), col("p.var_y"), col("n"), col("p.corr"))
+      .orderBy("var_x", "var_y")
+  }
+
+  /** Sample autocorrelation of the daily-revenue series at lags 1..`maxLag`:
+    * Pearson corr of the matched (x_t, x_{t+lag}) pairs per lag.
+    *
+    * The series is a date-keyed aggregate; each lag is a co-partitioned
+    * equi-join of the series to itself on `date + lag` — a constant
+    * `maxLag`-way fan-out of a small series, never a global-order window
+    * over it. Sums are decimal-exact (Σxy at DECIMAL(38,6)).
+    */
+  def acfDaily(orders: DataFrame, maxLag: Int): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 6)
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(Num.dsum(col("o_totalprice")), 6).as("x"))
+    val lags = (1 to maxLag).map(l => struct(lit(l).as("lag")))
+    val fan = daily.select(col("d"), col("x"),
+      explode(array(lags: _*)).as("l")).select(col("d"), col("x"), col("l.lag"))
+    val shifted = daily.select(col("d").as("d0"), col("x").as("y"))
+    fan.join(shifted, expr("date_add(d, lag) = d0"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(big)).cast("double").as("sx"),
+        sum(col("y").cast(big)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(big)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(big)).cast("double").as("syy"),
+        sum((col("x") * col("y")).cast(big)).cast("double").as("sxy"))
+      .select(col("lag").cast("long").as("lag"), col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** l-diversity audit over the same quasi-identifier tuple as
+    * [[kAnonymityAudit]]: per (nation, segment) group, how many distinct
+    * sensitive values (balance band) it exposes, flagging groups below
+    * `l` — the complementary re-identification risk k-anonymity misses.
+    * One map-side-combined groupBy; distinct-count inside the group.
+    */
+  def lDiversityAudit(customer: DataFrame, l: Long): DataFrame =
+    customer.select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("balance_band"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("balance_band")).as("distinct_sensitive"))
+      .withColumn("below_l", (col("distinct_sensitive") < l).cast("int"))
+      .orderBy("nation", "segment")
+
+  /** Day-of-week seasonality profile of order revenue: per-weekday order
+    * count, revenue share, and the seasonality index (weekday's average
+    * order value over the global average). One 7-group aggregate plus a
+    * broadcast of its own 1-row rollup.
+    */
+  def dowSeasonality(orders: DataFrame): DataFrame = {
+    val byDow = orders
+      .groupBy(dayofweek(to_date(col("o_orderdate"))).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.dsum(col("o_totalprice")).as("rev"))
+    // rev_tot re-sums the per-day doubles through DECIMAL — deterministic
+    // regardless of which of the 7 rows combines first.
+    val tot = byDow.agg(sum(col("n_orders")).cast("double").as("n_tot"),
+      Num.dsum(col("rev")).as("rev_tot"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"),
+        round(col("rev"), 6).as("revenue"),
+        round(col("rev") / col("rev_tot"), 6).as("rev_share"),
+        round((col("rev") / col("n_orders")) / (col("rev_tot") / col("n_tot")), 6)
+          .as("index"))
+      .orderBy("dow")
+  }
+
+  /** Mann–Kendall trend test over the monthly-revenue series: S =
+    * Σ_{i<j} sign(x_j − x_i) and Kendall's tau = S / (n(n−1)/2).
+    *
+    * The monthly series is CONSTANT-size at any scale factor (the
+    * order-date span is fixed — ~84 months), so the pairwise compare is
+    * a broadcast cross of two bounded frames (the allowed
+    * broadcast-bounded shape, like the similarity query sides) — the
+    * corpus-scaled work is only the one map-side-combined monthly
+    * aggregate. Monthly sums are decimal-exact and rounded BEFORE the
+    * sign compare, so both engines branch identically.
+    */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("m"))
+      .agg(round(Num.dsum(col("o_totalprice")), 6).as("x"))
+    val lhs = monthly.select(col("m").as("m1"), col("x").as("x1"))
+    val rhs = monthly.select(col("m").as("m2"), col("x").as("x2"))
+    val sRow = lhs.crossJoin(broadcast(rhs))
+      .filter(col("m1") < col("m2"))
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+    val nRow = monthly.agg(count(lit(1)).as("n_months"))
+    nRow.crossJoin(broadcast(sRow))
+      .select(col("n_months"), col("s_stat"),
+        round(col("s_stat") /
+          (col("n_months") * (col("n_months") - 1) / lit(2.0)), 6).as("tau"))
+  }
+
+  /** Fixed-bound equi-width histogram of a money column: `bins` buckets
+    * over [lo, hi), out-of-range values clamped to the edge buckets.
+    * Literal bounds keep it a single narrow projection + one bounded
+    * groupBy — no min/max pre-pass, no second scan; empty buckets are
+    * absent (sparse), exactly as the SQL spelling.
+    */
+  def histogram(orders: DataFrame, lo: Double, hi: Double, bins: Int): DataFrame = {
+    val w = (hi - lo) / bins
+    val b = least(greatest(floor((col("o_totalprice") - lit(lo)) / lit(w)), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    orders.select(b.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * lit(w), 6).as("bucket_lo"),
+        round(lit(lo) + (col("bucket") + 1) * lit(w), 6).as("bucket_hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
 }

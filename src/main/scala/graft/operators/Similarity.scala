@@ -489,4 +489,63 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
     Dedup.materializeThenRelease(ranked, e)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of a keyword
+    * ranking and a vector ranking for one query — the standard
+    * hybrid-search combiner: rrf(d) = Σ_lists 1/(c + rank_list(d)),
+    * absent lists contributing 0.
+    *
+    * Keyword side: BM25 over the corpus for a fixed term set; vector
+    * side: exact cosine top-k for one query embedding (doc_id ≡ vec_id
+    * in the corpus). Both inputs arrive already bounded (≤ k rows
+    * each), so the fusion itself is a full-outer join of two k-row
+    * frames plus a re-rank of ≤ 2k rows — nothing in this operator
+    * scales with the corpus; the heavy lifting stays inside the two
+    * scale-shaped retrieval operators it composes. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                queryVecId: Long, k: Int, c: Int): DataFrame = {
+    val bm = TextAnalysis.bm25TopK(docs, terms, k)
+      .select(col("doc_id"), col("rn").as("bm25_rn"))
+    val cs = bruteForceTopK(emb, col("vec_id") === queryVecId, k)
+      .select(col("vec_id").as("doc_id"), col("rn").as("cosine_rn"))
+    val fused = bm.join(cs, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rn"), col("cosine_rn"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("bm25_rn")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("cosine_rn")), lit(0.0)),
+          6).as("rrf"))
+    heapTopKGlobal(fused, "rrf", "doc_id", k)
+      .join(fused.select(col("doc_id"), col("bm25_rn"), col("cosine_rn")),
+        Seq("doc_id"))
+      .select(col("rn"), col("doc_id"), col("rrf"),
+        col("bm25_rn"), col("cosine_rn"))
+  }
+
+  /** Johnson–Lindenstrauss random projection + distortion report: each
+    * normalized vector is projected through the seeded Gaussian plane
+    * matrix (the SAME literals the LSH family embeds — here used as a
+    * dense projection, not sign buckets), the projection re-normalized,
+    * and cosine distortion measured over the deterministic pair sample
+    * (vec_id, vec_id + step) — an equi-join, so the report is linear in
+    * the table and needs no pair cap at any scale. The projection
+    * itself is a narrow per-row map: nPlanes codegen'd dot products. */
+  def randomProjectionDistortion(emb: DataFrame, step: Long,
+                                 nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val e = normalized(emb)
+    val proj = e.select(col("vec_id"), col("v"),
+        array(planes.map(p => expr(s"dotp(v, ${planeSql(p)})")): _*).as("praw"))
+      .withColumn("pn", sqrt(expr("dotp(praw, praw)")))
+      .select(col("vec_id"), col("v"),
+        transform(col("praw"), x => x / col("pn")).as("pv"))
+    val lhs = proj.select(col("vec_id").as("vec_a"),
+      col("v").as("va"), col("pv").as("pa"))
+    val rhs = proj.select((col("vec_id") - step).as("vec_a"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("pv").as("pb"))
+    lhs.join(rhs, Seq("vec_a"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("dotp(va, vb)"), 6).as("cos_orig"),
+        round(expr("dotp(pa, pb)"), 6).as("cos_proj"))
+      .withColumn("abs_err", round(abs(col("cos_proj") - col("cos_orig")), 6))
+  }
 }

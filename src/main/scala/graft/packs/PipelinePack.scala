@@ -91,6 +91,14 @@ object PipelinePack {
     * (shared literals with the oracle). */
   private val BM25_TERMS = Seq("spark", "join", "window")
   private val BM25_K = 20
+  /** Hybrid RRF retrieval: the standard rank constant (Cormack 2009)
+    * and the fixed query vector fused with the BM25 term ranking. */
+  private val RRF_C = 60
+  private val RRF_QVEC = 100L
+  /** JL random projection: plane count (the 16 LSH hyperplanes reused
+    * as a dense projection) and the deterministic pair-sample stride. */
+  private val RP_PLANES = 16
+  private val RP_STEP = 17L
   /** Misra–Gries heavy hitters: counter budget and report size. */
   private val MG_K = 400
   private val HH_TOP = 10
@@ -468,6 +476,21 @@ object PipelinePack {
       TextAnalysis.bm25TopK(Tables.documents(s, d), BM25_TERMS, BM25_K)
         .orderBy("rn")
     },
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+    // ranking and the exact-cosine vector ranking for one query.
+    "q_sim_hybrid_rrf" -> { (s, d) =>
+      Similarity.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+          BM25_TERMS, RRF_QVEC, BM25_K, RRF_C)
+        .orderBy("rn")
+    },
+    // Johnson–Lindenstrauss random projection (the LSH hyperplanes as a
+    // dense 16-dim projection) + cosine-distortion report over the
+    // deterministic (vec_id, vec_id + step) pair sample.
+    "q_sim_random_projection" -> { (s, d) =>
+      Similarity.randomProjectionDistortion(Tables.embeddings(s, d),
+          RP_STEP, RP_PLANES, DIM)
+        .orderBy("vec_a")
+    },
     // Corpus-drift report: per-lang smoothed KL divergence between the
     // even-doc_id and odd-doc_id snapshots (both directions).
     "q_text_kl_drift" -> { (s, d) =>
@@ -711,11 +734,45 @@ object PipelinePack {
     * sign test branches identically on both engines), banded 4×4 bits
     * exactly like [[Similarity.bandedIds]]. Expects the `e` CTE
     * (normalized vectors) to be in scope. */
-  private val lshCtes: String = {
-    val planes = Similarity.hyperplanes(16, DIM)
-    val planeVals = planes.zipWithIndex
+  /** One plane-matrix VALUES row per hyperplane — ONE literalization
+    * shared by the LSH band oracles and the JL projection oracle, so
+    * the embedded doubles cannot drift between them. */
+  private def planesValuesSql(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex
       .map { case (p, i) => s"($i, ${p.mkString("[", ", ", "]")}::DOUBLE[])" }
       .mkString(",\n    ")
+
+  /** BM25 CTE chain ending in the ranked CTE `br` (rn over score DESC,
+    * doc_id ASC) — mirrors [[TextAnalysis.bm25TopK]]; shared by the
+    * standalone BM25 oracle and the hybrid-RRF fusion oracle. CTE names
+    * are disjoint from the normalized-vector chain so both can sit in
+    * one WITH clause. */
+  private lazy val bm25RankedCtes: String = {
+    val inList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    s"""dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |            FROM documents),
+       |st AS (SELECT count(*) AS n_docs,
+       |              CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+       |       FROM documents),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+       |       WHERE word IN ($inList) GROUP BY doc_id, word),
+       |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |bsc AS (SELECT doc_id,
+       |             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |               (tf * (${TextAnalysis.Bm25K1} + 1.0)) /
+       |               (tf + ${TextAnalysis.Bm25K1} * (1.0 - ${TextAnalysis.Bm25B} +
+       |                ${TextAnalysis.Bm25B} * dl / avgdl)) AS term_score
+       |      FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), st),
+       |bg AS (SELECT doc_id, round(${Num.dsumSql("term_score")}, 6) AS score
+       |      FROM bsc GROUP BY doc_id),
+       |br AS (SELECT doc_id, score,
+       |             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
+       |      FROM bg)""".stripMargin
+  }
+
+  private val lshCtes: String = {
+    val planeVals = planesValuesSql(Similarity.hyperplanes(16, DIM))
     s"""planes(p_id, p) AS (VALUES
        |    $planeVals),
        |sigs AS (
@@ -1319,30 +1376,62 @@ object PipelinePack {
     // Same parenthesization as the Spark expression tree — every factor
     // is exact (integer counts, one-division avgdl), so both engines
     // compute identical doubles; term sum decimal-stable, score rounded
-    // to 6 before ranking.
-    "q_text_bm25" -> {
-      val inList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
-      s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |            FROM documents),
-         |st AS (SELECT count(*) AS n_docs,
-         |              CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
-         |       FROM documents),
-         |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
-         |       WHERE word IN ($inList) GROUP BY doc_id, word),
-         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
-         |s AS (SELECT doc_id,
-         |             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-         |               (tf * (${TextAnalysis.Bm25K1} + 1.0)) /
-         |               (tf + ${TextAnalysis.Bm25K1} * (1.0 - ${TextAnalysis.Bm25B} +
-         |                ${TextAnalysis.Bm25B} * dl / avgdl)) AS term_score
-         |      FROM tf JOIN df USING (word) JOIN dl USING (doc_id), st),
-         |g AS (SELECT doc_id, round(${Num.dsumSql("term_score")}, 6) AS score
-         |      FROM s GROUP BY doc_id),
-         |r AS (SELECT doc_id, score,
-         |             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rn
-         |      FROM g)
-         |SELECT rn, doc_id, score FROM r WHERE rn <= $BM25_K ORDER BY rn""".stripMargin
+    // to 6 before ranking. CTE chain shared with the hybrid-RRF oracle.
+    "q_text_bm25" ->
+      s"""WITH $bm25RankedCtes
+         |SELECT rn, doc_id, score FROM br WHERE rn <= $BM25_K ORDER BY rn""".stripMargin,
+
+    // RRF = Σ 1/(C + rank) over the two bounded rankings (absent list →
+    // 0); both rank chains are the SAME CTE spellings as their
+    // standalone oracles, the fusion re-rank tie-breaks on doc_id like
+    // the bounded aggregator.
+    "q_sim_hybrid_rrf" ->
+      s"""WITH $bm25RankedCtes,
+         |$normalizedCte,
+         |cq AS (SELECT v AS qv FROM e WHERE vec_id = $RRF_QVEC),
+         |csc AS (SELECT e.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
+         |        FROM cq, e WHERE e.vec_id <> $RRF_QVEC),
+         |cr AS (SELECT vec_id, cosine,
+         |              CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+         |       FROM csc),
+         |f AS (SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+         |             b.rn AS bm25_rn, c.rn AS cosine_rn,
+         |             round(COALESCE(1.0 / ($RRF_C + b.rn), 0.0) +
+         |                   COALESCE(1.0 / ($RRF_C + c.rn), 0.0), 6) AS rrf
+         |      FROM (SELECT * FROM br WHERE rn <= $BM25_K) b
+         |      FULL JOIN (SELECT * FROM cr WHERE rn <= $BM25_K) c
+         |        ON b.doc_id = c.vec_id),
+         |fr AS (SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rn,
+         |              doc_id, rrf, bm25_rn, cosine_rn
+         |       FROM f)
+         |SELECT rn, doc_id, rrf, bm25_rn, cosine_rn FROM fr
+         |WHERE rn <= $BM25_K ORDER BY rn""".stripMargin,
+
+    // The SAME plane literals the LSH oracles embed, used densely:
+    // praw_i = fold-dot(v, plane_i) in p_id order, re-normalized, then
+    // cosine over the (vec_id, vec_id + step) equi-pair sample. Every
+    // dot is the sequential fold, so both engines branch and round
+    // identically.
+    "q_sim_random_projection" -> {
+      val planeVals = planesValuesSql(Similarity.hyperplanes(RP_PLANES, DIM))
+      s"""WITH $normalizedCte,
+         |planes(p_id, p) AS (VALUES
+         |    $planeVals),
+         |pr AS (SELECT vec_id, list(${dotSql("v", "p")} ORDER BY p_id) AS praw
+         |       FROM e, planes GROUP BY vec_id),
+         |pn AS (SELECT vec_id,
+         |              list_transform(praw, x -> x / sqrt(${dotSql("praw", "praw")})) AS pv
+         |       FROM pr),
+         |j AS (SELECT vec_id, v, pv FROM e JOIN pn USING (vec_id)),
+         |ja AS (SELECT vec_id AS vec_a, v AS va, pv AS pa FROM j),
+         |jb AS (SELECT vec_id AS vec_b, v AS vb, pv AS pb FROM j),
+         |pairs AS (SELECT vec_a, vec_b,
+         |                 round(${dotSql("va", "vb")}, 6) AS cos_orig,
+         |                 round(${dotSql("pa", "pb")}, 6) AS cos_proj
+         |          FROM ja JOIN jb ON vec_b = vec_a + $RP_STEP)
+         |SELECT vec_a, vec_b, cos_orig, cos_proj,
+         |       round(abs(cos_proj - cos_orig), 6) AS abs_err
+         |FROM pairs ORDER BY vec_a""".stripMargin
     },
 
     // The log argument is a ratio of exact integer products (cast to

@@ -40,6 +40,12 @@ object WarehousePack {
   private val OverlapSpanSec = 604800L
   private val OverlapBinSec = 604800L
   private val KAnonK = 5L
+  private val LDiversityL = 4L
+  private val AcfMaxLag = 7
+  private val HistLo = 0.0
+  private val HistHi = 600000.0
+  private val HistBins = 20
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   val queries: Map[String, Q] = Map(
     // PageRank centrality over the (customer, supplier) co-order graph
@@ -645,6 +651,47 @@ object WarehousePack {
     // Benford first-digit audit of order totals.
     "q_x_benford" -> { (s, d) =>
       graft.operators.Analytics.benfordAudit(Tables.orders(s, d))
+    },
+
+    // χ² independence of order status × priority (bounded cell table).
+    "q_x_chi_square" -> { (s, d) =>
+      graft.operators.Analytics.chiSquareIndependence(
+        Tables.orders(s, d), "o_orderstatus", "o_orderpriority")
+    },
+
+    // Welch's t-test: urgent vs non-urgent order value, one scan.
+    "q_x_ttest_welch" -> { (s, d) =>
+      graft.operators.Analytics.welchTTest(Tables.orders(s, d), "1-URGENT")
+    },
+
+    // Pairwise Pearson correlations from one sufficient-statistics pass.
+    "q_x_corr_matrix" -> { (s, d) =>
+      graft.operators.Analytics.corrMatrix(Tables.lineitem(s, d), CorrCols)
+    },
+
+    // Daily-revenue autocorrelation at lags 1..7 via date equi-joins.
+    "q_x_acf_daily" -> { (s, d) =>
+      graft.operators.Analytics.acfDaily(Tables.orders(s, d), AcfMaxLag)
+    },
+
+    // l-diversity audit over the k-anonymity quasi-identifier tuple.
+    "q_x_ldiversity" -> { (s, d) =>
+      graft.operators.Analytics.lDiversityAudit(Tables.customer(s, d), LDiversityL)
+    },
+
+    // Day-of-week revenue seasonality profile.
+    "q_x_dow_seasonality" -> { (s, d) =>
+      graft.operators.Analytics.dowSeasonality(Tables.orders(s, d))
+    },
+
+    // Fixed-bound equi-width histogram of order totals.
+    "q_x_histogram" -> { (s, d) =>
+      graft.operators.Analytics.histogram(Tables.orders(s, d), HistLo, HistHi, HistBins)
+    },
+
+    // Mann–Kendall monotone-trend test over monthly revenue.
+    "q_x_mann_kendall" -> { (s, d) =>
+      graft.operators.Analytics.mannKendall(Tables.orders(s, d))
     }
   )
 
@@ -1325,6 +1372,150 @@ object WarehousePack {
         |       round(n / total, 6) AS p,
         |       round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
         |       round(abs(n / total - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
-        |FROM c, t ORDER BY digit""".stripMargin
+        |FROM c, t ORDER BY digit""".stripMargin,
+
+    // Same cell/marginal/grand decomposition; expected is the exact
+    // BIGINT marginal product over the double grand total, contrib is
+    // rounded BEFORE the decimal chi2 sum — both engines total identical
+    // 6-dp values.
+    "q_x_chi_square" ->
+      """WITH cells AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+        |                      CAST(count(*) AS BIGINT) AS n
+        |               FROM orders GROUP BY 1, 2),
+        |g AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+        |             CAST(count(DISTINCT a) AS BIGINT) AS n_a,
+        |             CAST(count(DISTINCT b) AS BIGINT) AS n_b FROM cells),
+        |e AS (SELECT a, b, n, n_a, n_b,
+        |             CAST(sum(n) OVER (PARTITION BY a) AS BIGINT) *
+        |             CAST(sum(n) OVER (PARTITION BY b) AS BIGINT) / total AS expected
+        |      FROM cells, g),
+        |c AS (SELECT a, b, n, n_a, n_b, expected,
+        |             round((n - expected) * (n - expected) / expected, 6) AS contrib
+        |      FROM e),
+        |t AS (SELECT round(CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |             AS chi2 FROM c)
+        |SELECT a AS o_orderstatus, b AS o_orderpriority, n,
+        |       round(expected, 6) AS expected, round(contrib, 6) AS contrib,
+        |       chi2, (n_a - 1) * (n_b - 1) AS dof
+        |FROM c, t ORDER BY 1, 2""".stripMargin,
+
+    // One conditional-aggregation pass; Σx² at DECIMAL(38,6); identical
+    // closed-form t / Welch–Satterthwaite dof expression tree.
+    "q_x_ttest_welch" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN NOT (o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sx_a,
+        |  CAST(sum(CAST(CASE WHEN NOT (o_orderpriority = '1-URGENT') THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sx_b,
+        |  CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sxx_a,
+        |  CAST(sum(CAST(CASE WHEN NOT (o_orderpriority = '1-URGENT') THEN o_totalprice * o_totalprice ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS sxx_b
+        |  FROM orders),
+        |b AS (SELECT n_a, n_b,
+        |             sx_a / n_a AS m_a, sx_b / n_b AS m_b,
+        |             (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) AS v_a,
+        |             (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) AS v_b FROM a),
+        |c AS (SELECT *, v_a / n_a + v_b / n_b AS se2 FROM b)
+        |SELECT n_a, n_b,
+        |       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |       round(v_a, 2) AS var_a, round(v_b, 2) AS var_b,
+        |       round((m_a - m_b) / sqrt(se2), 6) AS t_stat,
+        |       round(se2 * se2 /
+        |             (v_a * v_a / (n_a * n_a * (n_a - 1)) +
+        |              v_b * v_b / (n_b * n_b * (n_b - 1))), 6) AS welch_dof
+        |FROM c""".stripMargin,
+
+    "q_x_corr_matrix" -> corrMatrixSql,
+
+    // Daily series, constant lag fan-out, date-key equi-join, explicit
+    // decimal sufficient statistics — the same shape as the Spark plan.
+    "q_x_acf_daily" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |                      round(${Num.dsumSql("o_totalprice")}, 6) AS x
+         |               FROM orders GROUP BY 1),
+         |l AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag),
+         |f AS (SELECT daily.d, daily.x, l.lag, s.x AS y
+         |      FROM daily, l JOIN daily s ON (daily.d + CAST(l.lag AS INTEGER)) = s.d),
+         |a AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+         |             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         |             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+         |      FROM f GROUP BY lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |       round((n * sxy - sx * sy) /
+         |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+         |FROM a ORDER BY lag""".stripMargin,
+
+    "q_x_ldiversity" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |       c_mktsegment AS segment,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+         |         AS distinct_sensitive,
+         |       CAST(CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+         |                      < $LDiversityL THEN 1 ELSE 0 END AS INTEGER) AS below_l
+         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB dayofweek() is Sunday=0; +1 aligns with Spark's Sunday=1.
+    "q_x_dow_seasonality" ->
+      s"""WITH b AS (SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+         |                  CAST(count(*) AS BIGINT) AS n_orders,
+         |                  ${Num.dsumSql("o_totalprice")} AS rev
+         |           FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS n_tot,
+         |             ${Num.dsumSql("rev")} AS rev_tot FROM b)
+         |SELECT dow, n_orders, round(rev, 6) AS revenue,
+         |       round(rev / rev_tot, 6) AS rev_share,
+         |       round((rev / n_orders) / (rev_tot / n_tot), 6) AS "index"
+         |FROM b, t ORDER BY dow""".stripMargin,
+
+    // Monthly sums are decimal-exact and rounded before the sign
+    // compare; S and n are integers, so tau is one double division —
+    // identical on both engines.
+    "q_x_mann_kendall" ->
+      s"""WITH mm AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         |                  round(${Num.dsumSql("o_totalprice")}, 6) AS x
+         |           FROM orders GROUP BY 1),
+         |s AS (SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+         |      FROM mm a JOIN mm b ON a.m < b.m),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM mm)
+         |SELECT n_months, s_stat,
+         |       round(s_stat / (n_months * (n_months - 1) / 2.0), 6) AS tau
+         |FROM n, s""".stripMargin,
+
+    "q_x_histogram" ->
+      s"""WITH h AS (SELECT CAST(least(greatest(
+         |             floor((o_totalprice - $HistLo) / ${(HistHi - HistLo) / HistBins}),
+         |             0.0), ${(HistBins - 1).toDouble}) AS BIGINT) AS bucket
+         |           FROM orders)
+         |SELECT bucket,
+         |       round($HistLo + bucket * ${(HistHi - HistLo) / HistBins}, 6) AS bucket_lo,
+         |       round($HistLo + (bucket + 1) * ${(HistHi - HistLo) / HistBins}, 6) AS bucket_hi,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
   )
+
+  /** The DuckDB spelling of [[Analytics.corrMatrix]] over [[CorrCols]]:
+    * one sufficient-statistics scan, one SELECT per unordered pair —
+    * generated from the same column list so the pair set and formula
+    * stay in lockstep with the Spark side.
+    */
+  private def corrMatrixSql: String = {
+    def s1(c: String) = s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c"
+    def s2(a: String, b: String) =
+      s"CAST(sum(CAST($a * $b AS DECIMAL(38,6))) AS DOUBLE) AS s_${a}_$b"
+    val pairs = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
+      yield (CorrCols(i), CorrCols(j))
+    val aggs = (CorrCols.map(s1) ++ CorrCols.map(c => s2(c, c)) ++
+      pairs.map { case (a, b) => s2(a, b) }).mkString(",\n  ")
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS var_x, '$b' AS var_y, CAST(n AS BIGINT) AS n,
+         |  round((n * s_${a}_$b - s_$a * s_$b) /
+         |        sqrt((n * s_${a}_$a - s_$a * s_$a) *
+         |             (n * s_${b}_$b - s_$b * s_$b)), 6) AS corr FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,\n  $aggs\n  FROM lineitem)\n" +
+      s"SELECT * FROM ($selects) ORDER BY var_x, var_y"
+  }
 }

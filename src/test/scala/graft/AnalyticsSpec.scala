@@ -241,6 +241,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("mannKendall: S matches the brute-force pairwise sign sum") {
+    val o = Tables.orders(spark, d)
+    val out = Analytics.mannKendall(o).collect()
+    assert(out.length == 1)
+    val n = out.head.getAs[Long]("n_months")
+    val s = out.head.getAs[Long]("s_stat")
+    val maxPairs = n * (n - 1) / 2
+    assert(n > 1 && math.abs(s) <= maxPairs)
+    // replay S from the same monthly aggregate, driver-side
+    val monthly = o
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("m"))
+      .agg(round(graft.functions.Num.dsum(col("o_totalprice")), 6).as("x"))
+      .orderBy("m").collect().map(_.getAs[Double]("x"))
+    val sBrute = (for { i <- monthly.indices; j <- i + 1 until monthly.length }
+      yield math.signum(monthly(j) - monthly(i)).toLong).sum
+    assert(s == sBrute)
+    val tauExpect = BigDecimal(s / (maxPairs / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getAs[Double]("tau") == tauExpect)
+  }
+
   test("readability buckets agree with the flesch thresholds") {
     val out = graft.operators.TextAnalysis.readability(
       Tables.documents(spark, d)).collect()

@@ -179,6 +179,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hybridRrf: fused score recomputes from the two ranks, order consistent") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity
+      .hybridRrf(docs, emb, Seq("spark", "join", "window"), 100L, 20, 60)
+      .orderBy("rn").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val rrfs = out.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      val b = Option(r.getAs[java.lang.Long]("bm25_rn")).map(_.toLong)
+      val c = Option(r.getAs[java.lang.Long]("cosine_rn")).map(_.toLong)
+      assert(b.nonEmpty || c.nonEmpty)
+      val expect = BigDecimal(
+        b.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        c.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+  }
+
+  test("randomProjectionDistortion: stride pairs, bounded cosines, err consistent") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val out = Similarity.randomProjectionDistortion(emb, 17L, 16, 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 17L)
+      val o = r.getAs[Double]("cos_orig")
+      val p = r.getAs[Double]("cos_proj")
+      assert(math.abs(o) <= 1.000001 && math.abs(p) <= 1.000001)
+      val err = BigDecimal(math.abs(p - o))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("abs_err") == err)
+    }
+  }
+
   test("annRecallReport: one row per query, recall = hits/k in [0, 1]") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
