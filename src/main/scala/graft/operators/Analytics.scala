@@ -685,6 +685,80 @@ object Analytics {
           (col("n_months") * (col("n_months") - 1) / lit(2.0)), 6).as("tau"))
   }
 
+  /** Join-key skew report — the operational diagnostic a pipeline runs
+    * BEFORE choosing a salting factor or trusting AQE: per-key counts
+    * reduced to (key count, row count, max/min/mean frequency, top-1
+    * share, skew ratio, keys above `hotFactor`× the mean). Two
+    * map-side-combined aggregates plus broadcast 1-row crosses — the
+    * per-key count table never leaves the executors.
+    */
+  def joinKeySkewReport(df: DataFrame, keyCol: String, hotFactor: Double): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+    val agg = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      min(col("cnt")).as("min_cnt"),
+      (sum(col("cnt")).cast("double") / count(lit(1))).as("mean_cnt"))
+    val hot = counts.crossJoin(broadcast(agg.select(col("mean_cnt").as("mc"))))
+      .agg(sum(when(col("cnt") >= col("mc") * hotFactor, 1L).otherwise(0L))
+        .as("n_hot_keys"))
+    agg.crossJoin(broadcast(hot))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("min_cnt"),
+        round(col("mean_cnt"), 6).as("mean_cnt"),
+        round(col("max_cnt") / col("n_rows").cast("double"), 6).as("top1_share"),
+        round(col("max_cnt") / col("mean_cnt"), 6).as("skew_ratio"),
+        col("n_hot_keys"))
+  }
+
+  /** Theil–Sen robust trend estimate over the monthly-revenue series:
+    * the median of all pairwise slopes (x_j − x_i)/(mi_j − mi_i) on the
+    * integer month index. Like [[mannKendall]], the series is
+    * constant-size at any SF (fixed date span), so the pair cross is
+    * broadcast-bounded; the median interpolates between two exact
+    * doubles, rounded to 6 — both engines' continuous-quantile
+    * definitions agree far below that precision.
+    */
+  def theilSen(orders: DataFrame): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val monthly = orders
+      .groupBy((year(d) * 12 + month(d)).cast("long").as("mi"))
+      .agg(round(Num.dsum(col("o_totalprice")), 6).as("x"))
+    val lhs = monthly.select(col("mi").as("m1"), col("x").as("x1"))
+    val rhs = monthly.select(col("mi").as("m2"), col("x").as("x2"))
+    lhs.crossJoin(broadcast(rhs))
+      .filter(col("m1") < col("m2"))
+      .select(((col("x2") - col("x1")) / (col("m2") - col("m1"))).as("slope"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 6).as("slope_median"))
+  }
+
+  /** Daily-revenue z-score anomalies: days whose decimal-exact revenue
+    * deviates ≥ `zMin` standard deviations from the global mean. One
+    * daily aggregate, one 1-row sufficient-statistics aggregate OF it
+    * (Σx/Σx² through DECIMAL(38,6)), broadcast back — the filter runs
+    * on the ROUNDED z so both engines make identical boundary calls.
+    */
+  def zscoreDailyAnomalies(orders: DataFrame, zMin: Double): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 6)
+    val daily = orders.groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(Num.dsum(col("o_totalprice")), 6).as("x"))
+    val stats = daily.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast(big)).cast("double").as("sx"),
+      sum((col("x") * col("x")).cast(big)).cast("double").as("sxx"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("z", round(
+        (col("x") - col("sx") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)),
+        6))
+      .filter(abs(col("z")) >= zMin)
+      // ISO string day, not DATE — the differential harness compares
+      // string-typed days (same convention as the F5 normalizer).
+      .select(col("d").cast("string").as("day"), col("x").as("revenue"), col("z"))
+      .orderBy("day")
+  }
+
   /** Fixed-bound equi-width histogram of a money column: `bins` buckets
     * over [lo, hi), out-of-range values clamped to the edge buckets.
     * Literal bounds keep it a single narrow projection + one bounded

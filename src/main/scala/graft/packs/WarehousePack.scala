@@ -42,6 +42,8 @@ object WarehousePack {
   private val KAnonK = 5L
   private val LDiversityL = 4L
   private val AcfMaxLag = 7
+  private val SkewHotFactor = 10.0
+  private val ZMin = 2.0
   private val HistLo = 0.0
   private val HistHi = 600000.0
   private val HistBins = 20
@@ -692,6 +694,22 @@ object WarehousePack {
     // Mann–Kendall monotone-trend test over monthly revenue.
     "q_x_mann_kendall" -> { (s, d) =>
       graft.operators.Analytics.mannKendall(Tables.orders(s, d))
+    },
+
+    // Join-key skew diagnostic over the event stream's user key.
+    "q_x_skew_report" -> { (s, d) =>
+      graft.operators.Analytics.joinKeySkewReport(Tables.events(s, d),
+        "user_id", SkewHotFactor)
+    },
+
+    // Theil–Sen robust slope of monthly revenue (median pairwise slope).
+    "q_x_theil_sen" -> { (s, d) =>
+      graft.operators.Analytics.theilSen(Tables.orders(s, d))
+    },
+
+    // Daily revenue z-score anomalies (|z| ≥ 2 on the rounded score).
+    "q_x_zscore_anomalies" -> { (s, d) =>
+      graft.operators.Analytics.zscoreDailyAnomalies(Tables.orders(s, d), ZMin)
     }
   )
 
@@ -1483,6 +1501,57 @@ object WarehousePack {
          |SELECT n_months, s_stat,
          |       round(s_stat / (n_months * (n_months - 1) / 2.0), 6) AS tau
          |FROM n, s""".stripMargin,
+
+    // Per-key counts reduced to integer aggregates; mean/top1/skew are
+    // single double divisions of exact integers.
+    "q_x_skew_report" ->
+      s"""WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM events GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |             CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |             CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |             CAST(min(cnt) AS BIGINT) AS min_cnt,
+         |             CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_cnt
+         |      FROM c),
+         |h AS (SELECT CAST(sum(CASE WHEN cnt >= mean_cnt * $SkewHotFactor
+         |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+         |      FROM c, a)
+         |SELECT n_keys, n_rows, max_cnt, min_cnt,
+         |       round(mean_cnt, 6) AS mean_cnt,
+         |       round(max_cnt / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+         |       round(max_cnt / mean_cnt, 6) AS skew_ratio,
+         |       n_hot_keys
+         |FROM a, h""".stripMargin,
+
+    // Same bounded month-pair cross as Mann–Kendall; the median is the
+    // continuous 0.5-quantile of the identical slope multiset, rounded
+    // to 6 (interpolation-form fp differences sit far below that).
+    "q_x_theil_sen" ->
+      s"""WITH mm AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+         |                        + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS mi,
+         |                  round(${Num.dsumSql("o_totalprice")}, 6) AS x
+         |           FROM orders GROUP BY 1),
+         |p AS (SELECT (b.x - a.x) / (b.mi - a.mi) AS slope
+         |      FROM mm a JOIN mm b ON a.mi < b.mi)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       round(quantile_cont(slope, 0.5), 6) AS slope_median
+         |FROM p""".stripMargin,
+
+    // Exact decimal daily sums; sufficient statistics through
+    // DECIMAL(38,6); the anomaly filter runs on the ROUNDED z.
+    "q_x_zscore_anomalies" ->
+      s"""WITH dd AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |                  round(${Num.dsumSql("o_totalprice")}, 6) AS x
+         |           FROM orders GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |              CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         |              CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+         |       FROM dd),
+         |z AS (SELECT CAST(d AS VARCHAR) AS day, x,
+         |             round((x - sx / n) /
+         |                   sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z
+         |      FROM dd, st)
+         |SELECT day, x AS revenue, z FROM z WHERE abs(z) >= $ZMin ORDER BY day""".stripMargin,
 
     "q_x_histogram" ->
       s"""WITH h AS (SELECT CAST(least(greatest(

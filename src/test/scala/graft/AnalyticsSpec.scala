@@ -262,6 +262,55 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("tau") == tauExpect)
   }
 
+  test("joinKeySkewReport: totals re-derive from the raw table") {
+    val ev = Tables.events(spark, d)
+    val out = Analytics.joinKeySkewReport(ev, "user_id", 10.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rows") == ev.count())
+    assert(r.getAs[Long]("n_keys") == ev.select("user_id").distinct().count())
+    assert(r.getAs[Long]("max_cnt") >= r.getAs[Long]("min_cnt"))
+    assert(r.getAs[Double]("skew_ratio") >= 1.0)
+    assert(r.getAs[Double]("top1_share") > 0.0 && r.getAs[Double]("top1_share") <= 1.0)
+  }
+
+  test("theilSen: median slope sits between the extreme pairwise slopes") {
+    val o = Tables.orders(spark, d)
+    val out = Analytics.theilSen(o).collect()
+    assert(out.length == 1)
+    val n = out.head.getAs[Long]("n_pairs")
+    val med = out.head.getAs[Double]("slope_median")
+    // replay the slope set driver-side from the same monthly aggregate
+    val dcol = to_date(col("o_orderdate"))
+    val monthly = o.groupBy((year(dcol) * 12 + month(dcol)).cast("long").as("mi"))
+      .agg(round(graft.functions.Num.dsum(col("o_totalprice")), 6).as("x"))
+      .orderBy("mi").collect()
+      .map(r => (r.getAs[Long]("mi"), r.getAs[Double]("x")))
+    val slopes = for {
+      i <- monthly.indices; j <- i + 1 until monthly.length
+    } yield (monthly(j)._2 - monthly(i)._2) / (monthly(j)._1 - monthly(i)._1)
+    assert(n == slopes.length)
+    assert(med >= slopes.min - 1e-6 && med <= slopes.max + 1e-6)
+  }
+
+  test("zscoreDailyAnomalies: every flagged day recomputes past the threshold") {
+    val o = Tables.orders(spark, d)
+    val out = Analytics.zscoreDailyAnomalies(o, 2.0).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getAs[Double]("z")) >= 2.0))
+    // z recomputes from the daily series, driver-side
+    val daily = o.groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(round(graft.functions.Num.dsum(col("o_totalprice")), 6).as("x"))
+      .collect().map(_.getAs[Double]("x"))
+    val n = daily.length.toDouble
+    val mean = daily.sum / n
+    val sd = math.sqrt(daily.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    out.foreach { r =>
+      val z = (r.getAs[Double]("revenue") - mean) / sd
+      assert(math.abs(z - r.getAs[Double]("z")) < 1e-3)
+    }
+  }
+
   test("readability buckets agree with the flesch thresholds") {
     val out = graft.operators.TextAnalysis.readability(
       Tables.documents(spark, d)).collect()
