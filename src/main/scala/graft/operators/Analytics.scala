@@ -27,17 +27,8 @@ object Analytics {
     * 3-row percent-of-first window is a constant-size partition.
     */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
-    val ev = events.select(
-      col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
-    // Stage 1: first qualifying event per user.
-    val first = ev.filter(col("event_type") === stages.head)
-      .groupBy("user_id").agg(min(col("sec")).as("t"))
-    val perStage = stages.tail.scanLeft(first) { (prev, stage) =>
-      ev.filter(col("event_type") === stage)
-        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
-        .filter(col("sec") > col("t_prev"))
-        .groupBy("user_id").agg(min(col("sec")).as("t"))
-    }
+    val perStage = funnelFirstTimes(events, stages)
+    val first = perStage.head
     val counts = perStage.zip(stages.zipWithIndex).map { case (df, (name, i)) =>
       df.agg(count(lit(1)).as("n_users"))
         .withColumn("stage", lit(s"${i + 1}_$name"))
@@ -49,6 +40,77 @@ object Analytics {
       .select(col("stage"), col("n_users"),
         round(col("n_users").cast("double") / col("n_first"), 6).as("pct_of_first"))
       .orderBy("stage")
+  }
+
+  /** Per-user first qualifying event time of each funnel stage — one
+    * frame per stage, each chained strictly-after the previous (the
+    * funnel's keyed-min/co-partitioned-join ladder, shared by [[funnel]]
+    * and [[funnelLatency]]). */
+  private def funnelFirstTimes(events: DataFrame,
+                               stages: Seq[String]): Seq[DataFrame] = {
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("sec")).as("t"))
+    stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("sec") > col("t_prev"))
+        .groupBy("user_id").agg(min(col("sec")).as("t"))
+    }
+  }
+
+  /** Stage-to-stage conversion latency: for each consecutive funnel
+    * stage pair, the converting-user count and the median / p90 hours
+    * between the user's first stage-i and first stage-(i+1) events.
+    * Same keyed ladder as [[funnel]]; each pair is one co-partitioned
+    * equi-join on user_id reduced to a 1-row quantile aggregate, so
+    * output is `stages−1` rows at any event volume.
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val perStage = funnelFirstTimes(events, stages)
+    val rows = perStage.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        a.select(col("user_id"), col("t").as("t_a"))
+          .join(b.select(col("user_id"), col("t").as("t_b")), Seq("user_id"))
+          .select(((col("t_b") - col("t_a")) / 3600.0).as("hours"))
+          .agg(count(lit(1)).as("n_users"),
+            round(expr("percentile(hours, 0.5)"), 6).as("median_hours"),
+            round(expr("percentile(hours, 0.9)"), 6).as("p90_hours"))
+          .withColumn("step",
+            lit(s"${i + 1}_${stages(i)}_to_${stages(i + 1)}"))
+    }
+    rows.reduce(_.unionByName(_))
+      .select(col("step"), col("n_users"), col("median_hours"), col("p90_hours"))
+      .orderBy("step")
+  }
+
+  /** Per-column data-profile report: row count, null count, distinct
+    * count, and min/max rendered through a fixed-scale DECIMAL/string so
+    * both engines print identically. One aggregate per column — each
+    * scan prunes to that single column, so total I/O across the report
+    * ≈ one full-width scan, and the aggregates run in parallel.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def asStr(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case _: org.apache.spark.sql.types.DoubleType =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("string")
+      case _ => c.cast("string")
+    }
+    val rows = cols.map { name =>
+      val dt = df.schema(name).dataType
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(name)).as("n_distinct"),
+          asStr(min(col(name)), dt).as("min_value"),
+          asStr(max(col(name)), dt).as("max_value"))
+        .withColumn("column", lit(name))
+    }
+    rows.reduce(_.unionByName(_))
+      .select(col("column"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy("column")
   }
 
   /** Weekly cohort retention: users grouped by the week of their first

@@ -44,6 +44,11 @@ object WarehousePack {
   private val AcfMaxLag = 7
   private val SkewHotFactor = 10.0
   private val ZMin = 2.0
+  /** Profiled orders columns — longs/strings plus the money column
+    * (rendered via DECIMAL(18,2) so both engines print identically). */
+  private val ProfileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_totalprice")
   private val HistLo = 0.0
   private val HistHi = 600000.0
   private val HistBins = 20
@@ -710,6 +715,16 @@ object WarehousePack {
     // Daily revenue z-score anomalies (|z| ≥ 2 on the rounded score).
     "q_x_zscore_anomalies" -> { (s, d) =>
       graft.operators.Analytics.zscoreDailyAnomalies(Tables.orders(s, d), ZMin)
+    },
+
+    // Stage-to-stage funnel conversion latency (median / p90 hours).
+    "q_x_funnel_latency" -> { (s, d) =>
+      graft.operators.Analytics.funnelLatency(Tables.events(s, d), FunnelStages)
+    },
+
+    // Per-column profile (nulls / distincts / min / max) over orders.
+    "q_x_column_profile" -> { (s, d) =>
+      graft.operators.Analytics.columnProfile(Tables.orders(s, d), ProfileCols)
     }
   )
 
@@ -1552,6 +1567,52 @@ object WarehousePack {
          |                   sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z
          |      FROM dd, st)
          |SELECT day, x AS revenue, z FROM z WHERE abs(z) >= $ZMin ORDER BY day""".stripMargin,
+
+    // Same s1..sN first-time ladder as the funnel oracle; each step is
+    // one equi-join reduced to continuous quantiles of the identical
+    // (t_b − t_a)/3600 hour values.
+    "q_x_funnel_latency" -> {
+      val ctes = FunnelStages.zipWithIndex.tail.map { case (st, i) =>
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.sec) AS t FROM ev e
+           |  JOIN s$i ON e.user_id = s$i.user_id AND e.sec > s$i.t
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
+      }
+      val steps = (0 until FunnelStages.size - 1).map { i =>
+        val name = s"${i + 1}_${FunnelStages(i)}_to_${FunnelStages(i + 1)}"
+        s"""SELECT '$name' AS step, CAST(count(*) AS BIGINT) AS n_users,
+           |       round(quantile_cont((b.t - a.t) / 3600.0, 0.5), 6) AS median_hours,
+           |       round(quantile_cont((b.t - a.t) / 3600.0, 0.9), 6) AS p90_hours
+           |FROM s${i + 1} a JOIN s${i + 2} b ON a.user_id = b.user_id""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |            CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+         |s1 AS (SELECT user_id, min(sec) AS t FROM ev
+         |       WHERE event_type = '${FunnelStages.head}' GROUP BY user_id),
+         |${ctes.mkString(",\n")},
+         |steps AS (
+         |  $steps)
+         |SELECT step, n_users, median_hours, p90_hours FROM steps ORDER BY step""".stripMargin
+    },
+
+    // One SELECT per profiled column, generated from the same column
+    // list the Spark side uses; the money column renders through
+    // DECIMAL(18,2) on both engines.
+    "q_x_column_profile" -> {
+      val selects = ProfileCols.map { c =>
+        val (mn, mx) =
+          if (c == "o_totalprice")
+            (s"CAST(CAST(min($c) AS DECIMAL(18,2)) AS VARCHAR)",
+             s"CAST(CAST(max($c) AS DECIMAL(18,2)) AS VARCHAR)")
+          else (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       $mn AS min_value, $mx AS max_value
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (\n$selects\n) ORDER BY "column"""".stripMargin
+    },
 
     "q_x_histogram" ->
       s"""WITH h AS (SELECT CAST(least(greatest(

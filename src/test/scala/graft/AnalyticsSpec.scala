@@ -311,6 +311,39 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelLatency: one row per step, n matches the funnel, median ≤ p90") {
+    val ev = Tables.events(spark, d)
+    val stages = Seq("signup", "view", "purchase")
+    val lat = Analytics.funnelLatency(ev, stages).orderBy("step").collect()
+    assert(lat.length == stages.size - 1)
+    val funnelCounts = Analytics.funnel(ev, stages).orderBy("stage")
+      .collect().map(_.getAs[Long]("n_users"))
+    lat.zipWithIndex.foreach { case (r, i) =>
+      // step i converts exactly the users counted at funnel stage i+2
+      assert(r.getAs[Long]("n_users") == funnelCounts(i + 1))
+      val med = r.getAs[Double]("median_hours")
+      val p90 = r.getAs[Double]("p90_hours")
+      assert(med > 0 && p90 >= med)
+    }
+  }
+
+  test("columnProfile: totals re-derive, distincts bounded, values render") {
+    val o = Tables.orders(spark, d)
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = Analytics.columnProfile(o, cols).collect()
+    assert(out.length == cols.size)
+    val n = o.count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[String]("min_value").nonEmpty)
+      assert(r.getAs[String]("max_value").nonEmpty)
+    }
+    val key = out.find(_.getAs[String]("column") == "o_orderkey").get
+    assert(key.getAs[Long]("n_distinct") == n)
+  }
+
   test("readability buckets agree with the flesch thresholds") {
     val out = graft.operators.TextAnalysis.readability(
       Tables.documents(spark, d)).collect()
