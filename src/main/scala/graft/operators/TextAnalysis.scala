@@ -344,6 +344,39 @@ object TextAnalysis {
     * final divergence rounded to 6. Scale: two map-side-combining
     * groupBys (lang×word, then lang) and a broadcast-size totals join —
     * linear in the corpus, no pairwise anything. */
+  /** Jensen–Shannon drift between the same two corpus snapshots as
+    * [[klDrift]] — the symmetric, bounded ([0, ln 2]) drift score a
+    * regression gate can threshold without direction-picking. Same
+    * exactness discipline: every ln argument is a ratio built from
+    * EXACT integer products (each < 2⁵³ before the double multiply, in
+    * the same operand order on both engines), per-term sums are
+    * decimal-stable, the final score rounds to 6. Same scale shape as
+    * KL: two map-side-combining groupBys + a broadcast totals join. */
+  def jsDrift(docs: DataFrame, isB: Column): DataFrame = {
+    val words = docs.select(col("lang"), isB.as("is_b"),
+      explode(split(col("text"), " ")).as("word"))
+    val cnt = words.groupBy("lang", "word").agg(
+      sum(when(!col("is_b"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("is_b"), 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.groupBy("lang").agg(
+      sum(col("ca")).as("ta"), sum(col("cb")).as("tb"), count(lit(1)).as("v"))
+    // u = (ca+1)(tb+v), w = (cb+1)(ta+v): exact integer products as
+    // doubles; 2p/(p+q) = 2u/(u+w) and 2q/(p+q) = 2w/(u+w).
+    val u = (col("ca") + 1).cast("double") * (col("tb") + col("v")).cast("double")
+    val w = (col("cb") + 1).cast("double") * (col("ta") + col("v")).cast("double")
+    cnt.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("ta"), col("tb"), col("v"),
+        ((col("ca") + 1).cast("double") * log(lit(2.0) * u / (u + w))).as("t_a"),
+        ((col("cb") + 1).cast("double") * log(lit(2.0) * w / (u + w))).as("t_b"))
+      .groupBy("lang", "ta", "tb", "v")
+      .agg(round(
+        (graft.functions.Num.dsum(col("t_a")) / (col("ta") + col("v")) +
+         graft.functions.Num.dsum(col("t_b")) / (col("tb") + col("v"))) / 2.0,
+        6).as("js"))
+      .select(col("lang"), col("v").as("n_vocab"),
+        col("ta").as("tokens_a"), col("tb").as("tokens_b"), col("js"))
+  }
+
   def klDrift(docs: DataFrame, isB: Column): DataFrame = {
     val words = docs.select(col("lang"), isB.as("is_b"),
       explode(split(col("text"), " ")).as("word"))

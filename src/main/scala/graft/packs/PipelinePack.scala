@@ -497,6 +497,11 @@ object PipelinePack {
       TextAnalysis.klDrift(Tables.documents(s, d), pmod(col("doc_id"), lit(2L)) === 1)
         .orderBy("lang")
     },
+    // Symmetric bounded drift score over the same snapshot split.
+    "q_text_js_drift" -> { (s, d) =>
+      TextAnalysis.jsDrift(Tables.documents(s, d), pmod(col("doc_id"), lit(2L)) === 1)
+        .orderBy("lang")
+    },
     "q_text_tokens" -> { (s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")
     },
@@ -1457,6 +1462,33 @@ object PipelinePack {
          |SELECT lang, v AS n_vocab, ta AS tokens_a, tb AS tokens_b,
          |       round(${Num.dsumSql("t_ab")} / (ta + v), 6) AS kl_ab,
          |       round(${Num.dsumSql("t_ba")} / (tb + v), 6) AS kl_ba
+         |FROM t GROUP BY lang, ta, tb, v ORDER BY lang""".stripMargin,
+
+    // Same exact-integer-product ln arguments as the KL oracle; the
+    // two half-divergences are decimal-summed and averaged before the
+    // 6-dp round.
+    "q_text_js_drift" ->
+      s"""WITH w AS (SELECT lang, (doc_id % 2 = 1) AS is_b,
+         |                  unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |cnt AS (SELECT lang, word,
+         |               count(*) FILTER (WHERE NOT is_b) AS ca,
+         |               count(*) FILTER (WHERE is_b) AS cb
+         |        FROM w GROUP BY lang, word),
+         |tot AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS ta,
+         |               CAST(sum(cb) AS BIGINT) AS tb, count(*) AS v
+         |        FROM cnt GROUP BY lang),
+         |t AS (SELECT lang, ta, tb, v,
+         |             (ca + 1) * ln(2.0 * (CAST(ca + 1 AS DOUBLE) * (tb + v)) /
+         |                           ((CAST(ca + 1 AS DOUBLE) * (tb + v)) +
+         |                            (CAST(cb + 1 AS DOUBLE) * (ta + v)))) AS t_a,
+         |             (cb + 1) * ln(2.0 * (CAST(cb + 1 AS DOUBLE) * (ta + v)) /
+         |                           ((CAST(ca + 1 AS DOUBLE) * (tb + v)) +
+         |                            (CAST(cb + 1 AS DOUBLE) * (ta + v)))) AS t_b
+         |      FROM cnt JOIN tot USING (lang))
+         |SELECT lang, v AS n_vocab, ta AS tokens_a, tb AS tokens_b,
+         |       round((${Num.dsumSql("t_a")} / (ta + v) +
+         |              ${Num.dsumSql("t_b")} / (tb + v)) / 2.0, 6) AS js
          |FROM t GROUP BY lang, ta, tb, v ORDER BY lang""".stripMargin,
 
     // Score rounded to 6 BEFORE ranking on both engines (ln ulps must

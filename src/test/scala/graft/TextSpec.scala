@@ -267,6 +267,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("jsDrift: bounded in [0, ln 2] and symmetric under snapshot swap") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val ab = TextAnalysis.jsDrift(docs, pmod(col("doc_id"), lit(2L)) === 1)
+      .orderBy("lang").collect()
+    assert(ab.nonEmpty)
+    ab.foreach { r =>
+      val js = r.getAs[Double]("js")
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9)
+    }
+    // swapping which snapshot is "B" must not change the score
+    val ba = TextAnalysis.jsDrift(docs, pmod(col("doc_id"), lit(2L)) === 0)
+      .orderBy("lang").collect()
+    ab.zip(ba).foreach { case (x, y) =>
+      assert(x.getAs[String]("lang") == y.getAs[String]("lang"))
+      assert(math.abs(x.getAs[Double]("js") - y.getAs[Double]("js")) <= 1e-6)
+    }
+  }
+
   test("multimodal decode: payload bytes round-trip with correct digest") {
     val feats = Multimodal.extractFeatures(spark,
         Multimodal.packPayload(Seq((5L, "hello")).toDF("doc_id", "text")))
