@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * columns and row groups.
   */
 object Tables {
-  import org.apache.spark.sql.functions.{expr, timestamp_micros}
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -33,16 +33,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet; Spark's TimestampType is µs.
-    * With nanosAsLong=true the scan yields LongType nanos — rescale with
-    * integer division (exact; a double path would lose precision at
-    * 1e18 ns) to µs and rebuild the timestamp. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** events.ts arrives in one of three parquet encodings depending on
+    * the generator: TIMESTAMP(NANOS) (with nanosAsLong=true the scan
+    * yields LongType nanos — rescale with integer division, exact; a
+    * double path would lose precision at 1e18 ns), TIMESTAMP_NTZ (cast
+    * to TimestampType — the session is pinned UTC via [[requiredConfs]],
+    * so the cast is value-preserving), or already TimestampType
+    * (pass-through). Normalizing here means every consumer — batch and
+    * streaming — sees a plain µs TimestampType `ts`. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** The ts-encoding normalization shared by [[events]] and the
+    * streaming reader ([[graft.streaming.StreamOps]]). */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

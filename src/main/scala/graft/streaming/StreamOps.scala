@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-import org.apache.spark.sql.types.LongType
 import graft.functions.Num
 
 /** Structured Streaming surface. The reference is batch-only (`@daily`
@@ -26,15 +25,15 @@ object StreamOps {
 
   /** The events table as a stream: parquet `FileStreamSource` needs a
     * directory, so the single table file is selected out of the shared
-    * sfDir with a glob; the TIMESTAMP(NANOS) rescale mirrors
-    * `Tables.events`. */
+    * sfDir with a glob; the ts-encoding normalization (nanos-long /
+    * TIMESTAMP_NTZ / native) is shared with `Tables.events` — a
+    * watermark requires a true `TimestampType` column, so NTZ must be
+    * cast here too (session pinned UTC → value-preserving). */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Streaming variant: parquet source + 2-hour watermark (bounds state
