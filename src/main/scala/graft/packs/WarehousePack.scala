@@ -27,6 +27,7 @@ object WarehousePack {
   private val BasketMinCo = 2
   private val BasketTopN = 50
   private val LinkMaxDist = 2
+  private val LinkWindow = 10
   private val GapFillMaxUser = 10L
   private val SnapMaxKey = 5000L
   private val SnapOldExcl = 3L  // keys missing from the old snapshot → inserts
@@ -567,9 +568,11 @@ object WarehousePack {
       graft.operators.Analytics.basketLift(Tables.lineitem(s, d), BasketMinCo, BasketTopN)
     },
 
-    // Blocked fuzzy record linkage: Levenshtein over nation×segment blocks.
+    // Fuzzy record linkage: Levenshtein over two-pass sorted-neighborhood
+    // candidates within nation×segment blocks (linear in the table).
     "q_x_fuzzy_linkage" -> { (s, d) =>
-      graft.operators.Analytics.fuzzyLinkage(Tables.customer(s, d), LinkMaxDist)
+      graft.operators.Analytics.fuzzyLinkage(
+        Tables.customer(s, d), LinkMaxDist, LinkWindow)
     },
 
     // Dense hourly spine + LOCF + linear interpolation per user.
@@ -1195,13 +1198,35 @@ object WarehousePack {
          |LIMIT $BasketTopN""".stripMargin,
 
     "q_x_fuzzy_linkage" ->
-      s"""SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-         |       a.c_name AS name_a, b.c_name AS name_b,
+      s"""WITH r1 AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+         |                            ORDER BY c_name, c_custkey) AS rn
+         |  FROM customer),
+         |r2 AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+         |                            ORDER BY reverse(c_name), c_custkey) AS rn
+         |  FROM customer),
+         |cand AS (
+         |  SELECT least(a.c_custkey, b.c_custkey) AS key_a,
+         |         greatest(a.c_custkey, b.c_custkey) AS key_b
+         |  FROM r1 a JOIN r1 b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND b.rn BETWEEN a.rn + 1 AND a.rn + $LinkWindow
+         |  UNION
+         |  SELECT least(a.c_custkey, b.c_custkey),
+         |         greatest(a.c_custkey, b.c_custkey)
+         |  FROM r2 a JOIN r2 b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND b.rn BETWEEN a.rn + 1 AND a.rn + $LinkWindow)
+         |SELECT p.key_a, p.key_b, a.c_name AS name_a, b.c_name AS name_b,
          |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-         |FROM customer a JOIN customer b
-         |  ON a.c_nationkey = b.c_nationkey
-         | AND a.c_mktsegment = b.c_mktsegment
-         | AND a.c_custkey < b.c_custkey
+         |FROM cand p
+         |JOIN customer a ON a.c_custkey = p.key_a
+         |JOIN customer b ON b.c_custkey = p.key_b
          |WHERE levenshtein(a.c_name, b.c_name) <= $LinkMaxDist
          |ORDER BY key_a, key_b""".stripMargin,
 

@@ -56,6 +56,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(withBlocks.filter(col("na") =!= col("nb") || col("ma") =!= col("mb")).isEmpty)
   }
 
+  test("sorted-neighborhood linkage: sound pairs, planted head/tail edits found") {
+    import spark.implicits._
+    val planted = Seq(
+      (9002L, "Customer#000001234", 7L, "BUILDING"),
+      (9003L, "Customer#00001234", 7L, "BUILDING"),  // tail edit — adjacent in pass 1
+      (9004L, "Xustomer#000001234", 7L, "BUILDING"), // head edit — adjacent in pass 2
+      (9005L, "Customer#999912340", 7L, "BUILDING")  // far from all
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    val c = Tables.customer(spark, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .union(planted)
+    val out = Analytics.fuzzyLinkage(c, 2, 10)
+    val found = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // Soundness: every emitted pair is a true within-block pair at
+    // distance ≤ cap (the blocking may drop distant-rank pairs, but can
+    // never invent one).
+    val brute = c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey"), col("b.c_custkey"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert((found -- brute).isEmpty,
+      s"blocking invented pairs: ${(found -- brute).take(5)}")
+    // The complementary sort passes must catch a tail edit (shared
+    // prefix → adjacent ascending) and a head edit (shared suffix →
+    // adjacent reversed).
+    assert(found.contains((9002L, 9003L, 1L)), "tail-edit pair not found")
+    assert(found.contains((9002L, 9004L, 1L)), "head-edit pair not found")
+  }
+
   test("gap fill: dense spine, exact at observations, interpolation bracketed") {
     val out = Analytics.gapFillHourly(Tables.events(spark, d), "view", 10L)
       .orderBy("user_id", "hr").collect()
