@@ -1657,9 +1657,8 @@ object WarehousePack {
     * stay in lockstep with the Spark side.
     */
   private def corrMatrixSql: String = {
-    def s1(c: String) = s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c"
-    def s2(a: String, b: String) =
-      s"CAST(sum(CAST($a * $b AS DECIMAL(38,6))) AS DOUBLE) AS s_${a}_$b"
+    def s1(c: String) = s"sum($c) AS s_$c"
+    def s2(a: String, b: String) = s"sum($a * $b) AS s_${a}_$b"
     val pairs = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
       yield (CorrCols(i), CorrCols(j))
     val aggs = (CorrCols.map(s1) ++ CorrCols.map(c => s2(c, c)) ++
