@@ -97,10 +97,14 @@ object SinksPack {
         .mode("overwrite").option("path", path).save()
       dirty.write.format("graft.sources.GraftCsvSink")
         .mode("overwrite").option("path", path).save()
+      // Read BACK through the same DSV2 provider (typed schema; the
+      // scan prunes to the two referenced columns) — the full
+      // write-commit-read cycle stays inside the custom table. The
+      // built-in `sep=';' multiLine` reader round-trip of this dialect
+      // is separately pinned byte-for-byte in GoldenParitySpec.
       s.read
-        .option("sep", ";").option("header", "true").option("multiLine", "true")
-        .option("quote", "\"").option("escape", "\"") // RFC-4180 quote doubling
-        .csv(path)
+        .schema("p_partkey LONG, p_brand STRING, dirty STRING")
+        .format("graft.sources.GraftCsvSink").option("path", path).load()
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
           sum(length(col("dirty"))).cast("long").as("sum_len"))

@@ -5,11 +5,13 @@ import java.util.{Map => JMap, UUID}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 batch WRITE path for the reference's `;`-CSV envelope
   * (SURVEY.md §2.2 K1) — the sink-side twin of [[PagedJsonSource]]:
@@ -36,27 +38,210 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * .mode("overwrite").option("path", dir).save()`. The table reports
   * ACCEPT_ANY_SCHEMA and takes the row schema from `LogicalWriteInfo`
   * (string/boolean/integral/floating columns).
+  *
+  * READ side (round-5 verdict #7): the same provider serves the files
+  * it committed — `spark.read.schema(s).format(…).option("path", dir)
+  * .load()` (or schemaless: every column inferred as string from the
+  * part-file header). One input partition per committed part file;
+  * column pruning is pushed into the reader
+  * (`SupportsPushDownRequiredColumns`), so a 2-column projection
+  * parses every record but materializes only 2 fields. The reader
+  * implements the writer's exact RFC-4180 dialect (`;` separator,
+  * quote doubling, quoted embedded newlines) and maps empty fields to
+  * NULL (the writer's null rendering).
   */
 class GraftCsvSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
-  // Write-only source: there is nothing to infer; the write schema
-  // arrives via LogicalWriteInfo.
+  // For writes the schema arrives via LogicalWriteInfo; for schemaless
+  // reads, infer all-string columns from a committed part header.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+    GraftCsvTable.inferFromHeader(options.get("path"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new GraftCsvTable(properties.get("path"))
+    new GraftCsvTable(properties.get("path"), schema)
 }
 
-private[sources] class GraftCsvTable(path: String) extends Table with SupportsWrite {
+private[sources] object GraftCsvTable {
+  def listPartFiles(path: String): Array[String] = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".csv"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** Header of the first committed part file, every column as string —
+    * the schemaless-read surface (pass `.schema(…)` for typed reads). */
+  def inferFromHeader(path: String): StructType = {
+    if (path == null) return new StructType()
+    listPartFiles(path).headOption match {
+      case None => new StructType()
+      case Some(file) =>
+        val p = new HPath(file)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          p.getFileSystem(new Configuration()).open(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          val it = new CsvRecordIterator(in, ';')
+          if (!it.hasNext) new StructType()
+          else StructType(it.next().map(name => StructField(name, StringType)))
+        } finally in.close()
+    }
+  }
+}
+
+private[sources] class GraftCsvTable(path: String, tableSchema: StructType)
+    extends Table with SupportsWrite with SupportsRead {
   require(path != null, "graft-csv sink requires option(\"path\", …)")
   override def name(): String = s"graft_csv($path)"
-  override def schema(): StructType = new StructType()
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.ACCEPT_ANY_SCHEMA, TableCapability.BATCH_READ)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, truncate = false)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCsvScanBuilder(path, tableSchema)
+}
+
+private[sources] class GraftCsvScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GraftCsvScan(path, required)
+}
+
+private[sources] case class CsvFilePartition(file: String) extends InputPartition
+
+private[sources] class GraftCsvScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCsv path=$path ReadSchema: ${required.simpleString}"
+  // Metadata-only planning: one partition per committed part file.
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftCsvTable.listPartFiles(path).map(CsvFilePartition(_): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCsvReaderFactory(required)
+}
+
+private[sources] class GraftCsvReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file, required)
+}
+
+/** Streaming RFC-4180 record iterator for the sink's dialect: `sep`
+  * separates fields; a field starting with `"` runs — including
+  * embedded separators and newlines — until its closing quote, with
+  * `""` unescaping to one quote; records end at an unquoted `\n`
+  * (`\r` is swallowed). */
+private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
+    extends Iterator[Array[String]] {
+  private var nextRec: Array[String] = readRecord()
+  override def hasNext: Boolean = nextRec != null
+  override def next(): Array[String] = {
+    val r = nextRec
+    nextRec = readRecord()
+    r
+  }
+
+  private def readRecord(): Array[String] = {
+    var c = in.read()
+    if (c == -1) return null
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQuotes = false
+    while (true) {
+      if (c == -1) {
+        fields += sb.toString
+        return fields.toArray
+      }
+      val ch = c.toChar
+      if (inQuotes) {
+        if (ch == '"') {
+          val nxt = in.read()
+          if (nxt == '"'.toInt) { sb.append('"'); c = in.read() }
+          else { inQuotes = false; c = nxt }
+        } else { sb.append(ch); c = in.read() }
+      } else if (ch == sep) {
+        fields += sb.toString
+        sb.clear()
+        c = in.read()
+      } else if (ch == '"' && sb.isEmpty) {
+        inQuotes = true
+        c = in.read()
+      } else if (ch == '\n') {
+        fields += sb.toString
+        return fields.toArray
+      } else if (ch == '\r') {
+        c = in.read()
+      } else {
+        sb.append(ch)
+        c = in.read()
+      }
+    }
+    null // unreachable
+  }
+}
+
+/** Reads ONE part file: resolves the required columns against the
+  * file's own header by NAME (committed files are self-describing), and
+  * converts the writer's renderings back to the requested types. Empty
+  * fields decode as NULL — the writer's null rendering. */
+private[sources] class GraftCsvPartitionReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val in = {
+    val p = new HPath(file)
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(new Configuration()).open(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+  private val records = new CsvRecordIterator(in, ';')
+  private val colIndex: Array[Int] = {
+    val header = if (records.hasNext) records.next() else Array.empty[String]
+    required.fieldNames.map { name =>
+      val i = header.indexOf(name)
+      if (i < 0) throw new IllegalArgumentException(
+        s"graft-csv read: column '$name' not in header ${header.mkString(";")} ($file)")
+      i
+    }
+  }
+
+  private def convert(s: String, dt: DataType): Any =
+    if (s.isEmpty) null
+    else dt match {
+      case StringType => UTF8String.fromString(s)
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case other => throw new UnsupportedOperationException(
+        s"graft-csv read: unsupported column type $other")
+    }
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!records.hasNext) return false
+    val rec = records.next()
+    row = InternalRow.fromSeq(required.fields.zipWithIndex.toSeq.map { case (f, i) =>
+      val idx = colIndex(i)
+      if (idx >= rec.length) null else convert(rec(idx), f.dataType)
+    })
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
 }
 
 private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo,

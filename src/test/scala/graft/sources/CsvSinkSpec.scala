@@ -38,6 +38,35 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(a.map(_.toSeq) == b.map(_.toSeq))
   }
 
+  test("hostile values round-trip through the provider's OWN reader") {
+    val path = dir("ownreader")
+    val src = Seq(
+      (1L, "plain", 2.5),
+      (2L, "semi;colon", -0.5),
+      (3L, "qu\"ote", 0.0),
+      (4L, "multi\nline\r\nboth", 1.0),
+      (5L, null.asInstanceOf[String], 3.25)
+    ).toDF("id", "s", "x")
+    src.write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    val back = spark.read.schema("id LONG, s STRING, x DOUBLE")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    assert(src.orderBy("id").collect().toSeq.map(_.toSeq) ==
+      back.orderBy("id").collect().toSeq.map(_.toSeq))
+    // Schemaless read: header-inferred all-string columns, same names.
+    val inferred = spark.read
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    assert(inferred.columns.toSeq == Seq("id", "s", "x"))
+    assert(inferred.schema.fields.forall(_.dataType == StringType))
+    assert(inferred.count() == 5L)
+    // Column pruning reaches the scan: a 1-column projection's scan
+    // reports a 1-column ReadSchema.
+    val pruned = back.select("s")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadSchema: struct<s:string>"),
+      s"column pruning not pushed into the scan:\n$scanDesc")
+  }
+
   test("overwrite truncates (idempotent re-run) and leaves no temp dirs") {
     val path = dir("trunc")
     val src = (1L to 100L).toDF("id").withColumn("tag", lit("t"))
