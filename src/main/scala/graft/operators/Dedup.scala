@@ -169,6 +169,46 @@ object Dedup {
     materializeThenRelease(withJaccard(inter, sizes, minJ), shingles)
   }
 
+  /** LSH dedup QUALITY report — "measure, don't guess" for the banding
+    * parameters: compares the MinHash band-collision CANDIDATE set
+    * against the exact-jaccard ground truth (`truePairs`, typically the
+    * materialized [[jaccardPairs]] intermediate). One row:
+    *  - n_true: exact pairs at jaccard ≥ minJ,
+    *  - n_candidates: distinct band collisions (the pairs LSH pays to
+    *    verify),
+    *  - n_verified: candidates surviving exact verification — the LSH
+    *    output, always = candidates ∩ true,
+    *  - candidate_precision = n_verified / n_candidates (wasted
+    *    verification work when low → widen bands),
+    *  - recall = n_verified / n_true (pairs the banding missed — the
+    *    16-sig/4×4 banding's false-negative rate at this threshold).
+    * Scale: both inputs are the existing linear-candidate pipelines;
+    * the report itself is three 1-row aggregates broadcast-crossed. */
+  def lshQualityReport(truePairs: DataFrame, rawShingles: DataFrame,
+                       minJ: Double): DataFrame = {
+    val shingles = rawShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsOf(minhashSignatures(shingles))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = shingles.withColumnsRenamed(Map("doc_id" -> "doc_a"))
+    val sb = shingles.withColumnsRenamed(Map("doc_id" -> "doc_b"))
+    val inter = cand
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val verified = withJaccard(inter, sizes, minJ)
+    val out = cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
+      .crossJoin(broadcast(truePairs.agg(count(lit(1)).as("n_true"))))
+      .select(col("n_true"), col("n_candidates"), col("n_verified"),
+        round(col("n_verified") / col("n_candidates"), 6).as("candidate_precision"),
+        round(col("n_verified") / col("n_true"), 6).as("recall"))
+    materializeThenRelease(out, shingles)
+  }
+
   /** Incremental ingestion dedup: flag documents of a NEW batch that
     * near-duplicate the EXISTING corpus — the shape a production
     * pipeline actually runs day over day (the batch is small; the corpus

@@ -159,6 +159,32 @@ object Similarity {
     Dedup.materializeThenRelease(out, e)
   }
 
+  /** IVF inverted-list BALANCE report — the index-health probe an ANN
+    * deployment runs after (re)training: list-size skew is what drives
+    * tail latency (a probe of a hot list scans its whole membership) and
+    * recall anisotropy (starved lists under-probe their region). One
+    * row: list count, vector count, min/max/avg list size, and skew =
+    * max/avg (1.0 = perfectly balanced). Same data-seeded centroids and
+    * assignment argmax as [[ivfTopK]], so the report describes exactly
+    * the index the query path probes. Scale: one broadcast-assignment
+    * scan + one keyed count + one tiny aggregate. */
+  def ivfBalanceReport(emb: DataFrame, centStride: Long): DataFrame = {
+    val e = normalized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val sizes = assignToCentroids(e, cent)
+      .groupBy("cid").agg(count(lit(1)).as("sz"))
+    val out = sizes.agg(
+      count(lit(1)).as("n_lists"),
+      sum(col("sz")).as("n_vectors"),
+      min(col("sz")).as("min_size"),
+      max(col("sz")).as("max_size"),
+      round(avg(col("sz")), 6).as("avg_size"),
+      round(max(col("sz")) / avg(col("sz")), 6).as("skew"))
+    Dedup.materializeThenRelease(out, e)
+  }
+
   /** One Lloyd assignment round: nearest centroid by inner product
     * (vectors are normalized, so this is spherical k-means assignment),
     * deterministic cid-asc tie-break. The centroid table is bounded

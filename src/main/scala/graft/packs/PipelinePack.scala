@@ -178,6 +178,16 @@ object PipelinePack {
           TOPK, NPROBE, CENT_STRIDE)
         .orderBy("query_id", "rn")
     },
+    // IVF index-health report: inverted-list size spread + skew.
+    "q_sim_ivf_balance" -> { (s, d) =>
+      Similarity.ivfBalanceReport(Tables.embeddings(s, d), CENT_STRIDE)
+    },
+    // LSH banding quality vs the exact-jaccard ground truth: candidate
+    // precision (verification waste) and recall (banding misses).
+    "q_dedup_lsh_quality" -> { (s, d) =>
+      Dedup.lshQualityReport(jaccardPairsFixture(s, d),
+        Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+    },
     // Scalar int8 quantization: per-dim corpus min/max grid, nearest
     // code, reconstruction-error stats.
     "q_sim_quantize_int8" -> { (s, d) =>
@@ -895,6 +905,60 @@ object PipelinePack {
          |$jaccardTail""".stripMargin,
 
     "q_dedup_minhash_lsh" -> minhashSql,
+
+    "q_dedup_lsh_quality" ->
+      s"""WITH $minhashBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |ver AS (
+         |  SELECT doc_a FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
+         |ti AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tru AS (
+         |  SELECT ti.doc_a FROM ti
+         |  JOIN sizes sa ON sa.doc_id = ti.doc_a
+         |  JOIN sizes sb ON sb.doc_id = ti.doc_b
+         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN)
+         |SELECT (SELECT count(*) FROM tru) AS n_true,
+         |       (SELECT count(*) FROM cand) AS n_candidates,
+         |       (SELECT count(*) FROM ver) AS n_verified,
+         |       round((SELECT count(*) FROM ver) / (SELECT count(*) FROM cand), 6)
+         |         AS candidate_precision,
+         |       round((SELECT count(*) FROM ver) / (SELECT count(*) FROM tru), 6)
+         |         AS recall""".stripMargin,
+
+    "q_sim_ivf_balance" ->
+      s"""WITH $normalizedCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         |         WHERE vec_id % $CENT_STRIDE = 0),
+         |sc AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, cent),
+         |a AS (SELECT vec_id, cid,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY cd DESC, cid ASC) AS crn
+         |      FROM sc),
+         |lists AS (SELECT vec_id, cid FROM a WHERE crn = 1),
+         |sz AS (SELECT cid, count(*) AS sz FROM lists GROUP BY cid)
+         |SELECT CAST(count(*) AS BIGINT) AS n_lists,
+         |       CAST(sum(sz) AS BIGINT) AS n_vectors,
+         |       CAST(min(sz) AS BIGINT) AS min_size,
+         |       CAST(max(sz) AS BIGINT) AS max_size,
+         |       round(avg(sz), 6) AS avg_size,
+         |       round(max(sz) / avg(sz), 6) AS skew
+         |FROM sz""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""WITH $minhashBandCtes,
