@@ -264,6 +264,41 @@ object Similarity {
     * are bit-identical on any engine at any parallelism. Emits one row
     * per dimension: (dim, loading, lambda). */
   def pcaPower(emb: DataFrame, iters: Int, dim: Int): DataFrame = {
+    val (v, lambda, c) = pcaCore(emb, iters, dim)
+    val out = v.crossJoin(broadcast(lambda))
+      .select(col("pos").as("dim"), col("w").as("loading"), col("lambda"))
+    Dedup.materializeThenRelease(out, c)
+  }
+
+  /** Explained-variance ratio of the top principal component — the
+    * one-number answer to "is this embedding batch collapsed?": λ from
+    * the same power iteration as [[pcaPower]], total variance from the
+    * same rounded-mean-centered matrix (Σ‖x−µ‖²/n, decimal-exact sum),
+    * and their ratio. A healthy isotropic-ish batch sits near 1/dim; a
+    * collapsed batch's top component absorbs most of the variance.
+    * One row: (lambda, total_var, explained_ratio). */
+  def pcaExplained(emb: DataFrame, iters: Int, dim: Int): DataFrame = {
+    import graft.functions.Num
+    val (_, lambda, c) = pcaCore(emb, iters, dim)
+    val n1 = broadcast(
+      c.select("vec_id").distinct().agg(count(lit(1)).as("n")))
+    val tv = c.agg(Num.dsum(col("cv") * col("cv")).as("ss"))
+      .crossJoin(n1)
+      .select(round(col("ss") / col("n"), 6).as("total_var"))
+    val out = lambda.crossJoin(broadcast(tv))
+      .select(
+        round(col("lambda").cast("double"), 6).as("lambda"),
+        round(col("total_var").cast("double"), 6).as("total_var"),
+        round(col("lambda").cast("double") / col("total_var").cast("double"), 6)
+          .as("explained_ratio"))
+    Dedup.materializeThenRelease(out, c)
+  }
+
+  /** Shared power-iteration core: returns (direction v = (pos, w),
+    * 1-row Rayleigh eigenvalue, and the PERSISTED centered matrix —
+    * callers must release `c` via `materializeThenRelease(…, c)`). */
+  private def pcaCore(emb: DataFrame, iters: Int,
+                      dim: Int): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.Num
     val ss = emb.sparkSession
     val ev = normalized(emb)
@@ -298,9 +333,7 @@ object Similarity {
       .groupBy("vec_id").agg(Num.dsum(col("cv") * col("w")).as("d"))
     val lambda = dF
       .agg(round(Num.dsum(col("d") * col("d")) / count(lit(1)), 6).as("lambda"))
-    val out = v.crossJoin(broadcast(lambda))
-      .select(col("pos").as("dim"), col("w").as("loading"), col("lambda"))
-    Dedup.materializeThenRelease(out, c)
+    (v, lambda, c)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

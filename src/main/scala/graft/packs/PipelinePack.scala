@@ -453,6 +453,11 @@ object PipelinePack {
       Similarity.pcaPower(Tables.embeddings(s, d), PCA_ITERS, DIM)
         .orderBy("dim")
     },
+    // One-number batch-collapse probe: top-PC eigenvalue over total
+    // variance of the same centered matrix.
+    "q_sim_pca_explained" -> { (s, d) =>
+      Similarity.pcaExplained(Tables.embeddings(s, d), PCA_ITERS, DIM)
+    },
     // SemDeDup: within-cluster semantic near-dup removal over the
     // embedding space (keep-lowest-id policy).
     "q_sim_semdedup" -> { (s, d) =>
@@ -719,6 +724,35 @@ object PipelinePack {
        |      FROM e0)""".stripMargin
 
   private val normalizedCte = normalizedCteWhere("")
+
+  /** Power-iteration CTE chain shared by the pca_power and
+    * pca_explained oracles: normalized vectors → exploded (vec_id, pos,
+    * val) → rounded-mean-centered matrix `c` → PCA_ITERS iterations →
+    * final projections `df` → Rayleigh eigenvalue `l`. */
+  private val pcaCtes: String = {
+    def iterCtes(i: Int): String =
+      s"""d$i AS (SELECT vec_id, ${Num.dsumSql("cv * w")} AS d
+         |        FROM c JOIN v${i - 1} USING (pos) GROUP BY vec_id),
+         |u$i AS (SELECT pos, ${Num.dsumSql("cv * d")} AS u
+         |        FROM c JOIN d$i USING (vec_id) GROUP BY pos),
+         |n$i AS (SELECT sqrt(${Num.dsumSql("u * u")}) AS norm FROM u$i),
+         |v$i AS (SELECT pos, round(u / norm, 6) AS w FROM u$i, n$i)""".stripMargin
+    val iterations = (1 to PCA_ITERS).map(iterCtes).mkString(",\n")
+    s"""$normalizedCte,
+       |ev AS (SELECT vec_id, CAST(t.pos AS BIGINT) AS pos,
+       |              v[CAST(t.pos AS INT)] AS val
+       |       FROM e, unnest(range(1, ${DIM + 1})) t(pos)),
+       |mm AS (SELECT pos, round(${Num.dsumSql("val")} / count(*), 6) AS m
+       |       FROM ev GROUP BY pos),
+       |c AS (SELECT vec_id, ev.pos, val - m AS cv FROM ev JOIN mm USING (pos)),
+       |v0 AS (SELECT CAST(t.pos AS BIGINT) AS pos, ${1.0 / math.sqrt(DIM)} AS w
+       |       FROM unnest(range(1, ${DIM + 1})) t(pos)),
+       |$iterations,
+       |df AS (SELECT vec_id, ${Num.dsumSql("cv * w")} AS d
+       |       FROM c JOIN v$PCA_ITERS USING (pos) GROUP BY vec_id),
+       |l AS (SELECT round(${Num.dsumSql("d * d")} / count(*), 6) AS lambda FROM df)""".stripMargin
+  }
+
 
   /** Shared CTE chain for the exact-substring span-dedup oracles —
     * mirrors [[TextAnalysis.dupGramHits]]/[[TextAnalysis.dupSpans]]:
@@ -1180,31 +1214,21 @@ object PipelinePack {
     // long-form matrix, every cross-partition sum the same exact
     // DECIMAL(18,6), direction rounded to 6 after each normalization,
     // same constant 1/√DIM start — loadings and lambda bit-identical.
-    "q_sim_pca_power" -> {
-      def iterCtes(i: Int): String =
-        s"""d$i AS (SELECT vec_id, ${Num.dsumSql("cv * w")} AS d
-           |        FROM c JOIN v${i - 1} USING (pos) GROUP BY vec_id),
-           |u$i AS (SELECT pos, ${Num.dsumSql("cv * d")} AS u
-           |        FROM c JOIN d$i USING (vec_id) GROUP BY pos),
-           |n$i AS (SELECT sqrt(${Num.dsumSql("u * u")}) AS norm FROM u$i),
-           |v$i AS (SELECT pos, round(u / norm, 6) AS w FROM u$i, n$i)""".stripMargin
-      val iterations = (1 to PCA_ITERS).map(iterCtes).mkString(",\n")
-      s"""WITH $normalizedCte,
-         |ev AS (SELECT vec_id, CAST(t.pos AS BIGINT) AS pos,
-         |              v[CAST(t.pos AS INT)] AS val
-         |       FROM e, unnest(range(1, ${DIM + 1})) t(pos)),
-         |mm AS (SELECT pos, round(${Num.dsumSql("val")} / count(*), 6) AS m
-         |       FROM ev GROUP BY pos),
-         |c AS (SELECT vec_id, ev.pos, val - m AS cv FROM ev JOIN mm USING (pos)),
-         |v0 AS (SELECT CAST(t.pos AS BIGINT) AS pos, ${1.0 / math.sqrt(DIM)} AS w
-         |       FROM unnest(range(1, ${DIM + 1})) t(pos)),
-         |$iterations,
-         |df AS (SELECT vec_id, ${Num.dsumSql("cv * w")} AS d
-         |       FROM c JOIN v$PCA_ITERS USING (pos) GROUP BY vec_id),
-         |l AS (SELECT round(${Num.dsumSql("d * d")} / count(*), 6) AS lambda FROM df)
+    "q_sim_pca_power" ->
+      s"""WITH $pcaCtes
          |SELECT pos AS dim, w AS loading, lambda
-         |FROM v$PCA_ITERS, l ORDER BY dim""".stripMargin
-    },
+         |FROM v$PCA_ITERS, l ORDER BY dim""".stripMargin,
+
+    "q_sim_pca_explained" ->
+      s"""WITH $pcaCtes,
+         |tv AS (SELECT round(${Num.dsumSql("cv * cv")} /
+         |                    (SELECT count(DISTINCT vec_id) FROM c), 6)
+         |         AS total_var FROM c)
+         |SELECT round(CAST(lambda AS DOUBLE), 6) AS lambda,
+         |       round(CAST(total_var AS DOUBLE), 6) AS total_var,
+         |       round(CAST(lambda AS DOUBLE) / CAST(total_var AS DOUBLE), 6)
+         |         AS explained_ratio
+         |FROM l, tv""".stripMargin,
 
     // Mirrors Similarity.semDedup: same data-seeded centroids, same
     // raw-fold assignment argmax (identical IEEE arithmetic both

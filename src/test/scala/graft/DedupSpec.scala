@@ -140,4 +140,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
     assert(pairs.forall(r => r.getAs[Double]("cosine") >= 0.35))
   }
+
+  test("lshQualityReport: counts nest (verified <= cand, verified <= true), ratios consistent") {
+    val shingles = Dedup.wordShingles(Tables.documents(spark, TestSpark.sf0001))
+    val truth = Dedup.jaccardPairs(shingles, 0.4)
+    val r = Dedup.lshQualityReport(truth, shingles, 0.4).collect().head
+    val nTrue = r.getAs[Long]("n_true")
+    val nCand = r.getAs[Long]("n_candidates")
+    val nVer = r.getAs[Long]("n_verified")
+    assert(nVer <= nCand, "verified pairs must be a subset of candidates")
+    assert(nVer <= nTrue, "verified pairs must be a subset of the truth set")
+    assert(math.abs(r.getAs[Double]("candidate_precision") - nVer.toDouble / nCand) < 1e-6)
+    assert(math.abs(r.getAs[Double]("recall") - nVer.toDouble / nTrue) < 1e-6)
+    // The verified set IS minhashLshPairs' output — counts must agree.
+    assert(nVer == Dedup.minhashLshPairs(shingles, 0.4).count())
+  }
 }

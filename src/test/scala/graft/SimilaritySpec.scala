@@ -215,6 +215,32 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pcaExplained: ratio in (0, 1], consistent with pcaPower's lambda") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val r = Similarity.pcaExplained(emb, 3, 64).collect().head
+    val lambda = r.getAs[Double]("lambda")
+    val tv = r.getAs[Double]("total_var")
+    val ratio = r.getAs[Double]("explained_ratio")
+    assert(lambda > 0.0 && tv > 0.0)
+    assert(ratio > 0.0 && ratio <= 1.0 + 1e-9)
+    assert(math.abs(ratio - lambda / tv) < 1e-6)
+    val powerLambda = Similarity.pcaPower(emb, 3, 64)
+      .select(col("lambda").cast("double")).distinct().collect().map(_.getDouble(0))
+    assert(powerLambda.length == 1 && math.abs(powerLambda.head - lambda) < 1e-9,
+      "pcaExplained and pcaPower must agree on lambda")
+  }
+
+  test("ivfBalanceReport: totals match the corpus, min <= avg <= max") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val r = Similarity.ivfBalanceReport(emb, 40L).collect().head
+    assert(r.getAs[Long]("n_vectors") == emb.count())
+    val mn = r.getAs[Long]("min_size")
+    val mx = r.getAs[Long]("max_size")
+    val avg = r.getAs[Double]("avg_size")
+    assert(mn <= mx && mn <= avg + 1e-9 && avg <= mx + 1e-9)
+    assert(math.abs(r.getAs[Double]("skew") - mx / avg) < 1e-5)
+  }
+
   test("annRecallReport: one row per query, recall = hits/k in [0, 1]") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
