@@ -136,6 +136,16 @@ private[sources] class GraftCsvReaderFactory(required: StructType)
     new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file, required)
 }
 
+/** The sink's RFC-4180 quoting: quote-and-double only when the field
+  * contains the separator, a quote, or a line break — shared by the
+  * writer and the dialect's property tests. */
+private[sources] object GraftCsvDialect {
+  def quote(s: String): String =
+    if (s.exists(c => c == ';' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+}
+
 /** Streaming RFC-4180 record iterator for the sink's dialect: `sep`
   * separates fields; a field starting with `"` runs — including
   * embedded separators and newlines — until its closing quote, with
@@ -311,12 +321,10 @@ private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tempFile, true),
       java.nio.charset.StandardCharsets.UTF_8))
-  out.write(schema.fieldNames.map(quote).mkString(";")); out.write("\n")
+  out.write(schema.fieldNames.map(GraftCsvDialect.quote).mkString(";"))
+  out.write("\n")
 
-  private def quote(s: String): String =
-    if (s.exists(c => c == ';' || c == '"' || c == '\n' || c == '\r'))
-      "\"" + s.replace("\"", "\"\"") + "\""
-    else s
+  private def quote(s: String): String = GraftCsvDialect.quote(s)
 
   private def render(row: InternalRow, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) ""

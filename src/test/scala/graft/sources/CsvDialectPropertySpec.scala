@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based round trip of the DSv2 CSV table's dialect: the
+  * writer's quoting ([[GraftCsvDialect.quote]]) composed with the
+  * reader's streaming parser ([[CsvRecordIterator]]) must be the
+  * identity on ARBITRARY records — including fields full of
+  * separators, quotes, and CR/LF — because the committed files are the
+  * only contract between the two sides. Pure-JVM (no Spark round trip
+  * per sample), so hundreds of cases are cheap. */
+class CsvDialectPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // Hostile alphabet: dialect metacharacters over-weighted vs plain text.
+  private val field: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.oneOf(';', '"', '\n', '\r'),
+      Gen.choose(32.toChar, 126.toChar))).map(_.mkString)
+  private val record: Gen[List[String]] =
+    Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, field))
+  private val table: Gen[List[List[String]]] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, record))
+
+  test("quote → serialize → parse is the identity on arbitrary records") {
+    check(Prop.forAll(table) { rows =>
+      val serialized = rows.map(r =>
+        r.map(GraftCsvDialect.quote).mkString(";") + "\n").mkString
+      val parsed = new CsvRecordIterator(
+        new java.io.StringReader(serialized), ';').toList.map(_.toList)
+      parsed == rows
+    })
+  }
+
+  test("quoting is minimal: plain fields pass through unquoted") {
+    val plain = Gen.listOf(Gen.oneOf(
+      Gen.choose('a', 'z'), Gen.choose('0', '9'), Gen.const(' '))).map(_.mkString)
+    check(Prop.forAll(plain) { s => GraftCsvDialect.quote(s) == s })
+  }
+}
