@@ -227,6 +227,34 @@ object Analytics {
       .orderBy("key_a", "key_b")
   }
 
+  /** Last-touch purchase attribution: each purchase is credited to the
+    * user's most recent PRECEDING non-purchase event type (event-time
+    * order, event_id tiebreak), or 'direct' when none exists. Output is
+    * the per-channel purchase count and share — the marketing-style
+    * "which activity drives conversions" rollup. Scale: one window pass
+    * partitioned BY USER (state bounded by one user's history, never a
+    * global sort) + one keyed count; the share denominator is a 1-row
+    * broadcast. */
+  def attributionLastTouch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val purchases = events
+      .withColumn("channel",
+        coalesce(
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w),
+          lit("direct")))
+      .filter(col("event_type") === "purchase")
+    val total = broadcast(events.filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).cast("double").as("total")))
+    purchases.groupBy("channel").agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(total)
+      .select(col("channel"), col("n_purchases"),
+        round(col("n_purchases") / col("total"), 6).as("share"))
+      .orderBy("channel")
+  }
+
   /** Hourly gap fill over a per-user metric: a dense hour spine per user
     * (generated, not shuffled), observed sums left-joined on, then both
     * last-observation-carried-forward and linear interpolation between

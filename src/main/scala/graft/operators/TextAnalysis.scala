@@ -414,6 +414,24 @@ object TextAnalysis {
         .otherwise("de"))
   }
 
+  /** Language-ID confusion matrix: the heuristic classifier
+    * ([[langId]]) evaluated against the table's labeled `lang` — one
+    * row per (actual, predicted) cell with count and corpus share. The
+    * evaluation face a curation pipeline needs before trusting the
+    * classifier's routing decisions. Scale: the classifier's narrow
+    * per-row scoring + one two-key count; the share denominator is a
+    * 1-row broadcast. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val total = broadcast(docs.agg(count(lit(1)).cast("double").as("total")))
+    langId(docs)
+      .groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(total)
+      .select(col("actual_lang"), col("predicted_lang"), col("n"),
+        round(col("n") / col("total"), 6).as("share"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
   /** Unigram language-model quality score (the CCNet-style perplexity
     * proxy): fit an add-one-smoothed unigram LM on the corpus itself,
     * then score each document by its mean per-token negative log

@@ -534,6 +534,10 @@ object PipelinePack {
     "q_text_langid" -> { (s, d) =>
       TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id")
     },
+    // Classifier evaluation: heuristic language-ID vs the labeled lang.
+    "q_text_lang_confusion" -> { (s, d) =>
+      TextAnalysis.langConfusion(Tables.documents(s, d))
+    },
     "q_text_fingerprint" -> { (s, d) =>
       Poly31Hash.register(s)
       Tables.documents(s, d)
@@ -1719,6 +1723,28 @@ object PipelinePack {
          |            WHEN s_fr >= s_de THEN 'fr'
          |            ELSE 'de' END AS predicted_lang
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_lang_confusion" -> {
+      val scores = TextAnalysis.langMarkers
+        .map { case (l, ms) => s"${wordsFilterSql(ms)} AS s_$l" }
+        .mkString(",\n       ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS actual_lang,
+         |       $scores
+         |  FROM documents),
+         |p AS (
+         |  SELECT actual_lang,
+         |       CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |            WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+         |            WHEN s_fr >= s_de THEN 'fr'
+         |            ELSE 'de' END AS predicted_lang
+         |  FROM s),
+         |t AS (SELECT count(*) AS total FROM p)
+         |SELECT actual_lang, predicted_lang, count(*) AS n,
+         |       round(count(*) / (SELECT total FROM t), 6) AS share
+         |FROM p GROUP BY actual_lang, predicted_lang
+         |ORDER BY actual_lang, predicted_lang""".stripMargin
     },
 
     "q_text_fingerprint" ->

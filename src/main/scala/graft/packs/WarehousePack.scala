@@ -553,6 +553,11 @@ object WarehousePack {
     // Ordered funnel: per-stage user counts where each stage's first
     // event is strictly after the previous stage's — N per-user min-aggs
     // co-partitioned on user_id, no event-log window.
+    // Last-touch purchase attribution: per-channel count + share.
+    "q_x_attribution" -> { (s, d) =>
+      graft.operators.Analytics.attributionLastTouch(Tables.events(s, d))
+    },
+
     "q_x_funnel" -> { (s, d) =>
       graft.operators.Analytics.funnel(Tables.events(s, d), FunnelStages)
     },
@@ -1147,6 +1152,21 @@ object WarehousePack {
         |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
 
     // GENERATED from FunnelStages — the same stage list, labels, and
+    "q_x_attribution" ->
+      """WITH a AS (
+        |  SELECT event_id, event_type,
+        |         coalesce(last_value(CASE WHEN event_type <> 'purchase'
+        |                                  THEN event_type END IGNORE NULLS)
+        |                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |                  'direct') AS channel
+        |  FROM events),
+        |p AS (SELECT channel FROM a WHERE event_type = 'purchase'),
+        |t AS (SELECT count(*) AS total FROM p)
+        |SELECT channel, count(*) AS n_purchases,
+        |       round(count(*) / (SELECT total FROM t), 6) AS share
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
+
     // strictly-after semantics the Spark operator runs.
     "q_x_funnel" -> {
       val ctes = FunnelStages.zipWithIndex.tail.map { case (st, i) =>
