@@ -57,9 +57,12 @@ object Bench {
     if (prefixes == Seq(""))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
+    // Print the result line AFTER spark.stop(): the driver captures the
+    // TAIL of the log, and shutdown chatter after the JSON can push it
+    // out of the captured window (round-5 driver recorded parsed:null).
+    spark.stop()
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
       s""""n_queries":${results.size},"queries":${jmap(headline, _._2)},""" +
       s""""sf":"$sfDir","full":"BENCH_FULL.json"}""")
-    spark.stop()
   }
 }

@@ -27,9 +27,25 @@ object Num {
   /** Deterministic mean built from the exact sum. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
+  /** [[dsum]] at a caller-chosen scale. Scale 6 is only tie-safe when
+    * the summed terms have ≤6 true decimal digits; terms that are
+    * arbitrary doubles SMALLER than 1e-6 (PageRank's per-edge pr/deg
+    * contributions at large node counts) quantize to zero-or-tie at
+    * scale 6 and the two engines' cast-rounding modes disagree on the
+    * ties. At scale 18 a tie requires the double's terminating decimal
+    * expansion to land exactly on .5 at digit 18 — not reachable from
+    * these value ranges — so the cast agrees bit-for-bit on both
+    * engines while the sum stays exact and associative. */
+  def dsumAt(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(38, scale))).cast("double")
+
   /** The DuckDB spelling of [[dsum]] — keep the two in lockstep. */
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
 
   def davgSql(expr: String): String = s"${dsumSql(expr)} / count(*)"
+
+  /** The DuckDB spelling of [[dsumAt]]. */
+  def dsumAtSql(expr: String, scale: Int): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(38,$scale))) AS DOUBLE)"
 }

@@ -48,8 +48,12 @@ object Graph {
       val contrib = undDeg
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+      // Scale-18 sum: at large node counts the per-edge contributions
+      // pr/deg fall below 1e-6, where a scale-6 cast quantizes to
+      // zero-or-tie and the engines' rounding modes diverge (measured:
+      // 588/16k rows off by 1e-6 at sf0.1). See Num.dsumAt.
       val next = contrib.groupBy("node")
-        .agg(Num.dsum(col("c")).as("in_sum"))
+        .agg(Num.dsumAt(col("c"), 18).as("in_sum"))
         .crossJoin(n1)
         .select(col("node"),
           round(lit(1 - damping) / col("n_nodes")

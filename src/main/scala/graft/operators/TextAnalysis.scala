@@ -450,10 +450,20 @@ object TextAnalysis {
       .select(col("word"),
         round(-log((col("c") + lit(1.0)) / (col("n_total") + col("v_size"))), 6)
           .as("neglogp"))
+    // The per-doc average is INTEGER arithmetic end to end: each 6-decimal
+    // neglogp becomes an exact ×1e6 long (its double sits within 1e-10 of
+    // the decimal value, so the nearest-integer round can never tie), the
+    // sum is a long sum, and the average truncates at scale 7 via long
+    // floor-division — no engine rounding mode is ever consulted. A
+    // round(sum/n, 6) here measurably diverged at sf0.1: the exact
+    // quotient can terminate in …5 at digit 7, where Spark's exact
+    // HALF_UP and DuckDB's scaled-double rounding disagree.
     words.join(probs, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(graft.functions.Num.dsum(col("neglogp")) / count(lit(1)), 6)
+        sum(round(col("neglogp") * lit(1000000)).cast("long")).as("s6"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("(s6 * 10) div n_tokens").cast("double") / lit(1e7))
           .as("avg_neglogp"))
   }
 

@@ -1807,7 +1807,8 @@ object PipelinePack {
          |             round(-ln((c + 1.0) / (n_total + v_size)), 6) AS neglogp
          |      FROM v, t)
          |SELECT doc_id, count(*) AS n_tokens,
-         |       round(${Num.dsumSql("neglogp")} / count(*), 6) AS avg_neglogp
+         |       CAST((sum(CAST(round(neglogp * 1000000) AS BIGINT)) * 10)
+         |            // count(*) AS DOUBLE) / 10000000 AS avg_neglogp
          |FROM w JOIN p USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -830,7 +830,7 @@ object WarehousePack {
         s"""p$i AS (
            |  SELECT ed.dst AS node,
            |         round(CAST(${1 - PR_DAMPING} AS DOUBLE) / (SELECT n_nodes FROM nn)
-           |               + CAST($PR_DAMPING AS DOUBLE) * ${Num.dsumSql("p.pr / deg.deg")}, 6) AS pr
+           |               + CAST($PR_DAMPING AS DOUBLE) * ${Num.dsumAtSql("p.pr / deg.deg", 18)}, 6) AS pr
            |  FROM ed JOIN p${i - 1} p ON ed.src = p.node
            |          JOIN deg ON deg.src = ed.src
            |  GROUP BY ed.dst)""".stripMargin
