@@ -115,6 +115,51 @@ object TextAnalysis {
     s"regexp_replace(regexp_replace($e, '$EmailRe', '<EMAIL>', 'g'), " +
       s"'$PhoneRe', '<PHONE>', 'g')"
 
+  /** Packing-efficiency report over [[packSequences]]'s assignment: per
+    * language, the sequence count, packed token total, nominal capacity
+    * (n_seqs × seqLen) and fill ratio — the padding-waste number a
+    * training pipeline watches when tuning seqLen/shards. Spill
+    * documents (a doc crossing a boundary belongs to the sequence where
+    * it STARTED) can push a sequence past seqLen, so fill_ratio may
+    * exceed 1 slightly; that is the packing's real semantics, not an
+    * error. Scale: the packing output reduced by one keyed count —
+    * nothing beyond the packing itself. */
+  def packEfficiency(docs: DataFrame, seqLen: Long, shards: Long): DataFrame =
+    packSequences(docs, seqLen, shards)
+      .groupBy("lang")
+      .agg(
+        countDistinct(concat_ws(":", col("shard"), col("seq_no"))).as("n_seqs"),
+        sum(col("n_words")).as("total_tokens"))
+      .select(col("lang"), col("n_seqs"), col("total_tokens"),
+        (col("n_seqs") * lit(seqLen)).as("capacity"),
+        round(col("total_tokens") / (col("n_seqs") * lit(seqLen)), 6)
+          .as("fill_ratio"))
+      .orderBy("lang")
+
+  /** Temperature-weighted source mixture (the τ-scaled sampling weights
+    * an LLM data pipeline uses to rebalance domains — τ=1 keeps natural
+    * proportions, τ→0 approaches uniform): per source, weight ∝
+    * n_docs^τ normalized over sources, and the per-source sampling rate
+    * that realizes the mix (weight · total/n — >1 means upsampling).
+    * The normalizer Z folds the per-source pow values in SORTED order
+    * (same sequential-fold discipline as the dot product), so the
+    * double sum is engine- and partitioning-independent. Scale: one
+    * keyed count + a |sources|-bounded fold. */
+  def temperatureMix(docs: DataFrame, tau: Double): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", pow(col("n_docs").cast("double"), lit(tau)))
+    val z = broadcast(counts.agg(
+      aggregate(array_sort(collect_list(col("w_raw"))), lit(0.0),
+        (acc, x) => acc + x).as("z"),
+      sum(col("n_docs")).as("total_docs")))
+    counts.crossJoin(z)
+      .select(col("source"), col("n_docs"),
+        round(col("w_raw") / col("z"), 6).as("weight"),
+        round(col("w_raw") / col("z") * col("total_docs") / col("n_docs"), 6)
+          .as("sample_rate"))
+      .orderBy("source")
+  }
+
   /** Sequence packing for LLM training: assign documents to fixed-size
     * token sequences (greedy streaming pack in doc_id order) WITHIN
     * deterministic (lang, shard) groups — the standard distributed

@@ -39,6 +39,8 @@ object PipelinePack {
   /** Sequence packing: 2048-token sequences over 8 md5 shards. */
   private val SEQ_LEN = 2048L
   private val SHARDS = 8L
+  /** Temperature for the τ-weighted source mixture. */
+  private val TEMP_TAU = 0.7
   /** Decontamination: every 97th doc is the "benchmark"; ≥3 shared
     * shingles flags a training doc as contaminated. */
   private val BENCH_MOD = 97L
@@ -348,6 +350,14 @@ object PipelinePack {
     "q_text_seq_pack" -> { (s, d) =>
       TextAnalysis.packSequences(Tables.documents(s, d), SEQ_LEN, SHARDS)
         .orderBy("doc_id")
+    },
+    // Padding-waste report over the packing assignment.
+    "q_text_pack_efficiency" -> { (s, d) =>
+      TextAnalysis.packEfficiency(Tables.documents(s, d), SEQ_LEN, SHARDS)
+    },
+    // Temperature-weighted source mixture (τ-scaled rebalancing weights).
+    "q_text_temperature_mix" -> { (s, d) =>
+      TextAnalysis.temperatureMix(Tables.documents(s, d), TEMP_TAU)
     },
 
     // Materialized training sequences: the packing assignment joined
@@ -1389,6 +1399,33 @@ object PipelinePack {
       s"""WITH $seqPackCtes
          |SELECT doc_id, lang, shard, n_words, seq_no
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_text_pack_efficiency" ->
+      s"""WITH $seqPackCtes
+         |SELECT lang,
+         |       CAST(count(DISTINCT shard || ':' || seq_no) AS BIGINT) AS n_seqs,
+         |       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+         |       CAST(count(DISTINCT shard || ':' || seq_no) * $SEQ_LEN AS BIGINT)
+         |         AS capacity,
+         |       round(sum(n_words) /
+         |             (count(DISTINCT shard || ':' || seq_no) * $SEQ_LEN), 6)
+         |         AS fill_ratio
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_temperature_mix" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         pow(count(*), $TEMP_TAU) AS w_raw
+         |  FROM documents GROUP BY source),
+         |z AS (
+         |  SELECT list_reduce(list_prepend(0.0, list_sort(list(w_raw))),
+         |                     (a, b) -> a + b) AS z,
+         |         CAST(sum(n_docs) AS BIGINT) AS total_docs
+         |  FROM c)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       round(w_raw / z, 6) AS weight,
+         |       round(w_raw / z * total_docs / n_docs, 6) AS sample_rate
+         |FROM c, z ORDER BY source""".stripMargin,
 
     "q_text_seq_materialize" ->
       s"""WITH $seqPackCtes
