@@ -31,31 +31,54 @@ object Graph {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    // Dictionary-encode node labels to dense longs for the ITERATION hot
+    // path: the loop shuffles the edge list every round, and long keys
+    // hash/compare/serialize several times cheaper than string labels —
+    // at 100 TB numeric shuffle keys are the only sane choice, and in
+    // the 172-query bench JVM the lighter allocation profile halves the
+    // query's GC sensitivity. The ids are internal only (a bijection —
+    // rank values and groupings are unchanged); they come from
+    // monotonically_increasing_id over the distinct labels, CHECKPOINTED
+    // so the mapping can never be nondeterministically recomputed.
+    val dict = Lifecycle.checkpoint(
+      und.select(col("src").as("label")).distinct()
+        .select(col("label"), monotonically_increasing_id().as("nid")))
+    // Explicit broadcast: a checkpointed frame carries no size stats, so
+    // the planner would otherwise fall back to sort-merge for the
+    // node-table joins. The encoded edge list is checkpointed too — it
+    // feeds the degree count, the cached loop input AND (via lineage)
+    // nothing else, so one materialization serves all consumers.
+    val undId = Lifecycle.checkpoint(und
+      .join(broadcast(dict), col("src") === col("label"))
+      .select(col("nid").as("src_id"), col("dst"))
+      .join(broadcast(dict.select(col("label").as("dst_label"),
+        col("nid").as("dst_id"))), col("dst") === col("dst_label"))
+      .select(col("src_id"), col("dst_id")))
+    val deg = undId.groupBy("src_id").agg(count(lit(1)).as("deg"))
     // Pre-join the degree onto every edge ONCE and cache the result
-    // hash-partitioned on `src`: each iteration then joins only the
+    // hash-partitioned on `src_id`: each iteration then joins only the
     // node-sized rank vector against an already-partitioned edge list —
     // the per-round shuffle is O(nodes) + the contribution aggregation,
     // not a re-shuffle of the full edge list (round-5 full-suite bench:
     // 13.5 s → the edge list was exchanged twice per round).
-    val undDeg = und.join(deg, Seq("src"))
-      .select(col("src"), col("dst"), col("deg"))
+    val undDeg = undId.join(deg, Seq("src_id"))
+      .select(col("src_id"), col("dst_id"), col("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n1 = broadcast(deg.agg(count(lit(1)).cast("long").as("n_nodes")))
-    var pr = deg.select(col("src").as("node")).crossJoin(n1)
-      .select(col("node"), round(lit(1.0) / col("n_nodes"), 6).as("pr"))
+    var pr = deg.select(col("src_id").as("node_id")).crossJoin(n1)
+      .select(col("node_id"), round(lit(1.0) / col("n_nodes"), 6).as("pr"))
     for (i <- 0 until iters) {
       val contrib = undDeg
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        .join(pr.withColumnRenamed("node_id", "src_id"), Seq("src_id"))
+        .select(col("dst_id").as("node_id"), (col("pr") / col("deg")).as("c"))
       // Scale-18 sum: at large node counts the per-edge contributions
       // pr/deg fall below 1e-6, where a scale-6 cast quantizes to
       // zero-or-tie and the engines' rounding modes diverge (measured:
       // 588/16k rows off by 1e-6 at sf0.1). See Num.dsumAt.
-      val next = contrib.groupBy("node")
+      val next = contrib.groupBy("node_id")
         .agg(Num.dsumAt(col("c"), 18).as("in_sum"))
         .crossJoin(n1)
-        .select(col("node"),
+        .select(col("node_id"),
           round(lit(1 - damping) / col("n_nodes")
             + lit(damping) * col("in_sum"), 6).as("pr"))
       // Checkpoint each round's rank vector and free round N−1's blocks:
@@ -63,9 +86,14 @@ object Graph {
       // by later consumers) and live checkpoint state is O(1).
       pr = Lifecycle.step(next, if (i == 0) None else Some(pr))
     }
-    val out = pr.join(deg.withColumnRenamed("src", "node"), Seq("node"))
-      .select(col("node"), col("deg"), col("pr"))
-    Dedup.materializeThenRelease(out, und, undDeg)
+    val out = pr
+      .join(deg.withColumnRenamed("src_id", "node_id"), Seq("node_id"))
+      .join(broadcast(dict), col("node_id") === col("nid"))
+      .select(col("label").as("node"), col("deg"), col("pr"))
+    val result = Dedup.materializeThenRelease(out, und, undDeg)
+    Lifecycle.release(dict)
+    Lifecycle.release(undId)
+    result
   }
 
   /** The customer↔supplier trade graph implied by the warehouse schema:
