@@ -683,19 +683,23 @@ object Analytics {
   }
 
   /** Pairwise Pearson correlation matrix over a set of numeric columns,
-    * computed from ONE aggregation pass of sufficient statistics
-    * (n, Σx, Σx², Σxy) and unpivoted to one row per unordered pair.
-    * The sums run in plain doubles: a DECIMAL(38,6) discipline here was
-    * 6× the query's cost (round-5 audit) for precision the output never
-    * exposes — correlation is a dimensionless RATIO of the sums rounded
-    * to 6 decimals, so cross-partition accumulation-order noise
-    * (~1e-12 relative) cannot reach the emitted digits. The oracle uses
-    * the same double sums; both engines agree after the rounding.
+    * computed from ONE aggregation pass of decimal-exact sufficient
+    * statistics (n, Σx, Σx², Σxy at DECIMAL(38,6) — squares overflow 18
+    * digits) and unpivoted to one row per unordered pair. Built-in
+    * `corr` is streaming-order-dependent in the last ulps; explicit
+    * exact sums make the double algebra identical on any engine and any
+    * partition count. (A round-6 experiment with plain double sums was
+    * 6× cheaper but reintroduces accumulation-order noise that can
+    * cross a round-6 boundary — rounding is discontinuous, so no noise
+    * magnitude is provably safe; the decimal cost is ~3 s at sf0.1 now
+    * that checkpoint-block pressure is fixed, which is the price of
+    * determinism.)
     */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
-    def s1(c: String) = sum(col(c)).as(s"s_$c")
+    val big = org.apache.spark.sql.types.DecimalType(38, 6)
+    def s1(c: String) = sum(col(c).cast(big)).cast("double").as(s"s_$c")
     def s2(a: String, b: String) =
-      sum(col(a) * col(b)).as(s"s_${a}_$b")
+      sum((col(a) * col(b)).cast(big)).cast("double").as(s"s_${a}_$b")
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield (cols(i), cols(j))
     val aggs = cols.map(s1) ++ cols.map(c => s2(c, c)) ++

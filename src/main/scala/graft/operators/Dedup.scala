@@ -148,17 +148,22 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
   }
 
-  /** MinHash + LSH near-dup pairs: band the k=16 signature into 4 bands
-    * of 4 rows, bucket-join per band, then verify survivors with exact
-    * jaccard ≥ minJ. Only candidate pairs (a vanishing fraction at any
-    * scale) ever reach the verification join. */
-  def minhashLshPairs(rawShingles: DataFrame, minJ: Double): DataFrame = {
-    val shingles = rawShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** The MinHash band-collision candidate pairs of a shingle frame —
+    * the shared front half of [[minhashLshPairs]] and
+    * [[lshQualityReport]] (one definition, so the quality report can
+    * never drift from the operator it measures). */
+  private def minhashCandidates(shingles: DataFrame): DataFrame = {
     val bands = bandsOf(minhashSignatures(shingles))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+    bands.as("x").join(bands.as("y"), Seq("band", "bv"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact-jaccard verification of a candidate pair set — the shared
+    * back half of the LSH pipelines. */
+  private def verifyPairs(cand: DataFrame, shingles: DataFrame,
+                          minJ: Double): DataFrame = {
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sa = shingles.withColumnsRenamed(Map("doc_id" -> "doc_a"))
     val sb = shingles.withColumnsRenamed(Map("doc_id" -> "doc_b"))
@@ -166,7 +171,17 @@ object Dedup {
       .join(sa, Seq("doc_a"))
       .join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    materializeThenRelease(withJaccard(inter, sizes, minJ), shingles)
+    withJaccard(inter, sizes, minJ)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the k=16 signature into 4 bands
+    * of 4 rows, bucket-join per band, then verify survivors with exact
+    * jaccard ≥ minJ. Only candidate pairs (a vanishing fraction at any
+    * scale) ever reach the verification join. */
+  def minhashLshPairs(rawShingles: DataFrame, minJ: Double): DataFrame = {
+    val shingles = rawShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materializeThenRelease(
+      verifyPairs(minhashCandidates(shingles), shingles, minJ), shingles)
   }
 
   /** LSH dedup QUALITY report — "measure, don't guess" for the banding
@@ -187,19 +202,8 @@ object Dedup {
   def lshQualityReport(truePairs: DataFrame, rawShingles: DataFrame,
                        minJ: Double): DataFrame = {
     val shingles = rawShingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = bandsOf(minhashSignatures(shingles))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sa = shingles.withColumnsRenamed(Map("doc_id" -> "doc_a"))
-    val sb = shingles.withColumnsRenamed(Map("doc_id" -> "doc_b"))
-    val inter = cand
-      .join(sa, Seq("doc_a"))
-      .join(sb, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    val verified = withJaccard(inter, sizes, minJ)
+    val cand = minhashCandidates(shingles)
+    val verified = verifyPairs(cand, shingles, minJ)
     val out = cand.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(broadcast(verified.agg(count(lit(1)).as("n_verified"))))
       .crossJoin(broadcast(truePairs.agg(count(lit(1)).as("n_true"))))

@@ -32,11 +32,27 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Lifecycle {
 
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+  // WEAK references: the registry must enable deterministic release,
+  // never PREVENT release. A strong reference would keep every
+  // registered RDD reachable forever in a library session that never
+  // calls releaseAll (only the Bench/Verify harnesses do), defeating
+  // the ContextCleaner's GC-driven cleanup that otherwise reclaims
+  // unreachable checkpoint blocks. With weak refs both paths work:
+  // harness loops release eagerly; plain library use falls back to the
+  // pre-registry GC behavior.
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[RDD[_]]]()
 
-  /** Number of registered (not yet released) checkpoint RDDs — spec
-    * observability, not public API. */
-  def liveCount: Int = live.size()
+  /** Number of registered, not-yet-released, still-reachable checkpoint
+    * RDDs — spec observability, not public API. */
+  def liveCount: Int = {
+    val it = live.iterator()
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().get() != null) n += 1 else it.remove()
+    }
+    n
+  }
 
   /** The checkpoint RDDs backing `df` after a localCheckpoint: the
     * `LogicalRDD` leaves of its analyzed plan. */
@@ -47,7 +63,8 @@ object Lifecycle {
     * backing blocks for deterministic release via [[releaseAll]]. */
   def checkpoint(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint()
-    backingRdds(out).foreach(live.add)
+    backingRdds(out).foreach(rdd =>
+      live.add(new java.lang.ref.WeakReference[RDD[_]](rdd)))
     out
   }
 
@@ -63,19 +80,28 @@ object Lifecycle {
 
   /** Free the checkpoint blocks backing `df` (no-op for unregistered
     * frames — only blocks this registry created are ever released). */
-  def release(df: DataFrame): Unit =
-    backingRdds(df).foreach { rdd =>
-      if (live.remove(rdd)) rdd.unpersist(blocking = false)
+  def release(df: DataFrame): Unit = {
+    val targets = backingRdds(df)
+    val it = live.iterator()
+    while (it.hasNext) {
+      val rdd = it.next().get()
+      if (rdd == null) it.remove()
+      else if (targets.exists(_ eq rdd)) {
+        it.remove()
+        rdd.unpersist(blocking = false)
+      }
     }
+  }
 
   /** Free every registered checkpoint RDD. Call when all previously
     * returned operator results are dead (between Bench runs / Verify
     * queries); a released frame cannot be re-read. */
   def releaseAll(): Unit = {
-    var rdd = live.poll()
-    while (rdd != null) {
-      rdd.unpersist(blocking = false)
-      rdd = live.poll()
+    var ref = live.poll()
+    while (ref != null) {
+      val rdd = ref.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
+      ref = live.poll()
     }
   }
 }

@@ -146,8 +146,12 @@ object TextAnalysis {
     * double sum is engine- and partitioning-independent. Scale: one
     * keyed count + a |sources|-bounded fold. */
   def temperatureMix(docs: DataFrame, tau: Double): DataFrame = {
+    // pow is not correctly rounded in either engine's libm — round the
+    // per-source weight to 6 decimals IMMEDIATELY so a 1-ulp pow
+    // divergence is absorbed here (one rounding with a ~1e-13-wide tie
+    // window) instead of propagating into every downstream ratio.
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("w_raw", pow(col("n_docs").cast("double"), lit(tau)))
+      .withColumn("w_raw", round(pow(col("n_docs").cast("double"), lit(tau)), 6))
     val z = broadcast(counts.agg(
       aggregate(array_sort(collect_list(col("w_raw"))), lit(0.0),
         (acc, x) => acc + x).as("z"),

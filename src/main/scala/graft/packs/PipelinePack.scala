@@ -1415,7 +1415,7 @@ object PipelinePack {
     "q_text_temperature_mix" ->
       s"""WITH c AS (
          |  SELECT source, count(*) AS n_docs,
-         |         pow(count(*), $TEMP_TAU) AS w_raw
+         |         round(pow(count(*), $TEMP_TAU), 6) AS w_raw
          |  FROM documents GROUP BY source),
          |z AS (
          |  SELECT list_reduce(list_prepend(0.0, list_sort(list(w_raw))),

@@ -550,14 +550,14 @@ object WarehousePack {
         .orderBy("l_returnflag")
     },
 
-    // Ordered funnel: per-stage user counts where each stage's first
-    // event is strictly after the previous stage's — N per-user min-aggs
-    // co-partitioned on user_id, no event-log window.
     // Last-touch purchase attribution: per-channel count + share.
     "q_x_attribution" -> { (s, d) =>
       graft.operators.Analytics.attributionLastTouch(Tables.events(s, d))
     },
 
+    // Ordered funnel: per-stage user counts where each stage's first
+    // event is strictly after the previous stage's — N per-user min-aggs
+    // co-partitioned on user_id, no event-log window.
     "q_x_funnel" -> { (s, d) =>
       graft.operators.Analytics.funnel(Tables.events(s, d), FunnelStages)
     },
@@ -1151,7 +1151,6 @@ object WarehousePack {
         |FROM d JOIN s USING (l_returnflag)
         |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
 
-    // GENERATED from FunnelStages — the same stage list, labels, and
     "q_x_attribution" ->
       """WITH a AS (
         |  SELECT event_id, event_type,
@@ -1167,6 +1166,7 @@ object WarehousePack {
         |       round(count(*) / (SELECT total FROM t), 6) AS share
         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
 
+    // GENERATED from FunnelStages — the same stage list, labels, and
     // strictly-after semantics the Spark operator runs.
     "q_x_funnel" -> {
       val ctes = FunnelStages.zipWithIndex.tail.map { case (st, i) =>
@@ -1677,8 +1677,9 @@ object WarehousePack {
     * stay in lockstep with the Spark side.
     */
   private def corrMatrixSql: String = {
-    def s1(c: String) = s"sum($c) AS s_$c"
-    def s2(a: String, b: String) = s"sum($a * $b) AS s_${a}_$b"
+    def s1(c: String) = s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c"
+    def s2(a: String, b: String) =
+      s"CAST(sum(CAST($a * $b AS DECIMAL(38,6))) AS DOUBLE) AS s_${a}_$b"
     val pairs = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
       yield (CorrCols(i), CorrCols(j))
     val aggs = (CorrCols.map(s1) ++ CorrCols.map(c => s2(c, c)) ++

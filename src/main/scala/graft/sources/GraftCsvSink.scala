@@ -53,7 +53,10 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftCsvSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   // For writes the schema arrives via LogicalWriteInfo; for schemaless
-  // reads, infer all-string columns from a committed part header.
+  // reads, infer all-string columns from a committed part header. DSv2
+  // gives no read-vs-write signal at this hook, so a schemaless WRITE
+  // also pays the (bounded) cost here: one directory listing plus one
+  // header line from the first part file — never a data scan.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftCsvTable.inferFromHeader(options.get("path"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -136,12 +139,16 @@ private[sources] class GraftCsvReaderFactory(required: StructType)
     new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file, required)
 }
 
-/** The sink's RFC-4180 quoting: quote-and-double only when the field
-  * contains the separator, a quote, or a line break — shared by the
+/** The sink's RFC-4180 quoting: quote-and-double when the field
+  * contains the separator, a quote, or a line break — and ALWAYS quote
+  * the empty string, so `""` on disk means empty string while a bare
+  * empty field means NULL (without this the two are conflated and a
+  * non-null empty STRING column would not round-trip). Shared by the
   * writer and the dialect's property tests. */
 private[sources] object GraftCsvDialect {
   def quote(s: String): String =
-    if (s.exists(c => c == ';' || c == '"' || c == '\n' || c == '\r'))
+    if (s.isEmpty) "\"\""
+    else if (s.exists(c => c == ';' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
 }
@@ -150,7 +157,9 @@ private[sources] object GraftCsvDialect {
   * separates fields; a field starting with `"` runs — including
   * embedded separators and newlines — until its closing quote, with
   * `""` unescaping to one quote; records end at an unquoted `\n`
-  * (`\r` is swallowed). */
+  * (`\r` is swallowed). A bare empty field decodes as NULL; a quoted
+  * empty field (`""`) decodes as the empty string — the writer's
+  * rendering of the two, kept distinguishable on purpose. */
 private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
     extends Iterator[Array[String]] {
   private var nextRec: Array[String] = readRecord()
@@ -167,9 +176,15 @@ private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
     val fields = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inQuotes = false
+    var quoted = false // the CURRENT field began with a quote
+    def endField(): Unit = {
+      fields += (if (!quoted && sb.isEmpty) null else sb.toString)
+      sb.clear()
+      quoted = false
+    }
     while (true) {
       if (c == -1) {
-        fields += sb.toString
+        endField()
         return fields.toArray
       }
       val ch = c.toChar
@@ -180,14 +195,14 @@ private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
           else { inQuotes = false; c = nxt }
         } else { sb.append(ch); c = in.read() }
       } else if (ch == sep) {
-        fields += sb.toString
-        sb.clear()
+        endField()
         c = in.read()
-      } else if (ch == '"' && sb.isEmpty) {
+      } else if (ch == '"' && sb.isEmpty && !quoted) {
         inQuotes = true
+        quoted = true
         c = in.read()
       } else if (ch == '\n') {
-        fields += sb.toString
+        endField()
         return fields.toArray
       } else if (ch == '\r') {
         c = in.read()
@@ -225,7 +240,7 @@ private[sources] class GraftCsvPartitionReader(file: String, required: StructTyp
   }
 
   private def convert(s: String, dt: DataType): Any =
-    if (s.isEmpty) null
+    if (s == null) null // bare empty field = NULL; quoted "" = empty string
     else dt match {
       case StringType => UTF8String.fromString(s)
       case LongType => s.toLong
@@ -238,15 +253,22 @@ private[sources] class GraftCsvPartitionReader(file: String, required: StructTyp
         s"graft-csv read: unsupported column type $other")
     }
 
+  // Hoisted out of the per-record loop: field types aligned with their
+  // header positions, and one reusable values buffer.
+  private val fieldTypes: Array[DataType] = required.fields.map(_.dataType)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (!records.hasNext) return false
     val rec = records.next()
-    row = InternalRow.fromSeq(required.fields.zipWithIndex.toSeq.map { case (f, i) =>
+    val values = new Array[Any](fieldTypes.length)
+    var i = 0
+    while (i < fieldTypes.length) {
       val idx = colIndex(i)
-      if (idx >= rec.length) null else convert(rec(idx), f.dataType)
-    })
+      values(i) = if (idx >= rec.length) null else convert(rec(idx), fieldTypes(i))
+      i += 1
+    }
+    row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
     true
   }
 

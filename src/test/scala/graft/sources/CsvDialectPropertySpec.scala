@@ -18,28 +18,36 @@ class CsvDialectPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  // Hostile alphabet: dialect metacharacters over-weighted vs plain text.
-  private val field: Gen[String] =
+  // Hostile alphabet: dialect metacharacters over-weighted vs plain
+  // text; fields may also be NULL (rendered as a bare empty field) or
+  // the empty string (rendered quoted, `""` — the two MUST stay
+  // distinguishable through the round trip).
+  private val str: Gen[String] =
     Gen.listOf(Gen.oneOf(Gen.oneOf(';', '"', '\n', '\r'),
       Gen.choose(32.toChar, 126.toChar))).map(_.mkString)
-  private val record: Gen[List[String]] =
+  private val field: Gen[Option[String]] = Gen.frequency(
+    1 -> Gen.const(None), 1 -> Gen.const(Some("")), 6 -> str.map(Some(_)))
+  private val record: Gen[List[Option[String]]] =
     Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, field))
-  private val table: Gen[List[List[String]]] =
+  private val table: Gen[List[List[Option[String]]]] =
     Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, record))
 
-  test("quote → serialize → parse is the identity on arbitrary records") {
+  test("quote → serialize → parse is the identity (null ≠ empty string)") {
     check(Prop.forAll(table) { rows =>
       val serialized = rows.map(r =>
-        r.map(GraftCsvDialect.quote).mkString(";") + "\n").mkString
+        r.map(_.map(GraftCsvDialect.quote).getOrElse(""))
+          .mkString(";") + "\n").mkString
       val parsed = new CsvRecordIterator(
-        new java.io.StringReader(serialized), ';').toList.map(_.toList)
+        new java.io.StringReader(serialized), ';').toList
+        .map(_.toList.map(Option(_)))
       parsed == rows
     })
   }
 
-  test("quoting is minimal: plain fields pass through unquoted") {
-    val plain = Gen.listOf(Gen.oneOf(
+  test("quoting is minimal: plain non-empty fields pass through unquoted") {
+    val plain = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.choose('a', 'z'), Gen.choose('0', '9'), Gen.const(' '))).map(_.mkString)
     check(Prop.forAll(plain) { s => GraftCsvDialect.quote(s) == s })
+    assert(GraftCsvDialect.quote("") == "\"\"")
   }
 }

@@ -45,7 +45,8 @@ class CsvSinkSpec extends AnyFunSuite {
       (2L, "semi;colon", -0.5),
       (3L, "qu\"ote", 0.0),
       (4L, "multi\nline\r\nboth", 1.0),
-      (5L, null.asInstanceOf[String], 3.25)
+      (5L, null.asInstanceOf[String], 3.25),
+      (6L, "", 4.5) // empty string must round-trip as "", NOT null
     ).toDF("id", "s", "x")
     src.write.format("graft.sources.GraftCsvSink")
       .mode("overwrite").option("path", path).save()
@@ -58,7 +59,7 @@ class CsvSinkSpec extends AnyFunSuite {
       .format("graft.sources.GraftCsvSink").option("path", path).load()
     assert(inferred.columns.toSeq == Seq("id", "s", "x"))
     assert(inferred.schema.fields.forall(_.dataType == StringType))
-    assert(inferred.count() == 5L)
+    assert(inferred.count() == 6L)
     // Column pruning reaches the scan: a 1-column projection's scan
     // reports a 1-column ReadSchema.
     val pruned = back.select("s")
