@@ -7,13 +7,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, and a per-partition "decode / feature-extract" stage.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked deterministic stand-in (byte-level digest + header
-  * probe) — but the Spark plumbing is the real thing: BinaryType column,
-  * case-class `Encoder`s, `mapPartitions` with per-partition resource
-  * init (one MessageDigest per partition, the same shape a real decoder
-  * or model handle would use), and schema-checked output. Swap
-  * [[FakeDecoder.features]] for a real codec and nothing else changes.
+  * Two tiers:
+  *  - IMAGES are decoded for real: [[packImages]] renders deterministic
+  *    PNG bytes with the JDK's pure-Java codec (`javax.imageio.ImageIO`
+  *    — no external library), and [[decodeImages]] decodes those bytes
+  *    back per partition, emitting width/height/band-count/pixel
+  *    checksums read from the DECODED raster. Because PNG is lossless
+  *    and the pixel pattern is a closed-form function of `doc_id`, the
+  *    decoded metadata is exactly reproducible in SQL — the oracle
+  *    replays the formula, so a wrong decode cannot hash green.
+  *  - AUDIO/VIDEO-style payloads (no codec in the JDK) keep the
+  *    clearly-marked deterministic stand-in ([[FakeDecoder.features]]:
+  *    byte-level digest + header probe) — the Spark plumbing around it
+  *    (BinaryType column, case-class `Encoder`s, `mapPartitions` with
+  *    per-partition handle init, schema-checked output) is the
+  *    production shape; swap the digest for a codec call and nothing
+  *    else changes.
   */
 object Multimodal {
 
@@ -47,6 +56,85 @@ object Multimodal {
       val md = MessageDigest.getInstance("MD5")
       it.map(FakeDecoder.features(md, _))
     }
+  }
+
+  /** Deterministic image fixture: dimensions and a gray ramp derived
+    * from `doc_id` alone, so both the Spark decode path and the DuckDB
+    * oracle can compute the expected metadata independently. Kept tiny
+    * (≤16×14) — the point is a REAL codec round trip, not pixel volume. */
+  object ImageFixture {
+    def widthOf(docId: Long): Int = (8 + docId % 9).toInt
+    def heightOf(docId: Long): Int = (8 + docId % 7).toInt
+    def grayAt(docId: Long, x: Int, y: Int): Int =
+      ((docId + 31L * x + 7L * y) % 256).toInt
+
+    /** Render the doc's pixel pattern and ENCODE it as real PNG bytes
+      * via the JDK's built-in codec (r = g = b = gray ramp). */
+    def renderPng(docId: Long): Array[Byte] = {
+      val w = widthOf(docId)
+      val h = heightOf(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = grayAt(docId, x, y)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  case class ImageMedia(doc_id: Long, png: Array[Byte])
+  case class DecodedImage(doc_id: Long, width: Long, height: Long,
+                          channels: Long, pixel_sum: Long, pixel_checksum: Long)
+
+  /** One PNG payload per document — the binary image column a real
+    * table would carry (here generated in-engine so the decode is
+    * verifiable; in production these bytes arrive from object storage).
+    * Narrow per-partition encode, no shuffle. */
+  def packImages(spark: SparkSession, docs: DataFrame): Dataset[ImageMedia] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(
+      _.map(id => ImageMedia(id, ImageFixture.renderPng(id))))
+  }
+
+  /** REAL image decode: `ImageIO.read` each PNG payload per partition
+    * and report metadata measured from the DECODED raster — dimensions,
+    * band count, and two pixel checksums (plain sum + position-weighted
+    * sum). PNG being lossless, these equal the fixture's closed-form
+    * pixel function, which the DuckDB oracle replays — a broken decode
+    * (wrong dims, channel order, row stride) cannot hash green.
+    * Scale: narrow mapPartitions, one decoder call per row, output is
+    * six fixed-width columns per image regardless of payload size. */
+  def decodeImages(spark: SparkSession, packed: Dataset[ImageMedia]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    packed.mapPartitions(_.map { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var chk = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val gray = img.getRGB(x, y) & 0xff // r == g == b in the fixture
+          sum += gray
+          chk += gray.toLong * (y.toLong * w + x + 1)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(m.doc_id, w.toLong, h.toLong,
+        img.getRaster.getNumBands.toLong, sum, chk)
+    })
   }
 
   case class ResizedMedia(doc_id: Long, orig_len: Long, resized_len: Long,

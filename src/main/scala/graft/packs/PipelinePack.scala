@@ -558,6 +558,14 @@ object PipelinePack {
       Multimodal.extractFeatures(s, Multimodal.packPayload(Tables.documents(s, d)))
         .toDF().orderBy("doc_id")
     },
+    // REAL codec round trip: render deterministic PNG bytes with the
+    // JDK's ImageIO, decode them back per partition, report metadata
+    // measured from the decoded raster. The oracle replays the
+    // fixture's closed-form pixel function — a wrong decode can't pass.
+    "q_mm_decode_real" -> { (s, d) =>
+      Multimodal.decodeImages(s, Multimodal.packImages(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")
+    },
     // Frame sampling: 16-byte frames, keep every 4th — binary substring
     // plumbing with one generator per row, no UDF.
     "q_mm_frame_sample" -> { (s, d) =>
@@ -1834,6 +1842,22 @@ object PipelinePack {
         |       md5(text) AS payload_md5,
         |       CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays Multimodal.ImageFixture's closed-form dimensions + gray
+    // ramp: the Spark side measures these from PIXELS DECODED by
+    // ImageIO, so equality here proves the PNG encode→decode round
+    // trip (RGB PNGs decode with 3 raster bands).
+    "q_mm_decode_real" ->
+      """WITH d AS (SELECT doc_id,
+        |                  8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM d, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y))
+        |SELECT doc_id, w AS width, h AS height, CAST(3 AS BIGINT) AS channels,
+        |       CAST(sum((doc_id + 31 * x + 7 * y) % 256) AS BIGINT) AS pixel_sum,
+        |       CAST(sum(((doc_id + 31 * x + 7 * y) % 256) * (y * w + x + 1)) AS BIGINT)
+        |         AS pixel_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "q_text_unigram_lm" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -294,4 +294,32 @@ class TextSpec extends AnyFunSuite {
     assert(feats.payload_md5 == "5d41402abc4b2a76b9719d911017c592")
     assert(feats.first_byte == 'h'.toLong)
   }
+
+  test("multimodal real decode: PNG round trip pins the known image's pixels") {
+    import Multimodal.ImageFixture
+    // doc_id = 5: 13×13, gray(x,y) = (5 + 31x + 7y) mod 256.
+    val png = ImageFixture.renderPng(5L)
+    // It is a real PNG container, not a digest stand-in.
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 13 && img.getHeight == 13)
+    for (y <- 0 until 13; x <- 0 until 13) {
+      val g = ImageFixture.grayAt(5L, x, y)
+      assert((img.getRGB(x, y) & 0xffffff) == ((g << 16) | (g << 8) | g),
+        s"pixel ($x,$y)")
+    }
+    // And the distributed decode reports metadata measured from the
+    // decoded raster that matches the closed form.
+    val docs = Seq((5L, "ignored")).toDF("doc_id", "text")
+    val dec = Multimodal.decodeImages(spark, Multimodal.packImages(spark, docs))
+      .collect().head
+    val expSum = (for (y <- 0 until 13; x <- 0 until 13)
+      yield ImageFixture.grayAt(5L, x, y).toLong).sum
+    val expChk = (for (y <- 0 until 13; x <- 0 until 13)
+      yield ImageFixture.grayAt(5L, x, y).toLong * (y * 13 + x + 1)).sum
+    assert(dec.width == 13L && dec.height == 13L && dec.channels == 3L)
+    assert(dec.pixel_sum == expSum)
+    assert(dec.pixel_checksum == expChk)
+  }
 }
