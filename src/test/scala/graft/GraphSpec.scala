@@ -33,4 +33,26 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("node"), r.getAs[Double]("pr"))).sorted.toSeq
     assert(again == out.map(r => (r.getAs[String]("node"), r.getAs[Double]("pr"))).sorted.toSeq)
   }
+
+  test("pageRank: repeated runs in one JVM stay flat (suite-pressure guard)") {
+    // Round-6 verdict #2: the driver's in-suite median ran 5× the
+    // isolated median. With data-sized partition counts and per-round
+    // Lifecycle release, back-to-back executions must neither slow down
+    // nor accumulate checkpoint state. Timing asserts are kept loose
+    // (1.5× + fixed slack on the min-of-window) so JIT/GC noise cannot
+    // flake the suite while a real leak (monotone growth) still fails.
+    val edges = Graph.tradeEdges(
+      Tables.orders(spark, TestSpark.sf0001), Tables.lineitem(spark, TestSpark.sf0001))
+    val times = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      Graph.pageRank(edges, 0.85, 10).count()
+      graft.operators.Lifecycle.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+    assert(graft.operators.Lifecycle.liveCount == 0,
+      "checkpoint blocks survived releaseAll")
+    val early = times.take(2).min
+    val late = times.drop(3).min
+    assert(late <= early * 1.5 + 0.5, s"pageRank degraded across runs: $times")
+  }
 }
