@@ -111,6 +111,32 @@ object SinksPack {
         .orderBy("p_brand")
     },
 
+    // The FILTERED twin of q_k_dsv2_csv: an equality + range predicate
+    // pushed INTO the custom reader (SupportsPushDownFilters) — rows
+    // are dropped pre-materialization and no residual Spark filter
+    // survives (PlanHygieneSpec pins the plan; this query pins the
+    // values). Note p_partkey is pruned from the output, so the reader
+    // parses it for evaluation only.
+    "q_k_dsv2_csv_filtered" -> { (s, d) =>
+      val dirty = Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"),
+        concat(col("p_name"), lit("\n"), col("p_type")).as("dirty"))
+      val path = tmpPath("dsv2csvf", d)
+      ensureFixture(path) {
+        dirty.write.format("graft.sources.GraftCsvSink")
+          .mode("overwrite").option("path", path).save()
+      }
+      s.read
+        .schema("p_partkey LONG, p_brand STRING, dirty STRING")
+        .format("graft.sources.GraftCsvSink").option("path", path).load()
+        .filter(col("p_partkey") % 2 === 0 || col("p_partkey") <= 100) // residual (unsupported shape)
+        .filter(col("p_brand") >= "Brand#3" && col("p_partkey") <= 1500) // pushed
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("dirty"))).cast("long").as("sum_len"))
+        .orderBy("p_brand")
+    },
+
     // K4/J5 — JSON write + read-back (schema inferred on read).
     "q_k4_json_roundtrip" -> { (s, d) =>
       val path = tmpPath("json", d)
@@ -432,6 +458,14 @@ object SinksPack {
       """SELECT p_brand, count(*) AS n,
         |       CAST(sum(length(p_name || chr(10) || p_type)) AS BIGINT) AS sum_len
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_k_dsv2_csv_filtered" ->
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(length(p_name || chr(10) || p_type)) AS BIGINT) AS sum_len
+        |FROM part
+        |WHERE (p_partkey % 2 = 0 OR p_partkey <= 100)
+        |  AND p_brand >= 'Brand#3' AND p_partkey <= 1500
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_k4_json_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -4,14 +4,45 @@ import java.util.{Map => JMap, UUID}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Serializable carrier for the SESSION's Hadoop configuration: scan and
+  * write factories ship it to executors so `spark.hadoop.*` settings
+  * (credentials, custom filesystem impls) apply on every task — a bare
+  * `new Configuration()` would silently ignore them (round-6 advice).
+  * Hadoop's `Configuration` is not `Serializable`; this wrapper streams
+  * it through its own `write`/`readFields`. */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] object SerializableHadoopConf {
+  /** The active session's Hadoop conf (driver side); plain defaults when
+    * no session is active (tests constructing readers directly). */
+  def fromSession(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
+}
 
 /** DataSource V2 batch WRITE path for the reference's `;`-CSV envelope
   * (SURVEY.md §2.2 K1) — the sink-side twin of [[PagedJsonSource]]:
@@ -45,10 +76,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * part-file header). One input partition per committed part file;
   * column pruning is pushed into the reader
   * (`SupportsPushDownRequiredColumns`), so a 2-column projection
-  * parses every record but materializes only 2 fields. The reader
-  * implements the writer's exact RFC-4180 dialect (`;` separator,
-  * quote doubling, quoted embedded newlines) and maps empty fields to
-  * NULL (the writer's null rendering).
+  * parses every record but materializes only 2 fields, and
+  * equality/range predicates are pushed too
+  * (`SupportsPushDownFilters`, round-6 verdict #3) — filtered-out rows
+  * are dropped inside the reader before any InternalRow is built, and
+  * no residual Spark filter re-evaluates the pushed predicates
+  * (PlanHygieneSpec pins both). The reader implements the writer's
+  * exact RFC-4180 dialect (`;` separator, quote doubling, quoted
+  * embedded newlines) and maps empty fields to NULL (the writer's null
+  * rendering); header-name resolution is case-insensitive, matching
+  * Spark's default column resolution.
   */
 class GraftCsvSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -65,9 +102,9 @@ class GraftCsvSink extends TableProvider {
 }
 
 private[sources] object GraftCsvTable {
-  def listPartFiles(path: String): Array[String] = {
+  def listPartFiles(path: String, conf: Configuration): Array[String] = {
     val root = new HPath(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
@@ -80,12 +117,13 @@ private[sources] object GraftCsvTable {
     * the schemaless-read surface (pass `.schema(…)` for typed reads). */
   def inferFromHeader(path: String): StructType = {
     if (path == null) return new StructType()
-    listPartFiles(path).headOption match {
+    val conf = SerializableHadoopConf.fromSession().value
+    listPartFiles(path, conf).headOption match {
       case None => new StructType()
       case Some(file) =>
         val p = new HPath(file)
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-          p.getFileSystem(new Configuration()).open(p),
+          p.getFileSystem(conf).open(p),
           java.nio.charset.StandardCharsets.UTF_8))
         try {
           val it = new CsvRecordIterator(in, ';')
@@ -110,33 +148,126 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType)
     new GraftCsvScanBuilder(path, tableSchema)
 }
 
+/** Evaluates the V1 `Filter`s the reader accepts at pushdown time:
+  * equality / range / not-null on the writable scalar types. Shared by
+  * the builder (supportability check) and the per-partition reader
+  * (post-parse evaluation — the "pushdown" saves the residual Spark
+  * FilterExec and, more importantly at scale, the materialization of
+  * pruned-but-filtered rows into InternalRows). */
+private[sources] object CsvFilterEval {
+  private val Comparable: Set[DataType] = Set(StringType, LongType,
+    IntegerType, ShortType, DoubleType, FloatType, BooleanType)
+
+  private def typeOf(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+
+  private def litOk(v: Any): Boolean = v match {
+    case _: String | _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Double | _: java.lang.Float |
+         _: java.lang.Boolean => true
+    case _ => false
+  }
+
+  /** A filter this source can evaluate itself: a supported shape over a
+    * comparable column with a scalar literal. */
+  def supportedBy(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v) => typeOf(schema, a).exists(Comparable) && litOk(v)
+    case GreaterThan(a, v) => typeOf(schema, a).exists(Comparable) && litOk(v)
+    case GreaterThanOrEqual(a, v) => typeOf(schema, a).exists(Comparable) && litOk(v)
+    case LessThan(a, v) => typeOf(schema, a).exists(Comparable) && litOk(v)
+    case LessThanOrEqual(a, v) => typeOf(schema, a).exists(Comparable) && litOk(v)
+    case IsNotNull(a) => typeOf(schema, a).isDefined
+    case _ => false
+  }
+
+  /** The columns a filter set reads (for widening the parse schema when
+    * a filtered column was pruned from the output). */
+  def referenced(filters: Array[Filter]): Array[String] =
+    filters.flatMap(_.references).distinct
+
+  private def cmp(v: Any, lit: Any): Int = (v, lit) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
+    // Integral columns always carry integral literals here (litOk +
+    // Catalyst typing); mixed numeric widths compare as doubles.
+    case (a: Number, b: Number)
+      if a.isInstanceOf[java.lang.Long] || a.isInstanceOf[java.lang.Integer] ||
+        a.isInstanceOf[java.lang.Short] =>
+      if (b.isInstanceOf[java.lang.Double] || b.isInstanceOf[java.lang.Float])
+        java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+      else java.lang.Long.compare(a.longValue(), b.longValue())
+    case (a: Number, b: Number) =>
+      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case other => throw new IllegalStateException(
+      s"graft-csv pushed filter on unsupported value pair: $other")
+  }
+
+  /** SQL semantics: any comparison with NULL is not-true → row dropped. */
+  def eval(f: Filter, valueOf: String => Any): Boolean = f match {
+    case IsNotNull(a) => valueOf(a) != null
+    case EqualTo(a, v) => val x = valueOf(a); x != null && cmp(x, v) == 0
+    case GreaterThan(a, v) => val x = valueOf(a); x != null && cmp(x, v) > 0
+    case GreaterThanOrEqual(a, v) => val x = valueOf(a); x != null && cmp(x, v) >= 0
+    case LessThan(a, v) => val x = valueOf(a); x != null && cmp(x, v) < 0
+    case LessThanOrEqual(a, v) => val x = valueOf(a); x != null && cmp(x, v) <= 0
+    case other => throw new IllegalStateException(s"unexpected pushed filter $other")
+  }
+}
+
 private[sources] class GraftCsvScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftCsvScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rest) = filters.partition(CsvFilterEval.supportedBy(full, _))
+    pushed = supported
+    rest // residual: shapes/types this dialect can't evaluate
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new GraftCsvScan(path, required, full, pushed,
+      SerializableHadoopConf.fromSession())
 }
 
 private[sources] case class CsvFilePartition(file: String) extends InputPartition
 
-private[sources] class GraftCsvScan(path: String, required: StructType)
+// Public like PagedScan so PlanHygieneSpec can read `pushed` off the plan.
+class GraftCsvScan private[sources] (path: String, required: StructType,
+                                     full: StructType, val pushed: Array[Filter],
+                                     conf: SerializableHadoopConf)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCsv path=$path ReadSchema: ${required.simpleString}"
+    s"GraftCsv path=$path ReadSchema: ${required.simpleString} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   // Metadata-only planning: one partition per committed part file.
   override def planInputPartitions(): Array[InputPartition] =
-    GraftCsvTable.listPartFiles(path).map(CsvFilePartition(_): InputPartition)
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftCsvReaderFactory(required)
+    GraftCsvTable.listPartFiles(path, conf.value)
+      .map(CsvFilePartition(_): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Parse schema = required output columns plus any filtered columns
+    // pruning removed (a fully-pushed filter's column need not survive
+    // in the read schema); extras are parsed for evaluation only.
+    val extra = CsvFilterEval.referenced(pushed)
+      .filterNot(n => required.fieldNames.exists(_.equalsIgnoreCase(n)))
+      .flatMap(n => full.fields.find(_.name.equalsIgnoreCase(n)))
+    new GraftCsvReaderFactory(required, StructType(required.fields ++ extra),
+      pushed, conf)
+  }
 }
 
-private[sources] class GraftCsvReaderFactory(required: StructType)
+private[sources] class GraftCsvReaderFactory(required: StructType,
+                                             parse: StructType,
+                                             pushed: Array[Filter],
+                                             conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file, required)
+    new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file,
+      required, parse, pushed, conf)
 }
 
 /** The sink's RFC-4180 quoting: quote-and-double when the field
@@ -205,7 +336,17 @@ private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
         endField()
         return fields.toArray
       } else if (ch == '\r') {
-        c = in.read()
+        // \r\n (or a trailing \r at EOF) ends the record; a bare \r
+        // inside an unquoted field is DATA and must survive — silently
+        // dropping it would lose bytes from foreign files in this
+        // dialect (this writer always quotes CR-bearing fields).
+        val nxt = in.read()
+        if (nxt == '\n'.toInt || nxt == -1) {
+          endField()
+          return fields.toArray
+        }
+        sb.append('\r')
+        c = nxt
       } else {
         sb.append(ch)
         c = in.read()
@@ -215,34 +356,48 @@ private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
   }
 }
 
-/** Reads ONE part file: resolves the required columns against the
-  * file's own header by NAME (committed files are self-describing), and
-  * converts the writer's renderings back to the requested types. Empty
-  * fields decode as NULL — the writer's null rendering. */
-private[sources] class GraftCsvPartitionReader(file: String, required: StructType)
+/** Reads ONE part file: resolves the parse columns against the file's
+  * own header by NAME (committed files are self-describing; resolution
+  * is case-insensitive, matching Spark's default column resolution),
+  * converts the writer's renderings back to the requested types,
+  * evaluates the pushed filters, and emits only the `required` prefix
+  * of each surviving record. Empty fields decode as NULL — the
+  * writer's null rendering. */
+private[sources] class GraftCsvPartitionReader(file: String, required: StructType,
+                                               parse: StructType,
+                                               pushed: Array[Filter],
+                                               conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new HPath(file)
     new java.io.BufferedReader(new java.io.InputStreamReader(
-      p.getFileSystem(new Configuration()).open(p),
+      p.getFileSystem(conf.value).open(p),
       java.nio.charset.StandardCharsets.UTF_8))
   }
   private val records = new CsvRecordIterator(in, ';')
   private val colIndex: Array[Int] = {
     val header = if (records.hasNext) records.next() else Array.empty[String]
-    required.fieldNames.map { name =>
-      val i = header.indexOf(name)
+    parse.fieldNames.map { name =>
+      val i = header.indexWhere(_.equalsIgnoreCase(name))
       if (i < 0) throw new IllegalArgumentException(
         s"graft-csv read: column '$name' not in header ${header.mkString(";")} ($file)")
       i
     }
   }
 
+  // Filter evaluation resolves values by (case-insensitive) column name
+  // against the parsed JVM values of the current record.
+  private val evalPos: Map[String, Int] =
+    parse.fieldNames.zipWithIndex
+      .map { case (n, i) => n.toLowerCase(java.util.Locale.ROOT) -> i }.toMap
+
+  /** Plain JVM value (String/Long/…) — comparable by [[CsvFilterEval]];
+    * catalyst conversion happens only for EMITTED rows. */
   private def convert(s: String, dt: DataType): Any =
     if (s == null) null // bare empty field = NULL; quoted "" = empty string
     else dt match {
-      case StringType => UTF8String.fromString(s)
+      case StringType => s
       case LongType => s.toLong
       case IntegerType => s.toInt
       case ShortType => s.toShort
@@ -254,22 +409,37 @@ private[sources] class GraftCsvPartitionReader(file: String, required: StructTyp
     }
 
   // Hoisted out of the per-record loop: field types aligned with their
-  // header positions, and one reusable values buffer.
-  private val fieldTypes: Array[DataType] = required.fields.map(_.dataType)
+  // header positions.
+  private val fieldTypes: Array[DataType] = parse.fields.map(_.dataType)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    if (!records.hasNext) return false
-    val rec = records.next()
-    val values = new Array[Any](fieldTypes.length)
-    var i = 0
-    while (i < fieldTypes.length) {
-      val idx = colIndex(i)
-      values(i) = if (idx >= rec.length) null else convert(rec(idx), fieldTypes(i))
-      i += 1
+    while (records.hasNext) {
+      val rec = records.next()
+      val values = new Array[Any](fieldTypes.length)
+      var i = 0
+      while (i < fieldTypes.length) {
+        val idx = colIndex(i)
+        values(i) = if (idx >= rec.length) null else convert(rec(idx), fieldTypes(i))
+        i += 1
+      }
+      def valueOf(name: String): Any =
+        values(evalPos(name.toLowerCase(java.util.Locale.ROOT)))
+      if (pushed.forall(CsvFilterEval.eval(_, valueOf))) {
+        val out = new Array[Any](required.length)
+        var j = 0
+        while (j < required.length) {
+          out(j) = values(j) match {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+          j += 1
+        }
+        row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+        return true
+      }
     }
-    row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
-    true
+    false
   }
 
   override def get(): InternalRow = row
@@ -283,7 +453,8 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     new GraftCsvWriteBuilder(path, info, truncate = true)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftCsvBatchWrite(path, info.schema(), info.queryId(), truncate)
+      new GraftCsvBatchWrite(path, info.schema(), info.queryId(), truncate,
+        SerializableHadoopConf.fromSession())
   }
 }
 
@@ -293,17 +464,18 @@ private[sources] case class CsvFileCommit(tempFile: String, finalName: String)
   extends WriterCommitMessage
 
 private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
-                                          queryId: String, truncate: Boolean)
+                                          queryId: String, truncate: Boolean,
+                                          conf: SerializableHadoopConf)
     extends BatchWrite {
 
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCsvWriterFactory(path, tmpDir.toString, schema)
+    new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(conf.value)
     fs.mkdirs(root)
     if (truncate)
       fs.listStatus(root).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
@@ -319,27 +491,29 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new HPath(path).getFileSystem(new Configuration())
+    val fs = new HPath(path).getFileSystem(conf.value)
     fs.delete(tmpDir, true)
   }
 }
 
 private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
-                                             schema: StructType)
+                                             schema: StructType,
+                                             conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId)
+    new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf)
 }
 
 private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
-                                          partitionId: Int, taskId: Long)
+                                          partitionId: Int, taskId: Long,
+                                          conf: SerializableHadoopConf)
     extends DataWriter[InternalRow] {
 
   // taskId-unique temp file: concurrent attempts for the same partition
   // (retry, speculation) can never collide.
   private val tempFile =
     new HPath(tmpDir, f"part-$partitionId%05d-$taskId-${UUID.randomUUID()}.csv")
-  private val fs: FileSystem = tempFile.getFileSystem(new Configuration())
+  private val fs: FileSystem = tempFile.getFileSystem(conf.value)
   private val out = new java.io.BufferedWriter(
     new java.io.OutputStreamWriter(fs.create(tempFile, true),
       java.nio.charset.StandardCharsets.UTF_8))

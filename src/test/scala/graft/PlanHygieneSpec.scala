@@ -79,6 +79,27 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(residual.isEmpty, s"residual filter survived pushdown: $residual")
   }
 
+  test("q_k_dsv2_csv_filtered: predicates push into the CSV source, residual only for unsupported shapes") {
+    val p = plan("q_k_dsv2_csv_filtered")
+    val scans = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScan over GraftCsvSink")
+    val pushed = scans.head.scan.asInstanceOf[graft.sources.GraftCsvScan].pushed
+    assert(pushed.nonEmpty, "no filter was pushed into the CSV source")
+    val s = pushed.mkString("; ")
+    assert(s.contains("p_brand") && s.contains("p_partkey"),
+      s"expected both range predicates pushed; got: $s")
+    // The pushed predicates must not be re-evaluated by a residual
+    // FilterExec; the deliberately-unsupported disjunction stays.
+    val residualConds = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }.mkString
+    assert(!residualConds.contains("Brand#3"),
+      s"pushed p_brand range survived as residual: $residualConds")
+    assert(residualConds.contains("%"), "unsupported disjunction should remain residual")
+  }
+
   test("q_x_bucketed_join: no exchange between the bucketed scans and the SMJ") {
     val smjs = plan("q_x_bucketed_join").collect { case j: SortMergeJoinExec => j }
     assert(smjs.nonEmpty, "expected a SortMergeJoin (MERGE hint pins it)")

@@ -86,7 +86,8 @@ class CsvSinkSpec extends AnyFunSuite {
     val path = dir("abort")
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
-    val bw = new GraftCsvBatchWrite(path, schema, "q-abort-test", truncate = false)
+    val bw = new GraftCsvBatchWrite(path, schema, "q-abort-test", truncate = false,
+      SerializableHadoopConf.fromSession())
     val factory = bw.createBatchWriterFactory(null)
     val w = factory.createWriter(0, 42L)
     w.write(org.apache.spark.sql.catalyst.InternalRow(
