@@ -47,6 +47,50 @@ object TextAnalysis {
       (length(col("text")).cast("long") / bpe).as("chars_per_token"))
   }
 
+  /** BPE merge APPLICATION — the encode half of the tokenizer story
+    * (`q_text_bpe_candidates` mines the merge table; this applies it).
+    * The corpus's top-k adjacent word pairs (ranked count desc, pair
+    * asc — identical to the candidate query) become the merge table;
+    * each merge is applied in rank order with ONE greedy left-to-right
+    * pass over the token sequence (a merged token is a new symbol —
+    * containing the joining space, it can never equal a later rule's
+    * space-free side, so one pass per rule is exact). Reports per-doc
+    * whitespace vs encoded token counts, the compression ratio, and the
+    * md5 of the encoded sequence (proof the encode actually ran).
+    * Scale: the merge table is one corpus-wide pair histogram reduced
+    * through the bounded two-level heap, broadcast as a single k-row
+    * array; the application is a narrow per-row fold — no shuffle
+    * beyond the mining aggregation. */
+  def bpeEncode(docs: DataFrame, k: Int): DataFrame = {
+    val ws = split(col("text"), " ")
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+    val merges = broadcast(Similarity.heapTopKWords(pairs, "n", "pair", k)
+      .agg(transform(array_sort(collect_list(struct(col("rn"), col("pair")))),
+        x => x.getField("pair")).as("merges")))
+    val applied = docs.crossJoin(merges) // broadcast 1-row merge table
+      .withColumn("toks0", split(col("text"), " "))
+      .withColumn("toks", aggregate(col("merges"), col("toks0"),
+        (acc, m) => {
+          val a = element_at(split(m, " "), 1)
+          val b = element_at(split(m, " "), 2)
+          aggregate(acc, array().cast("array<string>"),
+            (out, t) =>
+              when(size(out) > 0 && element_at(out, -1) === a && t === b,
+                concat(slice(out, lit(1), size(out) - lit(1)), array(m)))
+                .otherwise(concat(out, array(t))))
+        }))
+    applied.select(col("doc_id"),
+      size(col("toks0")).cast("long").as("ws_tokens"),
+      size(col("toks")).cast("long").as("bpe_tokens"),
+      round(size(col("toks")).cast("double") / size(col("toks0")), 6)
+        .as("compression"),
+      md5(concat_ws("|", col("toks"))).as("encoded_md5"))
+  }
+
   /** Curation gate: keep documents passing the quality thresholds — the
     * filtering step a training-data pipeline runs after scoring. */
   def qualityFilter(docs: DataFrame, minWords: Long, maxWords: Long,

@@ -291,6 +291,12 @@ object PipelinePack {
         .select(col("rn"), col("pair"), col("n"))
         .orderBy("rn")
     },
+    // The encode half of the BPE story: apply the mined top-10 merge
+    // table (greedy left-to-right, rank order) to every document and
+    // report token counts + compression + encoded-sequence md5.
+    "q_text_bpe_encode" -> { (s, d) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, d), 10).orderBy("doc_id")
+    },
     // Deterministic three-way train/val/test split (80/10/10 on the
     // md5-uniform): per-(lang, split) counts — the split audit a
     // training pipeline logs. Pure narrow classify + one keyed agg.
@@ -1357,6 +1363,41 @@ object PipelinePack {
         |             CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rn
         |      FROM c)
         |SELECT rn, pair, n FROM r WHERE rn <= 10 ORDER BY rn""".stripMargin,
+
+    // Same mining CTEs as q_text_bpe_candidates, then the same greedy
+    // left-to-right fold as TextAnalysis.bpeEncode: the outer reduce
+    // walks the rank-ordered merges (each wrapped as a 1-element list so
+    // the accumulator type unifies), the inner reduce applies one merge
+    // pass over the token list.
+    "q_text_bpe_encode" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS pair
+        |      FROM w, unnest(range(1, len(ws))) t(i)),
+        |c AS (SELECT pair, count(*) AS n FROM b GROUP BY pair),
+        |r AS (SELECT pair, n,
+        |             CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rn
+        |      FROM c),
+        |m AS (SELECT list(pair ORDER BY rn) AS merges FROM r WHERE rn <= 10),
+        |e AS (SELECT doc_id, string_split(text, ' ') AS toks0, merges
+        |      FROM documents, m),
+        |enc AS (
+        |  SELECT doc_id, toks0,
+        |    list_reduce(
+        |      list_prepend(toks0, list_transform(merges, mm -> [mm])),
+        |      (acc, x) -> list_reduce(
+        |        list_prepend(CAST([] AS VARCHAR[]), list_transform(acc, t -> [t])),
+        |        (o, te) -> CASE
+        |          WHEN len(o) > 0 AND o[-1] = string_split(x[1], ' ')[1]
+        |               AND te[1] = string_split(x[1], ' ')[2]
+        |          THEN list_append(o[1:len(o)-1], x[1])
+        |          ELSE list_append(o, te[1]) END)
+        |    ) AS toks
+        |  FROM e)
+        |SELECT doc_id, CAST(len(toks0) AS BIGINT) AS ws_tokens,
+        |       CAST(len(toks) AS BIGINT) AS bpe_tokens,
+        |       round(CAST(len(toks) AS DOUBLE) / len(toks0), 6) AS compression,
+        |       md5(array_to_string(toks, '|')) AS encoded_md5
+        |FROM enc ORDER BY doc_id""".stripMargin,
 
     "q_text_split_report" ->
       s"""WITH s AS (

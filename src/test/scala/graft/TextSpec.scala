@@ -295,6 +295,24 @@ class TextSpec extends AnyFunSuite {
     assert(feats.first_byte == 'h'.toLong)
   }
 
+  test("bpeEncode: greedy left-to-right merge application on a pinned corpus") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c a b d"), // "a b" (count 3 w/ doc2) merges twice
+      (2L, "a a a b c"),   // "a b" first (rank 1), then "a a" on the remainder
+      (3L, "x y")          // fully merged into one symbol
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, 10).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"),
+        r.getAs[String]("encoded_md5"))).toMap
+    assert(byId(1L) == ((6L, 4L, md5hex("a b|c|a b|d"))))
+    assert(byId(2L) == ((5L, 3L, md5hex("a a|a b|c"))))
+    assert(byId(3L) == ((2L, 1L, md5hex("x y"))))
+  }
+
   test("multimodal real decode: PNG round trip pins the known image's pixels") {
     import Multimodal.ImageFixture
     // doc_id = 5: 13×13, gray(x,y) = (5 + 31x + 7y) mod 256.
