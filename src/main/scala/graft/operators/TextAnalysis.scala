@@ -142,22 +142,61 @@ object TextAnalysis {
         col("col.t").as("chunk_text"), col("col.nw").as("n_chunk_words"))
   }
 
-  /** Email + phone patterns shared verbatim with the DuckDB oracle —
-    * both engines' regex dialects (Java / RE2) read these identically. */
+  /** PII patterns shared verbatim with the DuckDB oracle — both
+    * engines' regex dialects (Java / RE2) read these identically. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val CcRe = "\\b\\d{13,16}\\b"
 
-  /** PII scrubbing for training corpora: redact emails and phone-shaped
-    * digit runs with typed placeholders. A narrow codegen'd
-    * `regexp_replace` chain — per-row, no shuffle, linear in the scan. */
-  def scrubPii(c: Column): Column =
-    regexp_replace(regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
-      lit(PhoneRe), lit("<PHONE>"))
+  /** PII scrubbing for training corpora: redact emails, SSNs, IPv4
+    * addresses, phone-shaped digit runs, and — Luhn-gated — payment-card
+    * numbers with typed placeholders. Card handling is shape+checksum,
+    * not shape alone: 13–16 digit runs are extracted, kept only if they
+    * pass `luhn_check` (the built-in codegen'd expression), and each
+    * survivor is redacted at word boundaries — a random digit run
+    * failing the checksum is NOT redacted (over-redaction destroys
+    * training text). Order matters: SSN before phone (its tail would
+    * otherwise half-match), cards on the digit runs the earlier
+    * placeholders no longer contain. A narrow per-row chain — codegen'd
+    * regexes plus one bounded fold over the row's card matches; no
+    * shuffle, linear in the scan. Idempotent: placeholders contain no
+    * digits, so re-scrubbing is the identity (spec-pinned). */
+  def scrubPii(c: Column): Column = {
+    val base = regexp_replace(regexp_replace(regexp_replace(c,
+      lit(EmailRe), lit("<EMAIL>")),
+      lit(SsnRe), lit("<SSN>")),
+      lit(Ipv4Re), lit("<IP>"))
+    val cards = aggregate(
+      filter(regexp_extract_all(base, lit(CcRe), lit(0)),
+        cc => call_function("luhn_check", cc)),
+      base,
+      (acc, cc) => regexp_replace(acc,
+        concat(lit("\\b"), cc, lit("\\b")), lit("<CC>")))
+    regexp_replace(cards, lit(PhoneRe), lit("<PHONE>"))
+  }
 
-  /** The DuckDB mirror of [[scrubPii]] (global replace flag). */
-  def scrubPiiSql(e: String): String =
-    s"regexp_replace(regexp_replace($e, '$EmailRe', '<EMAIL>', 'g'), " +
-      s"'$PhoneRe', '<PHONE>', 'g')"
+  /** The DuckDB mirror of [[scrubPii]] (global replace flag; Luhn as a
+    * digit-list fold — DuckDB has no built-in checksum). */
+  def scrubPiiSql(e: String): String = {
+    def luhn(cc: String): String =
+      s"""(list_sum(list_transform(range(1, len($cc) + 1),
+         |  i -> CASE WHEN i % 2 = 0 THEN
+         |         CASE WHEN 2 * CAST(substr(reverse($cc), CAST(i AS INT), 1) AS INT) > 9
+         |              THEN 2 * CAST(substr(reverse($cc), CAST(i AS INT), 1) AS INT) - 9
+         |              ELSE 2 * CAST(substr(reverse($cc), CAST(i AS INT), 1) AS INT) END
+         |       ELSE CAST(substr(reverse($cc), CAST(i AS INT), 1) AS INT) END)) % 10 = 0)""".stripMargin
+    val base = s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$SsnRe', '<SSN>', 'g'), " +
+      s"'$Ipv4Re', '<IP>', 'g')"
+    s"""regexp_replace(
+       |  list_reduce(
+       |    list_prepend($base,
+       |      list_filter(regexp_extract_all($base, '$CcRe'), cc -> ${luhn("cc")})),
+       |    (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '<CC>', 'g')),
+       |  '$PhoneRe', '<PHONE>', 'g')""".stripMargin
+  }
 
   /** Packing-efficiency report over [[packSequences]]'s assignment: per
     * language, the sequence count, packed token total, nominal capacity

@@ -50,6 +50,12 @@ object PipelinePack {
   private val FRAME_SIZE = 16
   private val FRAME_STRIDE = 4
   private val RESIZE_FACTOR = 4
+  /** PII card fixtures for q_text_pii_scrub, rotated by doc_id: indexes
+    * 0–1 are Luhn-VALID public test numbers (redacted), 2–3 fail the
+    * checksum (must survive un-redacted — the no-over-redaction gate). */
+  private val PII_CARDS = Seq(
+    "4111111111111111", "5500005555555559",
+    "4111111111111112", "1234567890123456")
   /** Corpus line-dedup: 5-word segments ("lines" — the synthetic corpus
     * has no newlines), dropped when they appear in more than 1 document. */
   private val LINE_W = 5
@@ -339,13 +345,23 @@ object PipelinePack {
           round(col("median_words"), 6).as("med"))
         .orderBy("doc_id")
     },
-    // PII scrubbing: the documents are synthetic ASCII, so emails and
-    // phone numbers are INJECTED deterministically from doc_id (same
-    // construction in the oracle) and then redacted by the scrubber.
+    // PII scrubbing: the documents are synthetic ASCII, so emails,
+    // phones, IPs, SSNs, and payment cards are INJECTED
+    // deterministically from doc_id (same construction in the oracle)
+    // and then redacted. Cards rotate through 2 Luhn-valid + 2
+    // Luhn-INVALID fixtures, so the hash gate also proves both engines
+    // agree on which digit runs the checksum keeps un-redacted.
     "q_text_pii_scrub" -> { (s, d) =>
+      val card = element_at(lit(PII_CARDS.toArray),
+        (pmod(col("doc_id"), lit(PII_CARDS.size.toLong)) + 1).cast("int"))
       val raw = concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or call 555-"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10."), pmod(col("doc_id"), lit(256)),
+        lit(".0."), pmod(col("doc_id"), lit(100)),
+        lit(" ssn 123-45-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" card "), card)
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.scrubPii(raw).as("scrubbed"))
         .orderBy("doc_id")
@@ -1437,9 +1453,16 @@ object PipelinePack {
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_pii_scrub" -> {
+      val cardCase = PII_CARDS.zipWithIndex
+        .map { case (c, i) => s"WHEN $i THEN '$c'" }
+        .mkString(s"CASE doc_id % ${PII_CARDS.size} ", " ", " END")
       val raw = "(text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@example.com or call 555-' || " +
-        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "'.0.' || CAST(doc_id % 100 AS VARCHAR) || " +
+        "' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        s"' card ' || $cardCase)"
       s"""SELECT doc_id, ${TextAnalysis.scrubPiiSql(raw)} AS scrubbed
          |FROM documents ORDER BY doc_id""".stripMargin
     },

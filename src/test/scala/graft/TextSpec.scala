@@ -295,6 +295,29 @@ class TextSpec extends AnyFunSuite {
     assert(feats.first_byte == 'h'.toLong)
   }
 
+  test("scrubPii: Luhn-gated cards, typed placeholders, idempotent, no over-redaction") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "card 4111111111111111 ok"),
+      (2L, "card 1234567890123456 stays"), // fails Luhn -> untouched
+      (3L, "ip 192.168.0.1 ssn 123-45-6789 call 555-1234 mail a@b.com"),
+      (4L, "two cards 5500005555555559 and 4111111111111112 here")
+    ).toDF("doc_id", "text")
+    val once = docs.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("text")).as("s")).orderBy("doc_id")
+    val got = once.collect().map(_.getString(1))
+    assert(got(0) == "card <CC> ok")
+    assert(got(1) == "card 1234567890123456 stays")
+    assert(got(2) == "ip <IP> ssn <SSN> call <PHONE> mail <EMAIL>")
+    assert(got(3) == "two cards <CC> and 4111111111111112 here")
+    // Idempotence: placeholders carry no digits, so a second scrub is
+    // the identity.
+    val twice = once.select(col("doc_id"),
+      TextAnalysis.scrubPii(col("s")).as("s")).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(twice.toSeq == got.toSeq)
+  }
+
   test("bpeEncode: greedy left-to-right merge application on a pinned corpus") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
