@@ -157,6 +157,21 @@ object PipelinePack {
           pmod(col("doc_id"), lit(INC_MOD)) === INC_REM, JACCARD_MIN)
         .orderBy("doc_new")
     },
+    // The same semantics THROUGH the streaming-cadence machinery: a
+    // prebuilt corpus band index (the stream's long-lived state) with
+    // the batch flagged against it — the exact per-micro-batch path
+    // StreamOps.incrementalDedupStream runs inside foreachBatch
+    // (StreamingSpec proves staged-wave equality). Oracle shared with
+    // q_dedup_incremental: the two paths must agree row for row.
+    "q_st_dedup_incremental" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
+      val idx = Dedup.buildCorpusIndex(Dedup.wordShingles(docs.filter(!pred)))
+      val out = Dedup.flagAgainstCorpusIndex(
+        Dedup.wordShingles(docs.filter(pred)), idx, JACCARD_MIN)
+      Dedup.releaseCorpusIndex(idx) // out is already checkpointed
+      out.orderBy("doc_new")
+    },
     "q_dedup_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
@@ -713,6 +728,37 @@ object PipelinePack {
        |  $bandSelects)""".stripMargin
   }
 
+  /** Batch-vs-corpus incremental dedup oracle — shared verbatim by
+    * `q_dedup_incremental` (one-shot operator) and
+    * `q_st_dedup_incremental` (prebuilt-index / streaming-cadence
+    * path): the two execution strategies must agree row for row. */
+  private val incrementalDedupSql: String =
+    s"""WITH $minhashBandCtes,
+       |newb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD = $INC_REM),
+       |oldb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD <> $INC_REM),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       |  FROM newb n JOIN oldb o ON n.band = o.band AND n.bv = o.bv),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_new, c.doc_old, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_new
+       |  JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
+       |  GROUP BY c.doc_new, c.doc_old),
+       |j AS (
+       |  SELECT doc_new, doc_old, round(i / (sa.n + sb.n - i), 6) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = doc_new
+       |             JOIN sizes sb ON sb.doc_id = doc_old
+       |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
+       |r AS (
+       |  SELECT doc_new, doc_old, jaccard,
+       |         row_number() OVER (PARTITION BY doc_new
+       |                            ORDER BY jaccard DESC, doc_old ASC) AS rn
+       |  FROM j)
+       |SELECT doc_new, doc_old AS best_match, jaccard
+       |FROM r WHERE rn = 1 ORDER BY doc_new""".stripMargin
+
   private val minhashSql: String = {
     s"""WITH $minhashBandCtes,
        |cand AS (
@@ -1038,32 +1084,11 @@ object PipelinePack {
          |       round(max(sz) / avg(sz), 6) AS skew
          |FROM sz""".stripMargin,
 
-    "q_dedup_incremental" ->
-      s"""WITH $minhashBandCtes,
-         |newb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD = $INC_REM),
-         |oldb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD <> $INC_REM),
-         |cand AS (
-         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
-         |  FROM newb n JOIN oldb o ON n.band = o.band AND n.bv = o.bv),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_new, c.doc_old, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_new
-         |  JOIN sh b ON b.doc_id = c.doc_old AND b.shingle = a.shingle
-         |  GROUP BY c.doc_new, c.doc_old),
-         |j AS (
-         |  SELECT doc_new, doc_old, round(i / (sa.n + sb.n - i), 6) AS jaccard
-         |  FROM inter JOIN sizes sa ON sa.doc_id = doc_new
-         |             JOIN sizes sb ON sb.doc_id = doc_old
-         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
-         |r AS (
-         |  SELECT doc_new, doc_old, jaccard,
-         |         row_number() OVER (PARTITION BY doc_new
-         |                            ORDER BY jaccard DESC, doc_old ASC) AS rn
-         |  FROM j)
-         |SELECT doc_new, doc_old AS best_match, jaccard
-         |FROM r WHERE rn = 1 ORDER BY doc_new""".stripMargin,
+    "q_dedup_incremental" -> incrementalDedupSql,
+
+    // Same oracle by construction: the index path is an execution
+    // strategy (precomputed corpus state), not different semantics.
+    "q_st_dedup_incremental" -> incrementalDedupSql,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes

@@ -163,6 +163,35 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental corpus-vs-batch dedup at STREAMING cadence — the
+    * streaming face of [[graft.operators.Dedup.minhashLshAgainstCorpus]]
+    * (round-6 verdict #8): new documents arrive as a parquet file
+    * stream (one staged file per ingest wave), and each micro-batch is
+    * flagged against a PREBUILT corpus band index inside `foreachBatch`
+    * — the standard bridge, because each flagging is a batch join
+    * pipeline. Per-ingest cost ∝ the micro-batch (bands + candidate
+    * joins); the corpus state is built once before the stream starts
+    * and never recomputed. Flagged best-match rows append to a parquet
+    * sink; each batch's checkpoint blocks are freed as soon as its rows
+    * are written, so an unbounded stream accumulates no state beyond
+    * the corpus index. Caller stops the query and releases the index
+    * ([[graft.operators.Dedup.releaseCorpusIndex]]). */
+  def incrementalDedupStream(spark: SparkSession, stagingDir: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             index: graft.operators.Dedup.CorpusIndex,
+                             minJ: Double, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(stagingDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = graft.operators.Dedup.flagAgainstCorpusIndex(
+          graft.operators.Dedup.wordShingles(batch), index, minJ)
+        flagged.write.mode("append").parquet(outPath)
+        graft.operators.Lifecycle.release(flagged)
+      }
+      .start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

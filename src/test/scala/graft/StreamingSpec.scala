@@ -99,6 +99,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental dedup over staged waves equals the batch face") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val base = s"${sys.props("java.io.tmpdir")}/graft_incdedup_${ProcessHandle.current().pid()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/flagged"
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    // Planted near-dups: every 50th corpus doc re-arrives with a shifted
+    // id and identical text (jaccard 1.0) — flags are guaranteed.
+    val newDocs = corpus.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // Stage the new docs as 3 wave files → ≥3 micro-batches
+    // (maxFilesPerTrigger=1): batch boundaries must not change results.
+    (0 until 3).foreach { w =>
+      newDocs.filter(col("doc_id") % 3 === w).coalesce(1)
+        .write.mode("append").parquet(staging)
+    }
+    val index = Dedup.buildCorpusIndex(Dedup.wordShingles(corpus))
+    val q = graft.streaming.StreamOps.incrementalDedupStream(
+      spark, staging, newDocs.schema, index, 0.6, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("jaccard"))).toSet
+    // Batch face #1: the same prebuilt-index path, whole batch at once.
+    val batchIdx = Dedup.flagAgainstCorpusIndex(
+        Dedup.wordShingles(newDocs), index, 0.6).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("jaccard"))).toSet
+    Dedup.releaseCorpusIndex(index)
+    // Batch face #2: the one-shot operator over the unioned corpus.
+    val batchOp = Dedup.minhashLshAgainstCorpus(
+        Dedup.wordShingles(corpus.union(newDocs)),
+        col("doc_id") >= 1000000L, 0.6).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(streamed.nonEmpty, "planted near-dups must be flagged")
+    assert(streamed == batchIdx)
+    assert(streamed == batchOp)
+  }
+
   test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {
     import org.apache.spark.sql.functions._
     System.setProperty("derby.stream.error.file",
