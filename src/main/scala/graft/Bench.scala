@@ -61,8 +61,14 @@ object Bench {
     // TAIL of the log, and shutdown chatter after the JSON can push it
     // out of the captured window (round-5 driver recorded parsed:null).
     spark.stop()
+    // Subset runs don't rewrite BENCH_FULL.json, so they must not point
+    // consumers at it either: "full" names the artifact only when this
+    // run actually produced it; otherwise the prefix list is recorded.
+    val fullRef =
+      if (prefixes == Seq("")) "\"full\":\"BENCH_FULL.json\""
+      else s""""full":null,"prefixes":"${prefixes.mkString(",")}""""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
       s""""n_queries":${results.size},"queries":${jmap(headline, _._2)},""" +
-      s""""sf":"$sfDir","full":"BENCH_FULL.json"}""")
+      s""""sf":"$sfDir",$fullRef}""")
   }
 }

@@ -188,8 +188,14 @@ object Analytics {
     * neighborhood (recall is traded for linear cost — a pair at edit
     * distance ≤ maxDist sitting > window apart in BOTH sort orders is
     * out of scope), and the DuckDB oracle replays the identical
-    * two-pass definition. Scale: ranking is one distributed range sort
-    * per pass; candidate generation is an equi-join on
+    * two-pass definition. BEHAVIOR CHANGE (round 6): before the
+    * sorted-neighborhood rework this operator scored every within-block
+    * pair, i.e. it was exhaustive inside (nation, segment) blocks;
+    * callers relying on full within-block recall must raise `window`
+    * (window ≥ block size restores the old contract) — the round-5
+    * verdict mandated the bounded default because per-task block² does
+    * not survive large blocks. Scale: ranking is one distributed range
+    * sort per pass; candidate generation is an equi-join on
     * (block, rank) — no 125-block hotspot, no per-task block². */
   def fuzzyLinkage(customer: DataFrame, maxDist: Int,
                    window: Int = 10): DataFrame = {
@@ -225,6 +231,34 @@ object Analytics {
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       .orderBy("key_a", "key_b")
+  }
+
+  /** Recall probe for [[fuzzyLinkage]]'s sorted-neighborhood blocking —
+    * the "measure, don't guess" companion the LSH banding has in
+    * `lshQualityReport`: on a caller-bounded slice, compare the
+    * blocked operator's pairs against the EXHAUSTIVE within-block
+    * ground truth (every same-(nation, segment) pair scored — block²,
+    * which is exactly why the probe runs on a bounded audit slice while
+    * the operator itself stays linear). One row: true pairs, found
+    * pairs, recall (1.0 when the slice has no true pairs). Found ⊆ true
+    * by construction, so recall ≤ 1. */
+  def fuzzyLinkageRecallProbe(customer: DataFrame, maxDist: Int,
+                              window: Int = 10): DataFrame = {
+    val c = customer.select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+    val a = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = c.select(col("c_nationkey"), col("c_mktsegment"),
+      col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    val tru = a.join(b, Seq("c_nationkey", "c_mktsegment"))
+      .filter(col("key_a") < col("key_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .agg(count(lit(1)).as("n_true"))
+    val found = fuzzyLinkage(c, maxDist, window).agg(count(lit(1)).as("n_found"))
+    tru.crossJoin(broadcast(found))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_found") / col("n_true"), 6)).as("recall"))
   }
 
   /** Last-touch purchase attribution: each purchase is credited to the

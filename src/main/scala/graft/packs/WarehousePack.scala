@@ -28,6 +28,9 @@ object WarehousePack {
   private val BasketTopN = 50
   private val LinkMaxDist = 2
   private val LinkWindow = 10
+  /** Bounded audit slice for the linkage recall probe (the exhaustive
+    * ground truth is within-block quadratic — audit-sized on purpose). */
+  private val LinkProbeCap = 600L
   private val GapFillMaxUser = 10L
   private val SnapMaxKey = 5000L
   private val SnapOldExcl = 3L  // keys missing from the old snapshot → inserts
@@ -578,6 +581,15 @@ object WarehousePack {
     "q_x_fuzzy_linkage" -> { (s, d) =>
       graft.operators.Analytics.fuzzyLinkage(
         Tables.customer(s, d), LinkMaxDist, LinkWindow)
+    },
+
+    // Blocking-recall audit on a bounded slice: sorted-neighborhood
+    // pairs vs the exhaustive within-block ground truth (round-6 advice
+    // — the linkage analogue of q_dedup_lsh_quality).
+    "q_x_fuzzy_linkage_recall" -> { (s, d) =>
+      graft.operators.Analytics.fuzzyLinkageRecallProbe(
+        Tables.customer(s, d).filter(col("c_custkey") <= LinkProbeCap),
+        LinkMaxDist, LinkWindow)
     },
 
     // Dense hourly spine + LOCF + linear interpolation per user.
@@ -1249,6 +1261,52 @@ object WarehousePack {
          |JOIN customer b ON b.c_custkey = p.key_b
          |WHERE levenshtein(a.c_name, b.c_name) <= $LinkMaxDist
          |ORDER BY key_a, key_b""".stripMargin,
+
+    "q_x_fuzzy_linkage_recall" ->
+      s"""WITH cs AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+         |  FROM customer WHERE c_custkey <= $LinkProbeCap),
+         |r1 AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+         |                            ORDER BY c_name, c_custkey) AS rn
+         |  FROM cs),
+         |r2 AS (
+         |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         |         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+         |                            ORDER BY reverse(c_name), c_custkey) AS rn
+         |  FROM cs),
+         |cand AS (
+         |  SELECT least(a.c_custkey, b.c_custkey) AS key_a,
+         |         greatest(a.c_custkey, b.c_custkey) AS key_b
+         |  FROM r1 a JOIN r1 b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND b.rn BETWEEN a.rn + 1 AND a.rn + $LinkWindow
+         |  UNION
+         |  SELECT least(a.c_custkey, b.c_custkey),
+         |         greatest(a.c_custkey, b.c_custkey)
+         |  FROM r2 a JOIN r2 b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND b.rn BETWEEN a.rn + 1 AND a.rn + $LinkWindow),
+         |found AS (
+         |  SELECT p.key_a, p.key_b FROM cand p
+         |  JOIN cs a ON a.c_custkey = p.key_a
+         |  JOIN cs b ON b.c_custkey = p.key_b
+         |  WHERE levenshtein(a.c_name, b.c_name) <= $LinkMaxDist),
+         |tru AS (
+         |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+         |  FROM cs a JOIN cs b
+         |    ON a.c_nationkey = b.c_nationkey
+         |   AND a.c_mktsegment = b.c_mktsegment
+         |   AND a.c_custkey < b.c_custkey
+         |  WHERE levenshtein(a.c_name, b.c_name) <= $LinkMaxDist)
+         |SELECT (SELECT count(*) FROM tru) AS n_true,
+         |       (SELECT count(*) FROM found) AS n_found,
+         |       CASE WHEN (SELECT count(*) FROM tru) = 0 THEN 1.0
+         |            ELSE round((SELECT count(*) FROM found)
+         |                       / (SELECT count(*) FROM tru), 6) END AS recall""".stripMargin,
 
     "q_x_gap_fill" ->
       s"""WITH obs AS (
