@@ -623,6 +623,32 @@ object TextAnalysis {
           .otherwise(lit("hard")))
   }
 
+  /** Tokenizer vocabulary coverage / OOV rate: freeze the top-`v`
+    * whitespace tokens by corpus frequency (count desc, token asc — the
+    * greedy frequency vocabulary a tokenizer build would keep) and score
+    * every document's coverage against it. The vocabulary is built with
+    * the two-level bounded top-k heap ([[Similarity.heapTopKWords]] — no
+    * global sort) and broadcast, so the per-doc scoring join ships only
+    * `v` strings to every executor; the coverage aggregation is one
+    * keyed groupBy on doc_id. All-integer counts plus one exactly-
+    * rounded IEEE division keep the oracle comparison exact. At 100 TB
+    * the vocab stage is a word-keyed agg (map-side combined) and the
+    * scoring stage a broadcast-hash join — no corpus-sized shuffle. */
+  def vocabCoverage(docs: DataFrame, v: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val vocab = broadcast(
+      Similarity.heapTopKWords(counts, "n", "tok", v)
+        .select(col("tok"), lit(1L).as("in_vocab")))
+    toks.join(vocab, Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - sum(coalesce(col("in_vocab"), lit(0L)))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Word trigrams as a multiset (positional, unlike
     * [[Dedup.wordShingles]]' per-doc distinct set): pure array algebra —
     * two zip_with passes over three shifted slices, one generator per

@@ -50,6 +50,10 @@ object PipelinePack {
   private val FRAME_SIZE = 16
   private val FRAME_STRIDE = 4
   private val RESIZE_FACTOR = 4
+  /** Max Hamming distance for the aHash image near-dup verify step. */
+  private val IMG_HAMMING_MAX = 6
+  /** Vocabulary size for the tokenizer coverage / OOV report. */
+  private val VOCAB_V = 256
   /** PII card fixtures for q_text_pii_scrub, rotated by doc_id: indexes
     * 0–1 are Luhn-VALID public test numbers (redacted), 2–3 fail the
     * checksum (must survive un-redacted — the no-over-redaction gate). */
@@ -617,6 +621,50 @@ object PipelinePack {
           Multimodal.packPayload(Tables.documents(s, d)), RESIZE_FACTOR)
         .toDF().orderBy("doc_id")
     },
+    // REAL audio codec round trip: render deterministic 16-bit PCM as
+    // actual RIFF/WAVE bytes (javax.sound.sampled), decode them back per
+    // partition, report header metadata + integer signal statistics
+    // measured from the decoded samples. Oracle replays the closed-form
+    // sample function.
+    "q_mm_audio_decode" -> { (s, d) =>
+      Multimodal.decodeAudio(s, Multimodal.packAudio(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")
+    },
+    // Image near-dup by 64-bit aHash over REAL decoded rasters, banded
+    // 4×16-bit for LSH blocking, exact-Hamming verified. The corpus
+    // plants brightness-shifted re-renders (doc_id % 5 == 0) as the
+    // near-dups a crawl-scale image dedup must catch.
+    "q_mm_image_neardup" -> { (s, d) =>
+      Multimodal.imageNearDup(
+          Multimodal.imageAHash(s,
+            Multimodal.packImageVariants(s, Tables.documents(s, d))).toDF(),
+          IMG_HAMMING_MAX)
+        .orderBy("img_a", "img_b")
+    },
+    // Cluster resolution over the image near-dup graph — the same
+    // transitive-closure machinery the text dedup uses (union-find /
+    // pointer-doubling fixpoint in Dedup.duplicateClusters), composed
+    // with the multimodal pair source: pick one canonical image per
+    // connected component of near-duplicates.
+    "q_mm_image_clusters" -> { (s, d) =>
+      val pairs = Multimodal.imageNearDup(
+          Multimodal.imageAHash(s,
+            Multimodal.packImageVariants(s, Tables.documents(s, d))).toDF(),
+          IMG_HAMMING_MAX)
+        .select(col("img_a").as("doc_a"), col("img_b").as("doc_b"))
+      Dedup.duplicateClusters(pairs)
+        .select(col("doc_id").as("img_id"), col("cluster_id"),
+          col("is_canonical"))
+        .orderBy("img_id")
+    },
+    // Tokenizer vocabulary coverage: freeze the top-VOCAB_V tokens by
+    // corpus frequency (bounded heap top-k, broadcast) and report every
+    // doc's OOV count/rate — the "will my tokenizer cover this corpus"
+    // gate before a training run.
+    "q_text_vocab_coverage" -> { (s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), VOCAB_V)
+        .orderBy("doc_id")
+    },
 
     // Unigram-LM quality score: the CCNet-style perplexity proxy —
     // corpus-fit add-one-smoothed unigram model, per-doc mean −ln p.
@@ -699,6 +747,50 @@ object PipelinePack {
        |labels AS (
        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |  FROM reach GROUP BY u)""".stripMargin
+
+  /** aHash image pipeline CTEs shared by the near-dup and the cluster
+    * oracles: variant image set → closed-form 8×8 downsampled grid →
+    * integer mean-compare bits → 4×16-bit bands → banded candidates →
+    * exact Hamming. Mirrors Multimodal.{packImageVariants,imageAHash,
+    * imageNearDup}, which measure the same quantities from rasters
+    * DECODED by ImageIO. */
+  private lazy val imageHamCtes =
+    """imgs AS (
+      |  SELECT doc_id * 2 AS img_id, doc_id, 0 AS delta FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+      |dims AS (SELECT img_id, doc_id, delta,
+      |                8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM imgs),
+      |cells AS (
+      |  SELECT img_id, gy * 8 + gx AS cell,
+      |         (doc_id + delta + 31 * ((gx * w) // 8) + 7 * ((gy * h) // 8)) % 256 AS gray
+      |  FROM dims, unnest(range(0, 8)) tx(gx), unnest(range(0, 8)) ty(gy)),
+      |tot AS (SELECT img_id, sum(gray) AS total FROM cells GROUP BY img_id),
+      |bands AS (
+      |  SELECT c.img_id, c.cell // 16 AS band_idx,
+      |         CAST(sum(CASE WHEN 64 * c.gray > t.total
+      |                       THEN 1 << CAST(c.cell % 16 AS INT) ELSE 0 END)
+      |              AS BIGINT) AS bval
+      |  FROM cells c JOIN tot t USING (img_id)
+      |  GROUP BY c.img_id, c.cell // 16),
+      |h AS (SELECT img_id,
+      |             max(CASE WHEN band_idx = 0 THEN bval END) AS b0,
+      |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
+      |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
+      |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
+      |      FROM bands GROUP BY img_id),
+      |cand AS (
+      |  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.bval = b.bval
+      |   AND a.img_id < b.img_id),
+      |ham AS (
+      |  SELECT c.img_a, c.img_b,
+      |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+      |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+      |              AS BIGINT) AS hamming
+      |  FROM cand c JOIN h ha ON ha.img_id = c.img_a
+      |              JOIN h hb ON hb.img_id = c.img_b)""".stripMargin
 
   private val jaccardTail =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
@@ -1947,6 +2039,82 @@ object PipelinePack {
         |       CAST(sum(((doc_id + 31 * x + 7 * y) % 256) * (y * w + x + 1)) AS BIGINT)
         |         AS pixel_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // Replays Multimodal.AudioFixture's closed-form PCM: the Spark side
+    // measures rate/channels/bits/frames from the WAV header that
+    // AudioSystem DECODED and the signal sums from the de-interleaved
+    // decoded samples, so equality proves the RIFF/WAVE encode→decode
+    // round trip (WAV PCM is lossless).
+    "q_mm_audio_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |                  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |                       WHEN 2 THEN 16000 ELSE 22050 END AS sample_rate,
+        |                  1 + doc_id % 2 AS channels,
+        |                  64 + doc_id % 33 AS n_frames
+        |           FROM documents),
+        |s AS (SELECT doc_id, sample_rate, channels, n_frames, f, c,
+        |             (doc_id * 131 + c * 17 + f * 37) % 65536 - 32768 AS s
+        |      FROM p, unnest(range(0, n_frames)) tf(f),
+        |              unnest(range(0, channels)) tc(c))
+        |SELECT doc_id,
+        |       CAST(sample_rate AS BIGINT) AS sample_rate,
+        |       CAST(channels AS BIGINT) AS channels,
+        |       CAST(16 AS BIGINT) AS bits,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(sum(s) AS BIGINT) AS sample_sum,
+        |       CAST(sum(s * s) AS BIGINT) AS energy,
+        |       CAST(sum(s * (f * channels + c + 1)) AS BIGINT) AS sample_checksum
+        |FROM s GROUP BY doc_id, sample_rate, channels, n_frames
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replays the aHash pipeline end-to-end on the closed-form pixel
+    // function (base + brightness-shifted variant images), including the
+    // 8×8 nearest-neighbor downsample, the integer-exact mean compare
+    // (64·gray > Σgray), the 4×16-bit banding, the banded candidate
+    // join, and the exact-Hamming verify — the Spark side computes the
+    // same hash from PIXELS DECODED by ImageIO.
+    "q_mm_image_neardup" ->
+      s"""WITH $imageHamCtes
+         |SELECT img_a, img_b, hamming FROM ham
+         |WHERE hamming <= $IMG_HAMMING_MAX ORDER BY img_a, img_b""".stripMargin,
+
+    // Same aHash pair pipeline, then the same transitive closure the
+    // text dedup oracles use: component label = min img_id reachable,
+    // canonical = the label holder.
+    "q_mm_image_clusters" ->
+      s"""WITH RECURSIVE $imageHamCtes,
+         |pairs AS (SELECT img_a, img_b FROM ham
+         |          WHERE hamming <= $IMG_HAMMING_MAX),
+         |edges AS (
+         |  SELECT img_a AS u, img_b AS v FROM pairs
+         |  UNION SELECT img_b, img_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (
+         |  SELECT u AS img_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT img_id, cluster_id,
+         |       CASE WHEN img_id = cluster_id THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS is_canonical
+         |FROM labels ORDER BY img_id""".stripMargin,
+
+    // Top-VOCAB_V frequency vocabulary (count desc, token asc — the
+    // exact order heapTopKWords produces), then per-doc OOV coverage.
+    "q_text_vocab_coverage" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents),
+         |c AS (SELECT tok, count(*) AS n FROM w GROUP BY tok),
+         |r AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rn
+         |      FROM c),
+         |vcb AS (SELECT tok FROM r WHERE rn <= $VOCAB_V),
+         |j AS (SELECT w.doc_id, CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS iv
+         |      FROM w LEFT JOIN vcb v ON w.tok = v.tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) - sum(iv) AS BIGINT) AS n_oov,
+         |       round((count(*) - sum(iv)) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_unigram_lm" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

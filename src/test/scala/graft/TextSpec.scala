@@ -363,4 +363,56 @@ class TextSpec extends AnyFunSuite {
     assert(dec.pixel_sum == expSum)
     assert(dec.pixel_checksum == expChk)
   }
+
+  test("multimodal real audio decode: WAV round trip pins the known clip") {
+    import Multimodal.AudioFixture
+    // doc_id = 5: 11025 Hz, 2 channels, 69 frames.
+    val wav = AudioFixture.renderWav(5L)
+    // It is a real RIFF/WAVE container, not a digest stand-in.
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val docs = Seq((5L, "ignored")).toDF("doc_id", "text")
+    val dec = Multimodal.decodeAudio(spark, Multimodal.packAudio(spark, docs))
+      .collect().head
+    val samples = for (f <- 0 until 69; c <- 0 until 2)
+      yield (AudioFixture.sampleAt(5L, c, f).toLong, f.toLong * 2 + c + 1)
+    assert(dec.sample_rate == 11025L && dec.channels == 2L && dec.bits == 16L)
+    assert(dec.n_frames == 69L)
+    assert(dec.sample_sum == samples.map(_._1).sum)
+    assert(dec.energy == samples.map(s => s._1 * s._1).sum)
+    assert(dec.sample_checksum == samples.map(s => s._1 * s._2).sum)
+  }
+
+  test("vocabCoverage: top-V vocab (count desc, token asc) and per-doc OOV") {
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "c c b"),
+      (3L, "a d")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, 2).orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    // counts: a=3, c=3, b=2, d=1 → top-2 by (n desc, tok asc) = {a, c}.
+    assert(out(1L) == ((4L, 1L, 0.25)))  // b OOV
+    assert(out(2L) == ((3L, 1L, 0.333333)))
+    assert(out(3L) == ((2L, 1L, 0.5)))   // d OOV
+  }
+
+  test("image aHash near-dup catches the planted brightness variants") {
+    val docs = (0L until 20L).map((_, "ignored")).toDF("doc_id", "text")
+    val pairs = Multimodal.imageNearDup(
+        Multimodal.imageAHash(spark,
+          Multimodal.packImageVariants(spark, docs)).toDF(), 6)
+      .collect()
+      .map(r => (r.getAs[Long]("img_a"), r.getAs[Long]("img_b"))).toSet
+    // Every planted (base, +1-brightness) pair must surface: docs 0, 5,
+    // 10, 15 → img pairs (2d, 2d+1).
+    for (d <- Seq(0L, 5L, 10L, 15L))
+      assert(pairs.contains((d * 2, d * 2 + 1)), s"planted pair for doc $d")
+    // And the aHash is brightness-offset-tolerant but not blind: a pair
+    // of structurally different images (different dims) with far-apart
+    // ids should not all be "duplicates".
+    assert(pairs.size < 20 * 21 / 2, "near-dup must not be the complete graph")
+  }
 }
