@@ -26,11 +26,25 @@ object Graph {
     * (node, pr) row per node; an iteration shuffles the edge list once
     * on src and once on dst — linear in |E| per round, the canonical
     * distributed PageRank shape. */
-  def pageRank(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, damping: Double, iters: Int,
+               smallGraphEdges: Long = 10000000L): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small-graph cutover (the [[Dedup.duplicateClusters]] pattern): a
+    // distributed fixpoint costs ~2 jobs × `iters` rounds of scheduling,
+    // and under a loaded suite JVM that fixed cost dominates and
+    // amplifies (round-6/7 benches: 6–34 s for the SAME plan). Below the
+    // cutover the whole loop runs as ONE executor task over primitive
+    // arrays — still no driver-side data — with bit-identical decimal
+    // semantics to the distributed path (same shortest-string HALF_UP
+    // double→DECIMAL(38,18) per-edge cast, exact scaled-long sums, same
+    // round-6 trajectory), so the two paths are interchangeable under
+    // the oracle hash. 10M undirected edges ≈ 160 MB of task state; a
+    // cluster-scale graph takes the distributed fixpoint below.
+    if (und.count() <= smallGraphEdges)
+      return smallGraphPageRank(und, damping, iters)
     // Dictionary-encode node labels to dense longs for the ITERATION hot
     // path: the loop shuffles the edge list every round, and long keys
     // hash/compare/serialize several times cheaper than string labels —
@@ -65,14 +79,20 @@ object Graph {
     // the data instead: two bounded metadata actions on already-
     // checkpointed frames (the same driver-scalar discipline as the JDBC
     // bounds and convergence flags), clamped to [1, session shuffle
-    // partitions] — ~1M edges / ~2M nodes per partition keeps local runs
-    // at 1–2 tasks per round while a 1e9-node cluster graph still fans
-    // out to hundreds of partitions.
+    // partitions]. Target ~100k edges per partition: at sf0.1 (1.17M
+    // undirected edges) that is 12 partitions — enough parallelism that
+    // the per-round join+aggregate actually uses the cores (the first
+    // cut's ~1M-edge target collapsed the whole loop onto 2 tasks and
+    // cost +4 s isolated), while a 1e9-edge cluster graph still fans out
+    // to the session cap. The rank vector stays coarse (~500k nodes per
+    // partition): it is O(nodes) small and its reduce side is fed by
+    // map-side-combined partials, so one task per half-million nodes is
+    // the scheduling sweet spot.
     val defaultParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions.toLong
     def clamp(n: Long): Int = math.max(1L, math.min(defaultParts, n)).toInt
-    val edgeParts = clamp(undId.count() / 1000000L + 1)
-    val rankParts = clamp(dict.count() / 2000000L + 1)
+    val edgeParts = clamp(undId.count() / 100000L + 1)
+    val rankParts = clamp(dict.count() / 500000L + 1)
     // Pre-join the degree onto every edge ONCE and cache the result
     // hash-partitioned on `src_id`: each iteration then joins only the
     // node-sized rank vector against an already-partitioned edge list —
@@ -128,6 +148,93 @@ object Graph {
     Lifecycle.release(undId)
     result
   }
+
+  /** One-task PageRank over a bounded symmetrized edge list. Replicates
+    * the distributed loop's arithmetic EXACTLY so both paths satisfy the
+    * same oracle:
+    *  - initial pr = round6(1.0 / n) (Spark `round` = shortest-string
+    *    HALF_UP, [[round6]]);
+    *  - per-edge contribution = decimal(38,18) cast of the IEEE double
+    *    pr/deg ([[scale18]]), summed EXACTLY as scaled longs (per-node
+    *    in-sums are ≤ ~1.0, so the scaled sum fits a long with 3 bits to
+    *    spare), then widened back to double exactly as Spark's
+    *    decimal→double cast does;
+    *  - next pr = round6((1−damping)/n + damping·in_sum) with the same
+    *    double evaluation order as the Column expression.
+    * The task never ships rows to the driver: it folds the edge
+    * iterator into int arrays (~16 B/edge), iterates, and emits one
+    * (node, deg, pr) row per node. */
+  private def smallGraphPageRank(und: DataFrame, damping: Double,
+                                 iters: Int): DataFrame = {
+    val sess = und.sparkSession
+    import sess.implicits._
+    val out = und.select(col("src"), col("dst")).as[(String, String)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val idOf = new java.util.HashMap[String, Integer]()
+        val labels = new scala.collection.mutable.ArrayBuffer[String]()
+        val srcs = new scala.collection.mutable.ArrayBuffer[Int]()
+        val dsts = new scala.collection.mutable.ArrayBuffer[Int]()
+        def id(s: String): Int = {
+          val e = idOf.get(s)
+          if (e != null) e.intValue()
+          else { val i = labels.size; idOf.put(s, i); labels += s; i }
+        }
+        while (it.hasNext) {
+          val (a, b) = it.next()
+          srcs += id(a); dsts += id(b)
+        }
+        val n = labels.size
+        if (n == 0) Iterator.empty
+        else {
+          val nE = srcs.length
+          val deg = new Array[Long](n)
+          var k = 0
+          while (k < nE) { deg(srcs(k)) += 1; k += 1 }
+          val pr = new Array[Double](n)
+          java.util.Arrays.fill(pr, round6(1.0 / n))
+          val base = (1 - damping) / n
+          val contribScaled = new Array[Long](n)
+          val inSum = new Array[Long](n)
+          var iter = 0
+          while (iter < iters) {
+            var i = 0
+            while (i < n) {
+              contribScaled(i) = scale18(pr(i) / deg(i))
+              inSum(i) = 0L
+              i += 1
+            }
+            k = 0
+            while (k < nE) { inSum(dsts(k)) += contribScaled(srcs(k)); k += 1 }
+            i = 0
+            while (i < n) {
+              val inD = new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(inSum(i)), 18).doubleValue()
+              pr(i) = round6(base + damping * inD)
+              i += 1
+            }
+            iter += 1
+          }
+          labels.indices.iterator.map(i => (labels(i), deg(i), pr(i)))
+        }
+      }
+      .toDF("node", "deg", "pr")
+    Dedup.materializeThenRelease(out, und)
+  }
+
+  /** Spark's `round(col, 6)` on a double: shortest-string decimal
+    * (java's `Double.toString`) rounded HALF_UP at scale 6. */
+  private def round6(v: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark's `cast(col AS DECIMAL(38,18))` on a double, as the unscaled
+    * long: shortest-string decimal rounded HALF_UP at scale 18. Callers
+    * guarantee |v| < 1 so the unscaled value fits a long. */
+  private def scale18(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 
   /** The customer↔supplier trade graph implied by the warehouse schema:
     * an edge for every (customer, supplier) pair that shares at least

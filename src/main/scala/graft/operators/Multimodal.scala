@@ -361,15 +361,19 @@ object Multimodal {
     * the XOR — codegen'd builtin, no UDF). Scale: the join is keyed on
     * 16-bit band values, so work is Σ bucket² over genuinely-colliding
     * buckets — never corpus²; candidate dedup is a narrow distinct on
-    * the pair key. */
+    * the pair key. The hash frame is persisted for the self-join (5
+    * longs per image — tiny) so the upstream codec pass runs ONCE, not
+    * once per join side, and released before returning
+    * ([[Dedup.materializeThenRelease]] lifecycle). */
   def imageNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val exploded = hashes.select(col("img_id"), col("b0"), col("b1"),
+    val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = h.select(col("img_id"), col("b0"), col("b1"),
         col("b2"), col("b3"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("band_idx", "bval")))
     val a = exploded.toDF(exploded.columns.map("a_" + _).toIndexedSeq: _*)
     val b = exploded.toDF(exploded.columns.map("b_" + _).toIndexedSeq: _*)
-    a.join(b, col("a_band_idx") === col("b_band_idx") &&
+    val pairs = a.join(b, col("a_band_idx") === col("b_band_idx") &&
         col("a_bval") === col("b_bval") && col("a_img_id") < col("b_img_id"))
       .select(col("a_img_id").as("img_a"), col("b_img_id").as("img_b"),
         (expr("bit_count(a_b0 ^ b_b0) + bit_count(a_b1 ^ b_b1)") +
@@ -377,5 +381,6 @@ object Multimodal {
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    Dedup.materializeThenRelease(pairs, h)
   }
 }

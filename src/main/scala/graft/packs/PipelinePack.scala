@@ -52,6 +52,13 @@ object PipelinePack {
   private val RESIZE_FACTOR = 4
   /** Max Hamming distance for the aHash image near-dup verify step. */
   private val IMG_HAMMING_MAX = 6
+  /** Stricter Hamming bound for CLUSTERING near-dups: transitive
+    * closure compounds pairwise errors (a chain of hamming-6 pairs can
+    * connect images 30+ bits apart), so the cluster stage keeps only
+    * near-certain duplicates — the standard two-threshold practice
+    * (report loose, cluster tight). On the ramp fixture this also keeps
+    * the component graph ~7× smaller than the hamming-6 pair set. */
+  private val IMG_CLUSTER_HAMMING = 2
   /** Vocabulary size for the tokenizer coverage / OOV report. */
   private val VOCAB_V = 256
   /** PII card fixtures for q_text_pii_scrub, rotated by doc_id: indexes
@@ -650,7 +657,7 @@ object PipelinePack {
       val pairs = Multimodal.imageNearDup(
           Multimodal.imageAHash(s,
             Multimodal.packImageVariants(s, Tables.documents(s, d))).toDF(),
-          IMG_HAMMING_MAX)
+          IMG_CLUSTER_HAMMING)
         .select(col("img_a").as("doc_a"), col("img_b").as("doc_b"))
       Dedup.duplicateClusters(pairs)
         .select(col("doc_id").as("img_id"), col("cluster_id"),
@@ -2084,7 +2091,7 @@ object PipelinePack {
     "q_mm_image_clusters" ->
       s"""WITH RECURSIVE $imageHamCtes,
          |pairs AS (SELECT img_a, img_b FROM ham
-         |          WHERE hamming <= $IMG_HAMMING_MAX),
+         |          WHERE hamming <= $IMG_CLUSTER_HAMMING),
          |edges AS (
          |  SELECT img_a AS u, img_b AS v FROM pairs
          |  UNION SELECT img_b, img_a FROM pairs),

@@ -19,6 +19,20 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(pr.values.sum - 1.0) < 1e-3)
   }
 
+  test("pageRank: one-task and distributed paths are bit-identical") {
+    // The small-graph cutover replicates the distributed loop's decimal
+    // arithmetic (shortest-string HALF_UP casts, exact scale-18 sums,
+    // round-6 trajectory) — pin the two paths to the same output so the
+    // oracle hash can never depend on which path ran.
+    val edges = Graph.tradeEdges(
+      Tables.orders(spark, TestSpark.sf0001), Tables.lineitem(spark, TestSpark.sf0001))
+    def run(cutover: Long) =
+      Graph.pageRank(edges, 0.85, 3, smallGraphEdges = cutover).collect()
+        .map(r => (r.getAs[String]("node"), r.getAs[Long]("deg"),
+          r.getAs[Double]("pr"))).sorted.toSeq
+    assert(run(Long.MaxValue) == run(0L))
+  }
+
   test("pageRank over the trade graph is a probability-mass fixpoint, repartition-stable") {
     val edges = Graph.tradeEdges(
       Tables.orders(spark, TestSpark.sf0001), Tables.lineitem(spark, TestSpark.sf0001))

@@ -41,6 +41,17 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"scan reads l_orderkey the query never uses; ReadSchema=$readSchema")
   }
 
+  test("q_text_vocab_coverage: the scoring join is broadcast, not shuffled") {
+    // the O(V) vocabulary must broadcast — a shuffled scoring join would
+    // re-partition the whole token explode at corpus scale
+    val p = plan("q_text_vocab_coverage")
+    assert(p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"vocab scoring join is not a BroadcastHashJoin:\n$p")
+    assert(p.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "vocab scoring join fell back to a shuffled SMJ")
+  }
+
   test("q_text_sample_per_group: plans through the native TopKPerGroupExec") {
     val p = plan("q_text_sample_per_group")
     assert(p.collect { case e: graft.plans.TopKPerGroupExec => e }.nonEmpty,
