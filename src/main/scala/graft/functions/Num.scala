@@ -48,4 +48,29 @@ object Num {
   /** The DuckDB spelling of [[dsumAt]]. */
   def dsumAtSql(expr: String, scale: Int): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  // Single-task replications of the Column ops above, for the
+  // small-input one-task paths (Graph.pageRank, Similarity.pcaCore):
+  // a loop that runs inside one executor task must reproduce Spark's
+  // decimal discipline bit-for-bit so both execution paths satisfy the
+  // same oracle hash.
+
+  /** Spark's `cast(double AS DECIMAL(p,s))` as the unscaled long:
+    * shortest-string decimal (java `Double.toString`) rounded HALF_UP
+    * at `scale`. Callers guarantee the unscaled value fits a long; sums
+    * of these ARE the exact decimal sums [[dsum]]/[[dsumAt]] compute. */
+  def unscaledAt(v: Double, scale: Int): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Spark's `cast(decimal AS DOUBLE)` of an exact unscaled-long sum. */
+  def fromUnscaled(u: Long, scale: Int): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(u), scale)
+      .doubleValue()
+
+  /** Spark's `round(double, s)`: shortest-string decimal HALF_UP. */
+  def roundAt(v: Double, scale: Int): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 }

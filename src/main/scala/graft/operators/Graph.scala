@@ -208,9 +208,7 @@ object Graph {
             while (k < nE) { inSum(dsts(k)) += contribScaled(srcs(k)); k += 1 }
             i = 0
             while (i < n) {
-              val inD = new java.math.BigDecimal(
-                java.math.BigInteger.valueOf(inSum(i)), 18).doubleValue()
-              pr(i) = round6(base + damping * inD)
+              pr(i) = round6(base + damping * Num.fromUnscaled(inSum(i), 18))
               i += 1
             }
             iter += 1
@@ -222,19 +220,12 @@ object Graph {
     Dedup.materializeThenRelease(out, und)
   }
 
-  /** Spark's `round(col, 6)` on a double: shortest-string decimal
-    * (java's `Double.toString`) rounded HALF_UP at scale 6. */
-  private def round6(v: Double): Double =
-    new java.math.BigDecimal(java.lang.Double.toString(v))
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  /** Spark's `round(col, 6)` on a double ([[Num.roundAt]]). */
+  private def round6(v: Double): Double = Num.roundAt(v, 6)
 
-  /** Spark's `cast(col AS DECIMAL(38,18))` on a double, as the unscaled
-    * long: shortest-string decimal rounded HALF_UP at scale 18. Callers
-    * guarantee |v| < 1 so the unscaled value fits a long. */
-  private def scale18(v: Double): Long =
-    new java.math.BigDecimal(java.lang.Double.toString(v))
-      .setScale(18, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+  /** Spark's `cast(col AS DECIMAL(38,18))` on a double as the unscaled
+    * long ([[Num.unscaledAt]]); callers guarantee |v| < 1 so it fits. */
+  private def scale18(v: Double): Long = Num.unscaledAt(v, 18)
 
   /** The customer↔supplier trade graph implied by the warehouse schema:
     * an edge for every (customer, supplier) pair that shares at least

@@ -263,8 +263,9 @@ object Similarity {
     * constant 1/√dim — so loadings and the Rayleigh-quotient eigenvalue
     * are bit-identical on any engine at any parallelism. Emits one row
     * per dimension: (dim, loading, lambda). */
-  def pcaPower(emb: DataFrame, iters: Int, dim: Int): DataFrame = {
-    val (v, lambda, c) = pcaCore(emb, iters, dim)
+  def pcaPower(emb: DataFrame, iters: Int, dim: Int,
+               smallMatrixRows: Long = 20000000L): DataFrame = {
+    val (v, lambda, c) = pcaCore(emb, iters, dim, smallMatrixRows)
     val out = v.crossJoin(broadcast(lambda))
       .select(col("pos").as("dim"), col("w").as("loading"), col("lambda"))
     Dedup.materializeThenRelease(out, c)
@@ -277,9 +278,10 @@ object Similarity {
     * and their ratio. A healthy isotropic-ish batch sits near 1/dim; a
     * collapsed batch's top component absorbs most of the variance.
     * One row: (lambda, total_var, explained_ratio). */
-  def pcaExplained(emb: DataFrame, iters: Int, dim: Int): DataFrame = {
+  def pcaExplained(emb: DataFrame, iters: Int, dim: Int,
+                   smallMatrixRows: Long = 20000000L): DataFrame = {
     import graft.functions.Num
-    val (_, lambda, c) = pcaCore(emb, iters, dim)
+    val (_, lambda, c) = pcaCore(emb, iters, dim, smallMatrixRows)
     val n1 = broadcast(
       c.select("vec_id").distinct().agg(count(lit(1)).as("n")))
     val tv = c.agg(Num.dsum(col("cv") * col("cv")).as("ss"))
@@ -297,8 +299,8 @@ object Similarity {
   /** Shared power-iteration core: returns (direction v = (pos, w),
     * 1-row Rayleigh eigenvalue, and the PERSISTED centered matrix —
     * callers must release `c` via `materializeThenRelease(…, c)`). */
-  private def pcaCore(emb: DataFrame, iters: Int,
-                      dim: Int): (DataFrame, DataFrame, DataFrame) = {
+  private def pcaCore(emb: DataFrame, iters: Int, dim: Int,
+                      smallMatrixRows: Long = 20000000L): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.Num
     val ss = emb.sparkSession
     val ev = normalized(emb)
@@ -310,6 +312,17 @@ object Similarity {
     val c = ev.join(broadcast(mean), Seq("pos"))
       .select(col("vec_id"), col("pos"), (col("val") - col("m")).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small-matrix cutover (the Graph.pageRank pattern): a distributed
+    // power iteration pays ~3 jobs of scheduling per round, and that
+    // fixed cost dominates when the centered matrix is small. Below the
+    // cutover the whole loop runs as ONE executor task over primitive
+    // arrays — no driver-side data — replicating the decimal discipline
+    // bit-for-bit (Num.unscaledAt/fromUnscaled/roundAt are exactly the
+    // dsum-cast/round semantics), so both paths satisfy the same oracle.
+    // 20M rows ≈ 320 MB of task state; larger matrices iterate
+    // distributed.
+    if (c.count() <= smallMatrixRows)
+      return smallMatrixPcaCore(c, iters, dim)
     var v: DataFrame = ss.range(1, dim + 1)
       .select(col("id").as("pos"), lit(1.0 / math.sqrt(dim)).as("w"))
     for (i <- 1 to iters) {
@@ -334,6 +347,99 @@ object Similarity {
     val lambda = dF
       .agg(round(Num.dsum(col("d") * col("d")) / count(lit(1)), 6).as("lambda"))
     (v, lambda, c)
+  }
+
+  /** One-task power iteration over a bounded centered matrix: folds the
+    * (vec_id, pos, cv) rows into primitive arrays, runs the exact loop
+    * the distributed path runs — d = Σ₆(cv·w) per vector,
+    * u = Σ₆(cv·d) per dimension, norm = √Σ₆(u²), w′ = round₆(u/norm),
+    * λ = round₆(Σ₆(d²)/n) — where Σ₆ is the exact DECIMAL(18,6) sum
+    * ([[graft.functions.Num.unscaledAt]] per term, long accumulation,
+    * [[graft.functions.Num.fromUnscaled]] back), then emits one
+    * (pos, w, lambda) row per dimension. Returns (v, λ, c) shaped
+    * exactly like the distributed path so callers can't tell them
+    * apart. */
+  private def smallMatrixPcaCore(c: DataFrame, iters: Int,
+                                 dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.Num
+    val sess = c.sparkSession
+    import sess.implicits._
+    val vl = Lifecycle.checkpoint(
+      c.select(col("vec_id"), col("pos"), col("cv"))
+        .as[(Long, Long, Double)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val vecOf = new java.util.HashMap[java.lang.Long, Integer]()
+          val vecs = new scala.collection.mutable.ArrayBuffer[Int]()
+          val poss = new scala.collection.mutable.ArrayBuffer[Int]()
+          val cvs = new scala.collection.mutable.ArrayBuffer[Double]()
+          while (it.hasNext) {
+            val (vec, pos, cv) = it.next()
+            val e = vecOf.get(vec)
+            val vi = if (e != null) e.intValue()
+              else { val i = vecOf.size; vecOf.put(vec, i); i }
+            vecs += vi; poss += pos.toInt - 1; cvs += cv
+          }
+          val nVec = vecOf.size
+          if (nVec == 0) Iterator.empty
+          else {
+            val nRows = vecs.length
+            val w = Array.fill(dim)(1.0 / math.sqrt(dim))
+            val dSum = new Array[Long](nVec)
+            val uSum = new Array[Long](dim)
+            val d = new Array[Double](nVec)
+            var iter = 1
+            while (iter <= iters) {
+              java.util.Arrays.fill(dSum, 0L)
+              var k = 0
+              while (k < nRows) {
+                dSum(vecs(k)) += Num.unscaledAt(cvs(k) * w(poss(k)), 6)
+                k += 1
+              }
+              var i = 0
+              while (i < nVec) { d(i) = Num.fromUnscaled(dSum(i), 6); i += 1 }
+              java.util.Arrays.fill(uSum, 0L)
+              k = 0
+              while (k < nRows) {
+                uSum(poss(k)) += Num.unscaledAt(cvs(k) * d(vecs(k)), 6)
+                k += 1
+              }
+              var nn = 0L
+              i = 0
+              while (i < dim) {
+                val u = Num.fromUnscaled(uSum(i), 6)
+                nn += Num.unscaledAt(u * u, 6)
+                i += 1
+              }
+              val norm = math.sqrt(Num.fromUnscaled(nn, 6))
+              i = 0
+              while (i < dim) {
+                w(i) = Num.roundAt(Num.fromUnscaled(uSum(i), 6) / norm, 6)
+                i += 1
+              }
+              iter += 1
+            }
+            java.util.Arrays.fill(dSum, 0L)
+            var k = 0
+            while (k < nRows) {
+              dSum(vecs(k)) += Num.unscaledAt(cvs(k) * w(poss(k)), 6)
+              k += 1
+            }
+            var ll = 0L
+            var i = 0
+            while (i < nVec) {
+              val df = Num.fromUnscaled(dSum(i), 6)
+              ll += Num.unscaledAt(df * df, 6)
+              i += 1
+            }
+            val lambda = Num.roundAt(Num.fromUnscaled(ll, 6) / nVec, 6)
+            (0 until dim).iterator.map(i => (i + 1L, w(i), lambda))
+          }
+        }
+        .toDF("pos", "w", "lambda"))
+    (vl.select(col("pos"), col("w")),
+      vl.filter(col("pos") === 1).select(col("lambda")),
+      c)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

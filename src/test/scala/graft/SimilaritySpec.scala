@@ -241,6 +241,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("skew") - mx / avg) < 1e-5)
   }
 
+  test("pcaPower: one-task and distributed paths are bit-identical") {
+    // The small-matrix cutover replicates the distributed power
+    // iteration's decimal discipline (exact DECIMAL(18,6) sums via
+    // Num.unscaledAt, round-6 direction, same double evaluation order)
+    // — pin both paths to the same output so the oracle hash can never
+    // depend on which path ran.
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    def run(cutover: Long) =
+      Similarity.pcaPower(emb, 3, 64, smallMatrixRows = cutover).collect()
+        .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("loading"),
+          r.getAs[Double]("lambda"))).sorted.toSeq
+    assert(run(Long.MaxValue) == run(0L))
+  }
+
   test("annRecallReport: one row per query, recall = hits/k in [0, 1]") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
