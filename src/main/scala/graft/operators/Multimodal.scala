@@ -113,12 +113,17 @@ object Multimodal {
 
   /** One PNG payload per document — the binary image column a real
     * table would carry (here generated in-engine so the decode is
-    * verifiable; in production these bytes arrive from object storage).
-    * Narrow per-partition encode, no shuffle. */
+    * verifiable; in production these bytes arrive from object storage,
+    * already spread over many files — the repartition below exists only
+    * because the FIXTURE derives from one small parquet file). */
   def packImages(spark: SparkSession, docs: DataFrame): Dataset[ImageMedia] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(
-      _.map(id => ImageMedia(id, ImageFixture.renderPng(id))))
+    // The id column rides one tiny shuffle so the codec work spreads
+    // over the session's full parallelism — the documents scan is a
+    // single small file, and without this every encode+decode of the
+    // corpus lands in ONE task (measured 2.6 s -> sub-second at sf0.1).
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => ImageMedia(id, ImageFixture.renderPng(id))))
   }
 
   /** REAL image decode: `ImageIO.read` each PNG payload per partition
@@ -248,12 +253,14 @@ object Multimodal {
                           energy: Long, sample_checksum: Long)
 
   /** One WAV payload per document (generated in-engine so the decode is
-    * verifiable; in production the bytes arrive from object storage).
-    * Narrow per-partition encode, no shuffle. */
+    * verifiable; in production the bytes arrive from object storage,
+    * already spread over many files — see [[packImages]] on the
+    * fixture-only repartition). */
   def packAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioMedia] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(
-      _.map(id => AudioMedia(id, AudioFixture.renderWav(id))))
+    // Same codec-parallelism shuffle as packImages (see there).
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => AudioMedia(id, AudioFixture.renderWav(id))))
   }
 
   /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the
@@ -309,7 +316,9 @@ object Multimodal {
     * case a crawl-scale image dedup must catch. */
   def packImageVariants(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+    // Same codec-parallelism shuffle as packImages (see there).
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
       val base = ImageVariant(id * 2, id, 0, ImageFixture.renderPng(id, 0))
       if (id % 5 == 0)
         Iterator(base, ImageVariant(id * 2 + 1, id, 1, ImageFixture.renderPng(id, 1)))
