@@ -45,10 +45,11 @@ object Multimodal {
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
   object FakeDecoder {
-    /** STUB decode: real codecs are unavailable in this environment, so
-      * features are a deterministic byte-level digest. The signature —
-      * bytes in, typed features out, per-partition handle — is the
-      * production shape. */
+    /** STUB decode for VIDEO-style payloads: the JDK ships no container
+      * codec (images use the real ImageIO path, audio the real
+      * AudioSystem path), so features here are a deterministic
+      * byte-level digest. The signature — bytes in, typed features out,
+      * per-partition handle — is the production shape. */
     def features(md: MessageDigest, m: Media): MediaFeatures = {
       md.reset()
       val digest = md.digest(m.payload).map("%02x".format(_)).mkString
