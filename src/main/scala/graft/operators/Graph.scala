@@ -227,6 +227,148 @@ object Graph {
     * long ([[Num.unscaledAt]]); callers guarantee |v| < 1 so it fits. */
   private def scale18(v: Double): Long = Num.unscaledAt(v, 18)
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    * list — on the bipartite customer→supplier trade graph, hub scores
+    * rank customers by how strongly they buy from authoritative
+    * suppliers and authority scores rank suppliers by how strongly
+    * authoritative buyers use them. Deterministic across engines and
+    * partitionings, same discipline as [[pageRank]]: the start vector
+    * is round₆(1/√|hubs|), every mutual-reinforcement sum crosses
+    * partitions as an exact DECIMAL(38,18) ([[Num.dsumAt]]), each
+    * normalization is an IEEE sqrt of a decimal-exact sum-of-squares,
+    * and scores are rounded to 6 per half-round — the whole trajectory
+    * replays literal-for-literal in SQL. Scale: per half-round one
+    * key-equi join of the node-sized score vector against the edge list
+    * plus one map-side-combining aggregate — linear in |E|, the
+    * canonical shape; the norm is a 1-row broadcast. Below
+    * `smallGraphEdges` the loop runs as ONE executor task (the
+    * [[pageRank]] cutover pattern; exact `BigDecimal` accumulation
+    * because raw HITS sums exceed the long-unscaled range at scale
+    * 18). Emits (node, kind ∈ hub|authority, score). */
+  def hits(edges: DataFrame, iters: Int,
+           smallGraphEdges: Long = 10000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= smallGraphEdges) return smallGraphHits(e, iters)
+    val hubs0 = e.select(col("src")).distinct()
+    val nH = broadcast(hubs0.agg(count(lit(1)).as("n_hubs")))
+    var h = hubs0.crossJoin(nH)
+      .select(col("src"), round(lit(1.0) / sqrt(col("n_hubs")), 6).as("h"))
+    var a: DataFrame = null
+    var lastCp: Option[DataFrame] = None
+    for (i <- 0 until iters) {
+      val aRaw = e.join(h, Seq("src"))
+        .groupBy("dst").agg(Num.dsumAt(col("h"), 18).as("ar"))
+      val na = aRaw.agg(sqrt(Num.dsumAt(col("ar") * col("ar"), 18)).as("nrm"))
+      a = aRaw.crossJoin(broadcast(na))
+        .select(col("dst"), round(col("ar") / col("nrm"), 6).as("a"))
+      // The final authority vector outlives this round's hub checkpoint
+      // (Lifecycle.step below frees the PREVIOUS hub vector `a` reads
+      // from), so materialize it first on the last round.
+      if (i == iters - 1) a = Lifecycle.checkpoint(a)
+      val hRaw = e.join(a, Seq("dst"))
+        .groupBy("src").agg(Num.dsumAt(col("a"), 18).as("hr"))
+      val nh = hRaw.agg(sqrt(Num.dsumAt(col("hr") * col("hr"), 18)).as("nrm"))
+      val next = hRaw.crossJoin(broadcast(nh))
+        .select(col("src"), round(col("hr") / col("nrm"), 6).as("h"))
+      // Checkpoint the hub vector per round (the [[pageRank]] plan-depth
+      // discipline); the final authority vector is materialized with the
+      // result below.
+      val cp = Lifecycle.step(next, lastCp)
+      lastCp = Some(cp)
+      h = cp
+    }
+    val out = h.select(col("src").as("node"), lit("hub").as("kind"),
+        col("h").as("score"))
+      .union(a.select(col("dst").as("node"), lit("authority").as("kind"),
+        col("a").as("score")))
+    Dedup.materializeThenRelease(out, e)
+  }
+
+  /** One-task HITS below the cutover: same exact decimal trajectory as
+    * the distributed loop ([[Num.unscaledAt]]-per-term sums done with
+    * `BigDecimal` addition — raw sums can pass 9.2, the long-unscaled
+    * ceiling at scale 18 — then the same double widening, IEEE sqrt and
+    * round-6). No driver-side data: the edge iterator folds into
+    * primitive arrays inside one executor task. */
+  private def smallGraphHits(e: DataFrame, iters: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val out = e.as[(String, String)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val hubOf = new java.util.HashMap[String, Integer]()
+        val autOf = new java.util.HashMap[String, Integer]()
+        val hubLabels = new scala.collection.mutable.ArrayBuffer[String]()
+        val autLabels = new scala.collection.mutable.ArrayBuffer[String]()
+        val es = new scala.collection.mutable.ArrayBuffer[Int]()
+        val ed = new scala.collection.mutable.ArrayBuffer[Int]()
+        def idIn(m: java.util.HashMap[String, Integer],
+                 ls: scala.collection.mutable.ArrayBuffer[String],
+                 s: String): Int = {
+          val v = m.get(s)
+          if (v != null) v.intValue()
+          else { val i = ls.size; m.put(s, i); ls += s; i }
+        }
+        while (it.hasNext) {
+          val (s, d) = it.next()
+          es += idIn(hubOf, hubLabels, s); ed += idIn(autOf, autLabels, d)
+        }
+        val nHub = hubLabels.size
+        val nAut = autLabels.size
+        if (nHub == 0) Iterator.empty
+        else {
+          val nE = es.length
+          val h = Array.fill(nHub)(Num.roundAt(1.0 / math.sqrt(nHub), 6))
+          val a = new Array[Double](nAut)
+          val ZERO = java.math.BigDecimal.ZERO
+          def d18(v: Double): java.math.BigDecimal =
+            new java.math.BigDecimal(java.lang.Double.toString(v))
+              .setScale(18, java.math.RoundingMode.HALF_UP)
+          var iter = 0
+          while (iter < iters) {
+            val ar = Array.fill(nAut)(ZERO)
+            var k = 0
+            while (k < nE) { ar(ed(k)) = ar(ed(k)).add(d18(h(es(k)))); k += 1 }
+            var ss = ZERO
+            var i = 0
+            while (i < nAut) {
+              val v = ar(i).doubleValue()
+              ss = ss.add(d18(v * v))
+              i += 1
+            }
+            var nrm = math.sqrt(ss.doubleValue())
+            i = 0
+            while (i < nAut) {
+              a(i) = Num.roundAt(ar(i).doubleValue() / nrm, 6)
+              i += 1
+            }
+            val hr = Array.fill(nHub)(ZERO)
+            k = 0
+            while (k < nE) { hr(es(k)) = hr(es(k)).add(d18(a(ed(k)))); k += 1 }
+            ss = ZERO
+            i = 0
+            while (i < nHub) {
+              val v = hr(i).doubleValue()
+              ss = ss.add(d18(v * v))
+              i += 1
+            }
+            nrm = math.sqrt(ss.doubleValue())
+            i = 0
+            while (i < nHub) {
+              h(i) = Num.roundAt(hr(i).doubleValue() / nrm, 6)
+              i += 1
+            }
+            iter += 1
+          }
+          hubLabels.indices.iterator.map(i => (hubLabels(i), "hub", h(i))) ++
+            autLabels.indices.iterator.map(i => (autLabels(i), "authority", a(i)))
+        }
+      }
+      .toDF("node", "kind", "score")
+    Dedup.materializeThenRelease(out, e)
+  }
+
   /** The customer↔supplier trade graph implied by the warehouse schema:
     * an edge for every (customer, supplier) pair that shares at least
     * one order line. Prefixed node labels keep the two key spaces

@@ -19,6 +19,7 @@ object WarehousePack {
     * iteration count shared with the generated oracle CTE chain. */
   private val PR_DAMPING = 0.85
   private val PR_ITERS = 3
+  private val HITS_ITERS = 3
 
   /** Shared constants for the round-5 behavioral-analytics queries —
     * embedded verbatim in the generated oracle SQL so both engines
@@ -66,6 +67,16 @@ object WarehousePack {
           graft.operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
           PR_DAMPING, PR_ITERS)
         .orderBy("node")
+    },
+
+    // HITS hubs & authorities over the DIRECTED customer->supplier
+    // trade graph: mutual-reinforcement power iteration with
+    // decimal-exact sums and per-half-round normalization.
+    "q_x_hits" -> { (s, d) =>
+      graft.operators.Graph.hits(
+          graft.operators.Graph.tradeEdges(Tables.orders(s, d), Tables.lineitem(s, d)),
+          HITS_ITERS)
+        .orderBy("kind", "node")
     },
 
     // Star join over the full schema with broadcast dims + partial aggs.
@@ -860,6 +871,44 @@ object WarehousePack {
          |SELECT p.node, deg.deg, p.pr
          |FROM p$PR_ITERS p JOIN deg ON deg.src = p.node
          |ORDER BY p.node""".stripMargin
+    },
+
+    // Replays Graph.hits literal-for-literal: per half-round a
+    // decimal(38,18)-exact mutual-reinforcement sum, an IEEE sqrt of a
+    // decimal-exact sum of squares, and a round-6 normalized score —
+    // identical trajectory to the Spark loop (both the distributed and
+    // the one-task path, which a spec pins to each other).
+    "q_x_hits" -> {
+      def iter(i: Int): String =
+        s"""a${i}r AS (
+           |  SELECT ed.dst, ${Num.dsumAtSql(s"h${i - 1}.h", 18)} AS ar
+           |  FROM ed JOIN h${i - 1} ON ed.src = h${i - 1}.src
+           |  GROUP BY ed.dst),
+           |a${i}n AS (SELECT sqrt(${Num.dsumAtSql("ar * ar", 18)}) AS nrm
+           |           FROM a${i}r),
+           |a$i AS (SELECT dst, round(ar / (SELECT nrm FROM a${i}n), 6) AS a
+           |        FROM a${i}r),
+           |h${i}r AS (
+           |  SELECT ed.src, ${Num.dsumAtSql(s"a$i.a", 18)} AS hr
+           |  FROM ed JOIN a$i ON ed.dst = a$i.dst
+           |  GROUP BY ed.src),
+           |h${i}n AS (SELECT sqrt(${Num.dsumAtSql("hr * hr", 18)}) AS nrm
+           |           FROM h${i}r),
+           |h$i AS (SELECT src, round(hr / (SELECT nrm FROM h${i}n), 6) AS h
+           |        FROM h${i}r)""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |hn AS (SELECT count(DISTINCT src) AS n_hubs FROM ed),
+         |h0 AS (SELECT DISTINCT src,
+         |              round(CAST(1.0 AS DOUBLE) / sqrt((SELECT n_hubs FROM hn)), 6) AS h
+         |       FROM ed),
+         |${(1 to HITS_ITERS).map(iter).mkString(",\n")}
+         |SELECT src AS node, 'hub' AS kind, h AS score FROM h$HITS_ITERS
+         |UNION ALL
+         |SELECT dst AS node, 'authority' AS kind, a AS score FROM a$HITS_ITERS
+         |ORDER BY kind, node""".stripMargin
     },
 
     "q_x_lateral" ->

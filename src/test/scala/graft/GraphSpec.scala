@@ -33,6 +33,34 @@ class GraphSpec extends AnyFunSuite {
     assert(run(Long.MaxValue) == run(0L))
   }
 
+  test("hits: unit-norm halves, authority follows in-degree, dual-path bit-identical") {
+    // A 'portfolio' hub fixture: c1 buys from every supplier, c2/c3
+    // from one each — s1 is the shared (authoritative) supplier.
+    val edges = Seq(
+      ("c1", "s1"), ("c1", "s2"), ("c1", "s3"),
+      ("c2", "s1"), ("c3", "s1")).toDF("src", "dst")
+    val out = Graph.hits(edges, 3).collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[String]("kind"),
+        r.getAs[Double]("score")))
+    val auth = out.filter(_._2 == "authority").map(t => t._1 -> t._3).toMap
+    val hub = out.filter(_._2 == "hub").map(t => t._1 -> t._3).toMap
+    assert(auth.keySet == Set("s1", "s2", "s3") && hub.keySet == Set("c1", "c2", "c3"))
+    assert(auth("s1") > auth("s2") && auth("s2") == auth("s3"))
+    assert(hub("c1") > hub("c2") && hub("c2") == hub("c3"))
+    // Normalization: each half is (approximately, post-rounding) unit L2.
+    assert(math.abs(auth.values.map(v => v * v).sum - 1.0) < 1e-3)
+    assert(math.abs(hub.values.map(v => v * v).sum - 1.0) < 1e-3)
+    // One-task and distributed paths must be bit-identical (the pageRank
+    // dual-path pin, HITS edition) on a real slice.
+    val trade = Graph.tradeEdges(
+      Tables.orders(spark, TestSpark.sf0001), Tables.lineitem(spark, TestSpark.sf0001))
+    def run(cutover: Long) =
+      Graph.hits(trade, 3, smallGraphEdges = cutover).collect()
+        .map(r => (r.getAs[String]("node"), r.getAs[String]("kind"),
+          r.getAs[Double]("score"))).sorted.toSeq
+    assert(run(Long.MaxValue) == run(0L))
+  }
+
   test("pageRank over the trade graph is a probability-mass fixpoint, repartition-stable") {
     val edges = Graph.tradeEdges(
       Tables.orders(spark, TestSpark.sf0001), Tables.lineitem(spark, TestSpark.sf0001))
