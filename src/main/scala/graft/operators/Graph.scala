@@ -205,7 +205,12 @@ object Graph {
               i += 1
             }
             k = 0
-            while (k < nE) { inSum(dsts(k)) += contribScaled(srcs(k)); k += 1 }
+            while (k < nE) {
+              // addExact: a silent long wrap would corrupt ranks; the
+              // distributed path's decimals can't wrap, so fail loudly instead.
+              inSum(dsts(k)) = Math.addExact(inSum(dsts(k)), contribScaled(srcs(k)))
+              k += 1
+            }
             i = 0
             while (i < n) {
               pr(i) = round6(base + damping * Num.fromUnscaled(inSum(i), 18))

@@ -393,7 +393,11 @@ object Similarity {
               java.util.Arrays.fill(dSum, 0L)
               var k = 0
               while (k < nRows) {
-                dSum(vecs(k)) += Num.unscaledAt(cvs(k) * w(poss(k)), 6)
+                // addExact throughout this loop body: a silent long wrap
+                // would corrupt the trajectory; the distributed path's
+                // decimal sums can't wrap, so fail loudly instead.
+                dSum(vecs(k)) = Math.addExact(dSum(vecs(k)),
+                  Num.unscaledAt(cvs(k) * w(poss(k)), 6))
                 k += 1
               }
               var i = 0
@@ -401,14 +405,15 @@ object Similarity {
               java.util.Arrays.fill(uSum, 0L)
               k = 0
               while (k < nRows) {
-                uSum(poss(k)) += Num.unscaledAt(cvs(k) * d(vecs(k)), 6)
+                uSum(poss(k)) = Math.addExact(uSum(poss(k)),
+                  Num.unscaledAt(cvs(k) * d(vecs(k)), 6))
                 k += 1
               }
               var nn = 0L
               i = 0
               while (i < dim) {
                 val u = Num.fromUnscaled(uSum(i), 6)
-                nn += Num.unscaledAt(u * u, 6)
+                nn = Math.addExact(nn, Num.unscaledAt(u * u, 6))
                 i += 1
               }
               val norm = math.sqrt(Num.fromUnscaled(nn, 6))
@@ -422,14 +427,15 @@ object Similarity {
             java.util.Arrays.fill(dSum, 0L)
             var k = 0
             while (k < nRows) {
-              dSum(vecs(k)) += Num.unscaledAt(cvs(k) * w(poss(k)), 6)
+              dSum(vecs(k)) = Math.addExact(dSum(vecs(k)),
+                Num.unscaledAt(cvs(k) * w(poss(k)), 6))
               k += 1
             }
             var ll = 0L
             var i = 0
             while (i < nVec) {
               val df = Num.fromUnscaled(dSum(i), 6)
-              ll += Num.unscaledAt(df * df, 6)
+              ll = Math.addExact(ll, Num.unscaledAt(df * df, 6))
               i += 1
             }
             val lambda = Num.roundAt(Num.fromUnscaled(ll, 6) / nVec, 6)
