@@ -43,7 +43,12 @@ object Graph {
     // round-6 trajectory), so the two paths are interchangeable under
     // the oracle hash. 10M undirected edges ≈ 160 MB of task state; a
     // cluster-scale graph takes the distributed fixpoint below.
-    if (und.count() <= smallGraphEdges)
+    // The one-task path folds labels as strings; for any other id type
+    // the distributed path (type-agnostic dictionary join) keeps the
+    // pre-cutover behavior AND the pre-cutover output schema.
+    val stringIds = und.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.StringType)
+    if (stringIds && und.count() <= smallGraphEdges)
       return smallGraphPageRank(und, damping, iters)
     // Dictionary-encode node labels to dense longs for the ITERATION hot
     // path: the loop shuffles the edge list every round, and long keys
@@ -252,9 +257,13 @@ object Graph {
     * 18). Emits (node, kind ∈ hub|authority, score). */
   def hits(edges: DataFrame, iters: Int,
            smallGraphEdges: Long = 10000000L): DataFrame = {
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= smallGraphEdges) return smallGraphHits(e, iters)
+    // String-id gate: same reasoning as [[pageRank]]'s cutover.
+    val stringIds = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.StringType)
+    if (stringIds && e.count() <= smallGraphEdges) return smallGraphHits(e, iters)
     val hubs0 = e.select(col("src")).distinct()
     val nH = broadcast(hubs0.agg(count(lit(1)).as("n_hubs")))
     var h = hubs0.crossJoin(nH)

@@ -280,6 +280,13 @@ object Multimodal {
       val fmt = ais.getFormat
       val nc = fmt.getChannels
       val bits = fmt.getSampleSizeInBits
+      // The sample loop below de-interleaves 16-bit little-endian signed
+      // PCM; any other encoding would read garbage (or past the buffer),
+      // so reject it loudly instead.
+      require(bits == 16 && !fmt.isBigEndian &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"decodeAudio supports 16-bit little-endian signed PCM; " +
+          s"doc ${m.doc_id} decoded as $fmt")
       val nFrames = ais.getFrameLength
       val bytes = ais.readAllBytes()
       ais.close()

@@ -375,6 +375,13 @@ object Similarity {
           val cvs = new scala.collection.mutable.ArrayBuffer[Double]()
           while (it.hasNext) {
             val (vec, pos, cv) = it.next()
+            // The w/uSum arrays are dim-sized; a dim argument that does
+            // not cover the data would index past them — reject loudly
+            // (the distributed path would silently widen to the data's
+            // dimensionality after round 1, which is equally wrong).
+            require(pos >= 1 && pos <= dim,
+              s"pcaCore: position $pos outside [1, $dim] — dim must " +
+                "cover the embedding dimensionality")
             val e = vecOf.get(vec)
             val vi = if (e != null) e.intValue()
               else { val i = vecOf.size; vecOf.put(vec, i); i }

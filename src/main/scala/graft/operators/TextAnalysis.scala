@@ -635,6 +635,13 @@ object TextAnalysis {
     * the vocab stage is a word-keyed agg (map-side combined) and the
     * scoring stage a broadcast-hash join — no corpus-sized shuffle. */
   def vocabCoverage(docs: DataFrame, v: Int): DataFrame = {
+    // The token explode feeds BOTH the vocab aggregation and the
+    // scoring join, so the corpus is scanned twice. Deliberately NOT
+    // persisted: the exploded token table is LARGER than the compressed
+    // corpus (one row per token, uncompressed), so caching it costs
+    // more I/O than re-running the codegen'd split+explode over the
+    // parquet scan — the opposite trade from imageNearDup, whose shared
+    // frame is 5 longs per image.
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))

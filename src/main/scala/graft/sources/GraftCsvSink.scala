@@ -185,8 +185,28 @@ private[sources] object CsvFilterEval {
   def referenced(filters: Array[Filter]): Array[String] =
     filters.flatMap(_.references).distinct
 
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — Spark's
+    * string order (UTF8String.binaryCompare). `String.compareTo` would
+    * rank by UTF-16 code units, which disagrees for supplementary
+    * characters (surrogates 0xD800+ sort above BMP chars ≥ U+E000 in
+    * UTF-16 but below them in UTF-8 bytes) — and a pushed filter is
+    * never re-checked by a residual FilterExec, so the divergence would
+    * silently change results. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmp(v: Any, lit: Any): Int = (v, lit) match {
-    case (a: String, b: String) => a.compareTo(b)
+    case (a: String, b: String) => utf8Cmp(a, b)
     case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
     // Integral columns always carry integral literals here (litOk +
     // Catalyst typing); mixed numeric widths compare as doubles.
@@ -287,8 +307,10 @@ private[sources] object GraftCsvDialect {
 /** Streaming RFC-4180 record iterator for the sink's dialect: `sep`
   * separates fields; a field starting with `"` runs — including
   * embedded separators and newlines — until its closing quote, with
-  * `""` unescaping to one quote; records end at an unquoted `\n`
-  * (`\r` is swallowed). A bare empty field decodes as NULL; a quoted
+  * `""` unescaping to one quote; records end at an unquoted `\n`,
+  * `\r\n`, or a trailing `\r` at EOF — a bare `\r` inside an unquoted
+  * field is DATA and survives (a foreign file in this dialect loses no
+  * bytes). A bare empty field decodes as NULL; a quoted
   * empty field (`""`) decodes as the empty string — the writer's
   * rendering of the two, kept distinguishable on purpose. */
 private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
