@@ -68,6 +68,27 @@ class CsvSinkSpec extends AnyFunSuite {
       s"column pruning not pushed into the scan:\n$scanDesc")
   }
 
+  test("pushed string range filters use UTF-8 binary order, not UTF-16") {
+    // U+10000 encodes as surrogates in UTF-16 (0xD800 < 0xE000) but as
+    // F0 90 80 80 in UTF-8 (> U+E000's EE 80 80) — Spark's string order
+    // is binary UTF-8, and a fully-pushed filter is never re-checked,
+    // so the source's own comparison must agree with Spark's.
+    val path = dir("utf8ord")
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    val bmp = ""                                // U+E000
+    val src = Seq((1L, supp), (2L, bmp)).toDF("id", "s")
+    src.write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    val back = spark.read.schema("id LONG, s STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    // Spark semantics: supp >= bmp (binary UTF-8). The pushed filter
+    // must keep row 1; UTF-16 compareTo order would drop it.
+    val kept = back.filter(col("s") >= lit(bmp)).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"UTF-8 binary order violated: kept $kept")
+    val below = back.filter(col("s") < lit(bmp)).count()
+    assert(below == 0L)
+  }
+
   test("overwrite truncates (idempotent re-run) and leaves no temp dirs") {
     val path = dir("trunc")
     val src = (1L to 100L).toDF("id").withColumn("tag", lit("t"))
