@@ -115,4 +115,38 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getLong(1) == (('a'.toLong * 31 + 'b') % graft.functions.Poly31Hash.P))
     assert(r.getInt(2) == 2) // "a b c", "b c d"
   }
+
+  test("PNG encode->decode recovers the closed-form raster for any doc id") {
+    import graft.operators.Multimodal.ImageFixture
+    check(Prop.forAll(Gen.choose(0L, 1000000L)) { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ImageFixture.renderPng(id)))
+      val w = ImageFixture.widthOf(id)
+      val h = ImageFixture.heightOf(id)
+      img.getWidth == w && img.getHeight == h &&
+        (0 until h).forall(y => (0 until w).forall(x =>
+          (img.getRGB(x, y) & 0xff) == ImageFixture.grayAt(id, x, y)))
+    })
+  }
+
+  test("WAV encode->decode recovers the closed-form PCM for any doc id") {
+    import graft.operators.Multimodal.AudioFixture
+    check(Prop.forAll(Gen.choose(0L, 1000000L)) { id =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(AudioFixture.renderWav(id)))
+      val fmt = ais.getFormat
+      val nc = AudioFixture.channelsOf(id)
+      val n = AudioFixture.nFramesOf(id)
+      val bytes = ais.readAllBytes()
+      ais.close()
+      fmt.getSampleRate.toInt == AudioFixture.sampleRateOf(id) &&
+        fmt.getChannels == nc && fmt.getSampleSizeInBits == 16 &&
+        bytes.length == n * nc * 2 &&
+        (0 until n).forall(f => (0 until nc).forall { c =>
+          val off = (f * nc + c) * 2
+          ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toInt ==
+            AudioFixture.sampleAt(id, c, f)
+        })
+    })
+  }
 }
