@@ -595,6 +595,34 @@ object Similarity {
         round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
   }
 
+  /** Truncated-embedding retrieval recall — the Matryoshka (MRL) check
+    * a retrieval pipeline runs before shrinking its index: keep only
+    * the first `keepDims` dimensions, L2-renormalize, run the same
+    * exact top-k, and report per-query recall against the full-dim
+    * baseline. Pure composition of two [[bruteForceTopK]] passes (each
+    * already scale-shaped: broadcast query side, bounded heap ranking)
+    * plus one k-row-per-query join — the measurement adds no new
+    * scaling term. */
+  def truncationRecallReport(emb: DataFrame, queryPred: Column, k: Int,
+                             keepDims: Int): DataFrame = {
+    val truth = bruteForceTopK(emb, queryPred, k)
+      .select(col("query_id"), col("vec_id"))
+    // A vector whose kept prefix is all-zero has no direction left —
+    // it cannot be ranked by cosine (ANSI: 0-norm division throws), so
+    // truncation removes it from the index and recall reflects the
+    // loss. Same predicate spelled in the oracle.
+    val truncated = emb
+      .select(col("vec_id"), slice(col("embedding"), 1, keepDims).as("embedding"))
+      .filter(expr("exists(embedding, x -> x != 0)"))
+    val approx = bruteForceTopK(truncated, queryPred, k)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the
     * storage-compression step of a vector index at scale (4× smaller
     * than float32, 8× smaller than the double working set). Per

@@ -28,6 +28,8 @@ object PipelinePack {
     * the centroids (data-seeded, deterministic, oracle-replayable);
     * queries probe their NPROBE nearest inverted lists. */
   private val CENT_STRIDE = 61L
+  /** Dims kept by the Matryoshka truncation-recall check (DIM / 2). */
+  private val TRUNC_DIMS = 32
   private val NPROBE = 2
   /** Data-mixing rates for the stratified sample (per-language Bernoulli
     * keep-probabilities; shared literals with the oracle). */
@@ -540,6 +542,14 @@ object PipelinePack {
     "q_sim_recall" -> { (s, d) =>
       Similarity.annRecallReport(Tables.embeddings(s, d),
           col("vec_id") % 100 === 0, TOPK, DIM)
+        .orderBy("query_id")
+    },
+    // Matryoshka truncation check: recall@k of half-dimension
+    // (renormalized) retrieval vs the full-dim exact baseline - the
+    // "can I store half the vector" gate before shrinking an index.
+    "q_sim_truncation_recall" -> { (s, d) =>
+      Similarity.truncationRecallReport(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, TRUNC_DIMS)
         .orderBy("query_id")
     },
     // BM25 keyword retrieval: topical-slice extraction over the corpus.
@@ -1482,6 +1492,39 @@ object PipelinePack {
          |SELECT query_id, n_hits,
          |       round(n_hits / CAST($TOPK AS DOUBLE), 6) AS recall
          |FROM j ORDER BY query_id""".stripMargin,
+
+    // Truncate to the first TRUNC_DIMS dims, renormalize, re-run the
+    // same exact top-k, score hits against the full-dim truth — the
+    // oracle mirror of Similarity.truncationRecallReport.
+    "q_sim_truncation_recall" ->
+      s"""WITH $normalizedCte,
+         |$cosineTopKCtes,
+         |t0 AS (SELECT vec_id,
+         |              CAST(embedding AS DOUBLE[])[1:$TRUNC_DIMS] AS raw
+         |       FROM embeddings),
+         |t1 AS (SELECT vec_id, raw FROM t0
+         |       WHERE len(list_filter(raw, x -> x <> 0)) > 0),
+         |t AS (SELECT vec_id,
+         |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
+         |      FROM t1),
+         |tq2 AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id % 100 = 0),
+         |ts2 AS (SELECT query_id, t.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
+         |        FROM tq2, t WHERE t.vec_id <> query_id),
+         |tr2 AS (SELECT query_id, vec_id,
+         |               row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY cosine DESC, vec_id ASC) AS rn
+         |        FROM ts2),
+         |tk2 AS (SELECT query_id, vec_id FROM r WHERE rn <= $TOPK),
+         |ak2 AS (SELECT query_id, vec_id FROM tr2 WHERE rn <= $TOPK),
+         |j2 AS (SELECT tk2.query_id,
+         |              CAST(sum(CASE WHEN ak2.vec_id IS NULL THEN 0 ELSE 1 END)
+         |                   AS BIGINT) AS n_hits
+         |       FROM tk2 LEFT JOIN ak2 ON tk2.query_id = ak2.query_id
+         |                             AND tk2.vec_id = ak2.vec_id
+         |       GROUP BY tk2.query_id)
+         |SELECT query_id, n_hits,
+         |       round(n_hits / CAST($TOPK AS DOUBLE), 6) AS recall
+         |FROM j2 ORDER BY query_id""".stripMargin,
 
     // Same md5→uniform arithmetic as Sampling.uniformOf; the CASE
     // cascade evaluates the rates in the same (reverse-fold) priority.

@@ -255,6 +255,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(Long.MaxValue) == run(0L))
   }
 
+  test("truncationRecallReport: lossless when the tail dims carry nothing") {
+    import org.apache.spark.sql.functions._
+    // Vectors whose information lives entirely in the first 2 dims:
+    // truncating to 2 dims is lossless, so recall@k must be exactly 1.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.2f, 0f, 0f)),
+      (2L, Array(0.1f, 1.0f, 0f, 0f)),
+      (3L, Array(0.2f, 0.9f, 0f, 0f)),
+      (100L, Array(1.0f, 0.0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.truncationRecallReport(emb, col("vec_id") % 100 === 0, 3, 2)
+      .collect()
+    assert(out.length == 2) // queries 0 and 100
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hits") == 3L)
+      assert(r.getAs[Double]("recall") == 1.0)
+    }
+    // And with the information in the TAIL dims, truncation must hurt:
+    // the report is a measurement, not a constant.
+    val bad = Seq(
+      (0L, Array(0f, 0f, 1.0f, 0.1f)),
+      (1L, Array(0f, 0f, 0.9f, 0.2f)),
+      (2L, Array(0f, 0f, 0.1f, 1.0f)),
+      (3L, Array(0f, 0f, 0.2f, 0.9f)),
+      (100L, Array(0f, 0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // All-zero truncated vectors have no direction left: they drop out
+    // of the truncated index entirely (documented semantics; ANSI would
+    // otherwise throw on the 0-norm divide), so recall collapses to 0.
+    val outBad = Similarity.truncationRecallReport(bad, col("vec_id") % 100 === 0, 3, 2)
+      .collect()
+    assert(outBad.length == 2)
+    outBad.foreach { r =>
+      assert(r.getAs[Long]("n_hits") == 0L)
+      assert(r.getAs[Double]("recall") == 0.0)
+    }
+  }
+
   test("annRecallReport: one row per query, recall = hits/k in [0, 1]") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
