@@ -583,17 +583,23 @@ object Similarity {
     * the index-quality metric a curation pipeline monitors before
     * trusting an ANN index — is oracle-checkable like any other query.
     * Left join keeps queries the ANN missed entirely (recall 0). */
-  def annRecallReport(emb: DataFrame, queryPred: Column, k: Int, dim: Int): DataFrame = {
-    val truth = bruteForceTopK(emb, queryPred, k)
-      .select(col("query_id"), col("vec_id"))
-    val ann = annTopK(emb, queryPred, k, dim)
-      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
-    truth.join(ann, Seq("query_id", "vec_id"), "left")
+  def annRecallReport(emb: DataFrame, queryPred: Column, k: Int, dim: Int): DataFrame =
+    recallVsTruth(
+      bruteForceTopK(emb, queryPred, k),
+      annTopK(emb, queryPred, k, dim), k)
+
+  /** Per-query recall of `approx`'s (query_id, vec_id) hits against
+    * `truth`'s — ONE spelling of the hit-join/ratio tail for every
+    * recall report, kept in lockstep with the oracle SQL. */
+  private def recallVsTruth(truth: DataFrame, approx: DataFrame,
+                            k: Int): DataFrame =
+    truth.select(col("query_id"), col("vec_id"))
+      .join(approx.select(col("query_id"), col("vec_id"))
+        .withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
       .select(col("query_id"), col("n_hits"),
         round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
-  }
 
   /** Truncated-embedding retrieval recall — the Matryoshka (MRL) check
     * a retrieval pipeline runs before shrinking its index: keep only
@@ -605,22 +611,18 @@ object Similarity {
     * scaling term. */
   def truncationRecallReport(emb: DataFrame, queryPred: Column, k: Int,
                              keepDims: Int): DataFrame = {
-    val truth = bruteForceTopK(emb, queryPred, k)
-      .select(col("query_id"), col("vec_id"))
     // A vector whose kept prefix is all-zero has no direction left —
-    // it cannot be ranked by cosine (ANSI: 0-norm division throws), so
-    // truncation removes it from the index and recall reflects the
-    // loss. Same predicate spelled in the oracle.
+    // Spark 4's ANSI Divide throws DIVIDE_BY_ZERO on the 0-norm divide
+    // even for doubles (observed: SparkArithmeticException from
+    // normalized()'s x / nrm) — so truncation removes it from the index
+    // and recall reflects the loss. Same predicate spelled in the
+    // oracle.
     val truncated = emb
       .select(col("vec_id"), slice(col("embedding"), 1, keepDims).as("embedding"))
       .filter(expr("exists(embedding, x -> x != 0)"))
-    val approx = bruteForceTopK(truncated, queryPred, k)
-      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
-    truth.join(approx, Seq("query_id", "vec_id"), "left")
-      .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
-      .select(col("query_id"), col("n_hits"),
-        round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
+    recallVsTruth(
+      bruteForceTopK(emb, queryPred, k),
+      bruteForceTopK(truncated, queryPred, k), k)
   }
 
   /** Scalar int8 quantization of the embedding column — the

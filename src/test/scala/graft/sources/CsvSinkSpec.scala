@@ -87,6 +87,17 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L), s"UTF-8 binary order violated: kept $kept")
     val below = back.filter(col("s") < lit(bmp)).count()
     assert(below == 0L)
+    // And pin UNSIGNEDNESS separately: "é" (C3 A9) must sort above "a"
+    // (61) — a signed-byte comparator would flip this pair while still
+    // passing the surrogate case above (F0 > EE under both signs).
+    val path2 = dir("utf8sign")
+    Seq((1L, "a"), (2L, "é")).toDF("id", "s")
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path2).save()
+    val back2 = spark.read.schema("id LONG, s STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path2).load()
+    val above = back2.filter(col("s") > lit("a")).collect().map(_.getLong(0)).toSet
+    assert(above == Set(2L), s"unsigned byte order violated: $above")
   }
 
   test("overwrite truncates (idempotent re-run) and leaves no temp dirs") {
