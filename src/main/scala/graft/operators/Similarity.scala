@@ -625,6 +625,34 @@ object Similarity {
       bruteForceTopK(truncated, queryPred, k), k)
   }
 
+  /** Hard-negative mining with false-negative filtering — the
+    * contrastive-training data-prep stage: per query, the rank-1
+    * neighbor is the positive and ranks 2..k are negative candidates,
+    * but a candidate that is itself a near-duplicate of the POSITIVE
+    * (cos(neg, pos) ≥ `fnMin`) is a FALSE negative — training on it as
+    * a negative poisons the loss — so each candidate is scored against
+    * the positive and labeled false_negative / hard_negative
+    * (cos(query, neg) ≥ `hardMin`) / easy_negative. Scale: the mined
+    * set is k rows per query; the verification pass is two keyed hash
+    * joins of that bounded set against the normalized corpus plus one
+    * codegen'd dot per row — no new corpus-sized term. */
+  def hardNegativeMining(emb: DataFrame, queryPred: Column, k: Int,
+                         hardMin: Double, fnMin: Double): DataFrame = {
+    val e = normalized(emb)
+    val top = bruteForceTopK(emb, queryPred, k)
+    val pos = top.filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"))
+    top.filter(col("rn") >= 2).join(pos, Seq("query_id"))
+      .join(e.select(col("vec_id").as("pos_id"), col("v").as("pv")), Seq("pos_id"))
+      .join(e.select(col("vec_id"), col("v").as("nv")), Seq("vec_id"))
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"),
+        round(expr("dotp(nv, pv)"), 6).as("pos_cosine"))
+      .withColumn("label",
+        when(col("pos_cosine") >= fnMin, lit("false_negative"))
+          .when(col("cosine") >= hardMin, lit("hard_negative"))
+          .otherwise(lit("easy_negative")))
+  }
+
   /** Scalar int8 quantization of the embedding column — the
     * storage-compression step of a vector index at scale (4× smaller
     * than float32, 8× smaller than the double working set). Per

@@ -30,6 +30,10 @@ object PipelinePack {
   private val CENT_STRIDE = 61L
   /** Dims kept by the Matryoshka truncation-recall check (DIM / 2). */
   private val TRUNC_DIMS = 32
+  /** Hard-negative mining thresholds (data-informed: top-1 cosines sit
+    * ~0.36-0.45, rank-10 ~0.26 on the synthetic embeddings). */
+  private val HARD_MIN = 0.28
+  private val FN_MIN = 0.4
   private val NPROBE = 2
   /** Data-mixing rates for the stratified sample (per-language Bernoulli
     * keep-probabilities; shared literals with the oracle). */
@@ -543,6 +547,15 @@ object PipelinePack {
       Similarity.annRecallReport(Tables.embeddings(s, d),
           col("vec_id") % 100 === 0, TOPK, DIM)
         .orderBy("query_id")
+    },
+    // Contrastive-training data prep: mine ranks 2..k as negative
+    // candidates per query, score each against the rank-1 POSITIVE, and
+    // label false negatives (near-dups of the positive), hard negatives,
+    // and easy negatives.
+    "q_sim_hard_negatives" -> { (s, d) =>
+      Similarity.hardNegativeMining(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, HARD_MIN, FN_MIN)
+        .orderBy("query_id", "rn")
     },
     // Matryoshka truncation check: recall@k of half-dimension
     // (renormalized) retrieval vs the full-dim exact baseline - the
@@ -1492,6 +1505,27 @@ object PipelinePack {
          |SELECT query_id, n_hits,
          |       round(n_hits / CAST($TOPK AS DOUBLE), 6) AS recall
          |FROM j ORDER BY query_id""".stripMargin,
+
+    // Mirrors Similarity.hardNegativeMining: top-k CTEs give the ranked
+    // neighbors; rank 1 is the positive, ranks 2..k are scored against
+    // it (same dot spelling, same product order) and labeled by the
+    // shared thresholds.
+    "q_sim_hard_negatives" ->
+      s"""WITH $normalizedCte,
+         |$cosineTopKCtes,
+         |tk AS (SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= $TOPK),
+         |p AS (SELECT query_id, vec_id AS pos_id FROM tk WHERE rn = 1),
+         |n AS (SELECT tk.query_id, tk.rn, tk.vec_id, tk.cosine, p.pos_id
+         |      FROM tk JOIN p USING (query_id) WHERE tk.rn >= 2),
+         |sc AS (SELECT n.query_id, n.rn, n.vec_id, n.cosine,
+         |              round(${dotSql("a.v", "b.v")}, 6) AS pos_cosine
+         |       FROM n JOIN e a ON a.vec_id = n.vec_id
+         |              JOIN e b ON b.vec_id = n.pos_id)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cosine, pos_cosine,
+         |       CASE WHEN pos_cosine >= $FN_MIN THEN 'false_negative'
+         |            WHEN cosine >= $HARD_MIN THEN 'hard_negative'
+         |            ELSE 'easy_negative' END AS label
+         |FROM sc ORDER BY query_id, rn""".stripMargin,
 
     // Truncate to the first TRUNC_DIMS dims, renormalize, re-run the
     // same exact top-k, score hits against the full-dim truth — the

@@ -255,6 +255,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(Long.MaxValue) == run(0L))
   }
 
+  test("hardNegativeMining: planted near-dup of the positive is flagged false_negative") {
+    import org.apache.spark.sql.functions._
+    // Query 0's nearest neighbor is vec 1 (the positive); vec 2 is a
+    // near-copy of vec 1 (the false negative a contrastive loss must
+    // not train against); vec 3 is close to the query but not to the
+    // positive's direction... make it orthogonal-ish; vec 4 is far.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),     // query
+      (1L, Array(0.98f, 0.2f, 0.0f, 0.0f)),    // positive (closest)
+      (2L, Array(0.97f, 0.22f, 0.01f, 0.0f)),  // near-dup of positive
+      (3L, Array(0.8f, -0.6f, 0.0f, 0.0f)),    // hard negative
+      (4L, Array(0.0f, 0.1f, 1.0f, 0.0f))      // easy negative
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegativeMining(emb, col("vec_id") === 0, 4, 0.5, 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[String]("label")).toMap
+    assert(!out.contains(1L), "the positive itself must not be a candidate")
+    assert(out(2L) == "false_negative", s"near-dup of positive: $out")
+    assert(out(3L) == "hard_negative", s"close to query, far from positive: $out")
+    assert(out(4L) == "easy_negative", s"far from both: $out")
+  }
+
   test("truncationRecallReport: lossless when the tail dims carry nothing") {
     import org.apache.spark.sql.functions._
     // Vectors whose information lives entirely in the first 2 dims:
