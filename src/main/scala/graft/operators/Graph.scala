@@ -27,7 +27,7 @@ object Graph {
     * on src and once on dst — linear in |E| per round, the canonical
     * distributed PageRank shape. */
   def pageRank(edges: DataFrame, damping: Double, iters: Int,
-               smallGraphEdges: Long = 10000000L): DataFrame = {
+               smallGraphEdges: Long = 2000000L): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -41,14 +41,25 @@ object Graph {
     // semantics to the distributed path (same shortest-string HALF_UP
     // double→DECIMAL(38,18) per-edge cast, exact scaled-long sums, same
     // round-6 trajectory), so the two paths are interchangeable under
-    // the oracle hash. 10M undirected edges ≈ 160 MB of task state; a
+    // the oracle hash. Task-state math behind the 2M-edge default
+    // (SCALE.md "one-task cutovers"): the edge fold is two primitive
+    // int arrays ([[IntBuf]] — 8 B/edge ≈ 16 MB), but the LABEL side
+    // dominates worst-case — up to 2 nodes/edge, each costing a
+    // String (~56 B for short labels), a HashMap entry (~48 B) and a
+    // boxed Integer (~16 B) ≈ 130 B/node → ≤ ~500 MB at 4M distinct
+    // nodes. Typical graphs (nodes ≪ edges) sit far below; a
     // cluster-scale graph takes the distributed fixpoint below.
     // The one-task path folds labels as strings; for any other id type
     // the distributed path (type-agnostic dictionary join) keeps the
     // pre-cutover behavior AND the pre-cutover output schema.
     val stringIds = und.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.StringType)
-    if (stringIds && und.count() <= smallGraphEdges)
+    // One count serves BOTH the cutover gate and the distributed path's
+    // edge-partition sizing (undId is a bijective re-keying of und, so
+    // the two counts are equal): the distributed path pays no extra
+    // materialization job for the gate.
+    val nUndEdges = und.count()
+    if (stringIds && nUndEdges <= smallGraphEdges)
       return smallGraphPageRank(und, damping, iters)
     // Dictionary-encode node labels to dense longs for the ITERATION hot
     // path: the loop shuffles the edge list every round, and long keys
@@ -96,7 +107,7 @@ object Graph {
     val defaultParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions.toLong
     def clamp(n: Long): Int = math.max(1L, math.min(defaultParts, n)).toInt
-    val edgeParts = clamp(undId.count() / 100000L + 1)
+    val edgeParts = clamp(nUndEdges / 100000L + 1)
     val rankParts = clamp(dict.count() / 500000L + 1)
     // Pre-join the degree onto every edge ONCE and cache the result
     // hash-partitioned on `src_id`: each iteration then joins only the
@@ -167,8 +178,9 @@ object Graph {
     *  - next pr = round6((1−damping)/n + damping·in_sum) with the same
     *    double evaluation order as the Column expression.
     * The task never ships rows to the driver: it folds the edge
-    * iterator into int arrays (~16 B/edge), iterates, and emits one
-    * (node, deg, pr) row per node. */
+    * iterator into primitive int arrays ([[IntBuf]], 8 B/edge across
+    * both endpoints), iterates, and emits one (node, deg, pr) row per
+    * node. */
   private def smallGraphPageRank(und: DataFrame, damping: Double,
                                  iters: Int): DataFrame = {
     val sess = und.sparkSession
@@ -178,8 +190,8 @@ object Graph {
       .mapPartitions { it =>
         val idOf = new java.util.HashMap[String, Integer]()
         val labels = new scala.collection.mutable.ArrayBuffer[String]()
-        val srcs = new scala.collection.mutable.ArrayBuffer[Int]()
-        val dsts = new scala.collection.mutable.ArrayBuffer[Int]()
+        val srcs = new IntBuf()
+        val dsts = new IntBuf()
         def id(s: String): Int = {
           val e = idOf.get(s)
           if (e != null) e.intValue()
@@ -256,7 +268,7 @@ object Graph {
     * because raw HITS sums exceed the long-unscaled range at scale
     * 18). Emits (node, kind ∈ hub|authority, score). */
   def hits(edges: DataFrame, iters: Int,
-           smallGraphEdges: Long = 10000000L): DataFrame = {
+           smallGraphEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -315,8 +327,8 @@ object Graph {
         val autOf = new java.util.HashMap[String, Integer]()
         val hubLabels = new scala.collection.mutable.ArrayBuffer[String]()
         val autLabels = new scala.collection.mutable.ArrayBuffer[String]()
-        val es = new scala.collection.mutable.ArrayBuffer[Int]()
-        val ed = new scala.collection.mutable.ArrayBuffer[Int]()
+        val es = new IntBuf()
+        val ed = new IntBuf()
         def idIn(m: java.util.HashMap[String, Integer],
                  ls: scala.collection.mutable.ArrayBuffer[String],
                  s: String): Int = {

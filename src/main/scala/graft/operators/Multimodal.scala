@@ -7,31 +7,35 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, and a per-partition "decode / feature-extract" stage.
   *
-  * Three tiers:
-  *  - IMAGES are decoded for real: [[packImages]] renders deterministic
-  *    PNG bytes with the JDK's pure-Java codec (`javax.imageio.ImageIO`
-  *    — no external library), and [[decodeImages]] decodes those bytes
+  * All three media tiers round-trip through REAL JDK codecs — no
+  * external library, no stubs:
+  *  - IMAGES: [[packImages]] renders deterministic PNG bytes with
+  *    `javax.imageio.ImageIO`, and [[decodeImages]] decodes those bytes
   *    back per partition, emitting width/height/band-count/pixel
   *    checksums read from the DECODED raster. Because PNG is lossless
   *    and the pixel pattern is a closed-form function of `doc_id`, the
   *    decoded metadata is exactly reproducible in SQL — the oracle
   *    replays the formula, so a wrong decode cannot hash green.
   *    [[imageAHash]]/[[imageNearDup]] build on the decoded raster: a
-  *    64-bit average hash banded 4×16-bit for LSH-blocked near-dup
-  *    detection — the crawl-scale image dedup stage.
-  *  - AUDIO is decoded for real too: [[packAudio]] containers
-  *    closed-form 16-bit PCM as actual RIFF/WAVE bytes and
-  *    [[decodeAudio]] parses them back with the JDK's
-  *    `javax.sound.sampled.AudioSystem`, reporting header metadata and
-  *    integer signal statistics from the DECODED samples (WAV PCM is
-  *    lossless, so the oracle replays the sample formula).
-  *  - VIDEO-style payloads (no container codec in the JDK) keep the
-  *    clearly-marked deterministic stand-in ([[FakeDecoder.features]]:
-  *    byte-level digest + header probe) — the Spark plumbing around it
-  *    (BinaryType column, case-class `Encoder`s, `mapPartitions` with
-  *    per-partition handle init, schema-checked output) is the
-  *    production shape; swap the digest for a codec call and nothing
-  *    else changes.
+  *    64-bit average hash with threshold-exact LSH banding for
+  *    near-dup detection — the crawl-scale image dedup stage.
+  *  - AUDIO: [[packAudio]] containers closed-form 16-bit PCM as actual
+  *    RIFF/WAVE bytes and [[decodeAudio]] parses them back with the
+  *    JDK's `javax.sound.sampled.AudioSystem`, reporting header
+  *    metadata and integer signal statistics from the DECODED samples
+  *    (WAV PCM is lossless, so the oracle replays the sample formula).
+  *  - VIDEO: [[packVideos]] encodes a multi-frame animated GIF per doc
+  *    (the one multi-frame container the JDK can both write and read —
+  *    palette-indexed, so the gray ramp survives losslessly) and
+  *    [[decodeVideoFrames]] reads every frame back through
+  *    `ImageReader.read(i)`, emitting per-frame raster metadata the
+  *    oracle replays closed-form. A production deployment swaps the
+  *    GIF reader for an MP4 demuxer behind the same per-partition
+  *    plumbing.
+  *
+  * [[extractFeatures]] (byte-level md5 + length + leading byte) is the
+  * codec-agnostic FINGERPRINT stage — exact-dedup/integrity metadata a
+  * media pipeline records for every payload before any decode.
   */
 object Multimodal {
 
@@ -44,12 +48,12 @@ object Multimodal {
   def packPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  object FakeDecoder {
-    /** STUB decode for VIDEO-style payloads: the JDK ships no container
-      * codec (images use the real ImageIO path, audio the real
-      * AudioSystem path), so features here are a deterministic
-      * byte-level digest. The signature — bytes in, typed features out,
-      * per-partition handle — is the production shape. */
+  object PayloadDigest {
+    /** Codec-agnostic payload fingerprint: byte-level md5 digest,
+      * length, and leading byte — the exact-dedup/integrity metadata a
+      * media pipeline records for every binary payload regardless of
+      * format. The signature — bytes in, typed features out,
+      * per-partition handle — is shared with the real decoders. */
     def features(md: MessageDigest, m: Media): MediaFeatures = {
       md.reset()
       val digest = md.digest(m.payload).map("%02x".format(_)).mkString
@@ -64,7 +68,7 @@ object Multimodal {
     import spark.implicits._
     packed.as[Media].mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
-      it.map(FakeDecoder.features(md, _))
+      it.map(PayloadDigest.features(md, _))
     }
   }
 
@@ -287,9 +291,23 @@ object Multimodal {
         fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
         s"decodeAudio supports 16-bit little-endian signed PCM; " +
           s"doc ${m.doc_id} decoded as $fmt")
-      val nFrames = ais.getFrameLength
       val bytes = ais.readAllBytes()
       ais.close()
+      // Frame count from the DECODED byte length, not the header:
+      // getFrameLength is NOT_SPECIFIED (-1) for some foreign/streamed
+      // WAV inputs, which would silently skip the sample loop and report
+      // all-zero stats instead of failing like the encoding guard above.
+      // When the header does carry a length, it must agree — a mismatch
+      // means a truncated or padded payload and is rejected loudly.
+      require(bytes.length % (nc * 2) == 0,
+        s"decodeAudio: doc ${m.doc_id} PCM byte length ${bytes.length} is " +
+          s"not a whole number of $nc-channel 16-bit frames")
+      val nFrames = bytes.length / (nc * 2)
+      val declared = ais.getFrameLength
+      require(declared == javax.sound.sampled.AudioSystem.NOT_SPECIFIED ||
+        declared == nFrames.toLong,
+        s"decodeAudio: doc ${m.doc_id} header declares $declared frames " +
+          s"but the payload decodes to $nFrames")
       var sum = 0L
       var energy = 0L
       var chk = 0L
@@ -308,6 +326,124 @@ object Multimodal {
       }
       DecodedAudio(m.doc_id, fmt.getSampleRate.toLong, nc.toLong, bits.toLong,
         nFrames, sum, energy, chk)
+    })
+  }
+
+  // ---------------------------------------------------------------- video
+
+  /** Deterministic multi-frame "video" fixture: each doc is an animated
+    * GIF of nFramesOf(doc_id) frames, every frame the closed-form gray
+    * ramp shifted by 97·frame — containered as REAL GIF89a bytes by the
+    * JDK's ImageIO sequence writer (the one multi-frame format the JDK
+    * both writes and reads). The frames are palette-indexed against an
+    * explicit 256-entry gray palette, so the encode is LOSSLESS and the
+    * DuckDB oracle can replay the per-frame pixel function — a broken
+    * frame index, palette mapping, or raster read cannot hash green.
+    * Clips stay tiny (≤16×14×6): the point is the container round
+    * trip, not pixel volume. */
+  object VideoFixture {
+    def nFramesOf(docId: Long): Int = (3 + docId % 4).toInt
+    /** Frame f's pixel = the image ramp shifted by 97·f (mod 256). */
+    def grayAt(docId: Long, f: Int, x: Int, y: Int): Int =
+      ((docId + 97L * f + 31L * x + 7L * y) % 256).toInt
+
+    /** 8-bit 256-entry gray palette: index i ↦ rgb(i, i, i) — encode
+      * identity for gray rasters. */
+    private val grayPalette: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Render the doc's frames and ENCODE them as one animated GIF via
+      * ImageIO's sequence writer. */
+    def renderGif(docId: Long): Array[Byte] = {
+      val w = ImageFixture.widthOf(docId)
+      val h = ImageFixture.heightOf(docId)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      val n = nFramesOf(docId)
+      while (f < n) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, grayAt(docId, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      out.toByteArray
+    }
+  }
+
+  case class VideoMedia(doc_id: Long, gif: Array[Byte])
+  case class DecodedFrame(doc_id: Long, frame_no: Long, n_frames: Long,
+                          width: Long, height: Long, pixel_sum: Long,
+                          pixel_checksum: Long)
+
+  /** One animated-GIF payload per document (generated in-engine so the
+    * decode is verifiable; production bytes arrive from object storage
+    * — see [[packImages]] on the fixture-only repartition). */
+  def packVideos(spark: SparkSession, docs: DataFrame): Dataset[VideoMedia] = {
+    import spark.implicits._
+    // Same codec-parallelism shuffle as packImages (see there).
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => VideoMedia(id, VideoFixture.renderGif(id))))
+  }
+
+  /** REAL multi-frame decode: one `ImageReader` walks every frame of
+    * the GIF container (`getNumImages(true)` → `read(i)`) and each
+    * frame reports raster metadata + the two pixel checksums measured
+    * from the DECODED pixels — the frame-extraction stage of a video
+    * curation pipeline (thumbnailing, frame-level dedup, shot stats).
+    * The oracle replays [[VideoFixture.grayAt]] closed-form. Scale:
+    * narrow per-partition decode, one reader per payload, output rows
+    * fixed-width per frame regardless of clip size. */
+  def decodeVideoFrames(spark: SparkSession,
+                        packed: Dataset[VideoMedia]): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    packed.mapPartitions(_.flatMap { m =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val frames = (0 until n).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var chk = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val gray = img.getRGB(x, y) & 0xff // gray palette: r == g == b
+            sum += gray
+            chk += gray.toLong * (y.toLong * w + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedFrame(m.doc_id, f.toLong, n.toLong, w.toLong, h.toLong, sum, chk)
+      }
+      reader.dispose()
+      iis.close()
+      frames.iterator
     })
   }
 
@@ -337,12 +473,11 @@ object Multimodal {
   /** 64-bit average hash (aHash) computed from the REAL decoded raster:
     * nearest-neighbor-sample an 8×8 grid, then bit(cell) = 1 iff the
     * cell is brighter than the grid mean (compared as 64·gray > Σgray —
-    * integer-exact, no division). Emitted as four 16-bit bands: the
-    * banded layout IS the LSH blocking key for the near-dup join (two
-    * images within Hamming distance 6 of each other agree exactly on
-    * ≥1 of 4 bands whenever their 6 differing bits fall in ≤3 bands —
-    * the standard pigeonhole guarantee). Narrow per-partition decode,
-    * fixed-width output. */
+    * integer-exact, no division). Stored as four 16-bit words
+    * (b0..b3) — a STORAGE layout only; the near-dup join re-bands the
+    * 64 bits per threshold ([[bandBits]]) so candidate recall is exact
+    * for ANY maxHamming. Narrow per-partition decode, fixed-width
+    * output. */
   def imageAHash(spark: SparkSession, imgs: Dataset[ImageVariant]): Dataset[ImageHash] = {
     import spark.implicits._
     imgs.mapPartitions(_.map { m =>
@@ -372,22 +507,55 @@ object Multimodal {
     })
   }
 
+  /** Exact-recall band layout for Hamming ≤ `maxHamming` over the
+    * 64-bit aHash: maxHamming+1 DISJOINT bit ranges covering all 64
+    * bits (sizes differing by ≤1). Pigeonhole: ≤ maxHamming differing
+    * bits cannot touch all maxHamming+1 bands, so two in-threshold
+    * hashes agree EXACTLY on at least one band — banded blocking is a
+    * lossless candidate pruning of the all-pairs Hamming join (the
+    * round-7 advice fix: the old fixed 4×16-bit blocking only
+    * guaranteed d ≤ 3 while [[imageNearDup]] callers ask for d = 6;
+    * the DuckDB oracle now states the all-pairs DEFINITION, so a
+    * recall-losing layout here would hash-fail). */
+  private[graft] def bandBits(maxHamming: Int): Seq[Range] = {
+    val nBands = maxHamming + 1
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val base = 64 / nBands
+    val extra = 64 % nBands
+    val starts = (0 until nBands).scanLeft(0)((off, k) =>
+      off + base + (if (k < extra) 1 else 0))
+    (0 until nBands).map(k => starts(k) until starts(k + 1))
+  }
+
+  /** The value of band `bits` assembled bit-by-bit from the stored
+    * 16-bit words b0..b3 (a band may straddle a word boundary). Pure
+    * shift/and/add Column algebra — codegen'd, no UDF. */
+  private def bandValue(bits: Range): org.apache.spark.sql.Column =
+    bits.zipWithIndex.map { case (bit, j) =>
+      shiftleft(shiftright(col(s"b${bit / 16}"), bit % 16).bitwiseAND(lit(1L)), j)
+    }.reduce(_ + _)
+
   /** Near-duplicate image pairs by banded aHash: explode each hash into
-    * its 4 (band_idx, value) blocking keys, self-join per block, then
-    * verify candidates with the exact Hamming distance (`bit_count` of
-    * the XOR — codegen'd builtin, no UDF). Scale: the join is keyed on
-    * 16-bit band values, so work is Σ bucket² over genuinely-colliding
-    * buckets — never corpus²; candidate dedup is a narrow distinct on
-    * the pair key. The hash frame is persisted for the self-join (5
-    * longs per image — tiny) so the upstream codec pass runs ONCE, not
-    * once per join side, and released before returning
-    * ([[Dedup.materializeThenRelease]] lifecycle). */
+    * its maxHamming+1 (band_idx, value) blocking keys ([[bandBits]] —
+    * recall-exact for the threshold), self-join per block, then verify
+    * candidates with the exact Hamming distance (`bit_count` of the
+    * XOR — codegen'd builtin, no UDF). Scale: the join is keyed on
+    * ~64/(maxHamming+1)-bit band values, so work is Σ bucket² over
+    * genuinely-colliding buckets — never corpus²; candidate dedup is a
+    * narrow distinct on the pair key. The hash frame is persisted for
+    * the self-join (5 longs per image — tiny) so the upstream codec
+    * pass runs ONCE, not once per join side, and released before
+    * returning ([[Dedup.materializeThenRelease]] lifecycle). */
   def imageNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = bandBits(maxHamming).zipWithIndex.map { case (r, k) =>
+      struct(lit(k).as("band_idx"), bandValue(r).as("bval"))
+    }
     val exploded = h.select(col("img_id"), col("b0"), col("b1"),
-        col("b2"), col("b3"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-          .as(Seq("band_idx", "bval")))
+        col("b2"), col("b3"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("img_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("b.band_idx").as("band_idx"), col("b.bval").as("bval"))
     val a = exploded.toDF(exploded.columns.map("a_" + _).toIndexedSeq: _*)
     val b = exploded.toDF(exploded.columns.map("b_" + _).toIndexedSeq: _*)
     val pairs = a.join(b, col("a_band_idx") === col("b_band_idx") &&
@@ -399,5 +567,97 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
     Dedup.materializeThenRelease(pairs, h)
+  }
+
+  /** (img_id, band_idx, bval) blocking keys of every hash row under the
+    * [[bandBits]] layout — shared by the self-join ([[imageNearDup]])
+    * and the corpus-vs-batch probe ([[flagAgainstImageIndex]]). */
+  private def bandedImageIds(h: DataFrame, maxHamming: Int): DataFrame = {
+    val bandStructs = bandBits(maxHamming).zipWithIndex.map { case (r, k) =>
+      struct(lit(k).as("band_idx"), bandValue(r).as("bval"))
+    }
+    h.select(col("img_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("img_id"), col("b.band_idx").as("band_idx"),
+        col("b.bval").as("bval"))
+  }
+
+  // ------------------------------------ incremental (streaming) image dedup
+
+  /** Prebuilt aHash band index over a corpus of image hashes — the
+    * long-lived state of incremental image dedup (the image twin of
+    * [[Dedup.CorpusIndex]]): build once, probe per ingest batch with
+    * [[flagAgainstImageIndex]], release with [[releaseImageIndex]]
+    * when the stream stops. */
+  case class ImageIndex(bands: DataFrame, hashes: DataFrame)
+
+  def buildImageIndex(corpusHashes: DataFrame, maxHamming: Int): ImageIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val h = corpusHashes.persist(lvl)
+    val bands = bandedImageIds(h, maxHamming).persist(lvl)
+    // Materialize up front (bounded metadata actions): the first
+    // micro-batch must not absorb the corpus hash + band build.
+    bands.count()
+    h.count()
+    ImageIndex(bands, h)
+  }
+
+  /** Flag one NEW image batch against a prebuilt [[ImageIndex]]: banded
+    * candidates (new bands × corpus bands — recall-exact for the
+    * threshold, [[bandBits]]), exact-Hamming verification, best corpus
+    * match per new image (min hamming, then min img_id). Per-ingest
+    * cost is the batch's bands plus Σ bucket² candidate work against
+    * the index — the corpus side is never recomputed. The result is
+    * checkpointed and the batch-side cache dropped before returning
+    * (the [[Dedup.materializeThenRelease]] discipline), so repeated
+    * micro-batches leak nothing. */
+  def flagAgainstImageIndex(newHashes: DataFrame, index: ImageIndex,
+                            maxHamming: Int): DataFrame = {
+    val nh = newHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = bandedImageIds(nh, maxHamming)
+      .withColumnsRenamed(Map("img_id" -> "img_new"))
+    val ob = index.bands.withColumnsRenamed(Map("img_id" -> "img_old"))
+    val cand = nb.join(ob, Seq("band_idx", "bval"))
+      .select(col("img_new"), col("img_old")).distinct()
+    val verified = cand
+      .join(nh.toDF("img_new", "n_b0", "n_b1", "n_b2", "n_b3"), Seq("img_new"))
+      .join(index.hashes.toDF("img_old", "o_b0", "o_b1", "o_b2", "o_b3"),
+        Seq("img_old"))
+      .select(col("img_new"), col("img_old"),
+        (expr("bit_count(n_b0 ^ o_b0) + bit_count(n_b1 ^ o_b1)") +
+          expr("bit_count(n_b2 ^ o_b2) + bit_count(n_b3 ^ o_b3)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("img_new").orderBy(col("hamming").asc, col("img_old").asc)
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("img_new"), col("img_old").as("best_match"), col("hamming"))
+    Dedup.materializeThenRelease(best, nh)
+  }
+
+  def releaseImageIndex(index: ImageIndex): Unit = {
+    index.bands.unpersist(blocking = false)
+    index.hashes.unpersist(blocking = false)
+  }
+
+  /** The base image of every doc (img_id = 2·doc_id, delta 0) — the
+    * corpus side of the incremental image dedup fixture. */
+  def packBaseImages(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        ImageVariant(id * 2, id, 0, ImageFixture.renderPng(id, 0))))
+  }
+
+  /** A brightness-shifted "re-upload" (img_id = 2·doc_id + 1, delta 1)
+    * of each doc in `docs` — the new-batch side of the incremental
+    * image dedup fixture: every re-upload has a planted corpus
+    * near-match (its own base image), the "same photo re-encoded
+    * arrives later" case the stream must flag. */
+  def packReuploadImages(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        ImageVariant(id * 2 + 1, id, 1, ImageFixture.renderPng(id, 1))))
   }
 }

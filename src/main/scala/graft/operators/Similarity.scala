@@ -370,9 +370,9 @@ object Similarity {
         .coalesce(1)
         .mapPartitions { it =>
           val vecOf = new java.util.HashMap[java.lang.Long, Integer]()
-          val vecs = new scala.collection.mutable.ArrayBuffer[Int]()
-          val poss = new scala.collection.mutable.ArrayBuffer[Int]()
-          val cvs = new scala.collection.mutable.ArrayBuffer[Double]()
+          val vecs = new graft.operators.IntBuf()
+          val poss = new graft.operators.IntBuf()
+          val cvs = new graft.operators.DoubleBuf()
           while (it.hasNext) {
             val (vec, pos, cv) = it.next()
             // The w/uSum arrays are dim-sized; a dim argument that does
@@ -637,9 +637,45 @@ object Similarity {
     * joins of that bounded set against the normalized corpus plus one
     * codegen'd dot per row — no new corpus-sized term. */
   def hardNegativeMining(emb: DataFrame, queryPred: Column, k: Int,
-                         hardMin: Double, fnMin: Double): DataFrame = {
-    val e = normalized(emb)
-    val top = bruteForceTopK(emb, queryPred, k)
+                         hardMin: Double, fnMin: Double): DataFrame =
+    mineNegatives(normalized(emb), bruteForceTopK(emb, queryPred, k),
+      hardMin, fnMin)
+
+  /** [[hardNegativeMining]] over the ANN INDEX candidate path: the
+    * mined ranking comes from [[ivfTopK]] (data-seeded coarse
+    * quantizer, nProbe-list probing) instead of the brute-force scan —
+    * how a production contrastive-data pipeline actually mines, since
+    * it already built the index it retrieves from. Same
+    * positive/false-negative/hard/easy labeling tail; the exact miner
+    * stays available as this variant's recall oracle
+    * ([[hardNegativeRecallReport]]). Scale: retrieval cost is the IVF
+    * index path's (n·|centroids| assignment dots + probed-list
+    * scoring), replacing the exact miner's O(|Q|·N) broadcast scan —
+    * the last quadratic retrieval feeding a first-class op. */
+  def hardNegativeMiningIvf(emb: DataFrame, queryPred: Column, k: Int,
+                            nProbe: Int, centStride: Long,
+                            hardMin: Double, fnMin: Double): DataFrame =
+    mineNegatives(normalized(emb),
+      ivfTopK(emb, queryPred, k, nProbe, centStride), hardMin, fnMin)
+
+  /** Per-query recall of the IVF-mined negative candidate set
+    * ([[hardNegativeMiningIvf]], ranks 2..k) against the exact miner's
+    * ([[hardNegativeMining]]) — the index-quality gate a pipeline
+    * checks before trusting index-mined negatives. k−1 candidates per
+    * query, so recall = hits/(k−1). */
+  def hardNegativeRecallReport(emb: DataFrame, queryPred: Column, k: Int,
+                               nProbe: Int, centStride: Long,
+                               hardMin: Double, fnMin: Double): DataFrame =
+    recallVsTruth(
+      hardNegativeMining(emb, queryPred, k, hardMin, fnMin),
+      hardNegativeMiningIvf(emb, queryPred, k, nProbe, centStride,
+        hardMin, fnMin), k - 1)
+
+  /** The shared mining/labeling tail: rank-1 of `top` is the positive,
+    * ranks 2..k are candidates scored against it. `top` must carry
+    * (query_id, rn, vec_id, cosine); `e` a [[normalized]] frame. */
+  private def mineNegatives(e: DataFrame, top: DataFrame,
+                            hardMin: Double, fnMin: Double): DataFrame = {
     val pos = top.filter(col("rn") === 1)
       .select(col("query_id"), col("vec_id").as("pos_id"))
     top.filter(col("rn") >= 2).join(pos, Seq("query_id"))

@@ -565,6 +565,37 @@ object PipelinePack {
           col("vec_id") % 100 === 0, TOPK, TRUNC_DIMS)
         .orderBy("query_id")
     },
+    // Hard-negative mining from the IVF ANN index — the production
+    // retrieval path (mine from the index the pipeline already built);
+    // the exact miner q_sim_hard_negatives stays as its recall oracle
+    // via q_sim_hn_recall below.
+    "q_sim_hard_negatives_ann" -> { (s, d) =>
+      Similarity.hardNegativeMiningIvf(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, NPROBE, CENT_STRIDE,
+          HARD_MIN, FN_MIN)
+        .orderBy("query_id", "rn")
+    },
+    // Per-query recall of the index-mined negative candidate set
+    // against the exact miner's — the trust gate for index mining.
+    "q_sim_hn_recall" -> { (s, d) =>
+      Similarity.hardNegativeRecallReport(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, NPROBE, CENT_STRIDE,
+          HARD_MIN, FN_MIN)
+        .orderBy("query_id")
+    },
+    // The Matryoshka serving decision row: truncation recall@k joined
+    // with the explained-variance probe over the SAME embedding batch —
+    // "how much retrieval quality do the kept dims buy, and how
+    // concentrated is the variance they carry".
+    "q_sim_trunc_explained" -> { (s, d) =>
+      val rec = Similarity.truncationRecallReport(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, TRUNC_DIMS)
+        .agg(round(Num.dsum(col("recall")) / count(lit(1)), 6).as("avg_recall"))
+      Similarity.pcaExplained(Tables.embeddings(s, d), PCA_ITERS, DIM)
+        .crossJoin(broadcast(rec))
+        .select(lit(TRUNC_DIMS.toLong).as("keep_dims"), col("avg_recall"),
+          col("lambda"), col("total_var"), col("explained_ratio"))
+    },
     // BM25 keyword retrieval: topical-slice extraction over the corpus.
     // Score rounded to 6 before ranking; global top-k via the bounded
     // tree-merge aggregator (no single-reducer window).
@@ -660,6 +691,16 @@ object PipelinePack {
       Multimodal.decodeAudio(s, Multimodal.packAudio(s, Tables.documents(s, d)))
         .toDF().orderBy("doc_id")
     },
+    // REAL multi-frame "video" decode: an animated GIF per doc (the one
+    // multi-frame container the JDK both writes and reads), every frame
+    // decoded back via ImageReader.read(i) with per-frame raster
+    // metadata + pixel checksums the oracle replays closed-form — the
+    // frame-extraction stage of a video curation pipeline.
+    "q_mm_video_frames" -> { (s, d) =>
+      Multimodal.decodeVideoFrames(s,
+          Multimodal.packVideos(s, Tables.documents(s, d)))
+        .toDF().orderBy("doc_id", "frame_no")
+    },
     // Image near-dup by 64-bit aHash over REAL decoded rasters, banded
     // 4×16-bit for LSH blocking, exact-Hamming verified. The corpus
     // plants brightness-shifted re-renders (doc_id % 5 == 0) as the
@@ -686,6 +727,26 @@ object PipelinePack {
         .select(col("doc_id").as("img_id"), col("cluster_id"),
           col("is_canonical"))
         .orderBy("img_id")
+    },
+    // Incremental image dedup THROUGH the streaming-cadence machinery:
+    // a prebuilt corpus aHash band index (the stream's long-lived
+    // state — base images of every doc) probed by a "re-upload" batch
+    // (brightness-shifted re-renders of every INC_REM-th doc) — the
+    // exact per-micro-batch path StreamOps.imageNearDupStream runs
+    // inside foreachBatch (StreamingSpec proves staged-wave equality).
+    // One row per new image: its best corpus match by exact Hamming.
+    "q_st_image_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
+      val idx = Multimodal.buildImageIndex(
+        Multimodal.imageAHash(s, Multimodal.packBaseImages(s, docs)).toDF(),
+        IMG_HAMMING_MAX)
+      val out = Multimodal.flagAgainstImageIndex(
+        Multimodal.imageAHash(s,
+          Multimodal.packReuploadImages(s, docs.filter(pred))).toDF(),
+        idx, IMG_HAMMING_MAX)
+      Multimodal.releaseImageIndex(idx) // out is already checkpointed
+      out.orderBy("img_new")
     },
     // Tokenizer vocabulary coverage: freeze the top-VOCAB_V tokens by
     // corpus frequency (bounded heap top-k, broadcast) and report every
@@ -778,18 +839,22 @@ object PipelinePack {
        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |  FROM reach GROUP BY u)""".stripMargin
 
-  /** aHash image pipeline CTEs shared by the near-dup and the cluster
-    * oracles: variant image set → closed-form 8×8 downsampled grid →
-    * integer mean-compare bits → 4×16-bit bands → banded candidates →
-    * exact Hamming. Mirrors Multimodal.{packImageVariants,imageAHash,
-    * imageNearDup}, which measure the same quantities from rasters
-    * DECODED by ImageIO. */
-  private lazy val imageHamCtes =
-    """imgs AS (
-      |  SELECT doc_id * 2 AS img_id, doc_id, 0 AS delta FROM documents
-      |  UNION ALL
-      |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
-      |dims AS (SELECT img_id, doc_id, delta,
+  /** aHash image pipeline CTEs shared by the near-dup, cluster, and
+    * streaming-probe oracles: variant image set → closed-form 8×8
+    * downsampled grid → integer mean-compare bits → 4×16-bit hash
+    * words → ALL-PAIRS exact Hamming. The oracle states the
+    * DEFINITION (every pair within threshold); the Spark side's
+    * maxHamming+1-band blocking (Multimodal.bandBits) is a
+    * pigeonhole-LOSSLESS candidate pruning of the same result, so a
+    * recall-losing band layout hash-fails here. The hash itself
+    * mirrors Multimodal.{packImageVariants,imageAHash}, which measure
+    * the same quantities from rasters DECODED by ImageIO. */
+  /** The closed-form aHash chain (dims → 8×8 cells → mean-compare
+    * bits → 16-bit words → `h`) over an `imgs(img_id, doc_id, delta)`
+    * CTE already in scope — shared by the self-join family and the
+    * streaming corpus-probe oracle. */
+  private lazy val imageHashCtes =
+    """dims AS (SELECT img_id, doc_id, delta,
       |                8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM imgs),
       |cells AS (
       |  SELECT img_id, gy * 8 + gx AS cell,
@@ -808,19 +873,20 @@ object PipelinePack {
       |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
       |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
       |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
-      |      FROM bands GROUP BY img_id),
-      |cand AS (
-      |  SELECT DISTINCT a.img_id AS img_a, b.img_id AS img_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band_idx = b.band_idx AND a.bval = b.bval
-      |   AND a.img_id < b.img_id),
-      |ham AS (
-      |  SELECT c.img_a, c.img_b,
-      |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
-      |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
-      |              AS BIGINT) AS hamming
-      |  FROM cand c JOIN h ha ON ha.img_id = c.img_a
-      |              JOIN h hb ON hb.img_id = c.img_b)""".stripMargin
+      |      FROM bands GROUP BY img_id)""".stripMargin
+
+  private lazy val imageHamCtes =
+    s"""imgs AS (
+       |  SELECT doc_id * 2 AS img_id, doc_id, 0 AS delta FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents WHERE doc_id % 5 = 0),
+       |$imageHashCtes,
+       |ham AS (
+       |  SELECT ha.img_id AS img_a, hb.img_id AS img_b,
+       |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+       |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+       |              AS BIGINT) AS hamming
+       |  FROM h ha JOIN h hb ON ha.img_id < hb.img_id)""".stripMargin
 
   private val jaccardTail =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
@@ -1088,6 +1154,87 @@ object PipelinePack {
        |        FROM sc)""".stripMargin
   }
 
+  /** Coarse-quantizer → inverted-lists → probes → candidates → ranked
+    * CTE chain of the IVF index (expects the normalized `e` CTE; ends
+    * in `ir` with a BIGINT rn) — shared by the ivf-top-k,
+    * index-mined hard-negative, and hn-recall oracles. i-prefixed
+    * names so it composes with [[cosineTopKCtes]] in one WITH. */
+  private lazy val ivfCtes: String =
+    s"""icent AS (SELECT vec_id AS cid, v AS cv FROM e
+       |          WHERE vec_id % $CENT_STRIDE = 0),
+       |isc AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, icent),
+       |ia AS (SELECT vec_id, cid,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY cd DESC, cid ASC) AS crn
+       |       FROM isc),
+       |ilists AS (SELECT vec_id, cid FROM ia WHERE crn = 1),
+       |iprobes AS (SELECT vec_id AS query_id, cid FROM ia
+       |            WHERE vec_id % 100 = 0 AND crn <= $NPROBE),
+       |icand AS (
+       |  SELECT DISTINCT p.query_id, l.vec_id
+       |  FROM iprobes p JOIN ilists l
+       |    ON p.cid = l.cid AND l.vec_id <> p.query_id),
+       |iscored AS (SELECT c2.query_id, c2.vec_id,
+       |                   round(${dotSql("a2.v", "b2.v")}, 6) AS cosine
+       |            FROM icand c2 JOIN e a2 ON a2.vec_id = c2.query_id
+       |                          JOIN e b2 ON b2.vec_id = c2.vec_id),
+       |ir AS (SELECT query_id, vec_id, cosine,
+       |              CAST(row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+       |       FROM iscored)""".stripMargin
+
+  /** The hard-negative mining/labeling tail over a ranked CTE `rcte`
+    * carrying (query_id, vec_id, cosine, rn): rank 1 is the positive,
+    * ranks 2..k are scored against it (same dot spelling, same product
+    * order) and labeled by the shared thresholds — mirrors
+    * Similarity.mineNegatives, ONE spelling for the exact and the
+    * index-mined variants. */
+  private def hardNegSqlTail(rcte: String): String =
+    s"""hn_tk AS (SELECT query_id, vec_id, cosine, rn FROM $rcte
+       |          WHERE rn <= $TOPK),
+       |hn_p AS (SELECT query_id, vec_id AS pos_id FROM hn_tk WHERE rn = 1),
+       |hn_n AS (SELECT hn_tk.query_id, hn_tk.rn, hn_tk.vec_id,
+       |                hn_tk.cosine, hn_p.pos_id
+       |         FROM hn_tk JOIN hn_p USING (query_id) WHERE hn_tk.rn >= 2),
+       |hn_sc AS (SELECT hn_n.query_id, hn_n.rn, hn_n.vec_id, hn_n.cosine,
+       |                 round(${dotSql("a.v", "b.v")}, 6) AS pos_cosine
+       |          FROM hn_n JOIN e a ON a.vec_id = hn_n.vec_id
+       |                    JOIN e b ON b.vec_id = hn_n.pos_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cosine, pos_cosine,
+       |       CASE WHEN pos_cosine >= $FN_MIN THEN 'false_negative'
+       |            WHEN cosine >= $HARD_MIN THEN 'hard_negative'
+       |            ELSE 'easy_negative' END AS label
+       |FROM hn_sc ORDER BY query_id, rn""".stripMargin
+
+  /** Truncate-to-TRUNC_DIMS → renormalize → exact re-ranking → hits
+    * CTE chain (expects `e` + the exact ranking `r`; ends in `j2` with
+    * (query_id, n_hits)) — shared by the truncation-recall and the
+    * truncation×explained-variance oracles. */
+  private lazy val truncCtes: String =
+    s"""t0 AS (SELECT vec_id,
+       |              CAST(embedding AS DOUBLE[])[1:$TRUNC_DIMS] AS raw
+       |       FROM embeddings),
+       |t1 AS (SELECT vec_id, raw FROM t0
+       |       WHERE len(list_filter(raw, x -> x <> 0)) > 0),
+       |t AS (SELECT vec_id,
+       |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
+       |      FROM t1),
+       |tq2 AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id % 100 = 0),
+       |ts2 AS (SELECT query_id, t.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
+       |        FROM tq2, t WHERE t.vec_id <> query_id),
+       |tr2 AS (SELECT query_id, vec_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY cosine DESC, vec_id ASC) AS rn
+       |        FROM ts2),
+       |tk2 AS (SELECT query_id, vec_id FROM r WHERE rn <= $TOPK),
+       |ak2 AS (SELECT query_id, vec_id FROM tr2 WHERE rn <= $TOPK),
+       |j2 AS (SELECT tk2.query_id,
+       |              CAST(sum(CASE WHEN ak2.vec_id IS NULL THEN 0 ELSE 1 END)
+       |                   AS BIGINT) AS n_hits
+       |       FROM tk2 LEFT JOIN ak2 ON tk2.query_id = ak2.query_id
+       |                             AND tk2.vec_id = ak2.vec_id
+       |       GROUP BY tk2.query_id)""".stripMargin
+
   /** query → scored → ranked CTE chain of the exact cosine top-k
     * (expects the normalized `e` CTE in scope) — shared by the
     * cosine-top-k and retrieval oracles so the tie-break/rounding
@@ -1321,29 +1468,8 @@ object PipelinePack {
     // final ranking agree bit-for-bit.
     "q_sim_ivf_topk" ->
       s"""WITH $normalizedCte,
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e
-         |         WHERE vec_id % $CENT_STRIDE = 0),
-         |sc AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, cent),
-         |a AS (SELECT vec_id, cid,
-         |             row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY cd DESC, cid ASC) AS crn
-         |      FROM sc),
-         |lists AS (SELECT vec_id, cid FROM a WHERE crn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid FROM a
-         |           WHERE vec_id % 100 = 0 AND crn <= $NPROBE),
-         |cand AS (
-         |  SELECT DISTINCT p.query_id, l.vec_id
-         |  FROM probes p JOIN lists l
-         |    ON p.cid = l.cid AND l.vec_id <> p.query_id),
-         |s AS (SELECT c2.query_id, c2.vec_id,
-         |             round(${dotSql("a2.v", "b2.v")}, 6) AS cosine
-         |      FROM cand c2 JOIN e a2 ON a2.vec_id = c2.query_id
-         |                   JOIN e b2 ON b2.vec_id = c2.vec_id),
-         |r AS (SELECT query_id, vec_id, cosine,
-         |             CAST(row_number() OVER (PARTITION BY query_id
-         |                  ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
-         |      FROM s)
-         |SELECT query_id, rn, vec_id, cosine FROM r
+         |$ivfCtes
+         |SELECT query_id, rn, vec_id, cosine FROM ir
          |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
 
     // Same explode → per-dim min/max grid → quantize/reconstruct
@@ -1513,19 +1639,37 @@ object PipelinePack {
     "q_sim_hard_negatives" ->
       s"""WITH $normalizedCte,
          |$cosineTopKCtes,
-         |tk AS (SELECT query_id, vec_id, cosine, rn FROM r WHERE rn <= $TOPK),
-         |p AS (SELECT query_id, vec_id AS pos_id FROM tk WHERE rn = 1),
-         |n AS (SELECT tk.query_id, tk.rn, tk.vec_id, tk.cosine, p.pos_id
-         |      FROM tk JOIN p USING (query_id) WHERE tk.rn >= 2),
-         |sc AS (SELECT n.query_id, n.rn, n.vec_id, n.cosine,
-         |              round(${dotSql("a.v", "b.v")}, 6) AS pos_cosine
-         |       FROM n JOIN e a ON a.vec_id = n.vec_id
-         |              JOIN e b ON b.vec_id = n.pos_id)
-         |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, cosine, pos_cosine,
-         |       CASE WHEN pos_cosine >= $FN_MIN THEN 'false_negative'
-         |            WHEN cosine >= $HARD_MIN THEN 'hard_negative'
-         |            ELSE 'easy_negative' END AS label
-         |FROM sc ORDER BY query_id, rn""".stripMargin,
+         |${hardNegSqlTail("r")}""".stripMargin,
+
+    // The same mining/labeling tail over the IVF index ranking —
+    // mirrors Similarity.hardNegativeMiningIvf (retrieval from the
+    // index candidate path instead of the brute-force scan).
+    "q_sim_hard_negatives_ann" ->
+      s"""WITH $normalizedCte,
+         |$ivfCtes,
+         |${hardNegSqlTail("ir")}""".stripMargin,
+
+    // Recall of the index-mined negative set (ranks 2..k of the IVF
+    // ranking) against the exact miner's, per query — mirrors
+    // Similarity.hardNegativeRecallReport (LEFT JOIN keeps queries the
+    // index missed entirely at recall 0; k−1 candidates per query).
+    "q_sim_hn_recall" ->
+      s"""WITH $normalizedCte,
+         |$cosineTopKCtes,
+         |$ivfCtes,
+         |tneg AS (SELECT query_id, vec_id FROM r
+         |         WHERE rn >= 2 AND rn <= $TOPK),
+         |aneg AS (SELECT query_id, vec_id FROM ir
+         |         WHERE rn >= 2 AND rn <= $TOPK),
+         |hj AS (SELECT tneg.query_id,
+         |              CAST(sum(CASE WHEN aneg.vec_id IS NULL THEN 0 ELSE 1 END)
+         |                   AS BIGINT) AS n_hits
+         |       FROM tneg LEFT JOIN aneg ON tneg.query_id = aneg.query_id
+         |                               AND tneg.vec_id = aneg.vec_id
+         |       GROUP BY tneg.query_id)
+         |SELECT query_id, n_hits,
+         |       round(n_hits / CAST(${TOPK - 1} AS DOUBLE), 6) AS recall
+         |FROM hj ORDER BY query_id""".stripMargin,
 
     // Truncate to the first TRUNC_DIMS dims, renormalize, re-run the
     // same exact top-k, score hits against the full-dim truth — the
@@ -1533,32 +1677,31 @@ object PipelinePack {
     "q_sim_truncation_recall" ->
       s"""WITH $normalizedCte,
          |$cosineTopKCtes,
-         |t0 AS (SELECT vec_id,
-         |              CAST(embedding AS DOUBLE[])[1:$TRUNC_DIMS] AS raw
-         |       FROM embeddings),
-         |t1 AS (SELECT vec_id, raw FROM t0
-         |       WHERE len(list_filter(raw, x -> x <> 0)) > 0),
-         |t AS (SELECT vec_id,
-         |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
-         |      FROM t1),
-         |tq2 AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id % 100 = 0),
-         |ts2 AS (SELECT query_id, t.vec_id, round(${dotSql("qv", "v")}, 6) AS cosine
-         |        FROM tq2, t WHERE t.vec_id <> query_id),
-         |tr2 AS (SELECT query_id, vec_id,
-         |               row_number() OVER (PARTITION BY query_id
-         |                    ORDER BY cosine DESC, vec_id ASC) AS rn
-         |        FROM ts2),
-         |tk2 AS (SELECT query_id, vec_id FROM r WHERE rn <= $TOPK),
-         |ak2 AS (SELECT query_id, vec_id FROM tr2 WHERE rn <= $TOPK),
-         |j2 AS (SELECT tk2.query_id,
-         |              CAST(sum(CASE WHEN ak2.vec_id IS NULL THEN 0 ELSE 1 END)
-         |                   AS BIGINT) AS n_hits
-         |       FROM tk2 LEFT JOIN ak2 ON tk2.query_id = ak2.query_id
-         |                             AND tk2.vec_id = ak2.vec_id
-         |       GROUP BY tk2.query_id)
+         |$truncCtes
          |SELECT query_id, n_hits,
          |       round(n_hits / CAST($TOPK AS DOUBLE), 6) AS recall
          |FROM j2 ORDER BY query_id""".stripMargin,
+
+    // Joins the two existing CTE families: mean truncation recall (the
+    // exact per-query recalls, decimal-exact averaged) alongside the
+    // top-PC explained-variance probe — mirrors the Spark composition
+    // in q_sim_trunc_explained (truncationRecallReport ⨯ pcaExplained).
+    "q_sim_trunc_explained" ->
+      s"""WITH $pcaCtes,
+         |tv AS (SELECT round(${Num.dsumSql("cv * cv")} /
+         |                    (SELECT count(DISTINCT vec_id) FROM c), 6)
+         |         AS total_var FROM c),
+         |$cosineTopKCtes,
+         |$truncCtes,
+         |rec AS (SELECT round(
+         |          ${Num.dsumSql(s"round(n_hits / CAST($TOPK AS DOUBLE), 6)")}
+         |          / count(*), 6) AS avg_recall FROM j2)
+         |SELECT CAST($TRUNC_DIMS AS BIGINT) AS keep_dims, avg_recall,
+         |       round(CAST(lambda AS DOUBLE), 6) AS lambda,
+         |       round(CAST(total_var AS DOUBLE), 6) AS total_var,
+         |       round(CAST(lambda AS DOUBLE) / CAST(total_var AS DOUBLE), 6)
+         |         AS explained_ratio
+         |FROM l, tv, rec""".stripMargin,
 
     // Same md5→uniform arithmetic as Sampling.uniformOf; the CASE
     // cascade evaluates the rates in the same (reverse-fold) priority.
@@ -2151,6 +2294,29 @@ object PipelinePack {
         |FROM s GROUP BY doc_id, sample_rate, channels, n_frames
         |ORDER BY doc_id""".stripMargin,
 
+    // Replays Multimodal.VideoFixture's closed-form per-frame gray ramp
+    // (the image ramp shifted 97·frame, mod 256): the Spark side
+    // measures frame count from the DECODED GIF container and the
+    // sums from DECODED palette-resolved pixels, so equality proves
+    // the multi-frame encode→decode round trip (indexed GIF over the
+    // 256-gray palette is lossless).
+    "q_mm_video_frames" ->
+      """WITH v AS (SELECT doc_id,
+        |                  8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |                  3 + doc_id % 4 AS nf
+        |           FROM documents),
+        |fx AS (SELECT doc_id, w, h, nf, f, x, y,
+        |              (doc_id + 97 * f + 31 * x + 7 * y) % 256 AS g
+        |       FROM v, unnest(range(0, nf)) tf(f),
+        |               unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(sum(g) AS BIGINT) AS pixel_sum,
+        |       CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS pixel_checksum
+        |FROM fx GROUP BY doc_id, f, nf, w, h
+        |ORDER BY doc_id, frame_no""".stripMargin,
+
     // Replays the aHash pipeline end-to-end on the closed-form pixel
     // function (base + brightness-shifted variant images), including the
     // 8×8 nearest-neighbor downsample, the integer-exact mean compare
@@ -2161,6 +2327,36 @@ object PipelinePack {
       s"""WITH $imageHamCtes
          |SELECT img_a, img_b, hamming FROM ham
          |WHERE hamming <= $IMG_HAMMING_MAX ORDER BY img_a, img_b""".stripMargin,
+
+    // The streaming corpus-probe face: base images of every doc are
+    // the corpus (even img_ids), delta-1 re-uploads of every
+    // INC_REM-th doc the batch (odd img_ids); all-pairs batch×corpus
+    // Hamming states the DEFINITION (the Spark side's banded index
+    // probe is pigeonhole-lossless), best match = (min hamming, min
+    // img_id).
+    "q_st_image_neardup" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id * 2 AS img_id, doc_id, 0 AS delta FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents
+         |  WHERE doc_id % $INC_MOD = $INC_REM),
+         |$imageHashCtes,
+         |xham AS (
+         |  SELECT hn.img_id AS img_new, hc.img_id AS img_old,
+         |         CAST(bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |            + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM h hn JOIN h hc ON hn.img_id % 2 = 1 AND hc.img_id % 2 = 0
+         |  WHERE bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |      + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |      <= $IMG_HAMMING_MAX),
+         |best AS (
+         |  SELECT img_new, img_old AS best_match, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY img_new
+         |                ORDER BY hamming ASC, img_old ASC) AS rn
+         |    FROM xham) WHERE rn = 1)
+         |SELECT img_new, best_match, hamming FROM best
+         |ORDER BY img_new""".stripMargin,
 
     // Same aHash pair pipeline, then the same transitive closure the
     // text dedup oracles use: component label = min img_id reachable,

@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object JsonFixtureSource {
 
+  /** Data-sized partition count for the page-assembly shuffle (the
+    * Graph.pageRank partition discipline, round-7 verdict #2): the
+    * `groupBy(page).agg(collect_list)` fixture build otherwise inherits
+    * the session's 32 shuffle partitions, and at sf0.1 (~3 000 pages)
+    * that is 32 near-empty collect_list tasks + 32 tiny JSON files per
+    * write — the scheduling overhead that AMPLIFIES under a contended
+    * suite JVM (driver 10.8 s vs 3.4 s isolated on q_pipeline_e2e).
+    * Target ~256 pages (≈ 12 800 items) per task, clamped to the
+    * session cap so a cluster-scale corpus still fans out. The count is
+    * a bounded metadata action (parquet footer counts). */
+  private def pageParts(orders: DataFrame, keysPerPage: Long): Int = {
+    val cap = orders.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val nPages = orders.count() / keysPerPage + 1L
+    math.max(1L, math.min(cap, nPages / 256L + 1L)).toInt
+  }
+
   /** S1-shaped pages: orders become "videos" — pages of 50 items, each
     * item `{id: {videoId}, snippet: {publishedAt, title, description}}`,
     * with a nextPageToken on every non-final page. */
@@ -32,7 +48,11 @@ object JsonFixtureSource {
     // broadcast 1-row max instead of a global window (an unpartitioned
     // window funnels everything to one task).
     val maxPage = items.agg(max(col("page")).as("max_page"))
+    // Pre-partition on the group key at the data-sized count: groupBy
+    // reuses the hash partitioning (no second exchange), and the agg +
+    // JSON write run as pageParts tasks instead of 32 near-empty ones.
     val pages = items
+      .repartition(pageParts(orders, 50L), col("page"))
       .groupBy("page")
       .agg(sort_array(collect_list(col("item"))).as("items"))
       .crossJoin(broadcast(maxPage))
@@ -116,6 +136,7 @@ object JsonFixtureSource {
           when(col("comments").isNotNull,
             struct(col("comments").as("comments"))).as("replies")).as("item"))
     threads
+      .repartition(pageParts(orders, 50L), col("page"))
       .groupBy("page")
       .agg(sort_array(collect_list(col("item"))).as("items"))
       .select("items")

@@ -192,6 +192,36 @@ object StreamOps {
       }
       .start()
 
+  /** Incremental IMAGE near-dup at streaming cadence — the multimodal
+    * twin of [[incrementalDedupStream]]: new images (raw PNG payloads)
+    * arrive as a parquet file stream, and each micro-batch is aHashed
+    * and probed against a PREBUILT corpus band index
+    * ([[graft.operators.Multimodal.ImageIndex]]) inside `foreachBatch`.
+    * Per-ingest cost is the batch's codec pass + banded candidate joins
+    * against the index; the corpus state is built once before the
+    * stream starts. Best-match rows append to a parquet sink; each
+    * batch's checkpoint blocks are freed as soon as its rows are
+    * written. Caller stops the query and releases the index
+    * ([[graft.operators.Multimodal.releaseImageIndex]]). */
+  def imageNearDupStream(spark: SparkSession, stagingDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         index: graft.operators.Multimodal.ImageIndex,
+                         maxHamming: Int, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(stagingDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import spark.implicits._
+        val hashes = graft.operators.Multimodal.imageAHash(
+          spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
+        val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+          hashes, index, maxHamming)
+        flagged.write.mode("append").parquet(outPath)
+        graft.operators.Lifecycle.release(flagged)
+      }
+      .start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -141,6 +141,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchOp)
   }
 
+  test("foreachBatch incremental IMAGE dedup over staged waves equals the batch face") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val base = s"${sys.props("java.io.tmpdir")}/graft_incimg_${ProcessHandle.current().pid()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/flagged"
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    // Corpus: every doc's base image; batch: delta-1 re-uploads of every
+    // 10th doc — each has a planted corpus near-match (its own base).
+    val corpusHashes = Multimodal.imageAHash(spark,
+      Multimodal.packBaseImages(spark, docs)).toDF()
+    val newImgs = Multimodal.packReuploadImages(spark,
+      docs.filter(col("doc_id") % 10 === 7))
+    // Stage as 3 wave files → ≥3 micro-batches (maxFilesPerTrigger=1):
+    // batch boundaries must not change results.
+    (0 until 3).foreach { w =>
+      newImgs.filter(col("img_id") % 3 === w).coalesce(1)
+        .write.mode("append").parquet(staging)
+    }
+    val index = Multimodal.buildImageIndex(corpusHashes, 6)
+    val q = graft.streaming.StreamOps.imageNearDupStream(
+      spark, staging, newImgs.schema, index, 6, outPath)
+    try q.processAllAvailable() finally q.stop()
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    val streamed = rowSet(spark.read.parquet(outPath))
+    val batch = rowSet(Multimodal.flagAgainstImageIndex(
+      Multimodal.imageAHash(spark, newImgs).toDF(), index, 6))
+    Multimodal.releaseImageIndex(index)
+    assert(streamed.nonEmpty, "planted re-uploads must match their base images")
+    assert(streamed == batch)
+  }
+
   test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {
     import org.apache.spark.sql.functions._
     System.setProperty("derby.stream.error.file",

@@ -383,6 +383,28 @@ class TextSpec extends AnyFunSuite {
     assert(dec.sample_checksum == samples.map(s => s._1 * s._2).sum)
   }
 
+  test("multimodal real video decode: animated-GIF round trip pins every frame") {
+    import Multimodal.VideoFixture
+    // doc_id = 5: 13×13, 4 frames (3 + 5 % 4).
+    val gif = VideoFixture.renderGif(5L)
+    // It is a real GIF89a container, not a digest stand-in.
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val docs = Seq((5L, "ignored")).toDF("doc_id", "text")
+    val frames = Multimodal.decodeVideoFrames(spark,
+        Multimodal.packVideos(spark, docs))
+      .collect().sortBy(_.frame_no)
+    assert(frames.length == 4)
+    for (fr <- frames) {
+      assert(fr.n_frames == 4L && fr.width == 13L && fr.height == 13L)
+      val px = for (y <- 0 until 13; x <- 0 until 13)
+        yield (VideoFixture.grayAt(5L, fr.frame_no.toInt, x, y).toLong,
+          (y * 13 + x + 1).toLong)
+      assert(fr.pixel_sum == px.map(_._1).sum, s"frame ${fr.frame_no}")
+      assert(fr.pixel_checksum == px.map(p => p._1 * p._2).sum,
+        s"frame ${fr.frame_no}")
+    }
+  }
+
   test("vocabCoverage: top-V vocab (count desc, token asc) and per-doc OOV") {
     val docs = Seq(
       (1L, "a a b c"),
@@ -414,5 +436,37 @@ class TextSpec extends AnyFunSuite {
     // of structurally different images (different dims) with far-apart
     // ids should not all be "duplicates".
     assert(pairs.size < 20 * 21 / 2, "near-dup must not be the complete graph")
+  }
+
+  test("bandBits: maxHamming+1 disjoint bands exactly cover the 64 bits") {
+    for (mh <- 0 until 16) {
+      val bs = Multimodal.bandBits(mh)
+      assert(bs.length == mh + 1, s"maxHamming=$mh")
+      assert(bs.flatMap(_.toList).sorted == (0 until 64).toList,
+        s"maxHamming=$mh must partition 0..63")
+    }
+  }
+
+  test("imageNearDup banding is recall-EXACT: equals all-pairs Hamming") {
+    val docs = (0L until 30L).map((_, "ignored")).toDF("doc_id", "text")
+    val hashes = Multimodal.imageAHash(spark,
+      Multimodal.packImageVariants(spark, docs)).toDF()
+    val rows = hashes.collect().map(r => r.getAs[Long]("img_id") ->
+      Seq("b0", "b1", "b2", "b3").map(r.getAs[Long](_)))
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    // The pigeonhole contract the DuckDB oracle now states as the
+    // definition: for ANY threshold the banded join must return every
+    // pair within it (the old fixed 4-band layout lost pairs at d > 3).
+    for (mh <- Seq(2, 6)) {
+      val expect = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows
+        if ia < ib && ham(ha, hb) <= mh
+      } yield (ia, ib, ham(ha, hb))).toSet
+      val got = Multimodal.imageNearDup(hashes, mh).collect()
+        .map(r => (r.getAs[Long]("img_a"), r.getAs[Long]("img_b"),
+          r.getAs[Long]("hamming"))).toSet
+      assert(got == expect, s"maxHamming=$mh")
+    }
   }
 }

@@ -44,6 +44,20 @@ class CsvDialectPropertySpec extends AnyFunSuite {
     })
   }
 
+  // FOREIGN file fixture (not produced by our writer, which always
+  // quotes CR-bearing fields): a bare \r inside an UNQUOTED field is
+  // data and must survive byte-for-byte; only \r\n (or a trailing \r at
+  // EOF) terminates a record.
+  test("foreign file: bare \\r in unquoted fields is data, not a record end") {
+    val foreign = "a\rb;mid\r\rdle;c\r\nnext;row\nlast\r"
+    val parsed = new CsvRecordIterator(
+      new java.io.StringReader(foreign), ';').toList.map(_.toList)
+    assert(parsed == List(
+      List("a\rb", "mid\r\rdle", "c"),
+      List("next", "row"),
+      List("last")))
+  }
+
   test("quoting is minimal: plain non-empty fields pass through unquoted") {
     val plain = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.choose('a', 'z'), Gen.choose('0', '9'), Gen.const(' '))).map(_.mkString)
