@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Num
+
+/** In-engine quality-classifier TRAINING — the step an LLM curation
+  * pipeline runs to distill a hand-written rule set (or a labeled
+  * sample) into a scoring model it can apply to the whole corpus:
+  * ridge-regularized logistic regression fit by IRLS (iteratively
+  * reweighted least squares / Newton-Raphson), here distilling the
+  * Gopher pass rule from three continuous signals (n_words,
+  * mean_word_len, symbol_ratio).
+  *
+  * Distribution shape: each IRLS round is ONE map-side-combining
+  * aggregate over the feature table — the 4×4 normal matrix XᵀWX (10
+  * unique entries) and the 4-entry gradient Xᵀ(y−p) are sufficient
+  * statistics, so per-partition state is 14 decimal accumulators and
+  * NOTHING row-sized crosses the shuffle. The 4×4 solve runs on the
+  * resulting 1-row frame as closed-form Cramer expressions
+  * ([[deltaExprs]]) — no driver-side collect, no linear-algebra
+  * library. Feature standardization is two more 1-row aggregates.
+  * At 100 TB the cost is `iters + 3` corpus scans; state is O(1).
+  *
+  * Engine-exactness (the kmeans/pca discipline): features and z-scores
+  * round to 6; the linear predictor rounds to 6 BEFORE `exp` (so the
+  * only transcendental evaluates on identical doubles) and p/w/r round
+  * to 6 after; every cross-partition sum is an exact DECIMAL(38,6)
+  * ([[Num.dsumAt]]); the Cramer quotient is a FIXED-association
+  * expression tree generated once ([[deltaExprs]]) and executed
+  * verbatim by both engines; each β rounds to 6 per round. The whole
+  * trajectory replays literal-for-literal in SQL.
+  */
+object Classifier {
+
+  /** Matrix entry accessor names of the 1-row stats frame: m{r}{c}
+    * with r ≤ c (symmetric — the lower triangle reuses the upper). */
+  private def mName(r: Int, c: Int): String =
+    if (r <= c) s"m$r$c" else s"m$c$r"
+
+  /** Ridge-adjusted accessor: the diagonal carries + λ. */
+  private def mAt(lambda: Double)(r: Int, c: Int): String =
+    if (r == c) s"(${mName(r, c)} + $lambda)" else mName(r, c)
+
+  /** det of the 3×3 minor over rows `rs` × cols `cs` of accessor `m` —
+    * fixed association order, so the IEEE result is bit-identical on
+    * any engine executing the same string. */
+  private def det3(m: (Int, Int) => String, rs: Seq[Int], cs: Seq[Int]): String = {
+    def t(i: Int, j: Int) = m(rs(i), cs(j))
+    s"(${t(0, 0)} * (${t(1, 1)} * ${t(2, 2)} - ${t(1, 2)} * ${t(2, 1)}) - " +
+      s"${t(0, 1)} * (${t(1, 0)} * ${t(2, 2)} - ${t(1, 2)} * ${t(2, 0)}) + " +
+      s"${t(0, 2)} * (${t(1, 0)} * ${t(2, 1)} - ${t(1, 1)} * ${t(2, 0)}))"
+  }
+
+  /** det of the 4×4 accessor `m` by Laplace expansion along row 0. */
+  private def det4(m: (Int, Int) => String): String =
+    (0 until 4).map { j =>
+      val cs = (0 until 4).filterNot(_ == j)
+      val term = s"${m(0, j)} * ${det3(m, Seq(1, 2, 3), cs)}"
+      if (j % 2 == 0) s"+ $term" else s"- $term"
+    }.mkString("(", " ", ")")
+
+  /** The four Newton-step expressions δ_i = det(M_i)/det(M) (Cramer's
+    * rule; M_i = ridge'd normal matrix with column i replaced by the
+    * gradient) over the 1-row stats columns m00..m33 (upper triangle)
+    * and g0..g3. SHARED with the DuckDB oracle — one spelling of the
+    * solve for both engines. */
+  def deltaExprs(lambda: Double): Seq[String] = {
+    val base = mAt(lambda) _
+    (0 until 4).map { i =>
+      def mi(r: Int, c: Int): String = if (c == i) s"g$r" else base(r, c)
+      s"(${det4(mi)} / ${det4(base)})"
+    }
+  }
+
+  /** Fit the ridge-logistic quality model on (z1, z2, z3, y) rows and
+    * report coefficients + training accuracy in ONE output row:
+    * (b0, b1, b2, b3, n_docs, n_correct, accuracy). `feats` must carry
+    * doc_id, x1, x2, x3 (continuous), y (0/1 double). */
+  def logisticFit(feats: DataFrame, iters: Int, lambda: Double): DataFrame = {
+    val ss = feats.sparkSession
+    def sq(c: org.apache.spark.sql.Column) = c * c
+    val m = feats.agg(
+      round(Num.dsumAt(col("x1"), 6) / count(lit(1)), 6).as("mu1"),
+      round(Num.dsumAt(col("x2"), 6) / count(lit(1)), 6).as("mu2"),
+      round(Num.dsumAt(col("x3"), 6) / count(lit(1)), 6).as("mu3"),
+      count(lit(1)).as("n"))
+    val s = feats.crossJoin(broadcast(m)).agg(
+      round(sqrt(Num.dsumAt(sq(col("x1") - col("mu1")), 6) / max(col("n"))), 6).as("s1"),
+      round(sqrt(Num.dsumAt(sq(col("x2") - col("mu2")), 6) / max(col("n"))), 6).as("s2"),
+      round(sqrt(Num.dsumAt(sq(col("x3") - col("mu3")), 6) / max(col("n"))), 6).as("s3"),
+      max(col("mu1")).as("mu1"), max(col("mu2")).as("mu2"),
+      max(col("mu3")).as("mu3"), max(col("n")).as("n"))
+    // z-scores rounded to 6; a corpus-constant feature (std 0) pins to
+    // z = 0 — it carries no signal and must not divide by zero.
+    def z(j: Int) = when(col(s"s$j") === 0, lit(0.0))
+      .otherwise(round((col(s"x$j") - col(s"mu$j")) / col(s"s$j"), 6))
+    val zf = feats.crossJoin(broadcast(s))
+      .select(col("doc_id"), col("y"),
+        z(1).as("z1"), z(2).as("z2"), z(3).as("z3"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltas = deltaExprs(lambda)
+    var beta = ss.range(1).select(
+      lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"), lit(0.0).as("b3"))
+    var lastCp: Option[DataFrame] = None
+    for (t <- 1 to iters) {
+      val scored = zf.crossJoin(broadcast(beta))
+        .withColumn("eta", round(col("b0") + col("b1") * col("z1")
+          + col("b2") * col("z2") + col("b3") * col("z3"), 6))
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("eta"))), 6))
+        .withColumn("w", round(col("p") * (lit(1.0) - col("p")), 6))
+        .withColumn("r", round(col("y") - col("p"), 6))
+      def zc(j: Int) = if (j == 0) lit(1.0) else col(s"z$j")
+      val statAggs =
+        (for (r <- 0 until 4; c <- r until 4)
+          yield Num.dsumAt(zc(r) * zc(c) * col("w"), 6).as(mName(r, c))) ++
+        (0 until 4).map(j => Num.dsumAt(zc(j) * col("r"), 6).as(s"g$j"))
+      val stats = scored.agg(statAggs.head, statAggs.tail: _*)
+      val next = stats.crossJoin(beta).selectExpr(
+        (0 until 4).map(i => s"round(b$i + ${deltas(i)}, 6) AS b$i"): _*)
+      // β appears twice per round (in the scoring pass and in the
+      // update) — without per-round truncation the 1-row plan doubles
+      // every iteration (the pcaPower 2^iters trap).
+      val cp = Lifecycle.step(next, lastCp)
+      lastCp = Some(cp)
+      beta = cp
+    }
+    val finalScored = zf.crossJoin(broadcast(beta))
+      .withColumn("eta", round(col("b0") + col("b1") * col("z1")
+        + col("b2") * col("z2") + col("b3") * col("z3"), 6))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("eta"))), 6))
+      .withColumn("correct",
+        (when(col("p") >= 0.5, lit(1.0)).otherwise(lit(0.0)) === col("y"))
+          .cast("long"))
+    val out = finalScored
+      .groupBy("b0", "b1", "b2", "b3")
+      .agg(max(col("n")).as("n_docs"), sum(col("correct")).as("n_correct"))
+      .select(col("b0"), col("b1"), col("b2"), col("b3"),
+        col("n_docs"), col("n_correct"),
+        round(col("n_correct") / col("n_docs"), 6).as("accuracy"))
+    Dedup.materializeThenRelease(out, zf)
+  }
+
+  /** The Gopher-distillation fit over the documents table: features
+    * (n_words, mean_word_len, symbol_ratio), label = the Gopher pass
+    * rule ([[TextAnalysis.gopherQuality]]) — same signal spellings as
+    * `q_text_gopher_quality`, so the oracle rebuilds the identical
+    * training set. */
+  def logisticQuality(docs: DataFrame, iters: Int, lambda: Double): DataFrame =
+    logisticFit(
+      TextAnalysis.gopherQuality(docs).select(
+        col("doc_id"),
+        col("n_words").cast("double").as("x1"),
+        col("mean_word_len").as("x2"),
+        col("symbol_ratio").as("x3"),
+        col("passes").cast("double").as("y")),
+      iters, lambda)
+}

@@ -478,32 +478,68 @@ object Multimodal {
     * 64 bits per threshold ([[bandBits]]) so candidate recall is exact
     * for ANY maxHamming. Narrow per-partition decode, fixed-width
     * output. */
+  /** The 64-bit aHash of one DECODED raster as four 16-bit words —
+    * shared by the still-image path ([[imageAHash]]) and the per-frame
+    * video path ([[videoFrameHashes]]). */
+  private def ahashOf(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cell = new Array[Int](64)
+    var total = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val g = img.getRGB(gx * w / 8, gy * h / 8) & 0xff
+        cell(gy * 8 + gx) = g
+        total += g
+        gx += 1
+      }
+      gy += 1
+    }
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (64L * cell(i) > total) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
   def imageAHash(spark: SparkSession, imgs: Dataset[ImageVariant]): Dataset[ImageHash] = {
     import spark.implicits._
     imgs.mapPartitions(_.map { m =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
-      val w = img.getWidth
-      val h = img.getHeight
-      val cell = new Array[Int](64)
-      var total = 0L
-      var gy = 0
-      while (gy < 8) {
-        var gx = 0
-        while (gx < 8) {
-          val g = img.getRGB(gx * w / 8, gy * h / 8) & 0xff
-          cell(gy * 8 + gx) = g
-          total += g
-          gx += 1
-        }
-        gy += 1
+      val b = ahashOf(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png)))
+      ImageHash(m.img_id, b(0), b(1), b(2), b(3))
+    })
+  }
+
+  /** Per-FRAME aHash of every video: the GIF container is decoded
+    * frame by frame ([[decodeVideoFrames]]' reader walk) and each
+    * decoded raster hashed with the shared [[ahashOf]] — frame
+    * fingerprinting, the primitive under clip-level video dedup.
+    * img_id = doc_id·16 + frame_no (frame counts are < 16, so the
+    * encoding is collision-free and `img_id >> 4` recovers the video).
+    * Narrow per-partition decode, 5 longs out per frame. */
+  def videoFrameHashes(spark: SparkSession,
+                       packed: Dataset[VideoMedia]): Dataset[ImageHash] = {
+    import spark.implicits._
+    packed.mapPartitions(_.flatMap { m =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.gif))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      require(n < 16, s"videoFrameHashes: doc ${m.doc_id} has $n frames; " +
+        "the img_id = doc_id*16 + frame encoding requires < 16")
+      val frames = (0 until n).map { f =>
+        val b = ahashOf(reader.read(f))
+        ImageHash(m.doc_id * 16 + f, b(0), b(1), b(2), b(3))
       }
-      val bands = new Array[Long](4)
-      var i = 0
-      while (i < 64) {
-        if (64L * cell(i) > total) bands(i / 16) |= 1L << (i % 16)
-        i += 1
-      }
-      ImageHash(m.img_id, bands(0), bands(1), bands(2), bands(3))
+      reader.dispose()
+      iis.close()
+      frames.iterator
     })
   }
 

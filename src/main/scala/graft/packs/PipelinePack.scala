@@ -129,6 +129,20 @@ object PipelinePack {
   private val HH_TOP = 10
   /** Deterministic per-language sample size. */
   private val GRP_SAMPLE_K = 5
+  /** Ridge-logistic quality-classifier training: IRLS round count and
+    * the ridge strength (shared with the generated per-round oracle
+    * CTEs, like k-means/PCA). */
+  private val LOGIT_ITERS = 4
+  private val LOGIT_LAMBDA = 0.001
+  /** Clip-level video near-dup: max frame-hash Hamming distance and
+    * the minimum matching-frame-pair count for a video pair to count
+    * as overlapping — the tight two-threshold setting (near-certain
+    * frame matches, ≥2 of them), mirroring IMG_CLUSTER_HAMMING's
+    * report-loose/act-tight practice: the synthetic ramp frames are
+    * deliberately collision-rich, and a loose (6, 1) setting flags 28%
+    * of all video pairs — noise, not clip overlap. */
+  private val VID_HAMMING_MAX = 2
+  private val VID_MIN_FRAMES = 2L
   /** Row cap for the EXACT all-pairs embedding baseline: the quadratic
     * oracle-definition query runs on a bounded `vec_id < cap` slice (same
     * predicate both engines — still oracle-exact), so no benched query is
@@ -700,6 +714,33 @@ object PipelinePack {
       Multimodal.decodeVideoFrames(s,
           Multimodal.packVideos(s, Tables.documents(s, d)))
         .toDF().orderBy("doc_id", "frame_no")
+    },
+    // Clip-level video near-dup from per-frame fingerprints: every
+    // decoded GIF frame is aHashed (videoFrameHashes), frame pairs
+    // within Hamming VID_HAMMING_MAX surface through the same
+    // threshold-exact banded blocking as the still-image path, and
+    // video pairs aggregate their matching frames — the "re-encoded /
+    // overlapping clip" detector a video curation pipeline runs.
+    "q_mm_video_neardup" -> { (s, d) =>
+      val hashes = Multimodal.videoFrameHashes(s,
+        Multimodal.packVideos(s, Tables.documents(s, d))).toDF()
+      Multimodal.imageNearDup(hashes, VID_HAMMING_MAX)
+        .select(shiftright(col("img_a"), 4).as("video_a"),
+          shiftright(col("img_b"), 4).as("video_b"), col("hamming"))
+        .filter(col("video_a") =!= col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(count(lit(1)).as("n_frame_pairs"),
+          min(col("hamming")).as("min_hamming"))
+        .filter(col("n_frame_pairs") >= VID_MIN_FRAMES)
+        .orderBy("video_a", "video_b")
+    },
+    // Ridge-logistic quality-classifier TRAINING (IRLS): distill the
+    // Gopher pass rule into a 3-feature scoring model — coefficients +
+    // train accuracy in one row; every round is one sufficient-
+    // statistics aggregate + an in-engine Cramer solve.
+    "q_m_logistic_quality" -> { (s, d) =>
+      graft.operators.Classifier.logisticQuality(
+        Tables.documents(s, d), LOGIT_ITERS, LOGIT_LAMBDA)
     },
     // Image near-dup by 64-bit aHash over REAL decoded rasters, banded
     // 4×16-bit for LSH blocking, exact-Hamming verified. The corpus
@@ -1279,6 +1320,75 @@ object PipelinePack {
 
   private val wordsFilterSql: (Seq[String]) => String = set =>
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${set.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+
+  /** Mirrors Classifier.logisticQuality round for round: same Gopher
+    * signal spellings as q_text_gopher_quality, decimal-exact
+    * means/stds, z-scores rounded 6, per-round η rounded BEFORE exp
+    * and p/w/r after, every sufficient-statistic sum DECIMAL(38,6),
+    * and the LITERALLY SHARED Cramer delta expressions
+    * (Classifier.deltaExprs — one spelling of the 4×4 solve for both
+    * engines). */
+  private lazy val logisticSql: String = {
+    val deltas = graft.operators.Classifier.deltaExprs(LOGIT_LAMBDA)
+    def d6(e: String) = Num.dsumAtSql(e, 6)
+    def zc(j: Int) = if (j == 0) "1.0" else s"z$j"
+    val statsCols = (
+      (for (r <- 0 until 4; c <- r until 4)
+        yield s"${d6(s"${zc(r)} * ${zc(c)} * w")} AS m$r$c") ++
+      (0 until 4).map(j => s"${d6(s"${zc(j)} * r")} AS g$j"))
+      .mkString(",\n       |       ").stripMargin
+    def iterCtes(t: Int): String =
+      s"""sc$t AS (SELECT zf.doc_id, zf.y, zf.z1, zf.z2, zf.z3,
+         |               round(b.b0 + b.b1 * z1 + b.b2 * z2 + b.b3 * z3, 6) AS eta
+         |        FROM zf, bb${t - 1} b),
+         |pw$t AS (SELECT *, round(1.0 / (1.0 + exp(-eta)), 6) AS p FROM sc$t),
+         |wr$t AS (SELECT *, round(p * (1.0 - p), 6) AS w, round(y - p, 6) AS r
+         |         FROM pw$t),
+         |st$t AS (SELECT $statsCols FROM wr$t),
+         |bb$t AS (SELECT ${(0 until 4)
+                     .map(i => s"round(b$i + ${deltas(i)}, 6) AS b$i")
+                     .mkString(",\n       |              ")}
+         |        FROM st$t, bb${t - 1})""".stripMargin
+    val iterations = (1 to LOGIT_ITERS).map(iterCtes).mkString(",\n")
+    s"""WITH sb AS (
+       |  ${gopherSignalsSql("")}),
+       |sig AS (SELECT *, CAST($gopherPassCase AS BIGINT) AS passes FROM sb),
+       |f AS (SELECT doc_id, CAST(n_words AS DOUBLE) AS x1, mean_word_len AS x2,
+       |             symbol_ratio AS x3, CAST(passes AS DOUBLE) AS y FROM sig),
+       |mm0 AS (SELECT round(${d6("x1")} / count(*), 6) AS mu1,
+       |               round(${d6("x2")} / count(*), 6) AS mu2,
+       |               round(${d6("x3")} / count(*), 6) AS mu3,
+       |               count(*) AS n FROM f),
+       |sd AS (SELECT round(sqrt(${d6("(x1 - mu1) * (x1 - mu1)")} / max(n)), 6) AS s1,
+       |              round(sqrt(${d6("(x2 - mu2) * (x2 - mu2)")} / max(n)), 6) AS s2,
+       |              round(sqrt(${d6("(x3 - mu3) * (x3 - mu3)")} / max(n)), 6) AS s3,
+       |              max(mu1) AS mu1, max(mu2) AS mu2, max(mu3) AS mu3,
+       |              max(n) AS n
+       |       FROM f, mm0),
+       |zf AS (SELECT doc_id, y,
+       |              CASE WHEN s1 = 0 THEN 0.0
+       |                   ELSE round((x1 - mu1) / s1, 6) END AS z1,
+       |              CASE WHEN s2 = 0 THEN 0.0
+       |                   ELSE round((x2 - mu2) / s2, 6) END AS z2,
+       |              CASE WHEN s3 = 0 THEN 0.0
+       |                   ELSE round((x3 - mu3) / s3, 6) END AS z3,
+       |              n
+       |       FROM f, sd),
+       |bb0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
+       |$iterations,
+       |fin AS (SELECT zf.y, zf.n, b.b0, b.b1, b.b2, b.b3,
+       |               round(b.b0 + b.b1 * z1 + b.b2 * z2 + b.b3 * z3, 6) AS eta
+       |        FROM zf, bb$LOGIT_ITERS b),
+       |fp AS (SELECT *, round(1.0 / (1.0 + exp(-eta)), 6) AS p FROM fin),
+       |acc AS (SELECT b0, b1, b2, b3, max(n) AS n_docs,
+       |               CAST(sum(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0
+       |                                        ELSE 0.0 END) = y
+       |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |        FROM fp GROUP BY b0, b1, b2, b3)
+       |SELECT b0, b1, b2, b3, n_docs, n_correct,
+       |       round(n_correct / CAST(n_docs AS DOUBLE), 6) AS accuracy
+       |FROM acc""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -2316,6 +2426,35 @@ object PipelinePack {
         |       CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS pixel_checksum
         |FROM fx GROUP BY doc_id, f, nf, w, h
         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // Per-frame aHash over the closed-form frame ramps (frame f = the
+    // image hash chain with delta = 97·f), ALL-PAIRS exact Hamming
+    // (the definition — the Spark side's banded blocking is
+    // pigeonhole-lossless), then the video-pair aggregation. The Spark
+    // side hashes rasters DECODED from the GIF container, so equality
+    // also re-proves the multi-frame round trip.
+    "q_mm_video_neardup" ->
+      s"""WITH v AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+         |imgs AS (SELECT doc_id * 16 + f AS img_id, doc_id, 97 * f AS delta
+         |         FROM v, unnest(range(0, nf)) tf(f)),
+         |$imageHashCtes,
+         |ham AS (
+         |  SELECT ha.img_id AS img_a, hb.img_id AS img_b,
+         |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+         |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM h ha JOIN h hb ON ha.img_id < hb.img_id),
+         |vp AS (SELECT img_a // 16 AS video_a, img_b // 16 AS video_b, hamming
+         |       FROM ham
+         |       WHERE hamming <= $VID_HAMMING_MAX
+         |         AND img_a // 16 <> img_b // 16)
+         |SELECT video_a, video_b, CAST(count(*) AS BIGINT) AS n_frame_pairs,
+         |       min(hamming) AS min_hamming
+         |FROM vp GROUP BY video_a, video_b
+         |HAVING count(*) >= $VID_MIN_FRAMES
+         |ORDER BY video_a, video_b""".stripMargin,
+
+    "q_m_logistic_quality" -> logisticSql,
 
     // Replays the aHash pipeline end-to-end on the closed-form pixel
     // function (base + brightness-shifted variant images), including the

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Classifier
+
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("logisticFit separates a clean-margin synthetic set") {
+    // y = 1 iff x1 > 0 with a wide margin; x2 is uninformative noise,
+    // x3 is corpus-constant (std 0 → the degenerate z = 0 guard runs).
+    val feats = (1 to 200).map { i =>
+      val x1 = if (i % 2 == 0) 2.0 + (i % 7) else -2.0 - (i % 5)
+      (i.toLong, x1, (i % 3).toDouble, 5.0, if (x1 > 0) 1.0 else 0.0)
+    }.toDF("doc_id", "x1", "x2", "x3", "y")
+    val r = Classifier.logisticFit(feats, 4, 0.001).collect().head
+    assert(r.getAs[Long]("n_docs") == 200L)
+    assert(r.getAs[Double]("accuracy") >= 0.99,
+      s"separable set must classify cleanly, got ${r.getAs[Double]("accuracy")}")
+    assert(r.getAs[Double]("b1") > 0, "weight on the separating feature")
+  }
+
+  test("logisticFit is repartition-stable (decimal IRLS trajectory)") {
+    val base = (1 to 120).map(i =>
+      (i.toLong, (i % 13).toDouble, (i % 7).toDouble, (i % 3).toDouble,
+        (if (i % 13 > 6) 1.0 else 0.0)))
+      .toDF("doc_id", "x1", "x2", "x3", "y")
+    val a = Classifier.logisticFit(base, 3, 0.001).collect().head
+    val b = Classifier.logisticFit(base.repartition(7), 3, 0.001).collect().head
+    assert(a == b, "coefficients and metrics must be bit-identical " +
+      "under repartitioning — every sum is decimal-exact")
+  }
+
+  test("deltaExprs is a valid solve: recovers delta for a known system") {
+    // With M = I (m_rr = 1 − λ so the ridge lands on exactly 1) and
+    // gradient g, Cramer must return δ = g.
+    val lambda = 0.001
+    val exprs = Classifier.deltaExprs(lambda)
+    val row = spark.range(1).selectExpr(
+      (for (r <- 0 until 4; c <- r until 4)
+        yield s"CAST(${if (r == c) 1.0 - lambda else 0.0} AS DOUBLE) AS m$r$c") ++
+      (0 until 4).map(j => s"CAST(${j + 1}.5 AS DOUBLE) AS g$j"): _*)
+    val out = row.selectExpr(
+      (0 until 4).map(i => s"${exprs(i)} AS d$i"): _*).collect().head
+    for (i <- 0 until 4)
+      assert(math.abs(out.getAs[Double](s"d$i") - (i + 1.5)) < 1e-12)
+  }
+}

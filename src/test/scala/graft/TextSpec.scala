@@ -438,6 +438,23 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.size < 20 * 21 / 2, "near-dup must not be the complete graph")
   }
 
+  test("videoFrameHashes: frame 0's hash equals the still-image aHash") {
+    // Frame 0's pixel ramp IS the base image's (delta = 97·0 = 0), so
+    // the per-frame hash path must agree with the still-image path —
+    // one pin covering the GIF decode, the shared ahashOf body, and
+    // the img_id encodings of both.
+    val docs = (0L until 10L).map((_, "x")).toDF("doc_id", "text")
+    val vh = Multimodal.videoFrameHashes(spark,
+        Multimodal.packVideos(spark, docs)).collect()
+      .filter(_.img_id % 16 == 0)
+      .map(h => (h.img_id / 16, (h.b0, h.b1, h.b2, h.b3))).toMap
+    val ih = Multimodal.imageAHash(spark,
+        Multimodal.packBaseImages(spark, docs)).collect()
+      .map(h => (h.img_id / 2, (h.b0, h.b1, h.b2, h.b3))).toMap
+    assert(vh == ih)
+    assert(vh.size == 10)
+  }
+
   test("bandBits: maxHamming+1 disjoint bands exactly cover the 64 bits") {
     for (mh <- 0 until 16) {
       val bs = Multimodal.bandBits(mh)
