@@ -78,6 +78,48 @@ object Classifier {
     * (b0, b1, b2, b3, n_docs, n_correct, accuracy). `feats` must carry
     * doc_id, x1, x2, x3 (continuous), y (0/1 double). */
   def logisticFit(feats: DataFrame, iters: Int, lambda: Double): DataFrame = {
+    val (beta, zf) = irls(feats, iters, lambda)
+    val finalScored = withProb(zf, beta)
+      .withColumn("correct",
+        (when(col("p") >= 0.5, lit(1.0)).otherwise(lit(0.0)) === col("y"))
+          .cast("long"))
+    val out = finalScored
+      .groupBy("b0", "b1", "b2", "b3")
+      .agg(max(col("n")).as("n_docs"), sum(col("correct")).as("n_correct"))
+      .select(col("b0"), col("b1"), col("b2"), col("b3"),
+        col("n_docs"), col("n_correct"),
+        round(col("n_correct") / col("n_docs"), 6).as("accuracy"))
+    Dedup.materializeThenRelease(out, zf)
+  }
+
+  /** The SCORING half of the distillation story: fit the model, then
+    * apply it to EVERY document — per-doc quality score p plus the
+    * keep/drop decision at `keepMin` (what the curation pipeline
+    * actually ships downstream). Scale: scoring is one broadcast of
+    * the 1-row model against the feature table — a narrow per-row
+    * dot + sigmoid, no new shuffle. */
+  def logisticScore(feats: DataFrame, iters: Int, lambda: Double,
+                    keepMin: Double): DataFrame = {
+    val (beta, zf) = irls(feats, iters, lambda)
+    val out = withProb(zf, beta)
+      .select(col("doc_id"), col("p").as("score"),
+        (col("p") >= keepMin).cast("long").as("keep"))
+    Dedup.materializeThenRelease(out, zf)
+  }
+
+  /** η → p chain over the z-features with a broadcast 1-row β — one
+    * spelling for the accuracy tail and the scoring query. */
+  private def withProb(zf: DataFrame, beta: DataFrame): DataFrame =
+    zf.crossJoin(broadcast(beta))
+      .withColumn("eta", round(col("b0") + col("b1") * col("z1")
+        + col("b2") * col("z2") + col("b3") * col("z3"), 6))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("eta"))), 6))
+
+  /** Standardize + IRLS: returns the final 1-row β (checkpointed) and
+    * the PERSISTED z-feature frame — callers release `zf` via
+    * `materializeThenRelease(…, zf)`. */
+  private def irls(feats: DataFrame, iters: Int,
+                   lambda: Double): (DataFrame, DataFrame) = {
     val ss = feats.sparkSession
     def sq(c: org.apache.spark.sql.Column) = c * c
     val m = feats.agg(
@@ -125,34 +167,28 @@ object Classifier {
       lastCp = Some(cp)
       beta = cp
     }
-    val finalScored = zf.crossJoin(broadcast(beta))
-      .withColumn("eta", round(col("b0") + col("b1") * col("z1")
-        + col("b2") * col("z2") + col("b3") * col("z3"), 6))
-      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("eta"))), 6))
-      .withColumn("correct",
-        (when(col("p") >= 0.5, lit(1.0)).otherwise(lit(0.0)) === col("y"))
-          .cast("long"))
-    val out = finalScored
-      .groupBy("b0", "b1", "b2", "b3")
-      .agg(max(col("n")).as("n_docs"), sum(col("correct")).as("n_correct"))
-      .select(col("b0"), col("b1"), col("b2"), col("b3"),
-        col("n_docs"), col("n_correct"),
-        round(col("n_correct") / col("n_docs"), 6).as("accuracy"))
-    Dedup.materializeThenRelease(out, zf)
+    (beta, zf)
   }
 
-  /** The Gopher-distillation fit over the documents table: features
-    * (n_words, mean_word_len, symbol_ratio), label = the Gopher pass
-    * rule ([[TextAnalysis.gopherQuality]]) — same signal spellings as
+  /** The Gopher signal → (x1, x2, x3, y) training frame shared by the
+    * fit and score queries — same signal spellings as
     * `q_text_gopher_quality`, so the oracle rebuilds the identical
     * training set. */
+  private def gopherFeatures(docs: DataFrame): DataFrame =
+    TextAnalysis.gopherQuality(docs).select(
+      col("doc_id"),
+      col("n_words").cast("double").as("x1"),
+      col("mean_word_len").as("x2"),
+      col("symbol_ratio").as("x3"),
+      col("passes").cast("double").as("y"))
+
+  /** The Gopher-distillation fit over the documents table. */
   def logisticQuality(docs: DataFrame, iters: Int, lambda: Double): DataFrame =
-    logisticFit(
-      TextAnalysis.gopherQuality(docs).select(
-        col("doc_id"),
-        col("n_words").cast("double").as("x1"),
-        col("mean_word_len").as("x2"),
-        col("symbol_ratio").as("x3"),
-        col("passes").cast("double").as("y")),
-      iters, lambda)
+    logisticFit(gopherFeatures(docs), iters, lambda)
+
+  /** Fit + corpus-wide scoring over the documents table: per-doc
+    * quality score and keep/drop flag. */
+  def logisticQualityScore(docs: DataFrame, iters: Int, lambda: Double,
+                           keepMin: Double): DataFrame =
+    logisticScore(gopherFeatures(docs), iters, lambda, keepMin)
 }

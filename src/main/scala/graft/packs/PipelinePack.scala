@@ -134,6 +134,8 @@ object PipelinePack {
     * CTEs, like k-means/PCA). */
   private val LOGIT_ITERS = 4
   private val LOGIT_LAMBDA = 0.001
+  /** Keep threshold for the corpus-wide scoring pass. */
+  private val LOGIT_KEEP_MIN = 0.5
   /** Clip-level video near-dup: max frame-hash Hamming distance and
     * the minimum matching-frame-pair count for a video pair to count
     * as overlapping — the tight two-threshold setting (near-certain
@@ -778,6 +780,14 @@ object PipelinePack {
       graft.operators.Classifier.logisticQuality(
         Tables.documents(s, d), LOGIT_ITERS, LOGIT_LAMBDA)
     },
+    // The scoring half: apply the trained model corpus-wide — per-doc
+    // quality score + keep/drop flag (what the curation pipeline ships
+    // downstream). Scoring is one broadcast of the 1-row model.
+    "q_m_logistic_score" -> { (s, d) =>
+      graft.operators.Classifier.logisticQualityScore(
+          Tables.documents(s, d), LOGIT_ITERS, LOGIT_LAMBDA, LOGIT_KEEP_MIN)
+        .orderBy("doc_id")
+    },
     // Image near-dup by 64-bit aHash over REAL decoded rasters, banded
     // 4×16-bit for LSH blocking, exact-Hamming verified. The corpus
     // plants brightness-shifted re-renders (doc_id % 5 == 0) as the
@@ -1362,7 +1372,34 @@ object PipelinePack {
     * and the LITERALLY SHARED Cramer delta expressions
     * (Classifier.deltaExprs — one spelling of the 4×4 solve for both
     * engines). */
-  private lazy val logisticSql: String = {
+  private lazy val logisticSql: String =
+    s"""WITH $logisticCtes,
+       |fin AS (SELECT zf.y, zf.n, b.b0, b.b1, b.b2, b.b3,
+       |               round(b.b0 + b.b1 * z1 + b.b2 * z2 + b.b3 * z3, 6) AS eta
+       |        FROM zf, bb$LOGIT_ITERS b),
+       |fp AS (SELECT *, round(1.0 / (1.0 + exp(-eta)), 6) AS p FROM fin),
+       |acc AS (SELECT b0, b1, b2, b3, max(n) AS n_docs,
+       |               CAST(sum(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0
+       |                                        ELSE 0.0 END) = y
+       |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |        FROM fp GROUP BY b0, b1, b2, b3)
+       |SELECT b0, b1, b2, b3, n_docs, n_correct,
+       |       round(n_correct / CAST(n_docs AS DOUBLE), 6) AS accuracy
+       |FROM acc""".stripMargin
+
+  private lazy val logisticScoreSql: String =
+    s"""WITH $logisticCtes,
+       |fin AS (SELECT zf.doc_id,
+       |               round(b.b0 + b.b1 * z1 + b.b2 * z2 + b.b3 * z3, 6) AS eta
+       |        FROM zf, bb$LOGIT_ITERS b)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-eta)), 6) AS score,
+       |       CAST(CASE WHEN round(1.0 / (1.0 + exp(-eta)), 6) >= $LOGIT_KEEP_MIN
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** Standardized features → IRLS rounds shared by the fit and score
+    * oracles (ends in `zf` + the final coefficients `bb<ITERS>`). */
+  private lazy val logisticCtes: String = {
     val deltas = graft.operators.Classifier.deltaExprs(LOGIT_LAMBDA)
     def d6(e: String) = Num.dsumAtSql(e, 6)
     def zc(j: Int) = if (j == 0) "1.0" else s"z$j"
@@ -1384,7 +1421,7 @@ object PipelinePack {
                      .mkString(",\n       |              ")}
          |        FROM st$t, bb${t - 1})""".stripMargin
     val iterations = (1 to LOGIT_ITERS).map(iterCtes).mkString(",\n")
-    s"""WITH sb AS (
+    s"""sb AS (
        |  ${gopherSignalsSql("")}),
        |sig AS (SELECT *, CAST($gopherPassCase AS BIGINT) AS passes FROM sb),
        |f AS (SELECT doc_id, CAST(n_words AS DOUBLE) AS x1, mean_word_len AS x2,
@@ -1409,19 +1446,7 @@ object PipelinePack {
        |              n
        |       FROM f, sd),
        |bb0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),
-       |$iterations,
-       |fin AS (SELECT zf.y, zf.n, b.b0, b.b1, b.b2, b.b3,
-       |               round(b.b0 + b.b1 * z1 + b.b2 * z2 + b.b3 * z3, 6) AS eta
-       |        FROM zf, bb$LOGIT_ITERS b),
-       |fp AS (SELECT *, round(1.0 / (1.0 + exp(-eta)), 6) AS p FROM fin),
-       |acc AS (SELECT b0, b1, b2, b3, max(n) AS n_docs,
-       |               CAST(sum(CASE WHEN (CASE WHEN p >= 0.5 THEN 1.0
-       |                                        ELSE 0.0 END) = y
-       |                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-       |        FROM fp GROUP BY b0, b1, b2, b3)
-       |SELECT b0, b1, b2, b3, n_docs, n_correct,
-       |       round(n_correct / CAST(n_docs AS DOUBLE), 6) AS accuracy
-       |FROM acc""".stripMargin
+       |$iterations""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -2489,6 +2514,10 @@ object PipelinePack {
          |ORDER BY video_a, video_b""".stripMargin,
 
     "q_m_logistic_quality" -> logisticSql,
+
+    // The per-doc scoring tail over the SAME fitted coefficients —
+    // mirrors Classifier.logisticQualityScore.
+    "q_m_logistic_score" -> logisticScoreSql,
 
     // Replays the aHash pipeline end-to-end on the closed-form pixel
     // function (base + brightness-shifted variant images), including the
