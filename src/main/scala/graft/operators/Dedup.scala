@@ -499,6 +499,40 @@ object Dedup {
       .select(col("doc_id"), col("status"))
   }
 
+  /** Leakage-safe train/test split — the split a training pipeline
+    * must use once the corpus is known to contain near-duplicates: a
+    * plain per-doc hash split can land one member of a near-dup
+    * cluster in train and another in test (evaluation leakage), so
+    * here the split KEY is the near-dup CLUSTER label — docs without
+    * any near-duplicate are their own singleton cluster. The
+    * assignment is the engine's RNG-free sampling discipline: train
+    * iff md5("lsplit:" + cluster_id) % 100 < trainPct — deterministic,
+    * repartition-stable, oracle-replayable. The `cluster_atomic`
+    * verdict column re-checks the guarantee IN-ENGINE (one distinct
+    * split per cluster); a broken key choice flips it and fails the
+    * oracle hash. Scale: cluster labels come from the pairs graph
+    * (corpus-small — only docs WITH a near-dup); the split is a narrow
+    * hash over the full corpus; the verdict is one cluster-keyed
+    * distinct-count joined back — all keyed shuffles, nothing
+    * quadratic. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Long): DataFrame = {
+    val clusters = duplicateClusters(pairs).select("doc_id", "cluster_id")
+    val labeled = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val assigned = labeled.withColumn("split",
+      when(Hashing.md5Long(
+          concat(lit("lsplit:"), col("cluster_id").cast("string"))) % 100
+          < trainPct, "train")
+        .otherwise("test"))
+    val atomic = assigned.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("nsplits"))
+    assigned.join(atomic, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("split"),
+        (col("nsplits") === 1).cast("long").as("cluster_atomic"))
+  }
+
   /** Benchmark decontamination — the train/test-overlap check every
     * training pipeline needs: flag corpus documents sharing at least
     * `minShared` distinct shingles with ANY benchmark document. Shape:

@@ -136,6 +136,8 @@ object PipelinePack {
   private val LOGIT_LAMBDA = 0.001
   /** Keep threshold for the corpus-wide scoring pass. */
   private val LOGIT_KEEP_MIN = 0.5
+  /** Train share (percent) of the leakage-safe cluster-atomic split. */
+  private val TRAIN_PCT = 80L
   /** Clip-level video near-dup: max frame-hash Hamming distance and
     * the minimum matching-frame-pair count for a video pair to count
     * as overlapping — the tight two-threshold setting (near-certain
@@ -295,6 +297,16 @@ object PipelinePack {
     },
     "q_dedup_canonical_docs" -> { (s, d) =>
       Dedup.resolveCanonical(Tables.documents(s, d), jaccardPairsFixture(s, d))
+        .orderBy("doc_id")
+    },
+    // Leakage-safe train/test split: the split key is the near-dup
+    // CLUSTER (singleton for docs without a near-dup), so no cluster
+    // ever straddles train and test — the evaluation-leakage guard a
+    // training pipeline needs on a dedup-aware corpus. The
+    // cluster_atomic verdict re-checks the guarantee in-engine.
+    "q_dedup_leakage_split" -> { (s, d) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, d),
+          jaccardPairsFixture(s, d), TRAIN_PCT)
         .orderBy("doc_id")
     },
     // Benchmark decontamination: docs with doc_id % BENCH_MOD == 0 act
@@ -1545,6 +1557,28 @@ object PipelinePack {
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Same transitive closure, then the md5 cluster-keyed split and
+    // the per-cluster atomicity verdict — mirrors
+    // Dedup.leakageSafeSplit (docs without a near-dup are singleton
+    // clusters via the LEFT JOIN coalesce).
+    "q_dedup_leakage_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |alld AS (SELECT d.doc_id,
+         |                coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |asg AS (SELECT doc_id, cluster_id,
+         |               CASE WHEN ${Hashing.md5LongSql(
+                             "concat('lsplit:', CAST(cluster_id AS VARCHAR))")}
+         |                    % 100 < $TRAIN_PCT
+         |                    THEN 'train' ELSE 'test' END AS split
+         |        FROM alld),
+         |at AS (SELECT cluster_id, count(DISTINCT split) AS nsplits
+         |       FROM asg GROUP BY cluster_id)
+         |SELECT asg.doc_id, asg.cluster_id, split,
+         |       CAST(CASE WHEN nsplits = 1 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS cluster_atomic
+         |FROM asg JOIN at USING (cluster_id) ORDER BY asg.doc_id""".stripMargin,
 
     "q_dedup_decontaminate" ->
       s"""WITH sh AS ($sh),

@@ -155,4 +155,24 @@ class DedupSpec extends AnyFunSuite {
     // The verified set IS minhashLshPairs' output — counts must agree.
     assert(nVer == Dedup.minhashLshPairs(shingles, 0.4).count())
   }
+
+  test("leakageSafeSplit: no near-dup cluster straddles train and test") {
+    val docs = (1L to 40L).map((_, "t")).toDF("doc_id", "text")
+    // Planted clusters {1,2,3} (chained) and {10,11}; everything else
+    // is a singleton.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.leakageSafeSplit(docs, pairs, 80L).collect()
+    assert(out.length == 40)
+    assert(out.forall(_.getAs[Long]("cluster_atomic") == 1L))
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    // Chained cluster resolves transitively to one label + one split.
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)._1).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(byDoc(_)._2).toSet.size == 1)
+    assert(Seq(10L, 11L).map(byDoc(_)._2).toSet.size == 1)
+    // Singletons keep their own id as the cluster label.
+    assert(byDoc(20L)._1 == 20L)
+    // Both splits occur across the 37 clusters (deterministic md5 keys).
+    assert(out.map(_.getAs[String]("split")).toSet == Set("train", "test"))
+  }
 }
