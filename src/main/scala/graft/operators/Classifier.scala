@@ -30,6 +30,14 @@ import graft.functions.Num
   * expression tree generated once ([[deltaExprs]]) and executed
   * verbatim by both engines; each β rounds to 6 per round. The whole
   * trajectory replays literal-for-literal in SQL.
+  *
+  * Known residual (unlike the sqrt-only operators): IEEE requires
+  * `sqrt` to be correctly rounded but `exp` only faithfully rounded,
+  * so the two engines' exp can differ by 1 ulp on identical inputs;
+  * the round-6 canonicalization absorbs it unless the sigmoid lands
+  * within that ulp of a half-up boundary (probability ≈ 1e-10 per
+  * value). Logistic regression cannot avoid the transcendental; this
+  * is the accepted residual, not an oversight.
   */
 object Classifier {
 
@@ -146,10 +154,10 @@ object Classifier {
       lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"), lit(0.0).as("b3"))
     var lastCp: Option[DataFrame] = None
     for (t <- 1 to iters) {
-      val scored = zf.crossJoin(broadcast(beta))
-        .withColumn("eta", round(col("b0") + col("b1") * col("z1")
-          + col("b2") * col("z2") + col("b3") * col("z3"), 6))
-        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("eta"))), 6))
+      // ONE spelling of the η→p chain (withProb) — the rounding and
+      // association order must stay literal-for-literal with the
+      // generated oracle CTEs on every path.
+      val scored = withProb(zf, beta)
         .withColumn("w", round(col("p") * (lit(1.0) - col("p")), 6))
         .withColumn("r", round(col("y") - col("p"), 6))
       def zc(j: Int) = if (j == 0) lit(1.0) else col(s"z$j")

@@ -420,30 +420,36 @@ object Multimodal {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(m.gif))
       val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      val frames = (0 until n).map { f =>
-        val img = reader.read(f)
-        val w = img.getWidth
-        val h = img.getHeight
-        var sum = 0L
-        var chk = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val gray = img.getRGB(x, y) & 0xff // gray palette: r == g == b
-            sum += gray
-            chk += gray.toLong * (y.toLong * w + x + 1)
-            x += 1
+      // try/finally: a corrupt payload throwing mid-read must not
+      // strand the reader + input stream (the streaming path decodes
+      // per micro-batch in a long-lived JVM).
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val frames = (0 until n).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          var sum = 0L
+          var chk = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val gray = img.getRGB(x, y) & 0xff // gray palette: r == g == b
+              sum += gray
+              chk += gray.toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          DecodedFrame(m.doc_id, f.toLong, n.toLong, w.toLong, h.toLong, sum, chk)
         }
-        DecodedFrame(m.doc_id, f.toLong, n.toLong, w.toLong, h.toLong, sum, chk)
+        frames.iterator
+      } finally {
+        reader.dispose()
+        iis.close()
       }
-      reader.dispose()
-      iis.close()
-      frames.iterator
     })
   }
 
@@ -529,17 +535,21 @@ object Multimodal {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(m.gif))
       val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
-      reader.setInput(iis)
-      val n = reader.getNumImages(true)
-      require(n < 16, s"videoFrameHashes: doc ${m.doc_id} has $n frames; " +
-        "the img_id = doc_id*16 + frame encoding requires < 16")
-      val frames = (0 until n).map { f =>
-        val b = ahashOf(reader.read(f))
-        ImageHash(m.doc_id * 16 + f, b(0), b(1), b(2), b(3))
+      // try/finally: see decodeVideoFrames — the require below and any
+      // decode failure must not strand the reader.
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n < 16, s"videoFrameHashes: doc ${m.doc_id} has $n frames; " +
+          "the img_id = doc_id*16 + frame encoding requires < 16")
+        (0 until n).map { f =>
+          val b = ahashOf(reader.read(f))
+          ImageHash(m.doc_id * 16 + f, b(0), b(1), b(2), b(3))
+        }.iterator
+      } finally {
+        reader.dispose()
+        iis.close()
       }
-      reader.dispose()
-      iis.close()
-      frames.iterator
     })
   }
 
@@ -585,22 +595,25 @@ object Multimodal {
     * returning ([[Dedup.materializeThenRelease]] lifecycle). */
   def imageNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = bandBits(maxHamming).zipWithIndex.map { case (r, k) =>
-      struct(lit(k).as("band_idx"), bandValue(r).as("bval"))
-    }
-    val exploded = h.select(col("img_id"), col("b0"), col("b1"),
-        col("b2"), col("b3"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("img_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("b.band_idx").as("band_idx"), col("b.bval").as("bval"))
-    val a = exploded.toDF(exploded.columns.map("a_" + _).toIndexedSeq: _*)
-    val b = exploded.toDF(exploded.columns.map("b_" + _).toIndexedSeq: _*)
-    val pairs = a.join(b, col("a_band_idx") === col("b_band_idx") &&
+    // Candidate generation over the ID-NARROW band keys only (the hash
+    // words would otherwise ride the banded self-join maxHamming+1
+    // times per image); the 5-long hash rows join back once per side
+    // for the exact XOR verify — the same shape as the corpus-probe
+    // path below.
+    val banded = bandedImageIds(h, maxHamming)
+    val a = banded.toDF(banded.columns.map("a_" + _).toIndexedSeq: _*)
+    val b = banded.toDF(banded.columns.map("b_" + _).toIndexedSeq: _*)
+    val cand = a.join(b, col("a_band_idx") === col("b_band_idx") &&
         col("a_bval") === col("b_bval") && col("a_img_id") < col("b_img_id"))
-      .select(col("a_img_id").as("img_a"), col("b_img_id").as("img_b"),
+      .select(col("a_img_id").as("img_a"), col("b_img_id").as("img_b"))
+      .distinct()
+    val pairs = cand
+      .join(h.toDF("img_a", "a_b0", "a_b1", "a_b2", "a_b3"), Seq("img_a"))
+      .join(h.toDF("img_b", "b_b0", "b_b1", "b_b2", "b_b3"), Seq("img_b"))
+      .select(col("img_a"), col("img_b"),
         (expr("bit_count(a_b0 ^ b_b0) + bit_count(a_b1 ^ b_b1)") +
           expr("bit_count(a_b2 ^ b_b2) + bit_count(a_b3 ^ b_b3)"))
           .cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
     Dedup.materializeThenRelease(pairs, h)
   }
@@ -624,7 +637,12 @@ object Multimodal {
     * [[Dedup.CorpusIndex]]): build once, probe per ingest batch with
     * [[flagAgainstImageIndex]], release with [[releaseImageIndex]]
     * when the stream stops. */
-  case class ImageIndex(bands: DataFrame, hashes: DataFrame)
+  /** `maxHamming` is captured AT BUILD TIME: the band layout is a
+    * function of the threshold, so probing with a different value
+    * would compute band keys over different bit ranges and silently
+    * lose every collision — the probe therefore reads the threshold
+    * from the index instead of taking a second parameter. */
+  case class ImageIndex(bands: DataFrame, hashes: DataFrame, maxHamming: Int)
 
   def buildImageIndex(corpusHashes: DataFrame, maxHamming: Int): ImageIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -634,7 +652,7 @@ object Multimodal {
     // micro-batch must not absorb the corpus hash + band build.
     bands.count()
     h.count()
-    ImageIndex(bands, h)
+    ImageIndex(bands, h, maxHamming)
   }
 
   /** Flag one NEW image batch against a prebuilt [[ImageIndex]]: banded
@@ -646,8 +664,9 @@ object Multimodal {
     * checkpointed and the batch-side cache dropped before returning
     * (the [[Dedup.materializeThenRelease]] discipline), so repeated
     * micro-batches leak nothing. */
-  def flagAgainstImageIndex(newHashes: DataFrame, index: ImageIndex,
-                            maxHamming: Int): DataFrame = {
+  def flagAgainstImageIndex(newHashes: DataFrame,
+                            index: ImageIndex): DataFrame = {
+    val maxHamming = index.maxHamming
     val nh = newHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = bandedImageIds(nh, maxHamming)
       .withColumnsRenamed(Map("img_id" -> "img_new"))

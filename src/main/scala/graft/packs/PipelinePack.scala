@@ -800,10 +800,11 @@ object PipelinePack {
           Tables.documents(s, d), LOGIT_ITERS, LOGIT_LAMBDA, LOGIT_KEEP_MIN)
         .orderBy("doc_id")
     },
-    // Image near-dup by 64-bit aHash over REAL decoded rasters, banded
-    // 4×16-bit for LSH blocking, exact-Hamming verified. The corpus
-    // plants brightness-shifted re-renders (doc_id % 5 == 0) as the
-    // near-dups a crawl-scale image dedup must catch.
+    // Image near-dup by 64-bit aHash over REAL decoded rasters,
+    // threshold-EXACT maxHamming+1-band blocking (Multimodal.bandBits),
+    // exact-Hamming verified against the oracle's all-pairs DEFINITION.
+    // The corpus plants brightness-shifted re-renders (doc_id % 5 == 0)
+    // as the near-dups a crawl-scale image dedup must catch.
     "q_mm_image_neardup" -> { (s, d) =>
       Multimodal.imageNearDup(imageVariantHashFixture(s, d), IMG_HAMMING_MAX)
         .orderBy("img_a", "img_b")
@@ -841,7 +842,7 @@ object PipelinePack {
       val out = Multimodal.flagAgainstImageIndex(
         Multimodal.imageAHash(s,
           Multimodal.packReuploadImages(s, docs.filter(pred))).toDF(),
-        idx, IMG_HAMMING_MAX)
+        idx)
       Multimodal.releaseImageIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
     },
@@ -2556,9 +2557,10 @@ object PipelinePack {
     // Replays the aHash pipeline end-to-end on the closed-form pixel
     // function (base + brightness-shifted variant images), including the
     // 8×8 nearest-neighbor downsample, the integer-exact mean compare
-    // (64·gray > Σgray), the 4×16-bit banding, the banded candidate
-    // join, and the exact-Hamming verify — the Spark side computes the
-    // same hash from PIXELS DECODED by ImageIO.
+    // (64·gray > Σgray), then ALL-PAIRS exact Hamming — the definition;
+    // the Spark side's threshold-exact banded blocking is a lossless
+    // pruning, and it computes the same hash from PIXELS DECODED by
+    // ImageIO.
     "q_mm_image_neardup" ->
       s"""WITH $imageHamCtes
          |SELECT img_a, img_b, hamming FROM ham

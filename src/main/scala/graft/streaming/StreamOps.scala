@@ -206,7 +206,7 @@ object StreamOps {
   def imageNearDupStream(spark: SparkSession, stagingDir: String,
                          schema: org.apache.spark.sql.types.StructType,
                          index: graft.operators.Multimodal.ImageIndex,
-                         maxHamming: Int, outPath: String)
+                         outPath: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(stagingDir)
@@ -216,7 +216,7 @@ object StreamOps {
         val hashes = graft.operators.Multimodal.imageAHash(
           spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
         val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
-          hashes, index, maxHamming)
+          hashes, index)
         flagged.write.mode("append").parquet(outPath)
         graft.operators.Lifecycle.release(flagged)
       }

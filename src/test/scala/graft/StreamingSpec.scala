@@ -162,14 +162,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     val index = Multimodal.buildImageIndex(corpusHashes, 6)
     val q = graft.streaming.StreamOps.imageNearDupStream(
-      spark, staging, newImgs.schema, index, 6, outPath)
+      spark, staging, newImgs.schema, index, outPath)
     try q.processAllAvailable() finally q.stop()
     def rowSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
     val streamed = rowSet(spark.read.parquet(outPath))
     val batch = rowSet(Multimodal.flagAgainstImageIndex(
-      Multimodal.imageAHash(spark, newImgs).toDF(), index, 6))
+      Multimodal.imageAHash(spark, newImgs).toDF(), index))
     Multimodal.releaseImageIndex(index)
     assert(streamed.nonEmpty, "planted re-uploads must match their base images")
     assert(streamed == batch)
