@@ -223,8 +223,12 @@ object Multimodal {
     def sampleAt(docId: Long, ch: Int, i: Int): Int =
       (((docId * 131L + ch * 17L + i * 37L) % 65536L) - 32768L).toInt
 
-    /** Interleave the PCM frames and ENCODE them as a real WAV file. */
-    def renderWav(docId: Long): Array[Byte] = {
+    /** Interleave the PCM frames and ENCODE them as a real WAV file.
+      * `silentFrames` zeroes the leading frames — the "trimmed
+      * re-upload" variant the audio near-dup fixture plants. */
+    def renderWav(docId: Long): Array[Byte] = renderWav(docId, 0)
+
+    def renderWav(docId: Long, silentFrames: Int): Array[Byte] = {
       val sr = sampleRateOf(docId)
       val n = nFramesOf(docId)
       val nc = channelsOf(docId)
@@ -233,7 +237,7 @@ object Multimodal {
       while (i < n) {
         var c = 0
         while (c < nc) {
-          val s = sampleAt(docId, c, i)
+          val s = if (i < silentFrames) 0 else sampleAt(docId, c, i)
           val off = (i * nc + c) * 2
           pcm(off) = (s & 0xff).toByte            // little-endian
           pcm(off + 1) = ((s >> 8) & 0xff).toByte
@@ -450,6 +454,81 @@ object Multimodal {
         reader.dispose()
         iis.close()
       }
+    })
+  }
+
+  // ------------------------------------------------- audio fingerprint dedup
+
+  case class AudioClip(clip_id: Long, doc_id: Long, silent: Int,
+                       wav: Array[Byte])
+
+  /** Audio corpus with planted near-duplicates: every doc contributes
+    * its base clip (clip_id = 2·doc_id); docs with doc_id % 5 == 0
+    * also contribute a LEADING-SILENCE-TRIMMED re-render (clip_id =
+    * 2·doc_id + 1, first 3 frames zeroed) — the "same clip, trimmed /
+    * re-encoded upload" case a crawl-scale audio dedup must catch. */
+  def packAudioVariants(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
+    import spark.implicits._
+    // Same codec-parallelism shuffle as packImages (see there).
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = AudioClip(id * 2, id, 0, AudioFixture.renderWav(id, 0))
+        if (id % 5 == 0)
+          Iterator(base, AudioClip(id * 2 + 1, id, 3, AudioFixture.renderWav(id, 3)))
+        else Iterator(base)
+      })
+  }
+
+  /** 64-bit audio CONTENT fingerprint from the REAL decoded PCM —
+    * Shazam-style hashing of sampled loudness: sample the clip at 64
+    * equally-spaced frames (nearest-neighbor, like the 8×8 image
+    * grid), sum |sample| across channels at each point, and hash each
+    * point to ONE bit (Knuth multiplicative hash, top bit of
+    * x·2654435761 mod 2³²). Pointwise bits make the fingerprint
+    * robust by construction to the modeled perturbation — a
+    * leading-silence trim flips only the windows that sample trimmed
+    * frames — while the multiplicative hash decorrelates clips whose
+    * PCM differs anywhere (a mean-compare or fixed-level quantizer is
+    * shift-correlated on nearby content and measured useless here).
+    * All-integer arithmetic, so the oracle replays it exactly. Emitted
+    * in the shared [[ImageHash]] 4×16-bit-word layout so the SAME
+    * threshold-exact banded near-dup machinery ([[imageNearDup]],
+    * [[bandBits]]) runs unchanged over clips. Narrow per-partition
+    * decode, 5 longs out per clip. */
+  def audioFingerprint(spark: SparkSession,
+                       clips: Dataset[AudioClip]): Dataset[ImageHash] = {
+    import spark.implicits._
+    clips.mapPartitions(_.map { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.wav))
+      val fmt = ais.getFormat
+      val nc = fmt.getChannels
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"audioFingerprint supports 16-bit little-endian signed PCM; " +
+          s"clip ${m.clip_id} decoded as $fmt")
+      val bytes = ais.readAllBytes()
+      ais.close()
+      val nFrames = bytes.length / (nc * 2)
+      val bands = new Array[Long](4)
+      var w = 0
+      while (w < 64) {
+        val f = w * nFrames / 64
+        var v = 0L
+        var c = 0
+        while (c < nc) {
+          val off = (f * nc + c) * 2
+          val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort.toLong
+          v += math.abs(s)
+          c += 1
+        }
+        // Top bit of the 32-bit Knuth multiplicative hash of the
+        // sampled loudness (v ≤ 2·65536, so v·2654435761 fits a long).
+        if ((v * 2654435761L) % 4294967296L >= 2147483648L)
+          bands(w / 16) |= 1L << (w % 16)
+        w += 1
+      }
+      ImageHash(m.clip_id, bands(0), bands(1), bands(2), bands(3))
     })
   }
 

@@ -138,6 +138,9 @@ object PipelinePack {
   private val LOGIT_KEEP_MIN = 0.5
   /** Train share (percent) of the leakage-safe cluster-atomic split. */
   private val TRAIN_PCT = 80L
+  /** Audio near-dup: max fingerprint Hamming distance (planted
+    * 3-frame-trim variants measure ≤ 3; cross-clip mean is ~32). */
+  private val AUD_HAMMING_MAX = 4
   /** Clip-level video near-dup: max frame-hash Hamming distance and
     * the minimum matching-frame-pair count for a video pair to count
     * as overlapping — the tight two-threshold setting (near-certain
@@ -206,6 +209,16 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.videoFrameHashes(s,
           Multimodal.packVideos(s, Tables.documents(s, d))).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private def audioFingerprintFixture(s: SparkSession, d: String): DataFrame = {
+    val path = SinksPack.tmpPath("audhash", d)
+    SinksPack.ensureFixture(path) {
+      Multimodal.audioFingerprint(s,
+          Multimodal.packAudioVariants(s, Tables.documents(s, d))).toDF()
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -845,6 +858,16 @@ object PipelinePack {
         idx)
       Multimodal.releaseImageIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
+    },
+    // Audio near-dup by 64-bit content fingerprint over REAL decoded
+    // PCM (hashed sampled loudness — robust to the planted
+    // leading-silence trims, decorrelated across clips), through the
+    // SAME threshold-exact banded machinery as the image/video paths.
+    "q_mm_audio_neardup" -> { (s, d) =>
+      Multimodal.imageNearDup(audioFingerprintFixture(s, d), AUD_HAMMING_MAX)
+        .select(col("img_a").as("clip_a"), col("img_b").as("clip_b"),
+          col("hamming"))
+        .orderBy("clip_a", "clip_b")
     },
     // Tokenizer vocabulary coverage: freeze the top-VOCAB_V tokens by
     // corpus frequency (bounded heap top-k, broadcast) and report every
@@ -2520,6 +2543,46 @@ object PipelinePack {
         |       CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS pixel_checksum
         |FROM fx GROUP BY doc_id, f, nf, w, h
         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // Replays the audio fingerprint closed-form (base + trimmed-variant
+    // clips): the same 64 sampled-loudness points the Spark side
+    // measures from PCM DECODED by AudioSystem, the same Knuth-hash
+    // bit, the same 4×16-bit words, ALL-PAIRS exact Hamming (the
+    // definition — the Spark side's banded blocking is
+    // pigeonhole-lossless).
+    "q_mm_audio_neardup" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id * 2 AS clip_id, doc_id, 0 AS sil FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, doc_id, 3 FROM documents WHERE doc_id % 5 = 0),
+         |prm AS (SELECT clip_id, doc_id, sil,
+         |               1 + doc_id % 2 AS nc, 64 + doc_id % 33 AS nf FROM aud),
+         |xw AS (SELECT clip_id, w,
+         |              sum(abs(CASE WHEN (w * nf) // 64 < sil THEN 0
+         |                           ELSE (doc_id * 131 + c * 17
+         |                                 + ((w * nf) // 64) * 37) % 65536 - 32768
+         |                      END)) AS x
+         |       FROM prm, unnest(range(0, 64)) tw(w), unnest(range(0, nc)) tc(c)
+         |       GROUP BY clip_id, w),
+         |fb AS (SELECT clip_id, w // 16 AS band_idx,
+         |              CAST(sum(CASE WHEN (x * 2654435761) % 4294967296 >= 2147483648
+         |                            THEN 1 << CAST(w % 16 AS INT) ELSE 0 END)
+         |                   AS BIGINT) AS bval
+         |       FROM xw GROUP BY clip_id, w // 16),
+         |h AS (SELECT clip_id,
+         |             max(CASE WHEN band_idx = 0 THEN bval END) AS b0,
+         |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
+         |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
+         |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
+         |      FROM fb GROUP BY clip_id),
+         |ham AS (
+         |  SELECT ha.clip_id AS clip_a, hb.clip_id AS clip_b,
+         |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+         |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM h ha JOIN h hb ON ha.clip_id < hb.clip_id)
+         |SELECT clip_a, clip_b, hamming FROM ham
+         |WHERE hamming <= $AUD_HAMMING_MAX ORDER BY clip_a, clip_b""".stripMargin,
 
     // Per-frame aHash over the closed-form frame ramps (frame f = the
     // image hash chain with delta = 97·f), ALL-PAIRS exact Hamming

@@ -438,6 +438,21 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.size < 20 * 21 / 2, "near-dup must not be the complete graph")
   }
 
+  test("audio fingerprint near-dup catches the planted trimmed re-uploads") {
+    val docs = (0L until 20L).map((_, "x")).toDF("doc_id", "text")
+    val pairs = Multimodal.imageNearDup(
+        Multimodal.audioFingerprint(spark,
+          Multimodal.packAudioVariants(spark, docs)).toDF(), 4)
+      .collect()
+      .map(r => (r.getAs[Long]("img_a"), r.getAs[Long]("img_b"))).toSet
+    // Every planted (base, 3-frame-trimmed) pair must surface: docs
+    // 0, 5, 10, 15 → clip pairs (2d, 2d+1) — only the windows that
+    // sample trimmed frames can flip (measured Hamming ≤ 3).
+    for (d <- Seq(0L, 5L, 10L, 15L))
+      assert(pairs.contains((d * 2, d * 2 + 1)), s"planted trim pair for doc $d")
+    assert(pairs.size < 24 * 25 / 2, "near-dup must not be the complete graph")
+  }
+
   test("videoFrameHashes: frame 0's hash equals the still-image aHash") {
     // Frame 0's pixel ramp IS the base image's (delta = 97·0 = 0), so
     // the per-frame hash path must agree with the still-image path —
