@@ -21,10 +21,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.log.level", "WARN")
-      // pid-unique: a managed table's directory outlives the in-memory
-      // catalog, so a reused location fails the next JVM's saveAsTable.
+      // pid+nanoTime-unique: a managed table's directory outlives the
+      // in-memory catalog, so a reused location fails the next JVM's
+      // saveAsTable — and pids RECYCLE on a long-lived host (each
+      // 32-thread Spark JVM burns thousands of Linux pids, so a session
+      // running many forked mains wraps pid_max and collides; observed
+      // round 8: LOCATION_ALREADY_EXISTS on graft-warehouse-865).
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-" +
+          s"${ProcessHandle.current().pid()}-${java.lang.System.nanoTime()}")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
