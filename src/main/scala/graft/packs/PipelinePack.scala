@@ -312,6 +312,35 @@ object PipelinePack {
       Dedup.resolveCanonical(Tables.documents(s, d), jaccardPairsFixture(s, d))
         .orderBy("doc_id")
     },
+    // The CAPSTONE curation manifest — the per-doc decision table an
+    // LLM training pipeline actually ships: near-dup status (cluster
+    // canonical/duplicate/unique), leakage-safe split, trained quality
+    // score + keep flag, token count, and the final include gate
+    // (not-a-duplicate ∧ quality-keep ∧ train split). Pure composition
+    // of four already-verified operators — every join is doc_id-keyed.
+    "q_pipeline_curation_manifest" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = jaccardPairsFixture(s, d)
+      val status = docs.select(col("doc_id"))
+        .join(Dedup.duplicateClusters(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("cluster_id").isNull, "unique")
+            .when(col("doc_id") === col("cluster_id"), "canonical")
+            .otherwise("duplicate").as("status"))
+      val split = Dedup.leakageSafeSplit(docs, pairs, TRAIN_PCT)
+        .select(col("doc_id"), col("split"))
+      val score = graft.operators.Classifier.logisticQualityScore(
+        docs, LOGIT_ITERS, LOGIT_LAMBDA, LOGIT_KEEP_MIN)
+      val toks = TextAnalysis.tokenCounts(docs)
+        .select(col("doc_id"), col("ws_tokens"))
+      status.join(split, Seq("doc_id")).join(score, Seq("doc_id"))
+        .join(toks, Seq("doc_id"))
+        .select(col("doc_id"), col("status"), col("split"),
+          col("score"), col("keep"), col("ws_tokens"),
+          ((col("status") =!= "duplicate") && col("keep") === 1L &&
+            col("split") === "train").cast("long").as("include"))
+        .orderBy("doc_id")
+    },
     // Leakage-safe train/test split: the split key is the near-dup
     // CLUSTER (singleton for docs without a near-dup), so no cluster
     // ever straddles train and test — the evaluation-leakage guard a
@@ -1581,6 +1610,45 @@ object PipelinePack {
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
          |WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Joins the four verified CTE families (recursive cluster closure,
+    // md5 cluster split, the shared IRLS chain's final coefficients,
+    // whitespace tokens) into the per-doc manifest — mirrors the Spark
+    // composition literally, including the eta→score rounding chain
+    // and the include gate.
+    "q_pipeline_curation_manifest" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |$logisticCtes,
+         |stt AS (SELECT d.doc_id,
+         |               CASE WHEN l.doc_id IS NULL THEN 'unique'
+         |                    WHEN l.cluster_id = d.doc_id THEN 'canonical'
+         |                    ELSE 'duplicate' END AS status
+         |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |spl AS (SELECT d.doc_id,
+         |               CASE WHEN ${Hashing.md5LongSql(
+                           "concat('lsplit:', CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR))")}
+         |                    % 100 < $TRAIN_PCT
+         |                    THEN 'train' ELSE 'test' END AS split
+         |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |fin2 AS (SELECT zf.doc_id,
+         |                round(b.b0 + b.b1 * z1 + b.b2 * z2 + b.b3 * z3, 6) AS eta
+         |         FROM zf, bb$LOGIT_ITERS b),
+         |scf AS (SELECT doc_id, round(1.0 / (1.0 + exp(-eta)), 6) AS score
+         |        FROM fin2),
+         |tok AS (SELECT doc_id,
+         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+         |        FROM documents)
+         |SELECT stt.doc_id, status, split, score,
+         |       CAST(CASE WHEN score >= $LOGIT_KEEP_MIN THEN 1 ELSE 0 END
+         |            AS BIGINT) AS keep,
+         |       ws_tokens,
+         |       CAST(CASE WHEN status <> 'duplicate'
+         |                  AND score >= $LOGIT_KEEP_MIN
+         |                  AND split = 'train'
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS include
+         |FROM stt JOIN spl USING (doc_id) JOIN scf USING (doc_id)
+         |         JOIN tok USING (doc_id)
+         |ORDER BY stt.doc_id""".stripMargin,
 
     // Same transitive closure, then the md5 cluster-keyed split and
     // the per-cluster atomicity verdict — mirrors
