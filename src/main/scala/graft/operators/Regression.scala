@@ -58,4 +58,22 @@ object Regression {
   def predict(df: DataFrame, coef: DataFrame, x: String): DataFrame =
     df.crossJoin(broadcast(coef))
       .withColumn("yhat", col("b0") + col("b1") * col(x))
+
+  /** K5 — the Lambda's HTTP response envelope (reference
+    * `lambda_function_final.py:94-109`): statusCode 200, a Content-Type
+    * header, and a JSON body `{"RMSE": [r], "Model Coefficients":
+    * [b0, b1]}` around the model results. The body is built with
+    * fixed-scale decimal rendering (not engine float formatting) so the
+    * serialized bytes are deterministic across engines; input is the
+    * 1-row `trainEval` frame, so this is a constant-cost projection. */
+  def responseEnvelope(modelResults: DataFrame): DataFrame = {
+    def dec(c: String) = col(c).cast("decimal(38,6)").cast("string")
+    modelResults.select(
+      lit(200L).as("status_code"),
+      lit("application/json").as("content_type"),
+      concat(
+        lit("{\"RMSE\": ["), dec("rmse"),
+        lit("], \"Model Coefficients\": ["), dec("b0"), lit(", "), dec("b1"),
+        lit("]}")).as("body"))
+  }
 }

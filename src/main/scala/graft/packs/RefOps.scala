@@ -26,6 +26,14 @@ object RefOps {
       Regression.trainEval(Tables.lineitem(s, d), "l_orderkey", "l_quantity", "l_extendedprice")
     },
 
+    // K5 — the HTTP response envelope around the model results (the API
+    // Gateway contract, engine-shaped: 1-row frame with a deterministic
+    // JSON body instead of a Python dict).
+    "q_k5_http_envelope" -> { (s, d) =>
+      Regression.responseEnvelope(
+        Regression.trainEval(Tables.lineitem(s, d), "l_orderkey", "l_quantity", "l_extendedprice"))
+    },
+
     // F1–F3 — the sanitization chain over deterministically dirtied text.
     "q_f1f3_clean_chain" -> { (s, d) =>
       val dirty = concat(
@@ -234,6 +242,23 @@ object RefOps {
         |       round(any_value(b0), 6) AS b0,
         |       count(*) AS n_test
         |FROM lineitem, coef WHERE l_orderkey % 5 >= 3""".stripMargin,
+
+    "q_k5_http_envelope" ->
+      """WITH coef AS (
+        |  SELECT regr_slope(l_extendedprice, l_quantity) AS b1,
+        |         regr_intercept(l_extendedprice, l_quantity) AS b0
+        |  FROM lineitem WHERE l_orderkey % 5 < 3),
+        |m AS (
+        |  SELECT round(sqrt(avg(pow(b0 + b1 * l_quantity - l_extendedprice, 2))), 6) AS rmse,
+        |         round(any_value(b0), 6) AS b0,
+        |         round(any_value(b1), 6) AS b1
+        |  FROM lineitem, coef WHERE l_orderkey % 5 >= 3)
+        |SELECT CAST(200 AS BIGINT) AS status_code,
+        |       'application/json' AS content_type,
+        |       '{"RMSE": [' || CAST(CAST(rmse AS DECIMAL(38,6)) AS VARCHAR)
+        |         || '], "Model Coefficients": [' || CAST(CAST(b0 AS DECIMAL(38,6)) AS VARCHAR)
+        |         || ', ' || CAST(CAST(b1 AS DECIMAL(38,6)) AS VARCHAR) || ']}' AS body
+        |FROM m""".stripMargin,
 
     "q_f1f3_clean_chain" ->
       """WITH t AS (

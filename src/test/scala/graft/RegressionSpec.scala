@@ -36,6 +36,17 @@ class RegressionSpec extends AnyFunSuite {
     assert(train == 600L)
   }
 
+  test("K5 envelope: status/header/deterministic JSON body") {
+    val results = Seq((12.25, 0.5, -3.125)).toDF("rmse", "b0", "b1")
+    val r = Regression.responseEnvelope(results).collect().head
+    assert(r.getLong(r.fieldIndex("status_code")) == 200L)
+    assert(r.getString(r.fieldIndex("content_type")) == "application/json")
+    // fixed-scale decimal rendering, reference key order (RMSE, then
+    // [b0, b1] — lambda_function_final.py:96-98)
+    assert(r.getString(r.fieldIndex("body")) ==
+      """{"RMSE": [12.250000], "Model Coefficients": [0.500000, -3.125000]}""")
+  }
+
   test("row order does not change the fit (permutation invariance)") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
     val a = Regression.fit(li, "l_quantity", "l_extendedprice").collect().head
