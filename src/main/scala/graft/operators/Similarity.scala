@@ -671,6 +671,55 @@ object Similarity {
       hardNegativeMiningIvf(emb, queryPred, k, nProbe, centStride,
         hardMin, fnMin), k - 1)
 
+  /** Graded ranking quality (MRR + nDCG@k) of the IVF index against
+    * the exact ranking — the serving scorecard a retrieval deployment
+    * tracks ALONGSIDE recall: recall@k says whether the true
+    * neighbours surface at all, nDCG says where the index puts them
+    * (rank-discounted gain), MRR how early the single best neighbour
+    * appears. Relevance grades are self-supervised from the exact
+    * ranking (rel = k−rank+1 for the exact top-k, 0 otherwise), so no
+    * external labels are needed — the same grading source as
+    * [[annRecallReport]]. Numeric discipline: each per-position
+    * contribution rel/log2(pos+1) is rounded to 6 decimals IMMEDIATELY
+    * (absorbing 1-ulp ln() divergence, the temperature-mix pow
+    * pattern; both engines spell log2 as ln(x)/ln(2)), and the
+    * per-query sums are exact DECIMAL folds ([[Num.dsum]]) — order-
+    * independent under any partitioning. Scale: the two retrieval
+    * passes dominate; the scoring tail is one k-rows-per-query join
+    * plus keyed aggregates. */
+  def rankingMetricsReport(emb: DataFrame, queryPred: Column, k: Int,
+                           nProbe: Int, centStride: Long): DataFrame = {
+    import graft.functions.Num
+    def log2(c: Column): Column = log(c) / log(lit(2.0))
+    val truth = bruteForceTopK(emb, queryPred, k)
+      .select(col("query_id"), col("rn").as("trn"), col("vec_id"))
+    val approx = ivfTopK(emb, queryPred, k, nProbe, centStride)
+      .select(col("query_id"), col("rn").as("arn"), col("vec_id"))
+    val contrib = approx.join(truth, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"),
+        round(coalesce((lit(k) - col("trn") + 1).cast("double"), lit(0.0))
+          / log2(col("arn") + 1), 6).as("c"),
+        when(col("trn") === 1, round(lit(1.0) / col("arn"), 6))
+          .otherwise(lit(0.0)).as("rr1"))
+    val dcg = contrib.groupBy("query_id").agg(
+      round(Num.dsum(col("c")), 6).as("dcg"),
+      max(col("rr1")).as("rr"))
+    // iDCG from the exact ranking's own ordering (grades are already
+    // descending in rank, so this IS the ideal DCG).
+    val idcg = truth
+      .select(col("query_id"),
+        round((lit(k) - col("trn") + 1).cast("double") / log2(col("trn") + 1), 6)
+          .as("ic"))
+      .groupBy("query_id").agg(round(Num.dsum(col("ic")), 6).as("idcg"))
+    // Left join keeps queries the index missed entirely (all-zero row).
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rr"), lit(0.0)).as("rr"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
+
   /** The shared mining/labeling tail: rank-1 of `top` is the positive,
     * ranks 2..k are candidates scored against it. `top` must carry
     * (query_id, rn, vec_id, cosine); `e` a [[normalized]] frame. */

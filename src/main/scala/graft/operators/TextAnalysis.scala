@@ -219,6 +219,69 @@ object TextAnalysis {
           .as("fill_ratio"))
       .orderBy("lang")
 
+  /** Deterministic global shuffle of a corpus into `shards` balanced
+    * training shards — the final materialization step before a training
+    * run reads the data (a corpus left in crawl/source order trains on
+    * correlated batches): each document gets a content-independent
+    * pseudo-random key (md5 of its id, [[graft.functions.Hashing]]),
+    * its shard is key mod shards, its position the key's rank within
+    * the shard. Reproducible — pure hashing, no RNG state, invariant to
+    * input partitioning and insert order. Scale: one hash exchange on
+    * `shard` plus an IN-PARTITION sort (each window partition is one
+    * shard) — no global sort exists; at 100 TB raise `shards` until a
+    * shard fits a task, shuffle quality is unaffected (the key is
+    * uniform within every shard too). */
+  def globalShuffle(docs: DataFrame, shards: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("skey").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"),
+        graft.functions.Hashing.md5Long(col("doc_id").cast("string")).as("skey"))
+      .withColumn("shard", col("skey") % shards) // skey ≥ 0 (60-bit hex)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Length-bucketed micro-batching — the padding-efficiency layout a
+    * fine-tuning pipeline uses when documents are NOT packed (packing
+    * destroys example boundaries; instruction tuning keeps them):
+    * bucket documents by token count (floored to `bucketWidth`), split
+    * each bucket into md5 shards, and assign fixed-size batches in
+    * doc_id order within each (bucket, shard). One row per batch:
+    * size, max/sum tokens, and fill = sum/(n·max) — the fraction of
+    * the padded batch tensor that is real tokens (unbucketed batching
+    * wastes 1−avg/max of every batch; this report prices the bucket
+    * layout). All signals are exact-integer ratios → bit-identical
+    * IEEE divisions on both engines. Scale: the same (group, shard)
+    * window discipline as [[packSequences]] — parallelism is
+    * |buckets|·|shards|, batches never span shards, no global sort. */
+  def lengthBucketBatches(docs: DataFrame, bucketWidth: Long,
+                          batchSize: Long, shards: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "shard").orderBy("doc_id")
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (graft.functions.Hashing.md5Mod(col("doc_id").cast("string")) % shards)
+          .as("shard"))
+      .withColumn("bucket",
+        (floor(col("n_tokens") / lit(bucketWidth.toDouble)) * bucketWidth)
+          .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_no",
+        floor((col("rn") - 1) / lit(batchSize.toDouble)).cast("long"))
+      .groupBy("bucket", "shard", "batch_no")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("shard"), col("batch_no"), col("n_docs"),
+        col("max_tokens"), col("sum_tokens"),
+        round(col("sum_tokens").cast("double")
+          / (col("n_docs") * col("max_tokens")).cast("double"), 6)
+          .as("fill_ratio"))
+  }
+
   /** Temperature-weighted source mixture (the τ-scaled sampling weights
     * an LLM data pipeline uses to rebalance domains — τ=1 keeps natural
     * proportions, τ→0 approaches uniform): per source, weight ∝

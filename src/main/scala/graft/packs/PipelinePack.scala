@@ -45,6 +45,8 @@ object PipelinePack {
   /** Sequence packing: 2048-token sequences over 8 md5 shards. */
   private val SEQ_LEN = 2048L
   private val SHARDS = 8L
+  private val BUCKET_WIDTH = 16L
+  private val BATCH_SIZE = 4L
   /** Temperature for the τ-weighted source mixture. */
   private val TEMP_TAU = 0.7
   /** Decontamination: every 97th doc is the "benchmark"; ≥3 shared
@@ -521,6 +523,18 @@ object PipelinePack {
     "q_text_temperature_mix" -> { (s, d) =>
       TextAnalysis.temperatureMix(Tables.documents(s, d), TEMP_TAU)
     },
+    // Deterministic global shuffle: md5-keyed pseudo-random permutation
+    // into balanced training shards (in-shard rank, no global sort).
+    "q_text_global_shuffle" -> { (s, d) =>
+      TextAnalysis.globalShuffle(Tables.documents(s, d), SHARDS)
+        .orderBy("shard", "pos")
+    },
+    // Length-bucketed micro-batches with per-batch padding fill ratio.
+    "q_text_length_batches" -> { (s, d) =>
+      TextAnalysis.lengthBucketBatches(Tables.documents(s, d),
+          BUCKET_WIDTH, BATCH_SIZE, SHARDS)
+        .orderBy("bucket", "shard", "batch_no")
+    },
 
     // Materialized training sequences: the packing assignment joined
     // back to the text and rolled up per (lang, shard, seq_no) — doc
@@ -682,6 +696,13 @@ object PipelinePack {
           col("vec_id") % 100 === 0, TOPK, NPROBE, CENT_STRIDE,
           HARD_MIN, FN_MIN)
         .orderBy("query_id", "rn")
+    },
+    // Graded serving scorecard of the IVF index: per-query MRR + nDCG@k
+    // vs the exact ranking (rank-discounted quality, not just overlap).
+    "q_sim_ranking_metrics" -> { (s, d) =>
+      Similarity.rankingMetricsReport(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, NPROBE, CENT_STRIDE)
+        .orderBy("query_id")
     },
     // Per-query recall of the index-mined negative candidate set
     // against the exact miner's — the trust gate for index mining.
@@ -1944,6 +1965,38 @@ object PipelinePack {
          |$ivfCtes,
          |${hardNegSqlTail("ir")}""".stripMargin,
 
+    // Mirrors Similarity.rankingMetricsReport: the exact chain grades
+    // relevance (rel = k−trn+1), the IVF chain is the graded ranking;
+    // per-position contributions round to 6 BEFORE the DECIMAL-exact
+    // per-query sums, log2 spelled ln(x)/ln(2) on both engines.
+    "q_sim_ranking_metrics" ->
+      s"""WITH $normalizedCte,
+         |$cosineTopKCtes,
+         |$ivfCtes,
+         |rm_tk AS (SELECT query_id, rn AS trn, vec_id FROM r WHERE rn <= $TOPK),
+         |rm_ak AS (SELECT query_id, rn AS arn, vec_id FROM ir WHERE rn <= $TOPK),
+         |rm_con AS (
+         |  SELECT rm_ak.query_id,
+         |         round(coalesce(CAST($TOPK - rm_tk.trn + 1 AS DOUBLE), 0.0)
+         |               / (ln(rm_ak.arn + 1) / ln(2)), 6) AS c,
+         |         CASE WHEN rm_tk.trn = 1 THEN round(1.0 / rm_ak.arn, 6)
+         |              ELSE 0.0 END AS rr1
+         |  FROM rm_ak LEFT JOIN rm_tk ON rm_ak.query_id = rm_tk.query_id
+         |                            AND rm_ak.vec_id = rm_tk.vec_id),
+         |rm_dcg AS (SELECT query_id, round(${Num.dsumSql("c")}, 6) AS dcg,
+         |                  max(rr1) AS rr
+         |           FROM rm_con GROUP BY query_id),
+         |rm_idcg AS (SELECT query_id, round(${Num.dsumSql(
+               s"round(CAST($TOPK - trn + 1 AS DOUBLE) / (ln(trn + 1) / ln(2)), 6)")}, 6) AS idcg
+         |            FROM rm_tk GROUP BY query_id)
+         |SELECT query_id,
+         |       coalesce(rr, 0.0) AS rr,
+         |       coalesce(rm_dcg.dcg, 0.0) AS dcg,
+         |       idcg,
+         |       round(coalesce(rm_dcg.dcg, 0.0) / idcg, 6) AS ndcg
+         |FROM rm_idcg LEFT JOIN rm_dcg USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
     // Recall of the index-mined negative set (ranks 2..k of the IVF
     // ranking) against the exact miner's, per query — mirrors
     // Similarity.hardNegativeRecallReport (LEFT JOIN keeps queries the
@@ -2137,6 +2190,48 @@ object PipelinePack {
          |       round(w_raw / z, 6) AS weight,
          |       round(w_raw / z * total_docs / n_docs, 6) AS sample_rate
          |FROM c, z ORDER BY source""".stripMargin,
+
+    // Mirrors TextAnalysis.globalShuffle: same md5-derived 60-bit key,
+    // same shard mod, same in-shard (key, doc_id) rank.
+    "q_text_global_shuffle" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ${Hashing.md5LongSql("CAST(doc_id AS VARCHAR)")} AS skey
+         |  FROM documents),
+         |s AS (SELECT doc_id, skey, skey % $SHARDS AS shard FROM t)
+         |SELECT doc_id, shard,
+         |       CAST(row_number() OVER (PARTITION BY shard
+         |            ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // Mirrors TextAnalysis.lengthBucketBatches: same double floor for
+    // the bucket and batch, same md5 shard, exact-integer fill ratio.
+    "q_text_length_batches" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         (${Hashing.md5ModSql("CAST(doc_id AS VARCHAR)")} % $SHARDS) AS shard
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |         CAST(floor(n_tokens / $BUCKET_WIDTH.0) * $BUCKET_WIDTH AS BIGINT)
+         |           AS bucket
+         |  FROM t),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket, shard
+         |            ORDER BY doc_id) AS rn
+         |  FROM b),
+         |a AS (
+         |  SELECT bucket, shard,
+         |         CAST(floor((rn - 1) / $BATCH_SIZE.0) AS BIGINT) AS batch_no,
+         |         count(*) AS n_docs,
+         |         max(n_tokens) AS max_tokens,
+         |         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |  FROM r GROUP BY bucket, shard, batch_no)
+         |SELECT bucket, shard, batch_no, n_docs, max_tokens, sum_tokens,
+         |       round(CAST(sum_tokens AS DOUBLE)
+         |             / CAST(n_docs * max_tokens AS DOUBLE), 6) AS fill_ratio
+         |FROM a ORDER BY bucket, shard, batch_no""".stripMargin,
 
     "q_text_seq_materialize" ->
       s"""WITH $seqPackCtes

@@ -316,6 +316,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rankingMetricsReport: perfect index → ndcg = rr = 1; metrics bounded") {
+    import org.apache.spark.sql.functions._
+    // centStride 1 makes EVERY vector a centroid: each inverted list is
+    // a singleton, and probing nProbe = corpus-size lists makes the IVF
+    // retrieval exact — so dcg must equal idcg and the exact top-1 sits
+    // at index rank 1 (rr = 1).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.2f, 0f, 0f)),
+      (2L, Array(0.1f, 1.0f, 0f, 0f)),
+      (3L, Array(0.2f, 0.9f, 0f, 0f)),
+      (100L, Array(1.0f, 0.0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val perfect = Similarity.rankingMetricsReport(
+      emb, col("vec_id") % 100 === 0, 3, 5, 1L).collect()
+    assert(perfect.length == 2) // queries 0 and 100
+    perfect.foreach { r =>
+      assert(r.getAs[Double]("rr") == 1.0)
+      assert(r.getAs[Double]("ndcg") == 1.0)
+      assert(r.getAs[Double]("dcg") == r.getAs[Double]("idcg"))
+    }
+    // Real corpus, lossy probe count: bounded metrics, one row/query.
+    val real = Tables.embeddings(spark, TestSpark.sf0001)
+    val nQueries = real.filter(col("vec_id") % 100 === 0).count()
+    val out = Similarity.rankingMetricsReport(
+      real, col("vec_id") % 100 === 0, 10, 2, 61L).collect()
+    assert(out.length == nQueries)
+    out.foreach { r =>
+      assert(r.getAs[Double]("rr") >= 0.0 && r.getAs[Double]("rr") <= 1.0)
+      assert(r.getAs[Double]("ndcg") >= 0.0 && r.getAs[Double]("ndcg") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("idcg") > 0.0)
+      assert(r.getAs[Double]("dcg") <= r.getAs[Double]("idcg") + 1e-9)
+    }
+  }
+
   test("annRecallReport: one row per query, recall = hits/k in [0, 1]") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, TestSpark.sf0001)

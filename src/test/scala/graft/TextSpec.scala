@@ -479,6 +479,58 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("globalShuffle: exact permutation into shards, order-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val n = docs.count()
+    val out = TextAnalysis.globalShuffle(docs, 8L)
+    val rows = out.collect()
+    assert(rows.length == n) // a permutation: every doc exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // shards in range; in-shard positions are contiguous 1..size
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, g) =>
+      assert(sh >= 0L && sh < 8L)
+      assert(g.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    // deterministic under input partitioning AND input row order
+    val again = TextAnalysis.globalShuffle(
+      docs.repartition(7).orderBy(rand(3)), 8L).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // and genuinely shuffled: in-shard neighbour doc_ids are not the
+    // corpus order (md5 keys decorrelate adjacent ids)
+    val shard0 = rows.filter(_.getAs[Long]("shard") == 0L)
+      .sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id"))
+    assert(shard0.length > 3 && shard0.toSeq != shard0.sorted.toSeq)
+  }
+
+  test("lengthBucketBatches: bounded batches, honest fill ratio") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val n = docs.count()
+    val out = TextAnalysis.lengthBucketBatches(docs, 16L, 4L, 8L).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n) // total partition
+    out.foreach { r =>
+      val nd = r.getAs[Long]("n_docs")
+      val mx = r.getAs[Long]("max_tokens")
+      val sm = r.getAs[Long]("sum_tokens")
+      val bk = r.getAs[Long]("bucket")
+      assert(nd >= 1L && nd <= 4L)           // batch size respected
+      assert(mx >= bk && mx < bk + 16L)      // docs stay in their bucket
+      assert(sm <= nd * mx && sm >= nd * bk) // token sums consistent
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0.0 && fill <= 1.0)
+      assert(math.abs(fill - sm.toDouble / (nd * mx)) < 1e-6)
+    }
+    // bucketing must beat one global bucket on padding waste
+    val global = TextAnalysis.lengthBucketBatches(docs, 1000000L, 4L, 8L)
+      .collect()
+    def wasted(rs: Array[org.apache.spark.sql.Row]): Double = {
+      val cap = rs.map(r => r.getAs[Long]("n_docs") * r.getAs[Long]("max_tokens")).sum
+      val tok = rs.map(_.getAs[Long]("sum_tokens")).sum
+      1.0 - tok.toDouble / cap
+    }
+    assert(wasted(out) < wasted(global))
+  }
+
   test("imageNearDup banding is recall-EXACT: equals all-pairs Hamming") {
     val docs = (0L until 30L).map((_, "ignored")).toDF("doc_id", "text")
     val hashes = Multimodal.imageAHash(spark,
