@@ -720,6 +720,44 @@ object Similarity {
         round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Chunk→document embedding pooling — how long documents get embedded
+    * when the encoder is context-bounded: a document's vector is the
+    * mean of its chunk embeddings. Chunks group by `vec_id div
+    * groupSize`; the report emits, per document, the chunk count, the
+    * POOLED NORM (mean of unit vectors — 1 iff all chunks agree, small
+    * when the doc's chunks scatter: the standard intra-doc coherence
+    * signal), and the cosine of the first chunk against the pooled
+    * direction (does the lead chunk represent the doc?). Determinism:
+    * per-dim means are exact DECIMAL(38,12) sums with ONE IEEE division
+    * ([[graft.functions.Num.dsumAt]]), the vector re-assembles in dim
+    * order, and every dot is the sequential-fold `dotp` both engines
+    * spell identically. Scale: one posexplode (rows × dims, the same
+    * shape every embedding op here shuffles), keyed means, and a
+    * |docs|-sized tail — no pairwise term at all. */
+  def chunkPooledEmbeddings(emb: DataFrame, groupSize: Long): DataFrame = {
+    import graft.functions.Num
+    val e = normalized(emb)
+      .withColumn("group_id", expr(s"vec_id div $groupSize"))
+    val pooled = e
+      .select(col("group_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("group_id", "pos")
+      .agg((Num.dsumAt(col("x"), 12) / count(lit(1))).as("m"))
+      .groupBy("group_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        t => t.getField("m")).as("p"))
+    val firstChunk = e.groupBy("group_id").agg(min(col("vec_id")).as("vec_id"))
+      .join(e, Seq("group_id", "vec_id"))
+      .select(col("group_id"), col("v").as("v0"))
+    val counts = e.groupBy("group_id").agg(count(lit(1)).as("n_chunks"))
+    pooled.join(firstChunk, Seq("group_id")).join(counts, Seq("group_id"))
+      .withColumn("nrm", sqrt(expr("dotp(p, p)")))
+      .select(col("group_id"), col("n_chunks"),
+        round(col("nrm"), 6).as("pooled_norm"),
+        when(col("nrm") > 0,
+          round(expr("dotp(p, v0)") / col("nrm"), 6)).otherwise(lit(0.0))
+          .as("first_cosine"))
+  }
+
   /** The shared mining/labeling tail: rank-1 of `top` is the positive,
     * ranks 2..k are candidates scored against it. `top` must carry
     * (query_id, rn, vec_id, cosine); `e` a [[normalized]] frame. */

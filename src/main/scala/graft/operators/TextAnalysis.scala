@@ -310,6 +310,29 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Token-budget mixing plan — the data recipe a pretraining run
+    * publishes: realize [[temperatureMix]]'s τ-scaled weights as
+    * per-source token targets under a total budget, next to the tokens
+    * each source actually has; `epochs` = target/available is the
+    * repetition count (>1 means the source repeats — the ceiling a
+    * curator caps before re-balancing). `target_tokens` is exact:
+    * weight is a 6-decimal value and the budget a multiple of 10⁷, so
+    * weight·budget is an integer times 10 in doubles — no rounding-mode
+    * tie is reachable. Scale: two keyed aggregates over the corpus and
+    * a |sources|-row join. */
+  def epochPlan(docs: DataFrame, tau: Double, tokenBudget: Long): DataFrame = {
+    require(tokenBudget % 10000000L == 0, "budget must be a multiple of 1e7 (exactness)")
+    val toks = docs.groupBy("source").agg(
+      sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+    temperatureMix(docs, tau)
+      .drop("sample_rate")
+      .join(toks, Seq("source"))
+      .select(col("source"), col("n_docs"), col("weight"), col("avail_tokens"),
+        round(col("weight") * tokenBudget, 0).cast("long").as("target_tokens"),
+        round(col("weight") * tokenBudget / col("avail_tokens"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   /** Sequence packing for LLM training: assign documents to fixed-size
     * token sequences (greedy streaming pack in doc_id order) WITHIN
     * deterministic (lang, shard) groups — the standard distributed

@@ -49,6 +49,8 @@ object PipelinePack {
   private val BATCH_SIZE = 4L
   /** Temperature for the τ-weighted source mixture. */
   private val TEMP_TAU = 0.7
+  private val TOKEN_BUDGET = 10000000L
+  private val CHUNK_GROUP = 10L
   /** Decontamination: every 97th doc is the "benchmark"; ≥3 shared
     * shingles flags a training doc as contaminated. */
   private val BENCH_MOD = 97L
@@ -523,6 +525,11 @@ object PipelinePack {
     "q_text_temperature_mix" -> { (s, d) =>
       TextAnalysis.temperatureMix(Tables.documents(s, d), TEMP_TAU)
     },
+    // Token-budget mixing plan: τ-weights realized as per-source token
+    // targets and epoch (repetition) counts under a fixed budget.
+    "q_text_epoch_plan" -> { (s, d) =>
+      TextAnalysis.epochPlan(Tables.documents(s, d), TEMP_TAU, TOKEN_BUDGET)
+    },
     // Deterministic global shuffle: md5-keyed pseudo-random permutation
     // into balanced training shards (in-shard rank, no global sort).
     "q_text_global_shuffle" -> { (s, d) =>
@@ -646,6 +653,12 @@ object PipelinePack {
     },
     // SemDeDup: within-cluster semantic near-dup removal over the
     // embedding space (keep-lowest-id policy).
+    // Chunk→document embedding pooling: per-doc pooled norm (intra-doc
+    // coherence) + first-chunk-vs-centroid cosine.
+    "q_sim_chunk_pool" -> { (s, d) =>
+      Similarity.chunkPooledEmbeddings(Tables.embeddings(s, d), CHUNK_GROUP)
+        .orderBy("group_id")
+    },
     "q_sim_semdedup" -> { (s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), SEM_STRIDE, COS_MIN)
         .orderBy("vec_id")
@@ -1965,6 +1978,34 @@ object PipelinePack {
          |$ivfCtes,
          |${hardNegSqlTail("ir")}""".stripMargin,
 
+    // Mirrors Similarity.chunkPooledEmbeddings: zipped parallel unnest
+    // for (pos, x), DECIMAL(38,12)-exact per-dim sums with one division,
+    // dim-ordered list re-assembly, the shared sequential-fold dot.
+    "q_sim_chunk_pool" ->
+      s"""WITH $normalizedCte,
+         |cg AS (SELECT vec_id, vec_id // $CHUNK_GROUP AS group_id, v FROM e),
+         |cd AS (SELECT group_id,
+         |              unnest(range(0, len(v))) AS pos,
+         |              unnest(v) AS x
+         |       FROM cg),
+         |pm AS (SELECT group_id, pos,
+         |              ${Num.dsumAtSql("x", 12)} / count(*) AS m
+         |       FROM cd GROUP BY group_id, pos),
+         |pv AS (SELECT group_id, list(m ORDER BY pos) AS p
+         |       FROM pm GROUP BY group_id),
+         |f0 AS (SELECT group_id, min(vec_id) AS vec_id FROM cg GROUP BY group_id),
+         |fv AS (SELECT group_id, v AS v0 FROM f0 JOIN cg USING (group_id, vec_id)),
+         |nc AS (SELECT group_id, count(*) AS n_chunks FROM cg GROUP BY group_id),
+         |fin AS (SELECT group_id, sqrt(${dotSql("p", "p")}) AS nrm,
+         |               ${dotSql("p", "v0")} AS d0
+         |        FROM pv JOIN fv USING (group_id))
+         |SELECT group_id, n_chunks,
+         |       round(nrm, 6) AS pooled_norm,
+         |       CASE WHEN nrm > 0 THEN round(d0 / nrm, 6) ELSE 0.0 END
+         |         AS first_cosine
+         |FROM fin JOIN nc USING (group_id)
+         |ORDER BY group_id""".stripMargin,
+
     // Mirrors Similarity.rankingMetricsReport: the exact chain grades
     // relevance (rel = k−trn+1), the IVF chain is the graded ranking;
     // per-position contributions round to 6 BEFORE the DECIMAL-exact
@@ -2189,6 +2230,28 @@ object PipelinePack {
          |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
          |       round(w_raw / z, 6) AS weight,
          |       round(w_raw / z * total_docs / n_docs, 6) AS sample_rate
+         |FROM c, z ORDER BY source""".stripMargin,
+
+    // Mirrors TextAnalysis.epochPlan: the temperature-mix CTE plus
+    // per-source token sums; target is exact (6-dp weight × 1e7-multiple
+    // budget → integer×10 in doubles), epochs one IEEE division.
+    "q_text_epoch_plan" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         round(pow(count(*), $TEMP_TAU), 6) AS w_raw,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+         |  FROM documents GROUP BY source),
+         |z AS (
+         |  SELECT list_reduce(list_prepend(0.0, list_sort(list(w_raw))),
+         |                     (a, b) -> a + b) AS z
+         |  FROM c)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       round(w_raw / z, 6) AS weight,
+         |       avail_tokens,
+         |       CAST(round(round(w_raw / z, 6) * $TOKEN_BUDGET, 0) AS BIGINT)
+         |         AS target_tokens,
+         |       round(round(w_raw / z, 6) * $TOKEN_BUDGET / avail_tokens, 6)
+         |         AS epochs
          |FROM c, z ORDER BY source""".stripMargin,
 
     // Mirrors TextAnalysis.globalShuffle: same md5-derived 60-bit key,

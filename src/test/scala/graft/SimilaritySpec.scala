@@ -316,6 +316,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("chunkPooledEmbeddings: coherent group → norm 1, scattered group < 1") {
+    import org.apache.spark.sql.functions._
+    // group 0 (ids 0-2): identical directions → pooled norm 1, lead
+    // chunk fully representative. group 1 (ids 10-11): orthogonal
+    // chunks → pooled norm 1/√2, lead cosine 1/√2.
+    val emb = Seq(
+      (0L, Array(2.0f, 0f, 0f, 0f)),
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(5.0f, 0f, 0f, 0f)),
+      (10L, Array(0f, 1.0f, 0f, 0f)),
+      (11L, Array(0f, 0f, 1.0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.chunkPooledEmbeddings(emb, 10L)
+      .orderBy("group_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_chunks") == 3L)
+    assert(out(0).getAs[Double]("pooled_norm") == 1.0)
+    assert(out(0).getAs[Double]("first_cosine") == 1.0)
+    assert(out(1).getAs[Long]("n_chunks") == 2L)
+    assert(math.abs(out(1).getAs[Double]("pooled_norm") - math.sqrt(0.5)) < 1e-6)
+    assert(math.abs(out(1).getAs[Double]("first_cosine") - math.sqrt(0.5)) < 1e-6)
+    // real corpus: every chunk accounted for, norms in (0, 1]
+    val real = Tables.embeddings(spark, TestSpark.sf0001)
+    val rep = Similarity.chunkPooledEmbeddings(real, 10L).collect()
+    assert(rep.map(_.getAs[Long]("n_chunks")).sum == real.count())
+    rep.foreach { r =>
+      val n = r.getAs[Double]("pooled_norm")
+      assert(n > 0.0 && n <= 1.0 + 1e-9)
+    }
+  }
+
   test("rankingMetricsReport: perfect index → ndcg = rr = 1; metrics bounded") {
     import org.apache.spark.sql.functions._
     // centStride 1 makes EVERY vector a centroid: each inverted list is

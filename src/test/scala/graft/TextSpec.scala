@@ -479,6 +479,23 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("epochPlan: weights normalize, targets spend the budget, epochs honest") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = TextAnalysis.epochPlan(docs, 0.7, 10000000L).collect()
+    assert(out.nonEmpty)
+    val wsum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4) // 6-dp weights normalize
+    val tsum = out.map(_.getAs[Long]("target_tokens")).sum
+    assert(math.abs(tsum - 10000000L) < out.length * 10L) // budget spent
+    out.foreach { r =>
+      val target = r.getAs[Long]("target_tokens")
+      val avail = r.getAs[Long]("avail_tokens")
+      val epochs = r.getAs[Double]("epochs")
+      assert(avail > 0L && target >= 0L)
+      assert(math.abs(epochs - target.toDouble / avail) < 1e-4)
+    }
+  }
+
   test("globalShuffle: exact permutation into shards, order-invariant") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val n = docs.count()
