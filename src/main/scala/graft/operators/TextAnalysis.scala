@@ -601,22 +601,74 @@ object TextAnalysis {
     val cnt = words.groupBy("lang", "word").agg(
       sum(when(!col("is_b"), 1L).otherwise(0L)).as("ca"),
       sum(when(col("is_b"), 1L).otherwise(0L)).as("cb"))
-    val tot = cnt.groupBy("lang").agg(
+    klFromCounts(cnt, Seq("lang"))
+  }
+
+  /** The shared KL tail over an (keys…, word, ca, cb) count frame —
+    * identical smoothing/exactness to the original [[klDrift]] body
+    * (add-one over the union vocabulary, exact integer products as
+    * doubles in a pinned operand order, decimal-stable term sums, one
+    * 6-dp round): ONE spelling for the A/B snapshot drift and the
+    * per-wave reference drift, kept in lockstep with the oracles. */
+  private def klFromCounts(cnt: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val tot = cnt.groupBy(kc: _*).agg(
       sum(col("ca")).as("ta"), sum(col("cb")).as("tb"), count(lit(1)).as("v"))
     val pa = (col("ca") + 1).cast("double") * (col("tb") + col("v")).cast("double")
     val pb = (col("cb") + 1).cast("double") * (col("ta") + col("v")).cast("double")
-    cnt.join(broadcast(tot), Seq("lang"))
-      .select(col("lang"), col("ta"), col("tb"), col("v"),
+    cnt.join(broadcast(tot), keys)
+      .select(kc ++ Seq(col("ta"), col("tb"), col("v"),
         ((col("ca") + 1).cast("double") * log(pa / pb)).as("t_ab"),
-        ((col("cb") + 1).cast("double") * log(pb / pa)).as("t_ba"))
-      .groupBy("lang", "ta", "tb", "v")
+        ((col("cb") + 1).cast("double") * log(pb / pa)).as("t_ba")): _*)
+      .groupBy((keys ++ Seq("ta", "tb", "v")).map(col): _*)
       .agg(
         round(graft.functions.Num.dsum(col("t_ab")) / (col("ta") + col("v")), 6).as("kl_ab"),
         round(graft.functions.Num.dsum(col("t_ba")) / (col("tb") + col("v")), 6).as("kl_ba"))
-      .select(col("lang"), col("v").as("n_vocab"),
+      .select(kc ++ Seq(col("v").as("n_vocab"),
         col("ta").as("tokens_a"), col("tb").as("tokens_b"),
-        col("kl_ab"), col("kl_ba"))
+        col("kl_ab"), col("kl_ba")): _*)
   }
+
+  /** Reference word histogram for [[klAgainstRef]] — (lang, word, ca).
+    * Built ONCE over the reference corpus; a streaming monitor persists
+    * it and probes every micro-batch against it (the prebuilt-index
+    * discipline of the incremental dedup stream). */
+  def driftRefHistogram(ref: DataFrame): DataFrame =
+    ref.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("ca"))
+
+  /** KL drift of ingest WAVES against a prebuilt reference histogram —
+    * the data-quality sentinel a production ingest runs on every wave:
+    * a drifting source (new language mix, spam burst, template flood)
+    * moves the wave's word distribution away from the reference and
+    * kl_ba spikes before the wave is committed. `waves` carries a
+    * `wave` column (one row group per ingest); output is one row per
+    * (wave, lang) with the same add-one-over-union-vocab smoothing and
+    * exactness discipline as [[klDrift]]. Scale: the reference
+    * histogram is built once; per wave the cost is the wave's own
+    * histogram plus a keyed join against the reference — nothing
+    * rescans the reference corpus. The ref×wave expansion is bounded
+    * by the monitor's wave count per report. */
+  def klAgainstRef(refHist: DataFrame, waves: DataFrame): DataFrame = {
+    val wh = waves.select(col("wave"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy("wave", "lang", "word").agg(count(lit(1)).as("cb"))
+    val refAll = refHist.crossJoin(broadcast(wh.select("wave").distinct()))
+    val cnt = refAll.join(wh, Seq("wave", "lang", "word"), "full_outer")
+      .select(col("wave"), col("lang"), col("word"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    klFromCounts(cnt, Seq("wave", "lang"))
+  }
+
+  /** Batch twin of the streaming drift monitor: md5-assign every doc to
+    * one of `waves` ingest waves and score each wave against the whole
+    * corpus as reference — byte-identical rows to replaying the same
+    * waves through [[graft.streaming.StreamOps.driftMonitorStream]]. */
+  def waveDriftReport(docs: DataFrame, waves: Long): DataFrame =
+    klAgainstRef(driftRefHistogram(docs),
+      docs.withColumn("wave",
+        graft.functions.Hashing.md5Mod(col("doc_id").cast("string")) % waves))
 
   /** Marker-word language ID with a deterministic priority cascade. */
   def langId(docs: DataFrame): DataFrame = {

@@ -51,6 +51,7 @@ object PipelinePack {
   private val TEMP_TAU = 0.7
   private val TOKEN_BUDGET = 10000000L
   private val CHUNK_GROUP = 10L
+  private val DRIFT_WAVES = 4L
   /** Decontamination: every 97th doc is the "benchmark"; ≥3 shared
     * shingles flags a training doc as contaminated. */
   private val BENCH_MOD = 97L
@@ -261,6 +262,14 @@ object PipelinePack {
         Dedup.wordShingles(docs.filter(pred)), idx, JACCARD_MIN)
       Dedup.releaseCorpusIndex(idx) // out is already checkpointed
       out.orderBy("doc_new")
+    },
+    // Batch twin of StreamOps.driftMonitorStream: md5-assigned ingest
+    // waves scored against the whole-corpus reference histogram — the
+    // exact per-micro-batch path of the streaming drift sentinel
+    // (StreamingSpec proves staged-wave equality).
+    "q_st_drift_monitor" -> { (s, d) =>
+      TextAnalysis.waveDriftReport(Tables.documents(s, d), DRIFT_WAVES)
+        .orderBy("wave", "lang")
     },
     "q_dedup_simhash" -> { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), HAMMING_MAX)
@@ -2461,6 +2470,39 @@ object PipelinePack {
          |       round(${Num.dsumSql("t_ab")} / (ta + v), 6) AS kl_ab,
          |       round(${Num.dsumSql("t_ba")} / (tb + v), 6) AS kl_ba
          |FROM t GROUP BY lang, ta, tb, v ORDER BY lang""".stripMargin,
+
+    // Mirrors TextAnalysis.waveDriftReport: whole-corpus reference
+    // histogram expanded per md5-assigned wave, full-outer union vocab,
+    // then the exact same smoothed-KL tail as the q_text_kl_drift
+    // oracle keyed by (wave, lang).
+    "q_st_drift_monitor" ->
+      s"""WITH w AS (SELECT (${Hashing.md5ModSql("CAST(doc_id AS VARCHAR)")}
+         |                   % $DRIFT_WAVES) AS wave, lang,
+         |                  unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |wh AS (SELECT wave, lang, word, count(*) AS cb
+         |       FROM w GROUP BY wave, lang, word),
+         |rw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |       FROM documents),
+         |rh AS (SELECT lang, word, count(*) AS ca FROM rw GROUP BY lang, word),
+         |wv AS (SELECT DISTINCT wave FROM wh),
+         |ra AS (SELECT wave, lang, word, ca FROM rh, wv),
+         |cnt AS (SELECT wave, lang, word,
+         |               coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         |        FROM ra FULL OUTER JOIN wh USING (wave, lang, word)),
+         |tot AS (SELECT wave, lang, CAST(sum(ca) AS BIGINT) AS ta,
+         |               CAST(sum(cb) AS BIGINT) AS tb, count(*) AS v
+         |        FROM cnt GROUP BY wave, lang),
+         |t AS (SELECT wave, lang, ta, tb, v,
+         |             (ca + 1) * ln((CAST(ca + 1 AS DOUBLE) * (tb + v)) /
+         |                           (CAST(cb + 1 AS DOUBLE) * (ta + v))) AS t_ab,
+         |             (cb + 1) * ln((CAST(cb + 1 AS DOUBLE) * (ta + v)) /
+         |                           (CAST(ca + 1 AS DOUBLE) * (tb + v))) AS t_ba
+         |      FROM cnt JOIN tot USING (wave, lang))
+         |SELECT wave, lang, v AS n_vocab, ta AS tokens_a, tb AS tokens_b,
+         |       round(${Num.dsumSql("t_ab")} / (ta + v), 6) AS kl_ab,
+         |       round(${Num.dsumSql("t_ba")} / (tb + v), 6) AS kl_ba
+         |FROM t GROUP BY wave, lang, ta, tb, v ORDER BY wave, lang""".stripMargin,
 
     // Same exact-integer-product ln arguments as the KL oracle; the
     // two half-divergences are decimal-summed and averaged before the

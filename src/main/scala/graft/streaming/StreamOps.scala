@@ -192,6 +192,32 @@ object StreamOps {
       }
       .start()
 
+  /** Distribution-drift MONITOR at streaming cadence — the data-quality
+    * sentinel of a production ingest: each micro-batch (one staged
+    * ingest wave, carrying its `wave` id) is scored against a PREBUILT
+    * reference word histogram
+    * ([[graft.operators.TextAnalysis.driftRefHistogram]], persisted by
+    * the caller) inside `foreachBatch`, and the per-(wave, lang) KL
+    * rows append to a parquet sink — kl_ba spiking on a wave means the
+    * ingest drifted (language mix, spam burst, template flood) and the
+    * wave can be quarantined BEFORE it pollutes the corpus. Per-wave
+    * cost is the wave's own histogram + a keyed join against the
+    * reference; the reference is never recomputed. Byte-identical to
+    * the batch twin [[graft.operators.TextAnalysis.waveDriftReport]]
+    * on the same waves (StreamingSpec pins the equality). */
+  def driftMonitorStream(spark: SparkSession, stagingDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         refHist: DataFrame, outPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(stagingDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.klAgainstRef(refHist, batch)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Incremental IMAGE near-dup at streaming cadence — the multimodal
     * twin of [[incrementalDedupStream]]: new images (raw PNG payloads)
     * arrive as a parquet file stream, and each micro-batch is aHashed

@@ -141,6 +141,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchOp)
   }
 
+  test("foreachBatch drift monitor over staged waves equals the batch twin") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val base = s"${sys.props("java.io.tmpdir")}/graft_drift_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/kl"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang", "text")
+    val waves = 4L
+    val waved = docs.withColumn("wave",
+      graft.functions.Hashing.md5Mod(col("doc_id").cast("string")) % waves)
+    // One staged file per wave → one micro-batch per wave
+    // (maxFilesPerTrigger=1): the monitor scores each wave in isolation.
+    (0L until waves).foreach { w =>
+      waved.filter(col("wave") === w).coalesce(1)
+        .write.mode("append").parquet(staging)
+    }
+    val refHist = TextAnalysis.driftRefHistogram(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    refHist.count() // the prebuilt long-lived state
+    val q = graft.streaming.StreamOps.driftMonitorStream(
+      spark, staging, waved.schema, refHist, outPath)
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("wave"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_vocab"), r.getAs[Long]("tokens_a"),
+        r.getAs[Long]("tokens_b"), r.getAs[Double]("kl_ab"),
+        r.getAs[Double]("kl_ba"))
+    val streamed = spark.read.parquet(outPath).collect().map(key).toSet
+    val batch = TextAnalysis.waveDriftReport(docs, waves).collect().map(key).toSet
+    refHist.unpersist()
+    assert(streamed.nonEmpty)
+    assert(streamed == batch) // batch boundaries change nothing
+    // identical corpora have LOW drift vs the reference they came from,
+    // and both divergences are non-negative (smoothed-KL property)
+    streamed.foreach { case (_, _, _, _, _, ab, ba) =>
+      assert(ab >= 0.0 && ba >= 0.0)
+    }
+  }
+
   test("foreachBatch incremental IMAGE dedup over staged waves equals the batch face") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
