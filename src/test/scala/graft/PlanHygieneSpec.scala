@@ -119,6 +119,28 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"bucketed join shuffles before joining:\n${smjs.head}")
   }
 
+  test("globalShuffle: one hash exchange on shard, no global sort") {
+    // The operator's contract at 100 TB: the ONLY exchange is the hash
+    // partition on `shard` (the in-shard rank is a partition-local
+    // sort); a rangepartitioning exchange here would mean a global sort
+    // snuck back in. (The registered query adds a presentation orderBy
+    // on top — this pins the operator itself.)
+    // Repartition the input so the window's clustering is NOT already
+    // satisfied (a 1-file sf0.001 scan is a single partition and would
+    // need zero exchanges, hiding the property under test). The
+    // EnsureRequirements-inserted exchange only exists in the prepared
+    // plan, so assert on the formatted explain rather than sparkPlan.
+    val docs = Tables.documents(spark, d).repartition(4, col("doc_id"))
+    val s = graft.operators.TextAnalysis.globalShuffle(docs, 8L)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    assert(!s.contains("Exchange rangepartitioning"),
+      s"a range exchange means a global sort snuck in:\n$s")
+    // the input repartition + the shard hash — and nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(s).length == 2,
+      s"want exactly the input + shard hash exchanges, got:\n$s")
+  }
+
   test("no CartesianProduct in any query except the documented exact baseline") {
     // q_dedup_embedding is the deliberate exact all-pairs oracle baseline,
     // bounded to a vec_id slice — every other query must join with keys
