@@ -322,14 +322,26 @@ object TextAnalysis {
     * a |sources|-row join. */
   def epochPlan(docs: DataFrame, tau: Double, tokenBudget: Long): DataFrame = {
     require(tokenBudget % 10000000L == 0, "budget must be a multiple of 1e7 (exactness)")
-    val toks = docs.groupBy("source").agg(
-      sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
-    temperatureMix(docs, tau)
-      .drop("sample_rate")
-      .join(toks, Seq("source"))
-      .select(col("source"), col("n_docs"), col("weight"), col("avail_tokens"),
-        round(col("weight") * tokenBudget, 0).cast("long").as("target_tokens"),
-        round(col("weight") * tokenBudget / col("avail_tokens"), 6).as("epochs"))
+    // ONE scan: doc counts and token totals in the same keyed aggregate
+    // (at 100 TB the text column is the cost — composing temperatureMix
+    // plus a second aggregate would read it twice). The weight spelling
+    // (immediately-rounded pow, sorted-fold normalizer) stays verbatim
+    // from [[temperatureMix]] so both stay in lockstep with the oracle.
+    val agg = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+      .withColumn("w_raw", round(pow(col("n_docs").cast("double"), lit(tau)), 6))
+    val z = broadcast(agg.agg(
+      aggregate(array_sort(collect_list(col("w_raw"))), lit(0.0),
+        (acc, x) => acc + x).as("z")))
+    agg.crossJoin(z)
+      .select(col("source"), col("n_docs"),
+        round(col("w_raw") / col("z"), 6).as("weight"),
+        col("avail_tokens"),
+        round(round(col("w_raw") / col("z"), 6) * tokenBudget, 0).cast("long")
+          .as("target_tokens"),
+        round(round(col("w_raw") / col("z"), 6) * tokenBudget
+          / col("avail_tokens"), 6).as("epochs"))
       .orderBy("source")
   }
 
