@@ -745,11 +745,13 @@ object Similarity {
       .groupBy("group_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         t => t.getField("m")).as("p"))
-    val firstChunk = e.groupBy("group_id").agg(min(col("vec_id")).as("vec_id"))
+    // first-chunk id and chunk count in ONE keyed aggregate (one fewer
+    // pass over the normalized corpus), then fetch the lead vector
+    val meta = e.groupBy("group_id")
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("n_chunks"))
       .join(e, Seq("group_id", "vec_id"))
-      .select(col("group_id"), col("v").as("v0"))
-    val counts = e.groupBy("group_id").agg(count(lit(1)).as("n_chunks"))
-    pooled.join(firstChunk, Seq("group_id")).join(counts, Seq("group_id"))
+      .select(col("group_id"), col("n_chunks"), col("v").as("v0"))
+    pooled.join(meta, Seq("group_id"))
       .withColumn("nrm", sqrt(expr("dotp(p, p)")))
       .select(col("group_id"), col("n_chunks"),
         round(col("nrm"), 6).as("pooled_norm"),
