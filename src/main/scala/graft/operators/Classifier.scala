@@ -14,13 +14,17 @@ import graft.functions.Num
   *
   * Distribution shape: each IRLS round is ONE map-side-combining
   * aggregate over the feature table — the 4×4 normal matrix XᵀWX (10
-  * unique entries) and the 4-entry gradient Xᵀ(y−p) are sufficient
+  * unique entries) and the 4-entry raw gradient Xᵀ(y−p) are sufficient
   * statistics, so per-partition state is 14 decimal accumulators and
-  * NOTHING row-sized crosses the shuffle. The 4×4 solve runs on the
-  * resulting 1-row frame as closed-form Cramer expressions
+  * NOTHING row-sized crosses the shuffle. The ridge penalty enters in
+  * the 1-row solve (H + λI weights-only on the diagonal, g − λβ
+  * weights-only on the gradient, intercept unpenalized), which runs on
+  * the resulting 1-row frame as closed-form Cramer expressions
   * ([[deltaExprs]]) — no driver-side collect, no linear-algebra
-  * library. Feature standardization is two more 1-row aggregates.
-  * At 100 TB the cost is `iters + 3` corpus scans; state is O(1).
+  * library; the fixed point is the genuine ridge optimum (coefficients
+  * bounded even on separable data). Feature standardization is two
+  * more 1-row aggregates. At 100 TB the cost is `iters + 3` corpus
+  * scans; state is O(1).
   *
   * Engine-exactness (the kmeans/pca discipline): features and z-scores
   * round to 6; the linear predictor rounds to 6 BEFORE `exp` (so the
@@ -46,9 +50,20 @@ object Classifier {
   private def mName(r: Int, c: Int): String =
     if (r <= c) s"m$r$c" else s"m$c$r"
 
-  /** Ridge-adjusted accessor: the diagonal carries + λ. */
+  /** Ridge-adjusted accessor: the diagonal carries + λ for the weight
+    * coordinates; the intercept (0,0) is NOT penalized — the standard
+    * ridge convention (shrinking the intercept would make the fit
+    * depend on the label base rate in a way no regularizer intends). */
   private def mAt(lambda: Double)(r: Int, c: Int): String =
-    if (r == c) s"(${mName(r, c)} + $lambda)" else mName(r, c)
+    if (r == c && r > 0) s"(${mName(r, c)} + $lambda)" else mName(r, c)
+
+  /** Penalized-gradient accessor: ∇ = Xᵀ(y−p) − λβ on the weight
+    * coordinates (intercept unpenalized, matching [[mAt]]) — so the
+    * IRLS fixed point solves the RIDGE score equation Xᵀ(y−p) = λβ,
+    * not the unpenalized MLE, and coefficients stay bounded on
+    * separable data. */
+  private def gAt(lambda: Double)(r: Int): String =
+    if (r == 0) "g0" else s"(g$r - $lambda * b$r)"
 
   /** det of the 3×3 minor over rows `rs` × cols `cs` of accessor `m` —
     * fixed association order, so the IEEE result is bit-identical on
@@ -70,13 +85,15 @@ object Classifier {
 
   /** The four Newton-step expressions δ_i = det(M_i)/det(M) (Cramer's
     * rule; M_i = ridge'd normal matrix with column i replaced by the
-    * gradient) over the 1-row stats columns m00..m33 (upper triangle)
-    * and g0..g3. SHARED with the DuckDB oracle — one spelling of the
-    * solve for both engines. */
+    * PENALIZED gradient Xᵀ(y−p) − λβ, intercept unpenalized on both
+    * sides) over the 1-row stats columns m00..m33 (upper triangle),
+    * g0..g3, and the current coefficients b0..b3. SHARED with the
+    * DuckDB oracle — one spelling of the solve for both engines. */
   def deltaExprs(lambda: Double): Seq[String] = {
     val base = mAt(lambda) _
+    val grad = gAt(lambda) _
     (0 until 4).map { i =>
-      def mi(r: Int, c: Int): String = if (c == i) s"g$r" else base(r, c)
+      def mi(r: Int, c: Int): String = if (c == i) grad(r) else base(r, c)
       s"(${det4(mi)} / ${det4(base)})"
     }
   }

@@ -508,8 +508,24 @@ object Multimodal {
         s"audioFingerprint supports 16-bit little-endian signed PCM; " +
           s"clip ${m.clip_id} decoded as $fmt")
       val bytes = ais.readAllBytes()
-      ais.close()
+      // Same payload-integrity guards as decodeAudio: a truncated or
+      // padded stream must fail loudly, not be silently clipped to
+      // whole frames; an empty/sub-frame stream would otherwise sample
+      // offset 0 of a zero-length frame array and throw an opaque
+      // ArrayIndexOutOfBoundsException from the window loop.
+      require(bytes.length % (nc * 2) == 0,
+        s"audioFingerprint: clip ${m.clip_id} PCM byte length " +
+          s"${bytes.length} is not a whole number of $nc-channel " +
+          "16-bit frames")
       val nFrames = bytes.length / (nc * 2)
+      require(nFrames > 0,
+        s"audioFingerprint: clip ${m.clip_id} decodes to zero PCM frames")
+      val declared = ais.getFrameLength
+      require(declared == javax.sound.sampled.AudioSystem.NOT_SPECIFIED ||
+        declared == nFrames.toLong,
+        s"audioFingerprint: clip ${m.clip_id} header declares $declared " +
+          s"frames but the payload decodes to $nFrames")
+      ais.close()
       val bands = new Array[Long](4)
       var w = 0
       while (w < 64) {

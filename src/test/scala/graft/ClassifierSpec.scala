@@ -32,15 +32,42 @@ class ClassifierSpec extends AnyFunSuite {
       "under repartitioning — every sum is decimal-exact")
   }
 
+  test("ridge keeps coefficients bounded on separable data") {
+    // The Gopher rule is deterministic in its features, so the training
+    // set is separable: an UNPENALIZED MLE would diverge (|β| grows
+    // without bound with more Newton rounds). The ridge score equation
+    // Xᵀ(y−p) = λβ has a finite optimum, so extra rounds past
+    // convergence must leave β (to the round-6 trajectory's precision)
+    // essentially unchanged, not larger.
+    val feats = (1 to 200).map { i =>
+      val x1 = if (i % 2 == 0) 2.0 + (i % 7) else -2.0 - (i % 5)
+      (i.toLong, x1, (i % 3).toDouble, (i % 4).toDouble,
+        if (x1 > 0) 1.0 else 0.0)
+    }.toDF("doc_id", "x1", "x2", "x3", "y")
+    val lambda = 1.0
+    val a = Classifier.logisticFit(feats, 8, lambda).collect().head
+    val b = Classifier.logisticFit(feats, 12, lambda).collect().head
+    for (j <- 0 until 4) {
+      val d = math.abs(a.getAs[Double](s"b$j") - b.getAs[Double](s"b$j"))
+      assert(d < 0.01,
+        s"b$j moved $d between round 8 and 12 — not converged (divergent MLE?)")
+    }
+    assert(b.getAs[Double]("accuracy") >= 0.99)
+  }
+
   test("deltaExprs is a valid solve: recovers delta for a known system") {
-    // With M = I (m_rr = 1 − λ so the ridge lands on exactly 1) and
-    // gradient g, Cramer must return δ = g.
+    // With M = I (weight diagonals 1 − λ so the ridge lands on exactly
+    // 1; the intercept m00 is unpenalized so it's 1 directly), β = 0
+    // (so the gradient penalty −λβ vanishes) and gradient g, Cramer
+    // must return δ = g.
     val lambda = 0.001
     val exprs = Classifier.deltaExprs(lambda)
     val row = spark.range(1).selectExpr(
       (for (r <- 0 until 4; c <- r until 4)
-        yield s"CAST(${if (r == c) 1.0 - lambda else 0.0} AS DOUBLE) AS m$r$c") ++
-      (0 until 4).map(j => s"CAST(${j + 1}.5 AS DOUBLE) AS g$j"): _*)
+        yield s"CAST(${if (r == c) (if (r == 0) 1.0 else 1.0 - lambda)
+          else 0.0} AS DOUBLE) AS m$r$c") ++
+      (0 until 4).map(j => s"CAST(${j + 1}.5 AS DOUBLE) AS g$j") ++
+      (0 until 4).map(j => s"CAST(0.0 AS DOUBLE) AS b$j"): _*)
     val out = row.selectExpr(
       (0 until 4).map(i => s"${exprs(i)} AS d$i"): _*).collect().head
     for (i <- 0 until 4)

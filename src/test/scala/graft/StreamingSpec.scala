@@ -184,7 +184,7 @@ class StreamingSpec extends AnyFunSuite {
   test("foreachBatch incremental IMAGE dedup over staged waves equals the batch face") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
-    val base = s"${sys.props("java.io.tmpdir")}/graft_incimg_${ProcessHandle.current().pid()}"
+    val base = s"${sys.props("java.io.tmpdir")}/graft_incimg_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
     val staging = s"$base/staging"
     val outPath = s"$base/flagged"
     val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
