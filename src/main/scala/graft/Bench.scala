@@ -24,7 +24,17 @@ object Bench {
       .map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // Time a noop-sink WRITE, not count(): under a bare count()
+        // Catalyst's ColumnPruning drops every unreferenced projection
+        // and EliminateSorts drops the final ORDER BY, so narrow
+        // compute-only queries (the q_f_* batteries, scrub/score
+        // columns) were being timed as little more than a scan. The
+        // noop sink consumes every output column (and keeps the sort),
+        // so the measured time is the full plan a downstream writer
+        // would pay — the honest number.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // No clearCache: operators release their own caches
         // (Dedup.materializeThenRelease), spec-enforced. Checkpoint
@@ -35,10 +45,11 @@ object Bench {
         operators.Lifecycle.releaseAll()
         dt
       }
-      (name, times.sorted.apply(runs / 2), times.head)
+      (name, times.sorted.apply(runs / 2), times.head, times.min)
     }
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    def jmap(rs: Seq[(String, Double, Double)], f: ((String, Double, Double)) => Double) =
+    def jmap(rs: Seq[(String, Double, Double, Double)],
+             f: ((String, Double, Double, Double)) => Double) =
       rs.map { r => "\"" + r._1 + "\":" + r3(f(r)) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The driver captures only the TAIL of the bench log, so the stdout
@@ -48,11 +59,19 @@ object Bench {
     // medians (the ones a reader would ask about); every query's
     // median + first-run goes to BENCH_FULL.json, committed in-repo.
     val headline = results.sortBy(-_._2).take(24).sortBy(_._1)
+    // queries_min is the stall-resistant number: this host has random
+    // multi-second stalls that hit 1-2 arbitrary queries per full run,
+    // inflating their MEDIAN of 3; the min across runs survives any
+    // single stall, so a driver artifact whose medians disagree wildly
+    // with its own mins self-identifies host contention (total_min
+    // likewise — compare it to "value" before reading per-query deltas).
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
         s""""n_queries":${results.size},""" +
+        s""""total_min":${r3(results.map(_._4).sum)},""" +
         s""""queries":${jmap(results, _._2)},""" +
-        s""""queries_first":${jmap(results, _._3)},"sf":"$sfDir"}"""
+        s""""queries_first":${jmap(results, _._3)},""" +
+        s""""queries_min":${jmap(results, _._4)},"sf":"$sfDir"}"""
     // A dev-subset run must not clobber the committed full-suite artifact.
     if (prefixes == Seq(""))
       java.nio.file.Files.writeString(
