@@ -713,6 +713,80 @@ object Multimodal {
     Dedup.materializeThenRelease(pairs, h)
   }
 
+  /** Clip-level video near-dup from per-frame fingerprints — EXACT for
+    * the threshold but an order of magnitude cheaper than running
+    * [[imageNearDup]] over raw frames: video frames repeat their
+    * fingerprints massively (still scenes, fades, re-encodes — the
+    * sf0.1 fixture carries 22,500 frames but only ~2,200 distinct
+    * hashes, band buckets up to ~800 frames deep), so the pairwise
+    * stage here runs over DISTINCT hashes only (Σ bucket² shrinks by
+    * the square of the duplication factor) and hash-level matches
+    * expand back through per-(hash, video) frame COUNTS directly into
+    * the video-pair aggregate — the ~1M-row frame-pair set is never
+    * materialized and no distinct over banded candidates is needed.
+    *
+    * Exactness: every cross-video frame pair within Hamming
+    * `maxHamming` is counted exactly once — identical-hash pairs via
+    * the diagonal (the `video_a < video_b` guard keeps one orientation
+    * of the symmetric expansion), distinct-hash pairs via the banded
+    * candidate join over distinct hashes ([[bandBits]] pigeonhole —
+    * lossless) oriented by the total order on the packed 64-bit hash,
+    * so each (hash_a, hash_b, video_a, video_b) combination is
+    * produced once with multiplicity cnt_a·cnt_b. Output matches the
+    * all-pairs definition: (video_a, video_b, n_frame_pairs,
+    * min_hamming) for pairs with ≥ `minFrames` matching frame pairs. */
+  def videoNearDup(frameHashes: DataFrame, maxHamming: Int,
+                   minFrames: Long): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (video, hash) frame multiplicities. hid re-packs the four stored
+    // 16-bit words into the one 64-bit hash — a bijection, so equality
+    // / ordering on hid is equality / a total order on the hash.
+    val hid = col("b0").bitwiseOR(shiftleft(col("b1"), 16))
+      .bitwiseOR(shiftleft(col("b2"), 32))
+      .bitwiseOR(shiftleft(col("b3"), 48)).as("hid")
+    val hv = frameHashes
+      .select(shiftright(col("img_id"), 4).as("video"), hid,
+        col("b0"), col("b1"), col("b2"), col("b3"))
+      .groupBy("video", "hid", "b0", "b1", "b2", "b3")
+      .agg(count(lit(1)).as("cnt"))
+      .persist(lvl)
+    val dh = hv.select("hid", "b0", "b1", "b2", "b3").distinct().persist(lvl)
+    val banded = bandedImageIds(dh.withColumnRenamed("hid", "img_id"), maxHamming)
+    val ba = banded.toDF("hid_a", "a_band_idx", "a_bval")
+    val bb = banded.toDF("hid_b", "b_band_idx", "b_bval")
+    val cand = ba.join(bb, col("a_band_idx") === col("b_band_idx") &&
+        col("a_bval") === col("b_bval") && col("hid_a") < col("hid_b"))
+      .select("hid_a", "hid_b").distinct()
+    val verified = cand
+      .join(dh.toDF("hid_a", "a_b0", "a_b1", "a_b2", "a_b3"), Seq("hid_a"))
+      .join(dh.toDF("hid_b", "b_b0", "b_b1", "b_b2", "b_b3"), Seq("hid_b"))
+      .select(col("hid_a"), col("hid_b"),
+        (expr("bit_count(a_b0 ^ b_b0) + bit_count(a_b1 ^ b_b1)") +
+          expr("bit_count(a_b2 ^ b_b2) + bit_count(a_b3 ^ b_b3)"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    // Identical-hash matches: the diagonal, Hamming 0 by definition.
+    val diag = dh.select(col("hid").as("hid_a"), col("hid").as("hid_b"),
+      lit(0L).as("hamming"))
+    val hvA = hv.select(col("hid").as("hid_a"), col("video").as("va"),
+      col("cnt").as("ca"))
+    val hvB = hv.select(col("hid").as("hid_b"), col("video").as("vb"),
+      col("cnt").as("cb"))
+    val offDiag = verified.join(hvA, "hid_a").join(hvB, "hid_b")
+      .filter(col("va") =!= col("vb"))
+    val onDiag = diag.join(hvA, "hid_a").join(hvB, "hid_b")
+      .filter(col("va") < col("vb"))
+    val out = offDiag.unionByName(onDiag)
+      .select(least(col("va"), col("vb")).as("video_a"),
+        greatest(col("va"), col("vb")).as("video_b"),
+        (col("ca") * col("cb")).as("n"), col("hamming"))
+      .groupBy("video_a", "video_b")
+      .agg(sum(col("n")).as("n_frame_pairs"),
+        min(col("hamming")).as("min_hamming"))
+      .filter(col("n_frame_pairs") >= minFrames)
+    Dedup.materializeThenRelease(out, hv, dh)
+  }
+
   /** (img_id, band_idx, bval) blocking keys of every hash row under the
     * [[bandBits]] layout — shared by the self-join ([[imageNearDup]])
     * and the corpus-vs-batch probe ([[flagAgainstImageIndex]]). */

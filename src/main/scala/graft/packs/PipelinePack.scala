@@ -853,20 +853,18 @@ object PipelinePack {
         .toDF().orderBy("doc_id", "frame_no")
     },
     // Clip-level video near-dup from per-frame fingerprints: every
-    // decoded GIF frame is aHashed (videoFrameHashes), frame pairs
-    // within Hamming VID_HAMMING_MAX surface through the same
-    // threshold-exact banded blocking as the still-image path, and
-    // video pairs aggregate their matching frames — the "re-encoded /
-    // overlapping clip" detector a video curation pipeline runs.
+    // decoded GIF frame is aHashed (videoFrameHashes), and
+    // Multimodal.videoNearDup counts cross-video frame pairs within
+    // Hamming VID_HAMMING_MAX — pairwise over DISTINCT hashes only
+    // (video frames repeat fingerprints massively), expanded through
+    // per-(hash, video) frame counts straight into the video-pair
+    // aggregate; threshold-exact (bandBits pigeonhole + diagonal),
+    // verified against the oracle's all-pairs frame DEFINITION — the
+    // "re-encoded / overlapping clip" detector a video curation
+    // pipeline runs.
     "q_mm_video_neardup" -> { (s, d) =>
-      Multimodal.imageNearDup(videoFrameHashFixture(s, d), VID_HAMMING_MAX)
-        .select(shiftright(col("img_a"), 4).as("video_a"),
-          shiftright(col("img_b"), 4).as("video_b"), col("hamming"))
-        .filter(col("video_a") =!= col("video_b"))
-        .groupBy("video_a", "video_b")
-        .agg(count(lit(1)).as("n_frame_pairs"),
-          min(col("hamming")).as("min_hamming"))
-        .filter(col("n_frame_pairs") >= VID_MIN_FRAMES)
+      Multimodal.videoNearDup(videoFrameHashFixture(s, d),
+          VID_HAMMING_MAX, VID_MIN_FRAMES)
         .orderBy("video_a", "video_b")
     },
     // Ridge-logistic quality-classifier TRAINING (IRLS): distill the

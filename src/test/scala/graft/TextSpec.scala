@@ -548,6 +548,37 @@ class TextSpec extends AnyFunSuite {
     assert(wasted(out) < wasted(global))
   }
 
+  test("videoNearDup equals the all-pairs frame-Hamming definition") {
+    // The distinct-hash compression + count expansion must reproduce
+    // the brute-force video-pair aggregate EXACTLY — both matching
+    // paths (diagonal identical-hash pairs and banded distinct-hash
+    // pairs) and both thresholds, at minFrames 1 and 2. The synthetic
+    // frame ramps are deliberately collision-rich, so the diagonal
+    // carries real weight here.
+    val docs = (0L until 40L).map((_, "ignored")).toDF("doc_id", "text")
+    val hashes = Multimodal.videoFrameHashes(spark,
+      Multimodal.packVideos(spark, docs)).toDF()
+    val rows = hashes.collect().map(r => r.getAs[Long]("img_id") ->
+      Seq("b0", "b1", "b2", "b3").map(r.getAs[Long](_)))
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    for (mh <- Seq(2, 6); minF <- Seq(1L, 2L)) {
+      val expect = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows
+        if ia < ib && (ia >> 4) != (ib >> 4) && ham(ha, hb) <= mh
+      } yield ((math.min(ia >> 4, ib >> 4), math.max(ia >> 4, ib >> 4)),
+        ham(ha, hb)))
+        .groupBy(_._1).view
+        .mapValues(ps => (ps.size.toLong, ps.map(_._2).min))
+        .filter(_._2._1 >= minF).toMap
+      val got = Multimodal.videoNearDup(hashes, mh, minF).collect()
+        .map(r => ((r.getAs[Long]("video_a"), r.getAs[Long]("video_b")),
+          (r.getAs[Long]("n_frame_pairs"), r.getAs[Long]("min_hamming"))))
+        .toMap
+      assert(got == expect, s"maxHamming=$mh minFrames=$minF")
+    }
+  }
+
   test("imageNearDup banding is recall-EXACT: equals all-pairs Hamming") {
     val docs = (0L until 30L).map((_, "ignored")).toDF("doc_id", "text")
     val hashes = Multimodal.imageAHash(spark,
