@@ -175,22 +175,54 @@ object StreamOps {
     * sink; each batch's checkpoint blocks are freed as soon as its rows
     * are written, so an unbounded stream accumulates no state beyond
     * the corpus index. Caller stops the query and releases the index
-    * ([[graft.operators.Dedup.releaseCorpusIndex]]). */
+    * ([[graft.operators.Dedup.releaseCorpusIndex]]).
+    *
+    * Exactly-once across failure/restart: `foreachBatch` gives
+    * at-least-once delivery — a crash after the sink write but before
+    * the checkpoint commit re-executes the batch on restart — so the
+    * write is IDEMPOTENT per `batchId` ([[idempotentParquetWrite]]): a
+    * re-executed batch overwrites its own partition directory instead
+    * of appending duplicates. Pass `checkpointDir` to make restarts
+    * resume from the recorded offsets (StreamingSpec kills a run
+    * mid-feed, deletes the commit marker to force a true batch
+    * re-execution, restarts, and asserts equality with the
+    * uninterrupted run). */
   def incrementalDedupStream(spark: SparkSession, stagingDir: String,
                              schema: org.apache.spark.sql.types.StructType,
                              index: graft.operators.Dedup.CorpusIndex,
-                             minJ: Double, outPath: String)
+                             minJ: Double, outPath: String,
+                             checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(stagingDir)
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flagged = graft.operators.Dedup.flagAgainstCorpusIndex(
-          graft.operators.Dedup.wordShingles(batch), index, minJ)
-        flagged.write.mode("append").parquet(outPath)
-        graft.operators.Lifecycle.release(flagged)
-      }
-      .start()
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val flagged = graft.operators.Dedup.flagAgainstCorpusIndex(
+            graft.operators.Dedup.wordShingles(batch), index, minJ)
+          idempotentParquetWrite(flagged, outPath, batchId)
+          graft.operators.Lifecycle.release(flagged)
+        },
+      checkpointDir).start()
+
+  /** Idempotent per-micro-batch parquet write: each batch overwrites
+    * its OWN `batch_id=<id>` partition directory, so a re-executed
+    * batch (the at-least-once replay `foreachBatch` gives after a
+    * crash between sink write and checkpoint commit) lands byte-
+    * identical output instead of appended duplicates — the standard
+    * exactly-once bridge for a deterministic batch function. The
+    * partition-style directory name makes a plain
+    * `spark.read.parquet(outPath)` discover `batch_id` as a column
+    * (which wave produced each row — useful lineage in itself). */
+  private def idempotentParquetWrite(batch: DataFrame, outPath: String,
+                                     batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  private def withCheckpoint(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      checkpointDir: Option[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d))
 
   /** Distribution-drift MONITOR at streaming cadence — the data-quality
     * sentinel of a production ingest: each micro-batch (one staged
@@ -207,16 +239,19 @@ object StreamOps {
     * on the same waves (StreamingSpec pins the equality). */
   def driftMonitorStream(spark: SparkSession, stagingDir: String,
                          schema: org.apache.spark.sql.types.StructType,
-                         refHist: DataFrame, outPath: String)
+                         refHist: DataFrame, outPath: String,
+                         checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(stagingDir)
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TextAnalysis.klAgainstRef(refHist, batch)
-          .write.mode("append").parquet(outPath)
-      }
-      .start()
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          idempotentParquetWrite(
+            graft.operators.TextAnalysis.klAgainstRef(refHist, batch),
+            outPath, batchId)
+        },
+      checkpointDir).start()
 
   /** Incremental IMAGE near-dup at streaming cadence — the multimodal
     * twin of [[incrementalDedupStream]]: new images (raw PNG payloads)
@@ -232,21 +267,23 @@ object StreamOps {
   def imageNearDupStream(spark: SparkSession, stagingDir: String,
                          schema: org.apache.spark.sql.types.StructType,
                          index: graft.operators.Multimodal.ImageIndex,
-                         outPath: String)
+                         outPath: String,
+                         checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-      .parquet(stagingDir)
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import spark.implicits._
-        val hashes = graft.operators.Multimodal.imageAHash(
-          spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
-        val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
-          hashes, index)
-        flagged.write.mode("append").parquet(outPath)
-        graft.operators.Lifecycle.release(flagged)
-      }
-      .start()
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import spark.implicits._
+          val hashes = graft.operators.Multimodal.imageAHash(
+            spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
+          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+            hashes, index)
+          idempotentParquetWrite(flagged, outPath, batchId)
+          graft.operators.Lifecycle.release(flagged)
+        },
+      checkpointDir).start()
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)

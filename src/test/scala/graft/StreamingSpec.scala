@@ -215,6 +215,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery: killed stream + forced batch re-execution equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // The failure semantics a 100 TB ingest depends on: a stream dies
+    // mid-feed — in the worst window, AFTER a batch's sink write but
+    // BEFORE its checkpoint commit — restarts from the checkpoint, and
+    // the final output must be row-for-row identical (duplicates
+    // included) to a run that never failed. The crash window is forced
+    // deterministically by deleting the batch-0 commit marker, which
+    // makes the restarted query genuinely RE-EXECUTE batch 0 against
+    // its recorded offsets; the idempotent per-batch_id overwrite must
+    // absorb the replay.
+    val base = s"${sys.props("java.io.tmpdir")}/graft_recov_" +
+      s"${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val newDocs = corpus.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val index = Dedup.buildCorpusIndex(Dedup.wordShingles(corpus))
+    def stage(staging: String, w: Int): Unit =
+      newDocs.filter(col("doc_id") % 3 === w).coalesce(1)
+        .write.mode("append").parquet(staging)
+    def run(staging: String, out: String, cp: String): Unit = {
+      val q = graft.streaming.StreamOps.incrementalDedupStream(
+        spark, staging, newDocs.schema, index, 0.6, out, Some(cp))
+      try q.processAllAvailable() finally q.stop()
+    }
+    // Reference: the uninterrupted run over all 3 waves.
+    (0 until 3).foreach(stage(s"$base/ref_staging", _))
+    run(s"$base/ref_staging", s"$base/ref_out", s"$base/ref_cp")
+    // Interrupted run: wave 0 only, stop, crash-window the checkpoint,
+    // stage the remaining waves, restart from the same checkpoint.
+    stage(s"$base/staging", 0)
+    run(s"$base/staging", s"$base/out", s"$base/cp")
+    val commit0 = new java.io.File(s"$base/cp/commits/0")
+    assert(commit0.exists, "batch-0 commit marker must exist before the kill")
+    assert(commit0.delete(), "failed to remove the commit marker")
+    // The local FS is Hadoop's ChecksumFileSystem: the marker has a
+    // .crc sidecar, and a stale sidecar makes the re-committing rename
+    // fail as a (spurious) concurrent-writer conflict.
+    new java.io.File(s"$base/cp/commits/.0.crc").delete()
+    stage(s"$base/staging", 1)
+    stage(s"$base/staging", 2)
+    run(s"$base/staging", s"$base/out", s"$base/cp")
+    Dedup.releaseCorpusIndex(index)
+    // Row-for-row (multiset) equality: a replay that appended instead
+    // of overwriting would duplicate batch 0's rows and fail here even
+    // though the SET of flagged docs would look unchanged.
+    def rows(p: String): Seq[(Long, Long, Double)] =
+      spark.read.parquet(p).select("doc_new", "best_match", "jaccard")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val ref = rows(s"$base/ref_out")
+    val recovered = rows(s"$base/out")
+    assert(ref.nonEmpty, "planted near-dups must be flagged")
+    assert(recovered == ref)
+  }
+
   test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {
     import org.apache.spark.sql.functions._
     System.setProperty("derby.stream.error.file",
