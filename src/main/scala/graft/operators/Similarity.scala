@@ -190,13 +190,88 @@ object Similarity {
     * deterministic cid-asc tie-break. The centroid table is bounded
     * (data-seeded stride) and broadcast; the per-vector ranking window
     * partitions by vec_id — |centroids| rows each, corpus-independent. */
-  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame = {
+  private def assignToCentroids(e: DataFrame, cent: DataFrame): DataFrame =
+    assignWithSim(e, cent).select("vec_id", "cid")
+
+  /** [[assignToCentroids]] with the winning dot kept: (vec_id, cid,
+    * cd) where cd is the assignment similarity ROUNDED to 6 AFTER the
+    * argmax (ordering is decided on the raw dot, so rounding cannot
+    * flip an assignment) — the per-vector fit signal the staleness
+    * accounting aggregates. */
+  private def assignWithSim(e: DataFrame, cent: DataFrame): DataFrame = {
     val scored = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"), expr("dotp(v, cv)").as("cd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cd").desc, col("cid").asc)
     scored.withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1).select("vec_id", "cid")
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"), round(col("cd"), 6).as("cd"))
+  }
+
+  // ------------------------------- incremental IVF index maintenance
+
+  /** Prebuilt IVF coarse index — the long-lived serving state of the
+    * similarity family (the [[Dedup.CorpusIndex]] / ImageIndex pattern
+    * applied to centroids): `centroids` is the frozen data-seeded
+    * coarse quantizer, `corpusStats` the per-list membership
+    * statistics at build time (cid, old_size, mean_sim_old). Build
+    * once with [[buildIvfIndex]], fold each arriving batch in with
+    * [[ivfReassign]] — which assigns ONLY the batch, the corpus is
+    * never rescanned — and release with [[releaseIvfIndex]] when the
+    * serving loop re-trains. */
+  case class IvfIndex(centroids: DataFrame, corpusStats: DataFrame,
+                      centStride: Long)
+
+  def buildIvfIndex(emb: DataFrame, centStride: Long): IvfIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = normalized(emb).persist(lvl)
+    val cent = e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv")).persist(lvl)
+    // Materialize up front (bounded metadata actions): the first
+    // arriving batch must not absorb the corpus assignment pass.
+    cent.count()
+    val stats = assignWithSim(e, cent)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("old_size"),
+        round(graft.functions.Num.dsum(col("cd")) / count(lit(1)), 6)
+          .as("mean_sim_old"))
+      .persist(lvl)
+    stats.count()
+    e.unpersist(blocking = false)
+    IvfIndex(cent, stats, centStride)
+  }
+
+  /** Fold one arriving batch into a prebuilt [[IvfIndex]] WITHOUT
+    * rebuilding it: assign only the new vectors to the frozen
+    * centroids and emit the per-list STALENESS report a serving
+    * pipeline watches to decide when to re-centroid — (cid, old_size,
+    * added, new_size, growth, mean_sim_old, mean_sim_new). `growth`
+    * (added/old_size) flags lists whose membership is increasingly
+    * post-build (skewed growth starves probes of fresh data);
+    * `mean_sim_new` < `mean_sim_old` means arriving vectors fit the
+    * frozen quantizer worse than the training corpus did — drift, the
+    * re-train signal. Lists with no arrivals keep added = 0 and a null
+    * mean_sim_new. Per-batch cost: |batch|·|centroids| broadcast dots
+    * + one keyed aggregate + a |centroids|-row join — no corpus-sized
+    * work. */
+  def ivfReassign(index: IvfIndex, newEmb: DataFrame): DataFrame = {
+    val added = assignWithSim(normalized(newEmb), index.centroids)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("added"),
+        round(graft.functions.Num.dsum(col("cd")) / count(lit(1)), 6)
+          .as("mean_sim_new"))
+    index.corpusStats.join(added, Seq("cid"), "left")
+      .select(col("cid"), col("old_size"),
+        coalesce(col("added"), lit(0L)).as("added"),
+        (col("old_size") + coalesce(col("added"), lit(0L))).as("new_size"),
+        round(coalesce(col("added"), lit(0L)) / col("old_size"), 6)
+          .as("growth"),
+        col("mean_sim_old"), col("mean_sim_new"))
+  }
+
+  def releaseIvfIndex(index: IvfIndex): Unit = {
+    index.centroids.unpersist(blocking = false)
+    index.corpusStats.unpersist(blocking = false)
   }
 
   /** Distributed k-means (Lloyd's iterations) over the embedding column —

@@ -28,6 +28,11 @@ object PipelinePack {
     * the centroids (data-seeded, deterministic, oracle-replayable);
     * queries probe their NPROBE nearest inverted lists. */
   private val CENT_STRIDE = 61L
+  /** Incremental IVF maintenance: vectors with `vec_id % 10 ==
+    * IVF_BATCH_REM` play the ARRIVING batch; the rest are the corpus
+    * the index was built on (centroid stride applies to the corpus
+    * side only — the frozen quantizer predates the batch). */
+  private val IVF_BATCH_REM = 7L
   /** Dims kept by the Matryoshka truncation-recall check (DIM / 2). */
   private val TRUNC_DIMS = 32
   /** Hard-negative mining thresholds (data-informed: top-1 cosines sit
@@ -303,6 +308,22 @@ object PipelinePack {
     // IVF index-health report: inverted-list size spread + skew.
     "q_sim_ivf_balance" -> { (s, d) =>
       Similarity.ivfBalanceReport(Tables.embeddings(s, d), CENT_STRIDE)
+    },
+    // Incremental IVF maintenance: a prebuilt frozen coarse index over
+    // the corpus absorbs an arriving batch WITHOUT a rebuild —
+    // per-list staleness report (growth + fit drift) a serving
+    // pipeline watches to decide when to re-centroid.
+    "q_sim_ivf_incremental" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.buildIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= IVF_BATCH_REM),
+        CENT_STRIDE)
+      val out = Similarity.ivfReassign(idx,
+          emb.filter(pmod(col("vec_id"), lit(10L)) === IVF_BATCH_REM))
+        .orderBy("cid")
+      val materialized = graft.operators.Lifecycle.checkpoint(out)
+      Similarity.releaseIvfIndex(idx)
+      materialized
     },
     // LSH banding quality vs the exact-jaccard ground truth: candidate
     // precision (verification waste) and recall (banding misses).
@@ -1627,6 +1648,37 @@ object PipelinePack {
          |       round(avg(sz), 6) AS avg_size,
          |       round(max(sz) / avg(sz), 6) AS skew
          |FROM sz""".stripMargin,
+
+    // Frozen-quantizer incremental maintenance: centroids seed from
+    // the CORPUS side only (the index predates the batch), every
+    // vector assigns to its nearest frozen centroid (raw-dot argmax,
+    // cid-asc tie-break; the winning dot rounds to 6 AFTER the
+    // argmax), and the report splits each list's membership into
+    // build-time vs arrived — mirrors Similarity.buildIvfIndex +
+    // ivfReassign.
+    "q_sim_ivf_incremental" ->
+      s"""WITH $normalizedCte,
+         |rc AS (SELECT vec_id AS cid, v AS cv FROM e
+         |       WHERE vec_id % 10 <> $IVF_BATCH_REM
+         |         AND vec_id % $CENT_STRIDE = 0),
+         |rs AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, rc),
+         |ra AS (SELECT vec_id, cid, cd,
+         |              row_number() OVER (PARTITION BY vec_id
+         |                   ORDER BY cd DESC, cid ASC) AS crn
+         |       FROM rs),
+         |r1 AS (SELECT vec_id, cid, round(cd, 6) AS cd FROM ra WHERE crn = 1),
+         |rold AS (SELECT cid, CAST(count(*) AS BIGINT) AS old_size,
+         |                round(${Num.dsumSql("cd")} / count(*), 6) AS mean_sim_old
+         |         FROM r1 WHERE vec_id % 10 <> $IVF_BATCH_REM GROUP BY cid),
+         |rnew AS (SELECT cid, CAST(count(*) AS BIGINT) AS added,
+         |                round(${Num.dsumSql("cd")} / count(*), 6) AS mean_sim_new
+         |         FROM r1 WHERE vec_id % 10 = $IVF_BATCH_REM GROUP BY cid)
+         |SELECT rold.cid, old_size,
+         |       coalesce(added, 0) AS added,
+         |       old_size + coalesce(added, 0) AS new_size,
+         |       round(coalesce(added, 0) / old_size, 6) AS growth,
+         |       mean_sim_old, mean_sim_new
+         |FROM rold LEFT JOIN rnew USING (cid) ORDER BY cid""".stripMargin,
 
     "q_dedup_incremental" -> incrementalDedupSql,
 

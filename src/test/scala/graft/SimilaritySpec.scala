@@ -395,4 +395,48 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r.getAs[Double]("recall") == hits / 10.0)
     }
   }
+
+  test("ivfReassign: incremental assignment equals a fresh build over the union") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10L)) =!= 7L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(10L)) === 7L)
+    val idx = Similarity.buildIvfIndex(corpus, 61L)
+    val report = Similarity.ivfReassign(idx, batch).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("old_size"), r.getAs[Long]("added"),
+          r.getAs[Long]("new_size"), r.getAs[Double]("growth")))
+      .toMap
+    Similarity.releaseIvfIndex(idx)
+    // Fresh-build ground truth by brute force: the SAME frozen centroid
+    // set (corpus-seeded), every union vector assigned to its nearest
+    // centroid by raw inner product with cid-asc tie-break. The
+    // incremental path must agree list by list — a reassign that
+    // re-seeded centroids from the union, or re-scanned the corpus
+    // differently, diverges here.
+    def vecs(df: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double])] =
+      df.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map { r =>
+          val raw = r.getSeq[Double](1).toArray
+          val n = math.sqrt(raw.map(x => x * x).sum)
+          (r.getLong(0), raw.map(_ / n))
+        }
+    val corpusV = vecs(corpus)
+    val batchV = vecs(batch)
+    val cents = corpusV.filter(_._1 % 61L == 0L)
+    def assign(v: Array[Double]): Long =
+      cents.map { case (cid, cv) =>
+        (cid, cv.zip(v).map { case (a, b) => a * b }.sum)
+      }.minBy { case (cid, d) => (-d, cid) }._1
+    val oldSizes = corpusV.groupBy(c => assign(c._2)).view.mapValues(_.length.toLong)
+    val addedSizes = batchV.groupBy(c => assign(c._2)).view.mapValues(_.length.toLong)
+    val expect = oldSizes.map { case (cid, old) =>
+      val added = addedSizes.getOrElse(cid, 0L)
+      cid -> (old, added, old + added,
+        BigDecimal(added.toDouble / old)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(report.nonEmpty)
+    assert(report == expect)
+  }
 }
