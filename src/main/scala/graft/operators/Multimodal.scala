@@ -228,7 +228,12 @@ object Multimodal {
       * re-upload" variant the audio near-dup fixture plants. */
     def renderWav(docId: Long): Array[Byte] = renderWav(docId, 0)
 
-    def renderWav(docId: Long, silentFrames: Int): Array[Byte] = {
+    def renderWav(docId: Long, silentFrames: Int): Array[Byte] =
+      renderWav(docId, silentFrames, 1)
+
+    /** `gain` scales every sample with int16 saturation — the "same
+      * clip re-uploaded louder" variant of the robustness grid. */
+    def renderWav(docId: Long, silentFrames: Int, gain: Int): Array[Byte] = {
       val sr = sampleRateOf(docId)
       val n = nFramesOf(docId)
       val nc = channelsOf(docId)
@@ -237,7 +242,8 @@ object Multimodal {
       while (i < n) {
         var c = 0
         while (c < nc) {
-          val s = if (i < silentFrames) 0 else sampleAt(docId, c, i)
+          val s = if (i < silentFrames) 0
+            else math.max(-32768, math.min(32767, gain * sampleAt(docId, c, i)))
           val off = (i * nc + c) * 2
           pcm(off) = (s & 0xff).toByte            // little-endian
           pcm(off + 1) = ((s >> 8) & 0xff).toByte
@@ -477,6 +483,76 @@ object Multimodal {
           Iterator(base, AudioClip(id * 2 + 1, id, 3, AudioFixture.renderWav(id, 3)))
         else Iterator(base)
       })
+  }
+
+  /** Robustness-measurement grid for the audio fingerprint: every
+    * planted doc (doc_id % 5 == 0) contributes FOUR renders — base,
+    * trim-2, trim-6, and ×2-gain (saturating) — and every other doc
+    * its base clip only (the unrelated-clip background the
+    * false-positive rate is measured against). clip_id = 4·doc_id +
+    * variant, so doc = clip_id >> 2 and variant = clip_id % 4. */
+  def packAudioGrid(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = AudioClip(id * 4, id, 0, AudioFixture.renderWav(id, 0))
+        if (id % 5 == 0)
+          Iterator(base,
+            AudioClip(id * 4 + 1, id, 2, AudioFixture.renderWav(id, 2)),
+            AudioClip(id * 4 + 2, id, 6, AudioFixture.renderWav(id, 6)),
+            AudioClip(id * 4 + 3, id, 0, AudioFixture.renderWav(id, 0, 2)))
+        else Iterator(base)
+      })
+  }
+
+  /** MEASURED false-positive / false-negative behaviour of the audio
+    * fingerprint over the [[packAudioGrid]] variant grid — the
+    * robustness scorecard the near-dup threshold is chosen from
+    * (the audio twin of `q_dedup_lsh_quality` / `q_sim_hn_recall`).
+    * Ground truth: two clips are duplicates iff they render the same
+    * doc. One row: clip count, true/predicted/correct pair counts,
+    * precision (1 − FP rate of the flagged set), recall, and the
+    * per-perturbation recalls — recall_trim over the pure
+    * trim/base pairs (the modeled perturbation: pointwise bits flip
+    * only windows sampling trimmed frames) and recall_gain over pairs
+    * involving the ×2-gain render. The loudness-SUM fingerprint is
+    * gain-SENSITIVE by construction (the multiplicative hash
+    * decorrelates any PCM change), so recall_gain measures honestly
+    * near 0 — the production note: normalize loudness (or hash
+    * band-energy signs) before fingerprinting if gain-invariance is
+    * required. Scale: the pairwise stage is the same Σ bucket² banded
+    * join as [[imageNearDup]]; the grading tail is two tiny
+    * aggregates. */
+  def audioDedupQualityReport(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val flagged = imageNearDup(hashes, maxHamming)
+      .select(shiftright(col("img_a"), 2).as("doc_a"),
+        pmod(col("img_a"), lit(4L)).as("va"),
+        shiftright(col("img_b"), 2).as("doc_b"),
+        pmod(col("img_b"), lit(4L)).as("vb"))
+    val sameDoc = col("doc_a") === col("doc_b")
+    val pred = flagged.agg(
+      count(lit(1)).as("n_pred"),
+      sum(when(sameDoc, 1L).otherwise(0L)).as("n_correct"),
+      sum(when(sameDoc && col("va") < 3 && col("vb") < 3, 1L).otherwise(0L))
+        .as("n_correct_trim"),
+      sum(when(sameDoc && (col("va") === 3 || col("vb") === 3), 1L).otherwise(0L))
+        .as("n_correct_gain"))
+    // True pair counts from the clip table itself: a doc has either 1
+    // clip (no pairs) or the full 4-variant grid (6 pairs: 3 among
+    // {base, trim2, trim6}, 3 involving the gain render).
+    val truth = hashes.select(shiftright(col("img_id"), 2).as("doc"))
+      .groupBy("doc").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c")).as("n_clips"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_true"),
+        sum(when(col("c") === 4, 3L).otherwise(0L)).as("n_true_trim"),
+        sum(when(col("c") === 4, 3L).otherwise(0L)).as("n_true_gain"))
+    broadcast(truth).crossJoin(pred)
+      .select(col("n_clips"), col("n_true"), col("n_pred"), col("n_correct"),
+        round(col("n_correct") / col("n_pred"), 6).as("precision"),
+        round(col("n_correct") / col("n_true"), 6).as("recall"),
+        round(col("n_correct_trim") / col("n_true_trim"), 6).as("recall_trim"),
+        round(col("n_correct_gain") / col("n_true_gain"), 6).as("recall_gain"))
   }
 
   /** 64-bit audio CONTENT fingerprint from the REAL decoded PCM —

@@ -234,6 +234,16 @@ object PipelinePack {
     s.read.parquet(path)
   }
 
+  private def audioGridFingerprintFixture(s: SparkSession, d: String): DataFrame = {
+    val path = SinksPack.tmpPath("audgrid", d)
+    SinksPack.ensureFixture(path) {
+      Multimodal.audioFingerprint(s,
+          Multimodal.packAudioGrid(s, Tables.documents(s, d))).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
@@ -959,6 +969,17 @@ object PipelinePack {
         .select(col("img_a").as("clip_a"), col("img_b").as("clip_b"),
           col("hamming"))
         .orderBy("clip_a", "clip_b")
+    },
+    // Audio-fingerprint ROBUSTNESS scorecard: measured precision/recall
+    // of the near-dup threshold over a planted grid of trims (2- and
+    // 6-frame), a saturating ×2-gain re-render, and the unrelated-clip
+    // background — recall_trim measures the modeled perturbation,
+    // recall_gain honestly measures the loudness-sum fingerprint's
+    // gain sensitivity (≈0: normalize loudness before hashing if
+    // gain-invariance is required).
+    "q_mm_audio_neardup_quality" -> { (s, d) =>
+      Multimodal.audioDedupQualityReport(
+        audioGridFingerprintFixture(s, d), AUD_HAMMING_MAX)
     },
     // Tokenizer vocabulary coverage: freeze the top-VOCAB_V tokens by
     // corpus frequency (bounded heap top-k, broadcast) and report every
@@ -2901,6 +2922,72 @@ object PipelinePack {
          |  FROM h ha JOIN h hb ON ha.clip_id < hb.clip_id)
          |SELECT clip_a, clip_b, hamming FROM ham
          |WHERE hamming <= $AUD_HAMMING_MAX ORDER BY clip_a, clip_b""".stripMargin,
+
+    // The robustness grid replayed closed-form: base + trim-2 + trim-6
+    // + saturating ×2-gain renders per planted doc, fingerprints via
+    // the same sampled-loudness hash, ALL-PAIRS Hamming (the
+    // definition), then the precision/recall grading tail — mirrors
+    // Multimodal.packAudioGrid + audioDedupQualityReport.
+    "q_mm_audio_neardup_quality" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id * 4 AS clip_id, doc_id, 0 AS sil, 1 AS g FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 4 + 1, doc_id, 2, 1 FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id * 4 + 2, doc_id, 6, 1 FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id * 4 + 3, doc_id, 0, 2 FROM documents WHERE doc_id % 5 = 0),
+         |prm AS (SELECT clip_id, doc_id, sil, g,
+         |               1 + doc_id % 2 AS nc, 64 + doc_id % 33 AS nf FROM aud),
+         |xw AS (SELECT clip_id, w,
+         |              sum(abs(CASE WHEN (w * nf) // 64 < sil THEN 0
+         |                           ELSE LEAST(GREATEST(g * ((doc_id * 131 + c * 17
+         |                                + ((w * nf) // 64) * 37) % 65536 - 32768),
+         |                                -32768), 32767)
+         |                      END)) AS x
+         |       FROM prm, unnest(range(0, 64)) tw(w), unnest(range(0, nc)) tc(c)
+         |       GROUP BY clip_id, w),
+         |fb AS (SELECT clip_id, w // 16 AS band_idx,
+         |              CAST(sum(CASE WHEN (x * 2654435761) % 4294967296 >= 2147483648
+         |                            THEN 1 << CAST(w % 16 AS INT) ELSE 0 END)
+         |                   AS BIGINT) AS bval
+         |       FROM xw GROUP BY clip_id, w // 16),
+         |h AS (SELECT clip_id,
+         |             max(CASE WHEN band_idx = 0 THEN bval END) AS b0,
+         |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
+         |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
+         |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
+         |      FROM fb GROUP BY clip_id),
+         |ham AS (
+         |  SELECT ha.clip_id AS clip_a, hb.clip_id AS clip_b,
+         |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+         |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM h ha JOIN h hb ON ha.clip_id < hb.clip_id),
+         |pred AS (SELECT clip_a // 4 AS doc_a, clip_a % 4 AS va,
+         |                clip_b // 4 AS doc_b, clip_b % 4 AS vb
+         |         FROM ham WHERE hamming <= $AUD_HAMMING_MAX),
+         |pa AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
+         |              CAST(sum(CASE WHEN doc_a = doc_b THEN 1 ELSE 0 END)
+         |                   AS BIGINT) AS n_correct,
+         |              CAST(sum(CASE WHEN doc_a = doc_b AND va < 3 AND vb < 3
+         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_trim,
+         |              CAST(sum(CASE WHEN doc_a = doc_b AND (va = 3 OR vb = 3)
+         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_gain
+         |       FROM pred),
+         |tr AS (SELECT CAST(sum(c) AS BIGINT) AS n_clips,
+         |              CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_true,
+         |              CAST(sum(CASE WHEN c = 4 THEN 3 ELSE 0 END) AS BIGINT)
+         |                AS n_true_trim,
+         |              CAST(sum(CASE WHEN c = 4 THEN 3 ELSE 0 END) AS BIGINT)
+         |                AS n_true_gain
+         |       FROM (SELECT doc_id, count(*) AS c FROM aud GROUP BY doc_id))
+         |SELECT n_clips, n_true, n_pred, n_correct,
+         |       round(n_correct / n_pred, 6) AS precision,
+         |       round(n_correct / n_true, 6) AS recall,
+         |       round(n_correct_trim / n_true_trim, 6) AS recall_trim,
+         |       round(n_correct_gain / n_true_gain, 6) AS recall_gain
+         |FROM tr, pa""".stripMargin,
 
     // Per-frame aHash over the closed-form frame ramps (frame f = the
     // image hash chain with delta = 97·f), ALL-PAIRS exact Hamming

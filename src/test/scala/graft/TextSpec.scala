@@ -453,6 +453,34 @@ class TextSpec extends AnyFunSuite {
     assert(pairs.size < 24 * 25 / 2, "near-dup must not be the complete graph")
   }
 
+  test("audioDedupQualityReport: trims robust, gain decorrelates, counts exact") {
+    val docs = (0L until 30L).map((_, "x")).toDF("doc_id", "text")
+    val r = Multimodal.audioDedupQualityReport(
+      Multimodal.audioFingerprint(spark,
+        Multimodal.packAudioGrid(spark, docs)).toDF(), 4).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // 30 docs → 6 planted grids (docs 0,5,…,25: 4 clips) + 24 singles.
+    assert(row.getAs[Long]("n_clips") == 24 + 6 * 4)
+    assert(row.getAs[Long]("n_true") == 6 * 6)
+    val nPred = row.getAs[Long]("n_pred")
+    val nCorrect = row.getAs[Long]("n_correct")
+    assert(nCorrect <= nPred)
+    // Derived ratios must recompute from the counts.
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("precision") == r6(nCorrect.toDouble / nPred))
+    assert(row.getAs[Double]("recall") == r6(nCorrect.toDouble / 36))
+    // The modeled perturbation (leading-silence trim) is structurally
+    // robust — pointwise bits flip only on windows sampling trimmed
+    // frames; the ×2-gain render changes every sampled loudness and
+    // the multiplicative hash decorrelates it — the honest measurement
+    // the scorecard exists to record.
+    assert(row.getAs[Double]("recall_trim") >= 0.8)
+    assert(row.getAs[Double]("recall_gain") <= 0.2)
+    assert(row.getAs[Double]("recall_trim") > row.getAs[Double]("recall_gain"))
+  }
+
   test("videoFrameHashes: frame 0's hash equals the still-image aHash") {
     // Frame 0's pixel ramp IS the base image's (delta = 97·0 = 0), so
     // the per-frame hash path must agree with the still-image path —
