@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("poly31", es => Poly31Hash(es.head)))
     ext.injectFunction(fn("shingles3", es => WordShingles(es.head, 3)))
     ext.injectFunction(fn("demojize", es => DemojizeExpr(es.head)))
+    ext.injectFunction(fn("bpe_apply", es =>
+      graft.functions.BpeApplyExpr(es(0), es(1))))
     ext.injectFunction(fn("zorder2", es => graft.functions.ZOrder2(es(0), es(1))))
     // Spark's internal bloom build/probe pair — see
     // graft.functions.BloomProbe.

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `bpe_apply(tokens, merges)` — apply a rank-ordered BPE merge table to
+  * a token sequence with ONE greedy left-to-right pass per rule, in
+  * O(rules · tokens) with mutable buffers.
+  *
+  * Semantics are the exact fold [[graft.operators.TextAnalysis.bpeEncode]]
+  * previously expressed with nested higher-order `aggregate`s (and which
+  * the DuckDB oracle still states as a nested `list_reduce` — that SQL
+  * remains the semantic definition): for each merge `"a b"` in rank
+  * order, scan the sequence once; whenever the last emitted token equals
+  * `a` and the incoming token equals `b`, replace the last emitted token
+  * with the merged symbol `"a b"`. A merged symbol contains the joining
+  * space while rule sides are space-free words, so a merge can never
+  * re-match within any pass — one pass per rule is exact, and greedy
+  * left-to-right matching ('aaa' under rule 'a a' → ['a a', 'a']) is the
+  * tie-break both engines share.
+  *
+  * Why an Expression and not Column algebra: Spark arrays are immutable,
+  * so the `aggregate`-based fold appended each token with
+  * `concat(out, array(t))` — one full accumulator copy per element,
+  * making a single merge pass O(tokens²) in element copies, ×rules, per
+  * document (measured 13.3 s isolated at sf0.1, the suite's one real
+  * hotspot). Here the pass compacts in place over a pre-sized buffer:
+  * per document the cost is linear in document length, which is the
+  * dimension that actually grows at 100 TB.
+  */
+object BpeApply {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** One in-place compaction pass per rule over a shared buffer.
+    * Reads (`i`) always run at or ahead of writes (`o`), so the buffer
+    * doubles as both input and output of each pass. Called from both
+    * interpreted eval and generated code. */
+  def applyMerges(toks: ArrayData, merges: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = toks.getUTF8String(i); i += 1 }
+    var len = n
+    var r = 0
+    val nRules = merges.numElements()
+    while (r < nRules) {
+      val m = merges.getUTF8String(r)
+      val sp = m.indexOf(Space, 0)
+      if (sp >= 0) {
+        val a = m.substring(0, sp)
+        val b = m.substring(sp + 1, m.numChars())
+        var o = 0
+        i = 0
+        while (i < len) {
+          val t = buf(i)
+          if (o > 0 && buf(o - 1).equals(a) && t.equals(b)) buf(o - 1) = m
+          else { buf(o) = t; o += 1 }
+          i += 1
+        }
+        len = o
+      }
+      r += 1
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Register as a SQL function for ad-hoc sessions that don't load
+    * [[graft.GraftExtensions]]. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_apply", exprs => BpeApplyExpr(exprs(0), exprs(1)), "internal")
+}
+
+/** `bpe_apply(tokens: array<string>, merges: array<string>)` as a native
+  * binary Expression — the whole merge application is one codegen'd call,
+  * no UDF boxing, no per-element array copies. */
+case class BpeApplyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_apply"
+
+  override protected def nullSafeEval(toks: Any, merges: Any): Any =
+    BpeApply.applyMerges(toks.asInstanceOf[ArrayData], merges.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, m) => s"graft.functions.BpeApply.applyMerges($t, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeApplyExpr =
+    copy(left = newLeft, right = newRight)
+}

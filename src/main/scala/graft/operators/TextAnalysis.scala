@@ -59,9 +59,13 @@ object TextAnalysis {
     * md5 of the encoded sequence (proof the encode actually ran).
     * Scale: the merge table is one corpus-wide pair histogram reduced
     * through the bounded two-level heap, broadcast as a single k-row
-    * array; the application is a narrow per-row fold — no shuffle
-    * beyond the mining aggregation. */
+    * array; the application is one narrow per-row native Expression
+    * ([[graft.functions.BpeApply]], O(rules·tokens) with mutable
+    * buffers — the earlier nested-`aggregate` Column fold copied the
+    * immutable accumulator array per element, O(tokens²) per pass) —
+    * no shuffle beyond the mining aggregation. */
   def bpeEncode(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.BpeApply.register(docs.sparkSession)
     val ws = split(col("text"), " ")
     val pairs = docs
       .select(explode(zip_with(
@@ -73,16 +77,7 @@ object TextAnalysis {
         x => x.getField("pair")).as("merges")))
     val applied = docs.crossJoin(merges) // broadcast 1-row merge table
       .withColumn("toks0", split(col("text"), " "))
-      .withColumn("toks", aggregate(col("merges"), col("toks0"),
-        (acc, m) => {
-          val a = element_at(split(m, " "), 1)
-          val b = element_at(split(m, " "), 2)
-          aggregate(acc, array().cast("array<string>"),
-            (out, t) =>
-              when(size(out) > 0 && element_at(out, -1) === a && t === b,
-                concat(slice(out, lit(1), size(out) - lit(1)), array(m)))
-                .otherwise(concat(out, array(t))))
-        }))
+      .withColumn("toks", call_function("bpe_apply", col("toks0"), col("merges")))
     applied.select(col("doc_id"),
       size(col("toks0")).cast("long").as("ws_tokens"),
       size(col("toks")).cast("long").as("bpe_tokens"),

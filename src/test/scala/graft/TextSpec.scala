@@ -336,6 +336,38 @@ class TextSpec extends AnyFunSuite {
     assert(byId(3L) == ((2L, 1L, md5hex("x y"))))
   }
 
+  test("bpe_apply expression: greedy pass semantics match the reference fold") {
+    graft.functions.BpeApply.register(spark)
+    // The immutable-Column fold bpe_apply replaced — kept here as the
+    // semantic reference the native Expression must reproduce.
+    def refFold(toks: Seq[String], merges: Seq[String]): Seq[String] =
+      merges.foldLeft(toks) { (acc, m) =>
+        val Array(a, b) = m.split(" ", 2)
+        acc.foldLeft(Vector.empty[String]) { (out, t) =>
+          if (out.nonEmpty && out.last == a && t == b) out.init :+ m
+          else out :+ t
+        }
+      }
+    val cases = Seq(
+      (Seq("a", "a", "a"), Seq("a a")),              // greedy: ["a a","a"]
+      (Seq("a", "a", "a", "a"), Seq("a a")),         // ["a a","a a"]
+      (Seq("a", "b", "a", "b"), Seq("a b", "a b a b")), // no re-match: merged symbol has a space
+      (Seq("x"), Seq("x x")),                        // single token untouched
+      (Seq(), Seq("a b")),                           // empty sequence
+      (Seq("p", "q", "r"), Seq()),                   // empty merge table
+      (Seq("a", "b", "c"), Seq("a b", "a b c")),     // later rules see earlier symbols... not (space)
+      (Seq("a", "b", "b"), Seq("a b", "b b")))       // rule order matters
+    val df = cases.zipWithIndex
+      .map { case ((t, m), i) => (i.toLong, t, m) }
+      .toDF("id", "toks", "merges")
+    val got = df.selectExpr("id", "bpe_apply(toks, merges) AS out")
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[String](1).toList).toMap
+    cases.zipWithIndex.foreach { case ((t, m), i) =>
+      assert(got(i.toLong) == refFold(t, m).toList, s"case $i toks=$t merges=$m")
+    }
+  }
+
   test("multimodal real decode: PNG round trip pins the known image's pixels") {
     import Multimodal.ImageFixture
     // doc_id = 5: 13×13, gray(x,y) = (5 + 31x + 7y) mod 256.
