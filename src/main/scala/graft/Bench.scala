@@ -22,6 +22,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
       .map { case (name, fn) =>
+      var failed = false
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         // Time a noop-sink WRITE, not count(): under a bare count()
@@ -34,7 +35,15 @@ object Bench {
         // would pay — the honest number.
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
+        } catch { case e: Throwable =>
+          // A query that throws must be FLAGGED, not recorded as a
+          // near-zero time that quietly deflates the committed totals
+          // (ADVICE r9 #4): the error surfaces on stderr once and the
+          // query lands in the artifacts' "errors" list.
+          if (!failed)
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed = true
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // No clearCache: operators release their own caches
         // (Dedup.materializeThenRelease), spec-enforced. Checkpoint
@@ -45,12 +54,18 @@ object Bench {
         operators.Lifecycle.releaseAll()
         dt
       }
-      (name, times.sorted.apply(runs / 2), times.head, times.min)
+      (name, times.sorted.apply(runs / 2), times.head, times.min, failed)
     }
     def r3(d: Double) = math.round(d * 1000) / 1000.0
-    def jmap(rs: Seq[(String, Double, Double, Double)],
-             f: ((String, Double, Double, Double)) => Double) =
+    def jmap(rs: Seq[(String, Double, Double, Double, Boolean)],
+             f: ((String, Double, Double, Double, Boolean)) => Double) =
       rs.map { r => "\"" + r._1 + "\":" + r3(f(r)) }.mkString("{", ",", "}")
+    // Queries whose noop write threw in ANY run: their recorded times
+    // are wall-clock-to-failure, not work done — consumers must treat
+    // the run as unmeasured (the errors list is the flag; JSON has no
+    // Infinity literal to poison the number with).
+    val errors = results.filter(_._5).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // The driver captures only the TAIL of the bench log, so the stdout
     // line must stay well under ~2 KB or it truncates mid-JSON and the
@@ -67,7 +82,7 @@ object Bench {
     // likewise — compare it to "value" before reading per-query deltas).
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-        s""""n_queries":${results.size},""" +
+        s""""n_queries":${results.size},"errors":$errors,""" +
         s""""total_min":${r3(results.map(_._4).sum)},""" +
         s""""queries":${jmap(results, _._2)},""" +
         s""""queries_first":${jmap(results, _._3)},""" +
@@ -87,7 +102,8 @@ object Bench {
       if (prefixes == Seq("")) "\"full\":\"BENCH_FULL.json\""
       else s""""full":null,"prefixes":"${prefixes.mkString(",")}""""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s""""n_queries":${results.size},"queries":${jmap(headline, _._2)},""" +
+      s""""n_queries":${results.size},"errors":$errors,""" +
+      s""""queries":${jmap(headline, _._2)},""" +
       s""""sf":"$sfDir",$fullRef}""")
   }
 }

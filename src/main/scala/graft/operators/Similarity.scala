@@ -214,13 +214,30 @@ object Similarity {
     * similarity family (the [[Dedup.CorpusIndex]] / ImageIndex pattern
     * applied to centroids): `centroids` is the frozen data-seeded
     * coarse quantizer, `corpusStats` the per-list membership
-    * statistics at build time (cid, old_size, mean_sim_old). Build
-    * once with [[buildIvfIndex]], fold each arriving batch in with
-    * [[ivfReassign]] — which assigns ONLY the batch, the corpus is
-    * never rescanned — and release with [[releaseIvfIndex]] when the
-    * serving loop re-trains. */
+    * statistics (cid, old_size, sim_sum) where `sim_sum` is the EXACT
+    * DECIMAL(18,6) sum of the members' rounded assignment similarities
+    * — a sum, not a mean, so absorbing batches stays associative
+    * (decimal sums add exactly; a stored rounded mean could not be
+    * recombined without drift). Build once with [[buildIvfIndex]],
+    * report each arriving batch with [[ivfReassign]] — which assigns
+    * ONLY the batch, the corpus is never rescanned — fold accepted
+    * batches into the list statistics with [[absorbIvfBatch]] (the
+    * quantizer stays frozen; only the membership accounting advances,
+    * so the NEXT batch's growth/drift reads against everything already
+    * absorbed, not the original build), and release with
+    * [[releaseIvfIndex]] when the serving loop re-trains. */
   case class IvfIndex(centroids: DataFrame, corpusStats: DataFrame,
                       centStride: Long)
+
+  private val SimSumType = org.apache.spark.sql.types.DecimalType(18, 6)
+
+  /** Per-list (cid, old_size, sim_sum) of one vector set against a
+    * frozen centroid table — shared by build / reassign / absorb. */
+  private def listStats(e: DataFrame, cent: DataFrame): DataFrame =
+    assignWithSim(e, cent)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("old_size"),
+        sum(col("cd").cast(SimSumType)).cast(SimSumType).as("sim_sum"))
 
   def buildIvfIndex(emb: DataFrame, centStride: Long): IvfIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -230,18 +247,13 @@ object Similarity {
     // Materialize up front (bounded metadata actions): the first
     // arriving batch must not absorb the corpus assignment pass.
     cent.count()
-    val stats = assignWithSim(e, cent)
-      .groupBy("cid")
-      .agg(count(lit(1)).as("old_size"),
-        round(graft.functions.Num.dsum(col("cd")) / count(lit(1)), 6)
-          .as("mean_sim_old"))
-      .persist(lvl)
+    val stats = listStats(e, cent).persist(lvl)
     stats.count()
     e.unpersist(blocking = false)
     IvfIndex(cent, stats, centStride)
   }
 
-  /** Fold one arriving batch into a prebuilt [[IvfIndex]] WITHOUT
+  /** Report one arriving batch against a prebuilt [[IvfIndex]] WITHOUT
     * rebuilding it: assign only the new vectors to the frozen
     * centroids and emit the per-list STALENESS report a serving
     * pipeline watches to decide when to re-centroid — (cid, old_size,
@@ -251,22 +263,58 @@ object Similarity {
     * `mean_sim_new` < `mean_sim_old` means arriving vectors fit the
     * frozen quantizer worse than the training corpus did — drift, the
     * re-train signal. Lists with no arrivals keep added = 0 and a null
-    * mean_sim_new. Per-batch cost: |batch|·|centroids| broadcast dots
-    * + one keyed aggregate + a |centroids|-row join — no corpus-sized
-    * work. */
+    * mean_sim_new. The join is FULL OUTER: a batch vector assigned to
+    * a centroid with no build-time members (possible when the index
+    * state was not self-seeded, or after duplicate-centroid ties)
+    * surfaces as a row with old_size = 0 and null growth/mean_sim_old
+    * — a left join would silently DROP those arrivals and the report
+    * would under-count the batch. Per-batch cost: |batch|·|centroids|
+    * broadcast dots + one keyed aggregate + a |centroids|-row join —
+    * no corpus-sized work. */
   def ivfReassign(index: IvfIndex, newEmb: DataFrame): DataFrame = {
-    val added = assignWithSim(normalized(newEmb), index.centroids)
-      .groupBy("cid")
-      .agg(count(lit(1)).as("added"),
-        round(graft.functions.Num.dsum(col("cd")) / count(lit(1)), 6)
+    val added = listStats(normalized(newEmb), index.centroids)
+      .select(col("cid"), col("old_size").as("added"),
+        col("sim_sum").as("batch_sum"))
+    val oldSize = coalesce(col("old_size"), lit(0L))
+    val addedN = coalesce(col("added"), lit(0L))
+    index.corpusStats.join(added, Seq("cid"), "full_outer")
+      .select(col("cid"), oldSize.as("old_size"), addedN.as("added"),
+        (oldSize + addedN).as("new_size"),
+        when(oldSize > 0, round(addedN / col("old_size"), 6)).as("growth"),
+        when(oldSize > 0,
+          round(col("sim_sum").cast("double") / col("old_size"), 6))
+          .as("mean_sim_old"),
+        when(addedN > 0,
+          round(col("batch_sum").cast("double") / col("added"), 6))
           .as("mean_sim_new"))
-    index.corpusStats.join(added, Seq("cid"), "left")
-      .select(col("cid"), col("old_size"),
-        coalesce(col("added"), lit(0L)).as("added"),
-        (col("old_size") + coalesce(col("added"), lit(0L))).as("new_size"),
-        round(coalesce(col("added"), lit(0L)) / col("old_size"), 6)
-          .as("growth"),
-        col("mean_sim_old"), col("mean_sim_new"))
+  }
+
+  /** Fold an accepted batch INTO the index state: list sizes and the
+    * exact decimal similarity sums advance; the coarse quantizer stays
+    * frozen. Associative by construction — absorbing b1 then b2 yields
+    * bit-identical `corpusStats` to absorbing b1 ∪ b2 once (decimal
+    * sums add exactly; IvfMaintenanceSpec pins it) — so a serving loop
+    * can fold batches at any cadence and the NEXT [[ivfReassign]]
+    * reads growth/drift against everything already absorbed rather
+    * than comparing every batch to the original build forever. Returns
+    * the advanced index and releases the superseded statistics; cost
+    * is the batch assignment + a |centroids|-row merge. */
+  def absorbIvfBatch(index: IvfIndex, newEmb: DataFrame): IvfIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val added = listStats(normalized(newEmb), index.centroids)
+      .select(col("cid"), col("old_size").as("added"),
+        col("sim_sum").as("batch_sum"))
+    val zeroSum = lit(BigDecimal(0)).cast(SimSumType)
+    val merged = index.corpusStats.join(added, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        (coalesce(col("old_size"), lit(0L)) + coalesce(col("added"), lit(0L)))
+          .as("old_size"),
+        (coalesce(col("sim_sum"), zeroSum) + coalesce(col("batch_sum"), zeroSum))
+          .cast(SimSumType).as("sim_sum"))
+      .persist(lvl)
+    merged.count()
+    index.corpusStats.unpersist(blocking = false)
+    IvfIndex(index.centroids, merged, index.centStride)
   }
 
   def releaseIvfIndex(index: IvfIndex): Unit = {

@@ -148,9 +148,15 @@ object PipelinePack {
   private val LOGIT_KEEP_MIN = 0.5
   /** Train share (percent) of the leakage-safe cluster-atomic split. */
   private val TRAIN_PCT = 80L
-  /** Audio near-dup: max fingerprint Hamming distance (planted
-    * 3-frame-trim variants measure ≤ 3; cross-clip mean is ~32). */
-  private val AUD_HAMMING_MAX = 4
+  /** Audio near-dup: max fingerprint Hamming distance, picked from the
+    * measured `q_mm_audio_neardup_quality` grid of the band-median
+    * fingerprint: at 8, precision 0.978 / recall 0.960 / recall_trim
+    * 0.960 / recall_gain 0.960 (sf0.01); at 6 recall_trim drops to
+    * 0.89 and at 10 precision to 0.92 — 8 is the knee. (The round-9/10
+    * raw-loudness-hash fingerprint graded 0.29 / 0.0 on the same grid
+    * at its threshold 4 — the scorecard exists to force exactly this
+    * re-pick.) */
+  private val AUD_HAMMING_MAX = 8
   /** Clip-level video near-dup: max frame-hash Hamming distance and
     * the minimum matching-frame-pair count for a video pair to count
     * as overlapping — the tight two-threshold setting (near-certain
@@ -1108,6 +1114,49 @@ object PipelinePack {
       |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
       |      FROM bands GROUP BY img_id)""".stripMargin
 
+  /** Closed-form replay of [[Multimodal.audioFingerprint]] over a
+    * `prm(clip_id, doc_id, sil, g, nc, nf)` CTE already in scope
+    * (structured render: block amplitude `AudioFixture.ampAt`,
+    * alternating sign, leading-silence zeroing, saturating gain):
+    * per-frame loudness → 64 contiguous bands (band of frame f =
+    * 64f//nf) → lcm-normalized band energy → bit = above the clip's
+    * lower-median band under (norm, w) lex order → 4×16-bit words
+    * `h(clip_id, b0..b3)`. Assumes nf ≥ 64 (every band non-empty, as
+    * both fixture packers guarantee), mirroring the Scala guard. */
+  private lazy val audioHashCtes =
+    """fr AS (SELECT clip_id, f, max(nf) AS nf,
+      |              sum(abs(CASE WHEN f < sil THEN 0
+      |                   ELSE LEAST(GREATEST(g
+      |                     * (CASE WHEN (f + c) % 2 = 0 THEN 1 ELSE -1 END)
+      |                     * (((doc_id + 131) * ((f // 4) + 17)
+      |                         * (doc_id + (f // 4) * 127 + 29)) % 20000 + 2048),
+      |                     -32768), 32767) END)) AS loud
+      |       FROM prm, unnest(range(0, nf)) tf(f), unnest(range(0, nc)) tc(c)
+      |       GROUP BY clip_id, f),
+      |bb AS (SELECT clip_id, (64 * f) // nf AS w, max(nf) AS nf,
+      |              sum(loud) AS bsum, count(*) AS cnt
+      |       FROM fr GROUP BY clip_id, (64 * f) // nf),
+      |rk AS (SELECT clip_id, w,
+      |              bsum * (((nf // 64) * (nf // 64 + 1)) // cnt) AS norm,
+      |              row_number() OVER (PARTITION BY clip_id
+      |                                 ORDER BY bsum * (((nf // 64)
+      |                                   * (nf // 64 + 1)) // cnt), w) AS rn
+      |       FROM bb),
+      |med AS (SELECT clip_id, norm AS mv, w AS mw FROM rk WHERE rn = 32),
+      |fb AS (SELECT r.clip_id, r.w // 16 AS band_idx,
+      |              CAST(sum(CASE WHEN r.norm > m.mv
+      |                              OR (r.norm = m.mv AND r.w > m.mw)
+      |                            THEN 1 << CAST(r.w % 16 AS INT) ELSE 0 END)
+      |                   AS BIGINT) AS bval
+      |       FROM rk r JOIN med m ON r.clip_id = m.clip_id
+      |       GROUP BY r.clip_id, r.w // 16),
+      |h AS (SELECT clip_id,
+      |             max(CASE WHEN band_idx = 0 THEN bval END) AS b0,
+      |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
+      |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
+      |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
+      |      FROM fb GROUP BY clip_id)""".stripMargin
+
   private lazy val imageHamCtes =
     s"""imgs AS (
        |  SELECT doc_id * 2 AS img_id, doc_id, 0 AS delta FROM documents
@@ -1694,12 +1743,14 @@ object PipelinePack {
          |rnew AS (SELECT cid, CAST(count(*) AS BIGINT) AS added,
          |                round(${Num.dsumSql("cd")} / count(*), 6) AS mean_sim_new
          |         FROM r1 WHERE vec_id % 10 = $IVF_BATCH_REM GROUP BY cid)
-         |SELECT rold.cid, old_size,
+         |SELECT cid,
+         |       coalesce(old_size, 0) AS old_size,
          |       coalesce(added, 0) AS added,
-         |       old_size + coalesce(added, 0) AS new_size,
-         |       round(coalesce(added, 0) / old_size, 6) AS growth,
+         |       coalesce(old_size, 0) + coalesce(added, 0) AS new_size,
+         |       CASE WHEN coalesce(old_size, 0) > 0
+         |            THEN round(coalesce(added, 0) / old_size, 6) END AS growth,
          |       mean_sim_old, mean_sim_new
-         |FROM rold LEFT JOIN rnew USING (cid) ORDER BY cid""".stripMargin,
+         |FROM rold FULL OUTER JOIN rnew USING (cid) ORDER BY cid""".stripMargin,
 
     "q_dedup_incremental" -> incrementalDedupSql,
 
@@ -2884,36 +2935,18 @@ object PipelinePack {
         |ORDER BY doc_id, frame_no""".stripMargin,
 
     // Replays the audio fingerprint closed-form (base + trimmed-variant
-    // clips): the same 64 sampled-loudness points the Spark side
-    // measures from PCM DECODED by AudioSystem, the same Knuth-hash
-    // bit, the same 4×16-bit words, ALL-PAIRS exact Hamming (the
-    // definition — the Spark side's banded blocking is
-    // pigeonhole-lossless).
+    // clips): the same structured PCM the Spark side DECODES with
+    // AudioSystem, the same band-energy/lower-median bit, the same
+    // 4×16-bit words, ALL-PAIRS exact Hamming (the definition — the
+    // Spark side's banded blocking is pigeonhole-lossless).
     "q_mm_audio_neardup" ->
       s"""WITH aud AS (
          |  SELECT doc_id * 2 AS clip_id, doc_id, 0 AS sil FROM documents
          |  UNION ALL
          |  SELECT doc_id * 2 + 1, doc_id, 3 FROM documents WHERE doc_id % 5 = 0),
-         |prm AS (SELECT clip_id, doc_id, sil,
+         |prm AS (SELECT clip_id, doc_id, sil, 1 AS g,
          |               1 + doc_id % 2 AS nc, 64 + doc_id % 33 AS nf FROM aud),
-         |xw AS (SELECT clip_id, w,
-         |              sum(abs(CASE WHEN (w * nf) // 64 < sil THEN 0
-         |                           ELSE (doc_id * 131 + c * 17
-         |                                 + ((w * nf) // 64) * 37) % 65536 - 32768
-         |                      END)) AS x
-         |       FROM prm, unnest(range(0, 64)) tw(w), unnest(range(0, nc)) tc(c)
-         |       GROUP BY clip_id, w),
-         |fb AS (SELECT clip_id, w // 16 AS band_idx,
-         |              CAST(sum(CASE WHEN (x * 2654435761) % 4294967296 >= 2147483648
-         |                            THEN 1 << CAST(w % 16 AS INT) ELSE 0 END)
-         |                   AS BIGINT) AS bval
-         |       FROM xw GROUP BY clip_id, w // 16),
-         |h AS (SELECT clip_id,
-         |             max(CASE WHEN band_idx = 0 THEN bval END) AS b0,
-         |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
-         |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
-         |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
-         |      FROM fb GROUP BY clip_id),
+         |$audioHashCtes,
          |ham AS (
          |  SELECT ha.clip_id AS clip_a, hb.clip_id AS clip_b,
          |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
@@ -2925,9 +2958,11 @@ object PipelinePack {
 
     // The robustness grid replayed closed-form: base + trim-2 + trim-6
     // + saturating ×2-gain renders per planted doc, fingerprints via
-    // the same sampled-loudness hash, ALL-PAIRS Hamming (the
-    // definition), then the precision/recall grading tail — mirrors
-    // Multimodal.packAudioGrid + audioDedupQualityReport.
+    // the same band-energy/lower-median bits, ALL-PAIRS Hamming (the
+    // definition), then the precision/recall grading tail (ratios
+    // COALESCE to 0.0 on empty denominators, mirroring the Spark
+    // side's guards) — mirrors Multimodal.packAudioGrid +
+    // audioDedupQualityReport.
     "q_mm_audio_neardup_quality" ->
       s"""WITH aud AS (
          |  SELECT doc_id * 4 AS clip_id, doc_id, 0 AS sil, 1 AS g FROM documents
@@ -2939,25 +2974,7 @@ object PipelinePack {
          |  SELECT doc_id * 4 + 3, doc_id, 0, 2 FROM documents WHERE doc_id % 5 = 0),
          |prm AS (SELECT clip_id, doc_id, sil, g,
          |               1 + doc_id % 2 AS nc, 64 + doc_id % 33 AS nf FROM aud),
-         |xw AS (SELECT clip_id, w,
-         |              sum(abs(CASE WHEN (w * nf) // 64 < sil THEN 0
-         |                           ELSE LEAST(GREATEST(g * ((doc_id * 131 + c * 17
-         |                                + ((w * nf) // 64) * 37) % 65536 - 32768),
-         |                                -32768), 32767)
-         |                      END)) AS x
-         |       FROM prm, unnest(range(0, 64)) tw(w), unnest(range(0, nc)) tc(c)
-         |       GROUP BY clip_id, w),
-         |fb AS (SELECT clip_id, w // 16 AS band_idx,
-         |              CAST(sum(CASE WHEN (x * 2654435761) % 4294967296 >= 2147483648
-         |                            THEN 1 << CAST(w % 16 AS INT) ELSE 0 END)
-         |                   AS BIGINT) AS bval
-         |       FROM xw GROUP BY clip_id, w // 16),
-         |h AS (SELECT clip_id,
-         |             max(CASE WHEN band_idx = 0 THEN bval END) AS b0,
-         |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
-         |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
-         |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
-         |      FROM fb GROUP BY clip_id),
+         |$audioHashCtes,
          |ham AS (
          |  SELECT ha.clip_id AS clip_a, hb.clip_id AS clip_b,
          |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
@@ -2968,25 +2985,29 @@ object PipelinePack {
          |                clip_b // 4 AS doc_b, clip_b % 4 AS vb
          |         FROM ham WHERE hamming <= $AUD_HAMMING_MAX),
          |pa AS (SELECT CAST(count(*) AS BIGINT) AS n_pred,
-         |              CAST(sum(CASE WHEN doc_a = doc_b THEN 1 ELSE 0 END)
-         |                   AS BIGINT) AS n_correct,
-         |              CAST(sum(CASE WHEN doc_a = doc_b AND va < 3 AND vb < 3
-         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_trim,
-         |              CAST(sum(CASE WHEN doc_a = doc_b AND (va = 3 OR vb = 3)
-         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_gain
+         |              CAST(coalesce(sum(CASE WHEN doc_a = doc_b THEN 1 ELSE 0 END),
+         |                   0) AS BIGINT) AS n_correct,
+         |              CAST(coalesce(sum(CASE WHEN doc_a = doc_b AND va < 3 AND vb < 3
+         |                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct_trim,
+         |              CAST(coalesce(sum(CASE WHEN doc_a = doc_b AND (va = 3 OR vb = 3)
+         |                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct_gain
          |       FROM pred),
-         |tr AS (SELECT CAST(sum(c) AS BIGINT) AS n_clips,
-         |              CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_true,
-         |              CAST(sum(CASE WHEN c = 4 THEN 3 ELSE 0 END) AS BIGINT)
-         |                AS n_true_trim,
-         |              CAST(sum(CASE WHEN c = 4 THEN 3 ELSE 0 END) AS BIGINT)
-         |                AS n_true_gain
+         |tr AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_clips,
+         |              CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT) AS n_true,
+         |              CAST(coalesce(sum(CASE WHEN c = 4 THEN 3 ELSE 0 END), 0)
+         |                AS BIGINT) AS n_true_trim,
+         |              CAST(coalesce(sum(CASE WHEN c = 4 THEN 3 ELSE 0 END), 0)
+         |                AS BIGINT) AS n_true_gain
          |       FROM (SELECT doc_id, count(*) AS c FROM aud GROUP BY doc_id))
          |SELECT n_clips, n_true, n_pred, n_correct,
-         |       round(n_correct / n_pred, 6) AS precision,
-         |       round(n_correct / n_true, 6) AS recall,
-         |       round(n_correct_trim / n_true_trim, 6) AS recall_trim,
-         |       round(n_correct_gain / n_true_gain, 6) AS recall_gain
+         |       CASE WHEN n_pred > 0 THEN round(n_correct / n_pred, 6)
+         |            ELSE 0.0 END AS precision,
+         |       CASE WHEN n_true > 0 THEN round(n_correct / n_true, 6)
+         |            ELSE 0.0 END AS recall,
+         |       CASE WHEN n_true_trim > 0 THEN round(n_correct_trim / n_true_trim, 6)
+         |            ELSE 0.0 END AS recall_trim,
+         |       CASE WHEN n_true_gain > 0 THEN round(n_correct_gain / n_true_gain, 6)
+         |            ELSE 0.0 END AS recall_gain
          |FROM tr, pa""".stripMargin,
 
     // Per-frame aHash over the closed-form frame ramps (frame f = the

@@ -439,4 +439,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(report.nonEmpty)
     assert(report == expect)
   }
+
+  test("absorbIvfBatch: two sequential batches ≡ one combined batch") {
+    // r9 item #6: the serving loop folds accepted batches into the
+    // index state; decimal sim sums make the fold ASSOCIATIVE, so any
+    // absorb cadence yields bit-identical statistics.
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10L)) < 6L)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(10L)).isin(6L, 7L))
+    val b2 = emb.filter(pmod(col("vec_id"), lit(10L)).isin(8L, 9L))
+    def stats(idx: Similarity.IvfIndex): Map[Long, (Long, java.math.BigDecimal)] =
+      idx.corpusStats.collect().map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("old_size"), r.getAs[java.math.BigDecimal]("sim_sum")))
+        .toMap
+    val seqIdx = Similarity.absorbIvfBatch(
+      Similarity.absorbIvfBatch(Similarity.buildIvfIndex(corpus, 61L), b1), b2)
+    val sequential = stats(seqIdx)
+    val oneIdx = Similarity.absorbIvfBatch(
+      Similarity.buildIvfIndex(corpus, 61L), b1.unionAll(b2))
+    val combined = stats(oneIdx)
+    assert(sequential.nonEmpty && sequential == combined)
+    // And the absorbed state is what the NEXT reassign reads: a b2
+    // report against the advanced index counts b1's arrivals as
+    // membership — old_size totals |corpus| + |b1|, not |corpus| (the
+    // r9 defect: every batch compared against the original build
+    // forever).
+    val b1Idx = Similarity.absorbIvfBatch(Similarity.buildIvfIndex(corpus, 61L), b1)
+    val report = Similarity.ivfReassign(b1Idx, b2).collect()
+    assert(report.map(_.getAs[Long]("old_size")).sum == corpus.count() + b1.count())
+    assert(report.map(_.getAs[Long]("added")).sum == b2.count())
+    Seq(seqIdx, oneIdx, b1Idx).foreach(Similarity.releaseIvfIndex)
+  }
+
+  test("ivfReassign: arrivals to a zero-member list surface, not drop") {
+    // ADVICE r9 #1: a LEFT join onto corpusStats silently dropped batch
+    // vectors assigned to a centroid with no build-time members; the
+    // full-outer report must keep them with old_size 0 and null
+    // growth/mean_sim_old. Hand-built index state: centroid 99 exists
+    // in the quantizer but owns no corpus list.
+    import spark.implicits._
+    val cent = Seq((0L, Seq(1.0, 0.0)), (99L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
+    val stats = Seq((0L, 3L, new java.math.BigDecimal("2.400000")))
+      .toDF("cid", "old_size", "sim_sum")
+      .select(col("cid"), col("old_size"),
+        col("sim_sum").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("sim_sum"))
+    val idx = Similarity.IvfIndex(cent, stats, 1L)
+    val batch = Seq((500L, Seq(0.1, 5.0))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rows = Similarity.ivfReassign(idx, batch).orderBy("cid").collect()
+    assert(rows.map(_.getAs[Long]("cid")).toSeq == Seq(0L, 99L))
+    val r99 = rows(1)
+    assert(r99.getAs[Long]("old_size") == 0L &&
+      r99.getAs[Long]("added") == 1L && r99.getAs[Long]("new_size") == 1L)
+    assert(r99.isNullAt(r99.fieldIndex("growth")),
+      "growth over a zero base must be null, not a division artifact")
+    assert(r99.isNullAt(r99.fieldIndex("mean_sim_old")))
+    assert(r99.getAs[Double]("mean_sim_new") > 0.99) // ~unit dot with cv
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("old_size") == 3L && r0.getAs[Long]("added") == 0L &&
+      r0.getAs[Double]("mean_sim_old") == 0.8 &&
+      r0.isNullAt(r0.fieldIndex("mean_sim_new")))
+  }
 }

@@ -474,22 +474,26 @@ class TextSpec extends AnyFunSuite {
     val docs = (0L until 20L).map((_, "x")).toDF("doc_id", "text")
     val pairs = Multimodal.imageNearDup(
         Multimodal.audioFingerprint(spark,
-          Multimodal.packAudioVariants(spark, docs)).toDF(), 4)
+          Multimodal.packAudioVariants(spark, docs)).toDF(), 8)
       .collect()
       .map(r => (r.getAs[Long]("img_a"), r.getAs[Long]("img_b"))).toSet
     // Every planted (base, 3-frame-trimmed) pair must surface: docs
-    // 0, 5, 10, 15 → clip pairs (2d, 2d+1) — only the windows that
-    // sample trimmed frames can flip (measured Hamming ≤ 3).
+    // 0, 5, 10, 15 → clip pairs (2d, 2d+1) — a leading trim zeroes
+    // only the leading bands plus at most a median rank shift
+    // (measured Hamming ≤ 4 on these docs).
     for (d <- Seq(0L, 5L, 10L, 15L))
       assert(pairs.contains((d * 2, d * 2 + 1)), s"planted trim pair for doc $d")
-    assert(pairs.size < 24 * 25 / 2, "near-dup must not be the complete graph")
+    // On this fixture the flagged set is EXACTLY the planted pairs —
+    // band-median fingerprints of unrelated structured clips sit near
+    // Hamming 32 (measured min 10 here).
+    assert(pairs == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)))
   }
 
-  test("audioDedupQualityReport: trims robust, gain decorrelates, counts exact") {
+  test("audioDedupQualityReport: trims AND gain robust, counts exact") {
     val docs = (0L until 30L).map((_, "x")).toDF("doc_id", "text")
     val r = Multimodal.audioDedupQualityReport(
       Multimodal.audioFingerprint(spark,
-        Multimodal.packAudioGrid(spark, docs)).toDF(), 4).collect()
+        Multimodal.packAudioGrid(spark, docs)).toDF(), 8).collect()
     assert(r.length == 1)
     val row = r.head
     // 30 docs → 6 planted grids (docs 0,5,…,25: 4 clips) + 24 singles.
@@ -503,14 +507,55 @@ class TextSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(row.getAs[Double]("precision") == r6(nCorrect.toDouble / nPred))
     assert(row.getAs[Double]("recall") == r6(nCorrect.toDouble / 36))
-    // The modeled perturbation (leading-silence trim) is structurally
-    // robust — pointwise bits flip only on windows sampling trimmed
-    // frames; the ×2-gain render changes every sampled loudness and
-    // the multiplicative hash decorrelates it — the honest measurement
-    // the scorecard exists to record.
-    assert(row.getAs[Double]("recall_trim") >= 0.8)
-    assert(row.getAs[Double]("recall_gain") <= 0.2)
-    assert(row.getAs[Double]("recall_trim") > row.getAs[Double]("recall_gain"))
+    // Band-median bits survive BOTH modeled perturbations: a leading
+    // trim flips only leading-band bits (+ a median rank shift), and
+    // the saturating ×2 gain is monotone in |sample|, so the energy
+    // ORDER of the bands — hence every median-relative bit up to
+    // clip-level ties — is preserved. The round-9/10 raw-loudness-hash
+    // fingerprint measured 0.29 precision / 0.0 recall_gain on this
+    // same grid; the re-design is what this scorecard forced.
+    assert(row.getAs[Double]("precision") >= 0.95)
+    assert(row.getAs[Double]("recall_trim") >= 0.85)
+    assert(row.getAs[Double]("recall_gain") >= 0.85)
+  }
+
+  test("audioDedupQualityReport: empty slice reads as zeros, not nulls") {
+    // ADVICE r9 #2: ratios over empty denominators must surface as 0.0
+    // (a degenerate slice is "found nothing", not a NaN-ish hole).
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("img_id", "b0", "b1", "b2", "b3")
+        .map(StructField(_, LongType, nullable = false))))
+    val r = Multimodal.audioDedupQualityReport(empty, 8).collect()
+    assert(r.length == 1)
+    val row = r.head
+    for (c <- Seq("n_clips", "n_true", "n_pred", "n_correct"))
+      assert(!row.isNullAt(row.fieldIndex(c)) && row.getAs[Long](c) == 0L,
+        s"count column $c must be a non-null zero")
+    for (c <- Seq("precision", "recall", "recall_trim", "recall_gain"))
+      assert(!row.isNullAt(row.fieldIndex(c)) && row.getAs[Double](c) == 0.0,
+        s"ratio column $c must be a non-null 0.0")
+  }
+
+  test("audioFingerprint: truncated payload fails loudly and leaks no stream") {
+    // ADVICE r9 #3: the integrity requires run inside try/finally, so a
+    // malformed clip raises the descriptive error (not an opaque index
+    // error) and the decoder stream is closed either way.
+    import spark.implicits._
+    val good = Multimodal.AudioFixture.renderWav(3L, 0, 1, structured = true)
+    val bad = java.util.Arrays.copyOf(good, good.length - 1) // drop 1 byte
+    val clips = Seq(Multimodal.AudioClip(1L, 3L, 0, bad)).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFingerprint(spark, clips).collect()
+    }
+    // Either integrity guard may fire (AudioInputStream frame-aligns
+    // reads on some paths); both carry the descriptive prefix.
+    def msgs(t: Throwable): Iterator[String] =
+      Iterator.iterate[Throwable](t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse(""))
+    assert(msgs(e).exists(_.contains("audioFingerprint")),
+      s"expected the descriptive integrity error, got: ${e.getMessage}")
   }
 
   test("videoFrameHashes: frame 0's hash equals the still-image aHash") {
