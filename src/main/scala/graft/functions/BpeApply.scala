@@ -39,7 +39,17 @@ object BpeApply {
   /** One in-place compaction pass per rule over a shared buffer.
     * Reads (`i`) always run at or ahead of writes (`o`), so the buffer
     * doubles as both input and output of each pass. Called from both
-    * interpreted eval and generated code. */
+    * interpreted eval and generated code.
+    *
+    * Rule parsing matches the oracle's `string_split(m, ' ')[1]/[2]`
+    * exactly: `a` is the first space-separated part, `b` the SECOND
+    * part (NOT everything after the first space — a rule with extra
+    * spaces matches on its first two parts and still substitutes the
+    * whole rule string). Rules mined by `bpeEncode` always have
+    * exactly one space, but `bpe_apply` is a registered SQL function,
+    * so the general contract is pinned by spec. Null tokens and null
+    * rules pass through unmatched (the oracle's NULL comparisons take
+    * the ELSE branch), never NPE. */
   def applyMerges(toks: ArrayData, merges: ArrayData): ArrayData = {
     val n = toks.numElements()
     val buf = new Array[UTF8String](n)
@@ -50,15 +60,17 @@ object BpeApply {
     val nRules = merges.numElements()
     while (r < nRules) {
       val m = merges.getUTF8String(r)
-      val sp = m.indexOf(Space, 0)
+      val sp = if (m == null) -1 else m.indexOf(Space, 0)
       if (sp >= 0) {
         val a = m.substring(0, sp)
-        val b = m.substring(sp + 1, m.numChars())
+        val sp2 = m.indexOf(Space, sp + 1)
+        val b = m.substring(sp + 1, if (sp2 < 0) m.numChars() else sp2)
         var o = 0
         i = 0
         while (i < len) {
           val t = buf(i)
-          if (o > 0 && buf(o - 1).equals(a) && t.equals(b)) buf(o - 1) = m
+          if (o > 0 && t != null && buf(o - 1) != null &&
+            buf(o - 1).equals(a) && t.equals(b)) buf(o - 1) = m
           else { buf(o) = t; o += 1 }
           i += 1
         }
@@ -84,7 +96,12 @@ object BpeApply {
   * no UDF boxing, no per-element array copies. */
 case class BpeApplyExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull follows the INPUT token array: merge application never
+  // introduces nulls, but it passes existing null elements through.
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
   override def prettyName: String = "bpe_apply"
 
   override protected def nullSafeEval(toks: Any, merges: Any): Any =

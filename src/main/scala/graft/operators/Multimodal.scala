@@ -894,6 +894,20 @@ object Multimodal {
     * min_hamming) for pairs with ≥ `minFrames` matching frame pairs. */
   def videoNearDup(frameHashes: DataFrame, maxHamming: Int,
                    minFrames: Long): DataFrame = {
+    val (out, hv, dh) = videoNearDupPlan(frameHashes, maxHamming, minFrames)
+    Dedup.materializeThenRelease(out, hv, dh)
+  }
+
+  /** The un-materialized [[videoNearDup]] dataflow plus its two cached
+    * inputs — split out so PlanHygieneSpec can pin the plan SHAPE (the
+    * banded candidate join must consume the DISTINCT-hash relation,
+    * never raw frames: re-banding frames would reintroduce the ~14M
+    * candidate Σ bucket² the distinct-hash compression exists to
+    * avoid) before materialization hides the join tree behind the
+    * checkpoint scan. */
+  private[graft] def videoNearDupPlan(frameHashes: DataFrame, maxHamming: Int,
+                                      minFrames: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (video, hash) frame multiplicities. hid re-packs the four stored
     // 16-bit words into the one 64-bit hash — a bijection, so equality
@@ -941,7 +955,7 @@ object Multimodal {
       .agg(sum(col("n")).as("n_frame_pairs"),
         min(col("hamming")).as("min_hamming"))
       .filter(col("n_frame_pairs") >= minFrames)
-    Dedup.materializeThenRelease(out, hv, dh)
+    (out, hv, dh)
   }
 
   /** (img_id, band_idx, bval) blocking keys of every hash row under the

@@ -141,6 +141,44 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"want exactly the input + shard hash exchanges, got:\n$s")
   }
 
+  test("videoNearDup: banded candidate joins consume DISTINCT hashes, not raw frames") {
+    // r9 item #8: the clip-level near-dup's whole scale story is that
+    // the Σ bucket² pairwise stage runs over distinct fingerprints
+    // (sf0.1: ~2.2k distinct vs 22.5k frames — candidates shrink by
+    // the duplication factor SQUARED). Pin the shape so a refactor
+    // cannot silently re-band raw frames: every join keyed on the band
+    // value must have an AGGREGATE (the hid-grouped distinct /
+    // multiplicity compaction) beneath BOTH inputs.
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val hashes = Multimodal.videoFrameHashes(spark,
+      Multimodal.packVideos(spark, docs)).toDF()
+    val (out, hv, dh) = Multimodal.videoNearDupPlan(hashes, 2, 2L)
+    try {
+      // Assert on the ANALYZED logical plan: the physical tree hides the
+      // distinct aggregate inside InMemoryRelation.cachedPlan once the
+      // operator's persist() kicks in, but the logical dataflow — which
+      // is what a refactor would change — is fully visible here.
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+      val p = out.queryExecution.analyzed
+      val bandJoins = p.collect {
+        case j: Join
+          if j.condition.map(_.toString).getOrElse("").contains("bval") => j
+      }
+      assert(bandJoins.nonEmpty, s"expected a band-keyed candidate join:\n$p")
+      bandJoins.foreach { j =>
+        Seq(j.left, j.right).foreach { side =>
+          val aggs = side.collect {
+            case a: Aggregate
+              if a.groupingExpressions.exists(_.toString.contains("hid")) => a
+          }
+          assert(aggs.nonEmpty,
+            s"band join side reads raw frames (no hid-grouped aggregate beneath):\n$side")
+        }
+      }
+    } finally { hv.unpersist(); dh.unpersist() }
+  }
+
   test("no CartesianProduct in any query except the documented exact baseline") {
     // q_dedup_embedding is the deliberate exact all-pairs oracle baseline,
     // bounded to a vec_id slice — every other query must join with keys

@@ -215,33 +215,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("checkpoint recovery: killed stream + forced batch re-execution equals the uninterrupted run") {
-    import org.apache.spark.sql.functions._
-    import graft.operators.Dedup
-    // The failure semantics a 100 TB ingest depends on: a stream dies
-    // mid-feed — in the worst window, AFTER a batch's sink write but
-    // BEFORE its checkpoint commit — restarts from the checkpoint, and
-    // the final output must be row-for-row identical (duplicates
-    // included) to a run that never failed. The crash window is forced
-    // deterministically by deleting the batch-0 commit marker, which
-    // makes the restarted query genuinely RE-EXECUTE batch 0 against
-    // its recorded offsets; the idempotent per-batch_id overwrite must
-    // absorb the replay.
+  /** Shared checkpoint-recovery harness — the failure semantics a
+    * 100 TB ingest depends on, proven for EVERY `foreachBatch` stream
+    * (they share [[StreamOps.idempotentParquetWrite]], but each stream's
+    * recovery path is only real once a spec kills and restarts IT): a
+    * stream dies mid-feed — in the worst window, AFTER a batch's sink
+    * write but BEFORE its checkpoint commit — restarts from the
+    * checkpoint, and the final output must be row-for-row identical
+    * (duplicates included) to a run that never failed. The crash window
+    * is forced deterministically by deleting the batch-0 commit marker,
+    * which makes the restarted query genuinely RE-EXECUTE batch 0
+    * against its recorded offsets; the idempotent per-batch_id
+    * overwrite must absorb the replay.
+    *
+    * `stage(staging, w)` writes wave w's file; `run(staging, out, cp)`
+    * starts the stream with that checkpoint and drains it; `rows(out)`
+    * reads the sink into a canonical sorted multiset. */
+  private def recoveryCheck(stage: (String, Int) => Unit,
+                            run: (String, String, String) => Unit,
+                            rows: String => Seq[Any]): Unit = {
     val base = s"${sys.props("java.io.tmpdir")}/graft_recov_" +
       s"${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
-    val corpus = Tables.documents(spark, TestSpark.sf0001)
-      .select("doc_id", "text")
-    val newDocs = corpus.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val index = Dedup.buildCorpusIndex(Dedup.wordShingles(corpus))
-    def stage(staging: String, w: Int): Unit =
-      newDocs.filter(col("doc_id") % 3 === w).coalesce(1)
-        .write.mode("append").parquet(staging)
-    def run(staging: String, out: String, cp: String): Unit = {
-      val q = graft.streaming.StreamOps.incrementalDedupStream(
-        spark, staging, newDocs.schema, index, 0.6, out, Some(cp))
-      try q.processAllAvailable() finally q.stop()
-    }
     // Reference: the uninterrupted run over all 3 waves.
     (0 until 3).foreach(stage(s"$base/ref_staging", _))
     run(s"$base/ref_staging", s"$base/ref_out", s"$base/ref_cp")
@@ -259,18 +253,88 @@ class StreamingSpec extends AnyFunSuite {
     stage(s"$base/staging", 1)
     stage(s"$base/staging", 2)
     run(s"$base/staging", s"$base/out", s"$base/cp")
-    Dedup.releaseCorpusIndex(index)
     // Row-for-row (multiset) equality: a replay that appended instead
     // of overwriting would duplicate batch 0's rows and fail here even
-    // though the SET of flagged docs would look unchanged.
-    def rows(p: String): Seq[(Long, Long, Double)] =
-      spark.read.parquet(p).select("doc_new", "best_match", "jaccard")
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // though the SET of flagged rows would look unchanged.
     val ref = rows(s"$base/ref_out")
     val recovered = rows(s"$base/out")
-    assert(ref.nonEmpty, "planted near-dups must be flagged")
+    assert(ref.nonEmpty, "the staged waves must produce output rows")
     assert(recovered == ref)
+  }
+
+  test("checkpoint recovery: killed DEDUP stream + forced re-execution equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val newDocs = corpus.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val index = Dedup.buildCorpusIndex(Dedup.wordShingles(corpus))
+    try recoveryCheck(
+      (staging, w) => newDocs.filter(col("doc_id") % 3 === w).coalesce(1)
+        .write.mode("append").parquet(staging),
+      (staging, out, cp) => {
+        val q = graft.streaming.StreamOps.incrementalDedupStream(
+          spark, staging, newDocs.schema, index, 0.6, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+      },
+      p => spark.read.parquet(p).select("doc_new", "best_match", "jaccard")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted)
+    finally Dedup.releaseCorpusIndex(index)
+  }
+
+  test("checkpoint recovery: killed DRIFT-MONITOR stream equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang", "text")
+    val waved = docs.withColumn("wave",
+      graft.functions.Hashing.md5Mod(col("doc_id").cast("string")) % 3L)
+    val refHist = TextAnalysis.driftRefHistogram(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    refHist.count()
+    try recoveryCheck(
+      (staging, w) => waved.filter(col("wave") === w.toLong).coalesce(1)
+        .write.mode("append").parquet(staging),
+      (staging, out, cp) => {
+        val q = graft.streaming.StreamOps.driftMonitorStream(
+          spark, staging, waved.schema, refHist, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+      },
+      p => spark.read.parquet(p)
+        .select("wave", "lang", "n_vocab", "tokens_a", "tokens_b",
+          "kl_ab", "kl_ba")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("wave"), r.getAs[String]("lang"),
+          r.getAs[Long]("n_vocab"), r.getAs[Long]("tokens_a"),
+          r.getAs[Long]("tokens_b"), r.getAs[Double]("kl_ab"),
+          r.getAs[Double]("kl_ba"))).sortBy(_.toString))
+    finally refHist.unpersist()
+  }
+
+  test("checkpoint recovery: killed IMAGE-DEDUP stream equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val corpusHashes = Multimodal.imageAHash(spark,
+      Multimodal.packBaseImages(spark, docs)).toDF()
+    val newImgs = Multimodal.packReuploadImages(spark,
+      docs.filter(col("doc_id") % 10 === 7))
+    val index = Multimodal.buildImageIndex(corpusHashes, 6)
+    try recoveryCheck(
+      (staging, w) => newImgs.filter(col("img_id") % 3 === w).coalesce(1)
+        .write.mode("append").parquet(staging),
+      (staging, out, cp) => {
+        val q = graft.streaming.StreamOps.imageNearDupStream(
+          spark, staging, newImgs.schema, index, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+      },
+      p => spark.read.parquet(p).select("img_new", "best_match", "hamming")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+          r.getAs[Long]("hamming"))).sorted)
+    finally Multimodal.releaseImageIndex(index)
   }
 
   test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {

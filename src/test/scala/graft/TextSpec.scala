@@ -339,12 +339,19 @@ class TextSpec extends AnyFunSuite {
   test("bpe_apply expression: greedy pass semantics match the reference fold") {
     graft.functions.BpeApply.register(spark)
     // The immutable-Column fold bpe_apply replaced — kept here as the
-    // semantic reference the native Expression must reproduce.
+    // semantic reference the native Expression must reproduce. Rule
+    // parsing is the ORACLE's split-all-take-[1]/[2] (NOT split at the
+    // first space): a rule with extra spaces matches its first two
+    // parts and substitutes the whole rule string; a rule with no
+    // space (or a null rule) is a no-op; null tokens pass through and
+    // never match (non-null rule sides).
     def refFold(toks: Seq[String], merges: Seq[String]): Seq[String] =
       merges.foldLeft(toks) { (acc, m) =>
-        val Array(a, b) = m.split(" ", 2)
-        acc.foldLeft(Vector.empty[String]) { (out, t) =>
-          if (out.nonEmpty && out.last == a && t == b) out.init :+ m
+        val parts = if (m == null) Array.empty[String] else m.split(" ", -1)
+        if (parts.length < 2) acc
+        else acc.foldLeft(Vector.empty[String]) { (out, t) =>
+          if (out.nonEmpty && out.last == parts(0) && t == parts(1))
+            out.init :+ m
           else out :+ t
         }
       }
@@ -356,7 +363,12 @@ class TextSpec extends AnyFunSuite {
       (Seq(), Seq("a b")),                           // empty sequence
       (Seq("p", "q", "r"), Seq()),                   // empty merge table
       (Seq("a", "b", "c"), Seq("a b", "a b c")),     // later rules see earlier symbols... not (space)
-      (Seq("a", "b", "b"), Seq("a b", "b b")))       // rule order matters
+      (Seq("a", "b", "b"), Seq("a b", "b b")),       // rule order matters
+      (Seq("a", "b", "x"), Seq("a b c")),            // multi-space rule: matches (a,b), emits "a b c"
+      (Seq("a", "", "b"), Seq("a  b")),              // double space: b = "" (empty 2nd part)
+      (Seq("a", "b"), Seq("ab")),                    // spaceless rule is a no-op
+      (Seq("a", null, "b"), Seq("a b")),             // null token passes through, blocks the pair
+      (Seq("a", "b"), Seq(null, "a b")))             // null rule is a no-op, later rules still apply
     val df = cases.zipWithIndex
       .map { case ((t, m), i) => (i.toLong, t, m) }
       .toDF("id", "toks", "merges")
