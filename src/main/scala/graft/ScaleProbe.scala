@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale evidence (SCALE.md's 10× fixture table — r8 item #5):
+  * synthesizes a CONTENT-DISJOINT 10× blow-up of the sf0.1
+  * documents/embeddings/orders/lineitem tables, runs the heavy query
+  * set once at both scales, and prints per-query wall time + spill
+  * bytes plus the structural drivers the partition-sizing formulas key
+  * on (undirected trade-graph edges for `Graph.clamp`, Σ bucket² of
+  * the real banded near-dup keys, the video distinct-hash compression
+  * factor).
+  *
+  * Copy k of each table shifts its keys into a disjoint id space and
+  * mutates content so near-dup DENSITY stays constant (each word gets
+  * a per-copy suffix → cross-copy shingles are disjoint; embeddings
+  * rotate by k positions → copies decorrelate): a verbatim ×10 copy
+  * would plant 10-way exact duplicates everywhere and blow Σ bucket²
+  * quadratically — a stress test, not the "10× more distinct content"
+  * shape a real corpus grows by.
+  *
+  * Usage: runMain graft.ScaleProbe <sf0.1-dir> <outDir> [copies] [q1,q2]
+  * The fixture is generated once (skipped when outDir exists); the
+  * optional 4th arg restricts the probe to a query subset (and skips
+  * the structural report).
+  */
+object ScaleProbe {
+
+  /** Heavy queries over the scaled tables (top of BENCH_FULL's
+    * queries_min that read documents/embeddings/orders/lineitem). */
+  private val ProbeQueries = Seq(
+    "q_dedup_jaccard", "q_dedup_embedding_lsh", "q_text_dup_coverage",
+    "q_text_span_dedup", "q_text_bpe_encode", "q_m_logistic_quality",
+    "q_mm_image_neardup", "q_mm_video_frames", "q_mm_video_neardup",
+    "q_sim_ivf_topk", "q_pipeline_curation_manifest",
+    "q_x_pagerank", "q_x_hits")
+
+  private val DocShift = 10000000L
+  private val OrderShift = 100000000L
+  private val KeyShift = 1000000L
+
+  def generate(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
+    def tenfold(t: String)(mutate: (DataFrame, Int) => DataFrame): Unit = {
+      val src = spark.read.parquet(s"$base/$t.parquet")
+      (0 until copies).map(k => if (k == 0) src else mutate(src, k))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    tenfold("documents") { (df, k) =>
+      df.withColumn("doc_id", col("doc_id") + lit(k * DocShift))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"q$k"))), " "))
+        .withColumn("n_chars",
+          length(col("text")).cast(df.schema("n_chars").dataType))
+    }
+    tenfold("embeddings") { (df, k) =>
+      df.withColumn("vec_id", col("vec_id") + lit(k * DocShift))
+        .withColumn("embedding", expr(
+          s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+            s"slice(embedding, 1, $k))"))
+    }
+    tenfold("orders") { (df, k) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(k * OrderShift))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * KeyShift))
+    }
+    tenfold("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * OrderShift))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * KeyShift))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * KeyShift))
+    }
+    // Unscaled tables copied verbatim so Tables.* resolves everywhere.
+    Seq("region", "nation", "customer", "supplier", "part", "events")
+      .foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+  }
+
+  /** The structural drivers the sizing formulas read, at one dir. */
+  private def structure(spark: SparkSession, d: String): Unit = {
+    import graft.operators.{Graph, Multimodal}
+    val und = Graph.tradeEdges(Tables.orders(spark, d), Tables.lineitem(spark, d))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val nEdges = und.count()
+    val nNodes = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .distinct().count()
+    val cap = spark.sessionState.conf.numShufflePartitions.toLong
+    def clamp(n: Long) = math.max(1L, math.min(cap, n))
+    println(s"STRUCT $d trade_graph: und_edges=$nEdges nodes=$nNodes " +
+      s"edgeParts=${clamp(nEdges / 100000L + 1)} " +
+      s"rankParts=${clamp(nNodes / 500000L + 1)} (cap=$cap)")
+    val imgHashes = Multimodal.imageAHash(spark,
+      Multimodal.packImageVariants(spark, Tables.documents(spark, d))).toDF()
+    val ib = Multimodal.bandedImageIds(imgHashes, 6)
+      .groupBy("band_idx", "bval").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("buckets"), max(col("c")).as("max_depth"),
+        sum(col("c") * col("c")).as("sum_sq")).collect()(0)
+    println(s"STRUCT $d image_bands(h=6): buckets=${ib.getLong(0)} " +
+      s"max_depth=${ib.getLong(1)} sum_bucket_sq=${ib.getLong(2)}")
+    val fh = Multimodal.videoFrameHashes(spark,
+      Multimodal.packVideos(spark, Tables.documents(spark, d))).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val frames = fh.count()
+    val distinct = fh.select("b0", "b1", "b2", "b3").distinct().count()
+    fh.unpersist(blocking = false)
+    println(s"STRUCT $d video: frames=$frames distinct_hashes=$distinct " +
+      f"dup_factor=${frames.toDouble / distinct}%.1f")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args(0)
+    val out = args(1)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Verify.session("graft-scale-probe")
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      val t0 = System.nanoTime()
+      generate(spark, base, out, copies)
+      println(f"GENERATED $out (${copies}x) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    val selected = args.lift(3).map(_.split(',').toSeq).getOrElse(ProbeQueries)
+    for (d <- Seq(base, out)) {
+      if (args.lift(3).isEmpty) structure(spark, d)
+      for (name <- selected) {
+        val t0 = System.nanoTime()
+        val (m0, d0) = (spillMem.get(), spillDisk.get())
+        try {
+          SparkEntry.queries(name)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the listener bus drain task metrics
+          println(f"PROBE $d $name%-32s ${dt}%8.2f s  " +
+            f"spill_mem=${(spillMem.get() - m0) / 1048576}%d MB " +
+            f"spill_disk=${(spillDisk.get() - d0) / 1048576}%d MB")
+        } catch {
+          case e: Throwable =>
+            println(s"PROBE $d $name FAILED: ${e.getMessage}")
+        }
+        operators.Lifecycle.releaseAll()
+      }
+    }
+    spark.stop()
+  }
+}

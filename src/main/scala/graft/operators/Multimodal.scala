@@ -846,28 +846,53 @@ object Multimodal {
     * pass runs ONCE, not once per join side, and released before
     * returning ([[Dedup.materializeThenRelease]] lifecycle). */
   def imageNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    val h = hashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Candidate generation over the ID-NARROW band keys only (the hash
-    // words would otherwise ride the banded self-join maxHamming+1
-    // times per image); the 5-long hash rows join back once per side
-    // for the exact XOR verify — the same shape as the corpus-probe
-    // path below.
-    val banded = bandedImageIds(h, maxHamming)
-    val a = banded.toDF(banded.columns.map("a_" + _).toIndexedSeq: _*)
-    val b = banded.toDF(banded.columns.map("b_" + _).toIndexedSeq: _*)
-    val cand = a.join(b, col("a_band_idx") === col("b_band_idx") &&
-        col("a_bval") === col("b_bval") && col("a_img_id") < col("b_img_id"))
-      .select(col("a_img_id").as("img_a"), col("b_img_id").as("img_b"))
-      .distinct()
-    val pairs = cand
-      .join(h.toDF("img_a", "a_b0", "a_b1", "a_b2", "a_b3"), Seq("img_a"))
-      .join(h.toDF("img_b", "b_b0", "b_b1", "b_b2", "b_b3"), Seq("img_b"))
-      .select(col("img_a"), col("img_b"),
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // DISTINCT-HASH compression (the [[videoNearDup]] discipline,
+    // pulled down to the still-image path by the round-11 10× scale
+    // probe): real corpora carry heavy fingerprint duplication — logos,
+    // icons, re-posts; the 10× synthetic fixture saturates its pattern
+    // space and measured Σ bucket² 7.5M → 753M (×100) with the banded
+    // self-join over raw images, 705 s and 27 GB of spill for what is
+    // ~the same set of distinct hashes. Banding DISTINCT hash values
+    // shrinks Σ bucket² by the duplication factor SQUARED; hash-level
+    // matches expand back to image pairs through the per-hash member
+    // lists (output size is the true pair set either way — that part
+    // is definitional). Identical-hash pairs ride the diagonal
+    // (Hamming 0 by definition) instead of the banded join.
+    val h = hashes.persist(lvl)
+    val hid = col("b0").bitwiseOR(shiftleft(col("b1"), 16))
+      .bitwiseOR(shiftleft(col("b2"), 32))
+      .bitwiseOR(shiftleft(col("b3"), 48)).as("hid")
+    val members = h.select(col("img_id"), hid).persist(lvl)
+    val dh = h.select(hid, col("b0"), col("b1"), col("b2"), col("b3"))
+      .distinct().persist(lvl)
+    val banded = bandedImageIds(dh.withColumnRenamed("hid", "img_id"), maxHamming)
+    val ba = banded.toDF("hid_a", "a_band_idx", "a_bval")
+    val bb = banded.toDF("hid_b", "b_band_idx", "b_bval")
+    val cand = ba.join(bb, col("a_band_idx") === col("b_band_idx") &&
+        col("a_bval") === col("b_bval") && col("hid_a") < col("hid_b"))
+      .select("hid_a", "hid_b").distinct()
+    val verified = cand
+      .join(dh.toDF("hid_a", "a_b0", "a_b1", "a_b2", "a_b3"), Seq("hid_a"))
+      .join(dh.toDF("hid_b", "b_b0", "b_b1", "b_b2", "b_b3"), Seq("hid_b"))
+      .select(col("hid_a"), col("hid_b"),
         (expr("bit_count(a_b0 ^ b_b0) + bit_count(a_b1 ^ b_b1)") +
           expr("bit_count(a_b2 ^ b_b2) + bit_count(a_b3 ^ b_b3)"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    Dedup.materializeThenRelease(pairs, h)
+    val diag = dh.select(col("hid").as("hid_a"), col("hid").as("hid_b"),
+      lit(0L).as("hamming"))
+    val ma = members.select(col("hid").as("hid_a"), col("img_id").as("ia"))
+    val mb = members.select(col("hid").as("hid_b"), col("img_id").as("ib"))
+    // Off-diagonal: every cross-member combination, ordered by img id;
+    // diagonal: member pairs within one hash, each unordered pair once.
+    val offDiag = verified.join(ma, "hid_a").join(mb, "hid_b")
+    val onDiag = diag.join(ma, "hid_a").join(mb, "hid_b")
+      .filter(col("ia") < col("ib"))
+    val pairs = offDiag.unionByName(onDiag)
+      .select(least(col("ia"), col("ib")).as("img_a"),
+        greatest(col("ia"), col("ib")).as("img_b"), col("hamming"))
+    Dedup.materializeThenRelease(pairs, h, members, dh)
   }
 
   /** Clip-level video near-dup from per-frame fingerprints — EXACT for
@@ -961,7 +986,9 @@ object Multimodal {
   /** (img_id, band_idx, bval) blocking keys of every hash row under the
     * [[bandBits]] layout — shared by the self-join ([[imageNearDup]])
     * and the corpus-vs-batch probe ([[flagAgainstImageIndex]]). */
-  private def bandedImageIds(h: DataFrame, maxHamming: Int): DataFrame = {
+  // private[graft]: graft.ScaleProbe measures Σ bucket² of the real
+  // banded keys for the scale-fixture evidence in SCALE.md.
+  private[graft] def bandedImageIds(h: DataFrame, maxHamming: Int): DataFrame = {
     val bandStructs = bandBits(maxHamming).zipWithIndex.map { case (r, k) =>
       struct(lit(k).as("band_idx"), bandValue(r).as("bval"))
     }
@@ -1054,5 +1081,29 @@ object Multimodal {
     docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
       .mapPartitions(_.map(id =>
         ImageVariant(id * 2 + 1, id, 1, ImageFixture.renderPng(id, 1))))
+  }
+
+  /** The base clip of every doc (clip_id = 2·doc_id, structured
+    * render) — the corpus side of the incremental AUDIO dedup
+    * fixture. */
+  def packBaseAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        AudioClip(id * 2, id, 0, AudioFixture.renderWav(id, 0, 1, structured = true))))
+  }
+
+  /** A trimmed AND re-gained "re-upload" (clip_id = 2·doc_id + 1,
+    * 3 leading frames zeroed, saturating ×2 gain) of each doc in
+    * `docs` — the new-batch side of the incremental audio dedup
+    * fixture: the "same clip, trimmed and uploaded louder" case that
+    * COMPOUNDS both modeled perturbations, which only the round-11
+    * band-median fingerprint can still match against the corpus (the
+    * raw-loudness hash lost every gain re-render by construction). */
+  def packReuploadAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        AudioClip(id * 2 + 1, id, 3, AudioFixture.renderWav(id, 3, 2, structured = true))))
   }
 }

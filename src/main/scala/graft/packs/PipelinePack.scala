@@ -250,6 +250,16 @@ object PipelinePack {
     s.read.parquet(path)
   }
 
+  private def audioBaseFingerprintFixture(s: SparkSession, d: String): DataFrame = {
+    val path = SinksPack.tmpPath("audbase", d)
+    SinksPack.ensureFixture(path) {
+      Multimodal.audioFingerprint(s,
+          Multimodal.packBaseAudio(s, Tables.documents(s, d))).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
@@ -966,10 +976,31 @@ object PipelinePack {
       Multimodal.releaseImageIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
     },
+    // Incremental AUDIO dedup THROUGH the streaming-cadence machinery
+    // (the audio face of q_st_image_neardup, and the per-micro-batch
+    // path StreamOps.audioNearDupStream runs inside foreachBatch): a
+    // prebuilt corpus fingerprint band index probed by "re-upload"
+    // clips that are trimmed AND ×2-gained at once — the compounded
+    // perturbation only the band-median fingerprint survives. One row
+    // per new clip: best corpus match by exact Hamming.
+    "q_st_audio_neardup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
+      val idx = Multimodal.buildImageIndex(
+        audioBaseFingerprintFixture(s, d), AUD_HAMMING_MAX)
+      val out = Multimodal.flagAgainstImageIndex(
+        Multimodal.audioFingerprint(s,
+          Multimodal.packReuploadAudio(s, docs.filter(pred))).toDF(),
+        idx)
+      Multimodal.releaseImageIndex(idx) // out is already checkpointed
+      out.select(col("img_new").as("clip_new"), col("best_match"),
+        col("hamming")).orderBy("clip_new")
+    },
     // Audio near-dup by 64-bit content fingerprint over REAL decoded
-    // PCM (hashed sampled loudness — robust to the planted
-    // leading-silence trims, decorrelated across clips), through the
-    // SAME threshold-exact banded machinery as the image/video paths.
+    // PCM (band-energy signs vs the clip median — robust to the
+    // planted leading-silence trims AND re-gains, decorrelated across
+    // clips), through the SAME threshold-exact banded machinery as the
+    // image/video paths.
     "q_mm_audio_neardup" -> { (s, d) =>
       Multimodal.imageNearDup(audioFingerprintFixture(s, d), AUD_HAMMING_MAX)
         .select(col("img_a").as("clip_a"), col("img_b").as("clip_b"),
@@ -2955,6 +2986,38 @@ object PipelinePack {
          |  FROM h ha JOIN h hb ON ha.clip_id < hb.clip_id)
          |SELECT clip_a, clip_b, hamming FROM ham
          |WHERE hamming <= $AUD_HAMMING_MAX ORDER BY clip_a, clip_b""".stripMargin,
+
+    // The streaming corpus-probe face for AUDIO: base clips of every
+    // doc are the corpus (even clip_ids), trimmed+×2-gained re-uploads
+    // of every INC_REM-th doc the batch (odd clip_ids); all-pairs
+    // batch×corpus Hamming states the DEFINITION (the banded index
+    // probe is pigeonhole-lossless), best match = (min hamming, min
+    // clip_id).
+    "q_st_audio_neardup" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id * 2 AS clip_id, doc_id, 0 AS sil, 1 AS g FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, doc_id, 3, 2 FROM documents
+         |  WHERE doc_id % $INC_MOD = $INC_REM),
+         |prm AS (SELECT clip_id, doc_id, sil, g,
+         |               1 + doc_id % 2 AS nc, 64 + doc_id % 33 AS nf FROM aud),
+         |$audioHashCtes,
+         |xham AS (
+         |  SELECT hn.clip_id AS clip_new, hc.clip_id AS clip_old,
+         |         CAST(bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |            + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM h hn JOIN h hc ON hn.clip_id % 2 = 1 AND hc.clip_id % 2 = 0
+         |  WHERE bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |      + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |      <= $AUD_HAMMING_MAX),
+         |best AS (
+         |  SELECT clip_new, clip_old AS best_match, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY clip_new
+         |                ORDER BY hamming ASC, clip_old ASC) AS rn
+         |    FROM xham) WHERE rn = 1)
+         |SELECT clip_new, best_match, hamming FROM best
+         |ORDER BY clip_new""".stripMargin,
 
     // The robustness grid replayed closed-form: base + trim-2 + trim-6
     // + saturating ×2-gain renders per planted doc, fingerprints via

@@ -285,6 +285,40 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** Incremental AUDIO near-dup at streaming cadence — the audio twin
+    * of [[imageNearDupStream]], completing the text/image/audio
+    * incremental-dedup triangle: new clips (raw WAV payloads) arrive
+    * as a parquet file stream, each micro-batch is fingerprinted
+    * ([[graft.operators.Multimodal.audioFingerprint]] — REAL decode,
+    * band-median bits, so trimmed AND re-gained re-uploads still
+    * match) and probed against a prebuilt corpus fingerprint band
+    * index. The index machinery is [[graft.operators.Multimodal.ImageIndex]]
+    * verbatim: audio fingerprints share the 4×16-bit [[graft.operators.Multimodal.ImageHash]]
+    * layout, so the banded probe is modality-agnostic. Best-match rows
+    * append per batch (idempotent per `batch_id` — same exactly-once
+    * bridge, StreamingSpec kill/restart-proves it). */
+  def audioNearDupStream(spark: SparkSession, stagingDir: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         index: graft.operators.Multimodal.ImageIndex,
+                         outPath: String,
+                         checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import spark.implicits._
+          val hashes = graft.operators.Multimodal.audioFingerprint(
+            spark, batch.as[graft.operators.Multimodal.AudioClip]).toDF()
+          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+            hashes, index)
+          idempotentParquetWrite(
+            flagged.withColumnRenamed("img_new", "clip_new"), outPath, batchId)
+          graft.operators.Lifecycle.release(flagged)
+        },
+      checkpointDir).start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

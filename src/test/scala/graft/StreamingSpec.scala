@@ -215,6 +215,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("foreachBatch incremental AUDIO dedup over staged waves equals the batch face") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val base = s"${sys.props("java.io.tmpdir")}/graft_incaud_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/flagged"
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    // Corpus: every doc's base clip; batch: trimmed+×2-gained
+    // re-uploads of every 10th doc — the compounded perturbation the
+    // band-median fingerprint must still match against the corpus.
+    val corpusHashes = Multimodal.audioFingerprint(spark,
+      Multimodal.packBaseAudio(spark, docs)).toDF()
+    val newClips = Multimodal.packReuploadAudio(spark,
+      docs.filter(col("doc_id") % 10 === 7))
+    (0 until 3).foreach { w =>
+      newClips.filter(col("clip_id") % 3 === w).coalesce(1)
+        .write.mode("append").parquet(staging)
+    }
+    val index = Multimodal.buildImageIndex(corpusHashes, 8)
+    val q = graft.streaming.StreamOps.audioNearDupStream(
+      spark, staging, newClips.schema, index, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(outPath).collect()
+      .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    val batch = Multimodal.flagAgainstImageIndex(
+        Multimodal.audioFingerprint(spark, newClips).toDF(), index).collect()
+      .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    Multimodal.releaseImageIndex(index)
+    assert(streamed.nonEmpty, "trimmed+gained re-uploads must match their base clips")
+    assert(streamed == batch)
+  }
+
   /** Shared checkpoint-recovery harness — the failure semantics a
     * 100 TB ingest depends on, proven for EVERY `foreachBatch` stream
     * (they share [[StreamOps.idempotentParquetWrite]], but each stream's
@@ -311,6 +345,30 @@ class StreamingSpec extends AnyFunSuite {
           r.getAs[Long]("tokens_b"), r.getAs[Double]("kl_ab"),
           r.getAs[Double]("kl_ba"))).sortBy(_.toString))
     finally refHist.unpersist()
+  }
+
+  test("checkpoint recovery: killed AUDIO-DEDUP stream equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val corpusHashes = Multimodal.audioFingerprint(spark,
+      Multimodal.packBaseAudio(spark, docs)).toDF()
+    val newClips = Multimodal.packReuploadAudio(spark,
+      docs.filter(col("doc_id") % 10 === 7))
+    val index = Multimodal.buildImageIndex(corpusHashes, 8)
+    try recoveryCheck(
+      (staging, w) => newClips.filter(col("clip_id") % 3 === w).coalesce(1)
+        .write.mode("append").parquet(staging),
+      (staging, out, cp) => {
+        val q = graft.streaming.StreamOps.audioNearDupStream(
+          spark, staging, newClips.schema, index, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+      },
+      p => spark.read.parquet(p).select("clip_new", "best_match", "hamming")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
+          r.getAs[Long]("hamming"))).sorted)
+    finally Multimodal.releaseImageIndex(index)
   }
 
   test("checkpoint recovery: killed IMAGE-DEDUP stream equals the uninterrupted run") {
