@@ -1008,8 +1008,14 @@ object Multimodal {
     * function of the threshold, so probing with a different value
     * would compute band keys over different bit ranges and silently
     * lose every collision — the probe therefore reads the threshold
-    * from the index instead of taking a second parameter. */
-  case class ImageIndex(bands: DataFrame, hashes: DataFrame, maxHamming: Int)
+    * from the index instead of taking a second parameter. `cached`
+    * tracks every persisted leg (the base pair plus one (bands,
+    * hashes) pair per absorbed wave): `bands`/`hashes` become lazy
+    * UNIONS of cached legs after [[absorbIntoImageIndex]], and
+    * unpersisting a union frame is a silent no-op — release must walk
+    * the legs. */
+  case class ImageIndex(bands: DataFrame, hashes: DataFrame, maxHamming: Int,
+                        cached: Seq[DataFrame] = Nil)
 
   def buildImageIndex(corpusHashes: DataFrame, maxHamming: Int): ImageIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1019,7 +1025,33 @@ object Multimodal {
     // micro-batch must not absorb the corpus hash + band build.
     bands.count()
     h.count()
-    ImageIndex(bands, h, maxHamming)
+    ImageIndex(bands, h, maxHamming, Seq(bands, h))
+  }
+
+  /** Fold a new wave's fingerprints INTO the index — the media twin of
+    * [[Similarity.absorbIvfBatch]], closing the same defect class: a
+    * FROZEN index compares every batch against the original corpus
+    * forever, so a re-upload of an EARLIER wave's upload sails through
+    * unflagged. The wave's hashes and band keys are persisted and
+    * materialized as their own legs and the index's `bands`/`hashes`
+    * become lazy unions over all legs — probing scans every cached leg
+    * (no recomputation, no corpus-sized re-materialization per
+    * absorb; per-wave cost is the wave's own band build). A very long
+    * stream should compact legs periodically (in production the
+    * fingerprint table is durable storage and the index rebuilds from
+    * it at restart — which is also the recovery story: the in-memory
+    * index is process state, the parquet fingerprint table is the
+    * source of truth). Release the FINAL index with
+    * [[releaseImageIndex]]; superseded index values share their legs
+    * with the successor, so only the last one must be released. */
+  def absorbIntoImageIndex(index: ImageIndex, newHashes: DataFrame): ImageIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nh = newHashes.persist(lvl)
+    val nb = bandedImageIds(nh, index.maxHamming).persist(lvl)
+    nb.count()
+    nh.count()
+    ImageIndex(index.bands.unionByName(nb), index.hashes.unionByName(nh),
+      index.maxHamming, index.cached ++ Seq(nb, nh))
   }
 
   /** Flag one NEW image batch against a prebuilt [[ImageIndex]]: banded
@@ -1058,8 +1090,9 @@ object Multimodal {
   }
 
   def releaseImageIndex(index: ImageIndex): Unit = {
-    index.bands.unpersist(blocking = false)
-    index.hashes.unpersist(blocking = false)
+    val legs = if (index.cached.nonEmpty) index.cached
+      else Seq(index.bands, index.hashes)
+    legs.foreach(_.unpersist(blocking = false))
   }
 
   /** The base image of every doc (img_id = 2·doc_id, delta 0) — the
@@ -1081,6 +1114,28 @@ object Multimodal {
     docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
       .mapPartitions(_.map(id =>
         ImageVariant(id * 2 + 1, id, 1, ImageFixture.renderPng(id, 1))))
+  }
+
+  /** Ingest-wave fixture for the SELF-ACCUMULATING dedup stream: wave
+    * `k` (k ≥ 1) re-renders each doc at brightness delta k with
+    * img_id = 4·doc_id + k (base corpus images use 4·doc_id, so up to
+    * 3 waves coexist without id collisions). Wave 2's nearest
+    * fingerprint is usually wave 1's re-render, NOT the base image —
+    * exactly the match a frozen index can never produce. */
+  def packImageWave(spark: SparkSession, docs: DataFrame, wave: Int): Dataset[ImageVariant] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        ImageVariant(id * 4 + wave, id, wave, ImageFixture.renderPng(id, wave))))
+  }
+
+  /** Base corpus images keyed for the wave fixture (img_id = 4·doc_id,
+    * delta 0) — the corpus side [[packImageWave]] waves probe. */
+  def packBaseImagesW(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        ImageVariant(id * 4, id, 0, ImageFixture.renderPng(id, 0))))
   }
 
   /** The base clip of every doc (clip_id = 2·doc_id, structured

@@ -250,6 +250,16 @@ object PipelinePack {
     s.read.parquet(path)
   }
 
+  private def baseImageHashWFixture(s: SparkSession, d: String): DataFrame = {
+    val path = SinksPack.tmpPath("basehashw", d)
+    SinksPack.ensureFixture(path) {
+      Multimodal.imageAHash(s,
+          Multimodal.packBaseImagesW(s, Tables.documents(s, d))).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private def audioBaseFingerprintFixture(s: SparkSession, d: String): DataFrame = {
     val path = SinksPack.tmpPath("audbase", d)
     SinksPack.ensureFixture(path) {
@@ -973,6 +983,24 @@ object PipelinePack {
         Multimodal.imageAHash(s,
           Multimodal.packReuploadImages(s, docs.filter(pred))).toDF(),
         idx)
+      Multimodal.releaseImageIndex(idx) // out is already checkpointed
+      out.orderBy("img_new")
+    },
+    // SELF-ACCUMULATING incremental image dedup (the batch face of
+    // StreamOps.imageNearDupAccumStream): the corpus index ABSORBS
+    // wave 1's fingerprints before wave 2 probes, so wave-2 re-uploads
+    // can best-match wave-1 uploads — the match a frozen index can
+    // never produce (the media twin of absorbIvfBatch's defect class).
+    "q_st_image_accum" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
+      val idx = Multimodal.absorbIntoImageIndex(
+        Multimodal.buildImageIndex(baseImageHashWFixture(s, d), IMG_HAMMING_MAX),
+        Multimodal.imageAHash(s,
+          Multimodal.packImageWave(s, docs.filter(pred), 1)).toDF())
+      val out = Multimodal.flagAgainstImageIndex(
+        Multimodal.imageAHash(s,
+          Multimodal.packImageWave(s, docs.filter(pred), 2)).toDF(), idx)
       Multimodal.releaseImageIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
     },
@@ -2986,6 +3014,37 @@ object PipelinePack {
          |  FROM h ha JOIN h hb ON ha.clip_id < hb.clip_id)
          |SELECT clip_a, clip_b, hamming FROM ham
          |WHERE hamming <= $AUD_HAMMING_MAX ORDER BY clip_a, clip_b""".stripMargin,
+
+    // The self-accumulating face: wave 2 (delta-2 re-renders, img_id %
+    // 4 = 2) probes corpus ∪ wave 1 — all-pairs Hamming states the
+    // definition; the absorbed-index probe is pigeonhole-lossless over
+    // exactly that union.
+    "q_st_image_accum" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id * 4 AS img_id, doc_id, 0 AS delta FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 4 + 1, doc_id, 1 FROM documents
+         |  WHERE doc_id % $INC_MOD = $INC_REM
+         |  UNION ALL
+         |  SELECT doc_id * 4 + 2, doc_id, 2 FROM documents
+         |  WHERE doc_id % $INC_MOD = $INC_REM),
+         |$imageHashCtes,
+         |xham AS (
+         |  SELECT hn.img_id AS img_new, hc.img_id AS img_old,
+         |         CAST(bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |            + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM h hn JOIN h hc ON hn.img_id % 4 = 2 AND hc.img_id % 4 <> 2
+         |  WHERE bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |      + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |      <= $IMG_HAMMING_MAX),
+         |best AS (
+         |  SELECT img_new, img_old AS best_match, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY img_new
+         |                ORDER BY hamming ASC, img_old ASC) AS rn
+         |    FROM xham) WHERE rn = 1)
+         |SELECT img_new, best_match, hamming FROM best
+         |ORDER BY img_new""".stripMargin,
 
     // The streaming corpus-probe face for AUDIO: base clips of every
     // doc are the corpus (even clip_ids), trimmed+×2-gained re-uploads

@@ -319,6 +319,46 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** SELF-ACCUMULATING incremental image dedup: like
+    * [[imageNearDupStream]], but after each micro-batch is flagged
+    * against the index, its fingerprints are ABSORBED into the index
+    * ([[graft.operators.Multimodal.absorbIntoImageIndex]]) — so a wave-2
+    * re-upload of a wave-1 upload is caught, which a frozen index can
+    * never do (the defect class [[Similarity.absorbIvfBatch]] closes
+    * for the vector index). Each batch is flagged BEFORE it is
+    * absorbed (its members must not match themselves at Hamming 0).
+    * `indexRef` holds the advancing index: seed it with the corpus
+    * build, release `indexRef.get()` after the stream stops
+    * (superseded values share their cached legs with the successor).
+    * The batch is hashed once per role (flag + absorb) — a production
+    * deployment lands fingerprints in a durable table instead and
+    * rebuilds the in-memory index from it at restart, which is also
+    * the recovery story for the absorbed state (the checkpoint only
+    * replays offsets, not process memory). */
+  def imageNearDupAccumStream(spark: SparkSession, stagingDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              indexRef: java.util.concurrent.atomic.AtomicReference[
+                                graft.operators.Multimodal.ImageIndex],
+                              outPath: String,
+                              checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import spark.implicits._
+          def hashed = graft.operators.Multimodal.imageAHash(
+            spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
+          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+            hashed, indexRef.get())
+          idempotentParquetWrite(flagged, outPath, batchId)
+          graft.operators.Lifecycle.release(flagged)
+          indexRef.set(graft.operators.Multimodal.absorbIntoImageIndex(
+            indexRef.get(), hashed))
+        },
+      checkpointDir).start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

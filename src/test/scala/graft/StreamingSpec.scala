@@ -249,6 +249,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("absorbIntoImageIndex: absorbed probe equals a fresh build over the union") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val sel = docs.filter(col("doc_id") % 10 === 7)
+    val base = Multimodal.imageAHash(spark,
+      Multimodal.packBaseImagesW(spark, docs)).toDF()
+    val w1 = Multimodal.imageAHash(spark,
+      Multimodal.packImageWave(spark, sel, 1)).toDF()
+    val w2 = Multimodal.imageAHash(spark,
+      Multimodal.packImageWave(spark, sel, 2)).toDF()
+    def rows(idx: Multimodal.ImageIndex) =
+      Multimodal.flagAgainstImageIndex(w2, idx).collect()
+        .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+          r.getAs[Long]("hamming"))).toSet
+    val absorbed = Multimodal.absorbIntoImageIndex(
+      Multimodal.buildImageIndex(base, 6), w1)
+    val fresh = Multimodal.buildImageIndex(base.unionByName(w1), 6)
+    val got = rows(absorbed)
+    val want = rows(fresh)
+    Multimodal.releaseImageIndex(absorbed)
+    Multimodal.releaseImageIndex(fresh)
+    assert(got.nonEmpty && got == want)
+    // The accumulation must MATTER: some wave-2 re-upload's nearest
+    // neighbour is its wave-1 sibling (img_id % 4 == 1), which a
+    // frozen corpus-only index cannot return.
+    assert(got.exists(_._2 % 4 == 1),
+      s"no wave-2 image best-matched a wave-1 upload: $got")
+  }
+
+  test("self-accumulating image dedup stream absorbs each wave before the next") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accum_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/flagged"
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val sel = docs.filter(col("doc_id") % 10 === 7)
+    val corpusHashes = Multimodal.imageAHash(spark,
+      Multimodal.packBaseImagesW(spark, docs)).toDF()
+    // Wave files staged IN ORDER (the file source triggers by mod
+    // time): wave 1 must be absorbed before wave 2 probes.
+    Multimodal.packImageWave(spark, sel, 1).toDF().coalesce(1)
+      .write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    Multimodal.packImageWave(spark, sel, 2).toDF().coalesce(1)
+      .write.mode("append").parquet(staging)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Multimodal.buildImageIndex(corpusHashes, 6))
+    val schema = Multimodal.packImageWave(spark, sel, 1).toDF().schema
+    val q = graft.streaming.StreamOps.imageNearDupAccumStream(
+      spark, staging, schema, ref, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val streamedW2 = spark.read.parquet(outPath)
+      .filter(col("img_new") % 4 === 2).collect()
+      .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    // Batch face: wave 2 against corpus ∪ wave 1 (the q_st_image_accum
+    // shape) — equality proves the stream really absorbed wave 1.
+    val batchIdx = Multimodal.absorbIntoImageIndex(
+      Multimodal.buildImageIndex(corpusHashes, 6),
+      Multimodal.imageAHash(spark,
+        Multimodal.packImageWave(spark, sel, 1)).toDF())
+    val batch = Multimodal.flagAgainstImageIndex(
+        Multimodal.imageAHash(spark,
+          Multimodal.packImageWave(spark, sel, 2)).toDF(), batchIdx).collect()
+      .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    Multimodal.releaseImageIndex(batchIdx)
+    Multimodal.releaseImageIndex(ref.get())
+    assert(streamedW2.nonEmpty && streamedW2 == batch)
+    assert(streamedW2.exists(_._2 % 4 == 1),
+      "accumulation must surface wave-1 best matches")
+  }
+
   /** Shared checkpoint-recovery harness — the failure semantics a
     * 100 TB ingest depends on, proven for EVERY `foreachBatch` stream
     * (they share [[StreamOps.idempotentParquetWrite]], but each stream's
