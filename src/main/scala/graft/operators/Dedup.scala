@@ -58,12 +58,17 @@ object Dedup {
     }
 
   /** The DuckDB mirror of [[wordShingles]] as a CTE body. */
-  def wordShinglesSql(n: Int = 3): String =
+  def wordShinglesSql(n: Int = 3): String = wordShinglesSqlFrom("documents", n)
+
+  /** [[wordShinglesSql]] over an arbitrary source table/CTE carrying
+    * (doc_id, text) — lets the accumulating-index oracle shingle a
+    * synthesized corpus ∪ wave union. */
+  def wordShinglesSqlFrom(src: String, n: Int = 3): String =
     s"""SELECT DISTINCT doc_id,
        |       array_to_string(ws[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS shingle
        |FROM (SELECT doc_id, ws,
        |             unnest(range(1, greatest(len(ws) - ${n - 1}, 1) + 1)) AS i
-       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $src))""".stripMargin
 
   /** Exact dedup: keep the smallest doc_id per identical text. */
   def exact(docs: DataFrame): DataFrame =
@@ -257,7 +262,13 @@ object Dedup {
     * it lives as cached frames for the stream's lifetime. Pair with
     * [[flagAgainstCorpusIndex]]; release with [[releaseCorpusIndex]]
     * when the stream stops. */
-  case class CorpusIndex(bands: DataFrame, shingles: DataFrame, sizes: DataFrame)
+  /** `cached` tracks every persisted leg (the base triple plus one
+    * (bands, shingles, sizes) triple per wave folded in by
+    * [[absorbIntoCorpusIndex]]): the index frames become lazy UNIONS
+    * of legs after an absorb, and unpersisting a union is a silent
+    * no-op — release must walk the legs. */
+  case class CorpusIndex(bands: DataFrame, shingles: DataFrame, sizes: DataFrame,
+                         cached: Seq[DataFrame] = Nil)
 
   def buildCorpusIndex(corpusShingles: DataFrame): CorpusIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -268,7 +279,30 @@ object Dedup {
     // micro-batch must not absorb the corpus build.
     bands.count()
     sizes.count()
-    CorpusIndex(bands, sh, sizes)
+    CorpusIndex(bands, sh, sizes, Seq(bands, sh, sizes))
+  }
+
+  /** Fold an ingest wave's shingles INTO the index — the text face of
+    * the accumulating-index family ([[Similarity.absorbIvfBatch]],
+    * [[Multimodal.absorbIntoImageIndex]]): a FROZEN index flags every
+    * wave against the original corpus only, so a near-dup of an
+    * EARLIER wave's document sails through. The wave's bands, shingle
+    * rows, and sizes persist as their own legs under lazy unions —
+    * per-wave cost is the wave's own signature build, no corpus
+    * re-materialization; a long-running stream compacts legs (or, in
+    * production, rebuilds from the durable shingle/signature table,
+    * which is also the restart story). Release the FINAL index only
+    * (successors share legs with superseded values). */
+  def absorbIntoCorpusIndex(index: CorpusIndex, waveShingles: DataFrame): CorpusIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = waveShingles.persist(lvl)
+    val bands = bandsOf(minhashSignatures(sh)).persist(lvl)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n")).persist(lvl)
+    bands.count()
+    sizes.count()
+    CorpusIndex(index.bands.unionByName(bands),
+      index.shingles.unionByName(sh), index.sizes.unionByName(sizes),
+      index.cached ++ Seq(bands, sh, sizes))
   }
 
   /** Flag one NEW batch against a prebuilt [[CorpusIndex]] — identical
@@ -307,9 +341,9 @@ object Dedup {
   }
 
   def releaseCorpusIndex(index: CorpusIndex): Unit = {
-    index.bands.unpersist(blocking = false)
-    index.shingles.unpersist(blocking = false)
-    index.sizes.unpersist(blocking = false)
+    val legs = if (index.cached.nonEmpty) index.cached
+      else Seq(index.bands, index.shingles, index.sizes)
+    legs.foreach(_.unpersist(blocking = false))
   }
 
   /** SimHash: 60-bit signature from md5-derived word hashes (term

@@ -986,6 +986,30 @@ object PipelinePack {
       Multimodal.releaseImageIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
     },
+    // SELF-ACCUMULATING incremental text dedup (the batch face of
+    // StreamOps.incrementalDedupAccumStream): wave 1 re-arrivals carry
+    // one appended tag pair, wave 2 re-arrivals carry wave 1's text
+    // plus a second tag pair — so a wave-2 doc is STRICTLY closer to
+    // its wave-1 sibling than to the corpus original, and only an
+    // index that absorbed wave 1 can return the right best match.
+    "q_st_dedup_accum" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
+      val w1 = docs.filter(pred).select(
+        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" zzwaveone tagone")).as("text"))
+      val w2 = docs.filter(pred).select(
+        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"),
+          lit(" zzwaveone tagone zzwavetwo tagtwo")).as("text"))
+      val idx = Dedup.absorbIntoCorpusIndex(
+        Dedup.buildCorpusIndex(Dedup.wordShingles(docs)),
+        Dedup.wordShingles(w1))
+      val out = Dedup.flagAgainstCorpusIndex(Dedup.wordShingles(w2), idx,
+        JACCARD_MIN)
+      Dedup.releaseCorpusIndex(idx) // out is already checkpointed
+      out.orderBy("doc_new")
+    },
     // SELF-ACCUMULATING incremental image dedup (the batch face of
     // StreamOps.imageNearDupAccumStream): the corpus index ABSORBS
     // wave 1's fingerprints before wave 2 probes, so wave-2 re-uploads
@@ -1238,8 +1262,10 @@ object PipelinePack {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** sh → signature → 4×4 band CTEs shared by the all-pairs and the
-    * incremental (batch-vs-corpus) MinHash oracles. */
-  private val minhashBandCtes: String = {
+    * incremental (batch-vs-corpus) MinHash oracles; `shSql` is the
+    * shingle query (over `documents` by default, or a synthesized
+    * corpus ∪ wave union for the accumulating-index oracle). */
+  private def minhashBandCtesFrom(shSql: String): String = {
     val m = Hashing.M
     val minCols = Hashing.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $m) AS m$i"
@@ -1248,7 +1274,7 @@ object PipelinePack {
       val cols = (0 until 4).map(r => s"m${4 * j + r}").mkString(", ")
       s"SELECT doc_id, $j AS band, concat_ws('_', $cols) AS bv FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""sh AS ($sh),
+    s"""sh AS ($shSql),
        |hs AS (SELECT doc_id, ${Hashing.md5ModSql("shingle")} AS h FROM sh),
        |sigs AS (SELECT doc_id,
        |       $minCols
@@ -1257,14 +1283,17 @@ object PipelinePack {
        |  $bandSelects)""".stripMargin
   }
 
-  /** Batch-vs-corpus incremental dedup oracle — shared verbatim by
-    * `q_dedup_incremental` (one-shot operator) and
-    * `q_st_dedup_incremental` (prebuilt-index / streaming-cadence
-    * path): the two execution strategies must agree row for row. */
-  private val incrementalDedupSql: String =
-    s"""WITH $minhashBandCtes,
-       |newb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD = $INC_REM),
-       |oldb AS (SELECT * FROM bands WHERE doc_id % $INC_MOD <> $INC_REM),
+  private val minhashBandCtes: String = minhashBandCtesFrom(sh)
+
+  /** Batch-vs-corpus incremental dedup oracle tail, parameterized on
+    * the leading CTEs (optionally a synthesized-corpus prefix before
+    * the band CTEs) and the new/old band-split predicates — shared by
+    * the one-shot, streaming-cadence, and accumulating-index faces. */
+  private def incrementalDedupSqlFrom(prefix: String, bandCtes: String,
+                                      newPred: String, oldPred: String): String =
+    s"""WITH $prefix$bandCtes,
+       |newb AS (SELECT * FROM bands WHERE $newPred),
+       |oldb AS (SELECT * FROM bands WHERE $oldPred),
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
        |  FROM newb n JOIN oldb o ON n.band = o.band AND n.bv = o.bv),
@@ -1287,6 +1316,33 @@ object PipelinePack {
        |  FROM j)
        |SELECT doc_new, doc_old AS best_match, jaccard
        |FROM r WHERE rn = 1 ORDER BY doc_new""".stripMargin
+
+  /** Batch-vs-corpus incremental dedup oracle — shared verbatim by
+    * `q_dedup_incremental` (one-shot operator) and
+    * `q_st_dedup_incremental` (prebuilt-index / streaming-cadence
+    * path): the two execution strategies must agree row for row. */
+  private val incrementalDedupSql: String = incrementalDedupSqlFrom(
+    "", minhashBandCtes,
+    s"doc_id % $INC_MOD = $INC_REM", s"doc_id % $INC_MOD <> $INC_REM")
+
+  /** Self-accumulating text dedup oracle: synthesize corpus ∪ wave 1
+    * ∪ wave 2, band the UNION, and flag wave 2 (doc_id ≥ 2e6) against
+    * corpus ∪ wave 1 — exactly what an index that ABSORBED wave 1
+    * sees. Because a wave-2 doc shares wave 1's appended tag shingles,
+    * its best match is its wave-1 sibling, which only the absorbed
+    * index (not a frozen one) can return. */
+  private val accumDedupSql: String = incrementalDedupSqlFrom(
+    s"""corpus_u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zzwaveone tagone'
+       |  FROM documents WHERE doc_id % $INC_MOD = $INC_REM
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' zzwaveone tagone zzwavetwo tagtwo'
+       |  FROM documents WHERE doc_id % $INC_MOD = $INC_REM),
+       |""".stripMargin,
+    minhashBandCtesFrom(Dedup.wordShinglesSqlFrom("corpus_u")),
+    "doc_id >= 2000000", "doc_id < 2000000")
 
   private val minhashSql: String = {
     s"""WITH $minhashBandCtes,
@@ -1816,6 +1872,7 @@ object PipelinePack {
     // Same oracle by construction: the index path is an execution
     // strategy (precomputed corpus state), not different semantics.
     "q_st_dedup_incremental" -> incrementalDedupSql,
+    "q_st_dedup_accum" -> accumDedupSql,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes

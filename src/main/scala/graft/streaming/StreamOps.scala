@@ -359,6 +359,35 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** SELF-ACCUMULATING incremental text dedup — the text face of
+    * [[imageNearDupAccumStream]]: each micro-batch of documents is
+    * flagged against the corpus index, then its shingles are ABSORBED
+    * ([[graft.operators.Dedup.absorbIntoCorpusIndex]]) so later waves
+    * also match against it. Flag-before-absorb keeps a batch from
+    * matching itself. Same `indexRef` / release / durable-table
+    * restart contract as the image variant. */
+  def incrementalDedupAccumStream(spark: SparkSession, stagingDir: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  indexRef: java.util.concurrent.atomic.AtomicReference[
+                                    graft.operators.Dedup.CorpusIndex],
+                                  minJ: Double, outPath: String,
+                                  checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          def shingled = graft.operators.Dedup.wordShingles(batch)
+          val flagged = graft.operators.Dedup.flagAgainstCorpusIndex(
+            shingled, indexRef.get(), minJ)
+          idempotentParquetWrite(flagged, outPath, batchId)
+          graft.operators.Lifecycle.release(flagged)
+          indexRef.set(graft.operators.Dedup.absorbIntoCorpusIndex(
+            indexRef.get(), shingled))
+        },
+      checkpointDir).start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

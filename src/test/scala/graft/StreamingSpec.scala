@@ -324,6 +324,82 @@ class StreamingSpec extends AnyFunSuite {
       "accumulation must surface wave-1 best matches")
   }
 
+  test("absorbIntoCorpusIndex equals a fresh rebuild over corpus ∪ wave") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val pred = col("doc_id") % 10 === 7
+    val w1 = docs.filter(pred).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzwaveone tagone")).as("text"))
+    val w2 = docs.filter(pred).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"),
+        lit(" zzwaveone tagone zzwavetwo tagtwo")).as("text"))
+    def rows(idx: Dedup.CorpusIndex) =
+      Dedup.flagAgainstCorpusIndex(Dedup.wordShingles(w2), idx, 0.6).collect()
+        .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+          r.getAs[Double]("jaccard"))).toSet
+    val absorbed = Dedup.absorbIntoCorpusIndex(
+      Dedup.buildCorpusIndex(Dedup.wordShingles(docs)), Dedup.wordShingles(w1))
+    val fresh = Dedup.buildCorpusIndex(
+      Dedup.wordShingles(docs.unionByName(w1)))
+    val got = rows(absorbed)
+    val want = rows(fresh)
+    Dedup.releaseCorpusIndex(absorbed)
+    Dedup.releaseCorpusIndex(fresh)
+    assert(got.nonEmpty && got == want)
+    // The accumulation must MATTER: a wave-2 doc carries wave 1's tag
+    // pair, so its best match is its wave-1 sibling — which a frozen
+    // corpus-only index cannot return.
+    assert(got.exists(m => m._2 >= 1000000L && m._2 < 2000000L),
+      s"no wave-2 doc best-matched a wave-1 arrival: $got")
+  }
+
+  test("self-accumulating text dedup stream absorbs each wave before the next") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accumtxt_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/flagged"
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val pred = col("doc_id") % 10 === 7
+    val w1 = docs.filter(pred).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzwaveone tagone")).as("text"))
+    val w2 = docs.filter(pred).select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"),
+        lit(" zzwaveone tagone zzwavetwo tagtwo")).as("text"))
+    // Waves staged IN ORDER (the file source triggers by mod time):
+    // wave 1 must be absorbed before wave 2 probes.
+    w1.coalesce(1).write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    w2.coalesce(1).write.mode("append").parquet(staging)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Dedup.buildCorpusIndex(Dedup.wordShingles(docs)))
+    val q = graft.streaming.StreamOps.incrementalDedupAccumStream(
+      spark, staging, w1.schema, ref, 0.6, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val streamedW2 = spark.read.parquet(outPath)
+      .filter(col("doc_new") >= 2000000L).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("jaccard"))).toSet
+    // Batch face: wave 2 against corpus ∪ wave 1 (the q_st_dedup_accum
+    // shape) — equality proves the stream really absorbed wave 1.
+    val batchIdx = Dedup.absorbIntoCorpusIndex(
+      Dedup.buildCorpusIndex(Dedup.wordShingles(docs)), Dedup.wordShingles(w1))
+    val batch = Dedup.flagAgainstCorpusIndex(
+        Dedup.wordShingles(w2), batchIdx, 0.6).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("jaccard"))).toSet
+    Dedup.releaseCorpusIndex(batchIdx)
+    Dedup.releaseCorpusIndex(ref.get())
+    assert(streamedW2.nonEmpty && streamedW2 == batch)
+    assert(streamedW2.exists(m => m._2 >= 1000000L && m._2 < 2000000L),
+      "accumulation must surface wave-1 best matches")
+  }
+
   /** Shared checkpoint-recovery harness — the failure semantics a
     * 100 TB ingest depends on, proven for EVERY `foreachBatch` stream
     * (they share [[StreamOps.idempotentParquetWrite]], but each stream's
