@@ -346,6 +346,47 @@ object Dedup {
     legs.foreach(_.unpersist(blocking = false))
   }
 
+  /** Compact a many-leg index (one leg triple per absorbed wave) back
+    * to one persisted leg per frame: materialize the lazy unions into
+    * fresh caches, then release every superseded leg. Probe results
+    * are unchanged — the union is materialized, not re-derived; cost
+    * is one scan of the cached legs per frame, no shingle or minhash
+    * recomputation. The accum stream calls this once `cached` exceeds
+    * its leg budget, so per-probe union fanout (and block-manager
+    * entry count) stays bounded on an unbounded stream. No-op on an
+    * unabsorbed index (its frames ARE the legs — re-persisting and
+    * then releasing them would drop the only copy). */
+  def compactCorpusIndex(index: CorpusIndex): CorpusIndex =
+    if (index.cached.length <= 3) index
+    else {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val bands = index.bands.persist(lvl)
+      val sh = index.shingles.persist(lvl)
+      val sizes = index.sizes.persist(lvl)
+      bands.count()
+      sh.count()
+      sizes.count()
+      index.cached.foreach(_.unpersist(blocking = false))
+      CorpusIndex(bands, sh, sizes, Seq(bands, sh, sizes))
+    }
+
+  /** Durable restart contract, made real: the shingle table IS the
+    * index's source of truth — bands and sizes derive from it
+    * deterministically ([[bandsOf]] ∘ [[minhashSignatures]], seeded
+    * permutations). Save writes it once as parquet (absorbed waves
+    * included — the lazy union flattens into the file);
+    * [[loadCorpusIndex]] rebuilds the in-memory index from the table
+    * after a process restart, and the reloaded index probes
+    * identically (CorpusIndexLifecycleSpec pins it). At 100 TB this
+    * is the table a fleet of ingest jobs shares: in-memory index =
+    * process state, parquet shingle table = the recoverable truth. */
+  def saveCorpusIndex(index: CorpusIndex, path: String): Unit =
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+
+  def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): CorpusIndex =
+    buildCorpusIndex(spark.read.parquet(s"$path/shingles"))
+
   /** SimHash: 60-bit signature from md5-derived word hashes (term
     * frequency weighted), computed as 60 parallel sums in one groupBy. */
   def simhashSignatures(docs: DataFrame): DataFrame = {

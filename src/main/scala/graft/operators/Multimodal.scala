@@ -1095,6 +1095,42 @@ object Multimodal {
     legs.foreach(_.unpersist(blocking = false))
   }
 
+  /** Compact a many-leg index back to one persisted leg per frame —
+    * the image twin of [[Dedup.compactCorpusIndex]]: materialize the
+    * lazy unions, release the superseded legs, probe results
+    * unchanged. No-op on an unabsorbed index (its frames ARE the only
+    * cached copies). */
+  def compactImageIndex(index: ImageIndex): ImageIndex =
+    if (index.cached.length <= 2) index
+    else {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val bands = index.bands.persist(lvl)
+      val h = index.hashes.persist(lvl)
+      bands.count()
+      h.count()
+      index.cached.foreach(_.unpersist(blocking = false))
+      ImageIndex(bands, h, index.maxHamming, Seq(bands, h))
+    }
+
+  /** Durable restart contract — the image twin of
+    * [[Dedup.saveCorpusIndex]]: the fingerprint table (plus the
+    * build-time threshold, which FIXES the band layout) is the source
+    * of truth; bands derive deterministically. Save flattens absorbed
+    * waves into one parquet table; [[loadImageIndex]] rebuilds the
+    * in-memory index after a restart and probes identically. */
+  def saveImageIndex(index: ImageIndex, path: String): Unit = {
+    index.hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    val spark = index.hashes.sparkSession
+    import spark.implicits._
+    Seq(index.maxHamming).toDF("max_hamming").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadImageIndex(spark: SparkSession, path: String): ImageIndex = {
+    val mh = spark.read.parquet(s"$path/meta").head().getInt(0)
+    buildImageIndex(spark.read.parquet(s"$path/hashes"), mh)
+  }
+
   /** The base image of every doc (img_id = 2·doc_id, delta 0) — the
     * corpus side of the incremental image dedup fixture. */
   def packBaseImages(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {

@@ -322,6 +322,34 @@ object Similarity {
     index.corpusStats.unpersist(blocking = false)
   }
 
+  /** Durable restart contract — the vector twin of
+    * [[Dedup.saveCorpusIndex]]: unlike the dedup indexes, `corpusStats`
+    * is NOT derivable from the saved frames alone (it folds every
+    * absorbed batch), so both frames land in parquet along with the
+    * stride that seeded the quantizer. [[loadIvfIndex]] re-persists
+    * them after a restart; absorb/reassign continue from exactly the
+    * folded state (decimal sums round-trip bit-exact through parquet's
+    * DECIMAL(18,6)). */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.corpusStats.write.mode("overwrite").parquet(s"$path/stats")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Seq(index.centStride).toDF("cent_stride").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val stride = spark.read.parquet(s"$path/meta").head().getLong(0)
+    val cent = spark.read.parquet(s"$path/centroids").persist(lvl)
+    val stats = spark.read.parquet(s"$path/stats").persist(lvl)
+    cent.count()
+    stats.count()
+    IvfIndex(cent, stats, stride)
+  }
+
   /** Distributed k-means (Lloyd's iterations) over the embedding column —
     * the clustering step a curation pipeline runs for diversity sampling
     * or IVF index training. Centroids seed from the data (vec_id %

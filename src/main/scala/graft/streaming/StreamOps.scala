@@ -340,7 +340,8 @@ object StreamOps {
                               indexRef: java.util.concurrent.atomic.AtomicReference[
                                 graft.operators.Multimodal.ImageIndex],
                               outPath: String,
-                              checkpointDir: Option[String] = None)
+                              checkpointDir: Option[String] = None,
+                              maxLegs: Int = 24)
       : org.apache.spark.sql.streaming.StreamingQuery =
     withCheckpoint(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
@@ -354,8 +355,16 @@ object StreamOps {
             hashed, indexRef.get())
           idempotentParquetWrite(flagged, outPath, batchId)
           graft.operators.Lifecycle.release(flagged)
-          indexRef.set(graft.operators.Multimodal.absorbIntoImageIndex(
-            indexRef.get(), hashed))
+          val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
+            indexRef.get(), hashed)
+          // Bound the leg count on an unbounded stream: past the budget,
+          // materialize the lazy unions into fresh single legs (probe
+          // results unchanged) so block-manager entries and per-probe
+          // union fanout stay O(1) in stream lifetime.
+          indexRef.set(
+            if (absorbed.cached.length >= maxLegs)
+              graft.operators.Multimodal.compactImageIndex(absorbed)
+            else absorbed)
         },
       checkpointDir).start()
 
@@ -371,7 +380,8 @@ object StreamOps {
                                   indexRef: java.util.concurrent.atomic.AtomicReference[
                                     graft.operators.Dedup.CorpusIndex],
                                   minJ: Double, outPath: String,
-                                  checkpointDir: Option[String] = None)
+                                  checkpointDir: Option[String] = None,
+                                  maxLegs: Int = 36)
       : org.apache.spark.sql.streaming.StreamingQuery =
     withCheckpoint(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
@@ -383,8 +393,14 @@ object StreamOps {
             shingled, indexRef.get(), minJ)
           idempotentParquetWrite(flagged, outPath, batchId)
           graft.operators.Lifecycle.release(flagged)
-          indexRef.set(graft.operators.Dedup.absorbIntoCorpusIndex(
-            indexRef.get(), shingled))
+          val absorbed = graft.operators.Dedup.absorbIntoCorpusIndex(
+            indexRef.get(), shingled)
+          // Same leg budget as the image variant: compaction keeps an
+          // unbounded stream's cached-leg count O(1), probe-identical.
+          indexRef.set(
+            if (absorbed.cached.length >= maxLegs)
+              graft.operators.Dedup.compactCorpusIndex(absorbed)
+            else absorbed)
         },
       checkpointDir).start()
 
