@@ -361,6 +361,24 @@ object PipelinePack {
       Similarity.releaseIvfIndex(idx)
       materialized
     },
+    // SELF-ACCUMULATING IVF maintenance (the batch face of
+    // StreamOps.ivfMonitorAccumStream): the index ABSORBS wave 1
+    // (vec_id % 10 = 8) before wave 2 (% 10 = 9) reports, so wave 2's
+    // old_size/growth/mean_sim_old read corpus ∪ wave 1 — the frozen
+    // index would compare every wave against the original build.
+    "q_st_ivf_accum" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = Similarity.absorbIvfBatch(
+        Similarity.buildIvfIndex(
+          emb.filter(pmod(col("vec_id"), lit(10L)) < 8L), CENT_STRIDE),
+        emb.filter(pmod(col("vec_id"), lit(10L)) === 8L))
+      val out = Similarity.ivfReassign(idx,
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 9L))
+        .orderBy("cid")
+      val materialized = graft.operators.Lifecycle.checkpoint(out)
+      Similarity.releaseIvfIndex(idx)
+      materialized
+    },
     // LSH banding quality vs the exact-jaccard ground truth: candidate
     // precision (verification waste) and recall (banding misses).
     "q_dedup_lsh_quality" -> { (s, d) =>
@@ -1285,6 +1303,39 @@ object PipelinePack {
 
   private val minhashBandCtes: String = minhashBandCtesFrom(sh)
 
+  /** IVF staleness-report oracle (the closed-form ivfReassign replay),
+    * parameterized on the centroid-seed predicate and the old/new
+    * vector-set predicates — shared by the frozen-index report and the
+    * accumulating-index face (where "old" is corpus ∪ absorbed waves:
+    * decimal sim sums add exactly, so absorb-then-report over the
+    * union is the same arithmetic). */
+  private def ivfReassignSql(centPred: String, oldPred: String,
+                             newPred: String): String =
+    s"""WITH $normalizedCte,
+       |rc AS (SELECT vec_id AS cid, v AS cv FROM e
+       |       WHERE $centPred
+       |         AND vec_id % $CENT_STRIDE = 0),
+       |rs AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, rc),
+       |ra AS (SELECT vec_id, cid, cd,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                   ORDER BY cd DESC, cid ASC) AS crn
+       |       FROM rs),
+       |r1 AS (SELECT vec_id, cid, round(cd, 6) AS cd FROM ra WHERE crn = 1),
+       |rold AS (SELECT cid, CAST(count(*) AS BIGINT) AS old_size,
+       |                round(${Num.dsumSql("cd")} / count(*), 6) AS mean_sim_old
+       |         FROM r1 WHERE $oldPred GROUP BY cid),
+       |rnew AS (SELECT cid, CAST(count(*) AS BIGINT) AS added,
+       |                round(${Num.dsumSql("cd")} / count(*), 6) AS mean_sim_new
+       |         FROM r1 WHERE $newPred GROUP BY cid)
+       |SELECT cid,
+       |       coalesce(old_size, 0) AS old_size,
+       |       coalesce(added, 0) AS added,
+       |       coalesce(old_size, 0) + coalesce(added, 0) AS new_size,
+       |       CASE WHEN coalesce(old_size, 0) > 0
+       |            THEN round(coalesce(added, 0) / old_size, 6) END AS growth,
+       |       mean_sim_old, mean_sim_new
+       |FROM rold FULL OUTER JOIN rnew USING (cid) ORDER BY cid""".stripMargin
+
   /** Batch-vs-corpus incremental dedup oracle tail, parameterized on
     * the leading CTEs (optionally a synthesized-corpus prefix before
     * the band CTEs) and the new/old band-split predicates — shared by
@@ -1841,31 +1892,19 @@ object PipelinePack {
     // argmax), and the report splits each list's membership into
     // build-time vs arrived — mirrors Similarity.buildIvfIndex +
     // ivfReassign.
-    "q_sim_ivf_incremental" ->
-      s"""WITH $normalizedCte,
-         |rc AS (SELECT vec_id AS cid, v AS cv FROM e
-         |       WHERE vec_id % 10 <> $IVF_BATCH_REM
-         |         AND vec_id % $CENT_STRIDE = 0),
-         |rs AS (SELECT e.vec_id, cid, ${dotSql("v", "cv")} AS cd FROM e, rc),
-         |ra AS (SELECT vec_id, cid, cd,
-         |              row_number() OVER (PARTITION BY vec_id
-         |                   ORDER BY cd DESC, cid ASC) AS crn
-         |       FROM rs),
-         |r1 AS (SELECT vec_id, cid, round(cd, 6) AS cd FROM ra WHERE crn = 1),
-         |rold AS (SELECT cid, CAST(count(*) AS BIGINT) AS old_size,
-         |                round(${Num.dsumSql("cd")} / count(*), 6) AS mean_sim_old
-         |         FROM r1 WHERE vec_id % 10 <> $IVF_BATCH_REM GROUP BY cid),
-         |rnew AS (SELECT cid, CAST(count(*) AS BIGINT) AS added,
-         |                round(${Num.dsumSql("cd")} / count(*), 6) AS mean_sim_new
-         |         FROM r1 WHERE vec_id % 10 = $IVF_BATCH_REM GROUP BY cid)
-         |SELECT cid,
-         |       coalesce(old_size, 0) AS old_size,
-         |       coalesce(added, 0) AS added,
-         |       coalesce(old_size, 0) + coalesce(added, 0) AS new_size,
-         |       CASE WHEN coalesce(old_size, 0) > 0
-         |            THEN round(coalesce(added, 0) / old_size, 6) END AS growth,
-         |       mean_sim_old, mean_sim_new
-         |FROM rold FULL OUTER JOIN rnew USING (cid) ORDER BY cid""".stripMargin,
+    "q_sim_ivf_incremental" -> ivfReassignSql(
+      s"vec_id % 10 <> $IVF_BATCH_REM",
+      s"vec_id % 10 <> $IVF_BATCH_REM",
+      s"vec_id % 10 = $IVF_BATCH_REM"),
+
+    // Accumulated face: the index side (old) is corpus ∪ wave 1 —
+    // identical math (decimal sim sums add exactly, so absorb-then-
+    // report ≡ one report over the union), centroids still seeded
+    // from the corpus only.
+    "q_st_ivf_accum" -> ivfReassignSql(
+      "vec_id % 10 < 8",
+      "vec_id % 10 <> 9",
+      "vec_id % 10 = 9"),
 
     "q_dedup_incremental" -> incrementalDedupSql,
 

@@ -404,6 +404,41 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** SELF-ACCUMULATING IVF maintenance at streaming cadence — the
+    * vector face of [[incrementalDedupAccumStream]]: each arriving
+    * embedding batch is scored against the ADVANCING index
+    * ([[graft.operators.Similarity.ivfReassign]] — the per-list
+    * staleness report a serving pipeline watches for re-centroid
+    * decisions), the report lands idempotently per `batch_id`, and the
+    * batch is absorbed ([[graft.operators.Similarity.absorbIvfBatch]])
+    * so the NEXT wave's growth/drift reads against everything already
+    * ingested, not the original build forever. No leg budget needed:
+    * absorb merges |centroids|-row stats and releases the superseded
+    * frame, so index state is O(|centroids|) regardless of stream
+    * lifetime. Restart: the in-memory index is process state — seed
+    * `indexRef` from [[graft.operators.Similarity.loadIvfIndex]] and
+    * save after ([[graft.operators.Similarity.saveIvfIndex]]); the
+    * checkpoint replays offsets only. */
+  def ivfMonitorAccumStream(spark: SparkSession, stagingDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            indexRef: java.util.concurrent.atomic.AtomicReference[
+                              graft.operators.Similarity.IvfIndex],
+                            outPath: String,
+                            checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          idempotentParquetWrite(
+            graft.operators.Similarity.ivfReassign(indexRef.get(), batch),
+            outPath, batchId)
+          indexRef.set(graft.operators.Similarity.absorbIvfBatch(
+            indexRef.get(), batch))
+        },
+      checkpointDir).start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

@@ -400,6 +400,46 @@ class StreamingSpec extends AnyFunSuite {
       "accumulation must surface wave-1 best matches")
   }
 
+  test("self-accumulating IVF monitor stream absorbs each wave before the next") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accumivf_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/reports"
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10L)) < 8L)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(10L)) === 8L)
+    val b2 = emb.filter(pmod(col("vec_id"), lit(10L)) === 9L)
+    // Waves staged IN ORDER: wave 1 must be absorbed before wave 2
+    // reports.
+    b1.coalesce(1).write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    b2.coalesce(1).write.mode("append").parquet(staging)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Similarity.buildIvfIndex(corpus, 61L))
+    val q = graft.streaming.StreamOps.ivfMonitorAccumStream(
+      spark, staging, b1.schema, ref, outPath)
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("cid"), r.getAs[Long]("old_size"), r.getAs[Long]("added"),
+        r.getAs[Long]("new_size"), Option(r.getAs[java.lang.Double]("growth")),
+        Option(r.getAs[java.lang.Double]("mean_sim_old")),
+        Option(r.getAs[java.lang.Double]("mean_sim_new")))).toSet
+    val streamedW2 = canon(spark.read.parquet(outPath)
+      .filter(col("batch_id") === 1).drop("batch_id").collect())
+    Similarity.releaseIvfIndex(ref.get())
+    // Batch face: wave-2 report against the index that absorbed wave 1
+    // (the q_st_ivf_accum shape).
+    val batchIdx = Similarity.absorbIvfBatch(
+      Similarity.buildIvfIndex(corpus, 61L), b1)
+    val batch = canon(Similarity.ivfReassign(batchIdx, b2).collect())
+    assert(streamedW2.nonEmpty && streamedW2 == batch)
+    // The absorption must MATTER: wave 2's membership baseline counts
+    // wave 1's arrivals, not just the corpus build.
+    assert(streamedW2.toSeq.map(_._2).sum == corpus.count() + b1.count())
+    Similarity.releaseIvfIndex(batchIdx)
+  }
+
   /** Shared checkpoint-recovery harness — the failure semantics a
     * 100 TB ingest depends on, proven for EVERY `foreachBatch` stream
     * (they share [[StreamOps.idempotentParquetWrite]], but each stream's
