@@ -387,6 +387,116 @@ object Dedup {
                       path: String): CorpusIndex =
     buildCorpusIndex(spark.read.parquet(s"$path/shingles"))
 
+  // --------------------------------- incremental EMBEDDING near-dup
+
+  /** Prebuilt hyperplane-LSH band index over a normalized embedding
+    * corpus — the vector face of [[CorpusIndex]] /
+    * [[Multimodal.ImageIndex]], completing the accumulating-index
+    * family across modalities: build once, probe arriving batches with
+    * [[flagAgainstEmbeddingIndex]], fold flagged waves in with
+    * [[absorbIntoEmbeddingIndex]], compact with
+    * [[compactEmbeddingIndex]], release with
+    * [[releaseEmbeddingIndex]]. `dim` is captured at build time (the
+    * seeded hyperplanes are a function of it); `cached` tracks the
+    * persisted legs (bands + vectors per wave) because the index
+    * frames become lazy unions after an absorb. */
+  case class EmbeddingIndex(bands: DataFrame, vectors: DataFrame, dim: Int,
+                            cached: Seq[DataFrame] = Nil)
+
+  def buildEmbeddingIndex(emb: DataFrame, dim: Int): EmbeddingIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = Similarity.normalized(emb).persist(lvl)
+    val bands = Similarity.bandedIds(e, dim).persist(lvl)
+    bands.count()
+    e.count()
+    EmbeddingIndex(bands, e, dim, Seq(bands, e))
+  }
+
+  def absorbIntoEmbeddingIndex(index: EmbeddingIndex,
+                               newEmb: DataFrame): EmbeddingIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = Similarity.normalized(newEmb).persist(lvl)
+    val bands = Similarity.bandedIds(e, index.dim).persist(lvl)
+    bands.count()
+    e.count()
+    EmbeddingIndex(index.bands.unionByName(bands),
+      index.vectors.unionByName(e), index.dim,
+      index.cached ++ Seq(bands, e))
+  }
+
+  /** Flag one NEW embedding batch against the index: banded candidates
+    * (batch bands × index bands, Σ bucket² — never batch×corpus),
+    * exact-cosine verification on candidates only, best corpus match
+    * per new vector (max cosine, then min vec_id). Same
+    * materialize-then-release discipline as the text/image probes. */
+  def flagAgainstEmbeddingIndex(newEmb: DataFrame, index: EmbeddingIndex,
+                                minCos: Double): DataFrame = {
+    val e = Similarity.normalized(newEmb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = Similarity.bandedIds(e, index.dim)
+      .withColumnsRenamed(Map("vec_id" -> "vec_new"))
+    val ob = index.bands.withColumnsRenamed(Map("vec_id" -> "vec_old"))
+    val cand = nb.join(ob, Seq("c", "cv"))
+      .select(col("vec_new"), col("vec_old")).distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("vec_new"), col("v").as("vn")),
+        Seq("vec_new"))
+      .join(index.vectors.select(col("vec_id").as("vec_old"), col("v").as("vo")),
+        Seq("vec_old"))
+      .withColumn("cosine", round(expr("dotp(vn, vo)"), 6))
+      .filter(col("cosine") >= minCos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_new").orderBy(col("cosine").desc, col("vec_old").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_new"), col("vec_old").as("best_match"), col("cosine"))
+    materializeThenRelease(best, e)
+  }
+
+  def releaseEmbeddingIndex(index: EmbeddingIndex): Unit = {
+    val legs = if (index.cached.nonEmpty) index.cached
+      else Seq(index.bands, index.vectors)
+    legs.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Leg compaction — the vector face of [[compactCorpusIndex]]:
+    * probe-identical, collapses to one persisted leg per frame, no-op
+    * on an unabsorbed index. */
+  def compactEmbeddingIndex(index: EmbeddingIndex): EmbeddingIndex =
+    if (index.cached.length <= 2) index
+    else {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val bands = index.bands.persist(lvl)
+      val e = index.vectors.persist(lvl)
+      bands.count()
+      e.count()
+      index.cached.foreach(_.unpersist(blocking = false))
+      EmbeddingIndex(bands, e, index.dim, Seq(bands, e))
+    }
+
+  /** Durable restart contract — the normalized vector table (plus the
+    * dim that seeds the hyperplanes) is the source of truth; bands
+    * re-derive deterministically at load. */
+  def saveEmbeddingIndex(index: EmbeddingIndex, path: String): Unit = {
+    index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    Seq(index.dim).toDF("dim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): EmbeddingIndex = {
+    graft.functions.DotProduct.register(spark)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dim = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val e = spark.read.parquet(s"$path/vectors").persist(lvl)
+    val bands = Similarity.bandedIds(e, dim).persist(lvl)
+    bands.count()
+    e.count()
+    EmbeddingIndex(bands, e, dim, Seq(bands, e))
+  }
+
   /** SimHash: 60-bit signature from md5-derived word hashes (term
     * frequency weighted), computed as 60 parallel sums in one groupBy. */
   def simhashSignatures(docs: DataFrame): DataFrame = {

@@ -379,6 +379,45 @@ object PipelinePack {
       Similarity.releaseIvfIndex(idx)
       materialized
     },
+    // Incremental EMBEDDING near-dup: a frozen hyperplane-LSH band
+    // index over the corpus vectors, probed by the arriving batch —
+    // banded candidates only, exact-cosine verify, best corpus match
+    // per new vector.
+    "q_st_embed_neardup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val idx = Dedup.buildEmbeddingIndex(
+        emb.filter(pmod(col("vec_id"), lit(10L)) =!= INC_REM), DIM)
+      val out = Dedup.flagAgainstEmbeddingIndex(
+        emb.filter(pmod(col("vec_id"), lit(10L)) === INC_REM), idx, COS_MIN)
+      Dedup.releaseEmbeddingIndex(idx)
+      out.orderBy("vec_new")
+    },
+    // SELF-ACCUMULATING embedding near-dup (the batch face of
+    // StreamOps.embedNearDupAccumStream): wave 1 is a one-step
+    // neighbor-mix of every INC_REM-th corpus vector, wave 2 the same
+    // mix applied twice — so a wave-2 vector is strictly closer to its
+    // wave-1 sibling than to the corpus original, and only an index
+    // that absorbed wave 1 can return the right best match. The mix
+    // (x_p + 0.25·x_{(p mod D)+1}) is exact double arithmetic the
+    // oracle replays verbatim.
+    "q_st_embed_accum" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(pmod(col("vec_id"), lit(10L)) === INC_REM)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val mix = s"transform(embedding, (x, i) -> " +
+        s"x + 0.25D * element_at(embedding, ((i + 1) % $DIM) + 1))"
+      val m1 = base.select(col("vec_id"), expr(mix).as("embedding"))
+      val w1 = m1.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
+      val w2 = m1.select(col("vec_id"), expr(mix).as("embedding"))
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val idx = Dedup.absorbIntoEmbeddingIndex(
+        Dedup.buildEmbeddingIndex(emb, DIM), w1)
+      val out = Dedup.flagAgainstEmbeddingIndex(w2, idx, COS_MIN)
+      Dedup.releaseEmbeddingIndex(idx)
+      out.orderBy("vec_new")
+    },
     // LSH banding quality vs the exact-jaccard ground truth: candidate
     // precision (verification waste) and recall (banding misses).
     "q_dedup_lsh_quality" -> { (s, d) =>
@@ -1451,6 +1490,16 @@ object PipelinePack {
 
   private val normalizedCte = normalizedCteWhere("")
 
+  /** One neighbor-mix step over a DOUBLE[] column — the wave synthesis
+    * of `q_st_embed_accum`: out[p] = c[p] + 0.25·c[(p mod D)+1]
+    * (1-based, rolled). Mirrors the Spark `transform(embedding,
+    * (x, i) -> x + 0.25D * element_at(embedding, ((i+1) % D) + 1))`
+    * exactly (0.25 is an exact double; one multiply + one add per
+    * element, same IEEE order). */
+  private def mixSql(c: String): String =
+    s"list_transform(range(1, ${DIM + 1}), p -> " +
+      s"$c[CAST(p AS INT)] + 0.25 * $c[CAST((p % $DIM) + 1 AS INT)])"
+
   /** Power-iteration CTE chain shared by the pca_power and
     * pca_explained oracles: normalized vectors → exploded (vec_id, pos,
     * val) → rounded-mean-centered matrix `c` → PCA_ITERS iterations →
@@ -2057,6 +2106,61 @@ object PipelinePack {
          |s AS (SELECT vec_a, vec_b, round(${dotSql("va", "vb")}, 6) AS cosine FROM p)
          |SELECT vec_a, vec_b, cosine FROM s
          |WHERE cosine >= $COS_MIN ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Frozen-index probe: banded candidates between the batch
+    // (vec_id % 10 = INC_REM) and the corpus, exact-cosine verify,
+    // best match per new vector — the band join is an execution
+    // strategy; the all-candidate cosine tail states the semantics.
+    "q_st_embed_neardup" ->
+      s"""WITH $normalizedCte,
+         |$lshCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_new, y.vec_id AS vec_old
+         |  FROM bands x JOIN bands y ON x.c = y.c AND x.cv = y.cv
+         |  WHERE x.vec_id % 10 = $INC_REM AND y.vec_id % 10 <> $INC_REM),
+         |s AS (SELECT vec_new, vec_old,
+         |             round(${dotSql("a.v", "b.v")}, 6) AS cosine
+         |      FROM cand JOIN e a ON a.vec_id = vec_new
+         |                JOIN e b ON b.vec_id = vec_old),
+         |r AS (SELECT vec_new, vec_old, cosine,
+         |             row_number() OVER (PARTITION BY vec_new
+         |                  ORDER BY cosine DESC, vec_old ASC) AS rn
+         |      FROM s WHERE cosine >= $COS_MIN)
+         |SELECT vec_new, vec_old AS best_match, cosine FROM r
+         |WHERE rn = 1 ORDER BY vec_new""".stripMargin,
+
+    // Accumulated face: wave 2 (double-mixed, vec_id ≥ 2e6) probes
+    // corpus ∪ wave 1 — the union is synthesized with the same exact
+    // double mix arithmetic the Spark side applies.
+    "q_st_embed_accum" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+         |           FROM embeddings WHERE vec_id % 10 = $INC_REM),
+         |m1 AS (SELECT vec_id, ${mixSql("raw")} AS raw FROM b),
+         |m2 AS (SELECT vec_id, ${mixSql("raw")} AS raw FROM m1),
+         |u0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, raw FROM m1
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, raw FROM m2),
+         |e AS (SELECT vec_id,
+         |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
+         |      FROM u0),
+         |$lshCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_new, y.vec_id AS vec_old
+         |  FROM bands x JOIN bands y ON x.c = y.c AND x.cv = y.cv
+         |  WHERE x.vec_id >= 2000000 AND y.vec_id < 2000000),
+         |s AS (SELECT vec_new, vec_old,
+         |             round(${dotSql("a.v", "b.v")}, 6) AS cosine
+         |      FROM cand JOIN e a ON a.vec_id = vec_new
+         |                JOIN e b ON b.vec_id = vec_old),
+         |r AS (SELECT vec_new, vec_old, cosine,
+         |             row_number() OVER (PARTITION BY vec_new
+         |                  ORDER BY cosine DESC, vec_old ASC) AS rn
+         |      FROM s WHERE cosine >= $COS_MIN)
+         |SELECT vec_new, vec_old AS best_match, cosine FROM r
+         |WHERE rn = 1 ORDER BY vec_new""".stripMargin,
 
     "q_sim_ann_lsh" ->
       s"""WITH $normalizedCte,

@@ -404,6 +404,40 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** SELF-ACCUMULATING EMBEDDING near-dup at streaming cadence — the
+    * vector face of [[incrementalDedupAccumStream]]: each arriving
+    * embedding batch is flagged against the hyperplane-LSH index
+    * ([[graft.operators.Dedup.flagAgainstEmbeddingIndex]] — banded
+    * candidates, exact-cosine verify), the flags land idempotently,
+    * then the batch is absorbed so later waves match against it too.
+    * Same leg budget / compaction / durable-table restart contract as
+    * the text variant. */
+  def embedNearDupAccumStream(spark: SparkSession, stagingDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              indexRef: java.util.concurrent.atomic.AtomicReference[
+                                graft.operators.Dedup.EmbeddingIndex],
+                              minCos: Double, outPath: String,
+                              checkpointDir: Option[String] = None,
+                              maxLegs: Int = 24)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val flagged = graft.operators.Dedup.flagAgainstEmbeddingIndex(
+            batch, indexRef.get(), minCos)
+          idempotentParquetWrite(flagged, outPath, batchId)
+          graft.operators.Lifecycle.release(flagged)
+          val absorbed = graft.operators.Dedup.absorbIntoEmbeddingIndex(
+            indexRef.get(), batch)
+          indexRef.set(
+            if (absorbed.cached.length >= maxLegs)
+              graft.operators.Dedup.compactEmbeddingIndex(absorbed)
+            else absorbed)
+        },
+      checkpointDir).start()
+
   /** SELF-ACCUMULATING IVF maintenance at streaming cadence — the
     * vector face of [[incrementalDedupAccumStream]]: each arriving
     * embedding batch is scored against the ADVANCING index

@@ -150,6 +150,52 @@ class IndexDurabilitySpec extends AnyFunSuite {
     assert(got.exists(_._2 % 4 == 1))
   }
 
+  // ---------------------------------------------------------- embedding
+
+  private def emb = Tables.embeddings(spark, TestSpark.sf0001)
+  private def embWave(n: Int): org.apache.spark.sql.DataFrame = {
+    val mix = "transform(embedding, (x, i) -> " +
+      "x + 0.25D * element_at(embedding, ((i + 1) % 64) + 1))"
+    var df = emb.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    (1 to n).foreach(_ => df = df.select(col("vec_id"), expr(mix).as("embedding")))
+    df.select((col("vec_id") + lit(n * 1000000L)).as("vec_id"), col("embedding"))
+  }
+  private def embProbe(idx: Dedup.EmbeddingIndex) =
+    Dedup.flagAgainstEmbeddingIndex(embWave(2), idx, 0.35).collect()
+      .map(r => (r.getAs[Long]("vec_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("cosine"))).toSet
+
+  test("compactEmbeddingIndex: probe-identical, legs collapse to 2, no-op when unabsorbed") {
+    val base = Dedup.buildEmbeddingIndex(emb, 64)
+    assert(Dedup.compactEmbeddingIndex(base) eq base)
+    val absorbed = Dedup.absorbIntoEmbeddingIndex(base, embWave(1))
+    assert(absorbed.cached.length == 4)
+    val want = embProbe(absorbed)
+    val compacted = Dedup.compactEmbeddingIndex(absorbed)
+    assert(compacted.cached.length == 2)
+    val got = embProbe(compacted)
+    Dedup.releaseEmbeddingIndex(compacted)
+    assert(got.nonEmpty && got == want)
+    assert(got.exists(m => m._2 >= 1000000L && m._2 < 2000000L),
+      "wave-1 best matches must survive compaction")
+  }
+
+  test("saveEmbeddingIndex/loadEmbeddingIndex: reloaded index probes identically") {
+    val path = tmp("embidx")
+    val absorbed = Dedup.absorbIntoEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(emb, 64), embWave(1))
+    val want = embProbe(absorbed)
+    Dedup.saveEmbeddingIndex(absorbed, path)
+    Dedup.releaseEmbeddingIndex(absorbed)
+    val reloaded = Dedup.loadEmbeddingIndex(spark, path)
+    assert(reloaded.dim == 64)
+    val got = embProbe(reloaded)
+    Dedup.releaseEmbeddingIndex(reloaded)
+    assert(got.nonEmpty && got == want)
+    assert(got.exists(m => m._2 >= 1000000L && m._2 < 2000000L))
+  }
+
   // --------------------------------------------------------------- ivf
 
   test("saveIvfIndex/loadIvfIndex: absorb continues bit-exact across the restart") {

@@ -400,6 +400,48 @@ class StreamingSpec extends AnyFunSuite {
       "accumulation must surface wave-1 best matches")
   }
 
+  test("self-accumulating embedding near-dup stream absorbs each wave before the next") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accumemb_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/flagged"
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val dim = 64
+    val b0 = emb.filter(pmod(col("vec_id"), lit(10L)) === 7L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val mix = s"transform(embedding, (x, i) -> " +
+      s"x + 0.25D * element_at(embedding, ((i + 1) % $dim) + 1))"
+    val m1 = b0.select(col("vec_id"), expr(mix).as("embedding"))
+    val w1 = m1.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val w2 = m1.select(col("vec_id"), expr(mix).as("embedding"))
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    w1.coalesce(1).write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    w2.coalesce(1).write.mode("append").parquet(staging)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Dedup.buildEmbeddingIndex(emb, dim))
+    val q = graft.streaming.StreamOps.embedNearDupAccumStream(
+      spark, staging, w1.schema, ref, 0.35, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val streamedW2 = spark.read.parquet(outPath)
+      .filter(col("vec_new") >= 2000000L).collect()
+      .map(r => (r.getAs[Long]("vec_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("cosine"))).toSet
+    Dedup.releaseEmbeddingIndex(ref.get())
+    // Batch face: wave 2 against corpus ∪ wave 1 (the q_st_embed_accum
+    // shape).
+    val batchIdx = Dedup.absorbIntoEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(emb, dim), w1)
+    val batch = Dedup.flagAgainstEmbeddingIndex(w2, batchIdx, 0.35).collect()
+      .map(r => (r.getAs[Long]("vec_new"), r.getAs[Long]("best_match"),
+        r.getAs[Double]("cosine"))).toSet
+    Dedup.releaseEmbeddingIndex(batchIdx)
+    assert(streamedW2.nonEmpty && streamedW2 == batch)
+    assert(streamedW2.exists(m => m._2 >= 1000000L && m._2 < 2000000L),
+      "accumulation must surface wave-1 best matches")
+  }
+
   test("self-accumulating IVF monitor stream absorbs each wave before the next") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
