@@ -519,6 +519,22 @@ object Multimodal {
       })
   }
 
+  /** Ingest-wave renders for the SELF-ACCUMULATING audio dedup
+    * fixture: wave w of each doc is a trim-4 re-render at gain w
+    * (clip_id = w·1e6 + 2·doc_id). Wave 2 differs from wave 1 only by
+    * the ×2 gain — which the band-median fingerprint is invariant to
+    * (up to saturation ties) — while both differ from the base clip by
+    * the trim, so wave 2's nearest corpus∪wave-1 neighbour is its
+    * wave-1 sibling: exactly the match a frozen index can never
+    * return. */
+  def packAudioWave(spark: SparkSession, docs: DataFrame,
+                    wave: Int): Dataset[AudioClip] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => AudioClip(wave * 1000000L + id * 2, id, 4,
+        AudioFixture.renderWav(id, 4, wave, structured = true))))
+  }
+
   /** Robustness-measurement grid for the audio fingerprint: every
     * planted doc (doc_id % 5 == 0) contributes FOUR renders — base,
     * trim-2, trim-6, and ×2-gain (saturating) — and every other doc

@@ -1105,6 +1105,27 @@ object PipelinePack {
       out.select(col("img_new").as("clip_new"), col("best_match"),
         col("hamming")).orderBy("clip_new")
     },
+    // SELF-ACCUMULATING incremental audio dedup (the batch face of
+    // StreamOps.audioNearDupAccumStream): the index absorbs wave 1
+    // (trim-4 re-renders) before wave 2 (the same renders at ×2 gain)
+    // probes — wave 2 matches wave 1 up to gain-invariance ties, while
+    // both differ from the base clips by the trim, so only the
+    // absorbed index returns the wave-1 siblings.
+    "q_st_audio_accum" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sel = docs.filter(pmod(col("doc_id"), lit(INC_MOD)) === INC_REM)
+      val idx = Multimodal.absorbIntoImageIndex(
+        Multimodal.buildImageIndex(
+          audioBaseFingerprintFixture(s, d), AUD_HAMMING_MAX),
+        Multimodal.audioFingerprint(s,
+          Multimodal.packAudioWave(s, sel, 1)).toDF())
+      val out = Multimodal.flagAgainstImageIndex(
+        Multimodal.audioFingerprint(s,
+          Multimodal.packAudioWave(s, sel, 2)).toDF(), idx)
+      Multimodal.releaseImageIndex(idx) // out is already checkpointed
+      out.select(col("img_new").as("clip_new"), col("best_match"),
+        col("hamming")).orderBy("clip_new")
+    },
     // Audio near-dup by 64-bit content fingerprint over REAL decoded
     // PCM (band-energy signs vs the clip median — robust to the
     // planted leading-silence trims AND re-gains, decorrelated across
@@ -3252,6 +3273,39 @@ object PipelinePack {
     // batch×corpus Hamming states the DEFINITION (the banded index
     // probe is pigeonhole-lossless), best match = (min hamming, min
     // clip_id).
+    // The self-accumulating face for AUDIO: wave 2 (trim-4 at ×2 gain,
+    // clip_id ≥ 2e6) probes corpus ∪ wave 1 (trim-4 at gain 1) —
+    // all-pairs Hamming over the union states the definition; the
+    // absorbed-index probe is pigeonhole-lossless over exactly it.
+    "q_st_audio_accum" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id * 2 AS clip_id, doc_id, 0 AS sil, 1 AS g FROM documents
+         |  UNION ALL
+         |  SELECT 1000000 + doc_id * 2, doc_id, 4, 1 FROM documents
+         |  WHERE doc_id % $INC_MOD = $INC_REM
+         |  UNION ALL
+         |  SELECT 2000000 + doc_id * 2, doc_id, 4, 2 FROM documents
+         |  WHERE doc_id % $INC_MOD = $INC_REM),
+         |prm AS (SELECT clip_id, doc_id, sil, g,
+         |               1 + doc_id % 2 AS nc, 64 + doc_id % 33 AS nf FROM aud),
+         |$audioHashCtes,
+         |xham AS (
+         |  SELECT hn.clip_id AS clip_new, hc.clip_id AS clip_old,
+         |         CAST(bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |            + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM h hn JOIN h hc ON hn.clip_id >= 2000000 AND hc.clip_id < 2000000
+         |  WHERE bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
+         |      + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
+         |      <= $AUD_HAMMING_MAX),
+         |best AS (
+         |  SELECT clip_new, clip_old AS best_match, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY clip_new
+         |                ORDER BY hamming ASC, clip_old ASC) AS rn
+         |    FROM xham) WHERE rn = 1)
+         |SELECT clip_new, best_match, hamming FROM best
+         |ORDER BY clip_new""".stripMargin,
+
     "q_st_audio_neardup" ->
       s"""WITH aud AS (
          |  SELECT doc_id * 2 AS clip_id, doc_id, 0 AS sil, 1 AS g FROM documents

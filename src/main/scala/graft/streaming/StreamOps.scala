@@ -368,6 +368,42 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** SELF-ACCUMULATING incremental AUDIO dedup — the audio face of
+    * [[imageNearDupAccumStream]] (the two share the modality-agnostic
+    * [[graft.operators.Multimodal.ImageIndex]] over the 4×16-bit hash
+    * layout): each micro-batch of clips is fingerprinted, flagged
+    * against the index, landed idempotently (with the audio column
+    * names), then ABSORBED with the shared maxLegs compaction budget. */
+  def audioNearDupAccumStream(spark: SparkSession, stagingDir: String,
+                              schema: org.apache.spark.sql.types.StructType,
+                              indexRef: java.util.concurrent.atomic.AtomicReference[
+                                graft.operators.Multimodal.ImageIndex],
+                              outPath: String,
+                              checkpointDir: Option[String] = None,
+                              maxLegs: Int = 24)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import spark.implicits._
+          def hashed = graft.operators.Multimodal.audioFingerprint(
+            spark, batch.as[graft.operators.Multimodal.AudioClip]).toDF()
+          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+            hashed, indexRef.get())
+          idempotentParquetWrite(
+            flagged.withColumnRenamed("img_new", "clip_new"), outPath, batchId)
+          graft.operators.Lifecycle.release(flagged)
+          val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
+            indexRef.get(), hashed)
+          indexRef.set(
+            if (absorbed.cached.length >= maxLegs)
+              graft.operators.Multimodal.compactImageIndex(absorbed)
+            else absorbed)
+        },
+      checkpointDir).start()
+
   /** SELF-ACCUMULATING incremental text dedup — the text face of
     * [[imageNearDupAccumStream]]: each micro-batch of documents is
     * flagged against the corpus index, then its shingles are ABSORBED

@@ -400,6 +400,51 @@ class StreamingSpec extends AnyFunSuite {
       "accumulation must surface wave-1 best matches")
   }
 
+  test("self-accumulating audio dedup stream absorbs each wave before the next") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accumaud_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/flagged"
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val sel = docs.filter(col("doc_id") % 10 === 7)
+    val corpusHashes = Multimodal.audioFingerprint(spark,
+      Multimodal.packBaseAudio(spark, docs)).toDF()
+    // Waves staged IN ORDER: wave 1 (trim-4, gain 1) must be absorbed
+    // before wave 2 (trim-4, ×2 gain) probes.
+    Multimodal.packAudioWave(spark, sel, 1).toDF().coalesce(1)
+      .write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    Multimodal.packAudioWave(spark, sel, 2).toDF().coalesce(1)
+      .write.mode("append").parquet(staging)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Multimodal.buildImageIndex(corpusHashes, 8))
+    val schema = Multimodal.packAudioWave(spark, sel, 1).toDF().schema
+    val q = graft.streaming.StreamOps.audioNearDupAccumStream(
+      spark, staging, schema, ref, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val streamedW2 = spark.read.parquet(outPath)
+      .filter(col("clip_new") >= 2000000L).collect()
+      .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    Multimodal.releaseImageIndex(ref.get())
+    // Batch face: wave 2 against corpus ∪ wave 1 (the q_st_audio_accum
+    // shape) — equality proves the stream really absorbed wave 1.
+    val batchIdx = Multimodal.absorbIntoImageIndex(
+      Multimodal.buildImageIndex(corpusHashes, 8),
+      Multimodal.audioFingerprint(spark,
+        Multimodal.packAudioWave(spark, sel, 1)).toDF())
+    val batch = Multimodal.flagAgainstImageIndex(
+        Multimodal.audioFingerprint(spark,
+          Multimodal.packAudioWave(spark, sel, 2)).toDF(), batchIdx).collect()
+      .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    Multimodal.releaseImageIndex(batchIdx)
+    assert(streamedW2.nonEmpty && streamedW2 == batch)
+    assert(streamedW2.exists(m => m._2 >= 1000000L && m._2 < 2000000L),
+      "accumulation must surface wave-1 best matches")
+  }
+
   test("self-accumulating embedding near-dup stream absorbs each wave before the next") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
