@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("demojize", es => DemojizeExpr(es.head)))
     ext.injectFunction(fn("bpe_apply", es =>
       graft.functions.BpeApplyExpr(es(0), es(1))))
+    ext.injectFunction(fn("bpe_apply_pairs", es =>
+      graft.functions.BpeApplyPairsExpr(es(0), es(1), es(2))))
     ext.injectFunction(fn("zorder2", es => graft.functions.ZOrder2(es(0), es(1))))
     // Spark's internal bloom build/probe pair — see
     // graft.functions.BloomProbe.

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -84,11 +84,59 @@ object BpeApply {
     new GenericArrayData(out)
   }
 
-  /** Register as a SQL function for ad-hoc sessions that don't load
+  /** Pair-form merge application: rules arrive as two parallel arrays
+    * (`lefts(i)`, `rights(i)`) instead of `"a b"` strings, so a rule
+    * side may itself CONTAIN spaces — which is exactly what iterative
+    * BPE training produces from round 2 on (a learned symbol like
+    * `"the cat"` becomes the left side of a later rule, and the
+    * string form `"the cat sat"` cannot say where left ends). The
+    * merged symbol is still `left + " " + right` (the same symbol
+    * space as [[applyMerges]]); it is strictly longer than `left`, so
+    * a merge can never re-match within its own pass and one greedy
+    * left-to-right pass per rule stays exact. A null rule side never
+    * matches; null tokens pass through. */
+  def applyMergePairs(toks: ArrayData, lefts: ArrayData,
+                      rights: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { buf(i) = toks.getUTF8String(i); i += 1 }
+    var len = n
+    var r = 0
+    val nRules = math.min(lefts.numElements(), rights.numElements())
+    while (r < nRules) {
+      val a = lefts.getUTF8String(r)
+      val b = rights.getUTF8String(r)
+      if (a != null && b != null) {
+        val m = UTF8String.concat(a, Space, b)
+        var o = 0
+        i = 0
+        while (i < len) {
+          val t = buf(i)
+          if (o > 0 && t != null && buf(o - 1) != null &&
+            buf(o - 1).equals(a) && t.equals(b)) buf(o - 1) = m
+          else { buf(o) = t; o += 1 }
+          i += 1
+        }
+        len = o
+      }
+      r += 1
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Register as SQL functions for ad-hoc sessions that don't load
     * [[graft.GraftExtensions]]. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_apply", exprs => BpeApplyExpr(exprs(0), exprs(1)), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_apply_pairs",
+      exprs => BpeApplyPairsExpr(exprs(0), exprs(1), exprs(2)), "internal")
+  }
 }
 
 /** `bpe_apply(tokens: array<string>, merges: array<string>)` as a native
@@ -114,4 +162,31 @@ case class BpeApplyExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeApplyExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `bpe_apply_pairs(tokens: array<string>, lefts: array<string>,
+  * rights: array<string>)` — the pair-form twin of [[BpeApplyExpr]] for
+  * rules whose sides may contain spaces (learned symbols from earlier
+  * training rounds). Same one-codegen'd-call shape. */
+case class BpeApplyPairsExpr(first: Expression, second: Expression,
+                             third: Expression) extends TernaryExpression {
+  override def dataType: DataType = first.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
+  override def prettyName: String = "bpe_apply_pairs"
+
+  override protected def nullSafeEval(toks: Any, lefts: Any,
+                                      rights: Any): Any =
+    BpeApply.applyMergePairs(toks.asInstanceOf[ArrayData],
+      lefts.asInstanceOf[ArrayData], rights.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, l, r) => s"graft.functions.BpeApply.applyMergePairs($t, $l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): BpeApplyPairsExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

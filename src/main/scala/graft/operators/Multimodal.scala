@@ -163,6 +163,76 @@ object Multimodal {
     })
   }
 
+  case class ImageHistogram(doc_id: Long, hist: Array[Long])
+
+  /** `bins`-bin grayscale histogram measured from the DECODED raster
+    * (dense — zero bins included, so a consumer can index it directly).
+    * `bins` must divide 256. Same narrow mapPartitions shape as
+    * [[decodeImages]]: one decoder call per row, O(bins) output. */
+  def imageGrayHistogram(spark: SparkSession, packed: Dataset[ImageMedia],
+                         bins: Int): Dataset[ImageHistogram] = {
+    import spark.implicits._
+    require(256 % bins == 0, s"bins must divide 256, got $bins")
+    val shift = 256 / bins
+    packed.mapPartitions(_.map { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+      val hist = new Array[Long](bins)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          hist((img.getRGB(x, y) & 0xff) / shift) += 1
+          x += 1
+        }
+        y += 1
+      }
+      ImageHistogram(m.doc_id, hist)
+    })
+  }
+
+  /** Cross-modal (image ↔ text) alignment scorecard — the CLIP-filter
+    * shape of a multimodal curation pipeline: score every (caption,
+    * image) pair by the cosine of two same-dimensional modality
+    * signatures and flag the pairs below the alignment floor. Here the
+    * signatures are measured content statistics (a `bins`-bin gray
+    * histogram from the DECODED raster and a `bins`-bin word-length
+    * histogram from the caption); a production pipeline swaps them for
+    * CLIP image/text tower embeddings — every plan shape downstream of
+    * the two feature extractors (keyed equi-join, one keyed aggregate,
+    * per-row cosine from exact integer sums) is the one it would run.
+    * The cosine is assembled from INTEGER count sums (dot, |t|², |i|²)
+    * so the only floating step is one fixed `round(x/sqrt(y·z), 6)`
+    * both engines evaluate identically. Scale: decode is linear in
+    * payload bytes; everything after is O(bins) per document; the join
+    * is doc_id-keyed (no pairwise blow-up — alignment is per-pair,
+    * unlike near-dup). */
+  def imageTextAlignment(spark: SparkSession, docs: DataFrame, bins: Int,
+                         minAlign: Double): DataFrame = {
+    val imgs = imageGrayHistogram(spark, packImages(spark, docs), bins).toDF()
+    val textBins = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        (least(greatest(length(col("w")), lit(1)), lit(bins)) - 1).as("bin"))
+      .groupBy("doc_id", "bin").agg(count(lit(1)).as("tc"))
+    val perDoc = textBins.join(imgs, Seq("doc_id"))
+      .select(col("doc_id"), col("tc"),
+        element_at(col("hist"), col("bin").cast("int") + 1).as("ih"),
+        col("hist"))
+      .groupBy("doc_id")
+      .agg(sum(col("tc") * col("ih")).as("dot"),
+        sum(col("tc") * col("tc")).as("tn2"),
+        first(col("hist")).as("hist"))
+      .withColumn("in2",
+        aggregate(col("hist"), lit(0L), (acc, h) => acc + h * h))
+    perDoc
+      .select(col("doc_id"),
+        round(col("dot") / sqrt((col("tn2") * col("in2")).cast("double")), 6)
+          .as("align"))
+      .withColumn("is_aligned",
+        when(col("align") >= minAlign, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   case class ResizedMedia(doc_id: Long, orig_len: Long, resized_len: Long,
                           resized_md5: String)
 

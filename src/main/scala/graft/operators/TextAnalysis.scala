@@ -86,6 +86,74 @@ object TextAnalysis {
       md5(concat_ws("|", col("toks"))).as("encoded_md5"))
   }
 
+  /** BPE tokenizer TRAINING — the iterative half of the tokenizer story
+    * ([[bpeEncode]] applies a STATIC rank-ordered merge table mined once
+    * from the original whitespace tokenization; real BPE re-counts pairs
+    * after every merge, because each learned symbol changes which pairs
+    * are adjacent). Per round: (1) one corpus-wide adjacent-pair
+    * histogram over the CURRENT tokenization (map-side-combining keyed
+    * agg), (2) the argmax rule — count desc, then left asc, right asc,
+    * the deterministic tie-break both engines share — as a 1-row frame
+    * (global top-1 = TakeOrderedAndProject, no driver collect), (3) one
+    * narrow re-tokenization pass per document via the pair-form native
+    * Expression [[graft.functions.BpeApply.applyMergePairs]] (rule sides
+    * from round 2 on are learned symbols CONTAINING spaces, which the
+    * string-form `bpe_apply` rule grammar cannot carry). Emits one row
+    * per round: the learned merge, its pair count at selection time, and
+    * the corpus token total after applying it — the training curve.
+    *
+    * Scale: per round one histogram shuffle (pairs are corpus-bounded)
+    * + one broadcast of a 1-row rule + one linear re-tokenization; the
+    * working state between rounds is the re-tokenized corpus itself —
+    * inherent to BPE training, checkpointed per round through
+    * [[Lifecycle.step]] so live lineage/blocks stay O(1) in rounds. The
+    * round count is the vocab budget (small constant), never data-sized. */
+  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    graft.functions.BpeApply.register(docs.sparkSession)
+    var toks = Lifecycle.checkpoint(
+      docs.select(col("doc_id"), split(col("text"), " ").as("toks")))
+    var stats: DataFrame = null
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = toks
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("pair_n"))
+      // 1-row argmax, materialized once: it feeds both the apply pass
+      // and the stats row, and an unmaterialized top-1 would re-run the
+      // whole histogram for each consumer.
+      val rule = Lifecycle.checkpoint(
+        pairs.orderBy(col("pair_n").desc, col("l").asc, col("r").asc).limit(1))
+      val applied = toks.crossJoin(broadcast(rule))
+        .select(col("doc_id"),
+          call_function("bpe_apply_pairs",
+            col("toks"), array(col("l")), array(col("r"))).as("toks"))
+      val next = Lifecycle.step(applied, Some(toks))
+      // The 1-row training-curve entry is checkpointed NOW: round r+1's
+      // step frees this round's corpus frame, so the row must not read
+      // it lazily later.
+      val row = Lifecycle.checkpoint(next
+        .agg(sum(size(col("toks"))).cast("long").as("tokens_after"))
+        .crossJoin(broadcast(rule))
+        .select(lit(r).cast("long").as("round"),
+          concat(col("l"), lit(" "), col("r")).as("merge_rule"),
+          col("pair_n"), col("tokens_after")))
+      Lifecycle.release(rule)
+      rows += row
+      stats = if (stats == null) row else stats.unionByName(row)
+      toks = next
+    }
+    // Materialize the small result (a union of R checkpointed 1-row
+    // frames), then free them and the final corpus frame.
+    val out = Lifecycle.checkpoint(stats.orderBy("round"))
+    rows.foreach(Lifecycle.release)
+    Lifecycle.release(toks)
+    out
+  }
+
   /** Curation gate: keep documents passing the quality thresholds — the
     * filtering step a training-data pipeline runs after scoring. */
   def qualityFilter(docs: DataFrame, minWords: Long, maxWords: Long,

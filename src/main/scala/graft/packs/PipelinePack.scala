@@ -61,6 +61,13 @@ object PipelinePack {
     * shingles flags a training doc as contaminated. */
   private val BENCH_MOD = 97L
   private val MIN_SHARED = 3L
+  /** Iterative-BPE training rounds (the vocab budget of the demo run);
+    * the oracle unrolls exactly this many per-round CTE triples. */
+  private val BPE_TRAIN_ROUNDS = 8
+  /** Cross-modal alignment: histogram dimension (must divide 256) and
+    * the alignment floor below which a pair is flagged. */
+  private val ALIGN_BINS = 16
+  private val ALIGN_MIN = 0.5
   /** Multimodal frame sampling / resize constants (shared with the
     * oracles so both engines slice identically). */
   private val FRAME_SIZE = 16
@@ -570,6 +577,14 @@ object PipelinePack {
     "q_text_bpe_encode" -> { (s, d) =>
       TextAnalysis.bpeEncode(Tables.documents(s, d), 10).orderBy("doc_id")
     },
+    // TRUE iterative BPE training: re-count adjacent pairs after every
+    // learned merge (bpe_candidates/encode use a static one-shot table;
+    // real BPE's rule r depends on rules 1..r−1 having been applied).
+    // One row per round: the learned merge, its count, the corpus token
+    // total after applying it — the training curve.
+    "q_text_bpe_train" -> { (s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), BPE_TRAIN_ROUNDS)
+    },
     // Deterministic three-way train/val/test split (80/10/10 on the
     // md5-uniform): per-(lang, split) counts — the split audit a
     // training pipeline logs. Pure narrow classify + one keyed agg.
@@ -932,6 +947,14 @@ object PipelinePack {
     "q_mm_decode_real" -> { (s, d) =>
       Multimodal.decodeImages(s, Multimodal.packImages(s, Tables.documents(s, d)))
         .toDF().orderBy("doc_id")
+    },
+    // Cross-modal alignment (the CLIP-filter shape): cosine of a
+    // 16-bin decoded-raster gray histogram vs a 16-bin caption
+    // word-length histogram, per (image, caption) pair, flag below the
+    // floor. Integer count sums make the cosine deterministic.
+    "q_mm_text_image_align" -> { (s, d) =>
+      Multimodal.imageTextAlignment(s, Tables.documents(s, d),
+        ALIGN_BINS, ALIGN_MIN)
     },
     // Frame sampling: 16-byte frames, keep every 4th — binary substring
     // plumbing with one generator per row, no UDF.
@@ -2558,6 +2581,41 @@ object PipelinePack {
         |       round(CAST(len(toks) AS DOUBLE) / len(toks0), 6) AS compression,
         |       md5(array_to_string(toks, '|')) AS encoded_md5
         |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // Iterative BPE training, unrolled round for round (the kmeans
+    // generated-oracle pattern): each round re-counts adjacent pairs
+    // over the CURRENT tokenization, picks the argmax rule with the
+    // shared (count desc, left asc, right asc) tie-break, and applies
+    // it with the same greedy left-to-right single-pass fold as
+    // q_text_bpe_encode — rule sides are carried as separate columns
+    // because from round 2 on a side is a learned symbol CONTAINING
+    // spaces.
+    "q_text_bpe_train" -> {
+      val roundCtes = (1 to BPE_TRAIN_ROUNDS).map { r =>
+        val prev = s"t${r - 1}"
+        s"""p$r AS (SELECT toks[CAST(i AS INT)] AS l, toks[CAST(i + 1 AS INT)] AS r_,
+           |            count(*) AS n
+           |      FROM $prev, unnest(range(1, len(toks))) u(i) GROUP BY 1, 2),
+           |r$r AS (SELECT l, r_, n FROM p$r ORDER BY n DESC, l ASC, r_ ASC LIMIT 1),
+           |t$r AS (SELECT doc_id,
+           |    list_reduce(
+           |      list_prepend(CAST([] AS VARCHAR[]), list_transform(toks, t -> [t])),
+           |      (o, te) -> CASE WHEN len(o) > 0 AND o[-1] = rl AND te[1] = rr
+           |                 THEN list_append(o[1:len(o)-1], rl || ' ' || rr)
+           |                 ELSE list_append(o, te[1]) END) AS toks
+           |  FROM (SELECT doc_id, toks, r$r.l AS rl, r$r.r_ AS rr FROM $prev, r$r))""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to BPE_TRAIN_ROUNDS).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, l || ' ' || r_ AS merge_rule,
+           |       n AS pair_n,
+           |       (SELECT CAST(sum(len(toks)) AS BIGINT) FROM t$r) AS tokens_after
+           |FROM r$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |$roundCtes
+         |$unions
+         |ORDER BY round""".stripMargin
+    },
 
     "q_text_split_report" ->
       s"""WITH s AS (

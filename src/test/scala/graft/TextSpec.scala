@@ -380,6 +380,60 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_apply_pairs expression: pair-form rules carry space-containing sides") {
+    graft.functions.BpeApply.register(spark)
+    // Reference fold for the pair form: same greedy left-to-right pass
+    // per rule, but the sides arrive separately so a side may contain
+    // spaces (learned symbols from earlier training rounds).
+    def refFold(toks: Seq[String], rules: Seq[(String, String)]): Seq[String] =
+      rules.foldLeft(toks) { case (acc, (a, b)) =>
+        if (a == null || b == null) acc
+        else acc.foldLeft(Vector.empty[String]) { (out, t) =>
+          if (out.nonEmpty && out.last == a && t == b) out.init :+ (a + " " + b)
+          else out :+ t
+        }
+      }
+    val cases = Seq(
+      (Seq("a", "a", "a"), Seq(("a", "a"))),          // greedy: ["a a","a"]
+      // The case the string grammar cannot express: left side "a a"
+      // (one learned symbol), right side "b" — "a a b" as a string rule
+      // would parse as ("a","a") and merge the wrong pair.
+      (Seq("a a", "b", "c"), Seq(("a a", "b"))),
+      (Seq("a", "a", "b", "c"), Seq(("a", "a"), ("a a", "b"), ("a a b", "c"))),
+      (Seq("x"), Seq(("x", "x"))),                    // single token untouched
+      (Seq(), Seq(("a", "b"))),                       // empty sequence
+      (Seq("p", "q"), Seq()),                         // empty rule table
+      (Seq("a", "", "b"), Seq(("a", ""), ("a ", "b"))), // empty right side merges
+      (Seq("a", null, "b"), Seq(("a", "b"))),         // null token blocks the pair
+      (Seq("a", "b"), Seq((null, "b"), ("a", null), ("a", "b")))) // null sides no-op
+    val df = cases.zipWithIndex
+      .map { case ((t, r), i) => (i.toLong, t, r.map(_._1), r.map(_._2)) }
+      .toDF("id", "toks", "lefts", "rights")
+    val got = df.selectExpr("id", "bpe_apply_pairs(toks, lefts, rights) AS out")
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[String](1).toList).toMap
+    cases.zipWithIndex.foreach { case ((t, r), i) =>
+      assert(got(i.toLong) == refFold(t, r).toList, s"case $i toks=$t rules=$r")
+    }
+  }
+
+  test("bpeTrain: each round re-counts pairs over the current tokenization") {
+    val docs = Seq((1L, "a a a b c"), (2L, "a a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, 3).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("merge_rule"),
+        r.getAs[Long]("pair_n"), r.getAs[Long]("tokens_after"))).toList
+    // Round 1: (a,a) wins with 3. Round 2: all pairs tie at 1; (a,b)
+    // wins the (left asc, right asc) tie-break. Round 3's winning LEFT
+    // side is the round-1 symbol "a a" — a space-carrying side the
+    // static string-rule table of bpeEncode cannot even represent,
+    // and a pair count the one-shot histogram never sees.
+    assert(out == List(
+      (1L, "a a", 3L, 7L),
+      (2L, "a b", 1L, 6L),
+      (3L, "a a a b", 1L, 5L)))
+  }
+
   test("multimodal real decode: PNG round trip pins the known image's pixels") {
     import Multimodal.ImageFixture
     // doc_id = 5: 13×13, gray(x,y) = (5 + 31x + 7y) mod 256.
