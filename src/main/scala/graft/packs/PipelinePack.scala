@@ -3222,6 +3222,44 @@ object PipelinePack {
         |         AS pixel_checksum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
+    // Replays the cross-modal alignment closed-form end to end: the
+    // ALIGN_BINS-bin gray histogram from ImageFixture's pixel ramp (the
+    // Spark side measures it from the ImageIO-DECODED raster), the
+    // word-length histogram straight from the caption text, and the same
+    // integer-sum cosine rounded once at 6 places. The image histogram
+    // here is sparse (only bins with pixels); the Spark side's is dense,
+    // so the dot term LEFT-joins and coalesces missing bins to 0 —
+    // identical algebra. ASCII-only caveat shared with q_mm_decode
+    // (strlen == char length only for ASCII, which the synthetic
+    // documents table guarantees).
+    "q_mm_text_image_align" ->
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+         |           FROM documents),
+         |ih AS (SELECT doc_id,
+         |              ((doc_id + 31 * x + 7 * y) % 256) // ${256 / ALIGN_BINS} AS bin,
+         |              COUNT(*) AS ic
+         |       FROM d, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)
+         |       GROUP BY 1, 2),
+         |tb AS (SELECT doc_id,
+         |              least(greatest(strlen(w), 1), $ALIGN_BINS) - 1 AS bin,
+         |              COUNT(*) AS tc
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |             FROM documents)
+         |       GROUP BY 1, 2),
+         |j AS (SELECT tb.doc_id,
+         |             sum(tb.tc * coalesce(ih.ic, 0)) AS dot,
+         |             sum(tb.tc * tb.tc) AS tn2
+         |      FROM tb LEFT JOIN ih ON tb.doc_id = ih.doc_id AND tb.bin = ih.bin
+         |      GROUP BY tb.doc_id),
+         |n AS (SELECT doc_id, sum(ic * ic) AS in2 FROM ih GROUP BY doc_id),
+         |a AS (SELECT j.doc_id,
+         |             round(dot / sqrt(CAST(tn2 * n.in2 AS DOUBLE)), 6) AS align
+         |      FROM j JOIN n ON j.doc_id = n.doc_id)
+         |SELECT doc_id, align,
+         |       CASE WHEN align >= $ALIGN_MIN THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS is_aligned
+         |FROM a ORDER BY doc_id""".stripMargin,
+
     // Replays Multimodal.AudioFixture's closed-form PCM: the Spark side
     // measures rate/channels/bits/frames from the WAV header that
     // AudioSystem DECODED and the signal sums from the de-interleaved
