@@ -266,9 +266,19 @@ object Dedup {
     * (bands, shingles, sizes) triple per wave folded in by
     * [[absorbIntoCorpusIndex]]): the index frames become lazy UNIONS
     * of legs after an absorb, and unpersisting a union is a silent
-    * no-op — release must walk the legs. */
+    * no-op — release must walk the legs.
+    *
+    * `lastBatchId` is the absorb WATERMARK for streaming callers: the
+    * highest `foreachBatch` batchId already folded in (-1 = none).
+    * A checkpoint replay (crash after the sink write + absorb but
+    * before the commit marker) re-delivers a batch the index already
+    * contains; re-flagging it would match the batch against its own
+    * absorbed copy and re-absorbing would double-count, so the accum
+    * streams skip any batchId at or below the watermark. It persists
+    * through [[saveCorpusIndex]]/[[loadCorpusIndex]], which is what
+    * makes a re-seed-from-durable-save restart safe. */
   case class CorpusIndex(bands: DataFrame, shingles: DataFrame, sizes: DataFrame,
-                         cached: Seq[DataFrame] = Nil)
+                         cached: Seq[DataFrame] = Nil, lastBatchId: Long = -1L)
 
   def buildCorpusIndex(corpusShingles: DataFrame): CorpusIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -302,7 +312,7 @@ object Dedup {
     sizes.count()
     CorpusIndex(index.bands.unionByName(bands),
       index.shingles.unionByName(sh), index.sizes.unionByName(sizes),
-      index.cached ++ Seq(bands, sh, sizes))
+      index.cached ++ Seq(bands, sh, sizes), index.lastBatchId)
   }
 
   /** Flag one NEW batch against a prebuilt [[CorpusIndex]] — identical
@@ -367,7 +377,7 @@ object Dedup {
       sh.count()
       sizes.count()
       index.cached.foreach(_.unpersist(blocking = false))
-      CorpusIndex(bands, sh, sizes, Seq(bands, sh, sizes))
+      CorpusIndex(bands, sh, sizes, Seq(bands, sh, sizes), index.lastBatchId)
     }
 
   /** Durable restart contract, made real: the shingle table IS the
@@ -380,12 +390,23 @@ object Dedup {
     * identically (CorpusIndexLifecycleSpec pins it). At 100 TB this
     * is the table a fleet of ingest jobs shares: in-memory index =
     * process state, parquet shingle table = the recoverable truth. */
-  def saveCorpusIndex(index: CorpusIndex, path: String): Unit =
+  def saveCorpusIndex(index: CorpusIndex, path: String): Unit = {
     index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    val spark = index.shingles.sparkSession
+    import spark.implicits._
+    // The absorb watermark rides along: a restart that re-seeds from
+    // this save must keep skipping the batches it already folded in.
+    Seq(index.lastBatchId).toDF("last_batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
 
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): CorpusIndex =
+                      path: String): CorpusIndex = {
+    val last = spark.read.parquet(s"$path/meta")
+      .head().getAs[Long]("last_batch_id")
     buildCorpusIndex(spark.read.parquet(s"$path/shingles"))
+      .copy(lastBatchId = last)
+  }
 
   // --------------------------------- incremental EMBEDDING near-dup
 
@@ -400,12 +421,13 @@ object Dedup {
     * seeded hyperplanes are a function of it); `cached` tracks the
     * persisted legs (bands + vectors per wave) because the index
     * frames become lazy unions after an absorb. */
+  /** Same `lastBatchId` absorb-watermark contract as [[CorpusIndex]]. */
   case class EmbeddingIndex(bands: DataFrame, vectors: DataFrame, dim: Int,
-                            cached: Seq[DataFrame] = Nil)
+                            cached: Seq[DataFrame] = Nil, lastBatchId: Long = -1L)
 
   def buildEmbeddingIndex(emb: DataFrame, dim: Int): EmbeddingIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = Similarity.normalized(emb).persist(lvl)
+    val e = Similarity.normalizedNonZero(emb).persist(lvl)
     val bands = Similarity.bandedIds(e, dim).persist(lvl)
     bands.count()
     e.count()
@@ -415,13 +437,13 @@ object Dedup {
   def absorbIntoEmbeddingIndex(index: EmbeddingIndex,
                                newEmb: DataFrame): EmbeddingIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = Similarity.normalized(newEmb).persist(lvl)
+    val e = Similarity.normalizedNonZero(newEmb).persist(lvl)
     val bands = Similarity.bandedIds(e, index.dim).persist(lvl)
     bands.count()
     e.count()
     EmbeddingIndex(index.bands.unionByName(bands),
       index.vectors.unionByName(e), index.dim,
-      index.cached ++ Seq(bands, e))
+      index.cached ++ Seq(bands, e), index.lastBatchId)
   }
 
   /** Flag one NEW embedding batch against the index: banded candidates
@@ -431,7 +453,7 @@ object Dedup {
     * materialize-then-release discipline as the text/image probes. */
   def flagAgainstEmbeddingIndex(newEmb: DataFrame, index: EmbeddingIndex,
                                 minCos: Double): DataFrame = {
-    val e = Similarity.normalized(newEmb)
+    val e = Similarity.normalizedNonZero(newEmb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = Similarity.bandedIds(e, index.dim)
       .withColumnsRenamed(Map("vec_id" -> "vec_new"))
@@ -471,7 +493,7 @@ object Dedup {
       bands.count()
       e.count()
       index.cached.foreach(_.unpersist(blocking = false))
-      EmbeddingIndex(bands, e, index.dim, Seq(bands, e))
+      EmbeddingIndex(bands, e, index.dim, Seq(bands, e), index.lastBatchId)
     }
 
   /** Durable restart contract — the normalized vector table (plus the
@@ -481,20 +503,22 @@ object Dedup {
     index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
     val spark = index.vectors.sparkSession
     import spark.implicits._
-    Seq(index.dim).toDF("dim").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    Seq((index.dim, index.lastBatchId)).toDF("dim", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): EmbeddingIndex = {
     graft.functions.DotProduct.register(spark)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val dim = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val dim = meta.getAs[Int]("dim")
     val e = spark.read.parquet(s"$path/vectors").persist(lvl)
     val bands = Similarity.bandedIds(e, dim).persist(lvl)
     bands.count()
     e.count()
-    EmbeddingIndex(bands, e, dim, Seq(bands, e))
+    EmbeddingIndex(bands, e, dim, Seq(bands, e),
+      meta.getAs[Long]("last_batch_id"))
   }
 
   /** SimHash: 60-bit signature from md5-derived word hashes (term

@@ -1100,8 +1100,10 @@ object Multimodal {
     * UNIONS of cached legs after [[absorbIntoImageIndex]], and
     * unpersisting a union frame is a silent no-op — release must walk
     * the legs. */
+  /** Same `lastBatchId` absorb-watermark contract as
+    * [[graft.operators.Dedup.CorpusIndex]]. */
   case class ImageIndex(bands: DataFrame, hashes: DataFrame, maxHamming: Int,
-                        cached: Seq[DataFrame] = Nil)
+                        cached: Seq[DataFrame] = Nil, lastBatchId: Long = -1L)
 
   def buildImageIndex(corpusHashes: DataFrame, maxHamming: Int): ImageIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1137,7 +1139,7 @@ object Multimodal {
     nb.count()
     nh.count()
     ImageIndex(index.bands.unionByName(nb), index.hashes.unionByName(nh),
-      index.maxHamming, index.cached ++ Seq(nb, nh))
+      index.maxHamming, index.cached ++ Seq(nb, nh), index.lastBatchId)
   }
 
   /** Flag one NEW image batch against a prebuilt [[ImageIndex]]: banded
@@ -1195,7 +1197,7 @@ object Multimodal {
       bands.count()
       h.count()
       index.cached.foreach(_.unpersist(blocking = false))
-      ImageIndex(bands, h, index.maxHamming, Seq(bands, h))
+      ImageIndex(bands, h, index.maxHamming, Seq(bands, h), index.lastBatchId)
     }
 
   /** Durable restart contract — the image twin of
@@ -1208,13 +1210,16 @@ object Multimodal {
     index.hashes.write.mode("overwrite").parquet(s"$path/hashes")
     val spark = index.hashes.sparkSession
     import spark.implicits._
-    Seq(index.maxHamming).toDF("max_hamming").coalesce(1)
+    Seq((index.maxHamming, index.lastBatchId))
+      .toDF("max_hamming", "last_batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadImageIndex(spark: SparkSession, path: String): ImageIndex = {
-    val mh = spark.read.parquet(s"$path/meta").head().getInt(0)
-    buildImageIndex(spark.read.parquet(s"$path/hashes"), mh)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    buildImageIndex(spark.read.parquet(s"$path/hashes"),
+      meta.getAs[Int]("max_hamming"))
+      .copy(lastBatchId = meta.getAs[Long]("last_batch_id"))
   }
 
   /** The base image of every doc (img_id = 2·doc_id, delta 0) — the

@@ -42,6 +42,22 @@ object Similarity {
       .select(col("vec_id"), transform(col("raw"), x => x / col("nrm")).as("v"))
   }
 
+  /** [[normalized]] restricted to nonzero-norm vectors. A zero vector
+    * has no direction: dividing by its 0 norm yields NaN components,
+    * and every cosine against it is NaN — which silently fails a
+    * `>= minCos` filter instead of erroring, so the vector just never
+    * matches anything and never gets flagged. The embedding-index
+    * build / probe / absorb paths drop such vectors here (same policy
+    * as the Matryoshka prefix path, which documents dropping zero-norm
+    * prefixes) rather than carrying NaN rows through the band joins. */
+  def normalizedNonZero(emb: DataFrame): DataFrame = {
+    DotProduct.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(expr("dotp(raw, raw)")))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("raw"), x => x / col("nrm")).as("v"))
+  }
+
   /** Rank scored (group, score, id) rows to the top k per group via the
     * bounded aggregator; emits (group, rn, id, score) with rn 1-based in
     * (score desc, id asc) order — exactly ROW_NUMBER's output for the
@@ -226,8 +242,14 @@ object Similarity {
     * so the NEXT batch's growth/drift reads against everything already
     * absorbed, not the original build), and release with
     * [[releaseIvfIndex]] when the serving loop re-trains. */
+  /** Same `lastBatchId` absorb-watermark contract as
+    * [[graft.operators.Dedup.CorpusIndex]] — and MORE load-bearing
+    * here: the stats are merged per-list aggregates with no vector ids
+    * retained, so a replayed batch cannot be anti-joined away; the
+    * watermark is the only way to keep a checkpoint replay from
+    * double-counting old_size/sim_sum. */
   case class IvfIndex(centroids: DataFrame, corpusStats: DataFrame,
-                      centStride: Long)
+                      centStride: Long, lastBatchId: Long = -1L)
 
   private val SimSumType = org.apache.spark.sql.types.DecimalType(18, 6)
 
@@ -314,7 +336,7 @@ object Similarity {
       .persist(lvl)
     merged.count()
     index.corpusStats.unpersist(blocking = false)
-    IvfIndex(index.centroids, merged, index.centStride)
+    IvfIndex(index.centroids, merged, index.centStride, index.lastBatchId)
   }
 
   def releaseIvfIndex(index: IvfIndex): Unit = {
@@ -335,19 +357,21 @@ object Similarity {
     index.corpusStats.write.mode("overwrite").parquet(s"$path/stats")
     val spark = index.centroids.sparkSession
     import spark.implicits._
-    Seq(index.centStride).toDF("cent_stride").coalesce(1)
+    Seq((index.centStride, index.lastBatchId))
+      .toDF("cent_stride", "last_batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val stride = spark.read.parquet(s"$path/meta").head().getLong(0)
+    val meta = spark.read.parquet(s"$path/meta").head()
     val cent = spark.read.parquet(s"$path/centroids").persist(lvl)
     val stats = spark.read.parquet(s"$path/stats").persist(lvl)
     cent.count()
     stats.count()
-    IvfIndex(cent, stats, stride)
+    IvfIndex(cent, stats, meta.getAs[Long]("cent_stride"),
+      meta.getAs[Long]("last_batch_id"))
   }
 
   /** Distributed k-means (Lloyd's iterations) over the embedding column —

@@ -114,7 +114,9 @@ object TextAnalysis {
       docs.select(col("doc_id"), split(col("text"), " ").as("toks")))
     var stats: DataFrame = null
     val rows = scala.collection.mutable.Buffer.empty[DataFrame]
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val pairs = toks
         .select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -127,6 +129,17 @@ object TextAnalysis {
       // whole histogram for each consumer.
       val rule = Lifecycle.checkpoint(
         pairs.orderBy(col("pair_n").desc, col("l").asc, col("r").asc).limit(1))
+      // A corpus with no adjacent pair left (every doc merged to a
+      // single token, or rounds exceed the mergeable vocabulary) makes
+      // the top-1 frame EMPTY — and crossJoin(empty) would silently
+      // erase the whole working corpus, so the remaining rounds would
+      // emit nothing with no error. Training is simply done: stop the
+      // loop with `toks` intact; the curve has one row per merge
+      // actually learned.
+      if (rule.isEmpty) {
+        Lifecycle.release(rule)
+        exhausted = true
+      } else {
       val applied = toks.crossJoin(broadcast(rule))
         .select(col("doc_id"),
           call_function("bpe_apply_pairs",
@@ -145,9 +158,29 @@ object TextAnalysis {
       rows += row
       stats = if (stats == null) row else stats.unionByName(row)
       toks = next
+      }
+      r += 1
     }
     // Materialize the small result (a union of R checkpointed 1-row
-    // frames), then free them and the final corpus frame.
+    // frames), then free them and the final corpus frame. An input with
+    // no pairs AT ALL (single-token docs only) learns zero merges: emit
+    // the empty curve with the right schema instead of NPE-ing on a
+    // null union.
+    if (stats == null) {
+      Lifecycle.release(toks)
+      val spark = docs.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("merge_rule",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pair_n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("tokens_after",
+            org.apache.spark.sql.types.LongType))))
+    }
     val out = Lifecycle.checkpoint(stats.orderBy("round"))
     rows.foreach(Lifecycle.release)
     Lifecycle.release(toks)

@@ -349,22 +349,36 @@ object StreamOps {
         .writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           import spark.implicits._
-          def hashed = graft.operators.Multimodal.imageAHash(
-            spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
-          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
-            hashed, indexRef.get())
-          idempotentParquetWrite(flagged, outPath, batchId)
-          graft.operators.Lifecycle.release(flagged)
-          val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
-            indexRef.get(), hashed)
-          // Bound the leg count on an unbounded stream: past the budget,
-          // materialize the lazy unions into fresh single legs (probe
-          // results unchanged) so block-manager entries and per-probe
-          // union fanout stay O(1) in stream lifetime.
-          indexRef.set(
-            if (absorbed.cached.length >= maxLegs)
-              graft.operators.Multimodal.compactImageIndex(absorbed)
-            else absorbed)
+          // Absorb-watermark replay guard (shared by every accum
+          // stream): a batch at or below the index's lastBatchId was
+          // already flagged, written, AND absorbed before a crash ate
+          // the commit marker — the sink write precedes the absorb, so
+          // its partition is already correct. Re-running it would flag
+          // the batch against its own absorbed copy (self-matches at
+          // Hamming 0 / Jaccard 1 overwrite the partition with wrong
+          // rows) and double-count the absorb, so the replay is a
+          // complete no-op. Holds for a same-process restart (the ref
+          // kept the absorbed index) AND for a re-seed from a durable
+          // save taken after the absorb (the watermark persists
+          // through save/load).
+          if (batchId > indexRef.get().lastBatchId) {
+            def hashed = graft.operators.Multimodal.imageAHash(
+              spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
+            val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+              hashed, indexRef.get())
+            idempotentParquetWrite(flagged, outPath, batchId)
+            graft.operators.Lifecycle.release(flagged)
+            val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
+              indexRef.get(), hashed)
+            // Bound the leg count on an unbounded stream: past the budget,
+            // materialize the lazy unions into fresh single legs (probe
+            // results unchanged) so block-manager entries and per-probe
+            // union fanout stay O(1) in stream lifetime.
+            indexRef.set(
+              (if (absorbed.cached.length >= maxLegs)
+                graft.operators.Multimodal.compactImageIndex(absorbed)
+              else absorbed).copy(lastBatchId = batchId))
+          }
         },
       checkpointDir).start()
 
@@ -388,19 +402,22 @@ object StreamOps {
         .writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           import spark.implicits._
-          def hashed = graft.operators.Multimodal.audioFingerprint(
-            spark, batch.as[graft.operators.Multimodal.AudioClip]).toDF()
-          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
-            hashed, indexRef.get())
-          idempotentParquetWrite(
-            flagged.withColumnRenamed("img_new", "clip_new"), outPath, batchId)
-          graft.operators.Lifecycle.release(flagged)
-          val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
-            indexRef.get(), hashed)
-          indexRef.set(
-            if (absorbed.cached.length >= maxLegs)
-              graft.operators.Multimodal.compactImageIndex(absorbed)
-            else absorbed)
+          // Absorb-watermark replay guard — see [[imageNearDupAccumStream]].
+          if (batchId > indexRef.get().lastBatchId) {
+            def hashed = graft.operators.Multimodal.audioFingerprint(
+              spark, batch.as[graft.operators.Multimodal.AudioClip]).toDF()
+            val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+              hashed, indexRef.get())
+            idempotentParquetWrite(
+              flagged.withColumnRenamed("img_new", "clip_new"), outPath, batchId)
+            graft.operators.Lifecycle.release(flagged)
+            val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
+              indexRef.get(), hashed)
+            indexRef.set(
+              (if (absorbed.cached.length >= maxLegs)
+                graft.operators.Multimodal.compactImageIndex(absorbed)
+              else absorbed).copy(lastBatchId = batchId))
+          }
         },
       checkpointDir).start()
 
@@ -424,19 +441,22 @@ object StreamOps {
         .parquet(stagingDir)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          def shingled = graft.operators.Dedup.wordShingles(batch)
-          val flagged = graft.operators.Dedup.flagAgainstCorpusIndex(
-            shingled, indexRef.get(), minJ)
-          idempotentParquetWrite(flagged, outPath, batchId)
-          graft.operators.Lifecycle.release(flagged)
-          val absorbed = graft.operators.Dedup.absorbIntoCorpusIndex(
-            indexRef.get(), shingled)
-          // Same leg budget as the image variant: compaction keeps an
-          // unbounded stream's cached-leg count O(1), probe-identical.
-          indexRef.set(
-            if (absorbed.cached.length >= maxLegs)
-              graft.operators.Dedup.compactCorpusIndex(absorbed)
-            else absorbed)
+          // Absorb-watermark replay guard — see [[imageNearDupAccumStream]].
+          if (batchId > indexRef.get().lastBatchId) {
+            def shingled = graft.operators.Dedup.wordShingles(batch)
+            val flagged = graft.operators.Dedup.flagAgainstCorpusIndex(
+              shingled, indexRef.get(), minJ)
+            idempotentParquetWrite(flagged, outPath, batchId)
+            graft.operators.Lifecycle.release(flagged)
+            val absorbed = graft.operators.Dedup.absorbIntoCorpusIndex(
+              indexRef.get(), shingled)
+            // Same leg budget as the image variant: compaction keeps an
+            // unbounded stream's cached-leg count O(1), probe-identical.
+            indexRef.set(
+              (if (absorbed.cached.length >= maxLegs)
+                graft.operators.Dedup.compactCorpusIndex(absorbed)
+              else absorbed).copy(lastBatchId = batchId))
+          }
         },
       checkpointDir).start()
 
@@ -461,16 +481,19 @@ object StreamOps {
         .parquet(stagingDir)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val flagged = graft.operators.Dedup.flagAgainstEmbeddingIndex(
-            batch, indexRef.get(), minCos)
-          idempotentParquetWrite(flagged, outPath, batchId)
-          graft.operators.Lifecycle.release(flagged)
-          val absorbed = graft.operators.Dedup.absorbIntoEmbeddingIndex(
-            indexRef.get(), batch)
-          indexRef.set(
-            if (absorbed.cached.length >= maxLegs)
-              graft.operators.Dedup.compactEmbeddingIndex(absorbed)
-            else absorbed)
+          // Absorb-watermark replay guard — see [[imageNearDupAccumStream]].
+          if (batchId > indexRef.get().lastBatchId) {
+            val flagged = graft.operators.Dedup.flagAgainstEmbeddingIndex(
+              batch, indexRef.get(), minCos)
+            idempotentParquetWrite(flagged, outPath, batchId)
+            graft.operators.Lifecycle.release(flagged)
+            val absorbed = graft.operators.Dedup.absorbIntoEmbeddingIndex(
+              indexRef.get(), batch)
+            indexRef.set(
+              (if (absorbed.cached.length >= maxLegs)
+                graft.operators.Dedup.compactEmbeddingIndex(absorbed)
+              else absorbed).copy(lastBatchId = batchId))
+          }
         },
       checkpointDir).start()
 
@@ -501,11 +524,17 @@ object StreamOps {
         .parquet(stagingDir)
         .writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          idempotentParquetWrite(
-            graft.operators.Similarity.ivfReassign(indexRef.get(), batch),
-            outPath, batchId)
-          indexRef.set(graft.operators.Similarity.absorbIvfBatch(
-            indexRef.get(), batch))
+          // Absorb-watermark replay guard — see [[imageNearDupAccumStream]].
+          // Here it is the ONLY possible guard: corpusStats retains no
+          // vec_ids to anti-join a replayed batch away, so without the
+          // watermark a replay double-counts old_size/sim_sum forever.
+          if (batchId > indexRef.get().lastBatchId) {
+            idempotentParquetWrite(
+              graft.operators.Similarity.ivfReassign(indexRef.get(), batch),
+              outPath, batchId)
+            indexRef.set(graft.operators.Similarity.absorbIvfBatch(
+              indexRef.get(), batch).copy(lastBatchId = batchId))
+          }
         },
       checkpointDir).start()
 

@@ -673,6 +673,140 @@ class StreamingSpec extends AnyFunSuite {
     finally Multimodal.releaseImageIndex(index)
   }
 
+  /* Accum-stream recovery: the frozen-index tests above prove the SINK
+   * is replay-safe; these prove the ABSORB is. The forced crash window
+   * (commit marker deleted after batch 0's sink write AND absorb) is
+   * exactly where an unguarded accum stream corrupts itself twice over:
+   * the replayed batch re-flags against its own absorbed copy
+   * (self-matches at Jaccard 1 / Hamming 0 overwrite partition 0) and
+   * re-absorbs (doubled shingle/size rows skew every later wave's
+   * Jaccard denominator; IVF old_size/sim_sum double). The lastBatchId
+   * watermark must make the replay a complete no-op — in BOTH restart
+   * modes: a same-process restart (the AtomicReference kept the
+   * absorbed index) and a re-seed from a durable save taken AFTER the
+   * absorb. Waves are staged with strictly increasing mod-times so the
+   * file source's batch↔wave mapping is identical across runs (for a
+   * frozen index the order is irrelevant; for an accumulating one it
+   * IS the semantics). */
+
+  test("checkpoint recovery: killed ACCUM TEXT-DEDUP stream re-seeded from its durable save equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    // Wave w is a near-dup of wave w-1 (tags accumulate), so waves 1-2
+    // best-match EARLIER WAVES — their jaccard values read the absorbed
+    // shingle/size rows and would shift if a replay double-counted them.
+    def wave(w: Int): org.apache.spark.sql.DataFrame = {
+      val tags = (1 to w + 1).map(i => s" zzwave$i tag$i").mkString
+      corpus.filter(col("doc_id") % 10 === 7).select(
+        (col("doc_id") + lit((w + 1) * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(tags)).as("text"))
+    }
+    recoveryCheck(
+      (staging, w) => {
+        wave(w).coalesce(1).write.mode("append").parquet(staging)
+        Thread.sleep(1100)
+      },
+      (staging, out, cp) => {
+        // Re-seed from the durable save if one exists — the restart
+        // story the operator docs promise. The save below happens AFTER
+        // the batches' absorbs, so the replayed batch is already inside
+        // the reloaded index and only the watermark can skip it.
+        val idxPath = s"$cp-idx"
+        val ref = new java.util.concurrent.atomic.AtomicReference(
+          if (new java.io.File(idxPath).exists)
+            Dedup.loadCorpusIndex(spark, idxPath)
+          else Dedup.buildCorpusIndex(Dedup.wordShingles(corpus)))
+        val q = graft.streaming.StreamOps.incrementalDedupAccumStream(
+          spark, staging, wave(0).schema, ref, 0.6, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+        Dedup.saveCorpusIndex(ref.get(), idxPath)
+        Dedup.releaseCorpusIndex(ref.get())
+      },
+      p => spark.read.parquet(p).select("doc_new", "best_match", "jaccard")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("best_match"),
+          r.getAs[Double]("jaccard"))).sorted)
+  }
+
+  test("checkpoint recovery: killed ACCUM AUDIO-DEDUP stream with a same-process index ref equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val corpusHashes = Multimodal.audioFingerprint(spark,
+      Multimodal.packBaseAudio(spark, docs)).toDF()
+    val newClips = Multimodal.packReuploadAudio(spark,
+      docs.filter(col("doc_id") % 10 === 7))
+    // One index ref per run (keyed by checkpoint): the restarted query
+    // reuses ITS ref — the same-process crash-recovery mode, where the
+    // ref still holds the index that already absorbed batch 0. Without
+    // the watermark the replayed clips would best-match their own
+    // absorbed copies at Hamming 0 instead of their corpus bases.
+    val refs = scala.collection.mutable.Map
+      .empty[String, java.util.concurrent.atomic.AtomicReference[
+        Multimodal.ImageIndex]]
+    try recoveryCheck(
+      (staging, w) => {
+        newClips.filter(col("clip_id") % 3 === w).coalesce(1)
+          .write.mode("append").parquet(staging)
+        Thread.sleep(1100)
+      },
+      (staging, out, cp) => {
+        val ref = refs.getOrElseUpdate(cp,
+          new java.util.concurrent.atomic.AtomicReference(
+            Multimodal.buildImageIndex(corpusHashes, 8)))
+        val q = graft.streaming.StreamOps.audioNearDupAccumStream(
+          spark, staging, newClips.schema, ref, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+      },
+      p => spark.read.parquet(p).select("clip_new", "best_match", "hamming")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
+          r.getAs[Long]("hamming"))).sorted)
+    finally refs.values.foreach(r => Multimodal.releaseImageIndex(r.get()))
+  }
+
+  test("checkpoint recovery: killed ACCUM IVF-MONITOR stream re-seeded from its durable save equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(10L)) < 8L)
+    val arriving = emb.filter(pmod(col("vec_id"), lit(10L)) >= 8L)
+    // The sharpest double-absorb detector: every report row's old_size
+    // is the absorbed membership itself, so a replayed batch folded in
+    // twice shifts wave 1's and wave 2's entire reports.
+    recoveryCheck(
+      (staging, w) => {
+        arriving.filter(pmod(col("vec_id"), lit(3L)) === w.toLong).coalesce(1)
+          .write.mode("append").parquet(staging)
+        Thread.sleep(1100)
+      },
+      (staging, out, cp) => {
+        val idxPath = s"$cp-idx"
+        val ref = new java.util.concurrent.atomic.AtomicReference(
+          if (new java.io.File(idxPath).exists)
+            Similarity.loadIvfIndex(spark, idxPath)
+          else Similarity.buildIvfIndex(corpus, 61L))
+        val q = graft.streaming.StreamOps.ivfMonitorAccumStream(
+          spark, staging, arriving.schema, ref, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+        Similarity.saveIvfIndex(ref.get(), idxPath)
+        Similarity.releaseIvfIndex(ref.get())
+      },
+      p => spark.read.parquet(p)
+        .select("batch_id", "cid", "old_size", "added", "new_size",
+          "growth", "mean_sim_old", "mean_sim_new")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("cid"),
+          r.getAs[Long]("old_size"), r.getAs[Long]("added"),
+          r.getAs[Long]("new_size"),
+          Option(r.getAs[java.lang.Double]("growth")),
+          Option(r.getAs[java.lang.Double]("mean_sim_old")),
+          Option(r.getAs[java.lang.Double]("mean_sim_new"))))
+        .sortBy(_.toString))
+  }
+
   test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {
     import org.apache.spark.sql.functions._
     System.setProperty("derby.stream.error.file",

@@ -434,6 +434,25 @@ class TextSpec extends AnyFunSuite {
       (3L, "a a a b", 1L, 5L)))
   }
 
+  test("bpeTrain stops cleanly when the corpus runs out of adjacent pairs") {
+    // "a b" exhausts after 1 merge (the doc becomes a single token);
+    // asking for 5 rounds must yield exactly the 1 learnable row — NOT
+    // erase the corpus via crossJoin with an empty rule frame and emit
+    // a short/empty curve silently.
+    val docs = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, 5).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("merge_rule"),
+        r.getAs[Long]("pair_n"), r.getAs[Long]("tokens_after"))).toList
+    assert(out == List((1L, "a b", 1L, 2L)))
+    // Degenerate input with nothing to merge at all: an empty curve
+    // with the right schema, not an NPE.
+    val single = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val empty = TextAnalysis.bpeTrain(single, 3)
+    assert(empty.columns.toSeq ==
+      Seq("round", "merge_rule", "pair_n", "tokens_after"))
+    assert(empty.count() == 0L)
+  }
+
   test("multimodal real decode: PNG round trip pins the known image's pixels") {
     import Multimodal.ImageFixture
     // doc_id = 5: 13×13, gray(x,y) = (5 + 31x + 7y) mod 256.
