@@ -418,17 +418,65 @@ object Demojize {
       (UTF8String.fromString(em), UTF8String.fromString(s"#*$name#*"))
     }.toArray
 
+  /** Hash of one 3-byte window into [[BitmapBits]] bits — the screen
+    * key. Every pattern is ≥3 UTF-8 bytes (shortest: a lone 3-byte BMP
+    * symbol like ⭐; 2-byte code points appear only with a VS16 tail),
+    * enforced below. */
+  private def windowHash(b0: Byte, b1: Byte, b2: Byte): Int =
+    ((((b0 & 0xff) << 16) | ((b1 & 0xff) << 8) | (b2 & 0xff))
+      * 0x9E3779B1) >>> (32 - BitmapLog2)
+
+  private final val BitmapLog2 = 14 // 16384 bits = 256 longs = 2 KB
+  private lazy val patternHashes: Array[Int] = orderedUtf8.map { case (em, _) =>
+    require(em.numBytes >= 3, s"pattern under 3 bytes breaks the screen: $em")
+    windowHash(em.getByte(0), em.getByte(1), em.getByte(2))
+  }
+
   /** One sequential pass over the table — identical semantics to the
     * nested-`replace` fold the oracle uses, but as a flat loop: a
     * ~300-entry fold of Column `replace` calls overflows the
     * ColumnNode-to-Expression converter's stack, and a single
-    * expression node keeps the plan (and whole-stage codegen) small. */
+    * expression node keeps the plan (and whole-stage codegen) small.
+    *
+    * The naive loop pays ~470 full-string `replace` scans per row no
+    * matter how few emoji the row holds; at sf0.1 that made demojize
+    * one of the slowest queries in the suite. One screening pass fixes
+    * it: hash every 3-byte window of the INPUT that starts with a
+    * high (non-ASCII) byte into a 16 K-bit stack bitmap, then run a
+    * table entry's `replace` only when its pattern's first window is
+    * present (a ~3% false-positive just costs one scan; a pure-ASCII
+    * row skips the table entirely). Screening against the ORIGINAL
+    * string stays sound across the whole fold: every pattern byte is
+    * non-ASCII and every replacement ("#*name#*") is non-empty pure
+    * ASCII, so a replacement can only SPLIT high-byte runs, never
+    * create or join them — any pattern occurrence in the partially
+    * folded string is byte-contiguous in the original, so its windows
+    * are in the bitmap. The fold ORDER over surviving entries is
+    * unchanged, which is what keeps the oracle equivalence exact
+    * (skipped entries are provable no-op `replace`s). */
   def applyAll(s: UTF8String): UTF8String = {
-    var cur = s
+    val n = s.numBytes
+    if (n < 3) return s
+    val bits = new Array[Long](1 << (BitmapLog2 - 6))
+    var any = false
     var i = 0
-    while (i < orderedUtf8.length) {
-      cur = cur.replace(orderedUtf8(i)._1, orderedUtf8(i)._2)
+    while (i + 2 < n) {
+      if (s.getByte(i) < 0) { // UTF-8 lead/continuation byte — candidate
+        val h = windowHash(s.getByte(i), s.getByte(i + 1), s.getByte(i + 2))
+        bits(h >>> 6) |= 1L << (h & 63)
+        any = true
+      }
       i += 1
+    }
+    if (!any) return s
+    var cur = s
+    var j = 0
+    while (j < orderedUtf8.length) {
+      val h = patternHashes(j)
+      if (orderedUtf8(j)._1.numBytes <= n &&
+          (bits(h >>> 6) & (1L << (h & 63))) != 0)
+        cur = cur.replace(orderedUtf8(j)._1, orderedUtf8(j)._2)
+      j += 1
     }
     cur
   }
