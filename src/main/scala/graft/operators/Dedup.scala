@@ -294,7 +294,7 @@ object Dedup {
 
   /** Fold an ingest wave's shingles INTO the index — the text face of
     * the accumulating-index family ([[Similarity.absorbIvfBatch]],
-    * [[Multimodal.absorbIntoImageIndex]]): a FROZEN index flags every
+    * [[Multimodal.absorbIntoFingerprintIndex]]): a FROZEN index flags every
     * wave against the original corpus only, so a near-dup of an
     * EARLIER wave's document sails through. The wave's bands, shingle
     * rows, and sizes persist as their own legs under lazy unions —
@@ -412,7 +412,7 @@ object Dedup {
 
   /** Prebuilt hyperplane-LSH band index over a normalized embedding
     * corpus — the vector face of [[CorpusIndex]] /
-    * [[Multimodal.ImageIndex]], completing the accumulating-index
+    * [[Multimodal.FingerprintIndex]], completing the accumulating-index
     * family across modalities: build once, probe arriving batches with
     * [[flagAgainstEmbeddingIndex]], fold flagged waves in with
     * [[absorbIntoEmbeddingIndex]], compact with

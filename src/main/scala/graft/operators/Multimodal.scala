@@ -1071,7 +1071,7 @@ object Multimodal {
 
   /** (img_id, band_idx, bval) blocking keys of every hash row under the
     * [[bandBits]] layout — shared by the self-join ([[imageNearDup]])
-    * and the corpus-vs-batch probe ([[flagAgainstImageIndex]]). */
+    * and the corpus-vs-batch probe ([[flagAgainstFingerprintIndex]]). */
   // private[graft]: graft.ScaleProbe measures Σ bucket² of the real
   // banded keys for the scale-fixture evidence in SCALE.md.
   private[graft] def bandedImageIds(h: DataFrame, maxHamming: Int): DataFrame = {
@@ -1088,7 +1088,7 @@ object Multimodal {
   /** Prebuilt aHash band index over a corpus of image hashes — the
     * long-lived state of incremental image dedup (the image twin of
     * [[Dedup.CorpusIndex]]): build once, probe per ingest batch with
-    * [[flagAgainstImageIndex]], release with [[releaseImageIndex]]
+    * [[flagAgainstFingerprintIndex]], release with [[releaseFingerprintIndex]]
     * when the stream stops. */
   /** `maxHamming` is captured AT BUILD TIME: the band layout is a
     * function of the threshold, so probing with a different value
@@ -1097,15 +1097,15 @@ object Multimodal {
     * from the index instead of taking a second parameter. `cached`
     * tracks every persisted leg (the base pair plus one (bands,
     * hashes) pair per absorbed wave): `bands`/`hashes` become lazy
-    * UNIONS of cached legs after [[absorbIntoImageIndex]], and
+    * UNIONS of cached legs after [[absorbIntoFingerprintIndex]], and
     * unpersisting a union frame is a silent no-op — release must walk
     * the legs. */
   /** Same `lastBatchId` absorb-watermark contract as
     * [[graft.operators.Dedup.CorpusIndex]]. */
-  case class ImageIndex(bands: DataFrame, hashes: DataFrame, maxHamming: Int,
+  case class FingerprintIndex(bands: DataFrame, hashes: DataFrame, maxHamming: Int,
                         cached: Seq[DataFrame] = Nil, lastBatchId: Long = -1L)
 
-  def buildImageIndex(corpusHashes: DataFrame, maxHamming: Int): ImageIndex = {
+  def buildFingerprintIndex(corpusHashes: DataFrame, maxHamming: Int): FingerprintIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val h = corpusHashes.persist(lvl)
     val bands = bandedImageIds(h, maxHamming).persist(lvl)
@@ -1113,7 +1113,7 @@ object Multimodal {
     // micro-batch must not absorb the corpus hash + band build.
     bands.count()
     h.count()
-    ImageIndex(bands, h, maxHamming, Seq(bands, h))
+    FingerprintIndex(bands, h, maxHamming, Seq(bands, h))
   }
 
   /** Fold a new wave's fingerprints INTO the index — the media twin of
@@ -1130,19 +1130,19 @@ object Multimodal {
     * it at restart — which is also the recovery story: the in-memory
     * index is process state, the parquet fingerprint table is the
     * source of truth). Release the FINAL index with
-    * [[releaseImageIndex]]; superseded index values share their legs
+    * [[releaseFingerprintIndex]]; superseded index values share their legs
     * with the successor, so only the last one must be released. */
-  def absorbIntoImageIndex(index: ImageIndex, newHashes: DataFrame): ImageIndex = {
+  def absorbIntoFingerprintIndex(index: FingerprintIndex, newHashes: DataFrame): FingerprintIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nh = newHashes.persist(lvl)
     val nb = bandedImageIds(nh, index.maxHamming).persist(lvl)
     nb.count()
     nh.count()
-    ImageIndex(index.bands.unionByName(nb), index.hashes.unionByName(nh),
+    FingerprintIndex(index.bands.unionByName(nb), index.hashes.unionByName(nh),
       index.maxHamming, index.cached ++ Seq(nb, nh), index.lastBatchId)
   }
 
-  /** Flag one NEW image batch against a prebuilt [[ImageIndex]]: banded
+  /** Flag one NEW image batch against a prebuilt [[FingerprintIndex]]: banded
     * candidates (new bands × corpus bands — recall-exact for the
     * threshold, [[bandBits]]), exact-Hamming verification, best corpus
     * match per new image (min hamming, then min img_id). Per-ingest
@@ -1151,8 +1151,9 @@ object Multimodal {
     * checkpointed and the batch-side cache dropped before returning
     * (the [[Dedup.materializeThenRelease]] discipline), so repeated
     * micro-batches leak nothing. */
-  def flagAgainstImageIndex(newHashes: DataFrame,
-                            index: ImageIndex): DataFrame = {
+  def flagAgainstFingerprintIndex(newHashes: DataFrame,
+                                  index: FingerprintIndex,
+                                  idOut: String = "img_new"): DataFrame = {
     val maxHamming = index.maxHamming
     val nh = newHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nb = bandedImageIds(nh, maxHamming)
@@ -1173,11 +1174,15 @@ object Multimodal {
       .partitionBy("img_new").orderBy(col("hamming").asc, col("img_old").asc)
     val best = verified.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("img_new"), col("img_old").as("best_match"), col("hamming"))
+      // The index is modality-agnostic; the probe id column is named by
+      // the caller (audio passes "clip_new") so query layers don't
+      // rename after the fact.
+      .select(col("img_new").as(idOut), col("img_old").as("best_match"),
+        col("hamming"))
     Dedup.materializeThenRelease(best, nh)
   }
 
-  def releaseImageIndex(index: ImageIndex): Unit = {
+  def releaseFingerprintIndex(index: FingerprintIndex): Unit = {
     val legs = if (index.cached.nonEmpty) index.cached
       else Seq(index.bands, index.hashes)
     legs.foreach(_.unpersist(blocking = false))
@@ -1188,7 +1193,7 @@ object Multimodal {
     * lazy unions, release the superseded legs, probe results
     * unchanged. No-op on an unabsorbed index (its frames ARE the only
     * cached copies). */
-  def compactImageIndex(index: ImageIndex): ImageIndex =
+  def compactFingerprintIndex(index: FingerprintIndex): FingerprintIndex =
     if (index.cached.length <= 2) index
     else {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1197,16 +1202,16 @@ object Multimodal {
       bands.count()
       h.count()
       index.cached.foreach(_.unpersist(blocking = false))
-      ImageIndex(bands, h, index.maxHamming, Seq(bands, h), index.lastBatchId)
+      FingerprintIndex(bands, h, index.maxHamming, Seq(bands, h), index.lastBatchId)
     }
 
   /** Durable restart contract — the image twin of
     * [[Dedup.saveCorpusIndex]]: the fingerprint table (plus the
     * build-time threshold, which FIXES the band layout) is the source
     * of truth; bands derive deterministically. Save flattens absorbed
-    * waves into one parquet table; [[loadImageIndex]] rebuilds the
+    * waves into one parquet table; [[loadFingerprintIndex]] rebuilds the
     * in-memory index after a restart and probes identically. */
-  def saveImageIndex(index: ImageIndex, path: String): Unit = {
+  def saveFingerprintIndex(index: FingerprintIndex, path: String): Unit = {
     index.hashes.write.mode("overwrite").parquet(s"$path/hashes")
     val spark = index.hashes.sparkSession
     import spark.implicits._
@@ -1215,9 +1220,9 @@ object Multimodal {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  def loadImageIndex(spark: SparkSession, path: String): ImageIndex = {
+  def loadFingerprintIndex(spark: SparkSession, path: String): FingerprintIndex = {
     val meta = spark.read.parquet(s"$path/meta").head()
-    buildImageIndex(spark.read.parquet(s"$path/hashes"),
+    buildFingerprintIndex(spark.read.parquet(s"$path/hashes"),
       meta.getAs[Int]("max_hamming"))
       .copy(lastBatchId = meta.getAs[Long]("last_batch_id"))
   }

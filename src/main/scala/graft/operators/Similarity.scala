@@ -227,7 +227,7 @@ object Similarity {
   // ------------------------------- incremental IVF index maintenance
 
   /** Prebuilt IVF coarse index — the long-lived serving state of the
-    * similarity family (the [[Dedup.CorpusIndex]] / ImageIndex pattern
+    * similarity family (the [[Dedup.CorpusIndex]] / FingerprintIndex pattern
     * applied to centroids): `centroids` is the frozen data-seeded
     * coarse quantizer, `corpusStats` the per-list membership
     * statistics (cid, old_size, sim_sum) where `sim_sum` is the EXACT

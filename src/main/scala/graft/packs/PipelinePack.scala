@@ -1057,13 +1057,13 @@ object PipelinePack {
       // streaming deployment builds its index from the stored hash
       // table, not by re-decoding the corpus); the BATCH side still
       // renders + hashes live — that is the per-ingest work.
-      val idx = Multimodal.buildImageIndex(
+      val idx = Multimodal.buildFingerprintIndex(
         baseImageHashFixture(s, d), IMG_HAMMING_MAX)
-      val out = Multimodal.flagAgainstImageIndex(
+      val out = Multimodal.flagAgainstFingerprintIndex(
         Multimodal.imageAHash(s,
           Multimodal.packReuploadImages(s, docs.filter(pred))).toDF(),
         idx)
-      Multimodal.releaseImageIndex(idx) // out is already checkpointed
+      Multimodal.releaseFingerprintIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
     },
     // SELF-ACCUMULATING incremental text dedup (the batch face of
@@ -1098,14 +1098,14 @@ object PipelinePack {
     "q_st_image_accum" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
-      val idx = Multimodal.absorbIntoImageIndex(
-        Multimodal.buildImageIndex(baseImageHashWFixture(s, d), IMG_HAMMING_MAX),
+      val idx = Multimodal.absorbIntoFingerprintIndex(
+        Multimodal.buildFingerprintIndex(baseImageHashWFixture(s, d), IMG_HAMMING_MAX),
         Multimodal.imageAHash(s,
           Multimodal.packImageWave(s, docs.filter(pred), 1)).toDF())
-      val out = Multimodal.flagAgainstImageIndex(
+      val out = Multimodal.flagAgainstFingerprintIndex(
         Multimodal.imageAHash(s,
           Multimodal.packImageWave(s, docs.filter(pred), 2)).toDF(), idx)
-      Multimodal.releaseImageIndex(idx) // out is already checkpointed
+      Multimodal.releaseFingerprintIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
     },
     // Incremental AUDIO dedup THROUGH the streaming-cadence machinery
@@ -1118,15 +1118,15 @@ object PipelinePack {
     "q_st_audio_neardup" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
-      val idx = Multimodal.buildImageIndex(
+      val idx = Multimodal.buildFingerprintIndex(
         audioBaseFingerprintFixture(s, d), AUD_HAMMING_MAX)
-      val out = Multimodal.flagAgainstImageIndex(
+      val out = Multimodal.flagAgainstFingerprintIndex(
         Multimodal.audioFingerprint(s,
           Multimodal.packReuploadAudio(s, docs.filter(pred))).toDF(),
-        idx)
-      Multimodal.releaseImageIndex(idx) // out is already checkpointed
-      out.select(col("img_new").as("clip_new"), col("best_match"),
-        col("hamming")).orderBy("clip_new")
+        idx, idOut = "clip_new")
+      Multimodal.releaseFingerprintIndex(idx) // out is already checkpointed
+      out.select(col("clip_new"), col("best_match"), col("hamming"))
+        .orderBy("clip_new")
     },
     // SELF-ACCUMULATING incremental audio dedup (the batch face of
     // StreamOps.audioNearDupAccumStream): the index absorbs wave 1
@@ -1137,17 +1137,18 @@ object PipelinePack {
     "q_st_audio_accum" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val sel = docs.filter(pmod(col("doc_id"), lit(INC_MOD)) === INC_REM)
-      val idx = Multimodal.absorbIntoImageIndex(
-        Multimodal.buildImageIndex(
+      val idx = Multimodal.absorbIntoFingerprintIndex(
+        Multimodal.buildFingerprintIndex(
           audioBaseFingerprintFixture(s, d), AUD_HAMMING_MAX),
         Multimodal.audioFingerprint(s,
           Multimodal.packAudioWave(s, sel, 1)).toDF())
-      val out = Multimodal.flagAgainstImageIndex(
+      val out = Multimodal.flagAgainstFingerprintIndex(
         Multimodal.audioFingerprint(s,
-          Multimodal.packAudioWave(s, sel, 2)).toDF(), idx)
-      Multimodal.releaseImageIndex(idx) // out is already checkpointed
-      out.select(col("img_new").as("clip_new"), col("best_match"),
-        col("hamming")).orderBy("clip_new")
+          Multimodal.packAudioWave(s, sel, 2)).toDF(), idx,
+        idOut = "clip_new")
+      Multimodal.releaseFingerprintIndex(idx) // out is already checkpointed
+      out.select(col("clip_new"), col("best_match"), col("hamming"))
+        .orderBy("clip_new")
     },
     // Audio near-dup by 64-bit content fingerprint over REAL decoded
     // PCM (band-energy signs vs the clip median — robust to the

@@ -257,16 +257,16 @@ object StreamOps {
     * twin of [[incrementalDedupStream]]: new images (raw PNG payloads)
     * arrive as a parquet file stream, and each micro-batch is aHashed
     * and probed against a PREBUILT corpus band index
-    * ([[graft.operators.Multimodal.ImageIndex]]) inside `foreachBatch`.
+    * ([[graft.operators.Multimodal.FingerprintIndex]]) inside `foreachBatch`.
     * Per-ingest cost is the batch's codec pass + banded candidate joins
     * against the index; the corpus state is built once before the
     * stream starts. Best-match rows append to a parquet sink; each
     * batch's checkpoint blocks are freed as soon as its rows are
     * written. Caller stops the query and releases the index
-    * ([[graft.operators.Multimodal.releaseImageIndex]]). */
+    * ([[graft.operators.Multimodal.releaseFingerprintIndex]]). */
   def imageNearDupStream(spark: SparkSession, stagingDir: String,
                          schema: org.apache.spark.sql.types.StructType,
-                         index: graft.operators.Multimodal.ImageIndex,
+                         index: graft.operators.Multimodal.FingerprintIndex,
                          outPath: String,
                          checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -278,7 +278,7 @@ object StreamOps {
           import spark.implicits._
           val hashes = graft.operators.Multimodal.imageAHash(
             spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
-          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+          val flagged = graft.operators.Multimodal.flagAgainstFingerprintIndex(
             hashes, index)
           idempotentParquetWrite(flagged, outPath, batchId)
           graft.operators.Lifecycle.release(flagged)
@@ -292,14 +292,14 @@ object StreamOps {
     * ([[graft.operators.Multimodal.audioFingerprint]] — REAL decode,
     * band-median bits, so trimmed AND re-gained re-uploads still
     * match) and probed against a prebuilt corpus fingerprint band
-    * index. The index machinery is [[graft.operators.Multimodal.ImageIndex]]
+    * index. The index machinery is [[graft.operators.Multimodal.FingerprintIndex]]
     * verbatim: audio fingerprints share the 4×16-bit [[graft.operators.Multimodal.ImageHash]]
     * layout, so the banded probe is modality-agnostic. Best-match rows
     * append per batch (idempotent per `batch_id` — same exactly-once
     * bridge, StreamingSpec kill/restart-proves it). */
   def audioNearDupStream(spark: SparkSession, stagingDir: String,
                          schema: org.apache.spark.sql.types.StructType,
-                         index: graft.operators.Multimodal.ImageIndex,
+                         index: graft.operators.Multimodal.FingerprintIndex,
                          outPath: String,
                          checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -311,10 +311,9 @@ object StreamOps {
           import spark.implicits._
           val hashes = graft.operators.Multimodal.audioFingerprint(
             spark, batch.as[graft.operators.Multimodal.AudioClip]).toDF()
-          val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
-            hashes, index)
-          idempotentParquetWrite(
-            flagged.withColumnRenamed("img_new", "clip_new"), outPath, batchId)
+          val flagged = graft.operators.Multimodal.flagAgainstFingerprintIndex(
+            hashes, index, idOut = "clip_new")
+          idempotentParquetWrite(flagged, outPath, batchId)
           graft.operators.Lifecycle.release(flagged)
         },
       checkpointDir).start()
@@ -322,7 +321,7 @@ object StreamOps {
   /** SELF-ACCUMULATING incremental image dedup: like
     * [[imageNearDupStream]], but after each micro-batch is flagged
     * against the index, its fingerprints are ABSORBED into the index
-    * ([[graft.operators.Multimodal.absorbIntoImageIndex]]) — so a wave-2
+    * ([[graft.operators.Multimodal.absorbIntoFingerprintIndex]]) — so a wave-2
     * re-upload of a wave-1 upload is caught, which a frozen index can
     * never do (the defect class [[Similarity.absorbIvfBatch]] closes
     * for the vector index). Each batch is flagged BEFORE it is
@@ -338,7 +337,7 @@ object StreamOps {
   def imageNearDupAccumStream(spark: SparkSession, stagingDir: String,
                               schema: org.apache.spark.sql.types.StructType,
                               indexRef: java.util.concurrent.atomic.AtomicReference[
-                                graft.operators.Multimodal.ImageIndex],
+                                graft.operators.Multimodal.FingerprintIndex],
                               outPath: String,
                               checkpointDir: Option[String] = None,
                               maxLegs: Int = 24)
@@ -364,11 +363,11 @@ object StreamOps {
           if (batchId > indexRef.get().lastBatchId) {
             def hashed = graft.operators.Multimodal.imageAHash(
               spark, batch.as[graft.operators.Multimodal.ImageVariant]).toDF()
-            val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
+            val flagged = graft.operators.Multimodal.flagAgainstFingerprintIndex(
               hashed, indexRef.get())
             idempotentParquetWrite(flagged, outPath, batchId)
             graft.operators.Lifecycle.release(flagged)
-            val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
+            val absorbed = graft.operators.Multimodal.absorbIntoFingerprintIndex(
               indexRef.get(), hashed)
             // Bound the leg count on an unbounded stream: past the budget,
             // materialize the lazy unions into fresh single legs (probe
@@ -376,7 +375,7 @@ object StreamOps {
             // union fanout stay O(1) in stream lifetime.
             indexRef.set(
               (if (absorbed.cached.length >= maxLegs)
-                graft.operators.Multimodal.compactImageIndex(absorbed)
+                graft.operators.Multimodal.compactFingerprintIndex(absorbed)
               else absorbed).copy(lastBatchId = batchId))
           }
         },
@@ -384,14 +383,14 @@ object StreamOps {
 
   /** SELF-ACCUMULATING incremental AUDIO dedup — the audio face of
     * [[imageNearDupAccumStream]] (the two share the modality-agnostic
-    * [[graft.operators.Multimodal.ImageIndex]] over the 4×16-bit hash
+    * [[graft.operators.Multimodal.FingerprintIndex]] over the 4×16-bit hash
     * layout): each micro-batch of clips is fingerprinted, flagged
     * against the index, landed idempotently (with the audio column
     * names), then ABSORBED with the shared maxLegs compaction budget. */
   def audioNearDupAccumStream(spark: SparkSession, stagingDir: String,
                               schema: org.apache.spark.sql.types.StructType,
                               indexRef: java.util.concurrent.atomic.AtomicReference[
-                                graft.operators.Multimodal.ImageIndex],
+                                graft.operators.Multimodal.FingerprintIndex],
                               outPath: String,
                               checkpointDir: Option[String] = None,
                               maxLegs: Int = 24)
@@ -406,16 +405,15 @@ object StreamOps {
           if (batchId > indexRef.get().lastBatchId) {
             def hashed = graft.operators.Multimodal.audioFingerprint(
               spark, batch.as[graft.operators.Multimodal.AudioClip]).toDF()
-            val flagged = graft.operators.Multimodal.flagAgainstImageIndex(
-              hashed, indexRef.get())
-            idempotentParquetWrite(
-              flagged.withColumnRenamed("img_new", "clip_new"), outPath, batchId)
+            val flagged = graft.operators.Multimodal.flagAgainstFingerprintIndex(
+              hashed, indexRef.get(), idOut = "clip_new")
+            idempotentParquetWrite(flagged, outPath, batchId)
             graft.operators.Lifecycle.release(flagged)
-            val absorbed = graft.operators.Multimodal.absorbIntoImageIndex(
+            val absorbed = graft.operators.Multimodal.absorbIntoFingerprintIndex(
               indexRef.get(), hashed)
             indexRef.set(
               (if (absorbed.cached.length >= maxLegs)
-                graft.operators.Multimodal.compactImageIndex(absorbed)
+                graft.operators.Multimodal.compactFingerprintIndex(absorbed)
               else absorbed).copy(lastBatchId = batchId))
           }
         },

@@ -113,39 +113,39 @@ class IndexDurabilitySpec extends AnyFunSuite {
   private def imgWave(w: Int) = Multimodal.imageAHash(
     spark, Multimodal.packImageWave(
       spark, docs.filter(col("doc_id") % 10 === 7), w)).toDF()
-  private def imgProbe(idx: Multimodal.ImageIndex) =
-    Multimodal.flagAgainstImageIndex(imgWave(2), idx).collect()
+  private def imgProbe(idx: Multimodal.FingerprintIndex) =
+    Multimodal.flagAgainstFingerprintIndex(imgWave(2), idx).collect()
       .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
 
-  test("compactImageIndex: probe-identical, legs collapse to 2, no-op when unabsorbed") {
-    val base = Multimodal.buildImageIndex(imgCorpus, 6)
-    assert(Multimodal.compactImageIndex(base) eq base)
-    val absorbed = Multimodal.absorbIntoImageIndex(base, imgWave(1))
+  test("compactFingerprintIndex: probe-identical, legs collapse to 2, no-op when unabsorbed") {
+    val base = Multimodal.buildFingerprintIndex(imgCorpus, 6)
+    assert(Multimodal.compactFingerprintIndex(base) eq base)
+    val absorbed = Multimodal.absorbIntoFingerprintIndex(base, imgWave(1))
     assert(absorbed.cached.length == 4)
     val want = imgProbe(absorbed)
-    val compacted = Multimodal.compactImageIndex(absorbed)
+    val compacted = Multimodal.compactFingerprintIndex(absorbed)
     assert(compacted.cached.length == 2)
     val got = imgProbe(compacted)
-    Multimodal.releaseImageIndex(compacted)
+    Multimodal.releaseFingerprintIndex(compacted)
     assert(got.nonEmpty && got == want)
     assert(got.exists(_._2 % 4 == 1),
       "wave-1 best matches must survive compaction")
   }
 
-  test("saveImageIndex/loadImageIndex: reloaded index probes identically, threshold preserved") {
+  test("saveFingerprintIndex/loadFingerprintIndex: reloaded index probes identically, threshold preserved") {
     val path = tmp("imgidx")
-    val absorbed = Multimodal.absorbIntoImageIndex(
-      Multimodal.buildImageIndex(imgCorpus, 6), imgWave(1))
+    val absorbed = Multimodal.absorbIntoFingerprintIndex(
+      Multimodal.buildFingerprintIndex(imgCorpus, 6), imgWave(1))
     val want = imgProbe(absorbed)
-    Multimodal.saveImageIndex(absorbed, path)
-    Multimodal.releaseImageIndex(absorbed)
-    val reloaded = Multimodal.loadImageIndex(spark, path)
+    Multimodal.saveFingerprintIndex(absorbed, path)
+    Multimodal.releaseFingerprintIndex(absorbed)
+    val reloaded = Multimodal.loadFingerprintIndex(spark, path)
     // The band layout is a function of the build threshold: a reload
     // that lost it would band different bit ranges and drop collisions.
     assert(reloaded.maxHamming == 6)
     val got = imgProbe(reloaded)
-    Multimodal.releaseImageIndex(reloaded)
+    Multimodal.releaseFingerprintIndex(reloaded)
     assert(got.nonEmpty && got == want)
     assert(got.exists(_._2 % 4 == 1))
   }

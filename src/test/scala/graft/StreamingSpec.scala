@@ -200,7 +200,7 @@ class StreamingSpec extends AnyFunSuite {
       newImgs.filter(col("img_id") % 3 === w).coalesce(1)
         .write.mode("append").parquet(staging)
     }
-    val index = Multimodal.buildImageIndex(corpusHashes, 6)
+    val index = Multimodal.buildFingerprintIndex(corpusHashes, 6)
     val q = graft.streaming.StreamOps.imageNearDupStream(
       spark, staging, newImgs.schema, index, outPath)
     try q.processAllAvailable() finally q.stop()
@@ -208,9 +208,9 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
     val streamed = rowSet(spark.read.parquet(outPath))
-    val batch = rowSet(Multimodal.flagAgainstImageIndex(
+    val batch = rowSet(Multimodal.flagAgainstFingerprintIndex(
       Multimodal.imageAHash(spark, newImgs).toDF(), index))
-    Multimodal.releaseImageIndex(index)
+    Multimodal.releaseFingerprintIndex(index)
     assert(streamed.nonEmpty, "planted re-uploads must match their base images")
     assert(streamed == batch)
   }
@@ -233,23 +233,23 @@ class StreamingSpec extends AnyFunSuite {
       newClips.filter(col("clip_id") % 3 === w).coalesce(1)
         .write.mode("append").parquet(staging)
     }
-    val index = Multimodal.buildImageIndex(corpusHashes, 8)
+    val index = Multimodal.buildFingerprintIndex(corpusHashes, 8)
     val q = graft.streaming.StreamOps.audioNearDupStream(
       spark, staging, newClips.schema, index, outPath)
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.read.parquet(outPath).collect()
       .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
-    val batch = Multimodal.flagAgainstImageIndex(
+    val batch = Multimodal.flagAgainstFingerprintIndex(
         Multimodal.audioFingerprint(spark, newClips).toDF(), index).collect()
       .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
-    Multimodal.releaseImageIndex(index)
+    Multimodal.releaseFingerprintIndex(index)
     assert(streamed.nonEmpty, "trimmed+gained re-uploads must match their base clips")
     assert(streamed == batch)
   }
 
-  test("absorbIntoImageIndex: absorbed probe equals a fresh build over the union") {
+  test("absorbIntoFingerprintIndex: absorbed probe equals a fresh build over the union") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
     val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
@@ -260,17 +260,17 @@ class StreamingSpec extends AnyFunSuite {
       Multimodal.packImageWave(spark, sel, 1)).toDF()
     val w2 = Multimodal.imageAHash(spark,
       Multimodal.packImageWave(spark, sel, 2)).toDF()
-    def rows(idx: Multimodal.ImageIndex) =
-      Multimodal.flagAgainstImageIndex(w2, idx).collect()
+    def rows(idx: Multimodal.FingerprintIndex) =
+      Multimodal.flagAgainstFingerprintIndex(w2, idx).collect()
         .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
           r.getAs[Long]("hamming"))).toSet
-    val absorbed = Multimodal.absorbIntoImageIndex(
-      Multimodal.buildImageIndex(base, 6), w1)
-    val fresh = Multimodal.buildImageIndex(base.unionByName(w1), 6)
+    val absorbed = Multimodal.absorbIntoFingerprintIndex(
+      Multimodal.buildFingerprintIndex(base, 6), w1)
+    val fresh = Multimodal.buildFingerprintIndex(base.unionByName(w1), 6)
     val got = rows(absorbed)
     val want = rows(fresh)
-    Multimodal.releaseImageIndex(absorbed)
-    Multimodal.releaseImageIndex(fresh)
+    Multimodal.releaseFingerprintIndex(absorbed)
+    Multimodal.releaseFingerprintIndex(fresh)
     assert(got.nonEmpty && got == want)
     // The accumulation must MATTER: some wave-2 re-upload's nearest
     // neighbour is its wave-1 sibling (img_id % 4 == 1), which a
@@ -297,7 +297,7 @@ class StreamingSpec extends AnyFunSuite {
     Multimodal.packImageWave(spark, sel, 2).toDF().coalesce(1)
       .write.mode("append").parquet(staging)
     val ref = new java.util.concurrent.atomic.AtomicReference(
-      Multimodal.buildImageIndex(corpusHashes, 6))
+      Multimodal.buildFingerprintIndex(corpusHashes, 6))
     val schema = Multimodal.packImageWave(spark, sel, 1).toDF().schema
     val q = graft.streaming.StreamOps.imageNearDupAccumStream(
       spark, staging, schema, ref, outPath)
@@ -308,17 +308,17 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("hamming"))).toSet
     // Batch face: wave 2 against corpus ∪ wave 1 (the q_st_image_accum
     // shape) — equality proves the stream really absorbed wave 1.
-    val batchIdx = Multimodal.absorbIntoImageIndex(
-      Multimodal.buildImageIndex(corpusHashes, 6),
+    val batchIdx = Multimodal.absorbIntoFingerprintIndex(
+      Multimodal.buildFingerprintIndex(corpusHashes, 6),
       Multimodal.imageAHash(spark,
         Multimodal.packImageWave(spark, sel, 1)).toDF())
-    val batch = Multimodal.flagAgainstImageIndex(
+    val batch = Multimodal.flagAgainstFingerprintIndex(
         Multimodal.imageAHash(spark,
           Multimodal.packImageWave(spark, sel, 2)).toDF(), batchIdx).collect()
       .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
-    Multimodal.releaseImageIndex(batchIdx)
-    Multimodal.releaseImageIndex(ref.get())
+    Multimodal.releaseFingerprintIndex(batchIdx)
+    Multimodal.releaseFingerprintIndex(ref.get())
     assert(streamedW2.nonEmpty && streamedW2 == batch)
     assert(streamedW2.exists(_._2 % 4 == 1),
       "accumulation must surface wave-1 best matches")
@@ -418,7 +418,7 @@ class StreamingSpec extends AnyFunSuite {
     Multimodal.packAudioWave(spark, sel, 2).toDF().coalesce(1)
       .write.mode("append").parquet(staging)
     val ref = new java.util.concurrent.atomic.AtomicReference(
-      Multimodal.buildImageIndex(corpusHashes, 8))
+      Multimodal.buildFingerprintIndex(corpusHashes, 8))
     val schema = Multimodal.packAudioWave(spark, sel, 1).toDF().schema
     val q = graft.streaming.StreamOps.audioNearDupAccumStream(
       spark, staging, schema, ref, outPath)
@@ -427,19 +427,19 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("clip_new") >= 2000000L).collect()
       .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
-    Multimodal.releaseImageIndex(ref.get())
+    Multimodal.releaseFingerprintIndex(ref.get())
     // Batch face: wave 2 against corpus ∪ wave 1 (the q_st_audio_accum
     // shape) — equality proves the stream really absorbed wave 1.
-    val batchIdx = Multimodal.absorbIntoImageIndex(
-      Multimodal.buildImageIndex(corpusHashes, 8),
+    val batchIdx = Multimodal.absorbIntoFingerprintIndex(
+      Multimodal.buildFingerprintIndex(corpusHashes, 8),
       Multimodal.audioFingerprint(spark,
         Multimodal.packAudioWave(spark, sel, 1)).toDF())
-    val batch = Multimodal.flagAgainstImageIndex(
+    val batch = Multimodal.flagAgainstFingerprintIndex(
         Multimodal.audioFingerprint(spark,
           Multimodal.packAudioWave(spark, sel, 2)).toDF(), batchIdx).collect()
       .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
-    Multimodal.releaseImageIndex(batchIdx)
+    Multimodal.releaseFingerprintIndex(batchIdx)
     assert(streamedW2.nonEmpty && streamedW2 == batch)
     assert(streamedW2.exists(m => m._2 >= 1000000L && m._2 < 2000000L),
       "accumulation must surface wave-1 best matches")
@@ -633,7 +633,7 @@ class StreamingSpec extends AnyFunSuite {
       Multimodal.packBaseAudio(spark, docs)).toDF()
     val newClips = Multimodal.packReuploadAudio(spark,
       docs.filter(col("doc_id") % 10 === 7))
-    val index = Multimodal.buildImageIndex(corpusHashes, 8)
+    val index = Multimodal.buildFingerprintIndex(corpusHashes, 8)
     try recoveryCheck(
       (staging, w) => newClips.filter(col("clip_id") % 3 === w).coalesce(1)
         .write.mode("append").parquet(staging),
@@ -646,7 +646,7 @@ class StreamingSpec extends AnyFunSuite {
         .collect().toSeq
         .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
           r.getAs[Long]("hamming"))).sorted)
-    finally Multimodal.releaseImageIndex(index)
+    finally Multimodal.releaseFingerprintIndex(index)
   }
 
   test("checkpoint recovery: killed IMAGE-DEDUP stream equals the uninterrupted run") {
@@ -657,7 +657,7 @@ class StreamingSpec extends AnyFunSuite {
       Multimodal.packBaseImages(spark, docs)).toDF()
     val newImgs = Multimodal.packReuploadImages(spark,
       docs.filter(col("doc_id") % 10 === 7))
-    val index = Multimodal.buildImageIndex(corpusHashes, 6)
+    val index = Multimodal.buildFingerprintIndex(corpusHashes, 6)
     try recoveryCheck(
       (staging, w) => newImgs.filter(col("img_id") % 3 === w).coalesce(1)
         .write.mode("append").parquet(staging),
@@ -670,7 +670,7 @@ class StreamingSpec extends AnyFunSuite {
         .collect().toSeq
         .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
           r.getAs[Long]("hamming"))).sorted)
-    finally Multimodal.releaseImageIndex(index)
+    finally Multimodal.releaseFingerprintIndex(index)
   }
 
   /* Accum-stream recovery: the frozen-index tests above prove the SINK
@@ -745,7 +745,7 @@ class StreamingSpec extends AnyFunSuite {
     // absorbed copies at Hamming 0 instead of their corpus bases.
     val refs = scala.collection.mutable.Map
       .empty[String, java.util.concurrent.atomic.AtomicReference[
-        Multimodal.ImageIndex]]
+        Multimodal.FingerprintIndex]]
     try recoveryCheck(
       (staging, w) => {
         newClips.filter(col("clip_id") % 3 === w).coalesce(1)
@@ -755,7 +755,7 @@ class StreamingSpec extends AnyFunSuite {
       (staging, out, cp) => {
         val ref = refs.getOrElseUpdate(cp,
           new java.util.concurrent.atomic.AtomicReference(
-            Multimodal.buildImageIndex(corpusHashes, 8)))
+            Multimodal.buildFingerprintIndex(corpusHashes, 8)))
         val q = graft.streaming.StreamOps.audioNearDupAccumStream(
           spark, staging, newClips.schema, ref, out, Some(cp))
         try q.processAllAvailable() finally q.stop()
@@ -764,7 +764,7 @@ class StreamingSpec extends AnyFunSuite {
         .collect().toSeq
         .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
           r.getAs[Long]("hamming"))).sorted)
-    finally refs.values.foreach(r => Multimodal.releaseImageIndex(r.get()))
+    finally refs.values.foreach(r => Multimodal.releaseFingerprintIndex(r.get()))
   }
 
   test("checkpoint recovery: killed ACCUM IVF-MONITOR stream re-seeded from its durable save equals the uninterrupted run") {
