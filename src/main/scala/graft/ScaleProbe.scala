@@ -34,8 +34,12 @@ object ScaleProbe {
     "q_dedup_jaccard", "q_dedup_embedding_lsh", "q_text_dup_coverage",
     "q_text_span_dedup", "q_text_bpe_encode", "q_m_logistic_quality",
     "q_mm_image_neardup", "q_mm_video_frames", "q_mm_video_neardup",
-    "q_sim_ivf_topk", "q_pipeline_curation_manifest",
-    "q_x_pagerank", "q_x_hits")
+    "q_mm_audio_neardup", "q_sim_ivf_topk", "q_pipeline_curation_manifest",
+    "q_x_pagerank", "q_x_hits",
+    // Accum batch twins: index build + one absorb + a wave probe each —
+    // the per-wave cost cadence of the self-accumulating streams.
+    "q_st_dedup_accum", "q_st_image_accum", "q_st_audio_accum",
+    "q_st_embed_accum", "q_st_ivf_accum")
 
   private val DocShift = 10000000L
   private val OrderShift = 100000000L
@@ -108,6 +112,81 @@ object ScaleProbe {
     fh.unpersist(blocking = false)
     println(s"STRUCT $d video: frames=$frames distinct_hashes=$distinct " +
       f"dup_factor=${frames.toDouble / distinct}%.1f")
+    // Audio at its production threshold (8 → 9×7-bit bands, denser
+    // buckets than the image layout): Σ bucket² is the candidate-join
+    // cost driver, measured the same way that caught the image cliff.
+    val audHashes = Multimodal.audioFingerprint(spark,
+      Multimodal.packBaseAudio(spark, Tables.documents(spark, d))).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both layouts side by side: the 9×7-bit pigeonhole bands (the
+    // saturating layout the MIH cutover replaced at h=8) and the MIH
+    // exact-side keys actually used — sum_bucket_sq is the candidate
+    // cost driver for the banded join; MIH pays n×~718 probe rows
+    // against its (much shallower) exact buckets instead.
+    def bandStats(keys: DataFrame, tag: String): Unit = {
+      val r = keys.groupBy("band_idx", "bval").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("buckets"), max(col("c")).as("max_depth"),
+          sum(col("c") * col("c")).as("sum_sq")).collect()(0)
+      println(s"STRUCT $d $tag: buckets=${r.getLong(0)} " +
+        s"max_depth=${r.getLong(1)} sum_bucket_sq=${r.getLong(2)}")
+    }
+    bandStats(Multimodal.bandedImageIds(audHashes, 8), "audio_bands_pigeonhole(h=8)")
+    bandStats(Multimodal.exactBandKeys(audHashes, 8), "audio_bands_mih(h=8)")
+    audHashes.unpersist(blocking = false)
+  }
+
+  /** The accum-stream cadence at scale, image family (the one VERDICT
+    * r11 named): build the corpus index, then flag+absorb 13 re-upload
+    * waves with the stream's maxLegs=24 budget — compaction must
+    * ENGAGE (13 absorbs × 2 legs + 2 base legs crosses 24) and the
+    * post-compaction probe must cost the same as the pre-compaction
+    * one. Prints per-wave flag/absorb seconds, the compaction events
+    * with their cost, and a final whole-batch probe timing. */
+  private def accumProbe(spark: SparkSession, d: String): Unit = {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val corpus = Multimodal.imageAHash(spark,
+      Multimodal.packBaseImages(spark, docs)).toDF()
+    var idx = Multimodal.buildFingerprintIndex(corpus, 6)
+    val newImgs = Multimodal.imageAHash(spark,
+      Multimodal.packReuploadImages(spark, docs)).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNew = newImgs.count()
+    val waves = 13
+    var flagS = 0.0
+    var absorbS = 0.0
+    var nCompact = 0
+    val t0 = System.nanoTime()
+    for (w <- 0 until waves) {
+      val wave = newImgs.filter(pmod(col("img_id"), lit(waves)) === w.toLong)
+      val tf = System.nanoTime()
+      val flagged = Multimodal.flagAgainstFingerprintIndex(wave, idx)
+      flagS += (System.nanoTime() - tf) / 1e9
+      operators.Lifecycle.release(flagged)
+      val ta = System.nanoTime()
+      val absorbed = Multimodal.absorbIntoFingerprintIndex(idx, wave)
+      idx =
+        if (absorbed.cached.length >= 24) {
+          nCompact += 1
+          val tc = System.nanoTime()
+          val c = Multimodal.compactFingerprintIndex(absorbed)
+          println(f"ACCUM $d compaction#$nCompact at wave $w: " +
+            f"legs ${absorbed.cached.length}%d→${c.cached.length}%d " +
+            f"in ${(System.nanoTime() - tc) / 1e9}%.1f s")
+          c
+        } else absorbed
+      absorbS += (System.nanoTime() - ta) / 1e9
+    }
+    val tp = System.nanoTime()
+    val probe = Multimodal.flagAgainstFingerprintIndex(newImgs, idx)
+    val probed = (System.nanoTime() - tp) / 1e9
+    operators.Lifecycle.release(probe)
+    newImgs.unpersist(blocking = false)
+    Multimodal.releaseFingerprintIndex(idx)
+    println(f"ACCUM $d image: new=$nNew%d waves=$waves " +
+      f"flag=${flagS}%.1f s absorb=${absorbS}%.1f s " +
+      f"compactions=$nCompact total=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"final_probe=${probed}%.1f s legs=${idx.cached.length}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,9 +210,14 @@ object ScaleProbe {
         }
       }
     })
-    val selected = args.lift(3).map(_.split(',').toSeq).getOrElse(ProbeQueries)
+    // Subset arg may include the pseudo-entries "struct" and "accum" to
+    // run those sections without the full query sweep.
+    val selectedRaw = args.lift(3).map(_.split(',').toSeq)
+      .getOrElse("struct" +: "accum" +: ProbeQueries)
+    val selected = selectedRaw.filterNot(Set("struct", "accum"))
     for (d <- Seq(base, out)) {
-      if (args.lift(3).isEmpty) structure(spark, d)
+      if (selectedRaw.contains("struct")) structure(spark, d)
+      if (selectedRaw.contains("accum")) accumProbe(spark, d)
       for (name <- selected) {
         val t0 = System.nanoTime()
         val (m0, d0) = (spillMem.get(), spillDisk.get())

@@ -31,14 +31,24 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     s
   }
 
+  // Locals MUST come from freshName: two dotp calls landing in one
+  // generated scope (e.g. a collapsed projection evaluating several
+  // hyperplane dots, or a filter predicate inlining a dot twice)
+  // otherwise redeclare `i`/`n`/`s` — Janino rejects the class and the
+  // whole operator silently falls back to interpreter mode, which is
+  // exactly the boxed-lambda cost this Expression exists to avoid.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-         |${ev.value} = s;
-       """.stripMargin)
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

@@ -932,6 +932,17 @@ object Multimodal {
     * pass runs ONCE, not once per join side, and released before
     * returning ([[Dedup.materializeThenRelease]] lifecycle). */
   def imageNearDup(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val (pairs, h, members, dh) = imageNearDupPlan(hashes, maxHamming)
+    Dedup.materializeThenRelease(pairs, h, members, dh)
+  }
+
+  /** [[imageNearDup]] UP TO the checkpoint: the un-materialized pair
+    * plan plus the three persisted frames, so PlanHygieneSpec can pin
+    * the distinct-hash compression shape (the checkpoint in the public
+    * operator destroys the lineage a plan assertion needs). Callers
+    * must unpersist all three frames. */
+  private[graft] def imageNearDupPlan(hashes: DataFrame, maxHamming: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // DISTINCT-HASH compression (the [[videoNearDup]] discipline,
     // pulled down to the still-image path by the round-11 10× scale
@@ -952,9 +963,16 @@ object Multimodal {
     val members = h.select(col("img_id"), hid).persist(lvl)
     val dh = h.select(hid, col("b0"), col("b1"), col("b2"), col("b3"))
       .distinct().persist(lvl)
-    val banded = bandedImageIds(dh.withColumnRenamed("hid", "img_id"), maxHamming)
-    val ba = banded.toDF("hid_a", "a_band_idx", "a_bval")
-    val bb = banded.toDF("hid_b", "b_band_idx", "b_bval")
+    // Threshold-adaptive blocking: probe-side keys joined against
+    // exact-side keys (identical frames below the MIH cutover; probe
+    // enumerates ≤e flips above it — band distance is symmetric, so
+    // catching each unordered pair in the hid_a < hid_b orientation
+    // is sufficient).
+    val dhKeyed = dh.withColumnRenamed("hid", "img_id")
+    val ba = probeBandKeys(dhKeyed, maxHamming)
+      .toDF("hid_a", "a_band_idx", "a_bval")
+    val bb = exactBandKeys(dhKeyed, maxHamming)
+      .toDF("hid_b", "b_band_idx", "b_bval")
     val cand = ba.join(bb, col("a_band_idx") === col("b_band_idx") &&
         col("a_bval") === col("b_bval") && col("hid_a") < col("hid_b"))
       .select("hid_a", "hid_b").distinct()
@@ -978,7 +996,7 @@ object Multimodal {
     val pairs = offDiag.unionByName(onDiag)
       .select(least(col("ia"), col("ib")).as("img_a"),
         greatest(col("ia"), col("ib")).as("img_b"), col("hamming"))
-    Dedup.materializeThenRelease(pairs, h, members, dh)
+    (pairs, h, members, dh)
   }
 
   /** Clip-level video near-dup from per-frame fingerprints — EXACT for
@@ -1033,9 +1051,16 @@ object Multimodal {
       .agg(count(lit(1)).as("cnt"))
       .persist(lvl)
     val dh = hv.select("hid", "b0", "b1", "b2", "b3").distinct().persist(lvl)
-    val banded = bandedImageIds(dh.withColumnRenamed("hid", "img_id"), maxHamming)
-    val ba = banded.toDF("hid_a", "a_band_idx", "a_bval")
-    val bb = banded.toDF("hid_b", "b_band_idx", "b_bval")
+    // Threshold-adaptive blocking: probe-side keys joined against
+    // exact-side keys (identical frames below the MIH cutover; probe
+    // enumerates ≤e flips above it — band distance is symmetric, so
+    // catching each unordered pair in the hid_a < hid_b orientation
+    // is sufficient).
+    val dhKeyed = dh.withColumnRenamed("hid", "img_id")
+    val ba = probeBandKeys(dhKeyed, maxHamming)
+      .toDF("hid_a", "a_band_idx", "a_bval")
+    val bb = exactBandKeys(dhKeyed, maxHamming)
+      .toDF("hid_b", "b_band_idx", "b_bval")
     val cand = ba.join(bb, col("a_band_idx") === col("b_band_idx") &&
         col("a_bval") === col("b_bval") && col("hid_a") < col("hid_b"))
       .select("hid_a", "hid_b").distinct()
@@ -1083,6 +1108,92 @@ object Multimodal {
         col("b.bval").as("bval"))
   }
 
+  // --------------------------- multi-index Hamming (dense fingerprint spaces)
+
+  /** Threshold at or above which the banded blocking switches from
+    * pigeonhole bands (maxHamming+1 bands of 64/(maxHamming+1) bits) to
+    * MULTI-INDEX HAMMING (3 wide bands + probe enumeration). The
+    * round-12 10× probe measured why: at threshold 8 the pigeonhole
+    * layout leaves 7-bit band values — 128 possible buckets per band,
+    * which ANY corpus beyond ~10k fingerprints saturates, making
+    * Σ bucket² structurally quadratic (12.4M at sf0.1 → 1.24B at 10×,
+    * ×100 — the audio family's cliff; distinct-hash compression can't
+    * help because audio fingerprints are near-distinct). MIH (Norouzi,
+    * Punjani, Fleet: "Fast Search in Hamming Space with Multi-Index
+    * Hashing", CVPR 2012) blocks on 3 bands of 22/21/21 bits and
+    * enumerates every ≤⌊h/3⌋-bit flip of the PROBE side's band values:
+    * the generalized pigeonhole — if all 3 bands differed by more than
+    * ⌊h/3⌋, the total would exceed 3·(⌊h/3⌋+1) > h — makes candidate
+    * recall exact, while bucket space grows to 2²¹ and join work drops
+    * from Σ bucket² to n·(enumeration ≈ 718 at h=8) + near-pair
+    * collisions. Small thresholds keep the simple layout: enumeration
+    * grows as C(width, ≤e) while narrow bands only saturate when the
+    * threshold (hence band count) is large. */
+  private val MihCutover = 7
+
+  private[graft] def useMih(maxHamming: Int): Boolean = maxHamming >= MihCutover
+
+  /** 3 MIH bands over the 64-bit hash: 22 + 21 + 21 bits. */
+  private[graft] val mihRanges: Seq[Range] = Seq(0 until 22, 22 until 43, 43 until 64)
+
+  /** Per-band error budget e = ⌊h/3⌋ (3·(e+1) > h — pigeonhole). */
+  private def mihErrors(maxHamming: Int): Int = maxHamming / 3
+
+  /** All XOR masks with at most e bits set within `width` bits,
+    * ascending popcount — the probe enumeration (254 masks at width 22,
+    * e = 2). */
+  private def mihMasks(width: Int, e: Int): Seq[Long] =
+    (0 to e).flatMap {
+      case 0 => Seq(0L)
+      case k => (0 until width).combinations(k)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq
+    }
+
+  /** Threshold-adaptive blocking keys, EXACT side (what gets indexed):
+    * MIH bands at high thresholds, pigeonhole bands below the cutover.
+    * Pair with [[probeBandKeys]] — a probe row must be joined against
+    * keys of the SAME scheme. */
+  private[graft] def exactBandKeys(h: DataFrame, maxHamming: Int): DataFrame =
+    if (useMih(maxHamming)) mihExactIds(h) else bandedImageIds(h, maxHamming)
+
+  /** Threshold-adaptive blocking keys, PROBE side (what scans the
+    * index): enumerated ≤e-flip variants under MIH, plain band values
+    * below the cutover (where the probe and exact sides coincide). */
+  private[graft] def probeBandKeys(h: DataFrame, maxHamming: Int): DataFrame =
+    if (useMih(maxHamming)) mihProbeIds(h, maxHamming)
+    else bandedImageIds(h, maxHamming)
+
+  /** EXACT-side MIH keys: (img_id, band_idx, bval) under [[mihRanges]]. */
+  private[graft] def mihExactIds(h: DataFrame): DataFrame = {
+    val bandStructs = mihRanges.zipWithIndex.map { case (r, k) =>
+      struct(lit(k).as("band_idx"), bandValue(r).as("bval"))
+    }
+    h.select(col("img_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("img_id"), col("b.band_idx").as("band_idx"),
+        col("b.bval").as("bval"))
+  }
+
+  /** PROBE-side MIH keys: every ≤e-bit flip of every band value —
+    * (img_id, band_idx, bval) rows, ~718 per hash at h=8. The
+    * expansion is a BROADCAST join of the exact keys against the tiny
+    * (band_idx, mask) table — one XOR per output row. (A first cut
+    * exploded a literal mask array over a per-row band-value array;
+    * generator/project collapsing re-evaluated the ~64-shift band
+    * construction once per OUTPUT row, ~700× per hash — the join form
+    * computes each band value exactly once.) */
+  private[graft] def mihProbeIds(h: DataFrame, maxHamming: Int): DataFrame = {
+    val e = mihErrors(maxHamming)
+    val spark = h.sparkSession
+    import spark.implicits._
+    val masks = mihRanges.zipWithIndex.flatMap { case (r, k) =>
+      mihMasks(r.length, e).map(m => (k, m))
+    }.toDF("band_idx", "mask")
+    exactBandKeys(h, maxHamming)
+      .join(broadcast(masks), Seq("band_idx"))
+      .select(col("img_id"), col("band_idx"),
+        col("bval").bitwiseXOR(col("mask")).as("bval"))
+  }
+
   // ------------------------------------ incremental (streaming) image dedup
 
   /** Prebuilt aHash band index over a corpus of image hashes — the
@@ -1101,19 +1212,60 @@ object Multimodal {
     * unpersisting a union frame is a silent no-op — release must walk
     * the legs. */
   /** Same `lastBatchId` absorb-watermark contract as
-    * [[graft.operators.Dedup.CorpusIndex]]. */
-  case class FingerprintIndex(bands: DataFrame, hashes: DataFrame, maxHamming: Int,
-                        cached: Seq[DataFrame] = Nil, lastBatchId: Long = -1L)
+    * [[graft.operators.Dedup.CorpusIndex]].
+    *
+    * DISTINCT-HASH COMPRESSION (the round-12 10× probe finding — the
+    * same cliff [[imageNearDup]] closed in round 11, reproduced in the
+    * PROBE path): `bands` holds the blocking keys of DISTINCT hash
+    * values only, and `hashMin` carries one row per distinct hash with
+    * the smallest member id. A saturated corpus (logos, icons, ramp
+    * patterns — the 10× fixture measures raw-row Σ bucket² at 753M vs
+    * 7.5M distinct) would otherwise pay duplication² in every per-wave
+    * candidate join; hash-level candidates shrink that by the factor
+    * squared, and best-match semantics survive exactly because every
+    * member of an index hash sits at the SAME Hamming distance from a
+    * probe hash — (min hamming, then min img_id) over images equals
+    * (min hamming, then min member) over hashes. `hashes` keeps the
+    * raw rows as the durable source of truth for save/load. */
+  case class FingerprintIndex(bands: DataFrame, hashMin: DataFrame,
+                              hashes: DataFrame, maxHamming: Int,
+                              cached: Seq[DataFrame] = Nil,
+                              lastBatchId: Long = -1L)
+
+  /** The 64-bit hash identity packed from the four stored 16-bit words
+    * — shared by [[imageNearDup]]'s compression and the index legs. */
+  private def hidCol: org.apache.spark.sql.Column =
+    col("b0").bitwiseOR(shiftleft(col("b1"), 16))
+      .bitwiseOR(shiftleft(col("b2"), 32))
+      .bitwiseOR(shiftleft(col("b3"), 48))
+
+  /** One compressed index leg from a raw (img_id, b0..b3) frame: the
+    * distinct-hash min-member table and its band keys, both persisted
+    * and materialized (bounded metadata actions — a probe must never
+    * re-run the leg build). */
+  private def fingerprintLeg(raw: DataFrame, maxHamming: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val h = raw.persist(lvl)
+    val hm = h.select(col("img_id"), hidCol.as("hid"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+      .groupBy("hid", "b0", "b1", "b2", "b3")
+      .agg(min(col("img_id")).as("min_img"))
+      .persist(lvl)
+    val bands = exactBandKeys(
+        hm.select(col("hid").as("img_id"), col("b0"), col("b1"),
+          col("b2"), col("b3")), maxHamming)
+      .withColumnsRenamed(Map("img_id" -> "hid"))
+      .persist(lvl)
+    bands.count()
+    hm.count()
+    h.count()
+    (bands, hm, h)
+  }
 
   def buildFingerprintIndex(corpusHashes: DataFrame, maxHamming: Int): FingerprintIndex = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val h = corpusHashes.persist(lvl)
-    val bands = bandedImageIds(h, maxHamming).persist(lvl)
-    // Materialize up front (bounded metadata actions): the first
-    // micro-batch must not absorb the corpus hash + band build.
-    bands.count()
-    h.count()
-    FingerprintIndex(bands, h, maxHamming, Seq(bands, h))
+    val (bands, hm, h) = fingerprintLeg(corpusHashes, maxHamming)
+    FingerprintIndex(bands, hm, h, maxHamming, Seq(bands, hm, h))
   }
 
   /** Fold a new wave's fingerprints INTO the index — the media twin of
@@ -1133,13 +1285,14 @@ object Multimodal {
     * [[releaseFingerprintIndex]]; superseded index values share their legs
     * with the successor, so only the last one must be released. */
   def absorbIntoFingerprintIndex(index: FingerprintIndex, newHashes: DataFrame): FingerprintIndex = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nh = newHashes.persist(lvl)
-    val nb = bandedImageIds(nh, index.maxHamming).persist(lvl)
-    nb.count()
-    nh.count()
-    FingerprintIndex(index.bands.unionByName(nb), index.hashes.unionByName(nh),
-      index.maxHamming, index.cached ++ Seq(nb, nh), index.lastBatchId)
+    val (nb, nm, nh) = fingerprintLeg(newHashes, index.maxHamming)
+    // A hid may repeat across legs (the same fingerprint arriving in two
+    // waves): band candidates dedup at probe time and the best-match
+    // window minimizes over the duplicate rows, so the union stays
+    // probe-exact; compaction re-aggregates to true distinct.
+    FingerprintIndex(index.bands.unionByName(nb),
+      index.hashMin.unionByName(nm), index.hashes.unionByName(nh),
+      index.maxHamming, index.cached ++ Seq(nb, nm, nh), index.lastBatchId)
   }
 
   /** Flag one NEW image batch against a prebuilt [[FingerprintIndex]]: banded
@@ -1155,36 +1308,49 @@ object Multimodal {
                                   index: FingerprintIndex,
                                   idOut: String = "img_new"): DataFrame = {
     val maxHamming = index.maxHamming
-    val nh = newHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nb = bandedImageIds(nh, maxHamming)
-      .withColumnsRenamed(Map("img_id" -> "img_new"))
-    val ob = index.bands.withColumnsRenamed(Map("img_id" -> "img_old"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Batch side compresses too: candidates are hash×hash, expanded
+    // back to images only after verification.
+    val nh = newHashes.select(col("img_id"), hidCol.as("hid")).persist(lvl)
+    val nd = newHashes.select(hidCol.as("hid"),
+        col("b0"), col("b1"), col("b2"), col("b3"))
+      .distinct().persist(lvl)
+    val nb = probeBandKeys(
+        nd.select(col("hid").as("img_id"), col("b0"), col("b1"),
+          col("b2"), col("b3")), maxHamming)
+      .withColumnsRenamed(Map("img_id" -> "hid_n"))
+    val ob = index.bands.withColumnsRenamed(Map("hid" -> "hid_o"))
     val cand = nb.join(ob, Seq("band_idx", "bval"))
-      .select(col("img_new"), col("img_old")).distinct()
+      .select(col("hid_n"), col("hid_o")).distinct()
     val verified = cand
-      .join(nh.toDF("img_new", "n_b0", "n_b1", "n_b2", "n_b3"), Seq("img_new"))
-      .join(index.hashes.toDF("img_old", "o_b0", "o_b1", "o_b2", "o_b3"),
-        Seq("img_old"))
-      .select(col("img_new"), col("img_old"),
+      .join(nd.toDF("hid_n", "n_b0", "n_b1", "n_b2", "n_b3"), Seq("hid_n"))
+      .join(index.hashMin.toDF("hid_o", "o_b0", "o_b1", "o_b2", "o_b3",
+        "min_img"), Seq("hid_o"))
+      .select(col("hid_n"), col("min_img"),
         (expr("bit_count(n_b0 ^ o_b0) + bit_count(n_b1 ^ o_b1)") +
           expr("bit_count(n_b2 ^ o_b2) + bit_count(n_b3 ^ o_b3)"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // Best corpus match per new HASH = best per new image (every member
+    // of an index hash has the same distance; min_img is the in-hash
+    // tie-break, the window handles cross-hash and cross-leg ties).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("img_new").orderBy(col("hamming").asc, col("img_old").asc)
-    val best = verified.withColumn("rn", row_number().over(w))
+      .partitionBy("hid_n").orderBy(col("hamming").asc, col("min_img").asc)
+    val bestHash = verified.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      // The index is modality-agnostic; the probe id column is named by
-      // the caller (audio passes "clip_new") so query layers don't
-      // rename after the fact.
-      .select(col("img_new").as(idOut), col("img_old").as("best_match"),
-        col("hamming"))
-    Dedup.materializeThenRelease(best, nh)
+      .select(col("hid_n"), col("min_img").as("best_match"), col("hamming"))
+    // The index is modality-agnostic; the probe id column is named by
+    // the caller (audio passes "clip_new") so query layers don't
+    // rename after the fact.
+    val best = nh.withColumnsRenamed(Map("hid" -> "hid_n"))
+      .join(bestHash, Seq("hid_n"))
+      .select(col("img_id").as(idOut), col("best_match"), col("hamming"))
+    Dedup.materializeThenRelease(best, nh, nd)
   }
 
   def releaseFingerprintIndex(index: FingerprintIndex): Unit = {
     val legs = if (index.cached.nonEmpty) index.cached
-      else Seq(index.bands, index.hashes)
+      else Seq(index.bands, index.hashMin, index.hashes)
     legs.foreach(_.unpersist(blocking = false))
   }
 
@@ -1194,15 +1360,29 @@ object Multimodal {
     * unchanged. No-op on an unabsorbed index (its frames ARE the only
     * cached copies). */
   def compactFingerprintIndex(index: FingerprintIndex): FingerprintIndex =
-    if (index.cached.length <= 2) index
+    if (index.cached.length <= 3) index
     else {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val bands = index.bands.persist(lvl)
+      // Re-aggregate to TRUE distinct across legs (a hid absorbed by
+      // several waves collapses back to one row, min over members) and
+      // re-derive its band keys — cheap, the distinct set is small by
+      // construction; raw hashes just re-materialize their union.
+      val hm = index.hashMin
+        .groupBy("hid", "b0", "b1", "b2", "b3")
+        .agg(min(col("min_img")).as("min_img"))
+        .persist(lvl)
+      val bands = exactBandKeys(
+          hm.select(col("hid").as("img_id"), col("b0"), col("b1"),
+            col("b2"), col("b3")), index.maxHamming)
+        .withColumnsRenamed(Map("img_id" -> "hid"))
+        .persist(lvl)
       val h = index.hashes.persist(lvl)
       bands.count()
+      hm.count()
       h.count()
       index.cached.foreach(_.unpersist(blocking = false))
-      FingerprintIndex(bands, h, index.maxHamming, Seq(bands, h), index.lastBatchId)
+      FingerprintIndex(bands, hm, h, index.maxHamming, Seq(bands, hm, h),
+        index.lastBatchId)
     }
 
   /** Durable restart contract — the image twin of

@@ -118,14 +118,16 @@ class IndexDurabilitySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
 
-  test("compactFingerprintIndex: probe-identical, legs collapse to 2, no-op when unabsorbed") {
+  test("compactFingerprintIndex: probe-identical, legs collapse to 3, no-op when unabsorbed") {
     val base = Multimodal.buildFingerprintIndex(imgCorpus, 6)
     assert(Multimodal.compactFingerprintIndex(base) eq base)
     val absorbed = Multimodal.absorbIntoFingerprintIndex(base, imgWave(1))
-    assert(absorbed.cached.length == 4)
+    // 3 legs per wave since the distinct-hash compression (bands +
+    // hashMin + raw hashes).
+    assert(absorbed.cached.length == 6)
     val want = imgProbe(absorbed)
     val compacted = Multimodal.compactFingerprintIndex(absorbed)
-    assert(compacted.cached.length == 2)
+    assert(compacted.cached.length == 3)
     val got = imgProbe(compacted)
     Multimodal.releaseFingerprintIndex(compacted)
     assert(got.nonEmpty && got == want)

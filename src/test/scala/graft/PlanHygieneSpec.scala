@@ -179,6 +179,41 @@ class PlanHygieneSpec extends AnyFunSuite {
     } finally { hv.unpersist(); dh.unpersist() }
   }
 
+  test("imageNearDup: banded candidate join consumes DISTINCT hashes, not raw images") {
+    // r11's probe-driven win (705 s / 27 GB spill → 82 s spill-free at
+    // 10×) pulled videoNearDup's distinct-hash compression into the
+    // still-image path; this is the guard the video plan already has —
+    // a refactor must not silently re-band raw per-image hash rows.
+    // Every join keyed on the band value must have a DEDUPLICATION
+    // (the distinct over (hid, b0..b3)) beneath BOTH inputs.
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val hashes = Multimodal.imageAHash(spark,
+      Multimodal.packImageVariants(spark, docs)).toDF()
+    val (out, h, members, dh) = Multimodal.imageNearDupPlan(hashes, 6)
+    try {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
+      val p = out.queryExecution.analyzed
+      val bandJoins = p.collect {
+        case j: Join
+          if j.condition.map(_.toString).getOrElse("").contains("bval") => j
+      }
+      assert(bandJoins.nonEmpty, s"expected a band-keyed candidate join:\n$p")
+      bandJoins.foreach { j =>
+        Seq(j.left, j.right).foreach { side =>
+          val dedups = side.collect {
+            case a: Aggregate
+              if a.groupingExpressions.exists(_.toString.contains("hid")) => a
+            case dd: Deduplicate
+              if dd.keys.exists(_.toString.contains("hid")) => dd
+          }
+          assert(dedups.nonEmpty,
+            s"band join side reads raw images (no hid dedup beneath):\n$side")
+        }
+      }
+    } finally { h.unpersist(); members.unpersist(); dh.unpersist() }
+  }
+
   test("no CartesianProduct in any query except the documented exact baseline") {
     // q_dedup_embedding is the deliberate exact all-pairs oracle baseline,
     // bounded to a vec_id slice — every other query must join with keys

@@ -780,7 +780,10 @@ class TextSpec extends AnyFunSuite {
     // The pigeonhole contract the DuckDB oracle now states as the
     // definition: for ANY threshold the banded join must return every
     // pair within it (the old fixed 4-band layout lost pairs at d > 3).
-    for (mh <- Seq(2, 6)) {
+    // 8 and 10 sit ABOVE the MIH cutover — they exercise the
+    // multi-index probe-enumeration path (3 wide bands, e = ⌊h/3⌋
+    // flips) against the same brute-force definition.
+    for (mh <- Seq(2, 6, 8, 10)) {
       val expect = (for {
         (ia, ha) <- rows; (ib, hb) <- rows
         if ia < ib && ham(ha, hb) <= mh
@@ -790,5 +793,35 @@ class TextSpec extends AnyFunSuite {
           r.getAs[Long]("hamming"))).toSet
       assert(got == expect, s"maxHamming=$mh")
     }
+  }
+
+  test("flagAgainstFingerprintIndex at an MIH threshold equals brute-force best match") {
+    // The audio family probes the index at threshold 8 — above the MIH
+    // cutover — so the corpus-vs-batch path must be recall-exact under
+    // probe enumeration too, including (min hamming, min img) tie-break
+    // and the distinct-hash expansion.
+    val docs = (0L until 25L).map((_, "ignored")).toDF("doc_id", "text")
+    val all = Multimodal.imageAHash(spark,
+      Multimodal.packImageVariants(spark, docs)).toDF()
+    val corpus = all.filter(col("img_id") % 3 =!= 0L)
+    val batch = all.filter(col("img_id") % 3 === 0L)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("img_id") ->
+        Seq("b0", "b1", "b2", "b3").map(r.getAs[Long](_)))
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val co = rowsOf(corpus)
+    val expect = rowsOf(batch).flatMap { case (in, hn) =>
+      val within = co.map { case (io, ho) => (io, ham(hn, ho)) }
+        .filter(_._2 <= 8L)
+      if (within.isEmpty) None
+      else Some((in, within.minBy { case (io, h) => (h, io) }))
+    }.map { case (in, (io, h)) => (in, io, h) }.toSet
+    val idx = Multimodal.buildFingerprintIndex(corpus, 8)
+    val got = Multimodal.flagAgainstFingerprintIndex(batch, idx).collect()
+      .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+        r.getAs[Long]("hamming"))).toSet
+    Multimodal.releaseFingerprintIndex(idx)
+    assert(expect.nonEmpty && got == expect)
   }
 }
