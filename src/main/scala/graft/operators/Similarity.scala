@@ -1038,6 +1038,72 @@ object Similarity {
     Dedup.materializeThenRelease(ranked, e)
   }
 
+  /** The 64-bit sign SKETCH of each normalized vector, stored as the
+    * fingerprint machinery's 4×16-bit words (b0..b3): bit i of word j
+    * is the sign of the dot against seeded hyperplane 16j+i. The same
+    * deterministic replay contract as [[bandedIds]] — the oracle
+    * recomputes identical sketches in SQL. */
+  def binarySketch(e: DataFrame, dim: Int): DataFrame = {
+    val planes = hyperplanes(64, dim)
+    val words = (0 until 4).map { j =>
+      // cast: the SQL literal sum parses as INT (every 16-bit term fits)
+      // but the fingerprint machinery and the oracle compare 64-bit words
+      expr(signatureExpr(planes.slice(16 * j, 16 * j + 16)))
+        .cast("long").as(s"b$j")
+    }
+    e.select(Seq(col("vec_id")) ++ words: _*)
+  }
+
+  /** Binary-sketch Hamming ANN — the production 100 TB retrieval
+    * pattern (compact binary prefilter + exact re-rank): each vector
+    * folds to a 64-bit sign sketch ([[binarySketch]] — 32× smaller
+    * than the float vector); candidates are the query×corpus pairs
+    * whose sketches sit within Hamming ≤ `maxHamming`; exact cosine
+    * re-ranks candidates to top-k via the bounded [[heapTopK]]
+    * aggregator.
+    *
+    * The candidate pass is a BROADCAST BINARY SCAN (the faiss
+    * IndexBinaryFlat shape): the query sketches (5 longs each)
+    * broadcast to every partition and one xor+popcount pass streams
+    * the corpus — no shuffle, no index, memory traffic 32× below the
+    * float vectors. That is the right shape at retrieval radii:
+    * nearest neighbours of real-valued embeddings sit near Hamming
+    * ≈ bits·acos(cos)/π — a THIRD of the bits at cosine ~0.5 — where
+    * any blocking scheme degenerates (the MIH enumeration is
+    * C(width, ≤⌊h/m⌋) per band, astronomical at e ≥ 5, and band
+    * buckets stop being selective; measured on the synthetic corpus:
+    * min query-corpus Hamming 16–19/64). The MIH machinery keeps the
+    * NEAR-DUP radii (h ≲ 10) where it is exact and sub-linear — see
+    * [[graft.operators.Multimodal.probeBandKeys]]; this operator is
+    * the honest shape for the loose-radius regime.
+    *
+    * Determinism is what makes a full DuckDB oracle possible: SQL
+    * replays the seeded sketches and the same Hamming ≤ h candidate
+    * definition with a quadratic xor+bit_count join — the scan finds
+    * the identical set with an identical tie-break. */
+  def hammingAnnTopK(emb: DataFrame, queryPred: Column, k: Int, dim: Int,
+                     maxHamming: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = normalized(emb).persist(lvl)
+    val sk = binarySketch(e, dim).persist(lvl)
+    val q = sk.filter(queryPred).toDF("query_id", "q_b0", "q_b1", "q_b2", "q_b3")
+    val c = sk.toDF("vec_id", "c_b0", "c_b1", "c_b2", "c_b3")
+    val cand = c.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          (expr("bit_count(q_b0 ^ c_b0) + bit_count(q_b1 ^ c_b1)") +
+            expr("bit_count(q_b2 ^ c_b2) + bit_count(q_b3 ^ c_b3)"))
+            .cast("long") <= maxHamming)
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(e, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("dotp(qv, v)"), 6).as("cosine"))
+    val ranked = heapTopK(scored, "query_id", "cosine", "vec_id", k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+    Dedup.materializeThenRelease(ranked, e, sk)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of a keyword
     * ranking and a vector ranking for one query — the standard
     * hybrid-search combiner: rrf(d) = Σ_lists 1/(c + rank_list(d)),

@@ -22,6 +22,13 @@ object PipelinePack {
   private val JACCARD_MIN = 0.5
   private val HAMMING_MAX = 8
   private val COS_MIN = 0.35
+  /** Sketch-Hamming radius of the binary-ANN prefilter: sign sketches
+    * put neighbours near 64·acos(cos)/π bits — the synthetic corpus's
+    * nearest query-corpus pairs measure Hamming 16-19, so 20 admits
+    * every genuine neighbour with a few-per-query candidate budget
+    * (radii this loose are exactly the regime where the broadcast
+    * binary scan beats any blocking scheme — operator doc). */
+  private val HAM_ANN_MAX = 20
   private val TOPK = 10
   private val DIM = 64
   /** IVF coarse quantizer: vectors with `vec_id % CENT_STRIDE == 0` are
@@ -341,6 +348,16 @@ object PipelinePack {
     },
     "q_sim_ann_lsh" -> { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), col("vec_id") % 100 === 0, TOPK, 64)
+        .orderBy("query_id", "rn")
+    },
+    // Binary-sketch Hamming ANN: 64-bit sign sketch prefilter at
+    // Hamming <= HAM_ANN_MAX via a broadcast binary scan, exact-cosine
+    // re-rank. Unlike ann_lsh's band-collision candidates, the
+    // prefilter is a deterministic function of the data, so the oracle
+    // replays the whole definition.
+    "q_sim_hamming_ann" -> { (s, d) =>
+      Similarity.hammingAnnTopK(Tables.embeddings(s, d),
+          col("vec_id") % 100 === 0, TOPK, DIM, HAM_ANN_MAX)
         .orderBy("query_id", "rn")
     },
     "q_sim_ivf_topk" -> { (s, d) =>
@@ -2230,6 +2247,49 @@ object PipelinePack {
     // probing, exact scoring of probed lists — identical arithmetic
     // (sequential-fold dots) both engines, so assignment argmax and the
     // final ranking agree bit-for-bit.
+    // Binary-sketch Hamming ANN: the oracle replays the 64 seeded
+    // hyperplanes (grouped into the same 4x16-bit sign words Spark
+    // stores), then states the candidate DEFINITION - every
+    // query x corpus pair within sketch-Hamming HAM_ANN_MAX, via a
+    // quadratic xor+bit_count cross join - and the exact-cosine top-k
+    // over it. Spark finds the identical candidate set through the
+    // multi-index blocking instead of n^2 sketch pairs; same sums,
+    // same tie-break, hash-identical rows.
+    "q_sim_hamming_ann" ->
+      s"""WITH $normalizedCte,
+         |planes64(p_id, p) AS (VALUES
+         |    ${planesValuesSql(Similarity.hyperplanes(64, DIM))}),
+         |sw AS (
+         |  SELECT vec_id, CAST(p_id // 16 AS INT) AS w,
+         |         CAST(sum(CASE WHEN ${dotSql("v", "p")} > 0
+         |                       THEN (CAST(1 AS BIGINT) << (p_id % 16))
+         |                       ELSE 0 END) AS BIGINT) AS wv
+         |  FROM e, planes64 GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT vec_id,
+         |         max(CASE WHEN w = 0 THEN wv END) AS b0,
+         |         max(CASE WHEN w = 1 THEN wv END) AS b1,
+         |         max(CASE WHEN w = 2 THEN wv END) AS b2,
+         |         max(CASE WHEN w = 3 THEN wv END) AS b3
+         |  FROM sw GROUP BY vec_id),
+         |hc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id
+         |  FROM sk q JOIN sk c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |    AND bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) +
+         |        bit_count(xor(q.b2, c.b2)) + bit_count(xor(q.b3, c.b3))
+         |        <= $HAM_ANN_MAX),
+         |hs AS (SELECT hc.query_id, hc.vec_id,
+         |              round(${dotSql("a.v", "b.v")}, 6) AS cosine
+         |       FROM hc JOIN e a ON a.vec_id = hc.query_id
+         |               JOIN e b ON b.vec_id = hc.vec_id),
+         |hr AS (SELECT query_id, vec_id, cosine,
+         |              CAST(row_number() OVER (PARTITION BY query_id
+         |                   ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+         |       FROM hs)
+         |SELECT query_id, rn, vec_id, cosine FROM hr
+         |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
     "q_sim_ivf_topk" ->
       s"""WITH $normalizedCte,
          |$ivfCtes

@@ -502,4 +502,38 @@ class SimilaritySpec extends AnyFunSuite {
       r0.getAs[Double]("mean_sim_old") == 0.8 &&
       r0.isNullAt(r0.fieldIndex("mean_sim_new")))
   }
+
+  test("hammingAnnTopK equals the brute-force sketch-scan definition") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val k = 5
+    val h = 20
+    // Driver-side brute force over the SAME sketches: candidates =
+    // query x corpus within sketch-Hamming h, exact cosine over the
+    // normalized vectors, top-k by (cosine desc, vec_id asc).
+    val e = Similarity.normalized(emb)
+    val sk = Similarity.binarySketch(e, 64).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        Seq("b0", "b1", "b2", "b3").map(r.getAs[Long](_))).toMap
+    val vs = e.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    def ham(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = sk.keys.filter(_ % 100 == 0).flatMap { q =>
+      sk.keys.filter(c => c != q && ham(sk(q), sk(c)) <= h)
+        .map(c => (q, c, cos(vs(q), vs(c)))).toSeq
+        .sortBy { case (_, c, s) => (-s, c) }.take(k).zipWithIndex
+        .map { case ((qq, c, s), i) => (qq, (i + 1).toLong, c, s) }
+    }.toSet
+    val got = Similarity.hammingAnnTopK(emb, col("vec_id") % 100 === 0, k, 64, h)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "radius 20 must admit candidates on this corpus")
+  }
 }
