@@ -42,20 +42,27 @@ object Similarity {
       .select(col("vec_id"), transform(col("raw"), x => x / col("nrm")).as("v"))
   }
 
-  /** [[normalized]] restricted to nonzero-norm vectors. A zero vector
-    * has no direction: dividing by its 0 norm yields NaN components,
-    * and every cosine against it is NaN — which silently fails a
-    * `>= minCos` filter instead of erroring, so the vector just never
-    * matches anything and never gets flagged. The embedding-index
-    * build / probe / absorb paths drop such vectors here (same policy
-    * as the Matryoshka prefix path, which documents dropping zero-norm
-    * prefixes) rather than carrying NaN rows through the band joins. */
+  /** [[normalized]] with a zero-norm guard. A zero vector has no
+    * direction: dividing by its 0 norm yields NaN components, and every
+    * cosine against it is NaN — which silently fails a `>= minCos`
+    * filter instead of erroring, so the vector never matches anything
+    * without any hint why. The guard emits `v = NULL` for zero-norm
+    * inputs (a null cosine fails every threshold DETERMINISTICALLY,
+    * same protective outcome) — and it lives INSIDE the projection, as
+    * a `when`, on purpose: a `.filter(nrm > 0)` variant was 10× slower
+    * end-to-end, because predicate pushdown substitutes the whole
+    * upstream lambda chain into the filter condition and evaluates it
+    * at the scan, outside codegen, duplicating every transform feeding
+    * this operator (measured on q_st_embed_accum: 1.6 s → 10.5 s; the
+    * plan showed dotp(transform(transform(...))) inlined twice into a
+    * non-codegen Filter under the parquet scan). */
   def normalizedNonZero(emb: DataFrame): DataFrame = {
     DotProduct.register(emb.sparkSession)
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("raw"))
       .withColumn("nrm", sqrt(expr("dotp(raw, raw)")))
-      .filter(col("nrm") > 0)
-      .select(col("vec_id"), transform(col("raw"), x => x / col("nrm")).as("v"))
+      .select(col("vec_id"),
+        when(col("nrm") > 0,
+          transform(col("raw"), x => x / col("nrm"))).as("v"))
   }
 
   /** Rank scored (group, score, id) rows to the top k per group via the

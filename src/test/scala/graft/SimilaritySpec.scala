@@ -536,4 +536,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty, "radius 20 must admit candidates on this corpus")
   }
+
+  test("zero-norm vectors get null v and never match in the embedding-index paths") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Similarity}
+    // vec 1 is a near-dup of vec 2; vec 99 is the zero vector.
+    val rows = Seq(
+      (1L, Seq.fill(4)(0.5)), (2L, Seq(0.5, 0.5, 0.5, 0.45)),
+      (99L, Seq.fill(4)(0.0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val n = Similarity.normalizedNonZero(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> Option(r.get(1))).toMap
+    assert(n(99L).isEmpty, "zero-norm vector must normalize to NULL, not NaN")
+    assert(n(1L).nonEmpty && n(2L).nonEmpty)
+    // End to end: a zero vector in the corpus AND in the batch is never
+    // flagged and never surfaces as a best match (a NaN cosine would
+    // also fail the threshold, but null does so deterministically and
+    // cheaply — the guard lives inside the projection, not a filter,
+    // because pushdown inlines filter predicates into the scan).
+    val idx = Dedup.buildEmbeddingIndex(emb, 4)
+    val batch = Seq((11L, Seq(0.5, 0.5, 0.5, 0.48)), (98L, Seq.fill(4)(0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.flagAgainstEmbeddingIndex(batch, idx, 0.5).collect()
+      .map(r => (r.getAs[Long]("vec_new"), r.getAs[Long]("best_match")))
+    Dedup.releaseEmbeddingIndex(idx)
+    assert(got.nonEmpty && got.forall { case (nw, bm) => nw == 11L && bm != 99L })
+  }
 }
