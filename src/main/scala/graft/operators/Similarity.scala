@@ -1111,6 +1111,119 @@ object Similarity {
     Dedup.materializeThenRelease(ranked, e, sk)
   }
 
+  // ---------------------------------- accumulating sketch-ANN serving index
+
+  /** Accumulating binary-sketch retrieval index — the SERVING face of
+    * [[hammingAnnTopK]] and the newest member of the accumulating-index
+    * family ([[graft.operators.Dedup.CorpusIndex]] /
+    * [[graft.operators.Multimodal.FingerprintIndex]] / [[IvfIndex]]):
+    * the corpus's normalized vectors + 64-bit sign sketches persist as
+    * cached legs; arriving query batches broadcast-scan the sketches
+    * (xor+popcount prefilter at `maxHamming`, exact-cosine re-rank);
+    * accepted batches ABSORB so later queries retrieve against
+    * everything already ingested. Same `cached`-legs / compaction /
+    * `lastBatchId` absorb-watermark / durable save-load contract as
+    * the other index types. */
+  case class SketchIndex(sketches: DataFrame, vectors: DataFrame, dim: Int,
+                         maxHamming: Int, cached: Seq[DataFrame] = Nil,
+                         lastBatchId: Long = -1L)
+
+  /** One persisted leg (sketches + vectors) from an ALREADY-normalized
+    * (vec_id, v) frame — shared by build, absorb and load. */
+  private def sketchLeg(e0: DataFrame, dim: Int): (DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = e0.persist(lvl)
+    val sk = binarySketch(e, dim).persist(lvl)
+    sk.count()
+    e.count()
+    (sk, e)
+  }
+
+  def buildSketchIndex(emb: DataFrame, dim: Int, maxHamming: Int): SketchIndex = {
+    val (sk, e) = sketchLeg(normalizedNonZero(emb), dim)
+    SketchIndex(sk, e, dim, maxHamming, Seq(sk, e))
+  }
+
+  def absorbIntoSketchIndex(index: SketchIndex, newEmb: DataFrame): SketchIndex = {
+    val (sk, e) = sketchLeg(normalizedNonZero(newEmb), index.dim)
+    SketchIndex(index.sketches.unionByName(sk), index.vectors.unionByName(e),
+      index.dim, index.maxHamming, index.cached ++ Seq(sk, e),
+      index.lastBatchId)
+  }
+
+  /** Top-k retrieval of one QUERY batch against the index: the query
+    * sketches broadcast (a batch is small by construction), one
+    * xor+popcount pass streams the corpus sketch legs, exact cosine
+    * re-ranks survivors through the bounded heap. Per-batch cost is
+    * |corpus|·|batch| popcounts + |candidates| dots — no shuffle of
+    * the corpus, no index rebuild. */
+  def topKAgainstSketchIndex(queryEmb: DataFrame, index: SketchIndex,
+                             k: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val qe = normalizedNonZero(queryEmb).persist(lvl)
+    val qsk = binarySketch(qe, index.dim)
+      .toDF("query_id", "q_b0", "q_b1", "q_b2", "q_b3")
+    val c = index.sketches.toDF("vec_id", "c_b0", "c_b1", "c_b2", "c_b3")
+    val cand = c.join(broadcast(qsk),
+        col("vec_id") =!= col("query_id") &&
+          (expr("bit_count(q_b0 ^ c_b0) + bit_count(q_b1 ^ c_b1)") +
+            expr("bit_count(q_b2 ^ c_b2) + bit_count(q_b3 ^ c_b3)"))
+            .cast("long") <= index.maxHamming)
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand
+      .join(qe.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        Seq("query_id"))
+      .join(index.vectors, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("dotp(qv, v)"), 6).as("cosine"))
+    val ranked = heapTopK(scored, "query_id", "cosine", "vec_id", k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
+    Dedup.materializeThenRelease(ranked, qe)
+  }
+
+  def releaseSketchIndex(index: SketchIndex): Unit = {
+    val legs = if (index.cached.nonEmpty) index.cached
+      else Seq(index.sketches, index.vectors)
+    legs.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Leg compaction — probe-identical, collapses to one persisted leg
+    * per frame, no-op on an unabsorbed index. */
+  def compactSketchIndex(index: SketchIndex): SketchIndex =
+    if (index.cached.length <= 2) index
+    else {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sk = index.sketches.persist(lvl)
+      val e = index.vectors.persist(lvl)
+      sk.count()
+      e.count()
+      index.cached.foreach(_.unpersist(blocking = false))
+      SketchIndex(sk, e, index.dim, index.maxHamming, Seq(sk, e),
+        index.lastBatchId)
+    }
+
+  /** Durable restart contract — the normalized vector table is the
+    * source of truth (sketches re-derive from the seeded hyperplanes);
+    * dim/threshold/absorb-watermark ride in the meta sidecar. */
+  def saveSketchIndex(index: SketchIndex, path: String): Unit = {
+    index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    Seq((index.dim, index.maxHamming, index.lastBatchId))
+      .toDF("dim", "max_hamming", "last_batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadSketchIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): SketchIndex = {
+    graft.functions.DotProduct.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (sk, e) = sketchLeg(spark.read.parquet(s"$path/vectors"),
+      meta.getAs[Int]("dim"))
+    SketchIndex(sk, e, meta.getAs[Int]("dim"), meta.getAs[Int]("max_hamming"),
+      Seq(sk, e), meta.getAs[Long]("last_batch_id"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of a keyword
     * ranking and a vector ranking for one query — the standard
     * hybrid-search combiner: rrf(d) = Σ_lists 1/(c + rank_list(d)),

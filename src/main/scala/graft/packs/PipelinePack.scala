@@ -442,6 +442,32 @@ object PipelinePack {
       Dedup.releaseEmbeddingIndex(idx)
       out.orderBy("vec_new")
     },
+    // SELF-ACCUMULATING sketch-ANN serving (the batch face of
+    // StreamOps.hammingAnnAccumStream): the index absorbs wave 1
+    // (mixed re-embeds, +1e6) before wave 2 (double-mixed, +2e6)
+    // queries it top-k — wave-2 queries are strictly closer to their
+    // wave-1 siblings than to the corpus originals, so only an index
+    // that absorbed wave 1 returns the right neighbours. Answers are
+    // ranked by exact cosine over the sketch-Hamming prefilter, both
+    // replayed verbatim by the oracle.
+    "q_st_hamming_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(pmod(col("vec_id"), lit(INC_MOD)) === INC_REM)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val mix = s"transform(embedding, (x, i) -> " +
+        s"x + 0.25D * element_at(embedding, ((i + 1) % $DIM) + 1))"
+      val m1 = base.select(col("vec_id"), expr(mix).as("embedding"))
+      val w1 = m1.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"))
+      val w2 = m1.select(col("vec_id"), expr(mix).as("embedding"))
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val idx = Similarity.absorbIntoSketchIndex(
+        Similarity.buildSketchIndex(emb, DIM, HAM_ANN_MAX), w1)
+      val out = Similarity.topKAgainstSketchIndex(w2, idx, TOPK)
+      Similarity.releaseSketchIndex(idx) // out is already checkpointed
+      out.orderBy("query_id", "rn")
+    },
     // LSH banding quality vs the exact-jaccard ground truth: candidate
     // precision (verification waste) and recall (banding misses).
     "q_dedup_lsh_quality" -> { (s, d) =>
@@ -2288,6 +2314,73 @@ object PipelinePack {
          |                   ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
          |       FROM hs)
          |SELECT query_id, rn, vec_id, cosine FROM hr
+         |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
+
+    // Accumulated sketch-ANN serving face: wave-2 queries (double-mixed,
+    // +2e6) retrieve top-k against corpus ∪ wave 1 — the union is
+    // synthesized with the same exact double mix arithmetic, the
+    // sketches replay the 64 seeded hyperplanes, and the candidate set
+    // is the quadratic Hamming <= H definition the broadcast scan
+    // matches exactly.
+    "q_st_hamming_ann" ->
+      s"""WITH hab AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw
+         |            FROM embeddings WHERE vec_id % $INC_MOD = $INC_REM),
+         |ham1 AS (SELECT vec_id, ${mixSql("raw")} AS raw FROM hab),
+         |ham2 AS (SELECT vec_id, ${mixSql("raw")} AS raw FROM ham1),
+         |hau AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, raw FROM ham1),
+         |haq AS (SELECT vec_id + 2000000 AS vec_id, raw FROM ham2),
+         |hae AS (SELECT vec_id,
+         |               list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
+         |        FROM hau),
+         |haeq AS (SELECT vec_id,
+         |                list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
+         |         FROM haq),
+         |hap(p_id, p) AS (VALUES
+         |    ${planesValuesSql(Similarity.hyperplanes(64, DIM))}),
+         |hacw AS (
+         |  SELECT vec_id, CAST(p_id // 16 AS INT) AS w,
+         |         CAST(sum(CASE WHEN ${dotSql("v", "p")} > 0
+         |                       THEN (CAST(1 AS BIGINT) << (p_id % 16))
+         |                       ELSE 0 END) AS BIGINT) AS wv
+         |  FROM hae, hap GROUP BY 1, 2),
+         |hack AS (
+         |  SELECT vec_id,
+         |         max(CASE WHEN w = 0 THEN wv END) AS b0,
+         |         max(CASE WHEN w = 1 THEN wv END) AS b1,
+         |         max(CASE WHEN w = 2 THEN wv END) AS b2,
+         |         max(CASE WHEN w = 3 THEN wv END) AS b3
+         |  FROM hacw GROUP BY vec_id),
+         |haqw AS (
+         |  SELECT vec_id, CAST(p_id // 16 AS INT) AS w,
+         |         CAST(sum(CASE WHEN ${dotSql("v", "p")} > 0
+         |                       THEN (CAST(1 AS BIGINT) << (p_id % 16))
+         |                       ELSE 0 END) AS BIGINT) AS wv
+         |  FROM haeq, hap GROUP BY 1, 2),
+         |haqk AS (
+         |  SELECT vec_id,
+         |         max(CASE WHEN w = 0 THEN wv END) AS b0,
+         |         max(CASE WHEN w = 1 THEN wv END) AS b1,
+         |         max(CASE WHEN w = 2 THEN wv END) AS b2,
+         |         max(CASE WHEN w = 3 THEN wv END) AS b3
+         |  FROM haqw GROUP BY vec_id),
+         |hahc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id
+         |  FROM haqk q JOIN hack c ON c.vec_id <> q.vec_id
+         |  WHERE bit_count(xor(q.b0, c.b0)) + bit_count(xor(q.b1, c.b1)) +
+         |        bit_count(xor(q.b2, c.b2)) + bit_count(xor(q.b3, c.b3))
+         |        <= $HAM_ANN_MAX),
+         |hahs AS (SELECT hahc.query_id, hahc.vec_id,
+         |                round(${dotSql("a.v", "bb.v")}, 6) AS cosine
+         |         FROM hahc JOIN haeq a ON a.vec_id = hahc.query_id
+         |                   JOIN hae bb ON bb.vec_id = hahc.vec_id),
+         |hahr AS (SELECT query_id, vec_id, cosine,
+         |                CAST(row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rn
+         |         FROM hahs)
+         |SELECT query_id, rn, vec_id, cosine FROM hahr
          |WHERE rn <= $TOPK ORDER BY query_id, rn""".stripMargin,
 
     "q_sim_ivf_topk" ->

@@ -536,6 +536,48 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** SELF-ACCUMULATING sketch-ANN SERVING stream — the retrieval face
+    * of [[embedNearDupAccumStream]]: each arriving embedding batch is
+    * answered top-k against the sketch index
+    * ([[graft.operators.Similarity.topKAgainstSketchIndex]] — query
+    * sketches broadcast, one xor+popcount pass over the corpus legs,
+    * exact-cosine re-rank), the answers land idempotently per
+    * `batch_id`, then the batch is ABSORBED
+    * ([[graft.operators.Similarity.absorbIntoSketchIndex]]) so later
+    * queries retrieve against everything already ingested — the
+    * "index the traffic" serving pattern. Same answer-before-absorb
+    * ordering (a batch must not retrieve itself), leg budget /
+    * compaction, `lastBatchId` replay guard, and durable
+    * save/load restart contract as the rest of the accum family. */
+  def hammingAnnAccumStream(spark: SparkSession, stagingDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            indexRef: java.util.concurrent.atomic.AtomicReference[
+                              graft.operators.Similarity.SketchIndex],
+                            k: Int, outPath: String,
+                            checkpointDir: Option[String] = None,
+                            maxLegs: Int = 24)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // Absorb-watermark replay guard — see [[imageNearDupAccumStream]].
+          if (batchId > indexRef.get().lastBatchId) {
+            val ranked = graft.operators.Similarity.topKAgainstSketchIndex(
+              batch, indexRef.get(), k)
+            idempotentParquetWrite(ranked, outPath, batchId)
+            graft.operators.Lifecycle.release(ranked)
+            val absorbed = graft.operators.Similarity.absorbIntoSketchIndex(
+              indexRef.get(), batch)
+            indexRef.set(
+              (if (absorbed.cached.length >= maxLegs)
+                graft.operators.Similarity.compactSketchIndex(absorbed)
+              else absorbed).copy(lastBatchId = batchId))
+          }
+        },
+      checkpointDir).start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

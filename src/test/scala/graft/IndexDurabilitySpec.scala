@@ -198,6 +198,45 @@ class IndexDurabilitySpec extends AnyFunSuite {
     assert(got.exists(m => m._2 >= 1000000L && m._2 < 2000000L))
   }
 
+  // -------------------------------------------------------- sketch-ANN
+
+  private def annProbe(idx: Similarity.SketchIndex) =
+    Similarity.topKAgainstSketchIndex(embWave(2), idx, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+
+  test("compactSketchIndex: probe-identical, legs collapse to 2, no-op when unabsorbed") {
+    val base = Similarity.buildSketchIndex(emb, 64, 20)
+    assert(Similarity.compactSketchIndex(base) eq base)
+    val absorbed = Similarity.absorbIntoSketchIndex(base, embWave(1))
+    assert(absorbed.cached.length == 4)
+    val want = annProbe(absorbed)
+    val compacted = Similarity.compactSketchIndex(absorbed)
+    assert(compacted.cached.length == 2)
+    val got = annProbe(compacted)
+    Similarity.releaseSketchIndex(compacted)
+    assert(got.nonEmpty && got == want)
+    assert(got.exists(m => m._3 >= 1000000L && m._3 < 2000000L),
+      "wave-1 neighbours survive compaction")
+  }
+
+  test("saveSketchIndex/loadSketchIndex: reloaded index answers identically, watermark preserved") {
+    val path = tmp("annidx")
+    val absorbed = Similarity.absorbIntoSketchIndex(
+      Similarity.buildSketchIndex(emb, 64, 20), embWave(1))
+      .copy(lastBatchId = 3L)
+    val want = annProbe(absorbed)
+    Similarity.saveSketchIndex(absorbed, path)
+    Similarity.releaseSketchIndex(absorbed)
+    val reloaded = Similarity.loadSketchIndex(spark, path)
+    assert(reloaded.dim == 64 && reloaded.maxHamming == 20 &&
+      reloaded.lastBatchId == 3L)
+    val got = annProbe(reloaded)
+    Similarity.releaseSketchIndex(reloaded)
+    assert(got.nonEmpty && got == want)
+    assert(got.exists(m => m._3 >= 1000000L && m._3 < 2000000L))
+  }
+
   // --------------------------------------------------------------- ivf
 
   test("saveIvfIndex/loadIvfIndex: absorb continues bit-exact across the restart") {

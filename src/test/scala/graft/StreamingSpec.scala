@@ -527,6 +527,50 @@ class StreamingSpec extends AnyFunSuite {
     Similarity.releaseIvfIndex(batchIdx)
   }
 
+  test("self-accumulating sketch-ANN serving stream absorbs each wave before the next") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accumann_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/answers"
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val dim = 64
+    val b0 = emb.filter(pmod(col("vec_id"), lit(10L)) === 7L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val mix = s"transform(embedding, (x, i) -> " +
+      s"x + 0.25D * element_at(embedding, ((i + 1) % $dim) + 1))"
+    val m1 = b0.select(col("vec_id"), expr(mix).as("embedding"))
+    val w1 = m1.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val w2 = m1.select(col("vec_id"), expr(mix).as("embedding"))
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    w1.coalesce(1).write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    w2.coalesce(1).write.mode("append").parquet(staging)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      Similarity.buildSketchIndex(emb, dim, 20))
+    val q = graft.streaming.StreamOps.hammingAnnAccumStream(
+      spark, staging, w1.schema, ref, 5, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val streamedW2 = spark.read.parquet(outPath)
+      .filter(col("query_id") >= 2000000L).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    Similarity.releaseSketchIndex(ref.get())
+    // Batch face: wave-2 queries against corpus ∪ wave 1 (the
+    // q_st_hamming_ann shape).
+    val batchIdx = Similarity.absorbIntoSketchIndex(
+      Similarity.buildSketchIndex(emb, dim, 20), w1)
+    val batch = Similarity.topKAgainstSketchIndex(w2, batchIdx, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    Similarity.releaseSketchIndex(batchIdx)
+    assert(streamedW2.nonEmpty && streamedW2 == batch)
+    // The absorption must MATTER: wave-2 answers retrieve wave-1
+    // siblings, which a frozen corpus index can never return.
+    assert(streamedW2.exists(m => m._3 >= 1000000L && m._3 < 2000000L),
+      "accumulation must surface wave-1 neighbours")
+  }
+
   /** Shared checkpoint-recovery harness — the failure semantics a
     * 100 TB ingest depends on, proven for EVERY `foreachBatch` stream
     * (they share [[StreamOps.idempotentParquetWrite]], but each stream's
