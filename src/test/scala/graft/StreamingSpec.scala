@@ -851,6 +851,102 @@ class StreamingSpec extends AnyFunSuite {
         .sortBy(_.toString))
   }
 
+  test("checkpoint recovery: killed ACCUM IMAGE-DEDUP stream re-seeded from its durable save equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text")
+    val corpusHashes = Multimodal.imageAHash(spark,
+      Multimodal.packBaseImages(spark, docs)).toDF()
+    val newImgs = Multimodal.packReuploadImages(spark,
+      docs.filter(col("doc_id") % 10 === 7))
+    recoveryCheck(
+      (staging, w) => {
+        newImgs.filter(col("img_id") % 3 === w).coalesce(1)
+          .write.mode("append").parquet(staging)
+        Thread.sleep(1100)
+      },
+      (staging, out, cp) => {
+        val idxPath = s"$cp-idx"
+        val ref = new java.util.concurrent.atomic.AtomicReference(
+          if (new java.io.File(idxPath).exists)
+            Multimodal.loadFingerprintIndex(spark, idxPath)
+          else Multimodal.buildFingerprintIndex(corpusHashes, 6))
+        val q = graft.streaming.StreamOps.imageNearDupAccumStream(
+          spark, staging, newImgs.schema, ref, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+        Multimodal.saveFingerprintIndex(ref.get(), idxPath)
+        Multimodal.releaseFingerprintIndex(ref.get())
+      },
+      p => spark.read.parquet(p).select("img_new", "best_match", "hamming")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("img_new"), r.getAs[Long]("best_match"),
+          r.getAs[Long]("hamming"))).sorted)
+  }
+
+  test("checkpoint recovery: killed ACCUM EMBED-NEARDUP stream with a same-process index ref equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val arriving = emb.filter(pmod(col("vec_id"), lit(10L)) >= 7L)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val refs = scala.collection.mutable.Map
+      .empty[String, java.util.concurrent.atomic.AtomicReference[
+        Dedup.EmbeddingIndex]]
+    try recoveryCheck(
+      (staging, w) => {
+        arriving.filter(pmod(col("vec_id"), lit(3L)) === w.toLong).coalesce(1)
+          .write.mode("append").parquet(staging)
+        Thread.sleep(1100)
+      },
+      (staging, out, cp) => {
+        val ref = refs.getOrElseUpdate(cp,
+          new java.util.concurrent.atomic.AtomicReference(
+            Dedup.buildEmbeddingIndex(emb, 64)))
+        val q = graft.streaming.StreamOps.embedNearDupAccumStream(
+          spark, staging, arriving.schema, ref, 0.35, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+      },
+      p => spark.read.parquet(p).select("vec_new", "best_match", "cosine")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("vec_new"), r.getAs[Long]("best_match"),
+          r.getAs[Double]("cosine"))).sortBy(_.toString))
+    finally refs.values.foreach(r => Dedup.releaseEmbeddingIndex(r.get()))
+  }
+
+  test("checkpoint recovery: killed ACCUM SKETCH-ANN stream re-seeded from its durable save equals the uninterrupted run") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val arriving = emb.filter(pmod(col("vec_id"), lit(10L)) >= 7L)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    recoveryCheck(
+      (staging, w) => {
+        arriving.filter(pmod(col("vec_id"), lit(3L)) === w.toLong).coalesce(1)
+          .write.mode("append").parquet(staging)
+        Thread.sleep(1100)
+      },
+      (staging, out, cp) => {
+        val idxPath = s"$cp-idx"
+        val ref = new java.util.concurrent.atomic.AtomicReference(
+          if (new java.io.File(idxPath).exists)
+            Similarity.loadSketchIndex(spark, idxPath)
+          else Similarity.buildSketchIndex(emb, 64, 20))
+        val q = graft.streaming.StreamOps.hammingAnnAccumStream(
+          spark, staging, arriving.schema, ref, 5, out, Some(cp))
+        try q.processAllAvailable() finally q.stop()
+        Similarity.saveSketchIndex(ref.get(), idxPath)
+        Similarity.releaseSketchIndex(ref.get())
+      },
+      p => spark.read.parquet(p)
+        .select("query_id", "rn", "vec_id", "cosine")
+        .collect().toSeq
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rn"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+        .sortBy(_.toString))
+  }
+
   test("foreachBatch lands the streaming aggregate in JDBC, equal to batch") {
     import org.apache.spark.sql.functions._
     System.setProperty("derby.stream.error.file",
