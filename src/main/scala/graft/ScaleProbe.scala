@@ -39,7 +39,7 @@ object ScaleProbe {
     // Accum batch twins: index build + one absorb + a wave probe each —
     // the per-wave cost cadence of the self-accumulating streams.
     "q_st_dedup_accum", "q_st_image_accum", "q_st_audio_accum",
-    "q_st_embed_accum", "q_st_ivf_accum")
+    "q_st_embed_accum", "q_st_ivf_accum", "q_st_hamming_ann")
 
   private val DocShift = 10000000L
   private val OrderShift = 100000000L
