@@ -87,6 +87,63 @@ object Multimodal {
     def grayAt(docId: Long, delta: Int, x: Int, y: Int): Int =
       ((docId + delta + 31L * x + 7L * y) % 256).toInt
 
+    /** WRAP-FREE ramp for the DCT-hash fixtures: range 32..171, so
+      * every corruption below stays inside [0, 255] with NO mod-256
+      * wraparound. The base ramp's wraps matter: a +1 brightness shift
+      * on the mod-256 ramp turns ~1/256 of pixels into −256 impulses,
+      * which are BROADBAND noise — they perturb the whole DCT spectrum
+      * and favor pixel-domain hashing (measured: aHash 0.5 vs pHash 5.4
+      * mean Hamming on the delta-1 corpus). The corruptions a
+      * frequency-domain hash is FOR — brightness shift, contrast-ish
+      * tilt, high-frequency noise — are additive, not wrapping. */
+    def grayLpAt(docId: Long, x: Int, y: Int): Int =
+      (32 + (docId + 31L * x + 7L * y) % 140).toInt
+
+    /** Composite NEAR-DUP corruption of [[grayLpAt]]: +2x tilt (a
+      * low-frequency, genuinely-visible change), +10 brightness, and a
+      * ±16 zero-mean checkerboard (pure Nyquist noise). Measured at
+      * sf0.01: pHash Hamming ≤ 6 (99.4% ≤ 4) while aHash spreads to
+      * mean 7.5 / max 13 — the corpus where the DCT hash is the only
+      * workable dedup key. Range: [16, 227] — wrap-free. */
+    def grayCorruptAt(docId: Long, x: Int, y: Int): Int =
+      grayLpAt(docId, x, y) + 2 * x + 10 + 16 * (((x + y) % 2) * 2 - 1)
+
+    /** Pure checkerboard noise (±amp, zero-mean) over [[grayLpAt]] —
+      * the [[fingerprintRobustness]] fixture: the 2×2 box prefilter
+      * annihilates it EXACTLY (every 2×2 window sums to 0), so the DCT
+      * hash moves zero bits while aHash flips every sampled cell the
+      * amplitude pushes across the grid mean. Keep amp ≤ 32. */
+    def grayNoisyAt(docId: Long, amp: Int, x: Int, y: Int): Int =
+      grayLpAt(docId, x, y) + amp * (((x + y) % 2) * 2 - 1)
+
+    private def renderWith(docId: Long, f: (Int, Int) => Int): Array[Byte] = {
+      val w = widthOf(docId)
+      val h = heightOf(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = f(x, y)
+          require(g >= 0 && g <= 255, s"gray $g out of byte range")
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def renderPngLp(docId: Long): Array[Byte] =
+      renderWith(docId, (x, y) => grayLpAt(docId, x, y))
+    def renderPngCorrupt(docId: Long): Array[Byte] =
+      renderWith(docId, (x, y) => grayCorruptAt(docId, x, y))
+    def renderPngNoisy(docId: Long, amp: Int): Array[Byte] =
+      renderWith(docId, (x, y) => grayNoisyAt(docId, amp, x, y))
+
     /** Render the doc's pixel pattern and ENCODE it as real PNG bytes
       * via the JDK's built-in codec (r = g = b = gray ramp). */
     def renderPng(docId: Long): Array[Byte] = renderPng(docId, 0)
@@ -825,7 +882,7 @@ object Multimodal {
   /** The 64-bit aHash of one DECODED raster as four 16-bit words —
     * shared by the still-image path ([[imageAHash]]) and the per-frame
     * video path ([[videoFrameHashes]]). */
-  private def ahashOf(img: java.awt.image.BufferedImage): Array[Long] = {
+  private[graft] def ahashOf(img: java.awt.image.BufferedImage): Array[Long] = {
     val w = img.getWidth
     val h = img.getHeight
     val cell = new Array[Int](64)
@@ -857,6 +914,164 @@ object Multimodal {
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png)))
       ImageHash(m.img_id, b(0), b(1), b(2), b(3))
     })
+  }
+
+  /** Fixed-point cosine table entry for the integer DCT:
+    * floor(cos(π(2x+1)u/2n)·10⁴ + 0.5). The JPEG discipline — scale
+    * the irrational basis to integers ONCE, then every coefficient is
+    * exact 64-bit arithmetic: bit-identical across engines, summation
+    * orders and parallelism (a float DCT would make the oracle replay
+    * hostage to libm ULP differences at the median-compare boundary). */
+  private def icos(u: Int, x: Int, n: Int): Long =
+    math.floor(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)) * 1e4 + 0.5).toLong
+
+  /** 63-bit DCT perceptual hash (pHash) of one DECODED raster:
+    * 2×2 box-sum low-pass (the role the 32×32 antialias resize plays
+    * in canonical pHash, sized for this fixture's 8–16 px images —
+    * and EXACT: a zero-mean Nyquist checkerboard sums to 0 in every
+    * 2×2 window, so pure high-frequency noise moves ZERO bits), then
+    * the 8×8 low-frequency block of the 2D integer DCT-II, DC dropped,
+    * bit(u,v) = 1 iff coefficient > median of the 63 AC coefficients
+    * (odd count — the median IS an element, so the strict compare is
+    * deterministic). A constant brightness shift moves ONLY the DC
+    * coefficient — the second invariance the pixel-domain aHash lacks.
+    * All arithmetic is exact 64-bit integer (fixed-point cosine table,
+    * [[icos]]), so the DuckDB oracle's closed-form replay is
+    * bit-identical by construction. Stored in the same 4×16-bit-word
+    * layout as [[ahashOf]] (bit 63 always 0), so the banded near-dup /
+    * fingerprint-index machinery applies unchanged. */
+  private[graft] def phashOf(img: java.awt.image.BufferedImage): Array[Long] = {
+    val pw = img.getWidth
+    val ph = img.getHeight
+    val raw = new Array[Int](pw * ph)
+    var yy0 = 0
+    while (yy0 < ph) {
+      var xx0 = 0
+      while (xx0 < pw) { raw(yy0 * pw + xx0) = img.getRGB(xx0, yy0) & 0xff; xx0 += 1 }
+      yy0 += 1
+    }
+    // 2×2 box sum (not mean — DCT is linear and the median threshold is
+    // scale-invariant, so the ÷4 would only cost integer exactness)
+    val w = pw - 1
+    val h = ph - 1
+    val g = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        g(y * w + x) = raw(y * pw + x) + raw(y * pw + x + 1) +
+          raw((y + 1) * pw + x) + raw((y + 1) * pw + x + 1)
+        x += 1
+      }
+      y += 1
+    }
+    // per-image cosine tables: 8 rows × native size, integer-scaled
+    val cu = Array.tabulate(8, w)((u, x) => icos(u, x, w))
+    val cv = Array.tabulate(8, h)((v, y) => icos(v, y, h))
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L // ≤ 1020·10⁴·10⁴·195 ≈ 2e13 — no overflow
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          val cvv = cv(v)(yy)
+          while (xx < w) { acc += g(yy * w + xx) * cu(u)(xx) * cvv; xx += 1 }
+          yy += 1
+        }
+        coef(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    val bands = new Array[Long](4)
+    var i = 1
+    while (i < 64) {
+      if (coef(i) > med) { val b = i - 1; bands(b / 16) |= 1L << (b % 16) }
+      i += 1
+    }
+    bands
+  }
+
+  /** pHash of every variant image — same narrow per-partition decode
+    * shape as [[imageAHash]], same [[ImageHash]] output, so every
+    * downstream consumer (banded near-dup, fingerprint index,
+    * clusters) composes with either fingerprint unchanged. */
+  def imagePHash(spark: SparkSession, imgs: Dataset[ImageVariant]): Dataset[ImageHash] = {
+    import spark.implicits._
+    imgs.mapPartitions(_.map { m =>
+      val b = phashOf(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png)))
+      ImageHash(m.img_id, b(0), b(1), b(2), b(3))
+    })
+  }
+
+  /** Wrap-free base + COMPOSITE-corrupted re-render of every document
+    * (img_id = doc·2 / doc·2+1): tilt + brightness + checkerboard — the
+    * near-dup corpus where the DCT hash is the only workable dedup key
+    * ([[ImageFixture.grayCorruptAt]]). */
+  def packImageCorrupt(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
+    import spark.implicits._
+    // Same codec-parallelism shuffle as packImages (see there).
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Iterator(
+          ImageVariant(id * 2, id, 0, ImageFixture.renderPngLp(id)),
+          ImageVariant(id * 2 + 1, id, 1, ImageFixture.renderPngCorrupt(id)))
+      })
+  }
+
+  /** Wrap-free base + pure-checkerboard re-render of every document
+    * (img_id = doc·2 / doc·2+1) — the corruption model where aHash and
+    * pHash maximally diverge; see [[ImageFixture.grayNoisyAt]]. */
+  def packImageNoisy(spark: SparkSession, docs: DataFrame,
+                     amp: Int): Dataset[ImageVariant] = {
+    import spark.implicits._
+    // Same codec-parallelism shuffle as packImages (see there).
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        Iterator(
+          ImageVariant(id * 2, id, 0, ImageFixture.renderPngLp(id)),
+          ImageVariant(id * 2 + 1, id, amp, ImageFixture.renderPngNoisy(id, amp)))
+      })
+  }
+
+  /** Fingerprint-robustness scorecard: for every (base, corrupted)
+    * image pair, the Hamming distance under BOTH fingerprints, folded
+    * to one measured row — how far the corruption moves each hash and
+    * how often the DCT hash is strictly closer. This is the decision
+    * row for choosing the dedup fingerprint at crawl scale: a near-dup
+    * pipeline keyed on a fingerprint the corruption model defeats
+    * (avg Hamming above threshold) silently loses its recall. Inputs
+    * are the two hash tables over the SAME images; one keyed join per
+    * fingerprint + a global fold — no pairwise stage anywhere. */
+  def fingerprintRobustness(ahash: DataFrame, phash: DataFrame): DataFrame = {
+    def pairHamming(h: DataFrame, out: String): DataFrame = {
+      val base = h.filter(col("img_id") % 2 === 0)
+        .select(expr("img_id div 2").as("doc_id"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val noisy = h.filter(col("img_id") % 2 === 1)
+        .select(expr("img_id div 2").as("doc_id"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      base.join(noisy, Seq("doc_id"))
+        .select(col("doc_id"),
+          (expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1)") +
+            expr("bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+            .cast("long").as(out))
+    }
+    pairHamming(ahash, "ah").join(pairHamming(phash, "ph"), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ah")), 6).as("avg_ahash_hamming"),
+        round(avg(col("ph")), 6).as("avg_phash_hamming"),
+        max(col("ah")).as("max_ahash_hamming"),
+        max(col("ph")).as("max_phash_hamming"),
+        sum((col("ph") < col("ah")).cast("long")).as("phash_strictly_closer"),
+        sum((col("ph") <= col("ah")).cast("long")).as("phash_not_worse"))
   }
 
   /** Per-FRAME aHash of every video: the GIF container is decoded

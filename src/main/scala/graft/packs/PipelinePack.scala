@@ -89,6 +89,18 @@ object PipelinePack {
     * (report loose, cluster tight). On the ramp fixture this also keeps
     * the component graph ~7× smaller than the hamming-6 pair set. */
   private val IMG_CLUSTER_HAMMING = 2
+  /** Max Hamming for the DCT-pHash near-dup over the composite-corrupt
+    * corpus. Measured at sf0.01: planted pairs reach Hamming ≤ 6
+    * (99.4% ≤ 4) under pHash, while cross-doc distances stay ≥ 12 —
+    * threshold 4 sits in the gap with margin on both sides. (aHash on
+    * the same corpus spreads to mean 7.5 / max 13 — unusable.) */
+  private val PHASH_HAMMING_MAX = 4
+  /** Checkerboard amplitude for the fingerprint-robustness scorecard —
+    * zero-mean Nyquist noise the pHash box prefilter annihilates
+    * exactly while the pixel-domain aHash flips every sampled cell the
+    * amplitude pushes across the grid mean. ≤ 32 keeps the wrap-free
+    * fixture inside [0, 255]. */
+  private val NOISE_AMP = 24
   /** Vocabulary size for the tokenizer coverage / OOV report. */
   private val VOCAB_V = 256
   /** PII card fixtures for q_text_pii_scrub, rotated by doc_id: indexes
@@ -219,6 +231,36 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.imageAHash(s,
           Multimodal.packImageVariants(s, Tables.documents(s, d))).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private def corruptPHashFixture(s: SparkSession, d: String): DataFrame = {
+    val path = SinksPack.tmpPath("imgphash", d)
+    SinksPack.ensureFixture(path) {
+      Multimodal.imagePHash(s,
+          Multimodal.packImageCorrupt(s, Tables.documents(s, d))).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private def noisyAHashFixture(s: SparkSession, d: String): DataFrame = {
+    val path = SinksPack.tmpPath("noisyah", d)
+    SinksPack.ensureFixture(path) {
+      Multimodal.imageAHash(s,
+          Multimodal.packImageNoisy(s, Tables.documents(s, d), NOISE_AMP)).toDF()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private def noisyPHashFixture(s: SparkSession, d: String): DataFrame = {
+    val path = SinksPack.tmpPath("noisyph", d)
+    SinksPack.ensureFixture(path) {
+      Multimodal.imagePHash(s,
+          Multimodal.packImageNoisy(s, Tables.documents(s, d), NOISE_AMP)).toDF()
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -1086,6 +1128,28 @@ object PipelinePack {
           col("is_canonical"))
         .orderBy("img_id")
     },
+    // DCT perceptual-hash near-dup: the SAME banded near-dup machinery
+    // (distinct-hash compression, MIH above the cutover) keyed on the
+    // integer-DCT pHash, over the corpus its invariances exist for —
+    // composite tilt+brightness+checkerboard corruptions where aHash
+    // distances blow past any usable threshold (measured: aHash mean
+    // 7.5/max 13 vs pHash ≤6). The integer DCT (fixed-point cosine
+    // table, the JPEG discipline) makes every coefficient exact 64-bit
+    // arithmetic, so the oracle's closed-form replay is bit-identical
+    // by construction — no libm-ULP hostage at the median compare.
+    "q_mm_phash_neardup" -> { (s, d) =>
+      Multimodal.imageNearDup(corruptPHashFixture(s, d), PHASH_HAMMING_MAX)
+        .orderBy("img_a", "img_b")
+    },
+    // The fingerprint DECISION row: under checkerboard noise (the
+    // corruption where the two hashes genuinely diverge), how far does
+    // each fingerprint move, and how often is the DCT hash strictly
+    // closer? One keyed join per fingerprint + a global fold — the
+    // measured basis for choosing the crawl-scale dedup key.
+    "q_mm_phash_robustness" -> { (s, d) =>
+      Multimodal.fingerprintRobustness(
+        noisyAHashFixture(s, d), noisyPHashFixture(s, d))
+    },
     // Incremental image dedup THROUGH the streaming-cadence machinery:
     // a prebuilt corpus aHash band index (the stream's long-lived
     // state — base images of every doc) probed by a "re-upload" batch
@@ -1397,6 +1461,51 @@ object PipelinePack {
        |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
        |              AS BIGINT) AS hamming
        |  FROM h ha JOIN h hb ON ha.img_id < hb.img_id)""".stripMargin
+
+  /** Closed-form replay of [[Multimodal.imagePHash]] (2×2 box sum +
+    * integer DCT) over a `pxsrc(img_id, w, h, x, y, gray)` CTE already
+    * in scope → `ph(img_id, b0..b3)`. Every step is exact integer
+    * arithmetic: the fixed-point cosine table floor(cos·10⁴+0.5) is
+    * the ONLY float touchpoint, and its argument space is finite and
+    * fully exercised at sf0.01 (box-filtered dims w∈7..15, h∈7..13,
+    * u,v<8 — doc_id mod cycles cover every combination), so a green
+    * check at sf0.01 proves the cross-engine table identical for EVERY
+    * scale factor. Median of the 63 AC coefficients is an element (odd
+    * count) and the strict > compare is integer — deterministic both
+    * sides. */
+  private lazy val phashFromPxCtes =
+    """sm AS (SELECT a.img_id, a.w - 1 AS w, a.h - 1 AS h, a.x, a.y,
+      |              a.gray + b.gray + c.gray + d2.gray AS gray
+      |       FROM pxsrc a
+      |       JOIN pxsrc b ON b.img_id = a.img_id AND b.x = a.x + 1 AND b.y = a.y
+      |       JOIN pxsrc c ON c.img_id = a.img_id AND c.x = a.x AND c.y = a.y + 1
+      |       JOIN pxsrc d2 ON d2.img_id = a.img_id AND d2.x = a.x + 1
+      |                    AND d2.y = a.y + 1
+      |       WHERE a.x < a.w - 1 AND a.y < a.h - 1),
+      |co AS (SELECT img_id, tu.u AS u, tv.v AS v,
+      |              CAST(sum(gray
+      |                * CAST(floor(cos(pi() * (2 * x + 1) * tu.u / (2.0 * w))
+      |                             * 10000 + 0.5) AS BIGINT)
+      |                * CAST(floor(cos(pi() * (2 * y + 1) * tv.v / (2.0 * h))
+      |                             * 10000 + 0.5) AS BIGINT))
+      |                   AS BIGINT) AS coef
+      |       FROM sm, unnest(range(0, 8)) tu(u), unnest(range(0, 8)) tv(v)
+      |       GROUP BY img_id, tu.u, tv.v),
+      |pac AS (SELECT img_id, u * 8 + v - 1 AS bit, coef FROM co
+      |        WHERE NOT (u = 0 AND v = 0)),
+      |pmed AS (SELECT img_id, median(coef) AS med FROM pac GROUP BY img_id),
+      |pbit AS (SELECT a.img_id, a.bit // 16 AS band_idx,
+      |                CAST(sum(CASE WHEN a.coef > m.med
+      |                         THEN 1 << CAST(a.bit % 16 AS INT) ELSE 0 END)
+      |                     AS BIGINT) AS bval
+      |         FROM pac a JOIN pmed m USING (img_id)
+      |         GROUP BY a.img_id, a.bit // 16),
+      |ph AS (SELECT img_id,
+      |              coalesce(max(CASE WHEN band_idx = 0 THEN bval END), 0) AS b0,
+      |              coalesce(max(CASE WHEN band_idx = 1 THEN bval END), 0) AS b1,
+      |              coalesce(max(CASE WHEN band_idx = 2 THEN bval END), 0) AS b2,
+      |              coalesce(max(CASE WHEN band_idx = 3 THEN bval END), 0) AS b3
+      |       FROM pbit GROUP BY img_id)""".stripMargin
 
   private val jaccardTail =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
@@ -3680,6 +3789,100 @@ object PipelinePack {
       s"""WITH $imageHamCtes
          |SELECT img_a, img_b, hamming FROM ham
          |WHERE hamming <= $IMG_HAMMING_MAX ORDER BY img_a, img_b""".stripMargin,
+
+    // Replays the box-filtered integer-DCT pHash pipeline on the
+    // closed-form WRAP-FREE pixel function (base at even img_ids, the
+    // composite tilt+brightness+checkerboard corruption at odd), then
+    // ALL-PAIRS exact Hamming — the definition; the Spark side's
+    // banded blocking is a lossless pruning of this.
+    "q_mm_phash_neardup" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id * 2 AS img_id, doc_id, 0 AS corrupt FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, doc_id, 1 FROM documents),
+         |pdims AS (SELECT img_id, doc_id, corrupt,
+         |                 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM imgs),
+         |pxsrc AS (SELECT img_id, w, h, tx.x AS x, ty.y AS y,
+         |                 32 + (doc_id + 31 * tx.x + 7 * ty.y) % 140
+         |                 + corrupt * (2 * tx.x + 10
+         |                              + 16 * (((tx.x + ty.y) % 2) * 2 - 1)) AS gray
+         |          FROM pdims, unnest(range(0, 16)) tx(x),
+         |                      unnest(range(0, 14)) ty(y)
+         |          WHERE tx.x < w AND ty.y < h),
+         |$phashFromPxCtes,
+         |pham AS (
+         |  SELECT ha.img_id AS img_a, hb.img_id AS img_b,
+         |         CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+         |            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+         |              AS BIGINT) AS hamming
+         |  FROM ph ha JOIN ph hb ON ha.img_id < hb.img_id)
+         |SELECT img_a, img_b, hamming FROM pham
+         |WHERE hamming <= $PHASH_HAMMING_MAX ORDER BY img_a, img_b""".stripMargin,
+
+    // Replays BOTH fingerprints over the checkerboard-noise corpus
+    // (base at even img_ids, +NOISE_AMP odd-parity squares at odd
+    // img_ids), then folds per-doc pair Hamming into the one decision
+    // row — fully hash-gated: integers plus round-6 averages of
+    // identical operands.
+    "q_mm_phash_robustness" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id * 2 AS img_id, doc_id, 0 AS amp FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, doc_id, $NOISE_AMP FROM documents),
+         |pdims AS (SELECT img_id, doc_id, amp,
+         |                 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM imgs),
+         |pxsrc AS (SELECT img_id, w, h, tx.x AS x, ty.y AS y,
+         |                 32 + (doc_id + 31 * tx.x + 7 * ty.y) % 140
+         |                 + amp * (((tx.x + ty.y) % 2) * 2 - 1) AS gray
+         |          FROM pdims, unnest(range(0, 16)) tx(x),
+         |                      unnest(range(0, 14)) ty(y)
+         |          WHERE tx.x < w AND ty.y < h),
+         |cells AS (
+         |  SELECT img_id, gy * 8 + gx AS cell,
+         |         32 + (doc_id + 31 * ((gx * w) // 8) + 7 * ((gy * h) // 8)) % 140
+         |         + amp * (((((gx * w) // 8) + ((gy * h) // 8)) % 2) * 2 - 1) AS gray
+         |  FROM pdims, unnest(range(0, 8)) tx(gx), unnest(range(0, 8)) ty(gy)),
+         |tot AS (SELECT img_id, sum(gray) AS total FROM cells GROUP BY img_id),
+         |abnd AS (
+         |  SELECT c.img_id, c.cell // 16 AS band_idx,
+         |         CAST(sum(CASE WHEN 64 * c.gray > t.total
+         |                       THEN 1 << CAST(c.cell % 16 AS INT) ELSE 0 END)
+         |              AS BIGINT) AS bval
+         |  FROM cells c JOIN tot t USING (img_id)
+         |  GROUP BY c.img_id, c.cell // 16),
+         |ah AS (SELECT img_id,
+         |             max(CASE WHEN band_idx = 0 THEN bval END) AS b0,
+         |             max(CASE WHEN band_idx = 1 THEN bval END) AS b1,
+         |             max(CASE WHEN band_idx = 2 THEN bval END) AS b2,
+         |             max(CASE WHEN band_idx = 3 THEN bval END) AS b3
+         |      FROM abnd GROUP BY img_id),
+         |$phashFromPxCtes,
+         |apair AS (
+         |  SELECT e.img_id // 2 AS doc_id,
+         |         CAST(bit_count(xor(e.b0, o.b0)) + bit_count(xor(e.b1, o.b1))
+         |            + bit_count(xor(e.b2, o.b2)) + bit_count(xor(e.b3, o.b3))
+         |              AS BIGINT) AS ahd
+         |  FROM ah e JOIN ah o ON o.img_id = e.img_id + 1
+         |  WHERE e.img_id % 2 = 0),
+         |ppair AS (
+         |  SELECT e.img_id // 2 AS doc_id,
+         |         CAST(bit_count(xor(e.b0, o.b0)) + bit_count(xor(e.b1, o.b1))
+         |            + bit_count(xor(e.b2, o.b2)) + bit_count(xor(e.b3, o.b3))
+         |              AS BIGINT) AS phd
+         |  FROM ph e JOIN ph o ON o.img_id = e.img_id + 1
+         |  WHERE e.img_id % 2 = 0),
+         |j AS (SELECT a.doc_id, a.ahd, p.phd
+         |      FROM apair a JOIN ppair p USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(avg(ahd), 6) AS avg_ahash_hamming,
+         |       round(avg(phd), 6) AS avg_phash_hamming,
+         |       max(ahd) AS max_ahash_hamming,
+         |       max(phd) AS max_phash_hamming,
+         |       CAST(sum(CASE WHEN phd < ahd THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS phash_strictly_closer,
+         |       CAST(sum(CASE WHEN phd <= ahd THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS phash_not_worse
+         |FROM j""".stripMargin,
 
     // The streaming corpus-probe face: base images of every doc are
     // the corpus (even img_ids), delta-1 re-uploads of every

@@ -756,6 +756,36 @@ object WarehousePack {
     // Per-column profile (nulls / distincts / min / max) over orders.
     "q_x_column_profile" -> { (s, d) =>
       graft.operators.Analytics.columnProfile(Tables.orders(s, d), ProfileCols)
+    },
+
+    // Sketch surface #4: the MERGEABLE-sketch warehouse rollup (the
+    // Apache DataSketches pattern Spark 3.5+ ships as hll_sketch_agg /
+    // hll_union_agg). At 100 TB the production shape is: materialize one
+    // small HLL sketch per ingest partition (here per month) in a single
+    // pass over the raw data, then answer ANY coarser distinct-count
+    // question — per year, per quarter, trailing-N-months — by merging
+    // the precomputed sketches, never rescanning the raw table. The
+    // month→year re-aggregation below exercises exactly that merge;
+    // half-gated like the other sketch queries (exact per-year distinct
+    // hash-checked, the estimate through a bounded-error verdict:
+    // lgConfigK=12 ⇒ rsd≈1.6%, asserted within 5%).
+    "q_x_hll_rollup" -> { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val monthly = orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sketch"))
+      val yearly = monthly
+        .groupBy(year(col("month")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_months"),
+          hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx"))
+      val exact = orders
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      yearly.join(exact, Seq("yr"))
+        .select(col("yr"), col("n_months"), col("exact_custs"),
+          (abs(col("approx") - col("exact_custs"))
+            <= col("exact_custs") * 0.05).cast("long").as("approx_within_5pct"))
+        .orderBy("yr")
     }
   )
 
@@ -1775,7 +1805,18 @@ object WarehousePack {
          |       round($HistLo + bucket * ${(HistHi - HistLo) / HistBins}, 6) AS bucket_lo,
          |       round($HistLo + (bucket + 1) * ${(HistHi - HistLo) / HistBins}, 6) AS bucket_hi,
          |       CAST(count(*) AS BIGINT) AS n
-         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Half-gate: per-year month count + exact distinct hash-checked; the
+    // merged-sketch estimate is asserted through the 5% verdict (HLL at
+    // lgConfigK=12 carries ~1.6% rsd — overwhelming margin).
+    "q_x_hll_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+        |         AS n_months,
+        |       count(DISTINCT o_custkey) AS exact_custs,
+        |       CAST(1 AS BIGINT) AS approx_within_5pct
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
   )
 
   /** The DuckDB spelling of [[Analytics.corrMatrix]] over [[CorrCols]]:
