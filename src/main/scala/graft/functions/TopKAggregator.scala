@@ -81,3 +81,29 @@ class TopKStringAggregator(k: Int)
   override def bufferEncoder: Encoder[Seq[(Long, String)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Long, String)]] = ExpressionEncoder()
 }
+
+/** Bounded k-MINIMUM-values aggregator — the KMV distinct-value sketch
+  * primitive: keep the k smallest 64-bit hashes seen, O(k) state per
+  * partial buffer (same lazy 4k trim discipline as [[TopKAggregator]]).
+  * A set's k smallest elements do not depend on arrival order or
+  * partitioning, so a KMV sketch built from engine-portable hashes
+  * ([[Hashing.md5Long]]) is EXACTLY reproducible by the oracle — the
+  * rare sketch whose estimates can be fully hash-gated, not just
+  * bounded-error gated. Feed it DISTINCT values (KMV is a sketch of a
+  * set); upstream queries distinct on (group, hash) first. */
+class KMinAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  private def trim(s: Seq[Long]): Seq[Long] =
+    if (s.length <= 4 * k) s else s.sorted.take(k)
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(b: Seq[Long], in: Long): Seq[Long] = trim(b :+ in)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b)
+
+  override def finish(b: Seq[Long]): Seq[Long] = b.sorted.take(k)
+
+  override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

@@ -916,4 +916,68 @@ object TextAnalysis {
         slice(ws, lit(3), n - 2),
         (ab, c) => concat(ab, lit(" "), c))).as("gram"))
   }
+
+  /** Pairwise SOURCE-overlap matrix — the dataset-card question ("how
+    * much of source A is also in source B?") answered two ways in one
+    * row: a KMV (k-minimum-values) sketch estimate and the exact
+    * Jaccard it approximates.
+    *
+    * The KMV path is the 100 TB shape: one distinct pass builds an
+    * O(k) sketch per source ([[graft.functions.KMinAggregator]] over
+    * engine-portable md5 hashes), and the S²/2 pairwise stage runs on
+    * sketches alone — S·k longs broadcast, never touching the corpus
+    * again. Because a set's k smallest hashes are deterministic, the
+    * ESTIMATE itself is exactly reproducible by the oracle — this
+    * sketch is fully hash-gated, unlike HLL/quantile sketches whose
+    * internal state is engine-specific. The estimator is the standard
+    * KMV Jaccard: among the k smallest hashes of A∪B, the fraction
+    * present in both sketches (σ ≈ √(J(1−J)/k) ≈ 0.04 at k=128).
+    *
+    * The exact column is the audit companion (the fuzzy-linkage-recall
+    * discipline): a word-keyed co-partitioned intersection join — at
+    * production scale you run it on a sampled slice or not at all; the
+    * sketch column is the one a 100 TB dataset card ships. */
+  def sourceOverlapKmv(docs: DataFrame, k: Int): DataFrame = {
+    val kmin = udaf(new graft.functions.KMinAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // Set elements are word TRIGRAMS (the [[wordTrigrams]] algebra with
+    // the source key kept): the corpus' word vocabulary is tiny and
+    // near-fully shared across sources, so word sets would make every
+    // pair Jaccard ≈ 1 and leave the sketch untested; trigram sets are
+    // ~10× the sketch size with pairwise overlaps of 1–8%.
+    val ws = split(col("text"), " ")
+    val n = size(ws)
+    val words = docs.filter(n >= 3).select(col("source"),
+      explode(zip_with(
+        zip_with(slice(ws, lit(1), n - 2), slice(ws, lit(2), n - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(ws, lit(3), n - 2),
+        (ab, c) => concat(ab, lit(" "), c))).as("word")).distinct()
+    val hashed = words.select(col("source"),
+      graft.functions.Hashing.md5Long(col("word")).as("h")).distinct()
+    val sk = hashed.groupBy("source").agg(kmin(col("h")).as("sk"))
+    val pairs = sk.toDF("source_a", "ska")
+      .join(broadcast(sk.toDF("source_b", "skb")),
+        col("source_a") < col("source_b"))
+    val unionK = slice(array_sort(array_union(col("ska"), col("skb"))), 1, k)
+    val est = pairs.select(col("source_a"), col("source_b"),
+      size(filter(unionK, x =>
+          array_contains(col("ska"), x) && array_contains(col("skb"), x)))
+        .cast("long").as("n_common_kmv"),
+      size(unionK).cast("long").as("union_k"))
+    val sizes = words.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = words.toDF("source_a", "w")
+      .join(words.toDF("source_b", "w2"),
+        col("w") === col("w2") && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.toDF("source_a", "na"), Seq("source_a"))
+      .join(sizes.toDF("source_b", "nb"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common_kmv"),
+        col("union_k"),
+        round(col("n_common_kmv") / col("union_k"), 6).as("jaccard_kmv"),
+        round(coalesce(col("n_inter"), lit(0L)) /
+            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("jaccard_exact"))
+  }
 }

@@ -103,6 +103,9 @@ object PipelinePack {
   private val NOISE_AMP = 24
   /** Vocabulary size for the tokenizer coverage / OOV report. */
   private val VOCAB_V = 256
+  /** KMV sketch size for the source-overlap matrix: σ ≈ √(J(1−J)/k) ≈
+    * 0.044 worst-case — plenty for a mixing-decision dataset card. */
+  private val KMV_K = 128
   /** PII card fixtures for q_text_pii_scrub, rotated by doc_id: indexes
     * 0–1 are Luhn-VALID public test numbers (redacted), 2–3 fail the
     * checksum (must survive un-redacted — the no-over-redaction gate). */
@@ -609,6 +612,16 @@ object PipelinePack {
       Dedup.resolveBestQuality(docs, jaccardPairsFixture(s, d),
           size(split(col("text"), " ")).cast("long"))
         .orderBy("doc_id")
+    },
+
+    // Pairwise source-overlap matrix: KMV sketch estimate + exact
+    // Jaccard audit in one row per source pair. The sketch estimate is
+    // FULLY hash-gated (k smallest portable md5 hashes are
+    // deterministic — no bounded-error verdict needed); the pairwise
+    // stage runs on O(S·k) broadcast sketches, never the corpus.
+    "q_text_source_overlap" -> { (s, d) =>
+      TextAnalysis.sourceOverlapKmv(Tables.documents(s, d), KMV_K)
+        .orderBy("source_a", "source_b")
     },
 
     // Curation dashboard: per-source doc/token counts, Gopher pass
@@ -3075,6 +3088,63 @@ object PipelinePack {
          |       array_to_string(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)], ' ') AS chunk_text,
          |       CAST(len(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)]) AS BIGINT) AS n_chunk_words
          |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // Replays the KMV pipeline exactly: distinct (source, word) →
+    // portable md5 hashes → k smallest per source → pairwise union-k →
+    // common-membership count; the estimate is deterministic, so every
+    // column (sketch estimate included) is hash-checked — plus the
+    // exact-Jaccard audit columns from the word-keyed intersection.
+    "q_text_source_overlap" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT source,
+         |         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS word
+         |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) t,
+         |       unnest(range(1, len(ws) - 1)) ti(i)),
+         |hw AS (SELECT DISTINCT source,
+         |              ${graft.functions.Hashing.md5LongSql("word")} AS h
+         |       FROM w),
+         |rk AS (SELECT source, h,
+         |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM hw),
+         |sk AS (SELECT source, h FROM rk WHERE rn <= $KMV_K),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b
+         |       FROM srcs a JOIN srcs b ON a.source < b.source),
+         |u AS (SELECT p.source_a, p.source_b, s.h
+         |      FROM pr p JOIN sk s ON s.source = p.source_a
+         |      UNION
+         |      SELECT p.source_a, p.source_b, s.h
+         |      FROM pr p JOIN sk s ON s.source = p.source_b),
+         |ur AS (SELECT source_a, source_b, h,
+         |              row_number() OVER (PARTITION BY source_a, source_b
+         |                                 ORDER BY h) AS rn
+         |       FROM u),
+         |uk AS (SELECT source_a, source_b, h FROM ur WHERE rn <= $KMV_K),
+         |cm AS (SELECT u.source_a, u.source_b,
+         |              CAST(count(*) AS BIGINT) AS union_k,
+         |              CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_common_kmv
+         |       FROM uk u
+         |       LEFT JOIN sk sa ON sa.source = u.source_a AND sa.h = u.h
+         |       LEFT JOIN sk sb ON sb.source = u.source_b AND sb.h = u.h
+         |       GROUP BY u.source_a, u.source_b),
+         |sz AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+         |iv AS (SELECT wa.source AS source_a, wb.source AS source_b,
+         |              count(*) AS n_inter
+         |       FROM w wa JOIN w wb ON wa.word = wb.word
+         |                          AND wa.source < wb.source
+         |       GROUP BY 1, 2)
+         |SELECT c.source_a, c.source_b, c.n_common_kmv, c.union_k,
+         |       round(c.n_common_kmv / CAST(c.union_k AS DOUBLE), 6)
+         |         AS jaccard_kmv,
+         |       round(coalesce(iv.n_inter, 0)
+         |             / CAST(sa.n + sb.n - coalesce(iv.n_inter, 0) AS DOUBLE), 6)
+         |         AS jaccard_exact
+         |FROM cm c
+         |LEFT JOIN iv USING (source_a, source_b)
+         |JOIN sz sa ON sa.source = c.source_a
+         |JOIN sz sb ON sb.source = c.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // Same signal constants as the gopher oracle, same pairs chain as
     // the jaccard oracle; dup membership via EXISTS (NULL-safe).

@@ -824,4 +824,24 @@ class TextSpec extends AnyFunSuite {
     Multimodal.releaseFingerprintIndex(idx)
     assert(expect.nonEmpty && got == expect)
   }
+
+  test("KMV source overlap: estimate tracks exact and is partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val base = TextAnalysis.sourceOverlapKmv(docs, 128)
+      .orderBy("source_a", "source_b").collect()
+    assert(base.nonEmpty)
+    // KMV Jaccard at k=128 has sigma ~= 0.044 worst-case; 4 sigma bound.
+    base.foreach { r =>
+      val est = r.getAs[Double]("jaccard_kmv")
+      val exact = r.getAs[Double]("jaccard_exact")
+      assert(math.abs(est - exact) <= 0.18,
+        s"${r.get(0)}-${r.get(1)}: est $est vs exact $exact")
+    }
+    // A set's k smallest hashes cannot depend on how the corpus is
+    // partitioned: the whole row set must be bit-identical.
+    val reparted = TextAnalysis.sourceOverlapKmv(docs.repartition(13, col("doc_id")), 128)
+      .orderBy("source_a", "source_b").collect()
+    assert(base.map(_.toString).toSeq == reparted.map(_.toString).toSeq)
+  }
 }
