@@ -32,7 +32,7 @@ object Dedup {
     * callers get a self-contained frame, never a persist handle they
     * must remember to release (a long-lived library session would
     * otherwise accumulate MEMORY_AND_DISK entries for the JVM's life). */
-  private[operators] def materializeThenRelease(result: DataFrame,
+  private[graft] def materializeThenRelease(result: DataFrame,
                                                 cached: DataFrame*): DataFrame = {
     val out = Lifecycle.checkpoint(result)
     cached.foreach(_.unpersist(blocking = false))

@@ -937,22 +937,29 @@ object TextAnalysis {
     * discipline): a word-keyed co-partitioned intersection join — at
     * production scale you run it on a sampled slice or not at all; the
     * sketch column is the one a 100 TB dataset card ships. */
-  def sourceOverlapKmv(docs: DataFrame, k: Int): DataFrame = {
-    val kmin = udaf(new graft.functions.KMinAggregator(k),
-      org.apache.spark.sql.Encoders.scalaLong)
-    // Set elements are word TRIGRAMS (the [[wordTrigrams]] algebra with
-    // the source key kept): the corpus' word vocabulary is tiny and
-    // near-fully shared across sources, so word sets would make every
-    // pair Jaccard ≈ 1 and leave the sketch untested; trigram sets are
-    // ~10× the sketch size with pairwise overlaps of 1–8%.
+  /** Distinct (source, trigram) pairs — the set universe behind the KMV
+    * sketch family. Trigrams, not words: the corpus' word vocabulary is
+    * tiny and near-fully shared across sources, so word sets would make
+    * every pairwise Jaccard ≈ 1 and leave the sketches untested;
+    * trigram sets are ~10× the sketch size with 1–8% overlaps. */
+  private[graft] def sourceTrigrams(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     val n = size(ws)
-    val words = docs.filter(n >= 3).select(col("source"),
+    docs.filter(n >= 3).select(col("source"),
       explode(zip_with(
         zip_with(slice(ws, lit(1), n - 2), slice(ws, lit(2), n - 2),
           (a, b) => concat(a, lit(" "), b)),
         slice(ws, lit(3), n - 2),
         (ab, c) => concat(ab, lit(" "), c))).as("word")).distinct()
+  }
+
+  private def kminAgg(k: Int) =
+    udaf(new graft.functions.KMinAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+
+  def sourceOverlapKmv(docs: DataFrame, k: Int): DataFrame = {
+    val kmin = kminAgg(k)
+    val words = sourceTrigrams(docs)
     val hashed = words.select(col("source"),
       graft.functions.Hashing.md5Long(col("word")).as("h")).distinct()
     val sk = hashed.groupBy("source").agg(kmin(col("h")).as("sk"))
@@ -979,5 +986,100 @@ object TextAnalysis {
         round(coalesce(col("n_inter"), lit(0L)) /
             (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
           .as("jaccard_exact"))
+  }
+
+  // ------------------------------------ accumulating KMV cardinality
+
+  /** Per-source KMV cardinality sketch as an ACCUMULATING index — the
+    * sketch face of the family ([[graft.operators.Dedup.CorpusIndex]],
+    * `FingerprintIndex`, the IVF stats): a per-ingest dataset card
+    * ("how many distinct trigrams has each source contributed so
+    * far?") maintained incrementally, O(sources·k) state total.
+    *
+    * What makes this leg of the family special: KMV merge is set-union
+    * followed by k-min — associative, commutative AND IDEMPOTENT.
+    * Re-absorbing a checkpoint-replayed batch is an algebraic no-op
+    * (the k smallest of S ∪ B ∪ B are the k smallest of S ∪ B), so
+    * exactly-once state needs NO absorb watermark — where every other
+    * index in the family needs the `lastBatchId` guard to avoid
+    * double-counting, this one is replay-safe by construction
+    * (KmvIdempotenceSpec pins it; the watermark field is kept for
+    * uniform save/load plumbing and to skip redundant replay WORK).
+    *
+    * State is a single tiny frame (source, sk) — every absorb merges
+    * eagerly (one groupBy over O(sources·k) exploded longs), so the
+    * index is always exactly one leg: absorb IS compaction here, and
+    * no leg budget is needed. */
+  case class KmvIndex(sketch: DataFrame, k: Int, lastBatchId: Long = -1L)
+
+  def buildKmvIndex(docs: DataFrame, k: Int): KmvIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sk = sourceTrigrams(docs)
+      .select(col("source"), graft.functions.Hashing.md5Long(col("word")).as("h"))
+      .distinct()
+      .groupBy("source").agg(kminAgg(k)(col("h")).as("sk")).persist(lvl)
+    sk.count()
+    KmvIndex(sk, k)
+  }
+
+  /** Fold a document batch into the sketch: batch-side k-min (the only
+    * corpus-sized work, fully distributed), then an eager O(sources·k)
+    * re-merge. Set semantics throughout (the explode→distinct before
+    * the final k-min), which is what buys the idempotence above. */
+  def absorbIntoKmvIndex(index: KmvIndex, docs: DataFrame): KmvIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val batch = sourceTrigrams(docs)
+      .select(col("source"), graft.functions.Hashing.md5Long(col("word")).as("h"))
+      .distinct()
+      .groupBy("source").agg(kminAgg(index.k)(col("h")).as("sk"))
+    val merged = index.sketch.unionByName(batch)
+      .select(col("source"), explode(col("sk")).as("h")).distinct()
+      .groupBy("source").agg(kminAgg(index.k)(col("h")).as("sk")).persist(lvl)
+    merged.count()
+    index.sketch.unpersist(blocking = false)
+    KmvIndex(merged, index.k, index.lastBatchId)
+  }
+
+  def releaseKmvIndex(index: KmvIndex): Unit =
+    index.sketch.unpersist(blocking = false)
+
+  /** Durable restart contract (family-uniform): the sketch frame IS the
+    * whole state — parquet out, reload, re-persist. */
+  def saveKmvIndex(index: KmvIndex, path: String): Unit = {
+    index.sketch.write.mode("overwrite").parquet(s"$path/sketch")
+    val spark = index.sketch.sparkSession
+    import spark.implicits._
+    Seq((index.k.toLong, index.lastBatchId)).toDF("k", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadKmvIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): KmvIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val sk = spark.read.parquet(s"$path/sketch")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sk.count()
+    KmvIndex(sk, meta.getAs[Long]("k").toInt, meta.getAs[Long]("last_batch_id"))
+  }
+
+  /** The md5Long hash domain: 15 hex chars = 60 bits. 2⁶⁰ is a power
+    * of two, hence exactly representable as a double — the estimator's
+    * float path is deterministic cross-engine. */
+  private val KmvDomain = 1152921504606846976.0 // 2^60
+
+  /** Cardinality card from the sketch: per source, the sketch fill,
+    * the k-th smallest hash (an exact integer — the strongest possible
+    * gate on a sketch), and the standard KMV estimator
+    * (k−1)·D/h_k (Bar-Yossef et al. 2002), exact when the sketch is
+    * under-filled (|set| < k ⇒ the sketch IS the set). */
+  def kmvCardinalityReport(index: KmvIndex): DataFrame = {
+    val k = index.k
+    index.sketch.select(col("source"),
+        size(col("sk")).cast("long").as("sketch_n"),
+        when(size(col("sk")) >= k, element_at(col("sk"), k))
+          .otherwise(lit(null)).cast("long").as("kth_hash"))
+      .withColumn("est_distinct",
+        round(when(col("kth_hash").isNull, col("sketch_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvDomain) / col("kth_hash")), 6))
   }
 }

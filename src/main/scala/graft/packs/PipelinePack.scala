@@ -1186,6 +1186,32 @@ object PipelinePack {
       Multimodal.releaseFingerprintIndex(idx) // out is already checkpointed
       out.orderBy("img_new")
     },
+    // SELF-ACCUMULATING KMV cardinality card (the batch face of
+    // StreamOps.kmvCardinalityAccumStream): the corpus arrives in three
+    // waves, each absorbed into the per-source trigram sketch; the
+    // final card must equal a single-pass sketch over everything —
+    // which is EXACTLY what the oracle computes, because KMV merge is
+    // associative/commutative/idempotent (set union + k-min). The
+    // oracle needs no wave replay at all: the row match IS the proof
+    // that incremental absorb ≡ one-shot build. kth_hash is an exact
+    // integer — the strongest possible gate on a sketch's internals.
+    "q_st_kmv_accum" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      def wave(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+      val idx = TextAnalysis.absorbIntoKmvIndex(
+        TextAnalysis.absorbIntoKmvIndex(
+          TextAnalysis.buildKmvIndex(wave(0), KMV_K), wave(1)), wave(2))
+      val exact = TextAnalysis.sourceTrigrams(docs)
+        .groupBy("source").agg(count(lit(1)).as("n_exact"))
+      val out = TextAnalysis.kmvCardinalityReport(idx)
+        .join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"), col("sketch_n"),
+          col("kth_hash"), col("est_distinct"),
+          round(abs(col("est_distinct") - col("n_exact")) / col("n_exact"), 6)
+            .as("rel_err"))
+        .orderBy("source")
+      Dedup.materializeThenRelease(out, idx.sketch)
+    },
     // SELF-ACCUMULATING incremental text dedup (the batch face of
     // StreamOps.incrementalDedupAccumStream): wave 1 re-arrivals carry
     // one appended tag pair, wave 2 re-arrivals carry wave 1's text
@@ -2171,6 +2197,41 @@ object PipelinePack {
     // strategy (precomputed corpus state), not different semantics.
     "q_st_dedup_incremental" -> incrementalDedupSql,
     "q_st_dedup_accum" -> accumDedupSql,
+
+    // Single-pass KMV replay — no wave structure anywhere: because KMV
+    // merge is associative/commutative/idempotent, the accumulated
+    // three-wave sketch MUST equal the one-shot sketch over the whole
+    // corpus; this oracle states the one-shot definition and the hash
+    // match proves the absorb algebra.
+    "q_st_kmv_accum" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT source,
+         |         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS word
+         |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) t,
+         |       unnest(range(1, len(ws) - 1)) ti(i)),
+         |hw AS (SELECT DISTINCT source,
+         |              ${graft.functions.Hashing.md5LongSql("word")} AS h
+         |       FROM w),
+         |rk AS (SELECT source, h,
+         |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM hw),
+         |sk AS (SELECT source,
+         |              CAST(least(count(*), $KMV_K) AS BIGINT) AS sketch_n,
+         |              max(CASE WHEN rn = $KMV_K THEN h END) AS kth_hash
+         |       FROM rk GROUP BY source),
+         |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM w GROUP BY source),
+         |card AS (
+         |  SELECT s.source, e.n_exact, s.sketch_n, s.kth_hash,
+         |         round(CASE WHEN s.kth_hash IS NULL
+         |                    THEN CAST(s.sketch_n AS DOUBLE)
+         |                    ELSE ($KMV_K - 1)
+         |                         * CAST(1152921504606846976 AS DOUBLE)
+         |                         / s.kth_hash END, 6) AS est_distinct
+         |  FROM sk s JOIN ex e USING (source))
+         |SELECT source, n_exact, sketch_n, kth_hash, est_distinct,
+         |       round(abs(est_distinct - n_exact) / n_exact, 6) AS rel_err
+         |FROM card ORDER BY source""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes

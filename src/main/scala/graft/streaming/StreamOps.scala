@@ -578,6 +578,43 @@ object StreamOps {
         },
       checkpointDir).start()
 
+  /** SELF-ACCUMULATING KMV cardinality sentinel — the sketch face of
+    * the accumulating-index family, and the one member that is
+    * replay-safe WITHOUT the absorb watermark: KMV merge is set-union
+    * + k-min, which is IDEMPOTENT, so a checkpoint-replayed batch
+    * folds to the bit-identical sketch (the guard below only skips
+    * redundant WORK — correctness does not depend on it, and
+    * StreamingSpec re-absorbs a batch with the guard bypassed to pin
+    * exactly that). Each micro-batch of documents: absorb into the
+    * per-source trigram-cardinality sketch
+    * ([[graft.operators.TextAnalysis.absorbIntoKmvIndex]] — O(sources·k)
+    * state, absorb IS compaction), then land the post-absorb
+    * cardinality card idempotently (partition = batch_id, so the
+    * highest partition is the current dataset card). */
+  def kmvCardinalityAccumStream(spark: SparkSession, stagingDir: String,
+                                schema: org.apache.spark.sql.types.StructType,
+                                indexRef: java.util.concurrent.atomic.AtomicReference[
+                                  graft.operators.TextAnalysis.KmvIndex],
+                                outPath: String,
+                                checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > indexRef.get().lastBatchId) {
+            val absorbed = graft.operators.TextAnalysis
+              .absorbIntoKmvIndex(indexRef.get(), batch)
+              .copy(lastBatchId = batchId)
+            indexRef.set(absorbed)
+            idempotentParquetWrite(
+              graft.operators.TextAnalysis.kmvCardinalityReport(absorbed),
+              outPath, batchId)
+          }
+        },
+      checkpointDir).start()
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

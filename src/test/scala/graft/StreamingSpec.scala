@@ -400,6 +400,88 @@ class StreamingSpec extends AnyFunSuite {
       "accumulation must surface wave-1 best matches")
   }
 
+  test("self-accumulating KMV cardinality stream equals the one-shot sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accumkmv_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/card"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text", "source")
+    def wave(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    wave(1).coalesce(1).write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    wave(2).coalesce(1).write.mode("append").parquet(staging)
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      TextAnalysis.buildKmvIndex(wave(0), 128))
+    val q = graft.streaming.StreamOps.kmvCardinalityAccumStream(
+      spark, staging, wave(1).schema, ref, outPath)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(outPath)
+    val lastBatch = out.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("sketch_n"),
+        Option(r.getAs[java.lang.Long]("kth_hash")),
+        r.getAs[Double]("est_distinct"))).sortBy(_._1).toSeq
+    val streamed = rows(out.filter(col("batch_id") === lastBatch)
+      .drop("batch_id"))
+    // One-shot face: because KMV merge is associative/commutative, the
+    // three-wave accumulated sketch must equal a single-pass build over
+    // the whole corpus — bit-identical, not approximately.
+    val oneShot = TextAnalysis.buildKmvIndex(docs, 128)
+    val batch = rows(TextAnalysis.kmvCardinalityReport(oneShot))
+    TextAnalysis.releaseKmvIndex(oneShot)
+    TextAnalysis.releaseKmvIndex(ref.get())
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("KMV absorb is idempotent: a checkpoint-replayed batch is an algebraic no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text", "source")
+    def wave(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    def sketchRows(i: TextAnalysis.KmvIndex) = i.sketch.collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[scala.collection.Seq[Long]]("sk").toVector)).sortBy(_._1).toSeq
+    val once = TextAnalysis.absorbIntoKmvIndex(
+      TextAnalysis.buildKmvIndex(wave(0), 128), wave(1))
+    // The replay the other accum indexes must GUARD against: absorbing
+    // the identical batch again. KMV's set-union + k-min makes it a
+    // no-op with no watermark involved.
+    val twice = TextAnalysis.absorbIntoKmvIndex(once, wave(1))
+    val a = sketchRows(twice)
+    // twice's merge consumed once's sketch frame (released in absorb) —
+    // rebuild the single-absorb state fresh for the comparison.
+    val onceAgain = TextAnalysis.absorbIntoKmvIndex(
+      TextAnalysis.buildKmvIndex(wave(0), 128), wave(1))
+    val b = sketchRows(onceAgain)
+    TextAnalysis.releaseKmvIndex(twice)
+    TextAnalysis.releaseKmvIndex(onceAgain)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("KMV index durable save/load preserves the card and the watermark") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val base = s"${sys.props("java.io.tmpdir")}/graft_kmvdur_${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text", "source")
+    val idx = TextAnalysis.absorbIntoKmvIndex(
+      TextAnalysis.buildKmvIndex(docs.filter(col("doc_id") % 3 === 0), 128),
+      docs.filter(col("doc_id") % 3 =!= 0)).copy(lastBatchId = 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toString).sorted.toSeq
+    val before = rows(TextAnalysis.kmvCardinalityReport(idx))
+    TextAnalysis.saveKmvIndex(idx, base)
+    val reloaded = TextAnalysis.loadKmvIndex(spark, base)
+    val after = rows(TextAnalysis.kmvCardinalityReport(reloaded))
+    assert(reloaded.k == 128 && reloaded.lastBatchId == 7L)
+    TextAnalysis.releaseKmvIndex(idx)
+    TextAnalysis.releaseKmvIndex(reloaded)
+    assert(before.nonEmpty && before == after)
+  }
+
   test("self-accumulating audio dedup stream absorbs each wave before the next") {
     import org.apache.spark.sql.functions._
     import graft.operators.Multimodal
