@@ -988,6 +988,58 @@ object TextAnalysis {
           .as("jaccard_exact"))
   }
 
+  /** DSIR-style data selection (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw
+    * document by the log likelihood ratio of a TARGET distribution vs
+    * the RAW distribution over hashed n-gram features — the published
+    * recipe for "select the slice of a crawl that looks like my
+    * high-quality target set". Here features are hashed word unigrams
+    * (portable md5 → `buckets`), target = the `targetLang` slice, and
+    * the per-doc score is the mean per-token log ratio.
+    *
+    * Scale shape: two bucket histograms (≤ `buckets` rows each —
+    * broadcastable at ANY corpus size), then one broadcast join from
+    * tokens to the `buckets`-row feature table and a doc-keyed sum.
+    * No shuffle wider than the doc-keyed aggregate; the feature table
+    * is the only state, O(buckets).
+    *
+    * Determinism discipline: the per-bucket log ratio is quantized to
+    * integer MICRO-units — floor(ln(·)·10⁶ + 0.5) — once per bucket
+    * (≤ `buckets` ln calls, so cross-engine libm ULP exposure is
+    * bounded and measured-zero), and per-doc scores are then EXACT
+    * long sums of those micro-units: no float summation-order
+    * dependence across partitionings or engines. */
+  def dsirScores(docs: DataFrame, buckets: Int, targetLang: String): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .withColumn("b", graft.functions.Hashing.md5Long(col("word")) % buckets)
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val totals = toks.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tt"))
+    val bd = lit(buckets.toDouble)
+    val feat = raw.join(tgt, Seq("b"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log(((col("ct") + lit(1.0)) / (col("tt") + bd)) /
+            ((col("cr") + lit(1.0)) / (col("tr") + bd))) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("micro"))
+    toks.join(broadcast(feat), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("micro")).as("sm"), count(lit(1)).as("n_tokens"))
+      // Mean score stays in integer micro-units to the end:
+      // floor(sm/n + 0.5) is the nearest-integer mean (one double
+      // division of exact longs — deterministic), and the final /1e6 is
+      // the same op on both engines. A round(·, 6) here hit a
+      // half-tie whose direction Spark and DuckDB disagree on.
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (floor(col("sm") / col("n_tokens") + lit(0.5)).cast("long") /
+          lit(1000000.0)).as("dsir_score"),
+        (col("sm") > 0L).cast("long").as("selected"))
+  }
+
   // ------------------------------------ accumulating KMV cardinality
 
   /** Per-source KMV cardinality sketch as an ACCUMULATING index — the

@@ -106,6 +106,12 @@ object PipelinePack {
   /** KMV sketch size for the source-overlap matrix: σ ≈ √(J(1−J)/k) ≈
     * 0.044 worst-case — plenty for a mixing-decision dataset card. */
   private val KMV_K = 128
+  /** DSIR hashed-feature bucket count + target slice. 512 buckets keeps
+    * the feature table broadcast-trivial while leaving ~½ of buckets
+    * multi-word at this vocabulary — real hashing collisions, as the
+    * method intends. */
+  private val DSIR_B = 512
+  private val DSIR_TARGET = "en"
   /** PII card fixtures for q_text_pii_scrub, rotated by doc_id: indexes
     * 0–1 are Luhn-VALID public test numbers (redacted), 2–3 fail the
     * checksum (must survive un-redacted — the no-over-redaction gate). */
@@ -611,6 +617,16 @@ object PipelinePack {
       val docs = Tables.documents(s, d)
       Dedup.resolveBestQuality(docs, jaccardPairsFixture(s, d),
           size(split(col("text"), " ")).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR data selection (Xie et al. 2023): mean per-token log
+    // likelihood ratio of the en-target hashed-unigram distribution vs
+    // the raw-corpus distribution; per-bucket ratios quantized to
+    // integer micro-units so per-doc scores are exact long sums —
+    // deterministic under any partitioning. selected = ratio > 1.
+    "q_text_dsir" -> { (s, d) =>
+      TextAnalysis.dsirScores(Tables.documents(s, d), DSIR_B, DSIR_TARGET)
         .orderBy("doc_id")
     },
 
@@ -3149,6 +3165,41 @@ object PipelinePack {
          |       array_to_string(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)], ' ') AS chunk_text,
          |       CAST(len(ws[CAST(i * $CHUNK_S + 1 AS INT):CAST(i * $CHUNK_S + $CHUNK_W AS INT)]) AS BIGINT) AS n_chunk_words
          |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    // Replays the DSIR scoring pipeline: hashed-unigram histograms for
+    // target (en) and raw, add-1 smoothed log ratio per bucket
+    // quantized to integer micro-units (floor(ln·1e6 + 0.5) — ≤ DSIR_B
+    // ln calls total, so libm-ULP exposure is bounded), exact integer
+    // per-doc sums, then the mean-per-token score.
+    "q_text_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |                     unnest(string_split(text, ' ')) AS word
+         |              FROM documents),
+         |tb AS (SELECT doc_id, lang,
+         |              ${graft.functions.Hashing.md5LongSql("word")} % $DSIR_B AS b
+         |       FROM toks),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+         |        WHERE lang = '$DSIR_TARGET' GROUP BY b),
+         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY b),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tr,
+         |               CAST(sum(CASE WHEN lang = '$DSIR_TARGET' THEN 1
+         |                             ELSE 0 END) AS BIGINT) AS tt
+         |        FROM tb),
+         |feat AS (SELECT r.b,
+         |                CAST(floor(ln(((coalesce(t.ct, 0) + 1.0)
+         |                               / (tot.tt + $DSIR_B.0))
+         |                              / ((r.cr + 1.0) / (tot.tr + $DSIR_B.0)))
+         |                           * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |         FROM raw r LEFT JOIN tgt t USING (b), tot),
+         |d AS (SELECT tb.doc_id, tb.lang,
+         |             CAST(sum(f.micro) AS BIGINT) AS sm,
+         |             CAST(count(*) AS BIGINT) AS n_tokens
+         |      FROM tb JOIN feat f USING (b) GROUP BY tb.doc_id, tb.lang)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(floor(sm / CAST(n_tokens AS DOUBLE) + 0.5) AS BIGINT)
+         |         / 1000000.0 AS dsir_score,
+         |       CAST(CASE WHEN sm > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // Replays the KMV pipeline exactly: distinct (source, word) →
     // portable md5 hashes → k smallest per source → pairwise union-k →

@@ -825,6 +825,25 @@ class TextSpec extends AnyFunSuite {
     assert(expect.nonEmpty && got == expect)
   }
 
+  test("DSIR: target language scores highest; scores are partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val scored = TextAnalysis.dsirScores(docs, 512, "en")
+    val byLang = scored.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.avg("dsir_score").as("m"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("m")).toMap
+    // The method's point: the en slice must score above every other
+    // language's mean under the en-target ratio.
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(byLang("en") > m, s"en ${byLang("en")} !> $l $m")
+    }
+    // Exact micro-unit sums: any partitioning yields identical rows.
+    val a = scored.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = TextAnalysis.dsirScores(docs.repartition(17, col("doc_id")), 512, "en")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("KMV source overlap: estimate tracks exact and is partition-invariant") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, TestSpark.sf0001)
