@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("bpe_apply_pairs", es =>
       graft.functions.BpeApplyPairsExpr(es(0), es(1), es(2))))
     ext.injectFunction(fn("zorder2", es => graft.functions.ZOrder2(es(0), es(1))))
+    ext.injectFunction(fn("nfc_norm", es => graft.functions.NfcNormalize(es.head)))
+    ext.injectFunction(fn("unaccent", es => graft.functions.StripAccents(es.head)))
     // Spark's internal bloom build/probe pair — see
     // graft.functions.BloomProbe.
     ext.injectFunction(fn("bloom_filter_agg", es =>

@@ -638,6 +638,50 @@ object Dedup {
       when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
   }
 
+  /** SoftDeDup commonness reweighting (He et al. 2024, "SoftDedup: an
+    * Efficient Data Reweighting Method for Speeding Up Language Model
+    * Pretraining"): instead of DROPPING near-duplicates, keep every
+    * document and downweight it by its near-dup cluster size — weight
+    * 1/|cluster| makes each duplicated content unit contribute one
+    * effective document to the sampling distribution while preserving
+    * the distributional tail hard dedup throws away. `clusters` is the
+    * (doc_id, cluster_id) labeling from [[duplicateClusters]]; docs
+    * absent from it have no near-duplicate and keep weight 1. Output
+    * per doc: cluster_n, weight = 1/cluster_n, and w_chars — the doc's
+    * char mass scaled by its weight (the quantity a weighted sampler
+    * integrates). Scale: cluster sizes are one keyed aggregate over the
+    * labels table, which holds ONLY docs with ≥1 near-dup (orders of
+    * magnitude smaller than the corpus), so both joins back onto the
+    * corpus broadcast at production skew; nothing touches `text`. */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_n"))
+    val cn = coalesce(col("cluster_n"), lit(1L))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("source"), cn.as("cluster_n"),
+        round(lit(1.0) / cn, 6).as("weight"),
+        round(col("n_chars") / cn, 6).as("w_chars"))
+  }
+
+  /** Per-source effective corpus size under [[softDedupWeights]] — the
+    * curation report comparing raw doc counts with the deduplicated
+    * mass the soft weights realize (soft_keep_ratio ≈ what fraction of
+    * the source survives hard dedup, measured without dropping a row).
+    * Weights are summed as exact integer parts-per-million (one
+    * round-trip through `round(1e6/n)`), so the aggregate is
+    * order-independent — no float-summation nondeterminism crosses the
+    * oracle hash. Scale: one keyed aggregate over the weighted corpus. */
+  def softDedupEffectiveSize(docs: DataFrame, clusters: DataFrame): DataFrame =
+    softDedupWeights(docs, clusters)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(lit(1000000.0) / col("cluster_n")).cast("long")).as("ppm"))
+      .select(col("source"), col("n_docs"),
+        round(col("ppm") / lit(1000000.0), 6).as("effective_docs"),
+        round(col("ppm") / lit(1000000.0) / col("n_docs"), 6).as("soft_keep_ratio"))
+
   /** Exact connected components for an edge set that fits one task:
     * path-compressed union-find over PRIMITIVE arrays (edge buffers →
     * sorted distinct node ids → int parent indices; node ids are sorted,

@@ -384,6 +384,19 @@ object PipelinePack {
     "q_dedup_clusters" -> { (s, d) =>
       Dedup.duplicateClusters(jaccardPairsFixture(s, d)).orderBy("doc_id")
     },
+    // SoftDeDup (He et al. 2024): keep every doc, downweight by
+    // near-dup cluster size — per-doc sampling weights…
+    "q_dedup_soft_weights" -> { (s, d) =>
+      Dedup.softDedupWeights(Tables.documents(s, d),
+          Dedup.duplicateClusters(jaccardPairsFixture(s, d)))
+        .orderBy("doc_id")
+    },
+    // …and the per-source effective-size report those weights realize.
+    "q_dedup_effective_size" -> { (s, d) =>
+      Dedup.softDedupEffectiveSize(Tables.documents(s, d),
+          Dedup.duplicateClusters(jaccardPairsFixture(s, d)))
+        .orderBy("source")
+    },
     "q_dedup_embedding" -> { (s, d) =>
       Dedup.embeddingPairs(
           Tables.embeddings(s, d).filter(col("vec_id") < EXACT_PAIRS_CAP), COS_MIN)
@@ -885,6 +898,32 @@ object PipelinePack {
     "q_text_span_dedup" -> { (s, d) =>
       TextAnalysis.dupSpans(Tables.documents(s, d), SPAN_N, SPAN_MIN_DOCS)
         .orderBy("doc_id", "span_start")
+    },
+    // Unicode normalization battery (the C4/CCNet preprocessing step):
+    // synthesize decomposed combining-mark text deterministically from
+    // the corpus (base letter + U+0301/U+0300/U+0308/U+0303), compose
+    // it back with the native codegen nfc_norm Expression, and strip
+    // diacritics with unaccent — the oracle replays the identical
+    // construction through DuckDB's nfc_normalize / strip_accents, so
+    // a normalization that composes or strips even one mark wrong
+    // hash-fails. roundtrip_ok asserts unaccent(nfc(decorated)) equals
+    // the undecorated source slice.
+    "q_text_unicode_norm" -> { (s, d) =>
+      graft.functions.UnicodeNorm.register(s)
+      val raw5 = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+      val dec = replace(replace(replace(replace(raw5,
+        lit("a"), lit("a\u0301")), lit("e"), lit("e\u0300")),
+        lit("o"), lit("o\u0308")), lit("n"), lit("n\u0303"))
+      val nfcS = graft.functions.UnicodeNorm.nfcNorm(dec)
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          length(dec).cast("long").as("dec_cp"),
+          length(nfcS).cast("long").as("nfc_cp"),
+          (length(dec) - length(nfcS)).cast("long").as("marks"),
+          nfcS.as("nfc_text"),
+          when(graft.functions.UnicodeNorm.unaccent(nfcS) === raw5, 1L)
+            .otherwise(0L).as("roundtrip_ok"))
+        .orderBy("doc_id")
     },
     // Per-document duplication coverage ratio from the same spans —
     // the drop/trim curation signal.
@@ -2256,6 +2295,39 @@ object PipelinePack {
          |            ELSE CAST(0 AS BIGINT) END AS is_canonical
          |FROM labels ORDER BY doc_id""".stripMargin,
 
+    // SoftDeDup weights: the same cluster closure, sized, left-joined
+    // onto the corpus (absent docs → singleton weight 1). Divisions are
+    // CAST AS DOUBLE so DuckDB's decimal-literal division rules never
+    // enter; Spark's lit(1.0)/long is the identical IEEE double op.
+    "q_dedup_soft_weights" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cs AS (SELECT cluster_id, count(*) AS cn FROM labels GROUP BY cluster_id),
+         |w AS (SELECT d.doc_id, d.source, d.n_chars, COALESCE(cs.cn, 1) AS cn
+         |      FROM documents d
+         |      LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |      LEFT JOIN cs ON cs.cluster_id = l.cluster_id)
+         |SELECT doc_id, source, CAST(cn AS BIGINT) AS cluster_n,
+         |       round(CAST(1 AS DOUBLE) / cn, 6) AS weight,
+         |       round(CAST(n_chars AS DOUBLE) / cn, 6) AS w_chars
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // Effective size: weights summed as exact integer ppm (round(1e6/n))
+    // so the aggregate is order-independent on both engines.
+    "q_dedup_effective_size" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cs AS (SELECT cluster_id, count(*) AS cn FROM labels GROUP BY cluster_id),
+         |w AS (SELECT d.doc_id, d.source, COALESCE(cs.cn, 1) AS cn
+         |      FROM documents d
+         |      LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |      LEFT JOIN cs ON cs.cluster_id = l.cluster_id),
+         |agg AS (SELECT source, count(*) AS n_docs,
+         |               sum(CAST(round(CAST(1000000 AS DOUBLE) / cn) AS BIGINT)) AS ppm
+         |        FROM w GROUP BY source)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       round(ppm / CAST(1000000 AS DOUBLE), 6) AS effective_docs,
+         |       round(ppm / CAST(1000000 AS DOUBLE) / n_docs, 6) AS soft_keep_ratio
+         |FROM agg ORDER BY source""".stripMargin,
+
     // Resolution policy on top of the same transitive closure: keep
     // unique docs and the min-id canonical of every duplicate cluster.
     "q_dedup_canonical_docs" ->
@@ -3524,6 +3596,31 @@ object PipelinePack {
          |       CAST(max(start_i) + $SPAN_N - min(start_i) AS BIGINT) AS span_words
          |FROM isl GROUP BY doc_id, isl_no
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Same deterministic decoration (combining marks by codepoint, so
+    // this source file's own encoding can never leak into the oracle),
+    // composed/stripped by DuckDB's utf8proc instead of the JVM
+    // Normalizer — agreement is the check.
+    "q_text_unicode_norm" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         array_to_string((string_split(text, ' '))[1:5], ' ') AS raw5
+        |  FROM documents),
+        |dec AS (
+        |  SELECT doc_id, raw5,
+        |         replace(replace(replace(replace(raw5,
+        |           'a', 'a' || chr(769)), 'e', 'e' || chr(768)),
+        |           'o', 'o' || chr(776)), 'n', 'n' || chr(771)) AS dec
+        |  FROM base),
+        |n AS (SELECT doc_id, raw5, dec, nfc_normalize(dec) AS nfc FROM dec)
+        |SELECT doc_id,
+        |       CAST(length(dec) AS BIGINT) AS dec_cp,
+        |       CAST(length(nfc) AS BIGINT) AS nfc_cp,
+        |       CAST(length(dec) - length(nfc) AS BIGINT) AS marks,
+        |       nfc AS nfc_text,
+        |       CAST(CASE WHEN strip_accents(nfc) = raw5 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS roundtrip_ok
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "q_text_dup_coverage" ->
       s"""WITH $dupSpanCtes,

@@ -175,4 +175,39 @@ class DedupSpec extends AnyFunSuite {
     // Both splits occur across the 37 clusters (deterministic md5 keys).
     assert(out.map(_.getAs[String]("split")).toSet == Set("train", "test"))
   }
+
+  test("softDedupWeights: weight = 1/cluster size, singletons weight 1") {
+    val docs = Seq(
+      (1L, "s0", 100L), (2L, "s0", 200L), (3L, "s0", 300L), // cluster {1,2,3}
+      (4L, "s1", 400L), (5L, "s1", 500L), // cluster {4,5}
+      (6L, "s1", 600L) // singleton (absent from labels)
+    ).toDF("doc_id", "source", "n_chars")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)
+    ).toDF("doc_id", "cluster_id")
+    val out = Dedup.softDedupWeights(docs, clusters).orderBy("doc_id").collect()
+    val w = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_n"), r.getAs[Double]("weight"),
+        r.getAs[Double]("w_chars"))).toMap
+    assert(w(1L) == ((3L, 0.333333, 33.333333)))
+    assert(w(4L) == ((2L, 0.5, 200.0)))
+    assert(w(6L) == ((1L, 1.0, 600.0)))
+  }
+
+  test("softDedupEffectiveSize: exact ppm sums, order-independent") {
+    val docs = Seq(
+      (1L, "s0", 100L), (2L, "s0", 200L), (3L, "s0", 300L),
+      (4L, "s1", 400L), (5L, "s1", 500L), (6L, "s1", 600L)
+    ).toDF("doc_id", "source", "n_chars")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)
+    ).toDF("doc_id", "cluster_id")
+    val out = Dedup.softDedupEffectiveSize(docs, clusters).orderBy("source")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("effective_docs"), r.getAs[Double]("soft_keep_ratio")))
+    // s0: 3 docs in one cluster → 3 * round(1e6/3) = 999999 ppm
+    assert(out(0) == (("s0", 3L, 0.999999, 0.333333)))
+    // s1: {4,5} at 1/2 each + singleton → 2.0
+    assert(out(1) == (("s1", 3L, 2.0, 0.666667)))
+  }
 }
