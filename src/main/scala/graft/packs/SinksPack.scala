@@ -358,6 +358,33 @@ object SinksPack {
         .orderBy("video_id")
     },
 
+    // S1 at STREAMING cadence through the same DSV2 table: the custom
+    // MicroBatchStream treats the paginated API as an append-only page
+    // log (offset = pages consumed, one partition per page, pushed
+    // filter rides into the streaming reader). This entry RUNS the real
+    // stream — Trigger.AvailableNow over a fresh checkpoint drains the
+    // whole layout — so the hash gate covers the streaming read path
+    // itself, not a batch twin; incremental append + exactly-once
+    // restart live in PagedStreamSpec.
+    "q_st_paged_source" -> { (s, d) =>
+      val path = tmpPath("paged_src", d)
+      ensureFixture(path) {
+        graft.sources.JsonFixtureSource.writeSearchPagesPartitioned(
+          s, Tables.orders(s, d), path)
+      }
+      val run = java.lang.System.nanoTime()
+      val tbl = s"paged_stream_out_$run"
+      val q = s.readStream.format("graft.sources.PagedJsonSource")
+        .option("path", path).load()
+        .filter(col("published_at") > graft.sources.PagedJsonSource.PublishedAfter)
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation", s"${tmpPath("paged_ckpt", d)}_$run")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tbl).orderBy("video_id")
+    },
+
     // S2/J3/W2 — commentThreads pages with optional replies: write the
     // nested fixture, read back, flatten parents (flag 0) + replies
     // (flag 1), null-guarding threads without replies.
@@ -560,6 +587,18 @@ object SinksPack {
         |ORDER BY user_id, event_type, hour_start""".stripMargin,
 
     "q_s1_paged_source" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS video_id,
+         |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS published_at,
+         |       o_orderpriority AS title,
+         |       o_orderstatus AS description
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') >
+         |      '${graft.sources.PagedJsonSource.PublishedAfter}'
+         |ORDER BY video_id""".stripMargin,
+
+    // The streaming read must produce byte-identical rows to the batch
+    // scan of the same page layout — one oracle, two engine paths.
+    "q_st_paged_source" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS video_id,
          |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS published_at,
          |       o_orderpriority AS title,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,7 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * query parameter), and Spark plans NO residual filter for them.
   *
   * Usage: `spark.read.format("graft.sources.PagedJsonSource")
-  * .option("path", dir).load()`.
+  * .option("path", dir).load()` — or `spark.readStream` for the
+  * micro-batch face ([[PagedMicroBatchStream]]): the page layout as an
+  * append-only log, offset = pages consumed, exactly-once across
+  * restart via Spark's offset checkpoint.
   */
 class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -63,7 +67,8 @@ private[sources] class PagedJsonTable(path: String) extends Table with SupportsR
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = PagedJsonSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(path)
 }
@@ -90,8 +95,38 @@ private[sources] class PagedScanBuilder(path: String)
   override def build(): Scan = new PagedScan(path, pushed)
 }
 
+/** `strict = true` (batch): the page's `nextPageToken` must equal the
+  * planner's layout exactly. `strict = false` (streaming): an
+  * append-only page log can't retro-update earlier snapshots, so a
+  * page fetched when it was last legitimately carries no token even
+  * after later pages land, and the listing can't know tokens past its
+  * own horizon — only a non-null token CONTRADICTING a non-null
+  * expectation fails. */
 private[sources] case class PageInputPartition(file: String, page: Long,
-                                               expectedToken: String) extends InputPartition
+                                               expectedToken: String,
+                                               strict: Boolean = true)
+    extends InputPartition
+
+/** One `listStatus` of the page layout: (page number, part file),
+  * sorted by page — shared by the batch planner and the micro-batch
+  * stream (whose offset is a position in exactly this ordering). */
+private[sources] object PagedLayout {
+  def listPages(path: String): Array[(Long, String)] = {
+    val root = new HPath(path)
+    val fs: FileSystem =
+      root.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
+      .map(s => (s.getPath.getName.stripPrefix("page=").toLong, s.getPath))
+      .sortBy(_._1)
+      .map { case (pg, dir) =>
+        val file = fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-") && f.getLen > 0)
+          .head.getPath.toString
+        (pg, file)
+      }
+  }
+}
 
 class PagedScan(path: String, val pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = PagedJsonSource.Schema
@@ -104,20 +139,53 @@ class PagedScan(path: String, val pushed: Array[Filter]) extends Scan with Batch
     * page in the layout, or none for the last). Payloads are read only
     * by the executors. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = new HPath(path)
-    val fs: FileSystem =
-      root.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
-    val dirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
-      .map(s => (s.getPath.getName.stripPrefix("page=").toLong, s.getPath))
-      .sortBy(_._1)
-    dirs.zipWithIndex.map { case ((pg, dir), i) =>
-      val file = fs.listStatus(dir)
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-") && f.getLen > 0)
-        .head.getPath.toString
-      val expected = if (i + 1 < dirs.length) s"tok_${dirs(i + 1)._1}" else null
+    val pages = PagedLayout.listPages(path)
+    pages.zipWithIndex.map { case ((pg, file), i) =>
+      val expected = if (i + 1 < pages.length) s"tok_${pages(i + 1)._1}" else null
       PageInputPartition(file, pg, expected): InputPartition
     }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(pushed)
+
+  /** The STREAMING face of the same table (SURVEY §2.1 S1 at ingestion
+    * cadence): the paginated API as an append-only page log. The offset
+    * is simply how many pages of the sorted layout have been committed —
+    * `latestOffset` is one metadata listing, `planInputPartitions(start,
+    * end)` plans exactly the pages in (start, end] as one partition
+    * each, and Spark's offset log makes the delivery exactly-once
+    * across kill/restart (the checkpoint replays the page RANGE, and
+    * page payloads are immutable snapshots). Pushed filters ride along
+    * unchanged — the streaming reader is the same [[PagedReader]]. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(path, pushed)
+}
+
+/** Offset = number of pages (in sorted-layout order) already consumed. */
+private[sources] case class PagedOffset(pages: Long) extends Offset {
+  override def json(): String = pages.toString
+}
+
+private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter])
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = PagedOffset(0L)
+  override def latestOffset(): Offset =
+    PagedOffset(PagedLayout.listPages(path).length.toLong)
+  override def deserializeOffset(json: String): Offset =
+    PagedOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[PagedOffset].pages.toInt
+    val e0 = end.asInstanceOf[PagedOffset].pages.toInt
+    val pages = PagedLayout.listPages(path)
+    (s0 until math.min(e0, pages.length)).map { i =>
+      val expected = if (i + 1 < pages.length) s"tok_${pages(i + 1)._1}" else null
+      PageInputPartition(pages(i)._2, pages(i)._1, expected,
+        strict = false): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -142,7 +210,10 @@ private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filte
     val in = fs.open(p)
     val root = try new ObjectMapper().readTree(in) finally in.close()
     val token = Option(root.get("nextPageToken")).map(_.asText()).orNull
-    if (token != part.expectedToken)
+    val broken =
+      if (part.strict) token != part.expectedToken
+      else token != null && part.expectedToken != null && token != part.expectedToken
+    if (broken)
       throw new IllegalStateException(
         s"paged_json: page ${part.page} carries nextPageToken=$token, " +
           s"expected ${part.expectedToken} — broken page chain")

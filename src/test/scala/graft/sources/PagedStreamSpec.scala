@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+import graft.TestSpark
+
+/** The paged-JSON DSV2 table's MicroBatchStream face: append-only page
+  * log, offset = pages consumed, exactly-once across stop/restart
+  * through the file-sink + offset-checkpoint pair. Pages are written by
+  * hand here (not via the fixture writer) for full control over
+  * `nextPageToken` staleness — the property that separates the strict
+  * batch chain check from the lenient streaming one. */
+class PagedStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(kind: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/paged_stream_spec_${kind}_" +
+      s"${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    Files.createDirectories(Paths.get(p))
+    p
+  }
+
+  /** One page file: single JSON object, `part-`-prefixed, one item per
+    * id; `token = null` writes NO nextPageToken field (the API shape
+    * for a last-at-fetch-time page). */
+  private def writePage(root: String, page: Long, token: String,
+                        ids: Seq[Int]): Unit = {
+    val dir = Paths.get(root, s"page=$page")
+    Files.createDirectories(dir)
+    val items = ids.map { i =>
+      s"""{"id":{"videoId":"v$i"},"snippet":{"publishedAt":""" +
+        s""""2020-01-01T00:00:0${i % 10}Z","title":"t$i","description":"d$i"}}"""
+    }.mkString(",")
+    val tok = if (token == null) "" else s""","nextPageToken":"$token""""
+    Files.write(dir.resolve("part-00000.json"),
+      s"""{"items":[$items]$tok}""".getBytes("UTF-8"))
+  }
+
+  private def runToParquet(src: String, out: String, ckpt: String): Unit = {
+    val q = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", src).load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming drains the layout, then delivers appended pages exactly once") {
+    val src = freshDir("src"); val out = freshDir("out"); val ckpt = freshDir("ckpt")
+    writePage(src, 0, "tok_1", Seq(1, 2))
+    writePage(src, 1, null, Seq(3))
+
+    runToParquet(src, out, ckpt)
+    val ids1 = spark.read.parquet(out).collect()
+      .map(_.getAs[String]("video_id")).sorted.toSeq
+    assert(ids1 == Seq("v1", "v2", "v3"))
+
+    // Append page 2. Page 1's stored snapshot legitimately still
+    // carries NO token (immutable fetch-time response) — the lenient
+    // streaming chain check must accept it.
+    writePage(src, 2, null, Seq(4, 5))
+    runToParquet(src, out, ckpt)
+    val ids2 = spark.read.parquet(out).collect()
+      .map(_.getAs[String]("video_id")).sorted.toSeq
+    assert(ids2 == Seq("v1", "v2", "v3", "v4", "v5"),
+      "second run must deliver ONLY the appended page — no re-reads, no drops")
+
+    // Restart with nothing new: the checkpointed offset replays zero pages.
+    runToParquet(src, out, ckpt)
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
+  test("stale null token: streaming (lenient) reads what batch (strict) refuses") {
+    val src = freshDir("stale")
+    writePage(src, 0, null, Seq(1)) // stale: page 1 exists but 0 predates it
+    writePage(src, 1, null, Seq(2))
+
+    // batch chain check: page 0 must carry tok_1 — fails loudly
+    val batch = intercept[Exception] {
+      spark.read.format("graft.sources.PagedJsonSource")
+        .option("path", src).load().collect()
+    }
+    def chainError(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("broken page chain"))
+        || chainError(t.getCause))
+    assert(chainError(batch))
+
+    // streaming accepts the append-only interpretation
+    val out = freshDir("stale_out"); val ckpt = freshDir("stale_ckpt")
+    runToParquet(src, out, ckpt)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("a contradicting token still fails the streaming read") {
+    val src = freshDir("bad")
+    writePage(src, 0, "tok_9", Seq(1)) // points at a page that is not next
+    writePage(src, 1, null, Seq(2))
+    val out = freshDir("bad_out"); val ckpt = freshDir("bad_ckpt")
+    val e = intercept[Exception] { runToParquet(src, out, ckpt) }
+    def chainError(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("broken page chain"))
+        || chainError(t.getCause))
+    assert(chainError(e))
+  }
+}
