@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,14 +70,25 @@ private[sources] class PagedJsonTable(path: String) extends Table with SupportsR
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(path)
+    new PagedScanBuilder(path,
+      Option(options.get("maxPagesPerTrigger")).map(_.toInt))
 }
 
 /** Accepts `published_at > v` / `>= v` (string bounds — the API's
-  * `publishedAfter`); everything else is left for Spark to evaluate. */
-private[sources] class PagedScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters {
+  * `publishedAfter`); everything else is left for Spark to evaluate.
+  * Also accepts column pruning: the reader parses only the projected
+  * fields out of each page item, so `SELECT video_id` never
+  * materializes descriptions (at API scale, most of every page's
+  * bytes). `maxPagesPerTrigger` caps pages admitted per micro-batch
+  * (streaming only) — the backfill throttle. */
+private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = PagedJsonSource.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -92,7 +103,7 @@ private[sources] class PagedScanBuilder(path: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PagedScan(path, pushed)
+  override def build(): Scan = new PagedScan(path, pushed, required, maxPages)
 }
 
 /** `strict = true` (batch): the page's `nextPageToken` must equal the
@@ -128,11 +139,14 @@ private[sources] object PagedLayout {
   }
 }
 
-class PagedScan(path: String, val pushed: Array[Filter]) extends Scan with Batch {
-  override def readSchema(): StructType = PagedJsonSource.Schema
+class PagedScan(path: String, val pushed: Array[Filter],
+                schema: StructType = PagedJsonSource.Schema,
+                maxPages: Option[Int] = None) extends Scan with Batch {
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftPagedJson path=$path PushedFilters: [${pushed.mkString(", ")}]"
+    s"GraftPagedJson path=$path PushedFilters: [${pushed.mkString(", ")}] " +
+      s"ReadSchema: [${schema.fieldNames.mkString(", ")}]"
 
   /** Metadata-only planning: list `page=N` directories (one FS call),
     * sort, and pair each page with the token it must carry (the next
@@ -147,7 +161,7 @@ class PagedScan(path: String, val pushed: Array[Filter]) extends Scan with Batch
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(pushed)
+    new PagedReaderFactory(pushed, schema)
 
   /** The STREAMING face of the same table (SURVEY §2.1 S1 at ingestion
     * cadence): the paginated API as an append-only page log. The offset
@@ -159,7 +173,7 @@ class PagedScan(path: String, val pushed: Array[Filter]) extends Scan with Batch
     * page payloads are immutable snapshots). Pushed filters ride along
     * unchanged — the streaming reader is the same [[PagedReader]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PagedMicroBatchStream(path, pushed)
+    new PagedMicroBatchStream(path, pushed, schema, maxPages)
 }
 
 /** Offset = number of pages (in sorted-layout order) already consumed. */
@@ -167,11 +181,41 @@ private[sources] case class PagedOffset(pages: Long) extends Offset {
   override def json(): String = pages.toString
 }
 
-private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter])
-    extends MicroBatchStream {
+private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter],
+                                              schema: StructType,
+                                              maxPages: Option[Int])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   override def initialOffset(): Offset = PagedOffset(0L)
-  override def latestOffset(): Offset =
-    PagedOffset(PagedLayout.listPages(path).length.toLong)
+
+  /** Trigger.AvailableNow contract: freeze the target offset at start,
+    * so the run drains exactly the pages visible then (in bounded
+    * batches under `maxPagesPerTrigger`) and terminates even while the
+    * log keeps growing. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(PagedLayout.listPages(path).length.toLong)
+
+  private def visiblePages(): Long = availableNowCap.getOrElse(
+    PagedLayout.listPages(path).length.toLong)
+
+  override def latestOffset(): Offset = PagedOffset(visiblePages())
+
+  /** Admission control: `maxPagesPerTrigger` bounds each micro-batch
+    * (a page ≈ one API fetch ≈ one file, hence ReadMaxFiles), so a
+    * backfill over a deep page history proceeds in bounded, individually
+    * checkpointed batches instead of one giant catch-up batch — the
+    * standard production throttle for re-ingesting a long log. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPages.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val all = visiblePages()
+    val s0 = start.asInstanceOf[PagedOffset].pages
+    limit match {
+      case mf: ReadMaxFiles => PagedOffset(math.min(all, s0 + mf.maxFiles()))
+      case _ => PagedOffset(all)
+    }
+  }
   override def deserializeOffset(json: String): Offset =
     PagedOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -189,19 +233,24 @@ private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(pushed)
+    new PagedReaderFactory(pushed, schema)
 }
 
-private[sources] class PagedReaderFactory(pushed: Array[Filter])
+private[sources] class PagedReaderFactory(pushed: Array[Filter],
+                                           schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PagedReader(p.asInstanceOf[PageInputPartition], pushed)
+    new PagedReader(p.asInstanceOf[PageInputPartition], pushed, schema)
 }
 
 /** Parses ONE page file (a single JSON object line), validates its
   * `nextPageToken` against the planner's layout, and streams the items
-  * that pass the pushed filters. */
-private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filter])
+  * that pass the pushed filters — emitting ONLY the pruned projection
+  * (`schema`): unprojected item fields are never converted to
+  * UTF8String, so a 2-column read of a description-heavy page pays
+  * parse cost but zero materialization for the dropped columns. */
+private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filter],
+                                   schema: StructType)
     extends PartitionReader[InternalRow] {
 
   private val items: Iterator[JsonNode] = {
@@ -236,19 +285,30 @@ private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filte
     case _ => true
   }
 
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** One extractor per PROJECTED field, bound once per reader. */
+  private val extractors: Array[JsonNode => UTF8String] =
+    schema.fieldNames.map {
+      case "video_id" => (it: JsonNode) => utf8(text(it.get("id"), "videoId"))
+      case "published_at" => (it: JsonNode) => utf8(text(it.get("snippet"), "publishedAt"))
+      case "title" => (it: JsonNode) => utf8(text(it.get("snippet"), "title"))
+      case "description" => (it: JsonNode) => utf8(text(it.get("snippet"), "description"))
+      case other => throw new IllegalArgumentException(
+        s"paged_json: unknown projected column $other")
+    }
+
   override def next(): Boolean = {
     while (items.hasNext) {
       val it = items.next()
-      val snippet = it.get("snippet")
-      val published = text(snippet, "publishedAt")
+      // only extracted when a pushed filter needs it; an unfiltered
+      // pruned read never touches the snippet timestamp
+      val published =
+        if (pushed.isEmpty) null else text(it.get("snippet"), "publishedAt")
       if (passes(published)) {
-        def utf8(s: String): UTF8String =
-          if (s == null) null else UTF8String.fromString(s)
-        row = InternalRow(
-          utf8(text(it.get("id"), "videoId")),
-          utf8(published),
-          utf8(text(snippet, "title")),
-          utf8(text(snippet, "description")))
+        row = InternalRow.fromSeq(
+          extractors.map(_(it)).toIndexedSeq)
         return true
       }
     }

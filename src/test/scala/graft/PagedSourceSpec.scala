@@ -65,4 +65,20 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(chain(e).exists(m => m != null && m.contains("broken page chain")),
       s"expected the broken-chain error, got: ${chain(e).mkString(" | ")}")
   }
+
+  test("column pruning is pushed into the source (ReadSchema = projection)") {
+    val path = freshFixture("prune")
+    val df = readPaged(path).select("title")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("title"),
+      s"source should read only the projection, got ${scans.head.scan.readSchema()}")
+    // values still correct under the pruned read
+    val got = df.collect().map(_.getString(0)).sorted
+    val want = Tables.orders(spark, d)
+      .select(col("o_orderpriority")).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
 }

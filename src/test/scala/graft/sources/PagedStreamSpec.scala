@@ -95,6 +95,32 @@ class PagedStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 2)
   }
 
+  test("maxPagesPerTrigger throttles a backfill into bounded micro-batches") {
+    val src = freshDir("throttle")
+    writePage(src, 0, "tok_1", Seq(1))
+    writePage(src, 1, "tok_2", Seq(2))
+    writePage(src, 2, null, Seq(3))
+    val out = freshDir("throttle_out"); val ckpt = freshDir("throttle_ckpt")
+    val q = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", src)
+      .option("maxPagesPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // all rows arrive, exactly once…
+    assert(spark.read.parquet(out).collect()
+      .map(_.getAs[String]("video_id")).sorted.toSeq == Seq("v1", "v2", "v3"))
+    // …across one committed micro-batch PER PAGE (offsets 0,1,2)
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).sorted
+    assert(batches.length == 3,
+      s"expected 3 admission-controlled batches, got ${batches.mkString(",")}")
+  }
+
   test("a contradicting token still fails the streaming read") {
     val src = freshDir("bad")
     writePage(src, 0, "tok_9", Seq(1)) // points at a page that is not next
