@@ -216,4 +216,37 @@ object Classifier {
   def logisticQualityScore(docs: DataFrame, iters: Int, lambda: Double,
                            keepMin: Double): DataFrame =
     logisticScore(gopherFeatures(docs), iters, lambda, keepMin)
+
+  /** Operating-point selection for the quality classifier: the full
+    * confusion table + precision/recall/F1 at a threshold grid — the
+    * decision artifact a curator reads before fixing `keepMin` (pick
+    * the knee, not a folklore 0.5). One scored pass over the corpus,
+    * exploded onto the grid and reduced by one keyed aggregate — at
+    * 100 TB the sweep costs |grid| counters per partition on top of
+    * the scoring scan, nothing more. F1 is computed from the ROUNDED
+    * precision/recall (both engines spell the same chain), so no
+    * compounded-rounding divergence can cross the oracle hash. */
+  def thresholdSweep(docs: DataFrame, iters: Int, lambda: Double,
+                     thresholds: Seq[Double]): DataFrame = {
+    val (beta, zf) = irls(gopherFeatures(docs), iters, lambda)
+    val hit = col("p") >= col("thr")
+    val pos = col("y") === 1.0
+    val out = withProb(zf, beta)
+      .select(col("y"), col("p"),
+        explode(array(thresholds.map(lit): _*)).as("thr"))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(hit && pos, 1L).otherwise(0L)).as("tp"),
+        sum(when(hit && !pos, 1L).otherwise(0L)).as("fp"),
+        sum(when(!hit && pos, 1L).otherwise(0L)).as("fn"),
+        sum(when(!hit && !pos, 1L).otherwise(0L)).as("tn"))
+      .withColumn("prec", when(col("tp") + col("fp") === 0L, lit(0.0))
+        .otherwise(round(col("tp") / (col("tp") + col("fp")), 6)))
+      .withColumn("rec", when(col("tp") + col("fn") === 0L, lit(0.0))
+        .otherwise(round(col("tp") / (col("tp") + col("fn")), 6)))
+      .withColumn("f1", when(col("prec") + col("rec") === 0.0, lit(0.0))
+        .otherwise(round(lit(2.0) * col("prec") * col("rec")
+          / (col("prec") + col("rec")), 6)))
+    Dedup.materializeThenRelease(out, zf)
+  }
 }

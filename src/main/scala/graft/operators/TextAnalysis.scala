@@ -508,6 +508,32 @@ object TextAnalysis {
           col("symbol_ratio") <= GopherMaxSymbolRatio).cast("long"))
   }
 
+  /** Per-source quality with empirical-Bayes shrinkage: the raw Gopher
+    * pass rate of a small source is noise (3 passing docs out of 4 is
+    * not a 0.75-quality domain), so each source's rate is shrunk toward
+    * the corpus-wide rate with pseudo-count strength `k` — the
+    * James-Stein / beta-prior estimate `(n_pass + k·g) / (n_docs + k)`
+    * that domain-level curation (per-site quality priors over a crawl)
+    * actually ranks by. Deterministic: the global rate is one exact
+    * integer division and the shrink is a fixed double chain, shared
+    * verbatim with the oracle. Scale: one keyed aggregate over the
+    * corpus + a broadcast 1-row global — no shuffle beyond the
+    * per-source reduce. */
+  def sourceQualityEb(docs: DataFrame, k: Double): DataFrame = {
+    val sig = gopherQuality(docs).select(col("doc_id"), col("passes"))
+    val per = docs.select(col("doc_id"), col("source"))
+      .join(sig, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("passes")).as("n_pass"))
+    val g = broadcast(per.agg(
+      (sum(col("n_pass")) / sum(col("n_docs"))).as("g_rate")))
+    per.crossJoin(g).select(
+      col("source"), col("n_docs"), col("n_pass"),
+      round(col("n_pass") / col("n_docs"), 6).as("pass_rate"),
+      round((col("n_pass") + lit(k) * col("g_rate"))
+        / (col("n_docs") + lit(k)), 6).as("shrunk_rate"))
+  }
+
   /** Corpus-level line dedup (the CCNet / RefinedWeb preprocessing step:
     * drop lines duplicated across documents — boilerplate, headers,
     * navigation). The synthetic corpus has no newlines, so the "line"

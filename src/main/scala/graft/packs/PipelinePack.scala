@@ -181,6 +181,9 @@ object PipelinePack {
   private val LOGIT_LAMBDA = 0.001
   /** Keep threshold for the corpus-wide scoring pass. */
   private val LOGIT_KEEP_MIN = 0.5
+  /** Pseudo-count strength of the empirical-Bayes per-source quality
+    * shrinkage (the beta-prior weight toward the corpus rate). */
+  private val EB_K = 20.0
   /** Train share (percent) of the leakage-safe cluster-atomic split. */
   private val TRAIN_PCT = 80L
   /** Audio near-dup: max fingerprint Hamming distance, picked from the
@@ -1172,6 +1175,21 @@ object PipelinePack {
       graft.operators.Classifier.logisticQualityScore(
           Tables.documents(s, d), LOGIT_ITERS, LOGIT_LAMBDA, LOGIT_KEEP_MIN)
         .orderBy("doc_id")
+    },
+    // Operating-point selection: confusion table + precision/recall/F1
+    // at thresholds 0.1..0.9 over the trained classifier's scores —
+    // how LOGIT_KEEP_MIN gets chosen, as a decision table.
+    "q_m_threshold_sweep" -> { (s, d) =>
+      graft.operators.Classifier.thresholdSweep(
+          Tables.documents(s, d), LOGIT_ITERS, LOGIT_LAMBDA,
+          (1 to 9).map(_ / 10.0))
+        .orderBy("thr")
+    },
+    // Per-source quality ranking with empirical-Bayes shrinkage: small
+    // sources pulled toward the corpus rate by a pseudo-count prior.
+    "q_text_source_quality_eb" -> { (s, d) =>
+      TextAnalysis.sourceQualityEb(Tables.documents(s, d), EB_K)
+        .orderBy("source")
     },
     // Image near-dup by 64-bit aHash over REAL decoded rasters,
     // threshold-EXACT maxHamming+1-band blocking (Multimodal.bandBits),
@@ -4056,6 +4074,51 @@ object PipelinePack {
     // The per-doc scoring tail over the SAME fitted coefficients —
     // mirrors Classifier.logisticQualityScore.
     "q_m_logistic_score" -> logisticScoreSql,
+
+    // The scored corpus vs the same Gopher label across a literal
+    // threshold grid; F1 is derived from the ROUNDED precision/recall
+    // exactly like the Spark side, so rounding can't compound apart.
+    "q_m_threshold_sweep" ->
+      s"""WITH $logisticCtes,
+         |fin AS (SELECT zf.y,
+         |               round(1.0 / (1.0 + exp(-round(b.b0 + b.b1 * z1
+         |                 + b.b2 * z2 + b.b3 * z3, 6))), 6) AS p
+         |        FROM zf, bb$LOGIT_ITERS b),
+         |thr AS (SELECT CAST(unnest([${(1 to 9).map(i => s"0.$i").mkString(", ")}])
+         |                    AS DOUBLE) AS thr),
+         |cm AS (SELECT thr,
+         |              sum(CASE WHEN p >= thr AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         |              sum(CASE WHEN p >= thr AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         |              sum(CASE WHEN p < thr AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         |              sum(CASE WHEN p < thr AND y = 0 THEN 1 ELSE 0 END) AS tn
+         |       FROM fin, thr GROUP BY thr),
+         |pr AS (SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |              CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |              CASE WHEN tp + fp = 0 THEN 0.0
+         |                   ELSE round(tp / CAST(tp + fp AS DOUBLE), 6) END AS prec,
+         |              CASE WHEN tp + fn = 0 THEN 0.0
+         |                   ELSE round(tp / CAST(tp + fn AS DOUBLE), 6) END AS rec
+         |       FROM cm)
+         |SELECT thr, tp, fp, fn, tn, prec, rec,
+         |       CASE WHEN prec + rec = 0 THEN 0.0
+         |            ELSE round(2.0 * prec * rec / (prec + rec), 6) END AS f1
+         |FROM pr ORDER BY thr""".stripMargin,
+
+    // Same Gopher pass label, aggregated per source and shrunk toward
+    // the corpus-wide rate with pseudo-count EB_K.
+    "q_text_source_quality_eb" ->
+      s"""WITH sb AS (
+         |  ${gopherSignalsSql("")}),
+         |sig AS (SELECT doc_id, CAST($gopherPassCase AS BIGINT) AS passes FROM sb),
+         |per AS (SELECT d.source, count(*) AS n_docs, sum(s.passes) AS n_pass
+         |        FROM documents d JOIN sig s USING (doc_id) GROUP BY d.source),
+         |g AS (SELECT sum(n_pass) / CAST(sum(n_docs) AS DOUBLE) AS g_rate FROM per)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_pass AS BIGINT) AS n_pass,
+         |       round(n_pass / CAST(n_docs AS DOUBLE), 6) AS pass_rate,
+         |       round((n_pass + CAST($EB_K AS DOUBLE) * g_rate)
+         |             / (n_docs + CAST($EB_K AS DOUBLE)), 6) AS shrunk_rate
+         |FROM per, g ORDER BY source""".stripMargin,
 
     // Replays the aHash pipeline end-to-end on the closed-form pixel
     // function (base + brightness-shifted variant images), including the

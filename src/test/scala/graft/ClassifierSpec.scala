@@ -73,4 +73,33 @@ class ClassifierSpec extends AnyFunSuite {
     for (i <- 0 until 4)
       assert(math.abs(out.getAs[Double](s"d$i") - (i + 1.5)) < 1e-12)
   }
+
+  test("thresholdSweep: confusion rows are consistent and recall is monotone") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val rows = Classifier.thresholdSweep(docs, 4, 0.001, (1 to 9).map(_ / 10.0))
+      .orderBy("thr").collect()
+    assert(rows.length == 9)
+    val n = docs.count()
+    // every row partitions the corpus: tp+fp+fn+tn == |docs|
+    rows.foreach { r =>
+      val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn")
+      assert(total == n, s"thr=${r.getAs[Double]("thr")}: $total != $n")
+    }
+    // positives tp+fn are threshold-independent (the label never moves)
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).distinct.length == 1)
+    // raising the threshold can only shrink the predicted-positive set
+    val preds = rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+    val recalls = rows.map(_.getAs[Double]("rec"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    // f1 matches its rounded-inputs definition
+    rows.foreach { r =>
+      val (p0, r0) = (r.getAs[Double]("prec"), r.getAs[Double]("rec"))
+      val want = if (p0 + r0 == 0.0) 0.0
+        else BigDecimal(2.0 * p0 * r0 / (p0 + r0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("f1") == want)
+    }
+  }
 }

@@ -863,4 +863,31 @@ class TextSpec extends AnyFunSuite {
       .orderBy("source_a", "source_b").collect()
     assert(base.map(_.toString).toSeq == reparted.map(_.toString).toSeq)
   }
+
+  test("sourceQualityEb: shrinkage pulls small sources toward the global rate") {
+    import spark.implicits._
+    // s_small: 2 docs, both passing a synthetic corpus where the global
+    // rate is ~1/3 — its raw 1.0 rate must shrink far below a large
+    // source with the same raw rate.
+    // 60 words, mean length in [3,10], all alphabetic, stopwords present
+    val passing = (1 to 20).map(i => s"alpha beta the") .mkString(" ")
+    val failing = "short text only"
+    val docs = (
+      (1L to 2L).map(i => (i, passing, "s_small")) ++
+      (3L to 42L).map(i => (i, passing, "s_big")) ++
+      (43L to 142L).map(i => (i, failing, "s_junk"))
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceQualityEb(docs, 20.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("pass_rate"), r.getAs[Double]("shrunk_rate"))).toMap
+    assert(out("s_small")._1 == 1.0 && out("s_big")._1 == 1.0)
+    assert(out("s_junk")._1 == 0.0)
+    // same raw rate, very different evidence: the small source shrinks
+    // much closer to the global mean than the big one
+    assert(out("s_small")._2 < out("s_big")._2)
+    val g = 42.0 / 142.0
+    assert(math.abs(out("s_small")._2 - (2 + 20 * g) / 22.0) < 1e-6)
+    // junk shrinks UP toward the global rate
+    assert(out("s_junk")._2 > 0.0 && out("s_junk")._2 < g)
+  }
 }
