@@ -8,10 +8,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -83,12 +84,26 @@ private[sources] class PagedJsonTable(path: String) extends Table with SupportsR
   * (streaming only) — the backfill throttle. */
 private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedJsonSource.Schema
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** PARTIAL `COUNT(*)` pushdown: each page partition emits one
+    * pre-counted row (items passing the pushed filters) and Spark sums
+    * the partials — `SELECT count(*)` over an API mirror never
+    * materializes a single item field. Grouped or non-count aggregates
+    * are declined and evaluated by Spark as usual. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
@@ -103,7 +118,9 @@ private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PagedScan(path, pushed, required, maxPages)
+  override def build(): Scan =
+    if (countPushed) new PagedCountScan(path, pushed)
+    else new PagedScan(path, pushed, required, maxPages)
 }
 
 /** `strict = true` (batch): the page's `nextPageToken` must equal the
@@ -234,6 +251,55 @@ private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter]
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(pushed, schema)
+}
+
+/** The COUNT(*)-pushed scan: same metadata-only planning, but each
+  * page partition returns ONE row holding the page's passing-item
+  * count (LongType) — Spark's planner sums the partials. */
+private[sources] class PagedCountScan(path: String, val pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftPagedJson path=$path PushedFilters: [${pushed.mkString(", ")}] " +
+      "PushedAggregates: [COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pages = PagedLayout.listPages(path)
+    pages.zipWithIndex.map { case ((pg, file), i) =>
+      val expected = if (i + 1 < pages.length) s"tok_${pages(i + 1)._1}" else null
+      PageInputPartition(file, pg, expected): InputPartition
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedCountReaderFactory(pushed)
+}
+
+private[sources] class PagedCountReaderFactory(pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PagedCountReader(p.asInstanceOf[PageInputPartition], pushed)
+}
+
+/** Counts a page's passing items through the row reader (same parse,
+  * same chain validation, same filter semantics) and emits one row. */
+private[sources] class PagedCountReader(part: PageInputPartition,
+                                        pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val inner = new PagedReader(part, pushed, new StructType())
+  private var emitted = false
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      var n = 0L
+      while (inner.next()) n += 1
+      emitted = true
+      row = InternalRow(n)
+      true
+    }
+  private var row: InternalRow = _
+  override def get(): InternalRow = row
+  override def close(): Unit = inner.close()
 }
 
 private[sources] class PagedReaderFactory(pushed: Array[Filter],

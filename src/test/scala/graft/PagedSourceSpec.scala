@@ -69,7 +69,7 @@ class PagedSourceSpec extends AnyFunSuite {
   test("column pruning is pushed into the source (ReadSchema = projection)") {
     val path = freshFixture("prune")
     val df = readPaged(path).select("title")
-    val scans = df.queryExecution.executedPlan.collect {
+    val scans = df.queryExecution.sparkPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
     assert(scans.nonEmpty)
@@ -80,5 +80,34 @@ class PagedSourceSpec extends AnyFunSuite {
     val want = Tables.orders(spark, d)
       .select(col("o_orderpriority")).collect().map(_.getString(0)).sorted
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("COUNT(*) is pushed into the source as per-page partial counts") {
+    val path = freshFixture("countpush")
+    val df = readPaged(path).groupBy().count()
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.getClass.getSimpleName == "PagedCountScan",
+      s"expected the pushed-count scan, got ${scans.head.scan.description()}")
+    assert(df.collect().head.getLong(0) == Tables.orders(spark, d).count())
+    // composed with a pushed filter: the per-page counts respect it
+    val bound = PagedJsonSource.PublishedAfter
+    val filtered = readPaged(path).filter(col("published_at") > bound).groupBy().count()
+    val fs = filtered.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(fs.head.scan.getClass.getSimpleName == "PagedCountScan")
+    val want = Tables.orders(spark, d)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'") > bound)
+      .count()
+    assert(filtered.collect().head.getLong(0) == want)
+    // a grouped aggregate is declined: the row scan plans instead
+    val grouped = readPaged(path).groupBy("title").count()
+    val gs = grouped.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(gs.head.scan.isInstanceOf[graft.sources.PagedScan])
   }
 }
