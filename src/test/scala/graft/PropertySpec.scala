@@ -149,4 +149,30 @@ class PropertySpec extends AnyFunSuite {
         })
     })
   }
+
+  // Unicode normalization kernels: idempotence + ASCII fixed point.
+  // Inputs mix ASCII with combining marks and precomposed Latin-1.
+  private val unicodeString: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.choose(32.toChar, 126.toChar),
+    Gen.oneOf('\u0301', '\u0300', '\u0308', '\u0303'),
+    Gen.oneOf('\u00e1', '\u00e8', '\u00f6', '\u00f1', '\u00df')
+  )).map(_.mkString)
+
+  test("nfc and stripAccents are idempotent; ASCII is a fixed point") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.UnicodeNorm
+    def u(s: String) = UTF8String.fromString(s)
+    check(Prop.forAll(unicodeString) { s =>
+      val n1 = UnicodeNorm.nfc(u(s)).toString
+      val a1 = UnicodeNorm.stripAccents(u(s)).toString
+      UnicodeNorm.nfc(u(n1)).toString == n1 &&
+        UnicodeNorm.stripAccents(u(a1)).toString == a1 &&
+        // stripping after composing equals stripping directly
+        UnicodeNorm.stripAccents(u(n1)).toString == a1
+    })
+    check(Prop.forAll(asciiString) { s =>
+      val x = u(s)
+      (UnicodeNorm.nfc(x) eq x) && (UnicodeNorm.stripAccents(x) eq x)
+    })
+  }
 }
