@@ -585,6 +585,34 @@ object PipelinePack {
             col("split") === "train").cast("long").as("include"))
         .orderBy("doc_id")
     },
+    // The SOFT-dedup era manifest: same composition, but instead of the
+    // hard include gate dropping duplicates, every doc carries its
+    // SoftDeDup sampling weight (1/cluster size) and the final
+    // sample_weight a weighted data loader integrates — zero when the
+    // doc fails quality or falls in the test split, its soft weight
+    // otherwise; w_tokens is the token mass the weight realizes.
+    "q_pipeline_soft_manifest" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = jaccardPairsFixture(s, d)
+      val w = Dedup.softDedupWeights(docs, Dedup.duplicateClusters(pairs))
+        .select(col("doc_id"), col("cluster_n"), col("weight"))
+      val split = Dedup.leakageSafeSplit(docs, pairs, TRAIN_PCT)
+        .select(col("doc_id"), col("split"))
+      val score = graft.operators.Classifier.logisticQualityScore(
+          docs, LOGIT_ITERS, LOGIT_LAMBDA, LOGIT_KEEP_MIN)
+        .select(col("doc_id"), col("keep"))
+      val toks = TextAnalysis.tokenCounts(docs)
+        .select(col("doc_id"), col("ws_tokens"))
+      val inTrain = col("keep") === 1L && col("split") === "train"
+      w.join(split, Seq("doc_id")).join(score, Seq("doc_id"))
+        .join(toks, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_n"), col("weight"),
+          col("split"), col("keep"), col("ws_tokens"),
+          when(inTrain, col("weight")).otherwise(lit(0.0)).as("sample_weight"),
+          when(inTrain, round(col("weight") * col("ws_tokens"), 6))
+            .otherwise(lit(0.0)).as("w_tokens"))
+        .orderBy("doc_id")
+    },
     // Leakage-safe train/test split: the split key is the near-dup
     // CLUSTER (singleton for docs without a near-dup), so no cluster
     // ever straddles train and test — the evaluation-leakage guard a
@@ -2395,6 +2423,47 @@ object PipelinePack {
          |FROM stt JOIN spl USING (doc_id) JOIN scf USING (doc_id)
          |         JOIN tok USING (doc_id)
          |ORDER BY stt.doc_id""".stripMargin,
+
+    // The soft manifest composes the SAME CTE chains: cluster sizes
+    // for the weight, the md5 cluster-keyed split, the trained
+    // classifier's keep flag, and the whitespace token count.
+    "q_pipeline_soft_manifest" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |$logisticCtes,
+         |cs AS (SELECT cluster_id, count(*) AS cn FROM labels GROUP BY cluster_id),
+         |wd AS (SELECT d.doc_id, COALESCE(cs.cn, 1) AS cn
+         |       FROM documents d
+         |       LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |       LEFT JOIN cs ON cs.cluster_id = l.cluster_id),
+         |spl AS (SELECT d.doc_id,
+         |               CASE WHEN ${Hashing.md5LongSql(
+                           "concat('lsplit:', CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR))")}
+         |                    % 100 < $TRAIN_PCT
+         |                    THEN 'train' ELSE 'test' END AS split
+         |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |fin2 AS (SELECT zf.doc_id,
+         |                round(b.b0 + b.b1 * z1 + b.b2 * z2 + b.b3 * z3, 6) AS eta
+         |         FROM zf, bb$LOGIT_ITERS b),
+         |scf AS (SELECT doc_id,
+         |               CAST(CASE WHEN round(1.0 / (1.0 + exp(-eta)), 6)
+         |                              >= $LOGIT_KEEP_MIN
+         |                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |        FROM fin2),
+         |tok AS (SELECT doc_id,
+         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+         |        FROM documents)
+         |SELECT wd.doc_id, CAST(cn AS BIGINT) AS cluster_n,
+         |       round(CAST(1 AS DOUBLE) / cn, 6) AS weight,
+         |       split, keep, ws_tokens,
+         |       CASE WHEN keep = 1 AND split = 'train'
+         |            THEN round(CAST(1 AS DOUBLE) / cn, 6)
+         |            ELSE 0.0 END AS sample_weight,
+         |       CASE WHEN keep = 1 AND split = 'train'
+         |            THEN round(round(CAST(1 AS DOUBLE) / cn, 6) * ws_tokens, 6)
+         |            ELSE 0.0 END AS w_tokens
+         |FROM wd JOIN spl USING (doc_id) JOIN scf USING (doc_id)
+         |        JOIN tok USING (doc_id)
+         |ORDER BY wd.doc_id""".stripMargin,
 
     // Same transitive closure, then the md5 cluster-keyed split and
     // the per-cluster atomicity verdict — mirrors
