@@ -871,6 +871,31 @@ object TextAnalysis {
           .as("avg_neglogp"))
   }
 
+  /** CCNet-style perplexity-band filtering (Wenzek et al. 2020): rank
+    * every document by its LM score (here the [[unigramLmScore]]
+    * average negative log-prob — CCNet uses a KenLM 5-gram; the band
+    * logic is identical), split into head/middle/tail tertiles, keep
+    * head+middle. The tail — the highest-perplexity third — is where
+    * boilerplate, gibberish, and non-linguistic content concentrate.
+    * `ntile(3)` over the (score, doc_id) total order is the exact,
+    * engine-portable tertile (both engines hand the first `n mod 3`
+    * buckets the extra row). Scale: the global ntile is a deliberate
+    * single-reducer EXACTNESS baseline like the suite's exact
+    * percentiles — at 100 TB substitute per-partition banding against
+    * `approx_percentile` thresholds of the score distribution (SCALE.md
+    * "known trade-offs"); the scoring scan itself is the linear cost. */
+  def pplBandFilter(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_neglogp"), col("doc_id"))
+    unigramLmScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("avg_neglogp"),
+        ntile(3).over(w).cast("long").as("tertile"))
+      .withColumn("band",
+        when(col("tertile") === 1L, "head")
+          .when(col("tertile") === 2L, "middle").otherwise("tail"))
+      .withColumn("keep", (col("tertile") =!= 3L).cast("long"))
+  }
+
   /** Flesch-reading-ease-style readability per document. Syllables use
     * the standard vowel-group heuristic (runs of `[aeiouy]`), sentences
     * the terminal-punctuation count (floored at 1 — the synthetic corpus

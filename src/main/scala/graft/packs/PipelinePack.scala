@@ -1433,6 +1433,12 @@ object PipelinePack {
     "q_text_unigram_lm" -> { (s, d) =>
       TextAnalysis.unigramLmScore(Tables.documents(s, d)).orderBy("doc_id")
     },
+    // CCNet perplexity bands: head/middle/tail tertiles of the LM
+    // score, keep = not-tail. The global ntile is the documented
+    // single-reducer exactness baseline (SCALE.md known trade-offs).
+    "q_text_ppl_filter" -> { (s, d) =>
+      TextAnalysis.pplBandFilter(Tables.documents(s, d)).orderBy("doc_id")
+    },
 
     // Deterministic k-per-language sample in md5 order — the exact,
     // repartition-stable form of "give me k random docs per stratum"
@@ -4376,6 +4382,28 @@ object PipelinePack {
          |            // count(*) AS DOUBLE) / 10000000 AS avg_neglogp
          |FROM w JOIN p USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_ppl_filter" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents),
+         |v AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v_size FROM v),
+         |p AS (SELECT word,
+         |             round(-ln((c + 1.0) / (n_total + v_size)), 6) AS neglogp
+         |      FROM v, t),
+         |ppl AS (SELECT doc_id, count(*) AS n_tokens,
+         |               CAST((sum(CAST(round(neglogp * 1000000) AS BIGINT)) * 10)
+         |                    // count(*) AS DOUBLE) / 10000000 AS avg_neglogp
+         |        FROM w JOIN p USING (word) GROUP BY doc_id),
+         |b AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_neglogp,
+         |             CAST(ntile(3) OVER (ORDER BY avg_neglogp, doc_id)
+         |                  AS BIGINT) AS tertile
+         |      FROM ppl)
+         |SELECT doc_id, n_tokens, avg_neglogp, tertile,
+         |       CASE WHEN tertile = 1 THEN 'head'
+         |            WHEN tertile = 2 THEN 'middle' ELSE 'tail' END AS band,
+         |       CAST(CASE WHEN tertile <> 3 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q_text_sample_per_group" ->
       s"""WITH h AS (SELECT doc_id, lang, source,

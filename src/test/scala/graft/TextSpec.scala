@@ -890,4 +890,24 @@ class TextSpec extends AnyFunSuite {
     // junk shrinks UP toward the global rate
     assert(out("s_junk")._2 > 0.0 && out("s_junk")._2 < g)
   }
+
+  test("pplBandFilter: balanced tertiles, tail dropped, tail holds the worst scores") {
+    import spark.implicits._
+    val docs = (1L to 31L)
+      .map(i => (i, (1L to i).map(j => s"w${j % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pplBandFilter(docs).collect()
+    assert(out.length == 31)
+    val byBand = out.groupBy(_.getAs[String]("band")).view.mapValues(_.length).toMap
+    // 31 = 11 + 10 + 10: first tertile takes the extra row
+    assert(byBand == Map("head" -> 11, "middle" -> 10, "tail" -> 10))
+    out.foreach { r =>
+      assert((r.getAs[Long]("keep") == 0L) == (r.getAs[String]("band") == "tail"))
+    }
+    val maxKept = out.filter(_.getAs[Long]("keep") == 1L)
+      .map(_.getAs[Double]("avg_neglogp")).max
+    val minTail = out.filter(_.getAs[String]("band") == "tail")
+      .map(_.getAs[Double]("avg_neglogp")).min
+    assert(minTail >= maxKept, "tail must hold the highest-perplexity docs")
+  }
 }
