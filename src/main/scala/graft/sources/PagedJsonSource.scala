@@ -139,6 +139,20 @@ private[sources] case class PageInputPartition(file: String, page: Long,
   * sorted by page — shared by the batch planner and the micro-batch
   * stream (whose offset is a position in exactly this ordering). */
 private[sources] object PagedLayout {
+  /** Total bytes across page part files — one metadata listing, the
+    * size statistic [[PagedScan.estimateStatistics]] reports so
+    * Catalyst can pick a broadcast join for a small API mirror. */
+  def totalBytes(path: String): Long = {
+    val root = new HPath(path)
+    val fs: FileSystem =
+      root.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+  }
+
   def listPages(path: String): Array[(Long, String)] = {
     val root = new HPath(path)
     val fs: FileSystem =
@@ -158,8 +172,21 @@ private[sources] object PagedLayout {
 
 class PagedScan(path: String, val pushed: Array[Filter],
                 schema: StructType = PagedJsonSource.Schema,
-                maxPages: Option[Int] = None) extends Scan with Batch {
+                maxPages: Option[Int] = None) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = schema
+
+  /** Real size statistics from the page layout (metadata-only): without
+    * them a DSV2 relation defaults to `defaultSizeInBytes` (= never
+    * broadcastable), forcing sort-merge joins against what is often a
+    * tiny API mirror. Rows are left unestimated — byte size is what the
+    * broadcast threshold consumes. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(PagedLayout.totalBytes(path))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPagedJson path=$path PushedFilters: [${pushed.mkString(", ")}] " +

@@ -110,4 +110,29 @@ class PagedSourceSpec extends AnyFunSuite {
     }
     assert(gs.head.scan.isInstanceOf[graft.sources.PagedScan])
   }
+
+  test("reported size statistics make the small API mirror broadcastable") {
+    val path = freshFixture("stats")
+    // the scan reports the real on-disk page bytes
+    val df = readPaged(path)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.sources.PagedScan]
+    val want = new java.io.File(path).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("page="))
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("part-"))
+      .map(_.length()).sum
+    assert(scan.estimateStatistics().sizeInBytes().getAsLong == want)
+    assert(want > 0)
+    // and Catalyst actually picks a broadcast join for it (a stats-less
+    // DSV2 relation defaults to defaultSizeInBytes = never broadcast)
+    val big = Tables.orders(spark, d)
+      .select(col("o_orderkey").cast("string").as("video_id"), col("o_totalprice"))
+    val joined = big.join(df, Seq("video_id"))
+    val bhj = joined.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "expected the paged side to broadcast:\n" +
+      joined.queryExecution.sparkPlan.toString)
+  }
 }
