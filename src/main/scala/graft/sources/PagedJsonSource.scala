@@ -7,11 +7,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -173,8 +173,24 @@ private[sources] object PagedLayout {
 class PagedScan(path: String, val pushed: Array[Filter],
                 schema: StructType = PagedJsonSource.Schema,
                 maxPages: Option[Int] = None) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
+
+  /** Runtime (DPP-style) filtering: a join against the API mirror on
+    * `video_id` hands the build side's key set to the source at
+    * execution time — the engine form of the reference's S3/S4 keyed
+    * point lookups (one HTTP GET per id). Readers drop non-matching
+    * items before materializing a single field. */
+  @volatile private[sources] var runtimeKeys: Option[Set[String]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("video_id"))
+  override def filter(filters: Array[Filter]): Unit = {
+    val keys = filters.collect {
+      case In("video_id", vs) => vs.collect { case s: String => s }.toSet
+      case EqualTo("video_id", v: String) => Set(v)
+    }
+    if (keys.nonEmpty) runtimeKeys = Some(keys.reduce(_ intersect _))
+  }
 
   /** Real size statistics from the page layout (metadata-only): without
     * them a DSV2 relation defaults to `defaultSizeInBytes` (= never
@@ -205,7 +221,7 @@ class PagedScan(path: String, val pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(pushed, schema)
+    new PagedReaderFactory(pushed, schema, runtimeKeys)
 
   /** The STREAMING face of the same table (SURVEY §2.1 S1 at ingestion
     * cadence): the paginated API as an append-only page log. The offset
@@ -330,10 +346,11 @@ private[sources] class PagedCountReader(part: PageInputPartition,
 }
 
 private[sources] class PagedReaderFactory(pushed: Array[Filter],
-                                           schema: StructType)
+                                           schema: StructType,
+                                           runtimeKeys: Option[Set[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PagedReader(p.asInstanceOf[PageInputPartition], pushed, schema)
+    new PagedReader(p.asInstanceOf[PageInputPartition], pushed, schema, runtimeKeys)
 }
 
 /** Parses ONE page file (a single JSON object line), validates its
@@ -343,7 +360,8 @@ private[sources] class PagedReaderFactory(pushed: Array[Filter],
   * UTF8String, so a 2-column read of a description-heavy page pays
   * parse cost but zero materialization for the dropped columns. */
 private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filter],
-                                   schema: StructType)
+                                   schema: StructType,
+                                   runtimeKeys: Option[Set[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val items: Iterator[JsonNode] = {
@@ -399,7 +417,8 @@ private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filte
       // pruned read never touches the snippet timestamp
       val published =
         if (pushed.isEmpty) null else text(it.get("snippet"), "publishedAt")
-      if (passes(published)) {
+      if (passes(published) &&
+          runtimeKeys.forall(ks => ks.contains(text(it.get("id"), "videoId")))) {
         row = InternalRow.fromSeq(
           extractors.map(_(it)).toIndexedSeq)
         return true

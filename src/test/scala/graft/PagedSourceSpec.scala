@@ -135,4 +135,35 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(bhj.nonEmpty, "expected the paged side to broadcast:\n" +
       joined.queryExecution.sparkPlan.toString)
   }
+
+  test("runtime key-set filtering drops non-matching items inside the reader") {
+    val path = freshFixture("runtime")
+    val keys = Tables.orders(spark, d).select(col("o_orderkey").cast("string"))
+      .limit(5).collect().map(_.getString(0)).toSet
+    val scan = new graft.sources.PagedScan(path, Array.empty)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("video_id", keys.toArray[Any])))
+    val parts = scan.planInputPartitions()
+    val factory = scan.createReaderFactory()
+    val got = scala.collection.mutable.Set[String]()
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      try while (r.next()) got += r.get().getUTF8String(0).toString
+      finally r.close()
+    }
+    assert(got == keys, s"reader must emit exactly the runtime key set; got ${got.size}")
+    // a second filter call intersects (Spark may pass several)
+    val scan2 = new graft.sources.PagedScan(path, Array.empty)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("video_id", keys.toArray[Any]),
+      org.apache.spark.sql.sources.EqualTo("video_id", keys.head)))
+    val f2 = scan2.createReaderFactory()
+    val got2 = scala.collection.mutable.Set[String]()
+    scan2.planInputPartitions().foreach { p =>
+      val r = f2.createReader(p)
+      try while (r.next()) got2 += r.get().getUTF8String(0).toString
+      finally r.close()
+    }
+    assert(got2 == Set(keys.head))
+  }
 }
