@@ -39,7 +39,13 @@ object ScaleProbe {
     // Accum batch twins: index build + one absorb + a wave probe each —
     // the per-wave cost cadence of the self-accumulating streams.
     "q_st_dedup_accum", "q_st_image_accum", "q_st_audio_accum",
-    "q_st_embed_accum", "q_st_ivf_accum", "q_st_hamming_ann")
+    "q_st_embed_accum", "q_st_ivf_accum", "q_st_hamming_ann",
+    // Round-12: the paged DSV2 stream drains 10× the pages (its fixture
+    // derives from orders, so the backfill scales with the dir), the
+    // soft-dedup weights ride the 10× cluster labels, and the
+    // perplexity bands rank the 10× corpus through the global ntile.
+    "q_st_paged_source", "q_dedup_soft_weights", "q_text_ppl_filter",
+    "q_pipeline_soft_manifest")
 
   private val DocShift = 10000000L
   private val OrderShift = 100000000L

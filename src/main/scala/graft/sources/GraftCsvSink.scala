@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -141,7 +142,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA, TableCapability.BATCH_READ)
+      TableCapability.ACCEPT_ANY_SCHEMA, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, truncate = false)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -477,6 +479,9 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     override def toBatch: BatchWrite =
       new GraftCsvBatchWrite(path, info.schema(), info.queryId(), truncate,
         SerializableHadoopConf.fromSession())
+    override def toStreaming: StreamingWrite =
+      new GraftCsvStreamingWrite(path, info.schema(), info.queryId(),
+        SerializableHadoopConf.fromSession())
   }
 }
 
@@ -518,17 +523,69 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
   }
 }
 
+/** K1 at STREAMING cadence, natively (no foreachBatch): per micro-batch
+  * the same two-phase task commit as the batch writer, publishing into
+  * EPOCH-STAMPED final names (`part-<epoch>-<partition>.csv`). A
+  * checkpoint-replayed epoch re-derives the identical names and
+  * overwrites its own files, so delivery is exactly-once at the file
+  * level across kill/restart — the property `foreachBatch` users must
+  * hand-build with idempotent per-batch_id overwrites, provided here
+  * by the sink itself. Readers see only committed files (temp files
+  * live under a `_tmp_` prefix the lister skips). */
+private[sources] class GraftCsvStreamingWrite(path: String, schema: StructType,
+                                              queryId: String,
+                                              conf: SerializableHadoopConf)
+    extends StreamingWrite {
+
+  private def tmpDir(epochId: Long) = new HPath(path, s"_tmp_${queryId}_$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftCsvStreamingWriterFactory(path, queryId, schema, conf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf.value)
+    fs.mkdirs(root)
+    messages.foreach { case CsvFileCommit(tempFile, finalName) =>
+      val target = new HPath(root, finalName)
+      if (fs.exists(target)) fs.delete(target, false) // replay overwrite
+      if (!fs.rename(new HPath(tempFile), target))
+        throw new java.io.IOException(s"graft-csv: rename $tempFile -> $target failed")
+    }
+    fs.delete(tmpDir(epochId), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(path).getFileSystem(conf.value)
+    fs.delete(tmpDir(epochId), true)
+  }
+}
+
+private[sources] class GraftCsvStreamingWriterFactory(path: String, queryId: String,
+                                                      schema: StructType,
+                                                      conf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftCsvDataWriter(s"$path/_tmp_${queryId}_$epochId", schema,
+      partitionId, taskId, conf,
+      f"part-$epochId%05d-$partitionId%05d.csv")
+}
+
 private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
                                              schema: StructType,
                                              conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf)
+    new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf,
+      f"part-$partitionId%05d.csv")
 }
 
 private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
                                           partitionId: Int, taskId: Long,
-                                          conf: SerializableHadoopConf)
+                                          conf: SerializableHadoopConf,
+                                          finalName: String)
     extends DataWriter[InternalRow] {
 
   // taskId-unique temp file: concurrent attempts for the same partition
@@ -572,7 +629,7 @@ private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    CsvFileCommit(tempFile.toString, f"part-$partitionId%05d.csv")
+    CsvFileCommit(tempFile.toString, finalName)
   }
 
   override def abort(): Unit = {
