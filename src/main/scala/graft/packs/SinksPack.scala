@@ -64,6 +64,41 @@ object SinksPack {
   }
 
   val queries: Map[String, Q] = Map(
+    // K1 at STREAMING cadence through the NATIVE StreamingWrite face of
+    // the DSV2 CSV sink (no foreachBatch): the events feed drains under
+    // Trigger.AvailableNow into epoch-stamped files, read back through
+    // the sink's own reader, and the aggregate hash-matches an oracle
+    // computed on the original parquet — the whole streaming
+    // write→commit→read path is inside the gate. Aggregates are
+    // order-independent (count / long sum / min / max), so the
+    // micro-batch file layout can never leak into the hash.
+    "q_st_csv_sink" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+        StructField, StructType}
+      val run = java.lang.System.nanoTime()
+      val out = s"${tmpPath("csv_stream", d)}_$run"
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val src = Tables.normalizeTs(
+          s.readStream.schema(batchSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(d))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = src.writeStream.format("graft.sources.GraftCsvSink")
+        .option("path", out)
+        .option("checkpointLocation", s"${tmpPath("csv_stream_ckpt", d)}_$run")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft.sources.GraftCsvSink")
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        .option("path", out).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          round(min(col("value")), 6).as("min_v"),
+          round(max(col("value")), 6).as("max_v"))
+        .orderBy("event_type")
+    },
     // K1/S6 — `;`-CSV with quoted embedded newlines, written then read
     // back with multiLine=true (the reference's S3 CSV shape).
     "q_s6_csv_roundtrip" -> { (s, d) =>
@@ -474,6 +509,13 @@ object SinksPack {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_st_csv_sink" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |       round(min(value), 6) AS min_v,
+        |       round(max(value), 6) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_s6_csv_roundtrip" ->
       """SELECT p_brand, count(*) AS n,
         |       CAST(sum(length(p_name || chr(10) || p_type)) AS BIGINT) AS sum_len
