@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
@@ -223,6 +224,9 @@ class PagedScan(path: String, val pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(pushed, schema, runtimeKeys)
 
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new PagesReadMetric, new ItemsParsedMetric, new ItemsFilteredMetric)
+
   /** The STREAMING face of the same table (SURVEY §2.1 S1 at ingestion
     * cadence): the paginated API as an append-only page log. The offset
     * is simply how many pages of the sorted layout have been committed —
@@ -234,6 +238,29 @@ class PagedScan(path: String, val pushed: Array[Filter],
     * unchanged — the streaming reader is the same [[PagedReader]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedMicroBatchStream(path, pushed, schema, maxPages)
+}
+
+/** Spark-UI observability for the source (DSV2 custom metrics): at a
+  * million-page mirror, "how many items did the pushed filters drop
+  * before materialization" is the number that tells an operator whether
+  * the pushdown is actually earning its keep — surfaced per scan node
+  * in the UI, summed across tasks. */
+private[sources] class PagesReadMetric extends CustomSumMetric {
+  override def name(): String = "pagesRead"
+  override def description(): String = "pages fetched and parsed"
+}
+private[sources] class ItemsParsedMetric extends CustomSumMetric {
+  override def name(): String = "itemsParsed"
+  override def description(): String = "items parsed across pages"
+}
+private[sources] class ItemsFilteredMetric extends CustomSumMetric {
+  override def name(): String = "itemsFiltered"
+  override def description(): String = "items dropped in-source (pushed + runtime filters)"
+}
+private[sources] case class PagedTaskMetric(metricName: String, v: Long)
+    extends CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
 }
 
 /** Offset = number of pages (in sorted-layout order) already consumed. */
@@ -410,9 +437,13 @@ private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filte
         s"paged_json: unknown projected column $other")
     }
 
+  private var parsed = 0L
+  private var filtered = 0L
+
   override def next(): Boolean = {
     while (items.hasNext) {
       val it = items.next()
+      parsed += 1
       // only extracted when a pushed filter needs it; an unfiltered
       // pruned read never touches the snippet timestamp
       val published =
@@ -423,9 +454,15 @@ private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filte
           extractors.map(_(it)).toIndexedSeq)
         return true
       }
+      filtered += 1
     }
     false
   }
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    PagedTaskMetric("pagesRead", 1L),
+    PagedTaskMetric("itemsParsed", parsed),
+    PagedTaskMetric("itemsFiltered", filtered))
 
   override def get(): InternalRow = row
   override def close(): Unit = ()

@@ -166,4 +166,29 @@ class PagedSourceSpec extends AnyFunSuite {
     }
     assert(got2 == Set(keys.head))
   }
+
+  test("custom metrics report parse/filter work per reader") {
+    val path = freshFixture("metrics")
+    val scan = new graft.sources.PagedScan(path,
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThan(
+          "published_at", PagedJsonSource.PublishedAfter)))
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("pagesRead", "itemsParsed", "itemsFiltered"))
+    val factory = scan.createReaderFactory()
+    var (pages, parsed, filtered, emitted) = (0L, 0L, 0L, 0L)
+    scan.planInputPartitions().foreach { p =>
+      val r = factory.createReader(p)
+      try {
+        while (r.next()) emitted += 1
+        val m = r.currentMetricsValues().map(x => x.name() -> x.value()).toMap
+        pages += m("pagesRead"); parsed += m("itemsParsed")
+        filtered += m("itemsFiltered")
+      } finally r.close()
+    }
+    assert(pages == scan.planInputPartitions().length.toLong)
+    assert(parsed == Tables.orders(spark, d).count())
+    assert(filtered > 0 && parsed == filtered + emitted,
+      s"parsed=$parsed filtered=$filtered emitted=$emitted must balance")
+  }
 }
