@@ -58,16 +58,21 @@ object UnicodeNorm {
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
   }
 
-  /** NFD → drop Mn marks → NFC. ASCII fast path returns the input. */
+  /** NFD → drop Mn marks → NFC. ASCII fast path returns the input.
+    * Iterates CODE POINTS, not UTF-16 chars: supplementary-plane
+    * combining marks (e.g. the Adlam U+1E944..U+1E94A block) are
+    * category Mn too, and a char-wise walk would classify each
+    * surrogate half as SURROGATE and let the mark through. */
   def stripAccents(s: UTF8String): UTF8String = {
     if (allAscii(s)) return s
     val d = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
     while (i < d.length) {
-      val ch = d.charAt(i)
-      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(
       Normalizer.normalize(sb.toString, Normalizer.Form.NFC))

@@ -521,17 +521,22 @@ object TextAnalysis {
     * per-source reduce. */
   def sourceQualityEb(docs: DataFrame, k: Double): DataFrame = {
     val sig = gopherQuality(docs).select(col("doc_id"), col("passes"))
+    // persisted: the global rate derives from the SAME per-source
+    // aggregate — without the pin, the corpus scan + groupBy execute
+    // twice (once for g, once for the final select)
     val per = docs.select(col("doc_id"), col("source"))
       .join(sig, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("passes")).as("n_pass"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = broadcast(per.agg(
       (sum(col("n_pass")) / sum(col("n_docs"))).as("g_rate")))
-    per.crossJoin(g).select(
+    val out = per.crossJoin(g).select(
       col("source"), col("n_docs"), col("n_pass"),
       round(col("n_pass") / col("n_docs"), 6).as("pass_rate"),
       round((col("n_pass") + lit(k) * col("g_rate"))
         / (col("n_docs") + lit(k)), 6).as("shrunk_rate"))
+    graft.operators.Dedup.materializeThenRelease(out, per)
   }
 
   /** Corpus-level line dedup (the CCNet / RefinedWeb preprocessing step:

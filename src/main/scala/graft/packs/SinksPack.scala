@@ -75,16 +75,22 @@ object SinksPack {
     "q_st_csv_sink" -> { (s, d) =>
       import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
         StructField, StructType}
-      val run = java.lang.System.nanoTime()
-      val out = s"${tmpPath("csv_stream", d)}_$run"
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      val src = Tables.normalizeTs(
-          s.readStream.schema(batchSchema)
-            .option("pathGlobFilter", "events.parquet").parquet(d))
+      // Stable pid-unique paths, wiped per run (the suite convention):
+      // each invocation re-drains from a fresh checkpoint, so Bench's
+      // x3 runs don't accumulate dirs — and the write path is fully
+      // re-exercised every time.
+      val out = tmpPath("csv_stream", d)
+      val ckpt = tmpPath("csv_stream_ckpt", d)
+      Seq(out, ckpt).foreach { dir =>
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(hp, true)
+      }
+      val src = StreamOps.eventsStream(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = src.writeStream.format("graft.sources.GraftCsvSink")
         .option("path", out)
-        .option("checkpointLocation", s"${tmpPath("csv_stream_ckpt", d)}_$run")
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -407,17 +413,26 @@ object SinksPack {
         graft.sources.JsonFixtureSource.writeSearchPagesPartitioned(
           s, Tables.orders(s, d), path)
       }
-      val run = java.lang.System.nanoTime()
-      val tbl = s"paged_stream_out_$run"
+      // Per-run memory-sink table, dropped as soon as the result plan
+      // holds the sink relation (the NAME leak was the issue: Bench's
+      // x3 runs would otherwise pin three full result copies in the
+      // driver for the JVM lifetime); checkpoint is a stable path
+      // wiped per run so each invocation re-drains the whole layout.
+      val tbl = s"paged_stream_out_${java.lang.System.nanoTime()}"
+      val ckpt = tmpPath("paged_ckpt", d)
+      val hp = new org.apache.hadoop.fs.Path(ckpt)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
       val q = s.readStream.format("graft.sources.PagedJsonSource")
         .option("path", path).load()
         .filter(col("published_at") > graft.sources.PagedJsonSource.PublishedAfter)
         .writeStream.format("memory").queryName(tbl)
-        .option("checkpointLocation", s"${tmpPath("paged_ckpt", d)}_$run")
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(tbl).orderBy("video_id")
+      val result = s.table(tbl).orderBy("video_id")
+      s.catalog.dropTempView(tbl)
+      result
     },
 
     // S2/J3/W2 — commentThreads pages with optional replies: write the

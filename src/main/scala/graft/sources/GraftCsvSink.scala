@@ -490,6 +490,20 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
 private[sources] case class CsvFileCommit(tempFile: String, finalName: String)
   extends WriterCommitMessage
 
+/** The publish step shared by the batch and streaming commit paths:
+  * overwrite-rename every temp file under its final name. One body so
+  * the rename/failure semantics can never drift between the two. */
+private[sources] object GraftCsvCommit {
+  def publish(fs: FileSystem, root: HPath,
+              messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case CsvFileCommit(tempFile, finalName) =>
+      val target = new HPath(root, finalName)
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(new HPath(tempFile), target))
+        throw new java.io.IOException(s"graft-csv: rename $tempFile -> $target failed")
+    }
+}
+
 private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
                                           queryId: String, truncate: Boolean,
                                           conf: SerializableHadoopConf)
@@ -507,12 +521,7 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
     if (truncate)
       fs.listStatus(root).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
         .foreach(s => fs.delete(s.getPath, false))
-    messages.foreach { case CsvFileCommit(tempFile, finalName) =>
-      val target = new HPath(root, finalName)
-      if (fs.exists(target)) fs.delete(target, false)
-      if (!fs.rename(new HPath(tempFile), target))
-        throw new java.io.IOException(s"graft-csv: rename $tempFile -> $target failed")
-    }
+    GraftCsvCommit.publish(fs, root, messages)
     fs.delete(tmpDir, true)
     fs.create(new HPath(root, "_SUCCESS"), true).close()
   }
@@ -547,12 +556,22 @@ private[sources] class GraftCsvStreamingWrite(path: String, schema: StructType,
     val root = new HPath(path)
     val fs = root.getFileSystem(conf.value)
     fs.mkdirs(root)
-    messages.foreach { case CsvFileCommit(tempFile, finalName) =>
-      val target = new HPath(root, finalName)
-      if (fs.exists(target)) fs.delete(target, false) // replay overwrite
-      if (!fs.rename(new HPath(tempFile), target))
-        throw new java.io.IOException(s"graft-csv: rename $tempFile -> $target failed")
-    }
+    // A replayed epoch may plan FEWER partitions than the attempt that
+    // first committed it (shuffle-partition change across restart):
+    // overwrite-by-name alone would leave the extra files from the
+    // failed attempt behind as duplicate rows. Remove every file this
+    // epoch ever published that the replay does not re-produce, THEN
+    // publish — the epoch's final state is exactly `messages`.
+    val finalNames = messages.collect {
+      case CsvFileCommit(_, finalName) => finalName
+    }.toSet
+    val epochPrefix = f"part-$epochId%05d-"
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(s => s.isFile && s.getPath.getName.startsWith(epochPrefix) &&
+          !finalNames.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    GraftCsvCommit.publish(fs, root, messages)
     fs.delete(tmpDir(epochId), true)
   }
 

@@ -140,18 +140,25 @@ private[sources] case class PageInputPartition(file: String, page: Long,
   * sorted by page — shared by the batch planner and the micro-batch
   * stream (whose offset is a position in exactly this ordering). */
 private[sources] object PagedLayout {
-  /** Total bytes across page part files — one metadata listing, the
-    * size statistic [[PagedScan.estimateStatistics]] reports so
-    * Catalyst can pick a broadcast join for a small API mirror. */
-  def totalBytes(path: String): Long = {
+  /** [[listPages]] plus each part file's byte length — ONE listing
+    * feeding both the batch planner and the size statistic
+    * ([[PagedScan]] caches it in a lazy val, so join planning's
+    * `estimateStatistics` and `planInputPartitions` never re-list the
+    * layout; at a million-page mirror the repeated listing IS a cost). */
+  def listPagesWithSize(path: String): Array[(Long, String, Long)] = {
     val root = new HPath(path)
     val fs: FileSystem =
       root.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("page="))
-      .flatMap(d => fs.listStatus(d.getPath))
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
+      .map(s => (s.getPath.getName.stripPrefix("page=").toLong, s.getPath))
+      .sortBy(_._1)
+      .map { case (pg, dir) =>
+        val f = fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-") && f.getLen > 0)
+          .head
+        (pg, f.getPath.toString, f.getLen)
+      }
   }
 
   def listPages(path: String): Array[(Long, String)] = {
@@ -193,6 +200,12 @@ class PagedScan(path: String, val pushed: Array[Filter],
     if (keys.nonEmpty) runtimeKeys = Some(keys.reduce(_ intersect _))
   }
 
+  /** One listing per scan instance, shared by statistics AND partition
+    * planning (batch scans are planned once; the STREAMING path must
+    * not cache — it re-lists per micro-batch to see appended pages). */
+  private lazy val layout: Array[(Long, String, Long)] =
+    PagedLayout.listPagesWithSize(path)
+
   /** Real size statistics from the page layout (metadata-only): without
     * them a DSV2 relation defaults to `defaultSizeInBytes` (= never
     * broadcastable), forcing sort-merge joins against what is often a
@@ -200,7 +213,7 @@ class PagedScan(path: String, val pushed: Array[Filter],
     * broadcast threshold consumes. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(PagedLayout.totalBytes(path))
+      java.util.OptionalLong.of(layout.map(_._3).sum)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -214,9 +227,8 @@ class PagedScan(path: String, val pushed: Array[Filter],
     * page in the layout, or none for the last). Payloads are read only
     * by the executors. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val pages = PagedLayout.listPages(path)
-    pages.zipWithIndex.map { case ((pg, file), i) =>
-      val expected = if (i + 1 < pages.length) s"tok_${pages(i + 1)._1}" else null
+    layout.zipWithIndex.map { case ((pg, file, _), i) =>
+      val expected = if (i + 1 < layout.length) s"tok_${layout(i + 1)._1}" else null
       PageInputPartition(file, pg, expected): InputPartition
     }
   }

@@ -29,7 +29,7 @@ object StreamOps {
     * TIMESTAMP_NTZ / native) is shared with `Tables.events` — a
     * watermark requires a true `TimestampType` column, so NTZ must be
     * cast here too (session pinned UTC → value-preserving). */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

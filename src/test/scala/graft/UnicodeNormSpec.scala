@@ -36,6 +36,15 @@ class UnicodeNormSpec extends AnyFunSuite {
     assert(UnicodeNorm.stripAccents(u("\u00df")).toString == "\u00df")
   }
 
+  test("stripAccents drops supplementary-plane Mn marks (code-point walk)") {
+    // U+1E944 ADLAM ALIF LENGTHENER is category Mn above U+FFFF: a
+    // UTF-16 char walk classifies each surrogate half as SURROGATE and
+    // leaks the mark through.
+    val adlamMark = new String(Character.toChars(0x1E944))
+    assert(Character.getType(0x1E944) == Character.NON_SPACING_MARK)
+    assert(UnicodeNorm.stripAccents(u("x" + adlamMark + "y")).toString == "xy")
+  }
+
   test("ASCII fast path returns the input instance untouched") {
     val s = u("plain ascii text 123")
     assert(UnicodeNorm.nfc(s) eq s)

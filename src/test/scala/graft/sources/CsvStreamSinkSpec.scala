@@ -72,9 +72,31 @@ class CsvStreamSinkSpec extends AnyFunSuite {
     writeEpoch(0L, Seq(1L, 2L)) // checkpoint replay of the SAME epoch
     writeEpoch(1L, Seq(3L))
 
+    // Replay with FEWER partitions than the first attempt: the commit
+    // must remove the orphan file the narrower replay does not
+    // re-produce, or its rows would survive as duplicates.
+    val w2a = factory.createWriter(0, 8L, 2L)
+    w2a.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](10L)))
+    val w2b = factory.createWriter(1, 9L, 2L)
+    w2b.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](11L)))
+    sw.commit(2L, Array(w2a.commit(), w2b.commit())) // first attempt: 2 files
+    val w2r = factory.createWriter(0, 10L, 2L)
+    Seq(10L, 11L).foreach(i => w2r.write(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i))))
+    sw.commit(2L, Array(w2r.commit())) // replay: 1 partition, same rows
+
     val back = spark.read.format("graft.sources.GraftCsvSink")
       .schema(schema).option("path", out).load()
       .collect().map(_.getLong(0)).sorted.toSeq
-    assert(back == Seq(1L, 2L, 3L), s"replay must not duplicate rows: $back")
+    assert(back == Seq(1L, 2L, 3L, 10L, 11L),
+      s"replay must not duplicate or orphan rows: $back")
+    // the orphan part-00002-00001.csv from epoch 2's first attempt is gone
+    val epoch2 = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("part-00002-")).sorted
+    assert(epoch2.toSeq == Seq("part-00002-00000.csv"),
+      s"narrower replay must clean the wider attempt's files: ${epoch2.mkString(",")}")
   }
 }
