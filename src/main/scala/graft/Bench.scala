@@ -78,8 +78,12 @@ object Bench {
         (0 until 2).map(_ => timeOnce(spark, sfDir, name, fn))
     }
     val results = timed.toSeq.map { case (name, ts) =>
-      val failed = ts.exists(_.isNaN)
-      val clean = if (failed) Seq(Double.NaN) else ts
+      // A query errors only if a MAINLINE run failed; a transient
+      // failure in the end-of-suite retry pass must not discard the 3
+      // clean measurements it was meant to improve (the retry exists
+      // for contended-but-correct queries), so retry NaNs just drop.
+      val failed = ts.take(runs).exists(_.isNaN)
+      val clean = if (failed) Seq(Double.NaN) else ts.filterNot(_.isNaN)
       (name, med(clean), clean.head, clean.min, failed)
     }
     def r3(d: Double) = math.round(d * 1000) / 1000.0

@@ -24,6 +24,23 @@ import graft.functions.Hashing
   */
 object Dedup {
 
+  /** Tolerant reads of an index's durable absorb watermark: a save
+    * written BEFORE the watermark existed has no `meta` table (corpus
+    * index) or no `last_batch_id` column (the other families) — both
+    * load as -1 ("nothing absorbed yet", every batch replays, absorb is
+    * guarded/idempotent), instead of failing the documented
+    * durable-restart contract on the first post-upgrade restart. */
+  private[operators] object IndexMeta {
+    def lastBatchId(meta: DataFrame): Long =
+      if (meta.columns.contains("last_batch_id"))
+        meta.head().getAs[Long]("last_batch_id")
+      else -1L
+    def lastBatchId(spark: org.apache.spark.sql.SparkSession,
+                    metaPath: String): Long =
+      try lastBatchId(spark.read.parquet(metaPath))
+      catch { case _: org.apache.spark.sql.AnalysisException => -1L }
+  }
+
   /** Materialize `result` eagerly (localCheckpoint, REGISTERED with
     * [[Lifecycle]] so harness loops can free the blocks deterministically
     * instead of waiting for a driver GC), then drop the operator's
@@ -402,10 +419,8 @@ object Dedup {
 
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): CorpusIndex = {
-    val last = spark.read.parquet(s"$path/meta")
-      .head().getAs[Long]("last_batch_id")
     buildCorpusIndex(spark.read.parquet(s"$path/shingles"))
-      .copy(lastBatchId = last)
+      .copy(lastBatchId = IndexMeta.lastBatchId(spark, s"$path/meta"))
   }
 
   // --------------------------------- incremental EMBEDDING near-dup
@@ -511,14 +526,14 @@ object Dedup {
                          path: String): EmbeddingIndex = {
     graft.functions.DotProduct.register(spark)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val dim = meta.getAs[Int]("dim")
+    val meta = spark.read.parquet(s"$path/meta")
+    val dim = meta.head().getAs[Int]("dim")
     val e = spark.read.parquet(s"$path/vectors").persist(lvl)
     val bands = Similarity.bandedIds(e, dim).persist(lvl)
     bands.count()
     e.count()
     EmbeddingIndex(bands, e, dim, Seq(bands, e),
-      meta.getAs[Long]("last_batch_id"))
+      IndexMeta.lastBatchId(meta))
   }
 
   /** SimHash: 60-bit signature from md5-derived word hashes (term

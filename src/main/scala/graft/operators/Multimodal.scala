@@ -1616,10 +1616,10 @@ object Multimodal {
   }
 
   def loadFingerprintIndex(spark: SparkSession, path: String): FingerprintIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
     buildFingerprintIndex(spark.read.parquet(s"$path/hashes"),
-      meta.getAs[Int]("max_hamming"))
-      .copy(lastBatchId = meta.getAs[Long]("last_batch_id"))
+      meta.head().getAs[Int]("max_hamming"))
+      .copy(lastBatchId = graft.operators.Dedup.IndexMeta.lastBatchId(meta))
   }
 
   /** The base image of every doc (img_id = 2·doc_id, delta 0) — the

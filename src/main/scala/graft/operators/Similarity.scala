@@ -372,13 +372,13 @@ object Similarity {
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): IvfIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
     val cent = spark.read.parquet(s"$path/centroids").persist(lvl)
     val stats = spark.read.parquet(s"$path/stats").persist(lvl)
     cent.count()
     stats.count()
-    IvfIndex(cent, stats, meta.getAs[Long]("cent_stride"),
-      meta.getAs[Long]("last_batch_id"))
+    IvfIndex(cent, stats, meta.head().getAs[Long]("cent_stride"),
+      Dedup.IndexMeta.lastBatchId(meta))
   }
 
   /** Distributed k-means (Lloyd's iterations) over the embedding column —
@@ -1176,6 +1176,11 @@ object Similarity {
       .join(index.vectors, Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(expr("dotp(qv, v)"), 6).as("cosine"))
+      // normalizedNonZero nulls v for zero-norm vectors (they have no
+      // direction); their all-zero sketches still collide at Hamming 0,
+      // so the NULL cosine must be dropped HERE — TopKAggregator's
+      // primitive Double input would NPE on it.
+      .filter(col("cosine").isNotNull)
     val ranked = heapTopK(scored, "query_id", "cosine", "vec_id", k)
       .select(col("query_id"), col("rn"), col("vec_id"), col("cosine"))
     Dedup.materializeThenRelease(ranked, qe)
@@ -1217,11 +1222,11 @@ object Similarity {
   def loadSketchIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): SketchIndex = {
     graft.functions.DotProduct.register(spark)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (sk, e) = sketchLeg(spark.read.parquet(s"$path/vectors"),
-      meta.getAs[Int]("dim"))
-    SketchIndex(sk, e, meta.getAs[Int]("dim"), meta.getAs[Int]("max_hamming"),
-      Seq(sk, e), meta.getAs[Long]("last_batch_id"))
+    val meta = spark.read.parquet(s"$path/meta")
+    val dim = meta.head().getAs[Int]("dim")
+    val (sk, e) = sketchLeg(spark.read.parquet(s"$path/vectors"), dim)
+    SketchIndex(sk, e, dim, meta.head().getAs[Int]("max_hamming"),
+      Seq(sk, e), Dedup.IndexMeta.lastBatchId(meta))
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of a keyword

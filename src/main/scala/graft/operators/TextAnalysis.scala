@@ -1015,7 +1015,11 @@ object TextAnalysis {
 
   def sourceOverlapKmv(docs: DataFrame, k: Int): DataFrame = {
     val kmin = kminAgg(k)
+    // persisted: the trigram explode + distinct feeds the sketch, the
+    // sizes, AND both sides of the exact-intersection self-join — four
+    // executions of the operator's dominant shuffle without the pin
     val words = sourceTrigrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = words.select(col("source"),
       graft.functions.Hashing.md5Long(col("word")).as("h")).distinct()
     val sk = hashed.groupBy("source").agg(kmin(col("h")).as("sk"))
@@ -1033,7 +1037,7 @@ object TextAnalysis {
       .join(words.toDF("source_b", "w2"),
         col("w") === col("w2") && col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
-    est.join(inter, Seq("source_a", "source_b"), "left")
+    val out = est.join(inter, Seq("source_a", "source_b"), "left")
       .join(sizes.toDF("source_a", "na"), Seq("source_a"))
       .join(sizes.toDF("source_b", "nb"), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_common_kmv"),
@@ -1042,6 +1046,7 @@ object TextAnalysis {
         round(coalesce(col("n_inter"), lit(0L)) /
             (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
           .as("jaccard_exact"))
+    graft.operators.Dedup.materializeThenRelease(out, words)
   }
 
   /** DSIR-style data selection (Data Selection via Importance
@@ -1066,14 +1071,19 @@ object TextAnalysis {
     * long sums of those micro-units: no float summation-order
     * dependence across partitionings or engines. */
   def dsirScores(docs: DataFrame, buckets: Int, targetLang: String): DataFrame = {
+    // persisted: the full-corpus explode feeds the two histograms AND
+    // the final scoring join (a third/fourth full scan each without it)
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .withColumn("b", graft.functions.Hashing.md5Long(col("word")) % buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgt = toks.filter(col("lang") === targetLang)
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-    val totals = toks.agg(count(lit(1)).as("tr"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tt"))
+    // token totals fold out of the ≤buckets-row histograms — never a
+    // third full-corpus pass
+    val totals = raw.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
     val bd = lit(buckets.toDouble)
     val feat = raw.join(tgt, Seq("b"), "left")
       .withColumn("ct", coalesce(col("ct"), lit(0L)))
@@ -1082,7 +1092,7 @@ object TextAnalysis {
         floor(log(((col("ct") + lit(1.0)) / (col("tt") + bd)) /
             ((col("cr") + lit(1.0)) / (col("tr") + bd))) * lit(1000000.0)
           + lit(0.5)).cast("long").as("micro"))
-    toks.join(broadcast(feat), Seq("b"))
+    val scored = toks.join(broadcast(feat), Seq("b"))
       .groupBy("doc_id", "lang")
       .agg(sum(col("micro")).as("sm"), count(lit(1)).as("n_tokens"))
       // Mean score stays in integer micro-units to the end:
@@ -1094,6 +1104,7 @@ object TextAnalysis {
         (floor(col("sm") / col("n_tokens") + lit(0.5)).cast("long") /
           lit(1000000.0)).as("dsir_score"),
         (col("sm") > 0L).cast("long").as("selected"))
+    graft.operators.Dedup.materializeThenRelease(scored, toks)
   }
 
   // ------------------------------------ accumulating KMV cardinality
@@ -1163,11 +1174,12 @@ object TextAnalysis {
 
   def loadKmvIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): KmvIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
     val sk = spark.read.parquet(s"$path/sketch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sk.count()
-    KmvIndex(sk, meta.getAs[Long]("k").toInt, meta.getAs[Long]("last_batch_id"))
+    KmvIndex(sk, meta.head().getAs[Long]("k").toInt,
+      Dedup.IndexMeta.lastBatchId(meta))
   }
 
   /** The md5Long hash domain: 15 hex chars = 60 bits. 2⁶⁰ is a power

@@ -607,10 +607,15 @@ object StreamOps {
             val absorbed = graft.operators.TextAnalysis
               .absorbIntoKmvIndex(indexRef.get(), batch)
               .copy(lastBatchId = batchId)
-            indexRef.set(absorbed)
+            // Sink write BEFORE the watermark moves (the family-wide
+            // ordering): if the write throws, the ref is untouched and
+            // the replayed batch re-absorbs — harmless, KMV merge is
+            // idempotent — and re-writes. The inverted order would
+            // skip the replay and lose the batch's card forever.
             idempotentParquetWrite(
               graft.operators.TextAnalysis.kmvCardinalityReport(absorbed),
               outPath, batchId)
+            indexRef.set(absorbed)
           }
         },
       checkpointDir).start()

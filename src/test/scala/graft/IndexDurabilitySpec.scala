@@ -266,4 +266,24 @@ class IndexDurabilitySpec extends AnyFunSuite {
     Similarity.releaseIvfIndex(resumed)
     assert(got.nonEmpty && got == want)
   }
+
+  test("a pre-watermark durable save still loads (missing meta/column → -1)") {
+    import spark.implicits._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_oldidx_" +
+      s"${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    // corpus index saved WITHOUT any meta table (the pre-upgrade layout)
+    val cPath = s"$base/corpus"
+    Dedup.wordShingles(docs.limit(50)).write.parquet(s"$cPath/shingles")
+    val c = Dedup.loadCorpusIndex(spark, cPath)
+    assert(c.lastBatchId == -1L, "missing meta must read as nothing-absorbed")
+    Dedup.releaseCorpusIndex(c)
+    // embedding index whose meta predates the last_batch_id column
+    val ePath = s"$base/emb"
+    graft.operators.Similarity.normalizedNonZero(emb.limit(50))
+      .write.parquet(s"$ePath/vectors")
+    Seq(64).toDF("dim").coalesce(1).write.parquet(s"$ePath/meta")
+    val e = Dedup.loadEmbeddingIndex(spark, ePath)
+    assert(e.lastBatchId == -1L, "missing column must read as nothing-absorbed")
+    Dedup.releaseEmbeddingIndex(e)
+  }
 }

@@ -8,6 +8,26 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("sketch-index top-k survives zero-norm vectors on both sides") {
+    import graft.operators.Similarity
+    // zero vectors have no direction: normalizedNonZero nulls v, their
+    // sketches are all-zero and collide at Hamming 0 — the NULL cosine
+    // must be dropped before the primitive-Double heap aggregator
+    val emb = Seq(
+      (1L, Seq.fill(8)(0.0f)), // zero-norm, in the index
+      (2L, Seq(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (4L, Seq.fill(8)(0.0f)) // zero-norm query
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.buildSketchIndex(emb, dim = 8, maxHamming = 64)
+    val out = Similarity.topKAgainstSketchIndex(emb, idx, k = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+    Similarity.releaseSketchIndex(idx)
+    // no NPE, no null cosines; zero-norm ids appear in no pair
+    assert(out.nonEmpty)
+    assert(!out.exists(p => p._1 == 1L || p._1 == 4L || p._2 == 1L || p._2 == 4L))
+  }
+
   test("cosine: identical → 1, orthogonal → 0, opposite → −1") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
