@@ -1107,6 +1107,112 @@ object TextAnalysis {
     graft.operators.Dedup.materializeThenRelease(scored, toks)
   }
 
+  // ------------------------------------ accumulating DSIR selection
+
+  /** The DSIR feature state as an ACCUMULATING index — continuous data
+    * selection at ingestion cadence: the TARGET histogram is frozen at
+    * build (the curated reference distribution does not grow), while
+    * the RAW histogram absorbs every arriving wave, so importance
+    * weights sharpen as raw coverage accumulates. State is two
+    * ≤`buckets`-row histograms — broadcastable at ANY corpus size, and
+    * each absorb materializes a fresh merged histogram and releases
+    * the old one, so the index is O(1) legs by construction (no
+    * compaction budget needed, unlike the band indexes). Absorb is
+    * count-addition — associative/commutative but NOT idempotent, so
+    * the streaming face guards replays with the family's
+    * `lastBatchId` watermark. */
+  case class DsirIndex(rawHist: DataFrame, tgtHist: DataFrame, buckets: Int,
+                       lastBatchId: Long = -1L)
+
+  private def bucketTokens(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"),
+        (graft.functions.Hashing.md5Long(col("word")) % buckets).as("b"))
+
+  private val DsirLvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Freeze the target histogram; seed the raw histogram from the
+    * corpus available at build time. */
+  def buildDsirIndex(target: DataFrame, seedRaw: DataFrame,
+                     buckets: Int): DsirIndex = {
+    val tgt = bucketTokens(target, buckets).groupBy("b")
+      .agg(count(lit(1)).as("ct")).persist(DsirLvl)
+    val raw = bucketTokens(seedRaw, buckets).groupBy("b")
+      .agg(count(lit(1)).as("cr")).persist(DsirLvl)
+    tgt.count(); raw.count()
+    DsirIndex(raw, tgt, buckets)
+  }
+
+  /** Fold a wave's token counts into the raw histogram: one keyed sum
+    * over ≤2·buckets rows, materialized, old leg released. */
+  def absorbIntoDsirIndex(index: DsirIndex, wave: DataFrame): DsirIndex = {
+    val waveHist = bucketTokens(wave, index.buckets).groupBy("b")
+      .agg(count(lit(1)).as("cr"))
+    val merged = index.rawHist.unionByName(waveHist).groupBy("b")
+      .agg(sum(col("cr")).as("cr")).persist(DsirLvl)
+    merged.count()
+    index.rawHist.unpersist(blocking = false)
+    index.copy(rawHist = merged)
+  }
+
+  /** Score a wave against the CURRENT index state (pre-absorb — the
+    * accum-family convention): the same micro-unit log-ratio chain as
+    * [[dsirScores]], but over the FULL bucket domain (an arriving wave
+    * can hit buckets the raw seed never produced — those score with
+    * cr = 0 under the same add-one smoothing, instead of silently
+    * dropping the tokens an inner join would). */
+  def scoreAgainstDsirIndex(index: DsirIndex, wave: DataFrame): DataFrame = {
+    val spark = wave.sparkSession
+    val bd = lit(index.buckets.toDouble)
+    val totals = index.rawHist.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+      .crossJoin(index.tgtHist.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+    val domain = spark.range(index.buckets.toLong).toDF("b")
+    val feat = domain
+      .join(index.rawHist, Seq("b"), "left")
+      .join(index.tgtHist, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log(((col("ct") + lit(1.0)) / (col("tt") + bd)) /
+            ((col("cr") + lit(1.0)) / (col("tr") + bd))) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("micro"))
+    bucketTokens(wave, index.buckets).join(broadcast(feat), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("micro")).as("sm"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("sm") / col("n_tokens") + lit(0.5)).cast("long") /
+          lit(1000000.0)).as("dsir_score"),
+        (col("sm") > 0L).cast("long").as("selected"))
+  }
+
+  def releaseDsirIndex(index: DsirIndex): Unit = {
+    index.rawHist.unpersist(blocking = false)
+    index.tgtHist.unpersist(blocking = false)
+  }
+
+  /** Durable save/load — the restart story: two tiny parquet
+    * histograms + the absorb watermark. */
+  def saveDsirIndex(index: DsirIndex, path: String): Unit = {
+    index.rawHist.coalesce(1).write.mode("overwrite").parquet(s"$path/raw")
+    index.tgtHist.coalesce(1).write.mode("overwrite").parquet(s"$path/tgt")
+    val spark = index.rawHist.sparkSession
+    import spark.implicits._
+    Seq((index.buckets.toLong, index.lastBatchId))
+      .toDF("buckets", "last_batch_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadDsirIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DsirIndex = {
+    val meta = spark.read.parquet(s"$path/meta")
+    val raw = spark.read.parquet(s"$path/raw").persist(DsirLvl)
+    val tgt = spark.read.parquet(s"$path/tgt").persist(DsirLvl)
+    raw.count(); tgt.count()
+    DsirIndex(raw, tgt, meta.head().getAs[Long]("buckets").toInt,
+      Dedup.IndexMeta.lastBatchId(meta))
+  }
+
   // ------------------------------------ accumulating KMV cardinality
 
   /** Per-source KMV cardinality sketch as an ACCUMULATING index — the

@@ -1296,6 +1296,29 @@ object PipelinePack {
     // oracle needs no wave replay at all: the row match IS the proof
     // that incremental absorb ≡ one-shot build. kth_hash is an exact
     // integer — the strongest possible gate on a sketch's internals.
+    // SELF-ACCUMULATING DSIR selection (the batch face of
+    // StreamOps.dsirSelectionStream): target histogram frozen on the
+    // 'en' slice, raw histogram seeded on wave 0; wave 1 scores
+    // against the seed then absorbs, wave 2 scores against seed ∪
+    // wave 1 — the hash pins that wave 2's weights really reflect the
+    // accumulated raw distribution, not the frozen seed.
+    "q_st_dsir_accum" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def wave(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+      val idx0 = TextAnalysis.buildDsirIndex(
+        docs.filter(col("lang") === DSIR_TARGET), wave(0), DSIR_B)
+      val s1 = graft.operators.Lifecycle.checkpoint(
+        TextAnalysis.scoreAgainstDsirIndex(idx0, wave(1))
+          .withColumn("wave", lit(1L)))
+      val idx1 = TextAnalysis.absorbIntoDsirIndex(idx0, wave(1))
+      val s2 = TextAnalysis.scoreAgainstDsirIndex(idx1, wave(2))
+        .withColumn("wave", lit(2L))
+      val out = s1.unionByName(s2)
+        .select(col("wave"), col("doc_id"), col("n_tokens"),
+          col("dsir_score"), col("selected"))
+        .orderBy("wave", "doc_id")
+      Dedup.materializeThenRelease(out, idx1.rawHist, idx1.tgtHist)
+    },
     "q_st_kmv_accum" -> { (s, d) =>
       val docs = Tables.documents(s, d).select("doc_id", "text", "source")
       def wave(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
@@ -2310,6 +2333,60 @@ object PipelinePack {
     // three-wave sketch MUST equal the one-shot sketch over the whole
     // corpus; this oracle states the one-shot definition and the hash
     // match proves the absorb algebra.
+    // Per-wave replay of the accumulating DSIR state: f0 is the
+    // frozen-seed feature table (raw = wave 0), f1 the post-absorb one
+    // (raw = waves 0 ∪ 1); each wave's docs score against the table
+    // that was current when they arrived. Spellings (add-one
+    // smoothing, micro-unit floor, long sums, full bucket domain)
+    // mirror q_text_dsir / scoreAgainstDsirIndex verbatim.
+    "q_st_dsir_accum" ->
+      s"""WITH toks AS (SELECT doc_id, lang, doc_id % 3 AS wv,
+         |                     unnest(string_split(text, ' ')) AS word
+         |              FROM documents),
+         |tb AS (SELECT doc_id, lang, wv,
+         |              ${graft.functions.Hashing.md5LongSql("word")} % $DSIR_B AS b
+         |       FROM toks),
+         |bk AS (SELECT unnest(range(0, $DSIR_B)) AS b),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+         |        WHERE lang = '$DSIR_TARGET' GROUP BY b),
+         |tts AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM tgt),
+         |raw0 AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb
+         |         WHERE wv = 0 GROUP BY b),
+         |tr0 AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM raw0),
+         |raw1 AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb
+         |         WHERE wv IN (0, 1) GROUP BY b),
+         |tr1 AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM raw1),
+         |f0 AS (SELECT bk.b,
+         |              CAST(floor(ln(((coalesce(t.ct, 0) + 1.0)
+         |                             / (tts.tt + $DSIR_B.0))
+         |                            / ((coalesce(r.cr, 0) + 1.0)
+         |                               / (tr0.tr + $DSIR_B.0)))
+         |                         * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |       FROM bk LEFT JOIN raw0 r USING (b)
+         |               LEFT JOIN tgt t USING (b), tts, tr0),
+         |f1 AS (SELECT bk.b,
+         |              CAST(floor(ln(((coalesce(t.ct, 0) + 1.0)
+         |                             / (tts.tt + $DSIR_B.0))
+         |                            / ((coalesce(r.cr, 0) + 1.0)
+         |                               / (tr1.tr + $DSIR_B.0)))
+         |                         * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |       FROM bk LEFT JOIN raw1 r USING (b)
+         |               LEFT JOIN tgt t USING (b), tts, tr1),
+         |d1 AS (SELECT tb.doc_id, CAST(sum(f.micro) AS BIGINT) AS sm,
+         |              CAST(count(*) AS BIGINT) AS n_tokens
+         |       FROM tb JOIN f0 f USING (b) WHERE tb.wv = 1 GROUP BY tb.doc_id),
+         |d2 AS (SELECT tb.doc_id, CAST(sum(f.micro) AS BIGINT) AS sm,
+         |              CAST(count(*) AS BIGINT) AS n_tokens
+         |       FROM tb JOIN f1 f USING (b) WHERE tb.wv = 2 GROUP BY tb.doc_id),
+         |u AS (SELECT CAST(1 AS BIGINT) AS wave, doc_id, n_tokens, sm FROM d1
+         |      UNION ALL
+         |      SELECT CAST(2 AS BIGINT), doc_id, n_tokens, sm FROM d2)
+         |SELECT wave, doc_id, n_tokens,
+         |       CAST(floor(sm / CAST(n_tokens AS DOUBLE) + 0.5) AS BIGINT)
+         |         / 1000000.0 AS dsir_score,
+         |       CAST(CASE WHEN sm > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM u ORDER BY wave, doc_id""".stripMargin,
+
     "q_st_kmv_accum" ->
       s"""WITH w AS (
          |  SELECT DISTINCT source,

@@ -591,6 +591,40 @@ object StreamOps {
     * state, absorb IS compaction), then land the post-absorb
     * cardinality card idempotently (partition = batch_id, so the
     * highest partition is the current dataset card). */
+  /** SELF-ACCUMULATING DSIR selection — continuous data selection at
+    * ingestion cadence: each arriving wave is SCORED against the
+    * current feature state (pre-absorb, the family convention), landed
+    * idempotently, then its token counts are absorbed into the raw
+    * histogram so later waves score against sharper importance
+    * weights. Absorb is count-addition (not idempotent), so the
+    * `lastBatchId` watermark guards checkpoint replays exactly like
+    * the dedup/image/audio/embedding/IVF members; the sink write
+    * precedes the absorb, so a replayed batch's partition is already
+    * correct and the replay is a complete no-op. State is two
+    * ≤buckets-row histograms — O(1) legs by construction. */
+  def dsirSelectionStream(spark: SparkSession, stagingDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          indexRef: java.util.concurrent.atomic.AtomicReference[
+                            graft.operators.TextAnalysis.DsirIndex],
+                          outPath: String,
+                          checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(stagingDir)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > indexRef.get().lastBatchId) {
+            val scored = graft.operators.TextAnalysis
+              .scoreAgainstDsirIndex(indexRef.get(), batch)
+            idempotentParquetWrite(scored, outPath, batchId)
+            indexRef.set(graft.operators.TextAnalysis
+              .absorbIntoDsirIndex(indexRef.get(), batch)
+              .copy(lastBatchId = batchId))
+          }
+        },
+      checkpointDir).start()
+
   def kmvCardinalityAccumStream(spark: SparkSession, stagingDir: String,
                                 schema: org.apache.spark.sql.types.StructType,
                                 indexRef: java.util.concurrent.atomic.AtomicReference[

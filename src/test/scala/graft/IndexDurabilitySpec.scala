@@ -267,6 +267,29 @@ class IndexDurabilitySpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("DSIR index survives save/load: reloaded state scores identically") {
+    import graft.operators.TextAnalysis
+    val target = docs.filter(col("lang") === "en")
+    def wave(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_dsiridx_" +
+      s"${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val idx = TextAnalysis.absorbIntoDsirIndex(
+      TextAnalysis.buildDsirIndex(target, wave(0), 512), wave(1))
+      .copy(lastBatchId = 0L)
+    def rows(i: TextAnalysis.DsirIndex) =
+      TextAnalysis.scoreAgainstDsirIndex(i, wave(2)).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("dsir_score")))
+        .sortBy(_._1).toSeq
+    val want = rows(idx)
+    TextAnalysis.saveDsirIndex(idx, path)
+    TextAnalysis.releaseDsirIndex(idx)
+    val reloaded = TextAnalysis.loadDsirIndex(spark, path)
+    assert(reloaded.lastBatchId == 0L && reloaded.buckets == 512)
+    val got = rows(reloaded)
+    TextAnalysis.releaseDsirIndex(reloaded)
+    assert(got.nonEmpty && got == want)
+  }
+
   test("a pre-watermark durable save still loads (missing meta/column → -1)") {
     import spark.implicits._
     val base = s"${sys.props("java.io.tmpdir")}/graft_oldidx_" +

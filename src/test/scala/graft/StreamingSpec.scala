@@ -400,6 +400,75 @@ class StreamingSpec extends AnyFunSuite {
       "accumulation must surface wave-1 best matches")
   }
 
+  test("self-accumulating DSIR stream scores each wave against the accumulated state") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val base = s"${sys.props("java.io.tmpdir")}/graft_accumdsir_" +
+      s"${ProcessHandle.current().pid()}_${java.lang.System.nanoTime()}"
+    val staging = s"$base/staging"
+    val outPath = s"$base/scores"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text", "lang")
+    def wave(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    wave(1).coalesce(1).write.mode("append").parquet(staging)
+    Thread.sleep(1200)
+    wave(2).coalesce(1).write.mode("append").parquet(staging)
+    val target = docs.filter(col("lang") === "en")
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      TextAnalysis.buildDsirIndex(target, wave(0), 512))
+    val q = graft.streaming.StreamOps.dsirSelectionStream(
+      spark, staging, wave(1).schema, ref, outPath)
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("dsir_score"), r.getAs[Long]("selected")))
+      .sortBy(_._1).toSeq
+    val out = spark.read.parquet(outPath)
+    // Batch face: wave 1 against the seed, wave 2 against seed ∪ wave 1.
+    val b0 = TextAnalysis.buildDsirIndex(target, wave(0), 512)
+    val want1 = rows(TextAnalysis.scoreAgainstDsirIndex(b0, wave(1)))
+    val b1 = TextAnalysis.absorbIntoDsirIndex(b0, wave(1))
+    val want2 = rows(TextAnalysis.scoreAgainstDsirIndex(b1, wave(2)))
+    val got1 = rows(out.filter(col("batch_id") === 0L).drop("batch_id"))
+    val got2 = rows(out.filter(col("batch_id") === 1L).drop("batch_id"))
+    TextAnalysis.releaseDsirIndex(b1)
+    TextAnalysis.releaseDsirIndex(ref.get())
+    assert(got1.nonEmpty && got1 == want1)
+    assert(got2.nonEmpty && got2 == want2)
+    // accumulation is OBSERVABLE: scoring wave 2 against the frozen
+    // seed instead must differ somewhere (else the absorb did nothing)
+    val b0b = TextAnalysis.buildDsirIndex(target, wave(0), 512)
+    val frozen2 = rows(TextAnalysis.scoreAgainstDsirIndex(b0b, wave(2)))
+    TextAnalysis.releaseDsirIndex(b0b)
+    assert(frozen2 != want2,
+      "wave 2 must score against the accumulated raw histogram")
+  }
+
+  test("DSIR accum stream replay guard: a re-delivered batch is a no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text", "lang")
+    def wave(r: Int) = docs.filter(col("doc_id") % 3 === r)
+    val target = docs.filter(col("lang") === "en")
+    def hist(i: TextAnalysis.DsirIndex) = i.rawHist.collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("cr"))).sortBy(_._1).toSeq
+    // absorb is NOT idempotent — double-absorb really double-counts…
+    val once = TextAnalysis.absorbIntoDsirIndex(
+      TextAnalysis.buildDsirIndex(target, wave(0), 512), wave(1))
+    val h1 = hist(once)
+    val twice = TextAnalysis.absorbIntoDsirIndex(once, wave(1))
+    assert(hist(twice) != h1, "double absorb must double-count (not idempotent)")
+    TextAnalysis.releaseDsirIndex(twice)
+    // …which is exactly why the stream's lastBatchId watermark skips
+    // replayed batches entirely (same guard as dedup/image/audio).
+    val guarded = TextAnalysis.absorbIntoDsirIndex(
+      TextAnalysis.buildDsirIndex(target, wave(0), 512), wave(1))
+      .copy(lastBatchId = 0L)
+    assert(!(0L > guarded.lastBatchId), "batch 0 replay must be gated out")
+    TextAnalysis.releaseDsirIndex(guarded)
+  }
+
   test("self-accumulating KMV cardinality stream equals the one-shot sketch") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextAnalysis
