@@ -399,6 +399,43 @@ object SinksPack {
         .orderBy("video_id")
     },
 
+    // §2.7 O3 — the API's `maxResults` page cap as an ENGINE limit:
+    // LIMIT pushes into the DSV2 source (partial pushdown), so each
+    // page partition stops parsing after n passing rows and
+    // CollectLimit's incremental take opens only the pages it needs
+    // (PagedSourceSpec pins pagesRead == 1 via the custom metric).
+    // count(*) OVER the limited scan makes the result deterministic —
+    // any 100 passing rows count the same — so the hash gate covers a
+    // genuinely row-nondeterministic operator.
+    "q_s1_paged_limit" -> { (s, d) =>
+      val path = tmpPath("paged_src", d)
+      ensureFixture(path) {
+        graft.sources.JsonFixtureSource.writeSearchPagesPartitioned(
+          s, Tables.orders(s, d), path)
+      }
+      s.read.format("graft.sources.PagedJsonSource").option("path", path).load()
+        .filter(col("published_at") > graft.sources.PagedJsonSource.PublishedAfter)
+        .limit(100)
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // §2.7 O2+O3 — ORDER BY + LIMIT pushes as a partial TopN: each page
+    // returns only ITS top-50 under the requested ordering (bounded
+    // heap), the finishing TakeOrderedAndProject sees pages·50 rows
+    // instead of the whole mirror. (published_at, video_id) is a total
+    // order (unique ids), so the row set is deterministic.
+    "q_s1_paged_topn" -> { (s, d) =>
+      val path = tmpPath("paged_src", d)
+      ensureFixture(path) {
+        graft.sources.JsonFixtureSource.writeSearchPagesPartitioned(
+          s, Tables.orders(s, d), path)
+      }
+      s.read.format("graft.sources.PagedJsonSource").option("path", path).load()
+        .filter(col("published_at") > graft.sources.PagedJsonSource.PublishedAfter)
+        .orderBy(col("published_at").desc, col("video_id"))
+        .limit(50)
+    },
+
     // S1 at STREAMING cadence through the same DSV2 table: the custom
     // MicroBatchStream treats the paginated API as an append-only page
     // log (offset = pages consumed, one partition per page, pushed
@@ -652,6 +689,26 @@ object SinksPack {
          |WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') >
          |      '${graft.sources.PagedJsonSource.PublishedAfter}'
          |ORDER BY video_id""".stripMargin,
+
+    // LIMIT without ORDER BY is row-nondeterministic; the count over it
+    // is not — both engines agree on min(100, passing rows).
+    "q_s1_paged_limit" ->
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') >
+         |        '${graft.sources.PagedJsonSource.PublishedAfter}'
+         |  LIMIT 100)""".stripMargin,
+
+    "q_s1_paged_topn" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS video_id,
+         |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS published_at,
+         |       o_orderpriority AS title,
+         |       o_orderstatus AS description
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') >
+         |      '${graft.sources.PagedJsonSource.PublishedAfter}'
+         |ORDER BY published_at DESC, video_id
+         |LIMIT 50""".stripMargin,
 
     // The streaming read must produce byte-identical rows to the batch
     // scan of the same page layout — one oracle, two engine paths.

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
@@ -76,22 +76,81 @@ private[sources] class PagedJsonTable(path: String) extends Table with SupportsR
       Option(options.get("maxPagesPerTrigger")).map(_.toInt))
 }
 
+/** One key of a pushed ORDER BY: which column, which direction, and
+  * where the requested order puts nulls (`nullsFirst` is the REQUESTED
+  * null position, independent of direction — exactly what the
+  * connector `SortOrder` carries). All four source columns are
+  * strings, so one string comparator covers every pushable key. */
+private[sources] case class PagedSortKey(field: String, asc: Boolean,
+                                         nullsFirst: Boolean)
+
 /** Accepts `published_at > v` / `>= v` (string bounds — the API's
   * `publishedAfter`); everything else is left for Spark to evaluate.
   * Also accepts column pruning: the reader parses only the projected
   * fields out of each page item, so `SELECT video_id` never
   * materializes descriptions (at API scale, most of every page's
   * bytes). `maxPagesPerTrigger` caps pages admitted per micro-batch
-  * (streaming only) — the backfill throttle. */
+  * (streaming only) — the backfill throttle.
+  *
+  * LIMIT and ORDER-BY-LIMIT push into the source too (the engine form
+  * of the API's `maxResults` page cap, SURVEY §2.7 O3 /
+  * `…final.py:137`), both PARTIALLY (`isPartiallyPushed = true`, the
+  * interfaces' default):
+  *
+  *  - `pushLimit(n)`: each page partition stops parsing after emitting
+  *    n passing rows, and `CollectLimitExec`'s incremental take (1
+  *    partition first, then 4×) means a `LIMIT n` over a million-page
+  *    mirror typically opens ONE page instead of all of them.
+  *  - `pushTopN(orders, n)`: each page returns only ITS top-n under
+  *    the requested ordering (bounded heap, O(page·log n) and O(n)
+  *    memory). Every global top-n row lives in some page and is in
+  *    that page's top-n, so the union is a guaranteed superset; the
+  *    engine's finishing sort on top sees pages·n rows instead of the
+  *    whole mirror. Page layout is keyed by id, NOT by timestamp, so
+  *    full TopN pushdown would be a lie — partial is the honest form.
+  */
 private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedJsonSource.Schema
   private var countPushed = false
+  private var limit: Option[Int] = None
+  private var topN: Option[(Array[PagedSortKey], Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  /** Both pushdowns are PARTIAL by design (page layout is id-keyed, not
+    * time-sorted): the scan bounds what each partition emits; the
+    * engine's limit/sort on top finishes. (Explicit override required —
+    * both interfaces ship this default.) */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Accept any ORDER BY whose every key is a bare source column (all
+    * StringType, so string comparison IS the engine's comparison);
+    * computed keys are declined and evaluated by Spark as usual. The
+    * per-partition heap is O(n) driver-independent memory, so very
+    * large n (no real TopN — a paginated UI never asks for 1M rows)
+    * is declined rather than buffered. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (n > 100000) return false
+    val keys = orders.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            PagedJsonSource.Schema.fieldNames.contains(nr.fieldNames.head) =>
+          PagedSortKey(nr.fieldNames.head,
+            o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST)
+        case _ => null
+      }
+    }
+    if (keys.contains(null)) false
+    else { topN = Some((keys, n)); true }
+  }
 
   /** PARTIAL `COUNT(*)` pushdown: each page partition emits one
     * pre-counted row (items passing the pushed filters) and Spark sums
@@ -121,7 +180,7 @@ private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     if (countPushed) new PagedCountScan(path, pushed)
-    else new PagedScan(path, pushed, required, maxPages)
+    else new PagedScan(path, pushed, required, maxPages, limit, topN)
 }
 
 /** `strict = true` (batch): the page's `nextPageToken` must equal the
@@ -140,12 +199,19 @@ private[sources] case class PageInputPartition(file: String, page: Long,
   * sorted by page — shared by the batch planner and the micro-batch
   * stream (whose offset is a position in exactly this ordering). */
 private[sources] object PagedLayout {
+  /** Listings performed since JVM start — observability for the
+    * "metadata round-trips per trigger" contract (PagedStreamSpec pins
+    * ONE listing per micro-batch; at a million-page mirror a second
+    * listing per trigger is a real cost). */
+  val listings = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** [[listPages]] plus each part file's byte length — ONE listing
     * feeding both the batch planner and the size statistic
     * ([[PagedScan]] caches it in a lazy val, so join planning's
     * `estimateStatistics` and `planInputPartitions` never re-list the
     * layout; at a million-page mirror the repeated listing IS a cost). */
   def listPagesWithSize(path: String): Array[(Long, String, Long)] = {
+    listings.incrementAndGet()
     val root = new HPath(path)
     val fs: FileSystem =
       root.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
@@ -162,6 +228,7 @@ private[sources] object PagedLayout {
   }
 
   def listPages(path: String): Array[(Long, String)] = {
+    listings.incrementAndGet()
     val root = new HPath(path)
     val fs: FileSystem =
       root.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
@@ -180,7 +247,10 @@ private[sources] object PagedLayout {
 
 class PagedScan(path: String, val pushed: Array[Filter],
                 schema: StructType = PagedJsonSource.Schema,
-                maxPages: Option[Int] = None) extends Scan with Batch
+                maxPages: Option[Int] = None,
+                val pushedLimit: Option[Int] = None,
+                val pushedTopN: Option[(Array[PagedSortKey], Int)] = None)
+    extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
 
@@ -220,7 +290,13 @@ class PagedScan(path: String, val pushed: Array[Filter],
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPagedJson path=$path PushedFilters: [${pushed.mkString(", ")}] " +
-      s"ReadSchema: [${schema.fieldNames.mkString(", ")}]"
+      s"ReadSchema: [${schema.fieldNames.mkString(", ")}]" +
+      pushedLimit.map(n => s" PushedLimit: $n").getOrElse("") +
+      pushedTopN.map { case (ks, n) =>
+        val keys = ks.map(k => s"${k.field} ${if (k.asc) "ASC" else "DESC"}")
+          .mkString(", ")
+        s" PushedTopN: ORDER BY [$keys] LIMIT $n"
+      }.getOrElse("")
 
   /** Metadata-only planning: list `page=N` directories (one FS call),
     * sort, and pair each page with the token it must carry (the next
@@ -234,7 +310,7 @@ class PagedScan(path: String, val pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(pushed, schema, runtimeKeys)
+    new PagedReaderFactory(pushed, schema, runtimeKeys, pushedLimit, pushedTopN)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new PagesReadMetric, new ItemsParsedMetric, new ItemsFilteredMetric)
@@ -291,11 +367,27 @@ private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter]
     * batches under `maxPagesPerTrigger`) and terminates even while the
     * log keeps growing. */
   @volatile private var availableNowCap: Option[Long] = None
+
+  /** The layout captured by the trigger's offset resolution, reused by
+    * the SAME trigger's `planInputPartitions` — ONE metadata listing
+    * per micro-batch, not two (at a million-page mirror the second
+    * listing is a real round-trip per trigger). Monotonic by the
+    * append-only page-log contract: a later listing is always a
+    * superset, so planning a range against a layout at least as new as
+    * the offsets is safe. */
+  @volatile private var cachedLayout: Array[(Long, String)] = Array.empty
+
+  private def refreshLayout(): Array[(Long, String)] = {
+    val l = PagedLayout.listPages(path)
+    cachedLayout = l
+    l
+  }
+
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(PagedLayout.listPages(path).length.toLong)
+    availableNowCap = Some(refreshLayout().length.toLong)
 
   private def visiblePages(): Long = availableNowCap.getOrElse(
-    PagedLayout.listPages(path).length.toLong)
+    refreshLayout().length.toLong)
 
   override def latestOffset(): Offset = PagedOffset(visiblePages())
 
@@ -323,7 +415,11 @@ private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter]
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[PagedOffset].pages.toInt
     val e0 = end.asInstanceOf[PagedOffset].pages.toInt
-    val pages = PagedLayout.listPages(path)
+    // reuse the trigger's listing; re-list only if the cache has never
+    // seen offset `end` (checkpoint recovery replans a committed range
+    // before any latestOffset call)
+    val cached = cachedLayout
+    val pages = if (cached.length >= e0) cached else refreshLayout()
     (s0 until math.min(e0, pages.length)).map { i =>
       val expected = if (i + 1 < pages.length) s"tok_${pages(i + 1)._1}" else null
       PageInputPartition(pages(i)._2, pages(i)._1, expected,
@@ -386,10 +482,13 @@ private[sources] class PagedCountReader(part: PageInputPartition,
 
 private[sources] class PagedReaderFactory(pushed: Array[Filter],
                                            schema: StructType,
-                                           runtimeKeys: Option[Set[String]] = None)
+                                           runtimeKeys: Option[Set[String]] = None,
+                                           limit: Option[Int] = None,
+                                           topN: Option[(Array[PagedSortKey], Int)] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PagedReader(p.asInstanceOf[PageInputPartition], pushed, schema, runtimeKeys)
+    new PagedReader(p.asInstanceOf[PageInputPartition], pushed, schema,
+      runtimeKeys, limit, topN)
 }
 
 /** Parses ONE page file (a single JSON object line), validates its
@@ -400,7 +499,9 @@ private[sources] class PagedReaderFactory(pushed: Array[Filter],
   * parse cost but zero materialization for the dropped columns. */
 private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filter],
                                    schema: StructType,
-                                   runtimeKeys: Option[Set[String]] = None)
+                                   runtimeKeys: Option[Set[String]] = None,
+                                   limit: Option[Int] = None,
+                                   topN: Option[(Array[PagedSortKey], Int)] = None)
     extends PartitionReader[InternalRow] {
 
   private val items: Iterator[JsonNode] = {
@@ -451,24 +552,101 @@ private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filte
 
   private var parsed = 0L
   private var filtered = 0L
+  private var emitted = 0L
 
-  override def next(): Boolean = {
+  /** True when `it` passes every pushed + runtime filter (counting the
+    * metrics as a side effect) — the ONE filter gate shared by the
+    * streaming, limited, and top-n paths. */
+  private def admit(it: JsonNode): Boolean = {
+    parsed += 1
+    // only extracted when a pushed filter needs it; an unfiltered
+    // pruned read never touches the snippet timestamp
+    val published =
+      if (pushed.isEmpty) null else text(it.get("snippet"), "publishedAt")
+    val ok = passes(published) &&
+      runtimeKeys.forall(ks => ks.contains(text(it.get("id"), "videoId")))
+    if (!ok) filtered += 1
+    ok
+  }
+
+  /** One extractor per pushed SORT key — independent of the projection
+    * (the finishing sort's columns are in the projection anyway, but
+    * the reader must not depend on pruning order). */
+  private lazy val sortExtractors: Array[JsonNode => String] =
+    topN.get._1.map(_.field).map {
+      case "video_id" => (it: JsonNode) => text(it.get("id"), "videoId")
+      case "published_at" => (it: JsonNode) => text(it.get("snippet"), "publishedAt")
+      case "title" => (it: JsonNode) => text(it.get("snippet"), "title")
+      case "description" => (it: JsonNode) => text(it.get("snippet"), "description")
+    }
+
+  /** "a sorts before b under the requested ordering" as a sign:
+    * `nullsFirst` is the REQUESTED null position (already
+    * direction-adjusted by Catalyst), so nulls do not negate with
+    * `asc`. */
+  private def keyCmp(a: Array[String], b: Array[String]): Int = {
+    val keys = topN.get._1
+    var i = 0
+    while (i < keys.length) {
+      val x = a(i); val y = b(i)
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) { if (keys(i).nullsFirst) -1 else 1 }
+        else if (y == null) { if (keys(i).nullsFirst) 1 else -1 }
+        else { val r = x.compareTo(y); if (keys(i).asc) r else -r }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** The page's top-n passing rows (bounded heap, worst-at-head): O(n)
+    * memory no matter how deep the page, emitted in arbitrary order —
+    * the engine's finishing sort above the scan (partial pushdown)
+    * owns the final order. */
+  private lazy val topRows: Iterator[InternalRow] = {
+    val n = topN.get._2
+    val heap = new java.util.PriorityQueue[(Array[String], InternalRow)](
+      math.max(1, math.min(n, 1024)),
+      (p: (Array[String], InternalRow), q: (Array[String], InternalRow)) =>
+        -keyCmp(p._1, q._1))
     while (items.hasNext) {
       val it = items.next()
-      parsed += 1
-      // only extracted when a pushed filter needs it; an unfiltered
-      // pruned read never touches the snippet timestamp
-      val published =
-        if (pushed.isEmpty) null else text(it.get("snippet"), "publishedAt")
-      if (passes(published) &&
-          runtimeKeys.forall(ks => ks.contains(text(it.get("id"), "videoId")))) {
-        row = InternalRow.fromSeq(
-          extractors.map(_(it)).toIndexedSeq)
-        return true
+      if (admit(it)) {
+        val key = sortExtractors.map(_(it))
+        if (heap.size < n) {
+          heap.offer((key, InternalRow.fromSeq(extractors.map(_(it)).toIndexedSeq)))
+        } else if (keyCmp(key, heap.peek()._1) < 0) {
+          heap.poll()
+          heap.offer((key, InternalRow.fromSeq(extractors.map(_(it)).toIndexedSeq)))
+        }
       }
-      filtered += 1
     }
-    false
+    import scala.jdk.CollectionConverters._
+    heap.iterator().asScala.map(_._2)
+  }
+
+  override def next(): Boolean = {
+    if (topN.isDefined) {
+      if (topRows.hasNext) { row = topRows.next(); emitted += 1; true }
+      else false
+    } else if (limit.exists(emitted >= _)) {
+      // partial LIMIT pushdown: this partition is done — remaining page
+      // items are never filtered or materialized, and with
+      // CollectLimitExec's incremental take, later PAGES are never
+      // even opened
+      false
+    } else {
+      while (items.hasNext) {
+        val it = items.next()
+        if (admit(it)) {
+          row = InternalRow.fromSeq(extractors.map(_(it)).toIndexedSeq)
+          emitted += 1
+          return true
+        }
+      }
+      false
+    }
   }
 
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(

@@ -167,6 +167,112 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(got2 == Set(keys.head))
   }
 
+  private def v2Scan(df: org.apache.spark.sql.DataFrame): graft.sources.PagedScan =
+    df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.sources.PagedScan]
+
+  /** Executes `run` and returns the summed value of one DSV2 custom
+    * metric from the SQL status store for the executions it produced —
+    * the UI-facing wiring, not the task-level values (those have their
+    * own test). The store names a custom metric by its DESCRIPTION and
+    * types it `v2Custom_<class>`; it is fed by an async listener, so
+    * poll briefly. */
+  private def executedMetric(metricClass: String)(run: => Unit): Long = {
+    val store = spark.sharedState.statusStore
+    val before = store.executionsList().map(_.executionId).toSet
+    run
+    val deadline = java.lang.System.currentTimeMillis() + 30000
+    while (java.lang.System.currentTimeMillis() < deadline) {
+      val vals = store.executionsList()
+        .filter(e => !before.contains(e.executionId) &&
+          e.physicalPlanDescription.contains("GraftPagedJson"))
+        .flatMap { e =>
+          val live = store.executionMetrics(e.executionId)
+          e.metrics.filter(_.metricType == s"v2Custom_graft.sources.$metricClass")
+            .flatMap(m => live.get(m.accumulatorId))
+        }
+      if (vals.nonEmpty) return vals.map(_.trim.toLong).sum
+      Thread.sleep(100)
+    }
+    fail(s"custom metric $metricClass never reported to the SQL status store")
+  }
+
+  test("pushed LIMIT caps each partition and incremental take opens ONE page") {
+    val path = freshFixture("limitpush")
+    val df = readPaged(path).limit(7)
+    assert(v2Scan(df).pushedLimit.contains(7), "LIMIT was not pushed into the scan")
+    // partial-pushdown correctness: exactly 7 rows survive the global limit
+    var rows: Long = -1
+    val pages = executedMetric("PagesReadMetric") { rows = df.collect().length.toLong }
+    assert(rows == 7)
+    // CollectLimit's incremental take (initialNumPartitions=1) + the
+    // reader's early stop: one 500-item page serves a LIMIT 7 — the
+    // other pages of the mirror are never opened.
+    assert(pages == 1, s"LIMIT 7 should open one page, opened $pages")
+  }
+
+  test("pushed TopN: each page returns its own top-n; union contains the global top-n") {
+    val path = freshFixture("topnpush")
+    val n = 9
+    val df = readPaged(path)
+      .orderBy(col("published_at").desc, col("video_id"))
+      .limit(n)
+    val scan = v2Scan(df)
+    assert(scan.pushedTopN.isDefined, "ORDER BY+LIMIT was not pushed as TopN")
+    val (keys, pushedN) = scan.pushedTopN.get
+    assert(pushedN == n)
+    assert(keys.map(k => (k.field, k.asc)).toSeq ==
+      Seq(("published_at", false), ("video_id", true)))
+    // the finishing operator is the bounded TakeOrderedAndProject, not a
+    // full global sort
+    assert(df.queryExecution.sparkPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "expected TakeOrderedAndProject above the partial TopN scan")
+    // value parity with the un-pushed ordering over the parity table
+    val got = df.collect().map(r => (r.getString(1), r.getString(0))).toSeq
+    val want = Tables.orders(spark, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("p"),
+        col("o_orderkey").cast("string").as("v"))
+      .orderBy(col("p").desc, col("v"))
+      .limit(n).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == want)
+    // per-partition bound: no reader emits more than n rows
+    val factory = scan.createReaderFactory()
+    scan.planInputPartitions().foreach { p =>
+      val r = factory.createReader(p)
+      var c = 0
+      try while (r.next()) c += 1 finally r.close()
+      assert(c <= n, s"partition emitted $c rows > pushed n=$n")
+    }
+  }
+
+  test("TopN over a computed key is declined — Spark evaluates it, values unchanged") {
+    val path = freshFixture("topndecline")
+    val df = readPaged(path).orderBy(length(col("title")), col("video_id")).limit(5)
+    assert(v2Scan(df).pushedTopN.isEmpty,
+      "a computed sort key must not be claimed by the source")
+    val got = df.collect().map(_.getString(0)).toSeq
+    val want = Tables.orders(spark, d)
+      .select(col("o_orderkey").cast("string").as("v"), col("o_orderpriority").as("t"))
+      .orderBy(length(col("t")), col("v")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want)
+  }
+
+  test("custom metrics reach the SQL status store under a pushed-filter scan") {
+    val path = freshFixture("uimetrics")
+    val bound = PagedJsonSource.PublishedAfter
+    var rows = 0L
+    val dropped = executedMetric("ItemsFilteredMetric") {
+      rows = readPaged(path).filter(col("published_at") > bound).collect().length.toLong
+    }
+    val total = Tables.orders(spark, d).count()
+    assert(rows > 0 && rows < total)
+    assert(dropped == total - rows,
+      s"store-reported itemsFiltered=$dropped, expected ${total - rows}")
+  }
+
   test("custom metrics report parse/filter work per reader") {
     val path = freshFixture("metrics")
     val scan = new graft.sources.PagedScan(path,

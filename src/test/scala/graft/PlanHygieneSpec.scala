@@ -90,6 +90,37 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(residual.isEmpty, s"residual filter survived pushdown: $residual")
   }
 
+  test("q_s1_paged_limit: LIMIT pushes into the V2 source alongside the filter") {
+    val p = plan("q_s1_paged_limit")
+    val scans = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScan over PagedJsonSource")
+    val scan = scans.head.scan.asInstanceOf[graft.sources.PagedScan]
+    assert(scan.pushedLimit.contains(100),
+      s"LIMIT 100 not pushed; description=${scan.description()}")
+    assert(scan.pushed.nonEmpty, "the filter must still push alongside the limit")
+  }
+
+  test("q_s1_paged_topn: ORDER BY+LIMIT pushes as partial TopN, finished by TakeOrderedAndProject") {
+    val p = plan("q_s1_paged_topn")
+    val scans = p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScan over PagedJsonSource")
+    val scan = scans.head.scan.asInstanceOf[graft.sources.PagedScan]
+    assert(scan.pushedTopN.exists(_._2 == 50),
+      s"TopN 50 not pushed; description=${scan.description()}")
+    // partial pushdown: the engine finishes with the bounded
+    // TakeOrderedAndProject — never a full global SortExec
+    assert(p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected TakeOrderedAndProject:\n$p")
+    assert(p.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, s"a full sort snuck in above the TopN scan:\n$p")
+  }
+
   test("q_k_dsv2_csv_filtered: predicates push into the CSV source, residual only for unsupported shapes") {
     val p = plan("q_k_dsv2_csv_filtered")
     val scans = p.collect {

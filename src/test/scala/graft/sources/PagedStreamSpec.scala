@@ -121,6 +121,34 @@ class PagedStreamSpec extends AnyFunSuite {
       s"expected 3 admission-controlled batches, got ${batches.mkString(",")}")
   }
 
+  test("one metadata listing per run — planInputPartitions reuses the trigger's layout") {
+    // Offset resolution and partition planning used to list the page
+    // directory once EACH (two round-trips per trigger — real money at
+    // a million-page mirror). The stream now caches the layout captured
+    // at offset time; AvailableNow lists exactly once for the whole
+    // run, however many admission-controlled batches it takes.
+    val src = freshDir("listing")
+    writePage(src, 0, "tok_1", Seq(1))
+    writePage(src, 1, "tok_2", Seq(2))
+    writePage(src, 2, null, Seq(3))
+    val out = freshDir("listing_out"); val ckpt = freshDir("listing_ckpt")
+    val before = PagedLayout.listings.get()
+    val q = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", src)
+      .option("maxPagesPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val listings = PagedLayout.listings.get() - before
+    assert(spark.read.parquet(out).count() == 3)
+    assert(listings == 1,
+      s"a 3-batch AvailableNow run should list the layout once, listed $listings")
+  }
+
   test("a contradicting token still fails the streaming read") {
     val src = freshDir("bad")
     writePage(src, 0, "tok_9", Seq(1)) // points at a page that is not next
