@@ -134,10 +134,17 @@ object SinksPack {
         col("p_partkey"), col("p_brand"),
         concat(col("p_name"), lit("\n"), col("p_type")).as("dirty"))
       val path = tmpPath("dsv2csv", d)
+      // clusterBy: the sink DEMANDS engine-side clustering on the key
+      // (RequiresDistributionAndOrdering) — each p_brand lands whole in
+      // one file, the K1 date-stamped-write contract at scale. Results
+      // are layout-independent, so the oracle is unchanged; the
+      // file-level grouping guarantee is pinned in CsvSinkSpec.
       dirty.write.format("graft.sources.GraftCsvSink")
-        .mode("overwrite").option("path", path).save()
+        .mode("overwrite").option("path", path)
+        .option("clusterBy", "p_brand").save()
       dirty.write.format("graft.sources.GraftCsvSink")
-        .mode("overwrite").option("path", path).save()
+        .mode("overwrite").option("path", path)
+        .option("clusterBy", "p_brand").save()
       // Read BACK through the same DSV2 provider (typed schema; the
       // scan prunes to the two referenced columns) — the full
       // write-commit-read cycle stays inside the custom table. The

@@ -7,7 +7,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -475,14 +476,51 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, truncate = true)
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftCsvBatchWrite(path, info.schema(), info.queryId(), truncate,
-        SerializableHadoopConf.fromSession())
-    override def toStreaming: StreamingWrite =
-      new GraftCsvStreamingWrite(path, info.schema(), info.queryId(),
-        SerializableHadoopConf.fromSession())
+  override def build(): Write = {
+    val cluster = Option(info.options().get("clusterBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    cluster.foreach { cols =>
+      val missing = cols.filterNot(c =>
+        info.schema().fieldNames.exists(_.equalsIgnoreCase(c)))
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"graft-csv sink: clusterBy columns not in the write schema: " +
+          missing.mkString(", "))
+    }
+    new GraftCsvWrite(path, info, truncate, cluster)
   }
+}
+
+/** The sink's write contract. With `clusterBy=c1,c2` the sink REQUIRES
+  * the engine to cluster rows by those keys before any writer sees
+  * them ([[RequiresDistributionAndOrdering]]): Spark inserts the
+  * shuffle + in-partition sort itself, so a given key value lands in
+  * exactly ONE output file regardless of upstream layout. That is K1's
+  * date-stamped write (`…final.py:36-39`) at 100 TB — the consumer of
+  * `report_YYYY-MM-DD.csv` files needs "one date, one file" as an
+  * ENGINE guarantee, not a hope about upstream partitioning. The
+  * in-partition ordering additionally groups a multi-key cluster into
+  * contiguous runs, so a downstream splitter is a single pass. Without
+  * the option the distribution is unspecified and planning is
+  * unchanged. */
+private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
+                                     truncate: Boolean,
+                                     cluster: Option[Seq[String]])
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): Distribution =
+    cluster.map(cs => Distributions.clustered(
+        cs.map(c => Expressions.column(c): Expression).toArray))
+      .getOrElse(Distributions.unspecified())
+  override def requiredOrdering(): Array[SortOrder] =
+    cluster.map(_.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray)
+      .getOrElse(Array.empty)
+  override def toBatch: BatchWrite =
+    new GraftCsvBatchWrite(path, info.schema(), info.queryId(), truncate,
+      SerializableHadoopConf.fromSession())
+  override def toStreaming: StreamingWrite =
+    new GraftCsvStreamingWrite(path, info.schema(), info.queryId(),
+      SerializableHadoopConf.fromSession())
 }
 
 /** Commit message: the temp file this task wrote and the final name it

@@ -100,6 +100,51 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(above == Set(2L), s"unsigned byte order violated: $above")
   }
 
+  test("clusterBy requests engine-side clustering: one key, one file, sorted runs") {
+    val path = dir("clustered")
+    // deliberately scatter the key across many input partitions — the
+    // SINK, not the caller, must bring each key back together
+    val src = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("event_id").cast("long").as("id"))
+      .repartition(8)
+    src.write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).option("clusterBy", "d").save()
+
+    // the physical write plan carries the sink-demanded shuffle
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    // per-file key runs: no date may appear in more than one file, and
+    // the requested ordering makes each file's keys non-decreasing
+    val perFile: Seq[(String, Seq[String])] = files.toSeq.map { f =>
+      val lines = new String(Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      assert(lines.head.startsWith("d;"), s"header missing in ${f.getName}")
+      (f.getName, lines.tail.map(_.split(";")(0)))
+    }
+    perFile.foreach { case (name, keys) =>
+      assert(keys == keys.sorted, s"$name rows are not sorted by the cluster key")
+    }
+    val owners = perFile.flatMap { case (n, ks) => ks.distinct.map(_ -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val split = owners.filter(_._2.length > 1)
+    assert(split.isEmpty,
+      s"cluster keys split across files: ${split.keys.take(3).mkString(", ")}")
+    // parity: clustering must not add or drop rows
+    assert(files.map(f => new String(Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n").count(_.nonEmpty) - 1).sum == src.count())
+    // a clusterBy column the schema lacks fails loudly at plan time
+    val e = intercept[Exception] {
+      src.write.format("graft.sources.GraftCsvSink")
+        .mode("overwrite").option("path", dir("badcluster"))
+        .option("clusterBy", "nope").save()
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("clusterBy")) || msg(t.getCause))
+    assert(msg(e))
+  }
+
   test("overwrite truncates (idempotent re-run) and leaves no temp dirs") {
     val path = dir("trunc")
     val src = (1L to 100L).toDF("id").withColumn("tag", lit("t"))
