@@ -21,10 +21,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomProbe {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_filter_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "internal")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "might_contain", exprs => BloomFilterMightContain(exprs(0), exprs(1)), "internal")
+    Registry.registerOnce(spark, "bloom_filter_agg")(
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)))
+    Registry.registerOnce(spark, "might_contain")(
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
   }
 }

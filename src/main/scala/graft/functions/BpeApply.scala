@@ -131,11 +131,10 @@ object BpeApply {
   /** Register as SQL functions for ad-hoc sessions that don't load
     * [[graft.GraftExtensions]]. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_apply", exprs => BpeApplyExpr(exprs(0), exprs(1)), "internal")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_apply_pairs",
-      exprs => BpeApplyPairsExpr(exprs(0), exprs(1), exprs(2)), "internal")
+    Registry.registerOnce(spark, "bpe_apply")(
+      exprs => BpeApplyExpr(exprs(0), exprs(1)))
+    Registry.registerOnce(spark, "bpe_apply_pairs")(
+      exprs => BpeApplyPairsExpr(exprs(0), exprs(1), exprs(2)))
   }
 }
 

@@ -489,8 +489,7 @@ object Demojize {
   /** Register as a SQL function for ad-hoc sessions that don't load
     * `graft.GraftExtensions`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "demojize", exprs => DemojizeExpr(exprs.head), "internal")
+    Registry.registerOnce(spark, "demojize")(exprs => DemojizeExpr(exprs.head))
 
   /** The DuckDB mirror — same entries, same order, same delimiters —
     * split into batches of `batchSize` nested `replace` calls: DuckDB's

@@ -56,6 +56,5 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 object DotProduct {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dotp", exprs => DotProduct(exprs(0), exprs(1)), "internal")
+    Registry.registerOnce(spark, "dotp")(exprs => DotProduct(exprs(0), exprs(1)))
 }

@@ -42,6 +42,5 @@ object Poly31Hash {
 
   /** Register as a SQL function so queries can call `poly31(col)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly31", exprs => Poly31Hash(exprs.head), "internal")
+    Registry.registerOnce(spark, "poly31")(exprs => Poly31Hash(exprs.head))
 }

@@ -83,10 +83,8 @@ object UnicodeNorm {
 
   /** Ad-hoc binding for sessions not built with [[graft.GraftExtensions]]. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_norm", exprs => NfcNormalize(exprs.head), "internal")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unaccent", exprs => StripAccents(exprs.head), "internal")
+    Registry.registerOnce(spark, "nfc_norm")(exprs => NfcNormalize(exprs.head))
+    Registry.registerOnce(spark, "unaccent")(exprs => StripAccents(exprs.head))
   }
 }
 

@@ -54,6 +54,5 @@ case class WordShingles(child: Expression, n: Int)
 object WordShingles {
   /** Registers `shingles3(text)` (the n=3 form the dedup pipeline uses). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingles3", exprs => WordShingles(exprs.head, 3), "internal")
+    Registry.registerOnce(spark, "shingles3")(exprs => WordShingles(exprs.head, 3))
 }

@@ -61,6 +61,5 @@ object ZOrder2 {
     }.mkString("(", " + ", ")")
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder2", exprs => ZOrder2(exprs(0), exprs(1)), "internal")
+    Registry.registerOnce(spark, "zorder2")(exprs => ZOrder2(exprs(0), exprs(1)))
 }

@@ -32,6 +32,21 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Lifecycle {
 
+  // Spark WARNs on EVERY unpersist of a locally-checkpointed RDD
+  // ("lineage has been truncated and cannot be recomputed after
+  // unpersisting") — but irreversible release is this registry's whole
+  // point, and it only fires where the frame is provably dead (see
+  // release/step docs). Thousands of these per bench run drown real
+  // diagnostics, so the one logger that emits them (RDD logs under its
+  // concrete class; localCheckpoint RDDs are MapPartitionsRDD) is
+  // raised to ERROR when the registry first loads. Cluster-loss policy
+  // (executor death, not unpersist) is documented in SCALE.md: local
+  // checkpoint blocks are not fault-tolerant by design — recovery is a
+  // restart from each index's durable save, never a recompute.
+  try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+  catch { case _: Throwable => () } // logging backend absent/reconfigured: keep the WARNs
+
   // WEAK references: the registry must enable deterministic release,
   // never PREVENT release. A strong reference would keep every
   // registered RDD reachable forever in a library session that never
