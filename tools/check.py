@@ -65,7 +65,36 @@ def main(sf_dir: str, out_dir: str) -> int:
         print(f"PASS {name} ({len(got)} rows){note}")
         n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    n_fail += check_round_artifacts()
     return 1 if n_fail else 0
+
+
+def check_round_artifacts() -> int:
+    """Rounds 10-12 all ended with BENCH_r*/CORRECTNESS_r* untracked at
+    judging time (VERDICT r12 #1). Every pre-flight run now fails until
+    the verification artifacts are committed — a check, not a habit."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(["git", "status", "--porcelain"], cwd=repo,
+                             capture_output=True, text=True, timeout=30).stdout
+    except Exception as e:  # not a git checkout / git missing: not this tool's problem
+        print(f"note: artifact-tracking check skipped ({e})")
+        return 0
+    import fnmatch
+    pats = ["BENCH_r*.json", "CORRECTNESS_r*.json", "BENCH_FULL.json",
+            "LEAKCHECK.json", "COPYCHECK.json"]
+    dirty = []
+    for line in out.splitlines():
+        status, name = line[:2], line[3:].strip()
+        if any(fnmatch.fnmatch(name, p) for p in pats):
+            dirty.append(f"{status.strip() or '??'} {name}")
+    if dirty:
+        print("FAIL round artifacts untracked/modified — commit them:")
+        for d in dirty:
+            print(f"  {d}")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
