@@ -45,7 +45,11 @@ object ScaleProbe {
     // soft-dedup weights ride the 10× cluster labels, and the
     // perplexity bands rank the 10× corpus through the global ntile.
     "q_st_paged_source", "q_dedup_soft_weights", "q_text_ppl_filter",
-    "q_pipeline_soft_manifest")
+    "q_pipeline_soft_manifest",
+    // Round-13: the two newest accum members (KMV cardinality sentinel,
+    // DSIR selection stream) — O(1)-state by construction, but VERDICT
+    // r12 #5 wants that measured, not argued.
+    "q_st_kmv_accum", "q_st_dsir_accum")
 
   private val DocShift = 10000000L
   private val OrderShift = 100000000L
