@@ -426,6 +426,23 @@ object SinksPack {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Aggregate pushdown beyond COUNT(*): count+min+max fold into ONE
+    // partial row per page inside the source (final merge in Spark) —
+    // the freshness/recency probe every mirror consumer runs ("how many
+    // items, how recent") without materializing a single item field.
+    "q_s1_paged_minmax" -> { (s, d) =>
+      val path = tmpPath("paged_src", d)
+      ensureFixture(path) {
+        graft.sources.JsonFixtureSource.writeSearchPagesPartitioned(
+          s, Tables.orders(s, d), path)
+      }
+      s.read.format("graft.sources.PagedJsonSource").option("path", path).load()
+        .filter(col("published_at") > graft.sources.PagedJsonSource.PublishedAfter)
+        .agg(count(lit(1)).as("n"),
+          min("published_at").as("first_pub"),
+          max("published_at").as("last_pub"))
+    },
+
     // §2.7 O2+O3 — ORDER BY + LIMIT pushes as a partial TopN: each page
     // returns only ITS top-50 under the requested ordering (bounded
     // heap), the finishing TakeOrderedAndProject sees pages·50 rows
@@ -705,6 +722,14 @@ object SinksPack {
          |  WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') >
          |        '${graft.sources.PagedJsonSource.PublishedAfter}'
          |  LIMIT 100)""".stripMargin,
+
+    "q_s1_paged_minmax" ->
+      s"""SELECT count(*) AS n,
+         |       min(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')) AS first_pub,
+         |       max(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')) AS last_pub
+         |FROM orders
+         |WHERE strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') >
+         |      '${graft.sources.PagedJsonSource.PublishedAfter}'""".stripMargin,
 
     "q_s1_paged_topn" ->
       s"""SELECT CAST(o_orderkey AS VARCHAR) AS video_id,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull}
@@ -73,8 +73,19 @@ private[sources] class PagedJsonTable(path: String) extends Table with SupportsR
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(path,
-      Option(options.get("maxPagesPerTrigger")).map(_.toInt))
+      Option(options.get("maxPagesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 }
+
+/** One pushed aggregate over the whole mirror (no grouping): each page
+  * partition computes its PARTIAL (count of passing items / min / max
+  * of one string column) and the engine's final aggregate merges them —
+  * a `SELECT count(*), max(published_at)` over an API mirror
+  * materializes one row per page, never an item field. */
+private[sources] sealed trait PagedAgg extends Serializable
+private[sources] case object PagedCount extends PagedAgg
+private[sources] case class PagedMin(field: String) extends PagedAgg
+private[sources] case class PagedMax(field: String) extends PagedAgg
 
 /** One key of a pushed ORDER BY: which column, which direction, and
   * where the requested order puts nulls (`nullsFirst` is the REQUESTED
@@ -109,13 +120,14 @@ private[sources] case class PagedSortKey(field: String, asc: Boolean,
   *    whole mirror. Page layout is keyed by id, NOT by timestamp, so
   *    full TopN pushdown would be a lie — partial is the honest form.
   */
-private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
+private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int],
+                                        maxBytes: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = PagedJsonSource.Schema
-  private var countPushed = false
+  private var aggPushed: Option[Seq[PagedAgg]] = None
   private var limit: Option[Int] = None
   private var topN: Option[(Array[PagedSortKey], Int)] = None
 
@@ -152,17 +164,31 @@ private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
     else { topN = Some((keys, n)); true }
   }
 
-  /** PARTIAL `COUNT(*)` pushdown: each page partition emits one
-    * pre-counted row (items passing the pushed filters) and Spark sums
-    * the partials — `SELECT count(*)` over an API mirror never
-    * materializes a single item field. Grouped or non-count aggregates
-    * are declined and evaluated by Spark as usual. */
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays
+    * false): each page partition emits one pre-aggregated row — count
+    * of passing items, min/max of a source column — and Spark's final
+    * aggregate merges the partials, so `SELECT count(*),
+    * max(published_at)` over an API mirror never materializes a single
+    * item field. Grouped aggregates and other functions are declined
+    * and evaluated by Spark as usual. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions.isEmpty &&
-      aggregation.aggregateExpressions.length == 1 &&
-      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
-    if (ok) countPushed = true
-    ok
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            PagedJsonSource.Schema.fieldNames.contains(nr.fieldNames.head) =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    if (aggregation.groupByExpressions.nonEmpty ||
+        aggregation.aggregateExpressions.isEmpty) return false
+    val specs = aggregation.aggregateExpressions.map {
+      case _: CountStar => PagedCount: PagedAgg
+      case m: Min => fieldOf(m.column()).map(PagedMin(_): PagedAgg).orNull
+      case m: Max => fieldOf(m.column()).map(PagedMax(_): PagedAgg).orNull
+      case _ => null
+    }
+    if (specs.contains(null)) false
+    else { aggPushed = Some(specs.toSeq); true }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -179,8 +205,11 @@ private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int])
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    if (countPushed) new PagedCountScan(path, pushed)
-    else new PagedScan(path, pushed, required, maxPages, limit, topN)
+    aggPushed match {
+      case Some(specs) => new PagedAggScan(path, pushed, specs)
+      case None =>
+        new PagedScan(path, pushed, required, maxPages, limit, topN, maxBytes)
+    }
 }
 
 /** `strict = true` (batch): the page's `nextPageToken` must equal the
@@ -249,7 +278,8 @@ class PagedScan(path: String, val pushed: Array[Filter],
                 schema: StructType = PagedJsonSource.Schema,
                 maxPages: Option[Int] = None,
                 val pushedLimit: Option[Int] = None,
-                val pushedTopN: Option[(Array[PagedSortKey], Int)] = None)
+                val pushedTopN: Option[(Array[PagedSortKey], Int)] = None,
+                maxBytes: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
@@ -325,7 +355,7 @@ class PagedScan(path: String, val pushed: Array[Filter],
     * page payloads are immutable snapshots). Pushed filters ride along
     * unchanged — the streaming reader is the same [[PagedReader]]. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new PagedMicroBatchStream(path, pushed, schema, maxPages)
+    new PagedMicroBatchStream(path, pushed, schema, maxPages, maxBytes)
 }
 
 /** Spark-UI observability for the source (DSV2 custom metrics): at a
@@ -358,27 +388,29 @@ private[sources] case class PagedOffset(pages: Long) extends Offset {
 
 private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter],
                                               schema: StructType,
-                                              maxPages: Option[Int])
+                                              maxPages: Option[Int],
+                                              maxBytes: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   override def initialOffset(): Offset = PagedOffset(0L)
 
   /** Trigger.AvailableNow contract: freeze the target offset at start,
     * so the run drains exactly the pages visible then (in bounded
-    * batches under `maxPagesPerTrigger`) and terminates even while the
-    * log keeps growing. */
+    * batches under `maxPagesPerTrigger`/`maxBytesPerTrigger`) and
+    * terminates even while the log keeps growing. */
   @volatile private var availableNowCap: Option[Long] = None
 
-  /** The layout captured by the trigger's offset resolution, reused by
-    * the SAME trigger's `planInputPartitions` — ONE metadata listing
-    * per micro-batch, not two (at a million-page mirror the second
-    * listing is a real round-trip per trigger). Monotonic by the
-    * append-only page-log contract: a later listing is always a
-    * superset, so planning a range against a layout at least as new as
-    * the offsets is safe. */
-  @volatile private var cachedLayout: Array[(Long, String)] = Array.empty
+  /** The layout captured by the trigger's offset resolution (WITH file
+    * sizes — the byte-budget throttle prices pages from the same
+    * listing), reused by the SAME trigger's `planInputPartitions` —
+    * ONE metadata listing per micro-batch, not two (at a million-page
+    * mirror the second listing is a real round-trip per trigger).
+    * Monotonic by the append-only page-log contract: a later listing
+    * is always a superset, so planning a range against a layout at
+    * least as new as the offsets is safe. */
+  @volatile private var cachedLayout: Array[(Long, String, Long)] = Array.empty
 
-  private def refreshLayout(): Array[(Long, String)] = {
-    val l = PagedLayout.listPages(path)
+  private def refreshLayout(): Array[(Long, String, Long)] = {
+    val l = PagedLayout.listPagesWithSize(path)
     cachedLayout = l
     l
   }
@@ -389,23 +421,42 @@ private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter]
   private def visiblePages(): Long = availableNowCap.getOrElse(
     refreshLayout().length.toLong)
 
-  override def latestOffset(): Offset = PagedOffset(visiblePages())
-
-  /** Admission control: `maxPagesPerTrigger` bounds each micro-batch
-    * (a page ≈ one API fetch ≈ one file, hence ReadMaxFiles), so a
-    * backfill over a deep page history proceeds in bounded, individually
-    * checkpointed batches instead of one giant catch-up batch — the
-    * standard production throttle for re-ingesting a long log. */
+  /** Admission control: `maxPagesPerTrigger` bounds each micro-batch by
+    * page count (a page ≈ one API fetch ≈ one file, hence ReadMaxFiles)
+    * and `maxBytesPerTrigger` by PAYLOAD BYTES — the production knob
+    * when page sizes vary (a fixed page count admits wildly different
+    * work when early pages are description-heavy). Either way a
+    * backfill over a deep page history proceeds in bounded,
+    * individually checkpointed batches instead of one giant catch-up
+    * batch. */
   override def getDefaultReadLimit: ReadLimit =
     maxPages.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset = PagedOffset(visiblePages())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val all = visiblePages()
     val s0 = start.asInstanceOf[PagedOffset].pages
-    limit match {
-      case mf: ReadMaxFiles => PagedOffset(math.min(all, s0 + mf.maxFiles()))
-      case _ => PagedOffset(all)
+    val byCount = limit match {
+      case mf: ReadMaxFiles => math.min(all, s0 + mf.maxFiles())
+      case _ => all
     }
+    val end = maxBytes match {
+      case Some(budget) =>
+        // admit pages (layout order) until the budget is consumed —
+        // always at least one, or an oversized page would wedge the
+        // stream; sizes come from the SAME cached listing
+        val layout = cachedLayout
+        var i = s0
+        var acc = 0L
+        while (i < byCount && (i == s0 || acc + layout(i.toInt)._3 <= budget)) {
+          acc += layout(i.toInt)._3
+          i += 1
+        }
+        i
+      case None => byCount
+    }
+    PagedOffset(end)
   }
   override def deserializeOffset(json: String): Offset =
     PagedOffset(json.toLong)
@@ -431,17 +482,23 @@ private[sources] class PagedMicroBatchStream(path: String, pushed: Array[Filter]
     new PagedReaderFactory(pushed, schema)
 }
 
-/** The COUNT(*)-pushed scan: same metadata-only planning, but each
-  * page partition returns ONE row holding the page's passing-item
-  * count (LongType) — Spark's planner sums the partials. */
-private[sources] class PagedCountScan(path: String, val pushed: Array[Filter])
+/** The aggregate-pushed scan: same metadata-only planning, but each
+  * page partition returns ONE pre-aggregated row — the page's
+  * passing-item count and/or min/max of a source column, in the pushed
+  * aggregation's order — and Spark's final aggregate merges the
+  * partials (sum of counts, min of mins, max of maxes). */
+private[sources] class PagedAggScan(path: String, val pushed: Array[Filter],
+                                    val specs: Seq[PagedAgg])
     extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def readSchema(): StructType = StructType(specs.map {
+    case PagedCount => StructField("count(*)", LongType, nullable = false)
+    case PagedMin(f) => StructField(s"min($f)", StringType)
+    case PagedMax(f) => StructField(s"max($f)", StringType)
+  })
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPagedJson path=$path PushedFilters: [${pushed.mkString(", ")}] " +
-      "PushedAggregates: [COUNT(*)]"
+      s"PushedAggregates: [${readSchema().fieldNames.mkString(", ").toUpperCase}]"
   override def planInputPartitions(): Array[InputPartition] = {
     val pages = PagedLayout.listPages(path)
     pages.zipWithIndex.map { case ((pg, file), i) =>
@@ -450,32 +507,66 @@ private[sources] class PagedCountScan(path: String, val pushed: Array[Filter])
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedCountReaderFactory(pushed)
+    new PagedAggReaderFactory(pushed, specs)
 }
 
-private[sources] class PagedCountReaderFactory(pushed: Array[Filter])
+private[sources] class PagedAggReaderFactory(pushed: Array[Filter],
+                                             specs: Seq[PagedAgg])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new PagedCountReader(p.asInstanceOf[PageInputPartition], pushed)
+    new PagedAggReader(p.asInstanceOf[PageInputPartition], pushed, specs)
 }
 
-/** Counts a page's passing items through the row reader (same parse,
-  * same chain validation, same filter semantics) and emits one row. */
-private[sources] class PagedCountReader(part: PageInputPartition,
-                                        pushed: Array[Filter])
+/** Folds a page's passing items through the row reader (same parse,
+  * same chain validation, same filter semantics) into one partial row.
+  * Min/max compare as UTF8String — Spark's binary collation, identical
+  * to what the engine's final MIN/MAX applies to the partials. A page
+  * with zero passing rows yields null partial min/max (ignored by the
+  * final aggregate) but still counts 0. */
+private[sources] class PagedAggReader(part: PageInputPartition,
+                                      pushed: Array[Filter],
+                                      specs: Seq[PagedAgg])
     extends PartitionReader[InternalRow] {
-  private val inner = new PagedReader(part, pushed, new StructType())
+  // the inner reader projects exactly the columns the min/max specs
+  // touch; count uses no column at all
+  private val innerFields: Array[String] = specs.collect {
+    case PagedMin(f) => f
+    case PagedMax(f) => f
+  }.distinct.toArray
+  private val inner = new PagedReader(part, pushed,
+    StructType(innerFields.map(StructField(_, StringType))))
   private var emitted = false
+  private var row: InternalRow = _
+
   override def next(): Boolean =
     if (emitted) false
     else {
       var n = 0L
-      while (inner.next()) n += 1
+      val mins = new Array[UTF8String](innerFields.length)
+      val maxs = new Array[UTF8String](innerFields.length)
+      while (inner.next()) {
+        n += 1
+        val r = inner.get()
+        var i = 0
+        while (i < innerFields.length) {
+          val v = r.getUTF8String(i)
+          if (v != null) {
+            if (mins(i) == null || v.compareTo(mins(i)) < 0) mins(i) = v.clone()
+            if (maxs(i) == null || v.compareTo(maxs(i)) > 0) maxs(i) = v.clone()
+          }
+          i += 1
+        }
+      }
+      val idx = innerFields.zipWithIndex.toMap
+      row = InternalRow.fromSeq(specs.map {
+        case PagedCount => n
+        case PagedMin(f) => mins(idx(f))
+        case PagedMax(f) => maxs(idx(f))
+      })
       emitted = true
-      row = InternalRow(n)
       true
     }
-  private var row: InternalRow = _
+
   override def get(): InternalRow = row
   override def close(): Unit = inner.close()
 }

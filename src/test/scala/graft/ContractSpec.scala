@@ -36,6 +36,7 @@ class ContractSpec extends AnyFunSuite {
       "q_a5_rmse_udaf", "q_dedup_lsh_quality", "q_k5_http_envelope",
       "q_k_jsonl_shards", "q_m1_train_test_rmse", "q_m3_regression_fit",
       "q_m_logistic_quality", "q_mm_phash_robustness", "q_pipeline_e2e",
+      "q_s1_paged_limit", "q_s1_paged_minmax",
       "q_s5_text_object", "q_s_json_corrupt", "q_sim_pca_explained",
       "q_text_corpus_stats", "q_x_approx_distinct", "q_x_approx_quantiles",
       "q_x_mann_kendall", "q_x_null_semantics", "q_x_skew_report",

@@ -89,7 +89,7 @@ class PagedSourceSpec extends AnyFunSuite {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
     assert(scans.nonEmpty)
-    assert(scans.head.scan.getClass.getSimpleName == "PagedCountScan",
+    assert(scans.head.scan.getClass.getSimpleName == "PagedAggScan",
       s"expected the pushed-count scan, got ${scans.head.scan.description()}")
     assert(df.collect().head.getLong(0) == Tables.orders(spark, d).count())
     // composed with a pushed filter: the per-page counts respect it
@@ -98,7 +98,7 @@ class PagedSourceSpec extends AnyFunSuite {
     val fs = filtered.queryExecution.sparkPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    assert(fs.head.scan.getClass.getSimpleName == "PagedCountScan")
+    assert(fs.head.scan.getClass.getSimpleName == "PagedAggScan")
     val want = Tables.orders(spark, d)
       .filter(date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'") > bound)
       .count()
@@ -109,6 +109,40 @@ class PagedSourceSpec extends AnyFunSuite {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
     assert(gs.head.scan.isInstanceOf[graft.sources.PagedScan])
+  }
+
+  test("MIN/MAX push as per-page partials alongside COUNT; unsupported shapes decline") {
+    val path = freshFixture("minmaxpush")
+    val bound = PagedJsonSource.PublishedAfter
+    val df = readPaged(path).filter(col("published_at") > bound)
+      .agg(count(lit(1)).as("n"), min("published_at").as("lo"),
+        max("published_at").as("hi"), max("video_id").as("vmax"))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head.scan
+    assert(scan.getClass.getSimpleName == "PagedAggScan",
+      s"expected the pushed-aggregate scan, got ${scan.description()}")
+    assert(scan.readSchema().fieldNames.toSeq ==
+      Seq("count(*)", "min(published_at)", "max(published_at)", "max(video_id)"))
+    // value parity with the parity table under the same filter
+    val got = df.collect().head
+    val want = Tables.orders(spark, d)
+      .select(col("o_orderkey").cast("string").as("v"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("p"))
+      .filter(col("p") > bound)
+      .agg(count(lit(1)), min("p"), max("p"), max("v")).collect().head
+    assert(got.toSeq == want.toSeq)
+    // sum/avg (not implemented) and grouped aggregates fall back to the row scan
+    Seq(readPaged(path).agg(sum(length(col("title")))),
+        readPaged(path).groupBy("title").agg(max("published_at"))).foreach { q =>
+      val s = q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(s.head.scan.isInstanceOf[graft.sources.PagedScan],
+        s"unsupported aggregate should decline; got ${s.head.scan.description()}")
+    }
   }
 
   test("reported size statistics make the small API mirror broadcastable") {

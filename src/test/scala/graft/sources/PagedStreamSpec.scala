@@ -121,6 +121,34 @@ class PagedStreamSpec extends AnyFunSuite {
       s"expected 3 admission-controlled batches, got ${batches.mkString(",")}")
   }
 
+  test("maxBytesPerTrigger prices pages from the listing — batches bounded by payload") {
+    val src = freshDir("bytebudget")
+    // page 0 small, page 1 small, page 2 large: a budget of
+    // size(0)+size(1) admits pages {0,1} then {2} — two batches, with
+    // the oversized page still admitted alone (min-one-page rule)
+    writePage(src, 0, "tok_1", Seq(1))
+    writePage(src, 1, "tok_2", Seq(2))
+    writePage(src, 2, null, (3 to 40))
+    def size(p: Int): Long =
+      new java.io.File(s"$src/page=$p/part-00000.json").length()
+    val out = freshDir("bytebudget_out"); val ckpt = freshDir("bytebudget_ckpt")
+    val q = spark.readStream.format("graft.sources.PagedJsonSource")
+      .option("path", src)
+      .option("maxBytesPerTrigger", (size(0) + size(1)).toString)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 40)
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).sorted
+    assert(batches.length == 2,
+      s"expected 2 byte-budgeted batches, got ${batches.mkString(",")}")
+  }
+
   test("one metadata listing per run — planInputPartitions reuses the trigger's layout") {
     // Offset resolution and partition planning used to list the page
     // directory once EACH (two round-trips per trigger — real money at
