@@ -648,17 +648,25 @@ object Multimodal {
 
   /** Ingest-wave renders for the SELF-ACCUMULATING audio dedup
     * fixture: wave w of each doc is a trim-4 re-render at gain w
-    * (clip_id = w·1e6 + 2·doc_id). Wave 2 differs from wave 1 only by
+    * (clip_id = w·WaveStride + 2·doc_id; the 1e12 stride keeps wave
+    * labels disjoint from any fixture id — a 1e6 stride aliased against
+    * the 10× probe fixture's shifted doc_ids). Wave 2 differs from
+    * wave 1 only by
     * the ×2 gain — which the band-median fingerprint is invariant to
     * (up to saturation ties) — while both differ from the base clip by
     * the trim, so wave 2's nearest corpus∪wave-1 neighbour is its
     * wave-1 sibling: exactly the match a frozen index can never
     * return. */
+  /** Wave-label stride shared with the DuckDB oracles (PipelinePack
+    * interpolates the same value): wave-w clip ids are w*WaveStride +
+    * 2*doc_id, disjoint from base ids at any plausible fixture scale. */
+  val WaveStride = 1000000000000L
+
   def packAudioWave(spark: SparkSession, docs: DataFrame,
                     wave: Int): Dataset[AudioClip] = {
     import spark.implicits._
     docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => AudioClip(wave * 1000000L + id * 2, id, 4,
+      .mapPartitions(_.map(id => AudioClip(wave * WaveStride + id * 2, id, 4,
         AudioFixture.renderWav(id, 4, wave, structured = true))))
   }
 

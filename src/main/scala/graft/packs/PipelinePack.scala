@@ -126,6 +126,12 @@ object PipelinePack {
     * are the "new batch"; the rest are the existing corpus. */
   private val INC_MOD = 10L
   private val INC_REM = 7L
+  /** Accum-wave id stride: wave-w rows are labeled id + w*WAVE. 1e12
+    * keeps the label spaces disjoint from any plausible fixture id
+    * (the 10x probe fixture shifts doc_ids by 1e7 per copy — the old
+    * 1e6 stride ALIASED there, classifying later-copy corpus rows as
+    * wave members in the oracles). Shared verbatim by the oracles. */
+  private val WAVE = graft.operators.Multimodal.WaveStride
   /** K-means: data-seeded centroids every KM_STRIDE-th vector, KM_ITERS
     * Lloyd iterations (constants shared with the generated oracle CTEs). */
   private val KM_STRIDE = 101L
@@ -499,10 +505,10 @@ object PipelinePack {
       val mix = s"transform(embedding, (x, i) -> " +
         s"x + 0.25D * element_at(embedding, ((i + 1) % $DIM) + 1))"
       val m1 = base.select(col("vec_id"), expr(mix).as("embedding"))
-      val w1 = m1.select((col("vec_id") + 1000000L).as("vec_id"),
+      val w1 = m1.select((col("vec_id") + WAVE).as("vec_id"),
         col("embedding"))
       val w2 = m1.select(col("vec_id"), expr(mix).as("embedding"))
-        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 2 * WAVE).as("vec_id"), col("embedding"))
       val idx = Dedup.absorbIntoEmbeddingIndex(
         Dedup.buildEmbeddingIndex(emb, DIM), w1)
       val out = Dedup.flagAgainstEmbeddingIndex(w2, idx, COS_MIN)
@@ -525,10 +531,10 @@ object PipelinePack {
       val mix = s"transform(embedding, (x, i) -> " +
         s"x + 0.25D * element_at(embedding, ((i + 1) % $DIM) + 1))"
       val m1 = base.select(col("vec_id"), expr(mix).as("embedding"))
-      val w1 = m1.select((col("vec_id") + 1000000L).as("vec_id"),
+      val w1 = m1.select((col("vec_id") + WAVE).as("vec_id"),
         col("embedding"))
       val w2 = m1.select(col("vec_id"), expr(mix).as("embedding"))
-        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 2 * WAVE).as("vec_id"), col("embedding"))
       val idx = Similarity.absorbIntoSketchIndex(
         Similarity.buildSketchIndex(emb, DIM, HAM_ANN_MAX), w1)
       val out = Similarity.topKAgainstSketchIndex(w2, idx, TOPK)
@@ -1346,10 +1352,10 @@ object PipelinePack {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val pred = pmod(col("doc_id"), lit(INC_MOD)) === INC_REM
       val w1 = docs.filter(pred).select(
-        (col("doc_id") + lit(1000000L)).as("doc_id"),
+        (col("doc_id") + lit(WAVE)).as("doc_id"),
         concat(col("text"), lit(" zzwaveone tagone")).as("text"))
       val w2 = docs.filter(pred).select(
-        (col("doc_id") + lit(2000000L)).as("doc_id"),
+        (col("doc_id") + lit(2 * WAVE)).as("doc_id"),
         concat(col("text"),
           lit(" zzwaveone tagone zzwavetwo tagtwo")).as("text"))
       val idx = Dedup.absorbIntoCorpusIndex(
@@ -1791,14 +1797,14 @@ object PipelinePack {
     s"""corpus_u AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000, text || ' zzwaveone tagone'
+       |  SELECT doc_id + $WAVE, text || ' zzwaveone tagone'
        |  FROM documents WHERE doc_id % $INC_MOD = $INC_REM
        |  UNION ALL
-       |  SELECT doc_id + 2000000, text || ' zzwaveone tagone zzwavetwo tagtwo'
+       |  SELECT doc_id + ${2 * WAVE}, text || ' zzwaveone tagone zzwavetwo tagtwo'
        |  FROM documents WHERE doc_id % $INC_MOD = $INC_REM),
        |""".stripMargin,
     minhashBandCtesFrom(Dedup.wordShinglesSqlFrom("corpus_u")),
-    "doc_id >= 2000000", "doc_id < 2000000")
+    s"doc_id >= ${2 * WAVE}", s"doc_id < ${2 * WAVE}")
 
   private val minhashSql: String = {
     s"""WITH $minhashBandCtes,
@@ -2669,9 +2675,9 @@ object PipelinePack {
          |u0 AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 1000000, raw FROM m1
+         |  SELECT vec_id + $WAVE, raw FROM m1
          |  UNION ALL
-         |  SELECT vec_id + 2000000, raw FROM m2),
+         |  SELECT vec_id + ${2 * WAVE}, raw FROM m2),
          |e AS (SELECT vec_id,
          |             list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
          |      FROM u0),
@@ -2679,7 +2685,7 @@ object PipelinePack {
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_new, y.vec_id AS vec_old
          |  FROM bands x JOIN bands y ON x.c = y.c AND x.cv = y.cv
-         |  WHERE x.vec_id >= 2000000 AND y.vec_id < 2000000),
+         |  WHERE x.vec_id >= ${2 * WAVE} AND y.vec_id < ${2 * WAVE}),
          |s AS (SELECT vec_new, vec_old,
          |             round(${dotSql("a.v", "b.v")}, 6) AS cosine
          |      FROM cand JOIN e a ON a.vec_id = vec_new
@@ -2771,8 +2777,8 @@ object PipelinePack {
          |hau AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 1000000, raw FROM ham1),
-         |haq AS (SELECT vec_id + 2000000 AS vec_id, raw FROM ham2),
+         |  SELECT vec_id + $WAVE, raw FROM ham1),
+         |haq AS (SELECT vec_id + ${2 * WAVE} AS vec_id, raw FROM ham2),
          |hae AS (SELECT vec_id,
          |               list_transform(raw, x -> x / sqrt(${dotSql("raw", "raw")})) AS v
          |        FROM hau),
@@ -4089,10 +4095,10 @@ object PipelinePack {
       s"""WITH aud AS (
          |  SELECT doc_id * 2 AS clip_id, doc_id, 0 AS sil, 1 AS g FROM documents
          |  UNION ALL
-         |  SELECT 1000000 + doc_id * 2, doc_id, 4, 1 FROM documents
+         |  SELECT $WAVE + doc_id * 2, doc_id, 4, 1 FROM documents
          |  WHERE doc_id % $INC_MOD = $INC_REM
          |  UNION ALL
-         |  SELECT 2000000 + doc_id * 2, doc_id, 4, 2 FROM documents
+         |  SELECT ${2 * WAVE} + doc_id * 2, doc_id, 4, 2 FROM documents
          |  WHERE doc_id % $INC_MOD = $INC_REM),
          |prm AS (SELECT clip_id, doc_id, sil, g,
          |               1 + doc_id % 2 AS nc, 64 + doc_id % 33 AS nf FROM aud),
@@ -4102,7 +4108,7 @@ object PipelinePack {
          |         CAST(bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
          |            + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
          |              AS BIGINT) AS hamming
-         |  FROM h hn JOIN h hc ON hn.clip_id >= 2000000 AND hc.clip_id < 2000000
+         |  FROM h hn JOIN h hc ON hn.clip_id >= ${2 * WAVE} AND hc.clip_id < ${2 * WAVE}
          |  WHERE bit_count(xor(hn.b0, hc.b0)) + bit_count(xor(hn.b1, hc.b1))
          |      + bit_count(xor(hn.b2, hc.b2)) + bit_count(xor(hn.b3, hc.b3))
          |      <= $AUD_HAMMING_MAX),

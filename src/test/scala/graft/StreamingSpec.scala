@@ -575,7 +575,7 @@ class StreamingSpec extends AnyFunSuite {
       spark, staging, schema, ref, outPath)
     try q.processAllAvailable() finally q.stop()
     val streamedW2 = spark.read.parquet(outPath)
-      .filter(col("clip_new") >= 2000000L).collect()
+      .filter(col("clip_new") >= 2 * Multimodal.WaveStride).collect()
       .map(r => (r.getAs[Long]("clip_new"), r.getAs[Long]("best_match"),
         r.getAs[Long]("hamming"))).toSet
     Multimodal.releaseFingerprintIndex(ref.get())
@@ -592,7 +592,8 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("hamming"))).toSet
     Multimodal.releaseFingerprintIndex(batchIdx)
     assert(streamedW2.nonEmpty && streamedW2 == batch)
-    assert(streamedW2.exists(m => m._2 >= 1000000L && m._2 < 2000000L),
+    assert(streamedW2.exists(m =>
+        m._2 >= Multimodal.WaveStride && m._2 < 2 * Multimodal.WaveStride),
       "accumulation must surface wave-1 best matches")
   }
 

@@ -6,7 +6,10 @@ Runs graft.Verify's parquet dumps against the DuckDB oracle SQL exactly
 the way the driver does: views named after the test tables, columns
 sorted by name, values compared exactly after row sort.
 
-Usage: tools/check.py <sfDir> <verifyOutDir>
+Usage: tools/check.py <sfDir> <verifyOutDir> [onlyPrefixes]
+(onlyPrefixes: comma-separated query-name prefixes — lets a wrapper
+drive one query at a time, e.g. with a per-query timeout for the 10x
+fixture where a few deliberately-quadratic oracles are infeasible.)
 """
 import json, sys, glob, os
 
@@ -26,7 +29,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str = "") -> int:
+    prefixes = [p for p in only.split(",") if p]
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -38,6 +42,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -101,4 +107,5 @@ def check_round_artifacts() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
