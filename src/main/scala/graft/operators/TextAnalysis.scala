@@ -648,6 +648,72 @@ object TextAnalysis {
         round(coalesce(col("dup_words"), lit(0L)) / col("n_words"), 6).as("dup_ratio"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * word k-gram (the [[graft.functions.Poly31Hash]] rolling hash),
+    * slide a window of `w` consecutive gram hashes, keep each window's
+    * minimum (LEFTMOST position on the vanishingly-rare ties — min of
+    * `struct(h, pos)`), de-duplicated. The paper's guarantee makes this
+    * the EXACT counterpart to the probabilistic MinHash family: any
+    * shared word run of at least w + k − 1 words between two documents
+    * shares at least one selected fingerprint — no false negatives at
+    * that span length, with only ~2/(w+1) of gram hashes retained.
+    *
+    * Scale shape: everything is keyed by doc_id — the gram explode is
+    * linear (each gram joins its ≤ w windows: a constant-factor
+    * explode, same cost class as MinHash's bands×rows), the
+    * per-window argmin is ONE map-side-combinable groupBy, and no
+    * global window or driver state exists. Documents shorter than one
+    * full window (w + k − 1 words) yield no fingerprints, as in the
+    * paper. */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    graft.functions.Poly31Hash.register(docs.sparkSession)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n_grams", (size(col("t")) - k + 1).cast("long"))
+      .filter(col("n_grams") >= w)
+      .select(col("doc_id"), col("n_grams"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $k), " +
+            s"i -> concat_ws(' ', slice(t, i + 1, $k)))")).as(Seq("pos", "gram")))
+      .selectExpr("doc_id", "n_grams", "CAST(pos AS BIGINT) AS pos",
+        "poly31(gram) AS h")
+    // gram at pos belongs to windows [pos-w+1, pos] ∩ [0, n_grams-w];
+    // n_grams ≥ w makes the range non-empty for every pos
+    grams
+      .select(col("doc_id"), col("h"), col("pos"),
+        explode(expr(s"sequence(greatest(pos - $w + 1, 0L), " +
+          s"least(pos, n_grams - $w))")).as("ws"))
+      .groupBy("doc_id", "ws")
+      .agg(min(struct(col("h"), col("pos"))).as("m"))
+      .select(col("doc_id"), col("m.pos").as("pos"), col("m.h").as("fp"))
+      .distinct()
+  }
+
+  /** Cross-document overlap candidates from winnowed fingerprints:
+    * documents sharing ≥ `minShared` selected fingerprints, with the
+    * shared count — the MOSS match report. Fingerprints present in more
+    * than `maxDocFreq` documents are dropped first (the paper's
+    * over-common-fingerprint practice, and the Σ bucket² guard: a
+    * corpus-wide boilerplate phrase must not become a quadratic
+    * bucket). */
+  def winnowOverlapPairs(docs: DataFrame, k: Int, w: Int,
+                         minShared: Long, maxDocFreq: Long): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w)
+      .select("doc_id", "fp").distinct()
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val kept = fp.join(rare, Seq("fp"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
   /** BM25 constants (Robertson/Spärck Jones; the Lucene-default
     * parametrization) — shared with the oracle SQL. */
   val Bm25K1 = 1.2

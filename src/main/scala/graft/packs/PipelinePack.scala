@@ -126,6 +126,14 @@ object PipelinePack {
     * are the "new batch"; the rest are the existing corpus. */
   private val INC_MOD = 10L
   private val INC_REM = 7L
+  /** Winnowing (MOSS): word-3-gram hashes, window 8 (guarantee span =
+    * w + k − 1 = 10 words), pairs need ≥ 2 shared fingerprints, and
+    * fingerprints in > 50 docs are boilerplate (dropped before the
+    * pair join — the Σ bucket² guard). Shared with the oracles. */
+  private val WIN_K = 3
+  private val WIN_W = 8
+  private val WIN_SHARED = 2L
+  private val WIN_MAX_DF = 50L
   /** Accum-wave id stride: wave-w rows are labeled id + w*WAVE. 1e12
     * keeps the label spaces disjoint from any plausible fixture id
     * (the 10x probe fixture shifts doc_ids by 1e7 per copy — the old
@@ -1126,6 +1134,22 @@ object PipelinePack {
         .selectExpr("doc_id", "poly31(text) AS fp")
         .orderBy("doc_id")
     },
+    // Winnowing (Schleimer/Wilkerson/Aiken 2003, MOSS): per-window
+    // minimum of k-gram rolling hashes — the EXACT local-fingerprint
+    // counterpart to the MinHash family (any shared ≥ w+k−1-word run
+    // is guaranteed a shared fingerprint).
+    "q_text_winnow" -> { (s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d), WIN_K, WIN_W)
+        .orderBy("doc_id", "pos")
+    },
+    // The MOSS match report over the winnowed fingerprints: pairs
+    // sharing ≥ WIN_SHARED selected fingerprints, boilerplate
+    // fingerprints (> WIN_MAX_DF docs) dropped first.
+    "q_text_winnow_pairs" -> { (s, d) =>
+      TextAnalysis.winnowOverlapPairs(Tables.documents(s, d), WIN_K, WIN_W,
+        WIN_SHARED, WIN_MAX_DF)
+        .orderBy("doc_a", "doc_b")
+    },
     "q_mm_decode" -> { (s, d) =>
       Multimodal.extractFeatures(s, Multimodal.packPayload(Tables.documents(s, d)))
         .toDF().orderBy("doc_id")
@@ -1847,6 +1871,42 @@ object PipelinePack {
 
   /** Sequential left-fold dot product from 0.0 — matches the native
     * DotProduct expression exactly (same IEEE addition order). */
+  /** The [[graft.functions.Poly31Hash]] rolling hash replayed in
+    * DuckDB (ASCII text: `unicode` per char == UTF-16 code unit). */
+  private def poly31Sql(e: String): String =
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len($e) + 1),
+       |                           i -> unicode(substr($e, CAST(i AS INT), 1)))),
+       |            (a, b) -> (a * 31 + b) % ${Poly31Hash.P}) AS BIGINT)"""
+      .stripMargin
+
+  /** Winnowing CTEs shared by the fingerprint and pair oracles: word
+    * k-grams → poly31 per gram → every FULL window's (min hash,
+    * leftmost pos), exactly `TextAnalysis.winnowFingerprints`. */
+  private lazy val winnowCtes: String =
+    s"""wtok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |wg0 AS (
+       |  SELECT doc_id, CAST(len(t) - $WIN_K + 1 AS BIGINT) AS n_grams, t
+       |  FROM wtok WHERE len(t) - $WIN_K + 1 >= $WIN_W),
+       |wgrams AS (
+       |  SELECT doc_id, n_grams, CAST(i AS BIGINT) AS pos,
+       |         array_to_string(
+       |           t[CAST(i + 1 AS INT):CAST(i + $WIN_K AS INT)], ' ') AS gram
+       |  FROM wg0, UNNEST(generate_series(0, n_grams - 1)) AS u(i)),
+       |wgh AS (SELECT doc_id, n_grams, pos, ${poly31Sql("gram")} AS h
+       |        FROM wgrams),
+       |wwins AS (
+       |  SELECT doc_id, ws, min(h) AS mh
+       |  FROM wgh, UNNEST(generate_series(greatest(pos - $WIN_W + 1, 0),
+       |                                   least(pos, n_grams - $WIN_W))) AS u(ws)
+       |  GROUP BY doc_id, ws),
+       |winsel AS (
+       |  SELECT w.doc_id, w.ws, w.mh, min(g.pos) AS pos
+       |  FROM wwins w JOIN wgh g ON g.doc_id = w.doc_id AND g.h = w.mh
+       |       AND g.pos BETWEEN w.ws AND w.ws + $WIN_W - 1
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
   private def dotSql(x: String, y: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i])), (p, q) -> p + q)"
 
@@ -3874,12 +3934,26 @@ object PipelinePack {
     },
 
     "q_text_fingerprint" ->
-      s"""SELECT doc_id,
-         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |            list_transform(range(1, len(text) + 1),
-         |                           i -> unicode(substr(text, CAST(i AS INT), 1)))),
-         |            (a, b) -> (a * 31 + b) % ${Poly31Hash.P}) AS BIGINT) AS fp
+      s"""SELECT doc_id, ${poly31Sql("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT DISTINCT doc_id, pos, mh AS fp FROM winsel
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_text_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, mh AS fp FROM winsel),
+         |rare AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+         |  WHERE df <= $WIN_MAX_DF),
+         |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS shared_fp
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WIN_SHARED
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same ASCII-text assumption as q_mm_decode (substr on text ==
     // substring on the UTF-8 payload bytes); frames = ⌊len/16⌋, sampled

@@ -18,6 +18,60 @@ class TextSpec extends AnyFunSuite {
     assert(viaSql == Seq(96354L, 0L, Poly31Hash.hash("the fast key")))
   }
 
+  test("winnowing: MOSS guarantee, density, short-doc cutoff, leftmost-min") {
+    val k = 3; val w = 8
+    // per-doc-unique filler words (a linear-congruence "random" soup is
+    // NOT unrelated across seeds — same stride, shifted offsets), then
+    // plant a shared run of exactly w + k - 1 = 10 words in two docs
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"d${seed}x$i").mkString(" ")
+    val shared = (0 until (w + k - 1)).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(1, 60) + " " + shared + " " + words(2, 60)),
+      (2L, words(3, 60) + " " + shared + " " + words(4, 60)),
+      (3L, words(5, 120)),
+      (4L, words(6, k + w - 2)) // one word short of a full window
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, k, w)
+    val byDoc = fp.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the paper's guarantee: a shared run of >= w+k-1 words shares a
+    // selected fingerprint
+    val f1 = fp.filter(col("doc_id") === 1L).select("fp")
+      .collect().map(_.getLong(0)).toSet
+    val f2 = fp.filter(col("doc_id") === 2L).select("fp")
+      .collect().map(_.getLong(0)).toSet
+    assert((f1 & f2).nonEmpty, "planted >=w+k-1 run must share a fingerprint")
+    // expected density ~2/(w+1): allow a wide band, but far below 1
+    val d3 = byDoc(3L).toDouble / (120 - k + 1)
+    assert(d3 > 0.05 && d3 < 0.6, s"winnow density $d3 implausible")
+    // below one full window -> no fingerprints at all
+    assert(!byDoc.contains(4L))
+    // selected positions are in-range and each selected hash really is
+    // the minimum of SOME full window around it
+    val rows = fp.filter(col("doc_id") === 3L)
+      .select("pos", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t = docs.filter(col("doc_id") === 3L).select("text")
+      .collect().head.getString(0).split(" ")
+    val hashes = (0 to t.length - k)
+      .map(i => Poly31Hash.hash(t.slice(i, i + k).mkString(" "))).toArray
+    rows.foreach { case (pos, h) =>
+      assert(hashes(pos.toInt) == h)
+      val anyWindow = (math.max(0, pos.toInt - w + 1) to
+        math.min(pos.toInt, hashes.length - w)).exists { ws =>
+        val win = hashes.slice(ws, ws + w)
+        win.min == h && ws + win.indexOf(win.min) == pos // leftmost-min
+      }
+      assert(anyWindow, s"pos $pos is not a window minimum")
+    }
+    // pair report surfaces exactly the planted pair at this threshold
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, k, w,
+        minShared = 1L, maxDocFreq = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
   test("quality stats on a known document") {
     val r = TextAnalysis.quality(Seq((7L, "the a data 42")).toDF("doc_id", "text"))
       .collect().head
