@@ -18,6 +18,45 @@ class CsvStreamSinkSpec extends AnyFunSuite {
     s"${sys.props("java.io.tmpdir")}/graft_csvstream_${ProcessHandle.current().pid()}_" +
       s"${java.lang.System.nanoTime()}_$name"
 
+  test("clusterBy holds on the STREAMING write path: engine shuffle, no key split") {
+    import org.apache.spark.sql.functions._
+    val staging = dir("cluster_src"); val out = dir("cluster_out")
+    val ckpt = dir("cluster_ckpt")
+    val src = graft.Tables.events(spark, graft.TestSpark.sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("event_id").cast("long").as("id"))
+      .repartition(8) // scatter keys: the SINK must bring them together
+    src.write.parquet(staging)
+    val q = spark.readStream.schema("d STRING, id LONG").parquet(staging)
+      .writeStream.format("graft.sources.GraftCsvSink")
+      .option("path", out)
+      .option("clusterBy", "d")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the micro-batch write plan carries the sink-demanded clustering
+    // exchange (RequiresDistributionAndOrdering honored in streaming)
+    Thread.sleep(2000)
+    val plans = spark.sharedState.statusStore.executionsList()
+      .map(_.physicalPlanDescription)
+      .filter(p => p.contains("GraftCsvStreamingWrite"))
+    assert(plans.nonEmpty, "no streaming write execution recorded")
+    assert(plans.last.contains("hashpartitioning(d#"),
+      "streaming write plan lacks the clusterBy exchange")
+    // contract: a key never splits across files, rows survive intact
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val rows = files.flatMap(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").filter(l => l.nonEmpty && !l.startsWith("d;"))
+        .map(l => (l.split(";")(0), f.getName)))
+    assert(rows.length.toLong == src.count())
+    val split = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+      .filter(_._2 > 1)
+    assert(split.isEmpty, s"keys split across files: ${split.keys.take(3)}")
+  }
+
   test("micro-batches land as epoch-stamped files, readable by the sink's reader") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
