@@ -119,6 +119,12 @@ private[sources] case class PagedSortKey(field: String, asc: Boolean,
   *    engine's finishing sort on top sees pages·n rows instead of the
   *    whole mirror. Page layout is keyed by id, NOT by timestamp, so
   *    full TopN pushdown would be a lie — partial is the honest form.
+  *
+  * `SupportsPushDownOffset` is deliberately NOT implemented: the
+  * interface has no partial form — accepting means the scan skips
+  * EXACTLY n rows globally, which parallel, unordered page partitions
+  * cannot guarantee. Spark evaluates OFFSET above the (pushed) limit
+  * instead, which is correct at every scale.
   */
 private[sources] class PagedScanBuilder(path: String, maxPages: Option[Int],
                                         maxBytes: Option[Long] = None)
