@@ -159,16 +159,23 @@ object Dedup {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** The 4×4 LSH band rows (doc_id, band, bv) of a signature frame. */
-  private def bandsOf(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until 4).map { j =>
+  /** The LSH band rows (doc_id, band, bv) of a signature frame for an
+    * arbitrary (b bands × r rows) layout of the 16-hash signature. */
+  private def bandsOfLayout(sigs: DataFrame, b: Int, r: Int): DataFrame = {
+    require(b * r == Hashing.minhashPerms.length,
+      s"layout ${b}x$r does not tile the ${Hashing.minhashPerms.length}-hash signature")
+    val bandCols = (0 until b).map { j =>
       struct(lit(j).as("band"),
-        concat_ws("_", (0 until 4).map(r => col(s"m${4 * j + r}").cast("string")): _*).as("bv"))
+        concat_ws("_", (0 until r).map(k => col(s"m${r * j + k}").cast("string")): _*).as("bv"))
     }
     sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
   }
+
+  /** The 4×4 LSH band rows (doc_id, band, bv) of a signature frame —
+    * the deployed layout. */
+  private def bandsOf(sigs: DataFrame): DataFrame = bandsOfLayout(sigs, 4, 4)
 
   /** The MinHash band-collision candidate pairs of a shingle frame —
     * the shared front half of [[minhashLshPairs]] and
@@ -233,6 +240,70 @@ object Dedup {
         round(col("n_verified") / col("n_candidates"), 6).as("candidate_precision"),
         round(col("n_verified") / col("n_true"), 6).as("recall"))
     materializeThenRelease(out, shingles)
+  }
+
+  /** Every (bands × rows) tiling of the 16-hash signature — the design
+    * space [[lshDesignSweep]] measures. */
+  val LshLayouts: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** The analytic s-curve facts of a (b, r) banding at `minJ`:
+    * (threshold jaccard ≈ (1/b)^(1/r), collision probability
+    * 1 − (1 − minJ^r)^b), both rounded to 6. Computed ONCE in Scala and
+    * interpolated as literals into the query AND the oracle, so the
+    * hash gate never rides two engines' `pow` ulps. */
+  def lshSCurve(b: Int, r: Int, minJ: Double): (Double, Double) = {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    (r6(math.pow(1.0 / b, 1.0 / r)),
+      r6(1.0 - math.pow(1.0 - math.pow(minJ, r), b)))
+  }
+
+  /** LSH banding DESIGN sweep — the b×r selection table every MinHash
+    * deployment tunes, measured instead of guessed: one row per tiling
+    * of the 16-hash signature with the ANALYTIC s-curve facts
+    * ([[lshSCurve]]: threshold jaccard, collision probability at
+    * `minJ`) next to the MEASURED corpus numbers (candidate pairs the
+    * layout pays to verify, candidates surviving exact jaccard — i.e.
+    * candidates ∩ `truePairs` — precision, recall). Reading the table:
+    * more/narrower bands shift the s-curve left (recall ↑, wasted
+    * verifications ↑); the deployed 4×4 is the row whose recall and
+    * candidate_precision justify it against its neighbours.
+    *
+    * Scale: signatures are computed ONCE (one groupBy over the shingle
+    * frame) and shared by all layouts; each layout adds one
+    * banded-bucket join over 16 rows/doc — the same linear-candidate
+    * shape as the production path — and the report rows are 1-row
+    * aggregates. */
+  def lshDesignSweep(truePairs: DataFrame, rawShingles: DataFrame,
+                     minJ: Double): DataFrame = {
+    val shingles = rawShingles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(shingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = truePairs.select("doc_a", "doc_b")
+    val perLayout = LshLayouts.map { case (b, r) =>
+      val bands = bandsOfLayout(sigs, b, r)
+      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val (thr, pc) = lshSCurve(b, r, minJ)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(
+          cand.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_verified"))))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(thr).as("j_threshold"), lit(pc).as("p_collide_at_minj"),
+          col("n_candidates"), col("n_verified"))
+    }.reduce(_ unionByName _)
+    val out = perLayout
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("bands"), col("rows_per_band"),
+        col("j_threshold"), col("p_collide_at_minj"),
+        col("n_true"), col("n_candidates"), col("n_verified"),
+        when(col("n_candidates") > 0,
+          round(col("n_verified") / col("n_candidates"), 6))
+          .as("candidate_precision"),
+        round(col("n_verified") / col("n_true"), 6).as("recall"))
+    materializeThenRelease(out, shingles, sigs)
   }
 
   /** Incremental ingestion dedup: flag documents of a NEW batch that

@@ -555,6 +555,15 @@ object PipelinePack {
       Dedup.lshQualityReport(jaccardPairsFixture(s, d),
         Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
     },
+    // The banding DESIGN sweep behind the deployed 4x4: every (b, r)
+    // tiling of the 16-hash signature, analytic s-curve facts next to
+    // measured candidates / verified / precision / recall — parameter
+    // selection as a measured table, not folklore.
+    "q_dedup_lsh_design" -> { (s, d) =>
+      Dedup.lshDesignSweep(jaccardPairsFixture(s, d),
+        Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+        .orderBy(col("bands").desc)
+    },
     // Scalar int8 quantization: per-dim corpus min/max grid, nearest
     // code, reconstruction-error stats.
     "q_sim_quantize_int8" -> { (s, d) =>
@@ -2346,6 +2355,57 @@ object PipelinePack {
          |         AS candidate_precision,
          |       round((SELECT count(*) FROM ver) / (SELECT count(*) FROM tru), 6)
          |         AS recall""".stripMargin,
+
+    // One CTE block per (b, r) tiling, all over the SAME sigs CTE; the
+    // s-curve columns are Scala-computed literals shared verbatim with
+    // the query (Dedup.lshSCurve) so no engine pow() is in the hash.
+    "q_dedup_lsh_design" -> {
+      val layoutCtes = Dedup.LshLayouts.map { case (b, r) =>
+        val bandsSel = (0 until b).map { j =>
+          val cols = (0 until r).map(k => s"m${r * j + k}").mkString(", ")
+          s"SELECT doc_id, $j AS band, concat_ws('_', $cols) AS bv FROM sigs"
+        }.mkString("\n    UNION ALL\n    ")
+        s"""bands_${b}_$r AS (
+           |    $bandsSel),
+           |cand_${b}_$r AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands_${b}_$r x JOIN bands_${b}_$r y
+           |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+           |ver_${b}_$r AS (
+           |  SELECT c.doc_a FROM cand_${b}_$r c
+           |  JOIN truj t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)"""
+          .stripMargin
+      }.mkString(",\n")
+      val layoutRows = Dedup.LshLayouts.map { case (b, r) =>
+        val (thr, pc) = Dedup.lshSCurve(b, r, JACCARD_MIN)
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |       $thr AS j_threshold, $pc AS p_collide_at_minj,
+           |       (SELECT count(*) FROM truj) AS n_true,
+           |       (SELECT count(*) FROM cand_${b}_$r) AS n_candidates,
+           |       (SELECT count(*) FROM ver_${b}_$r) AS n_verified,
+           |       CASE WHEN (SELECT count(*) FROM cand_${b}_$r) > 0
+           |            THEN round((SELECT count(*) FROM ver_${b}_$r)
+           |                       / (SELECT count(*) FROM cand_${b}_$r), 6)
+           |       END AS candidate_precision,
+           |       round((SELECT count(*) FROM ver_${b}_$r)
+           |             / (SELECT count(*) FROM truj), 6) AS recall"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $minhashBandCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ti AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truj AS (
+         |  SELECT ti.doc_a, ti.doc_b FROM ti
+         |  JOIN sizes sa ON sa.doc_id = ti.doc_a
+         |  JOIN sizes sb ON sb.doc_id = ti.doc_b
+         |  WHERE round(i / (sa.n + sb.n - i), 6) >= $JACCARD_MIN),
+         |$layoutCtes
+         |$layoutRows
+         |ORDER BY bands DESC""".stripMargin
+    },
 
     "q_sim_ivf_balance" ->
       s"""WITH $normalizedCte,
