@@ -156,6 +156,31 @@ class DedupSpec extends AnyFunSuite {
     assert(nVer == Dedup.minhashLshPairs(shingles, 0.4).count())
   }
 
+  test("lshDesignSweep: 4x4 row agrees with lshQualityReport; recall climbs with bands") {
+    val shingles = Dedup.wordShingles(Tables.documents(spark, TestSpark.sf0001))
+    val truth = Dedup.jaccardPairs(shingles, 0.4)
+    val sweep = Dedup.lshDesignSweep(truth, shingles, 0.4)
+      .collect().map(r => (r.getAs[Int]("bands"), r)).toMap
+    assert(sweep.keySet == Dedup.LshLayouts.map(_._1).toSet)
+    // the deployed layout's numbers match the dedicated quality report
+    val q = Dedup.lshQualityReport(truth, shingles, 0.4).collect().head
+    val s44 = sweep(4)
+    assert(s44.getAs[Long]("n_candidates") == q.getAs[Long]("n_candidates"))
+    assert(s44.getAs[Long]("n_verified") == q.getAs[Long]("n_verified"))
+    assert(s44.getAs[Double]("recall") == q.getAs[Double]("recall"))
+    // monotonicity of the s-curve family: more/narrower bands never
+    // lose pairs (candidate superset) and never tighten recall
+    val byBands = Dedup.LshLayouts.map(_._1).sorted.map(sweep)
+    val recalls = byBands.map(_.getAs[Double]("recall"))
+    assert(recalls == recalls.sorted, s"recall not monotone in bands: $recalls")
+    val cands = byBands.map(_.getAs[Long]("n_candidates"))
+    assert(cands == cands.sorted, s"candidates not monotone in bands: $cands")
+    // analytic literals really are the Scala-computed constants
+    val (thr, pc) = Dedup.lshSCurve(4, 4, 0.4)
+    assert(s44.getAs[Double]("j_threshold") == thr)
+    assert(s44.getAs[Double]("p_collide_at_minj") == pc)
+  }
+
   test("leakageSafeSplit: no near-dup cluster straddles train and test") {
     val docs = (1L to 40L).map((_, "t")).toDF("doc_id", "text")
     // Planted clusters {1,2,3} (chained) and {10,11}; everything else
