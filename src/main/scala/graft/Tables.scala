@@ -24,7 +24,14 @@ object Tables {
   val requiredConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // Storage-partitioned joins over the key-grouped DSV2 scans
+    // (KeyedCsvScan): plan co-partitioned joins with no Exchange,
+    // align mismatched partition-value sets, and use the reported
+    // per-partition ordering to skip the SMJ sorts.
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

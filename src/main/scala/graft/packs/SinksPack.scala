@@ -185,6 +185,73 @@ object SinksPack {
         .orderBy("p_brand")
     },
 
+    // K1's layout contract as a full ENGINE surface: hive-style
+    // partitioned write (`partitionedBy=m` — the sink demands
+    // clustering+ordering on the key and splits each task's sorted run
+    // into one file per key under `m=<value>/`), then a read through
+    // the KEY-GROUPED scan with a key-range predicate handled at
+    // PLANNING time: pruned months are never listed for files, let
+    // alone parsed (PartitionedCsvSpec pins the planned-partition
+    // count). The 100 TB shape: partition pruning is the difference
+    // between scanning a month and scanning a decade.
+    "q_k_partitioned_table" -> { (s, d) =>
+      val path = tmpPath("csvpart", d)
+      ensureFixture(path) {
+        Tables.lineitem(s, d)
+          .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+            col("l_returnflag").as("rf"), col("l_quantity"))
+          .groupBy("m", "rf")
+          .agg(count(lit(1)).as("n_items"), Num.dsum(col("l_quantity")).as("sum_qty"))
+          .write.format("graft.sources.GraftCsvSink")
+          .mode("overwrite").option("path", path).option("partitionedBy", "m").save()
+      }
+      s.read.schema("m STRING, rf STRING, n_items LONG, sum_qty DOUBLE")
+        .format("graft.sources.GraftCsvSink").option("path", path).load()
+        .filter(col("m") >= "1996-01" && col("m") <= "1996-12")
+        .orderBy("m", "rf")
+    },
+
+    // STORAGE-PARTITIONED JOIN (SPARK-37377 semantics on the graft
+    // sources): two metric tables written `partitionedBy` the same
+    // grain key, joined WITH ZERO EXCHANGE AND ZERO SORT — each scan
+    // reports KeyGroupedPartitioning + per-partition key ordering, and
+    // the engine aligns partitions instead of shuffling
+    // (PlanHygieneSpec pins the plan; this query pins the values).
+    // The 100 TB economics: the clustering shuffle is paid ONCE at
+    // write time; every downstream join on the grain key is
+    // exchange-free forever — DSV2-native bucketing without a Hive
+    // metastore.
+    "q_x_spj_join" -> { (s, d) =>
+      val pa = tmpPath("spjA", d)
+      val pb = tmpPath("spjB", d)
+      ensureFixture(pa) {
+        Tables.orders(s, d)
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+            col("o_totalprice"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("revenue"))
+          .write.format("graft.sources.GraftCsvSink")
+          .mode("overwrite").option("path", pa).option("partitionedBy", "m").save()
+      }
+      ensureFixture(pb) {
+        Tables.lineitem(s, d)
+          .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+            col("l_quantity"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_items"), Num.dsum(col("l_quantity")).as("sum_qty"))
+          .write.format("graft.sources.GraftCsvSink")
+          .mode("overwrite").option("path", pb).option("partitionedBy", "m").save()
+      }
+      val a = s.read.schema("m STRING, n_orders LONG, revenue DOUBLE")
+        .format("graft.sources.GraftCsvSink").option("path", pa).load()
+      val b = s.read.schema("m STRING, n_items LONG, sum_qty DOUBLE")
+        .format("graft.sources.GraftCsvSink").option("path", pb).load()
+      a.hint("merge").join(b, "m")
+        .select(col("m"), col("n_orders"), col("revenue"),
+          col("n_items"), col("sum_qty"))
+        .orderBy("m")
+    },
+
     // K4/J5 — JSON write + read-back (schema inferred on read).
     "q_k4_json_roundtrip" -> { (s, d) =>
       val path = tmpPath("json", d)
@@ -611,6 +678,32 @@ object SinksPack {
         |WHERE (p_partkey % 2 = 0 OR p_partkey <= 100)
         |  AND p_brand >= 'Brand#3' AND p_partkey <= 1500
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Replays the partitioned table's content directly from parquet; the
+    // key-range predicate mirrors the planning-time directory pruning.
+    "q_k_partitioned_table" ->
+      s"""WITH t AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+         |         count(*) AS n_items, ${Num.dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT m, rf, n_items, sum_qty FROM t
+         |WHERE m >= '1996-01' AND m <= '1996-12'
+         |ORDER BY m, rf""".stripMargin,
+
+    // The SPJ join's values, replayed as two grouped CTEs + a key join —
+    // the layout/partitioning is invisible to the result by design.
+    "q_x_spj_join" ->
+      s"""WITH a AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS n_orders,
+         |         ${Num.dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |b AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS m, count(*) AS n_items,
+         |         ${Num.dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT a.m AS m, n_orders, revenue, n_items, sum_qty
+         |FROM a JOIN b ON a.m = b.m
+         |ORDER BY m""".stripMargin,
 
     "q_k4_json_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

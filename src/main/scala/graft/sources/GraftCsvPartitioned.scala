@@ -1,0 +1,410 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hive-style partitioned layout for the graft `;`-CSV table — the
+  * DSV2-native bucketing story (SURVEY.md §2.13 superset; the
+  * storage-partitioned-join design is public Spark, SPARK-37377):
+  *
+  * WRITE (`option("partitionedBy", "m")`): the sink REQUIRES clustering
+  * + in-partition ordering on the key (RequiresDistributionAndOrdering,
+  * same contract as `clusterBy`), then each task splits its sorted run
+  * into one file per key under `m=<value>/part-NNNNN.csv`. The key
+  * column is carried by the DIRECTORY NAME, not the payload (hive
+  * convention) — a 100 TB table partitioned on a grain key never
+  * stores the key bytes per row.
+  *
+  * READ: the scan plans ONE input partition per key directory, each
+  * declaring its key ([[HasPartitionKey]]), and reports
+  * [[KeyGroupedPartitioning]] over `identity(key)` plus a per-partition
+  * ordering on the key ([[SupportsReportOrdering]] — trivially true:
+  * every row in a partition shares the key). With
+  * `spark.sql.sources.v2.bucketing.enabled` the engine then plans
+  * joins between two such tables on the key with ZERO Exchange and
+  * ZERO Sort — the storage-partitioned join. At 100 TB this is the
+  * bucketed-join economics without a Hive metastore: pay the
+  * clustering shuffle once at write time, and every downstream join or
+  * aggregation on the grain key is exchange-free forever.
+  *
+  * Planning-time partition pruning: pushed filters that mention ONLY
+  * the key column are evaluated against the directory names — pruned
+  * key directories are never listed for files, let alone read (the
+  * engine form of hive partition pruning). Payload filters ride the
+  * existing in-reader pushdown.
+  */
+private[sources] object PartitionedCsvLayout {
+  /** Key-to-directory-name encoding: injective, filesystem-safe, and
+    * ORDER-PRESERVING on the raw string for the unreserved charset
+    * (hive's escapePathName shape). `%` itself is reserved so decode is
+    * unambiguous. */
+  def encode(v: String): String = {
+    val sb = new StringBuilder
+    v.foreach { c =>
+      // ASCII-only passthrough: non-ASCII raw directory names depend on
+      // the JVM/filesystem charset (sun.jnu.encoding) and round-trip
+      // unreliably — every non-ASCII char is %XX-encoded instead.
+      if (c < 128 && (c.isLetterOrDigit || c == '.' || c == '-' || c == '_'))
+        sb.append(c)
+      else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X")) // %XX per UTF-8 byte
+    }
+    sb.toString
+  }
+
+  def decode(s: String): String = {
+    if (!s.contains('%')) return s
+    val bytes = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(bytes.write(_))
+        i += 1
+      }
+    }
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Partition key types this layout supports (a grain key is a string
+    * or an integral — floats make terrible partition keys and are
+    * rejected loudly at write time). */
+  def keyTypeOk(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | BooleanType => true
+    case _ => false
+  }
+
+  /** Typed JVM value of a raw (decoded) key string. */
+  def keyValue(raw: String, dt: DataType): Any = dt match {
+    case StringType => raw
+    case LongType => raw.toLong
+    case IntegerType => raw.toInt
+    case ShortType => raw.toShort
+    case BooleanType => raw.toBoolean
+    case other => throw new IllegalStateException(s"partition key type $other")
+  }
+
+  /** Catalyst form of the key for [[HasPartitionKey]]. */
+  def catalystKey(raw: String, dt: DataType): Any = keyValue(raw, dt) match {
+    case s: String => UTF8String.fromString(s)
+    case v => v
+  }
+
+  /** The `<col>=<value>` directories at `path`, if any: (column name,
+    * raw decoded value, dir path) sorted by encoded value. Returns an
+    * empty array for a flat (non-partitioned) layout. */
+  def listKeyDirs(path: String, conf: Configuration): Array[(String, String, String)] = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Array.empty
+    val dirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+        s.getPath.getName.contains('='))
+      .map { s =>
+        val n = s.getPath.getName
+        val eq = n.indexOf('=')
+        (n.substring(0, eq), decode(n.substring(eq + 1)), s.getPath.toString)
+      }
+      .sortBy(_._2)
+    val cols = dirs.map(_._1).distinct
+    if (cols.length > 1) throw new IllegalStateException(
+      s"graft-csv: mixed partition columns under $path: ${cols.mkString(", ")}")
+    dirs
+  }
+}
+
+/** One key directory = one input partition, declaring its partition key
+  * so the engine can group and align partitions across the two sides of
+  * a storage-partitioned join. */
+private[sources] case class KeyedCsvPartition(keyRaw: String,
+                                              keyTypeJson: String,
+                                              files: Array[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](PartitionedCsvLayout.catalystKey(
+      keyRaw, DataType.fromJson(keyTypeJson))))
+}
+
+private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
+                                           keyCol: String,
+                                           dirs: Array[(String, String, String)],
+                                           conf: SerializableHadoopConf)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private val keyField: StructField = full.fields
+    .find(_.name.equalsIgnoreCase(keyCol))
+    .getOrElse(throw new IllegalArgumentException(
+      s"graft-csv partitioned read: schema lacks partition column '$keyCol' " +
+        s"(layout at $path); pass a schema containing it"))
+  /** The payload face: everything the part files actually store. */
+  private val payload = StructType(full.fields.filterNot(
+    _.name.equalsIgnoreCase(keyCol)))
+
+  private var required: StructType = full
+  private var partFilters: Array[Filter] = Array.empty
+  private var payloadFilters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // A filter whose every reference is the key column prunes DIRECTORIES
+    // at planning time; one the payload dialect can evaluate is pushed
+    // into the readers; the rest stay residual for Spark.
+    val (part, notPart) = filters.partition { f =>
+      val refs = f.references
+      refs.nonEmpty && refs.forall(_.equalsIgnoreCase(keyCol)) &&
+        CsvFilterEval.supportedBy(full, f)
+    }
+    val (pay, rest) = notPart.partition(CsvFilterEval.supportedBy(payload, _))
+    partFilters = part
+    payloadFilters = pay
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = partFilters ++ payloadFilters
+
+  override def build(): Scan = {
+    // Planning-time partition pruning: evaluate the key filters against
+    // each directory's typed key value.
+    val survivors = dirs.filter { case (_, raw, _) =>
+      val v = PartitionedCsvLayout.keyValue(raw, keyField.dataType)
+      partFilters.forall(CsvFilterEval.eval(_, _ => v))
+    }
+    new KeyedCsvScan(path, required, payload, keyField, survivors,
+      partFilters, payloadFilters, conf)
+  }
+}
+
+// Public so PlanHygieneSpec can read pushed filters + partition counts
+// off the physical plan.
+class KeyedCsvScan private[sources] (path: String, required: StructType,
+                                     payload: StructType,
+                                     keyField: StructField,
+                                     dirs: Array[(String, String, String)],
+                                     val partFilters: Array[Filter],
+                                     val payloadFilters: Array[Filter],
+                                     conf: SerializableHadoopConf)
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportOrdering {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftCsvKeyed path=$path key=${keyField.name} partitions=${dirs.length} " +
+      s"PartitionFilters: [${partFilters.mkString(", ")}] " +
+      s"PushedFilters: [${payloadFilters.mkString(", ")}] " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def toBatch: Batch = this
+
+  /** One partition per surviving key directory; files listed lazily and
+    * once (metadata-only planning, like every graft source). */
+  private lazy val parts: Array[InputPartition] = {
+    val typeJson = keyField.dataType.json
+    dirs.map { case (_, raw, dir) =>
+      KeyedCsvPartition(raw, typeJson,
+        GraftCsvTable.listPartFiles(dir, conf.value)): InputPartition
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = parts
+
+  /** The SPJ contract: rows are grouped by `identity(key)` with exactly
+    * one partition per key value. */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(Expressions.identity(keyField.name)),
+      parts.length)
+
+  /** Within a partition every row carries the SAME key, so "ordered by
+    * key ascending" holds vacuously — reporting it lets the engine drop
+    * the sorts under a storage-partitioned sort-merge join. */
+  override def outputOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column(keyField.name),
+      SortDirection.ASCENDING))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val keyInRequired = required.fieldNames.exists(_.equalsIgnoreCase(keyField.name))
+    val payloadRequired = StructType(required.fields.filterNot(
+      _.name.equalsIgnoreCase(keyField.name)))
+    // Parse schema: required payload columns plus any payload-filtered
+    // columns pruning removed (same discipline as the flat scan).
+    val extra = CsvFilterEval.referenced(payloadFilters)
+      .filterNot(n => payloadRequired.fieldNames.exists(_.equalsIgnoreCase(n)))
+      .flatMap(n => payload.fields.find(_.name.equalsIgnoreCase(n)))
+    new KeyedCsvReaderFactory(required, payloadRequired,
+      StructType(payloadRequired.fields ++ extra), payloadFilters,
+      if (keyInRequired) required.fieldNames.indexWhere(
+        _.equalsIgnoreCase(keyField.name)) else -1,
+      keyField.dataType.json, conf)
+  }
+}
+
+private[sources] class KeyedCsvReaderFactory(required: StructType,
+                                             payloadRequired: StructType,
+                                             parse: StructType,
+                                             payloadFilters: Array[Filter],
+                                             keyPos: Int, keyTypeJson: String,
+                                             conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new KeyedCsvReader(p.asInstanceOf[KeyedCsvPartition], required,
+      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf)
+}
+
+/** Streams every part file of one key directory through the flat CSV
+  * reader, re-inserting the (constant) partition key into its projected
+  * position. The key never exists in the payload bytes — it costs one
+  * catalyst value per PARTITION, not per row. */
+private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
+                                      required: StructType,
+                                      payloadRequired: StructType,
+                                      parse: StructType,
+                                      payloadFilters: Array[Filter],
+                                      keyPos: Int, keyTypeJson: String,
+                                      conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+  private val keyValue: Any =
+    PartitionedCsvLayout.catalystKey(part.keyRaw, DataType.fromJson(keyTypeJson))
+  private var fileIdx = 0
+  private var inner: GraftCsvPartitionReader = _
+  private var row: InternalRow = _
+
+  private def nextInner(): Boolean = {
+    if (inner != null) { inner.close(); inner = null }
+    if (fileIdx >= part.files.length) false
+    else {
+      inner = new GraftCsvPartitionReader(part.files(fileIdx), payloadRequired,
+        parse, payloadFilters, conf)
+      fileIdx += 1
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (inner == null && !nextInner()) return false
+      if (inner.next()) {
+        val payloadRow = inner.get()
+        row =
+          if (keyPos < 0) payloadRow
+          else {
+            val out = new Array[Any](required.length)
+            var i = 0; var j = 0
+            while (i < required.length) {
+              if (i == keyPos) out(i) = keyValue
+              else { out(i) = payloadRow.get(j, payloadRequired(j).dataType); j += 1 }
+              i += 1
+            }
+            new GenericInternalRow(out)
+          }
+        return true
+      }
+      inner.close(); inner = null
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (inner != null) inner.close()
+}
+
+/** Commit message for a task that published SEVERAL files (one per key
+  * in its sorted run). */
+private[sources] case class CsvFilesCommit(files: Seq[CsvFileCommit])
+  extends WriterCommitMessage
+
+/** The partitioned writer: the engine has already clustered AND sorted
+  * this task's rows by the key (RequiresDistributionAndOrdering), so
+  * keys arrive as contiguous runs — each run streams to one temp file
+  * destined for `<col>=<value>/part-<partition>.csv`. Because a key
+  * lives in exactly one cluster partition, each key directory receives
+  * exactly one file per write. */
+private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
+                                                 schema: StructType,
+                                                 partCol: String,
+                                                 partitionId: Int, taskId: Long,
+                                                 conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
+  private val keyIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(partCol))
+  private val keyType = schema(keyIdx).dataType
+  private val payload = StructType(
+    schema.fields.zipWithIndex.filter(_._2 != keyIdx).map(_._1))
+  private val payloadIdx: Array[Int] =
+    schema.fields.indices.filter(_ != keyIdx).toArray
+
+  private var currentKey: String = _ // encoded; null = no file open yet
+  private var current: GraftCsvDataWriter = _
+  private val committed = scala.collection.mutable.ArrayBuffer.empty[CsvFileCommit]
+
+  private def keyString(row: InternalRow): String = {
+    if (row.isNullAt(keyIdx)) throw new IllegalArgumentException(
+      s"graft-csv sink: NULL value in partition column '$partCol' — " +
+        "partition keys must be non-null")
+    keyType match {
+      case StringType => row.getUTF8String(keyIdx).toString
+      case LongType => row.getLong(keyIdx).toString
+      case IntegerType => row.getInt(keyIdx).toString
+      case ShortType => row.getShort(keyIdx).toString
+      case BooleanType => row.getBoolean(keyIdx).toString
+      case other => throw new UnsupportedOperationException(
+        s"graft-csv sink: unsupported partition key type $other")
+    }
+  }
+
+  private def roll(keyEnc: String): Unit = {
+    if (current != null)
+      committed += current.commit().asInstanceOf[CsvFileCommit]
+    current = new GraftCsvDataWriter(tmpDir, payload, partitionId, taskId, conf,
+      f"$partCol=$keyEnc/part-$partitionId%05d.csv")
+    currentKey = keyEnc
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val keyEnc = PartitionedCsvLayout.encode(keyString(row))
+    if (currentKey == null || currentKey != keyEnc) roll(keyEnc)
+    // project the payload columns into the inner writer's schema order
+    val out = new Array[Any](payloadIdx.length)
+    var i = 0
+    while (i < payloadIdx.length) {
+      out(i) = if (row.isNullAt(payloadIdx(i))) null
+        else payload(i).dataType match {
+          case StringType => row.getUTF8String(payloadIdx(i))
+          case LongType => row.getLong(payloadIdx(i))
+          case IntegerType => row.getInt(payloadIdx(i))
+          case ShortType => row.getShort(payloadIdx(i))
+          case DoubleType => row.getDouble(payloadIdx(i))
+          case FloatType => row.getFloat(payloadIdx(i))
+          case BooleanType => row.getBoolean(payloadIdx(i))
+          case other => throw new UnsupportedOperationException(
+            s"graft-csv sink: unsupported column type $other")
+        }
+      i += 1
+    }
+    current.write(new GenericInternalRow(out))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (current != null) {
+      committed += current.commit().asInstanceOf[CsvFileCommit]
+      current = null
+    }
+    CsvFilesCommit(committed.toSeq)
+  }
+
+  override def abort(): Unit = if (current != null) current.abort()
+
+  override def close(): Unit = ()
+}

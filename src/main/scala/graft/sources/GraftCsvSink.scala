@@ -120,7 +120,14 @@ private[sources] object GraftCsvTable {
   def inferFromHeader(path: String): StructType = {
     if (path == null) return new StructType()
     val conf = SerializableHadoopConf.fromSession().value
-    listPartFiles(path, conf).headOption match {
+    // Partitioned layout: payload columns from the first key dir's part
+    // header, plus the key column (string — pass a schema for typed keys).
+    val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf)
+    val (dir, keyCol) = keyDirs.headOption match {
+      case Some((col, _, d)) => (d, Some(col))
+      case None => (path, None)
+    }
+    listPartFiles(dir, conf).headOption match {
       case None => new StructType()
       case Some(file) =>
         val p = new HPath(file)
@@ -130,7 +137,8 @@ private[sources] object GraftCsvTable {
         try {
           val it = new CsvRecordIterator(in, ';')
           if (!it.hasNext) new StructType()
-          else StructType(it.next().map(name => StructField(name, StringType)))
+          else StructType(it.next().map(name => StructField(name, StringType)) ++
+            keyCol.map(StructField(_, StringType)))
         } finally in.close()
     }
   }
@@ -147,8 +155,15 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType)
       TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, truncate = false)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCsvScanBuilder(path, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Layout sniff (ONE listing): a root holding key=value directories
+    // was written with partitionedBy — serve it through the key-grouped
+    // scan (storage-partitioned joins, planning-time pruning).
+    val conf = SerializableHadoopConf.fromSession()
+    val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf.value)
+    if (keyDirs.isEmpty) new GraftCsvScanBuilder(path, tableSchema)
+    else new KeyedCsvScanBuilder(path, tableSchema, keyDirs.head._1, keyDirs, conf)
+  }
 }
 
 /** Evaluates the V1 `Filter`s the reader accepts at pushdown time:
@@ -487,7 +502,24 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
         s"graft-csv sink: clusterBy columns not in the write schema: " +
           missing.mkString(", "))
     }
-    new GraftCsvWrite(path, info, truncate, cluster)
+    val partitioned = Option(info.options().get("partitionedBy")).map(_.trim)
+      .filter(_.nonEmpty)
+    partitioned.foreach { col =>
+      if (cluster.isDefined) throw new IllegalArgumentException(
+        "graft-csv sink: partitionedBy implies clustering on the key; " +
+          "do not combine it with clusterBy")
+      val field = info.schema().fields.find(_.name.equalsIgnoreCase(col))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-csv sink: partitionedBy column '$col' not in the write schema"))
+      if (!PartitionedCsvLayout.keyTypeOk(field.dataType))
+        throw new IllegalArgumentException(
+          s"graft-csv sink: partitionedBy column '$col' has type " +
+            s"${field.dataType.simpleString}; partition keys must be " +
+            "string/integral/boolean")
+      if (info.schema().length < 2) throw new IllegalArgumentException(
+        "graft-csv sink: partitionedBy requires at least one payload column")
+    }
+    new GraftCsvWrite(path, info, truncate, cluster, partitioned)
   }
 }
 
@@ -505,22 +537,30 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
   * unchanged. */
 private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
                                      truncate: Boolean,
-                                     cluster: Option[Seq[String]])
+                                     cluster: Option[Seq[String]],
+                                     partitioned: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
+  // partitionedBy IS a clustering on the key (plus the hive layout)
+  private def keys: Option[Seq[String]] = partitioned.map(Seq(_)).orElse(cluster)
   override def requiredDistribution(): Distribution =
-    cluster.map(cs => Distributions.clustered(
+    keys.map(cs => Distributions.clustered(
         cs.map(c => Expressions.column(c): Expression).toArray))
       .getOrElse(Distributions.unspecified())
   override def requiredOrdering(): Array[SortOrder] =
-    cluster.map(_.map(c =>
+    keys.map(_.map(c =>
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray)
       .getOrElse(Array.empty)
   override def toBatch: BatchWrite =
     new GraftCsvBatchWrite(path, info.schema(), info.queryId(), truncate,
-      SerializableHadoopConf.fromSession())
-  override def toStreaming: StreamingWrite =
+      SerializableHadoopConf.fromSession(), partitioned)
+  override def toStreaming: StreamingWrite = {
+    if (partitioned.isDefined) throw new UnsupportedOperationException(
+      "graft-csv sink: partitionedBy is batch-only (the streaming face " +
+        "writes epoch-stamped flat files; a partitioned stream would need " +
+        "per-epoch key-dir compaction)")
     new GraftCsvStreamingWrite(path, info.schema(), info.queryId(),
       SerializableHadoopConf.fromSession())
+  }
 }
 
 /** Commit message: the temp file this task wrote and the final name it
@@ -534,8 +574,13 @@ private[sources] case class CsvFileCommit(tempFile: String, finalName: String)
 private[sources] object GraftCsvCommit {
   def publish(fs: FileSystem, root: HPath,
               messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach { case CsvFileCommit(tempFile, finalName) =>
+    messages.flatMap {
+      case f: CsvFileCommit => Seq(f)
+      case CsvFilesCommit(fsq) => fsq // partitioned task: one file per key
+    }.foreach { case CsvFileCommit(tempFile, finalName) =>
       val target = new HPath(root, finalName)
+      // partitioned finalNames live under key=value subdirectories
+      if (target.getParent != root) fs.mkdirs(target.getParent)
       if (fs.exists(target)) fs.delete(target, false)
       if (!fs.rename(new HPath(tempFile), target))
         throw new java.io.IOException(s"graft-csv: rename $tempFile -> $target failed")
@@ -544,21 +589,25 @@ private[sources] object GraftCsvCommit {
 
 private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
                                           queryId: String, truncate: Boolean,
-                                          conf: SerializableHadoopConf)
+                                          conf: SerializableHadoopConf,
+                                          partitioned: Option[String] = None)
     extends BatchWrite {
 
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf)
+    new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partitioned)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
     val fs = root.getFileSystem(conf.value)
     fs.mkdirs(root)
     if (truncate)
-      fs.listStatus(root).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-        .foreach(s => fs.delete(s.getPath, false))
+      // previous contents = top-level part files AND key=value directories
+      fs.listStatus(root).filter { s =>
+        !s.getPath.getName.startsWith("_") &&
+          (s.isFile || (s.isDirectory && s.getPath.getName.contains('=')))
+      }.foreach(s => fs.delete(s.getPath, true))
     GraftCsvCommit.publish(fs, root, messages)
     fs.delete(tmpDir, true)
     fs.create(new HPath(root, "_SUCCESS"), true).close()
@@ -632,11 +681,17 @@ private[sources] class GraftCsvStreamingWriterFactory(path: String, queryId: Str
 
 private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
                                              schema: StructType,
-                                             conf: SerializableHadoopConf)
+                                             conf: SerializableHadoopConf,
+                                             partitioned: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf,
-      f"part-$partitionId%05d.csv")
+    partitioned match {
+      case Some(col) =>
+        new GraftCsvPartitionedWriter(tmpDir, schema, col, partitionId, taskId, conf)
+      case None =>
+        new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf,
+          f"part-$partitionId%05d.csv")
+    }
 }
 
 private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,

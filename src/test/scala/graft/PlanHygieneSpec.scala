@@ -150,6 +150,32 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"bucketed join shuffles before joining:\n${smjs.head}")
   }
 
+  test("q_x_spj_join: storage-partitioned join — zero exchange AND zero sort below the SMJ") {
+    // The registered query, executed (EnsureRequirements decides SPJ, so
+    // the final adaptive plan is what must be clean — the static plan
+    // can't show it). AQE wraps subtrees in QueryStageExec nodes whose
+    // inner plan a plain collect does not reach, so traverse stages too.
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case other => p +: other.children.flatMap(flatten)
+    }
+    val df = SparkEntry.queries("q_x_spj_join")(spark, d)
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty,
+      s"expected a SortMergeJoin (MERGE hint pins it):\n${all.head}")
+    val below = flatten(smjs.head).drop(1)
+    assert(below.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"storage-partitioned join still shuffles:\n${smjs.head}")
+    assert(below.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty,
+      s"reported per-partition ordering unused — sorts below the SPJ:\n${smjs.head}")
+  }
+
   test("globalShuffle: one hash exchange on shard, no global sort") {
     // The operator's contract at 100 TB: the ONLY exchange is the hash
     // partition on `shard` (the in-shard rank is a partition-local

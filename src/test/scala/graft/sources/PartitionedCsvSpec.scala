@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The hive-style partitioned layout of the DSV2 CSV table and the
+  * storage-partitioned join it exists for: layout invariants, key
+  * encoding, planning-time partition pruning, and the zero-Exchange /
+  * zero-Sort join plan (SPARK-37377 semantics on this source). */
+class PartitionedCsvSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dir(name: String) =
+    s"${sys.props("java.io.tmpdir")}/graft_csvpart_${ProcessHandle.current().pid()}_$name"
+
+  private def writePartitioned(path: String): Unit =
+    graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+      .repartition(5) // scatter deliberately; the SINK must re-cluster
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).option("partitionedBy", "y").save()
+
+  test("partitionedBy writes one file per key under key=value dirs; payload excludes the key") {
+    val path = dir("layout")
+    writePartitioned(path)
+    val root = new java.io.File(path)
+    val keyDirs = root.listFiles().filter(_.isDirectory)
+      .filter(f => f.getName.startsWith("y=")).sortBy(_.getName)
+    assert(keyDirs.nonEmpty, "no key directories written")
+    keyDirs.foreach { d =>
+      val parts = d.listFiles().filter(f => f.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"${d.getName}: expected exactly one file per key, got ${parts.length}")
+      val header = Files.readAllLines(parts.head.toPath).get(0)
+      assert(header == "k;st", s"payload header must exclude the key: $header")
+    }
+    // no stray top-level part files, temp dirs cleaned, _SUCCESS stamped
+    assert(!root.listFiles().exists(f => f.isFile && f.getName.startsWith("part-")))
+    assert(!root.listFiles().exists(_.getName.contains("_tmp_")))
+    assert(root.listFiles().exists(_.getName == "_SUCCESS"))
+  }
+
+  test("partitioned round trip through the provider's own reader, with key re-attached") {
+    val path = dir("roundtrip")
+    writePartitioned(path)
+    val src = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+    val back = spark.read.schema("y STRING, k LONG, st STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    assert(back.orderBy("k").collect().toSeq.map(_.toSeq) ==
+      src.orderBy("k").collect().toSeq.map(_.toSeq))
+    // schemaless read: payload columns from the header + key as string
+    val inferred = spark.read
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    assert(inferred.columns.toSeq == Seq("k", "st", "y"))
+    assert(inferred.count() == src.count())
+  }
+
+  test("overwrite truncates the previous key directories") {
+    val path = dir("trunc")
+    Seq(("a", 1L), ("b", 2L)).toDF("g", "v")
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).option("partitionedBy", "g").save()
+    Seq(("c", 3L)).toDF("g", "v")
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).option("partitionedBy", "g").save()
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("g=c"), s"stale key dirs survived overwrite: $dirs")
+  }
+
+  test("hostile string keys encode injectively and round-trip") {
+    val path = dir("hostile")
+    val keys = Seq("plain", "with space", "a/b", "a=b", "100%", "émoji✓", "..")
+    keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("g", "v")
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).option("partitionedBy", "g").save()
+    val back = spark.read.schema("g STRING, v LONG")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == keys.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap)
+    // raw encode/decode inverse on the same values
+    keys.foreach { k =>
+      assert(PartitionedCsvLayout.decode(PartitionedCsvLayout.encode(k)) == k)
+    }
+  }
+
+  test("null partition keys are rejected loudly") {
+    val path = dir("nullkey")
+    val e = intercept[Exception] {
+      Seq((null.asInstanceOf[String], 1L)).toDF("g", "v")
+        .write.format("graft.sources.GraftCsvSink")
+        .mode("overwrite").option("path", path).option("partitionedBy", "g").save()
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("partition")) || msg(t.getCause))
+    assert(msg(e))
+  }
+
+  test("key filters prune directories at planning time; payload filters still push") {
+    val path = dir("prune")
+    writePartitioned(path)
+    val back = spark.read.schema("y STRING, k LONG, st STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    val total = PartitionedCsvLayout.listKeyDirs(path,
+      SerializableHadoopConf.fromSession().value).length
+    val filtered = back.filter(col("y") >= "1996" && col("k") > 100L)
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head
+    val keyed = scan.scan.asInstanceOf[KeyedCsvScan]
+    assert(keyed.partFilters.nonEmpty, "key filter was not captured for pruning")
+    assert(keyed.payloadFilters.nonEmpty, "payload filter was not pushed")
+    val planned = scan.inputRDD.getNumPartitions
+    assert(planned < total,
+      s"partition pruning planned $planned of $total key dirs — nothing pruned")
+    // values stay correct vs the unpruned frame
+    val expect = back.filter(col("y") >= "1996" && col("k") > 100L).count()
+    assert(filtered.count() == expect)
+  }
+
+  test("storage-partitioned join: zero Exchange and zero Sort below the SMJ") {
+    val a = dir("spj_a"); val b = dir("spj_b")
+    val orders = graft.Tables.orders(spark, TestSpark.sf0001)
+    orders.select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_totalprice").as("p"))
+      .groupBy("y").agg(count(lit(1)).as("n_orders"))
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", a).option("partitionedBy", "y").save()
+    orders.select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_orderpriority"))
+      .groupBy("y").agg(countDistinct(col("o_orderpriority")).as("n_prio"))
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", b).option("partitionedBy", "y").save()
+
+    val left = spark.read.schema("y STRING, n_orders LONG")
+      .format("graft.sources.GraftCsvSink").option("path", a).load()
+    val right = spark.read.schema("y STRING, n_prio LONG")
+      .format("graft.sources.GraftCsvSink").option("path", b).load()
+    val joined = left.hint("merge").join(right, "y")
+    val rows = joined.orderBy("y").collect()
+    assert(rows.length > 3, "join produced suspiciously few rows")
+
+    // executed above, so the adaptive plan is final — unwrap it (collect
+    // on AdaptiveSparkPlanExec itself does not descend into the plan)
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a SortMergeJoin:\n$plan")
+    assert(smjs.head.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"storage-partitioned join still shuffles:\n${smjs.head}")
+    assert(smjs.head.collect { case s: SortExec => s }.isEmpty,
+      s"reported ordering not used — sorts below the SPJ:\n${smjs.head}")
+    // and the values agree with a plain (shuffled) join of the same frames
+    val plain = left.join(right, "y").orderBy("y").collect()
+    assert(rows.toSeq == plain.toSeq)
+  }
+}
