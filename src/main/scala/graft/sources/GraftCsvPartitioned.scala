@@ -198,7 +198,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      val payloadFilters: Array[Filter],
                                      conf: SerializableHadoopConf)
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsReportOrdering {
+    with SupportsReportPartitioning with SupportsReportOrdering
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -210,23 +211,50 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
 
   override def toBatch: Batch = this
 
-  /** One partition per surviving key directory; files listed lazily and
-    * once (metadata-only planning, like every graft source). */
-  private lazy val parts: Array[InputPartition] = {
-    val typeJson = keyField.dataType.json
-    dirs.map { case (_, raw, dir) =>
-      KeyedCsvPartition(raw, typeJson,
-        GraftCsvTable.listPartFiles(dir, conf.value)): InputPartition
+  /** Runtime (DPP-style) partition pruning: a join against the
+    * partitioned table hands the build side's key set to the scan at
+    * execution time; directories whose key is not in the set are
+    * dropped at the METADATA level — never listed for files, never
+    * opened. To keep the reported KeyGroupedPartitioning truthful the
+    * partition COUNT is preserved: pruned keys plan as empty
+    * partitions (zero files, zero I/O). */
+  @volatile private[sources] var runtimeKeys: Option[Set[Any]] = None
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(keyField.name))
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case org.apache.spark.sql.sources.In(a, vs)
+        if a.equalsIgnoreCase(keyField.name) => vs.toSet
+      case org.apache.spark.sql.sources.EqualTo(a, v)
+        if a.equalsIgnoreCase(keyField.name) => Set(v)
     }
+    if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = parts
+  /** Per-directory file listings, performed AT MOST once per directory
+    * and only for directories a plan actually reads (runtime-pruned
+    * keys never pay their listing). */
+  private val fileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private def filesOf(dir: String): Array[String] =
+    fileCache.computeIfAbsent(dir, d => GraftCsvTable.listPartFiles(d, conf.value))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val typeJson = keyField.dataType.json
+    val keep = runtimeKeys
+    dirs.map { case (_, raw, dir) =>
+      val pruned = keep.exists(ks =>
+        !ks.contains(PartitionedCsvLayout.keyValue(raw, keyField.dataType)))
+      KeyedCsvPartition(raw, typeJson,
+        if (pruned) Array.empty else filesOf(dir)): InputPartition
+    }
+  }
 
   /** The SPJ contract: rows are grouped by `identity(key)` with exactly
     * one partition per key value. */
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(Array(Expressions.identity(keyField.name)),
-      parts.length)
+      dirs.length)
 
   /** Within a partition every row carries the SAME key, so "ordered by
     * key ascending" holds vacuously — reporting it lets the engine drop

@@ -161,7 +161,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType)
     // scan (storage-partitioned joins, planning-time pruning).
     val conf = SerializableHadoopConf.fromSession()
     val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf.value)
-    if (keyDirs.isEmpty) new GraftCsvScanBuilder(path, tableSchema)
+    val vectorized = Option(options.get("vectorized")).forall(_.toBoolean)
+    if (keyDirs.isEmpty) new GraftCsvScanBuilder(path, tableSchema, vectorized)
     else new KeyedCsvScanBuilder(path, tableSchema, keyDirs.head._1, keyDirs, conf)
   }
 }
@@ -252,7 +253,8 @@ private[sources] object CsvFilterEval {
   }
 }
 
-private[sources] class GraftCsvScanBuilder(path: String, full: StructType)
+private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
+                                           vectorized: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -267,7 +269,7 @@ private[sources] class GraftCsvScanBuilder(path: String, full: StructType)
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new GraftCsvScan(path, required, full, pushed,
-      SerializableHadoopConf.fromSession())
+      SerializableHadoopConf.fromSession(), vectorized)
 }
 
 private[sources] case class CsvFilePartition(file: String) extends InputPartition
@@ -275,7 +277,8 @@ private[sources] case class CsvFilePartition(file: String) extends InputPartitio
 // Public like PagedScan so PlanHygieneSpec can read `pushed` off the plan.
 class GraftCsvScan private[sources] (path: String, required: StructType,
                                      full: StructType, val pushed: Array[Filter],
-                                     conf: SerializableHadoopConf)
+                                     conf: SerializableHadoopConf,
+                                     vectorized: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -294,18 +297,85 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
       .filterNot(n => required.fieldNames.exists(_.equalsIgnoreCase(n)))
       .flatMap(n => full.fields.find(_.name.equalsIgnoreCase(n)))
     new GraftCsvReaderFactory(required, StructType(required.fields ++ extra),
-      pushed, conf)
+      pushed, conf, vectorized)
   }
 }
 
 private[sources] class GraftCsvReaderFactory(required: StructType,
                                              parse: StructType,
                                              pushed: Array[Filter],
-                                             conf: SerializableHadoopConf)
+                                             conf: SerializableHadoopConf,
+                                             vectorized: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file,
       required, parse, pushed, conf)
+
+  /** Columnar (vectorized) reads by default — `option("vectorized",
+    * "false")` falls back to the row reader. */
+  override def supportColumnarReads(p: InputPartition): Boolean = vectorized
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftCsvColumnarReader(p.asInstanceOf[CsvFilePartition].file,
+      required, parse, pushed, conf)
+}
+
+/** Vectorized face of the CSV scan: surviving records append into
+  * on-heap column vectors and leave the source as [[ColumnarBatch]]es
+  * of up to 4096 rows. The engine's ColumnarToRow conversion runs
+  * INSIDE whole-stage codegen reading the vectors directly — versus
+  * the row reader's per-record `GenericInternalRow` allocation plus
+  * the unsafe-row copy every downstream operator pays. Same parse,
+  * same pushed-filter evaluation, same null semantics
+  * ([[CsvValueIterator]] is shared), so the two faces cannot drift. */
+private[sources] class GraftCsvColumnarReader(file: String, required: StructType,
+                                              parse: StructType,
+                                              pushed: Array[Filter],
+                                              conf: SerializableHadoopConf,
+                                              batchSize: Int = 4096)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val it = new CsvValueIterator(file, required, parse, pushed, conf)
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private val types: Array[DataType] = required.fields.map(_.dataType)
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < batchSize && it.next()) {
+      var j = 0
+      while (j < types.length) {
+        val v = it.values(j)
+        if (v == null) vectors(j).putNull(n)
+        else types(j) match {
+          case StringType =>
+            val b = v.asInstanceOf[String]
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            vectors(j).putByteArray(n, b, 0, b.length)
+          case LongType => vectors(j).putLong(n, v.asInstanceOf[Long])
+          case IntegerType => vectors(j).putInt(n, v.asInstanceOf[Int])
+          case ShortType => vectors(j).putShort(n, v.asInstanceOf[Short])
+          case DoubleType => vectors(j).putDouble(n, v.asInstanceOf[Double])
+          case FloatType => vectors(j).putFloat(n, v.asInstanceOf[Float])
+          case BooleanType => vectors(j).putBoolean(n, v.asInstanceOf[Boolean])
+          case other => throw new UnsupportedOperationException(
+            s"graft-csv columnar read: unsupported column type $other")
+        }
+        j += 1
+      }
+      n += 1
+    }
+    if (n == 0) false
+    else { batch.setNumRows(n); true }
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); it.close() }
 }
 
 /** The sink's RFC-4180 quoting: quote-and-double when the field
@@ -396,19 +466,19 @@ private[sources] class CsvRecordIterator(in: java.io.Reader, sep: Char)
   }
 }
 
-/** Reads ONE part file: resolves the parse columns against the file's
-  * own header by NAME (committed files are self-describing; resolution
-  * is case-insensitive, matching Spark's default column resolution),
-  * converts the writer's renderings back to the requested types,
-  * evaluates the pushed filters, and emits only the `required` prefix
-  * of each surviving record. Empty fields decode as NULL — the
-  * writer's null rendering. */
-private[sources] class GraftCsvPartitionReader(file: String, required: StructType,
-                                               parse: StructType,
-                                               pushed: Array[Filter],
-                                               conf: SerializableHadoopConf)
-    extends PartitionReader[InternalRow] {
-
+/** The shared parse/filter/convert core of ONE part file: resolves the
+  * parse columns against the file's own header by NAME (committed files
+  * are self-describing; resolution is case-insensitive, matching
+  * Spark's default column resolution), converts the writer's renderings
+  * back to the requested types, and evaluates the pushed filters.
+  * Surviving records expose their `required`-prefix JVM values via
+  * [[values]] — the row reader turns one into an InternalRow, the
+  * columnar reader appends a batch of them into column vectors. Empty
+  * fields decode as NULL — the writer's null rendering. */
+private[sources] class CsvValueIterator(file: String, required: StructType,
+                                        parse: StructType,
+                                        pushed: Array[Filter],
+                                        conf: SerializableHadoopConf) {
   private val in = {
     val p = new HPath(file)
     new java.io.BufferedReader(new java.io.InputStreamReader(
@@ -451,39 +521,60 @@ private[sources] class GraftCsvPartitionReader(file: String, required: StructTyp
   // Hoisted out of the per-record loop: field types aligned with their
   // header positions.
   private val fieldTypes: Array[DataType] = parse.fields.map(_.dataType)
-  private var row: InternalRow = _
 
-  override def next(): Boolean = {
+  /** The current surviving record's JVM values, `parse`-ordered (the
+    * `required` columns are its prefix). Valid after `next()` = true. */
+  var values: Array[Any] = _
+
+  def next(): Boolean = {
     while (records.hasNext) {
       val rec = records.next()
-      val values = new Array[Any](fieldTypes.length)
+      val vs = new Array[Any](fieldTypes.length)
       var i = 0
       while (i < fieldTypes.length) {
         val idx = colIndex(i)
-        values(i) = if (idx >= rec.length) null else convert(rec(idx), fieldTypes(i))
+        vs(i) = if (idx >= rec.length) null else convert(rec(idx), fieldTypes(i))
         i += 1
       }
       def valueOf(name: String): Any =
-        values(evalPos(name.toLowerCase(java.util.Locale.ROOT)))
+        vs(evalPos(name.toLowerCase(java.util.Locale.ROOT)))
       if (pushed.forall(CsvFilterEval.eval(_, valueOf))) {
-        val out = new Array[Any](required.length)
-        var j = 0
-        while (j < required.length) {
-          out(j) = values(j) match {
-            case s: String => UTF8String.fromString(s)
-            case v => v
-          }
-          j += 1
-        }
-        row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+        values = vs
         return true
       }
     }
     false
   }
 
+  def close(): Unit = in.close()
+}
+
+/** Row-at-a-time face of [[CsvValueIterator]]. */
+private[sources] class GraftCsvPartitionReader(file: String, required: StructType,
+                                               parse: StructType,
+                                               pushed: Array[Filter],
+                                               conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+  private val it = new CsvValueIterator(file, required, parse, pushed, conf)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.next()) return false
+    val out = new Array[Any](required.length)
+    var j = 0
+    while (j < required.length) {
+      out(j) = it.values(j) match {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+      j += 1
+    }
+    row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+    true
+  }
+
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = it.close()
 }
 
 private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo,

@@ -130,6 +130,49 @@ class PartitionedCsvSpec extends AnyFunSuite {
     assert(filtered.count() == expect)
   }
 
+  test("runtime key filtering prunes directories to empty partitions (DPP shape)") {
+    val path = dir("dpp")
+    writePartitioned(path)
+    val conf = SerializableHadoopConf.fromSession()
+    val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf.value)
+    assert(keyDirs.length > 2)
+    val keepKeys: Set[Any] = Set(keyDirs.head._2, keyDirs.last._2)
+    def freshScan(): KeyedCsvScan = {
+      val b = new KeyedCsvScanBuilder(path,
+        org.apache.spark.sql.types.StructType.fromDDL("y STRING, k LONG, st STRING"),
+        "y", keyDirs, conf)
+      b.build().asInstanceOf[KeyedCsvScan]
+    }
+    val scan = freshScan()
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("y", keepKeys.toArray)))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[KeyedCsvPartition])
+    // partition COUNT preserved (the reported KeyGroupedPartitioning must
+    // stay truthful); pruned keys carry zero files
+    assert(parts.length == keyDirs.length)
+    assert(parts.filter(p => keepKeys.contains(p.keyRaw)).forall(_.files.nonEmpty))
+    assert(parts.filterNot(p => keepKeys.contains(p.keyRaw)).forall(_.files.isEmpty))
+    // rows read = exactly the kept keys' rows
+    val factory = scan.createReaderFactory()
+    var n = 0
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      try while (r.next()) n += 1
+      finally r.close()
+    }
+    val expected = spark.read.schema("y STRING, k LONG, st STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+      .filter(col("y").isin(keepKeys.toSeq.map(_.toString): _*)).count()
+    assert(n.toLong == expected)
+    // intersecting filter calls (Spark may deliver several)
+    val scan2 = freshScan()
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("y", keepKeys.toArray),
+      org.apache.spark.sql.sources.EqualTo("y", keyDirs.head._2)))
+    val parts2 = scan2.planInputPartitions().map(_.asInstanceOf[KeyedCsvPartition])
+    assert(parts2.count(_.files.nonEmpty) == 1)
+  }
+
   test("storage-partitioned join: zero Exchange and zero Sort below the SMJ") {
     val a = dir("spj_a"); val b = dir("spj_b")
     val orders = graft.Tables.orders(spark, TestSpark.sf0001)
