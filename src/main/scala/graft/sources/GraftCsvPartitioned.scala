@@ -141,7 +141,8 @@ private[sources] case class KeyedCsvPartition(keyRaw: String,
 private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
                                            keyCol: String,
                                            dirs: Array[(String, String, String)],
-                                           conf: SerializableHadoopConf)
+                                           conf: SerializableHadoopConf,
+                                           vectorized: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private val keyField: StructField = full.fields
@@ -184,7 +185,7 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
       partFilters.forall(CsvFilterEval.eval(_, _ => v))
     }
     new KeyedCsvScan(path, required, payload, keyField, survivors,
-      partFilters, payloadFilters, conf)
+      partFilters, payloadFilters, conf, vectorized)
   }
 }
 
@@ -196,10 +197,11 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      dirs: Array[(String, String, String)],
                                      val partFilters: Array[Filter],
                                      val payloadFilters: Array[Filter],
-                                     conf: SerializableHadoopConf)
+                                     conf: SerializableHadoopConf,
+                                     vectorized: Boolean = false)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -231,13 +233,14 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
   }
 
-  /** Per-directory file listings, performed AT MOST once per directory
-    * and only for directories a plan actually reads (runtime-pruned
-    * keys never pay their listing). */
+  /** Per-directory file listings (with sizes), performed AT MOST once
+    * per directory and only for directories a plan actually reads
+    * (runtime-pruned keys never pay their listing). */
   private val fileCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
-  private def filesOf(dir: String): Array[String] =
-    fileCache.computeIfAbsent(dir, d => GraftCsvTable.listPartFiles(d, conf.value))
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long)]]()
+  private def listedOf(dir: String): Array[(String, Long)] =
+    fileCache.computeIfAbsent(dir,
+      d => GraftCsvTable.listPartFilesWithSize(d, conf.value))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val typeJson = keyField.dataType.json
@@ -246,8 +249,21 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       val pruned = keep.exists(ks =>
         !ks.contains(PartitionedCsvLayout.keyValue(raw, keyField.dataType)))
       KeyedCsvPartition(raw, typeJson,
-        if (pruned) Array.empty else filesOf(dir)): InputPartition
+        if (pruned) Array.empty else listedOf(dir).map(_._1)): InputPartition
     }
+  }
+
+  /** Post-static-pruning byte size (the honest estimate a join planner
+    * should see: a month-sliced read of a decade-deep table reports the
+    * month, not the decade). Without this a DSV2 relation defaults to
+    * `defaultSizeInBytes` = never broadcastable. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(dirs.map { case (_, _, dir) =>
+        listedOf(dir).map(_._2).sum
+      }.sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
   }
 
   /** The SPJ contract: rows are grouped by `identity(key)` with exactly
@@ -276,7 +292,7 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       StructType(payloadRequired.fields ++ extra), payloadFilters,
       if (keyInRequired) required.fieldNames.indexWhere(
         _.equalsIgnoreCase(keyField.name)) else -1,
-      keyField.dataType.json, conf)
+      keyField.dataType.json, conf, vectorized)
   }
 }
 
@@ -285,11 +301,117 @@ private[sources] class KeyedCsvReaderFactory(required: StructType,
                                              parse: StructType,
                                              payloadFilters: Array[Filter],
                                              keyPos: Int, keyTypeJson: String,
-                                             conf: SerializableHadoopConf)
+                                             conf: SerializableHadoopConf,
+                                             vectorized: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new KeyedCsvReader(p.asInstanceOf[KeyedCsvPartition], required,
       payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf)
+
+  override def supportColumnarReads(p: InputPartition): Boolean = vectorized
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new KeyedCsvColumnarReader(p.asInstanceOf[KeyedCsvPartition], required,
+      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf)
+}
+
+/** Columnar face of the keyed read: payload columns fill on-heap
+  * vectors ([[CsvValueIterator]] shared with the row face), while the
+  * partition key — constant across the whole partition by construction
+  * — is a [[ConstantColumnVector]] set ONCE per partition: the key
+  * costs zero bytes per row in the batch, the exact vector form of
+  * "the key is metadata, not data". */
+private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
+                                              required: StructType,
+                                              payloadRequired: StructType,
+                                              parse: StructType,
+                                              payloadFilters: Array[Filter],
+                                              keyPos: Int, keyTypeJson: String,
+                                              conf: SerializableHadoopConf,
+                                              batchSize: Int = 4096)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val payloadVectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, payloadRequired)
+  private val columns: Array[ColumnVector] = {
+    val out = new Array[ColumnVector](required.length)
+    var i = 0; var j = 0
+    while (i < required.length) {
+      if (i == keyPos) {
+        val keyType = DataType.fromJson(keyTypeJson)
+        val kv = new ConstantColumnVector(batchSize, keyType)
+        PartitionedCsvLayout.keyValue(part.keyRaw, keyType) match {
+          case s: String => kv.setUtf8String(UTF8String.fromString(s))
+          case l: Long => kv.setLong(l)
+          case n: Int => kv.setInt(n)
+          case n: Short => kv.setShort(n)
+          case b: Boolean => kv.setBoolean(b)
+          case other => throw new IllegalStateException(s"key value $other")
+        }
+        out(i) = kv
+      } else { out(i) = payloadVectors(j); j += 1 }
+      i += 1
+    }
+    out
+  }
+  private val batch = new ColumnarBatch(columns)
+  private val types: Array[DataType] = payloadRequired.fields.map(_.dataType)
+
+  private var fileIdx = 0
+  private var it: CsvValueIterator = _
+
+  private def nextFile(): Boolean = {
+    if (it != null) { it.close(); it = null }
+    if (fileIdx >= part.files.length) false
+    else {
+      it = new CsvValueIterator(part.files(fileIdx), payloadRequired, parse,
+        payloadFilters, conf)
+      fileIdx += 1
+      true
+    }
+  }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < payloadVectors.length) { payloadVectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < batchSize) {
+      if (it == null && !nextFile()) {
+        if (n == 0) return false
+        batch.setNumRows(n); return true
+      }
+      if (it.next()) {
+        var j = 0
+        while (j < types.length) {
+          val v = it.values(j)
+          if (v == null) payloadVectors(j).putNull(n)
+          else types(j) match {
+            case StringType =>
+              val b = v.asInstanceOf[String]
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              payloadVectors(j).putByteArray(n, b, 0, b.length)
+            case LongType => payloadVectors(j).putLong(n, v.asInstanceOf[Long])
+            case IntegerType => payloadVectors(j).putInt(n, v.asInstanceOf[Int])
+            case ShortType => payloadVectors(j).putShort(n, v.asInstanceOf[Short])
+            case DoubleType => payloadVectors(j).putDouble(n, v.asInstanceOf[Double])
+            case FloatType => payloadVectors(j).putFloat(n, v.asInstanceOf[Float])
+            case BooleanType => payloadVectors(j).putBoolean(n, v.asInstanceOf[Boolean])
+            case other => throw new UnsupportedOperationException(
+              s"graft-csv columnar read: unsupported column type $other")
+          }
+          j += 1
+        }
+        n += 1
+      } else { it.close(); it = null }
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); if (it != null) it.close() }
 }
 
 /** Streams every part file of one key directory through the flat CSV

@@ -104,15 +104,20 @@ class GraftCsvSink extends TableProvider {
 }
 
 private[sources] object GraftCsvTable {
-  def listPartFiles(path: String, conf: Configuration): Array[String] = {
+  def listPartFiles(path: String, conf: Configuration): Array[String] =
+    listPartFilesWithSize(path, conf).map(_._1)
+
+  /** (path, byte length) per committed part file — ONE listing serving
+    * both partition planning and size statistics. */
+  def listPartFilesWithSize(path: String, conf: Configuration): Array[(String, Long)] = {
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".csv"))
-      .map(_.getPath.toString)
-      .sorted
+      .map(s => (s.getPath.toString, s.getLen))
+      .sortBy(_._1)
   }
 
   /** Header of the first committed part file, every column as string —
@@ -163,7 +168,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType)
     val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf.value)
     val vectorized = Option(options.get("vectorized")).forall(_.toBoolean)
     if (keyDirs.isEmpty) new GraftCsvScanBuilder(path, tableSchema, vectorized)
-    else new KeyedCsvScanBuilder(path, tableSchema, keyDirs.head._1, keyDirs, conf)
+    else new KeyedCsvScanBuilder(path, tableSchema, keyDirs.head._1, keyDirs,
+      conf, vectorized)
   }
 }
 

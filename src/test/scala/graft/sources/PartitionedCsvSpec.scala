@@ -173,6 +173,47 @@ class PartitionedCsvSpec extends AnyFunSuite {
     assert(parts2.count(_.files.nonEmpty) == 1)
   }
 
+  test("keyed columnar read: constant-vector key, values identical to the row face") {
+    val path = dir("keyedvec")
+    writePartitioned(path)
+    def read(vectorized: Boolean) = spark.read
+      .schema("y STRING, k LONG, st STRING")
+      .format("graft.sources.GraftCsvSink")
+      .option("path", path).option("vectorized", vectorized.toString).load()
+    assert(read(true).orderBy("k").collect().toSeq.map(_.toSeq) ==
+      read(false).orderBy("k").collect().toSeq.map(_.toSeq))
+    val p = read(true).queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"),
+      s"keyed vectorized scan did not plan columnar:\n$p")
+    // pruned-key projection (key not in output) stays columnar + correct
+    assert(read(true).select("st").count() == read(false).select("st").count())
+  }
+
+  test("aggregation on the partition key plans ZERO exchange (key-grouped scan satisfies the clustering)") {
+    val path = dir("aggfree")
+    writePartitioned(path)
+    val agg = spark.read.schema("y STRING, k LONG, st STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+      .groupBy("y").agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    val rows = agg.collect()
+    assert(rows.length > 3)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: flatten(q.plan)
+      case other => p +: other.children.flatMap(flatten)
+    }
+    val all = flatten(agg.queryExecution.executedPlan)
+    assert(all.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"groupBy on the partition key still shuffles:\n${all.head}")
+    // values agree with a fresh (shuffled) aggregation over the raw frame
+    val plain = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_orderkey").as("k"))
+      .groupBy("y").agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == plain)
+  }
+
   test("storage-partitioned join: zero Exchange and zero Sort below the SMJ") {
     val a = dir("spj_a"); val b = dir("spj_b")
     val orders = graft.Tables.orders(spark, TestSpark.sf0001)
@@ -211,5 +252,22 @@ class PartitionedCsvSpec extends AnyFunSuite {
     // and the values agree with a plain (shuffled) join of the same frames
     val plain = left.join(right, "y").orderBy("y").collect()
     assert(rows.toSeq == plain.toSeq)
+  }
+
+  test("regression: broadcast join over keyed scans + orderBy survives AQE") {
+    // With v2.bucketing.sorting.enabled, Spark 4.1.2 eliminates the
+    // global Sort above a BROADCAST join whose stream side is a
+    // key-grouped scan, and AQE then dies staging the BroadcastExchange
+    // (missing-logical-link assertion). The conf is pinned OFF in
+    // Tables.requiredConfs; this is the exact crash shape, kept green.
+    assert(spark.conf.get("spark.sql.sources.v2.bucketing.sorting.enabled") == "false")
+    val path = dir("bhj_orderby")
+    writePartitioned(path)
+    val t = spark.read.schema("y STRING, k LONG, st STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    val dim = t.groupBy("y").agg(count(lit(1)).as("n"))
+    // unhinted: statistics make the dim broadcastable
+    val rows = t.join(dim, "y").orderBy("y", "k").collect()
+    assert(rows.nonEmpty)
   }
 }
