@@ -144,7 +144,7 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
                                            conf: SerializableHadoopConf,
                                            vectorized: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private val keyField: StructField = full.fields
     .find(_.name.equalsIgnoreCase(keyCol))
     .getOrElse(throw new IllegalArgumentException(
@@ -157,9 +157,15 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
   private var required: StructType = full
   private var partFilters: Array[Filter] = Array.empty
   private var payloadFilters: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** PARTIAL limit per key-directory partition (same contract as the
+    * flat scan); the engine's CollectLimit finishes globally. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // A filter whose every reference is the key column prunes DIRECTORIES
@@ -185,7 +191,7 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
       partFilters.forall(CsvFilterEval.eval(_, _ => v))
     }
     new KeyedCsvScan(path, required, payload, keyField, survivors,
-      partFilters, payloadFilters, conf, vectorized)
+      partFilters, payloadFilters, conf, vectorized, limit)
   }
 }
 
@@ -198,7 +204,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      val partFilters: Array[Filter],
                                      val payloadFilters: Array[Filter],
                                      conf: SerializableHadoopConf,
-                                     vectorized: Boolean = false)
+                                     vectorized: Boolean = false,
+                                     val pushedLimit: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
@@ -209,7 +216,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     s"GraftCsvKeyed path=$path key=${keyField.name} partitions=${dirs.length} " +
       s"PartitionFilters: [${partFilters.mkString(", ")}] " +
       s"PushedFilters: [${payloadFilters.mkString(", ")}] " +
-      s"ReadSchema: ${required.simpleString}"
+      s"ReadSchema: ${required.simpleString}" +
+      pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
 
   override def toBatch: Batch = this
 
@@ -292,7 +300,7 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       StructType(payloadRequired.fields ++ extra), payloadFilters,
       if (keyInRequired) required.fieldNames.indexWhere(
         _.equalsIgnoreCase(keyField.name)) else -1,
-      keyField.dataType.json, conf, vectorized)
+      keyField.dataType.json, conf, vectorized, pushedLimit)
   }
 }
 
@@ -302,17 +310,19 @@ private[sources] class KeyedCsvReaderFactory(required: StructType,
                                              payloadFilters: Array[Filter],
                                              keyPos: Int, keyTypeJson: String,
                                              conf: SerializableHadoopConf,
-                                             vectorized: Boolean = false)
+                                             vectorized: Boolean = false,
+                                             limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new KeyedCsvReader(p.asInstanceOf[KeyedCsvPartition], required,
-      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf)
+      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf, limit)
 
   override def supportColumnarReads(p: InputPartition): Boolean = vectorized
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new KeyedCsvColumnarReader(p.asInstanceOf[KeyedCsvPartition], required,
-      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf)
+      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf,
+      limit = limit)
 }
 
 /** Columnar face of the keyed read: payload columns fill on-heap
@@ -328,7 +338,8 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
                                               payloadFilters: Array[Filter],
                                               keyPos: Int, keyTypeJson: String,
                                               conf: SerializableHadoopConf,
-                                              batchSize: Int = 4096)
+                                              batchSize: Int = 4096,
+                                              limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -373,14 +384,20 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
     }
   }
 
+  private var emitted = 0L
+
   override def next(): Boolean = {
     var i = 0
     while (i < payloadVectors.length) { payloadVectors(i).reset(); i += 1 }
+    // partial-limit: the batch fill cap shrinks to the rows remaining
+    val cap = limit.map(l => math.min(batchSize.toLong, l - emitted).toInt)
+      .getOrElse(batchSize)
+    if (cap <= 0) return false
     var n = 0
-    while (n < batchSize) {
+    while (n < cap) {
       if (it == null && !nextFile()) {
         if (n == 0) return false
-        batch.setNumRows(n); return true
+        emitted += n; batch.setNumRows(n); return true
       }
       if (it.next()) {
         var j = 0
@@ -406,6 +423,7 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
         n += 1
       } else { it.close(); it = null }
     }
+    emitted += n
     batch.setNumRows(n)
     true
   }
@@ -424,11 +442,13 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
                                       parse: StructType,
                                       payloadFilters: Array[Filter],
                                       keyPos: Int, keyTypeJson: String,
-                                      conf: SerializableHadoopConf)
+                                      conf: SerializableHadoopConf,
+                                      limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val keyValue: Any =
     PartitionedCsvLayout.catalystKey(part.keyRaw, DataType.fromJson(keyTypeJson))
   private var fileIdx = 0
+  private var emitted = 0L
   private var inner: GraftCsvPartitionReader = _
   private var row: InternalRow = _
 
@@ -444,6 +464,7 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
   }
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     while (true) {
       if (inner == null && !nextInner()) return false
       if (inner.next()) {
@@ -460,6 +481,7 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
             }
             new GenericInternalRow(out)
           }
+        emitted += 1
         return true
       }
       inner.close(); inner = null

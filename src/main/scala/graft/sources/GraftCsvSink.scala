@@ -262,9 +262,10 @@ private[sources] object CsvFilterEval {
 private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
                                            vectorized: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -273,9 +274,15 @@ private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
     rest // residual: shapes/types this dialect can't evaluate
   }
   override def pushedFilters(): Array[Filter] = pushed
+  /** PARTIAL limit (each part-file partition stops parsing after n
+    * surviving rows; the engine's CollectLimit finishes) — with the
+    * incremental take, `LIMIT n` over a many-file table typically opens
+    * ONE file. Same contract as the paged source's pushLimit. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
   override def build(): Scan =
     new GraftCsvScan(path, required, full, pushed,
-      SerializableHadoopConf.fromSession(), vectorized)
+      SerializableHadoopConf.fromSession(), vectorized, limit)
 }
 
 private[sources] case class CsvFilePartition(file: String) extends InputPartition
@@ -284,13 +291,15 @@ private[sources] case class CsvFilePartition(file: String) extends InputPartitio
 class GraftCsvScan private[sources] (path: String, required: StructType,
                                      full: StructType, val pushed: Array[Filter],
                                      conf: SerializableHadoopConf,
-                                     vectorized: Boolean = false)
+                                     vectorized: Boolean = false,
+                                     val pushedLimit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCsv path=$path ReadSchema: ${required.simpleString} " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
   // Metadata-only planning: one partition per committed part file.
   override def planInputPartitions(): Array[InputPartition] =
     GraftCsvTable.listPartFiles(path, conf.value)
@@ -303,7 +312,7 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
       .filterNot(n => required.fieldNames.exists(_.equalsIgnoreCase(n)))
       .flatMap(n => full.fields.find(_.name.equalsIgnoreCase(n)))
     new GraftCsvReaderFactory(required, StructType(required.fields ++ extra),
-      pushed, conf, vectorized)
+      pushed, conf, vectorized, pushedLimit)
   }
 }
 
@@ -311,11 +320,12 @@ private[sources] class GraftCsvReaderFactory(required: StructType,
                                              parse: StructType,
                                              pushed: Array[Filter],
                                              conf: SerializableHadoopConf,
-                                             vectorized: Boolean = false)
+                                             vectorized: Boolean = false,
+                                             limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file,
-      required, parse, pushed, conf)
+      required, parse, pushed, conf, limit)
 
   /** Columnar (vectorized) reads by default — `option("vectorized",
     * "false")` falls back to the row reader. */
@@ -323,7 +333,7 @@ private[sources] class GraftCsvReaderFactory(required: StructType,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(p.asInstanceOf[CsvFilePartition].file,
-      required, parse, pushed, conf)
+      required, parse, pushed, conf, limit = limit)
 }
 
 /** Vectorized face of the CSV scan: surviving records append into
@@ -338,7 +348,8 @@ private[sources] class GraftCsvColumnarReader(file: String, required: StructType
                                               parse: StructType,
                                               pushed: Array[Filter],
                                               conf: SerializableHadoopConf,
-                                              batchSize: Int = 4096)
+                                              batchSize: Int = 4096,
+                                              limit: Option[Int] = None)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -348,12 +359,17 @@ private[sources] class GraftCsvColumnarReader(file: String, required: StructType
     OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
   private val types: Array[DataType] = required.fields.map(_.dataType)
+  private var emitted = 0L
 
   override def next(): Boolean = {
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    // partial-limit: the batch fill cap shrinks to the rows remaining
+    val cap = limit.map(l => math.min(batchSize.toLong, l - emitted).toInt)
+      .getOrElse(batchSize)
+    if (cap <= 0) return false
     var n = 0
-    while (n < batchSize && it.next()) {
+    while (n < cap && it.next()) {
       var j = 0
       while (j < types.length) {
         val v = it.values(j)
@@ -377,7 +393,7 @@ private[sources] class GraftCsvColumnarReader(file: String, required: StructType
       n += 1
     }
     if (n == 0) false
-    else { batch.setNumRows(n); true }
+    else { emitted += n; batch.setNumRows(n); true }
   }
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
@@ -555,17 +571,23 @@ private[sources] class CsvValueIterator(file: String, required: StructType,
   def close(): Unit = in.close()
 }
 
-/** Row-at-a-time face of [[CsvValueIterator]]. */
+/** Row-at-a-time face of [[CsvValueIterator]]. With a pushed `limit`,
+  * the partition stops PARSING after emitting that many surviving rows
+  * (partial-limit contract — the engine's CollectLimit finishes). */
 private[sources] class GraftCsvPartitionReader(file: String, required: StructType,
                                                parse: StructType,
                                                pushed: Array[Filter],
-                                               conf: SerializableHadoopConf)
+                                               conf: SerializableHadoopConf,
+                                               limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val it = new CsvValueIterator(file, required, parse, pushed, conf)
+  private var emitted = 0L
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     if (!it.next()) return false
+    emitted += 1
     val out = new Array[Any](required.length)
     var j = 0
     while (j < required.length) {

@@ -180,6 +180,31 @@ class CsvSinkSpec extends AnyFunSuite {
       Set("plain", "multi\nline"))
   }
 
+  test("LIMIT pushes into the scan (partial), both row and columnar faces") {
+    val path = dir("limit")
+    (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    for (vec <- Seq(true, false)) {
+      val limited = spark.read.schema("id LONG, s STRING")
+        .format("graft.sources.GraftCsvSink")
+        .option("path", path).option("vectorized", vec.toString).load()
+        .limit(7)
+      assert(limited.collect().length == 7, s"vectorized=$vec")
+      val scan = limited.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.scan.asInstanceOf[GraftCsvScan]
+      assert(scan.pushedLimit.contains(7),
+        s"vectorized=$vec: limit not pushed — ${scan.description()}")
+    }
+    // limit composes with a pushed filter: n rows AFTER the filter
+    val f = spark.read.schema("id LONG, s STRING")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+      .filter(col("id") > 500L).limit(5)
+    val got = f.collect()
+    assert(got.length == 5 && got.forall(_.getLong(0) > 500L))
+  }
+
   test("overwrite truncates (idempotent re-run) and leaves no temp dirs") {
     val path = dir("trunc")
     val src = (1L to 100L).toDF("id").withColumn("tag", lit("t"))

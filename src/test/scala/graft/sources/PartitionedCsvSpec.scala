@@ -254,6 +254,23 @@ class PartitionedCsvSpec extends AnyFunSuite {
     assert(rows.toSeq == plain.toSeq)
   }
 
+  test("LIMIT pushes into the keyed scan (partial, per key partition)") {
+    val path = dir("keyedlimit")
+    writePartitioned(path)
+    for (vec <- Seq(true, false)) {
+      val limited = spark.read.schema("y STRING, k LONG, st STRING")
+        .format("graft.sources.GraftCsvSink")
+        .option("path", path).option("vectorized", vec.toString).load()
+        .limit(4)
+      assert(limited.collect().length == 4, s"vectorized=$vec")
+      val scan = limited.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.scan.asInstanceOf[KeyedCsvScan]
+      assert(scan.pushedLimit.contains(4),
+        s"vectorized=$vec: limit not pushed — ${scan.description()}")
+    }
+  }
+
   test("regression: broadcast join over keyed scans + orderBy survives AQE") {
     // With v2.bucketing.sorting.enabled, Spark 4.1.2 eliminates the
     // global Sort above a BROADCAST join whose stream side is a
