@@ -520,6 +520,10 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
   private var currentKey: String = _ // encoded; null = no file open yet
   private var current: GraftCsvDataWriter = _
   private val committed = scala.collection.mutable.ArrayBuffer.empty[CsvFileCommit]
+  // metrics carried across rolled files (the current file's live
+  // counters are added in currentMetricsValues)
+  private var rolledRows = 0L
+  private var rolledBytes = 0L
 
   private def keyString(row: InternalRow): String = {
     if (row.isNullAt(keyIdx)) throw new IllegalArgumentException(
@@ -537,8 +541,11 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
   }
 
   private def roll(keyEnc: String): Unit = {
-    if (current != null)
+    if (current != null) {
+      rolledRows += current.rows
+      rolledBytes += current.bytes
       committed += current.commit().asInstanceOf[CsvFileCommit]
+    }
     current = new GraftCsvDataWriter(tmpDir, payload, partitionId, taskId, conf,
       f"$partCol=$keyEnc/part-$partitionId%05d.csv")
     currentKey = keyEnc
@@ -568,8 +575,19 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
     current.write(new GenericInternalRow(out))
   }
 
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val liveRows = if (current != null) current.rows else 0L
+    val liveBytes = if (current != null) current.bytes else 0L
+    Array(PagedTaskMetric("csvRowsWritten", rolledRows + liveRows),
+      PagedTaskMetric("csvBytesWritten", rolledBytes + liveBytes),
+      PagedTaskMetric("csvFilesWritten",
+        committed.length + (if (current != null) 1L else 0L)))
+  }
+
   override def commit(): WriterCommitMessage = {
     if (current != null) {
+      rolledRows += current.rows
+      rolledBytes += current.bytes
       committed += current.commit().asInstanceOf[CsvFileCommit]
       current = null
     }

@@ -219,6 +219,49 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(!entries.exists(_.contains("_tmp_")), s"temp leftovers: ${entries.toSeq}")
   }
 
+  test("write metrics report to the SQL status store (rows/files written)") {
+    // UI-facing wiring: the V2 write node's custom metrics (summed
+    // across tasks) must reach the status store — a silent metrics
+    // regression is invisible without this pin.
+    def executedMetric(metricClass: String)(run: => Unit): Long = {
+      val store = spark.sharedState.statusStore
+      val before = store.executionsList().map(_.executionId).toSet
+      run
+      val deadline = java.lang.System.currentTimeMillis() + 30000
+      while (java.lang.System.currentTimeMillis() < deadline) {
+        val vals = store.executionsList()
+          .filter(e => !before.contains(e.executionId) &&
+            e.physicalPlanDescription.contains("GraftCsv"))
+          .flatMap { e =>
+            val live = store.executionMetrics(e.executionId)
+            // the execution lists one entry per plan-node occurrence of
+            // the metric — same accumulator, deduplicate before summing
+            e.metrics.filter(_.metricType == s"v2Custom_graft.sources.$metricClass")
+              .distinctBy(_.accumulatorId)
+              .flatMap(m => live.get(m.accumulatorId))
+          }
+        if (vals.nonEmpty) return vals.map(_.trim.toLong).sum
+        Thread.sleep(100)
+      }
+      fail(s"custom metric $metricClass never reported to the SQL status store")
+    }
+    val path = dir("writemetrics")
+    val src = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "s").repartition(3)
+    val rows = executedMetric("CsvRowsWrittenMetric") {
+      src.write.format("graft.sources.GraftCsvSink")
+        .mode("overwrite").option("path", path).save()
+    }
+    assert(rows == 500L, s"rowsWritten=$rows")
+    // partitioned write: one file per key, counted by the rolled writer
+    val path2 = dir("writemetrics_part")
+    val files = executedMetric("CsvFilesWrittenMetric") {
+      (1L to 100L).map(i => (s"g${i % 5}", i)).toDF("g", "v")
+        .write.format("graft.sources.GraftCsvSink")
+        .mode("overwrite").option("path", path2).option("partitionedBy", "g").save()
+    }
+    assert(files == 5L, s"filesWritten=$files (expected one per key)")
+  }
+
   test("task abort deletes its temp file; job abort deletes the temp dir") {
     val path = dir("abort")
     val schema = StructType(Seq(
