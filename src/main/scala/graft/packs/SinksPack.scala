@@ -252,6 +252,38 @@ object SinksPack {
         .orderBy("m")
     },
 
+    // The CATALOG face, pure SQL end to end (graft.sources.GraftCatalog,
+    // a DSV2 TableCatalog over the same storage engine): CREATE
+    // NAMESPACE / CREATE TABLE … PARTITIONED BY / two INSERT INTOs
+    // (catalog APPEND semantics — per-write-tagged file names, disjoint
+    // group slices) / SELECT with a key-range predicate (planning-time
+    // directory pruning). A user who only speaks SQL gets the whole
+    // round-13 surface — clustering-on-write, pruning, SPJ — with no
+    // DataFrame code.
+    "q_k_catalog_sql" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val qty = "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)" // = Num.dsum
+      ensureFixture(wh) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_metrics " +
+          "(m STRING, rf STRING, n_items BIGINT, sum_qty DOUBLE) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li")
+        // two appends over disjoint group slices — their union IS the
+        // full (m, rf) aggregate the oracle replays
+        s.sql(s"""INSERT INTO $cat.wh.li_metrics
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*), $qty
+          FROM graft_cat_li WHERE l_returnflag = 'R' GROUP BY 1, 2""")
+        s.sql(s"""INSERT INTO $cat.wh.li_metrics
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*), $qty
+          FROM graft_cat_li WHERE l_returnflag <> 'R' GROUP BY 1, 2""")
+      }
+      s.sql(s"""SELECT m, rf, n_items, sum_qty FROM $cat.wh.li_metrics
+        WHERE m >= '1995-01' AND m <= '1995-12' ORDER BY m, rf""")
+    },
+
     // K4/J5 — JSON write + read-back (schema inferred on read).
     "q_k4_json_roundtrip" -> { (s, d) =>
       val path = tmpPath("json", d)
@@ -704,6 +736,16 @@ object SinksPack {
          |SELECT a.m AS m, n_orders, revenue, n_items, sum_qty
          |FROM a JOIN b ON a.m = b.m
          |ORDER BY m""".stripMargin,
+
+    // The two disjoint INSERT slices union to the full (m, rf) aggregate.
+    "q_k_catalog_sql" ->
+      s"""WITH t AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+         |         count(*) AS n_items, ${Num.dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT m, rf, n_items, sum_qty FROM t
+         |WHERE m >= '1995-01' AND m <= '1995-12'
+         |ORDER BY m, rf""".stripMargin,
 
     "q_k4_json_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSource V2 `TableCatalog` over the graft CSV storage engine —
+  * the pure-SQL face of everything the path-based API provides:
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  * CREATE NAMESPACE graft.wh
+  * CREATE TABLE graft.wh.metrics (m STRING, n BIGINT) PARTITIONED BY (m)
+  * INSERT INTO graft.wh.metrics SELECT …      -- appends; engine-clustered by m
+  * SELECT … FROM graft.wh.metrics WHERE m >= '1996-01'   -- directory pruning
+  * SELECT … FROM a JOIN b ON a.m = b.m        -- storage-partitioned join
+  * }}}
+  *
+  * Layout: `warehouse/ns…/table/` holds the table directory (the same
+  * hive-style `key=value/` layout the path API writes), plus a
+  * `_graft_table.json` metadata file recording the schema and the
+  * (optional, single, identity) partition column. Namespaces are plain
+  * directories. `PARTITIONED BY (col)` is honored end-to-end: INSERT
+  * demands clustering on the key ([[GraftCsvWrite]]'s
+  * RequiresDistributionAndOrdering), SELECT plans the key-grouped scan
+  * (pruning, KeyGroupedPartitioning, SPJ).
+  *
+  * Append semantics: catalog INSERTs stamp each published file with a
+  * per-write tag (`part-<tag>-NNNNN.csv`) so successive INSERTs never
+  * collide — unlike the path-based `save()` whose overwrite/truncate
+  * protocol owns the whole directory, a catalog table accretes.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var root: HPath = _
+  @transient private var hconf: Configuration = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    hconf = SparkSession.active.sessionState.newHadoopConf()
+    val wh = Option(options.get("warehouse")).getOrElse(throw
+      new IllegalArgumentException(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse"))
+    root = new HPath(wh)
+    fs.mkdirs(root)
+  }
+
+  private def fs: FileSystem = root.getFileSystem(hconf)
+  override def name(): String = catalogName
+
+  private def nsPath(namespace: Array[String]): HPath =
+    namespace.foldLeft(root)((p, n) => new HPath(p, n))
+  private def tableDir(ident: Identifier): HPath =
+    new HPath(nsPath(ident.namespace()), ident.name())
+  private def metaFile(dir: HPath): HPath = new HPath(dir, "_graft_table.json")
+
+  // ---- table metadata (schema + partition column) -----------------------
+
+  private val mapper = new ObjectMapper()
+
+  private def writeMeta(dir: HPath, schema: StructType,
+                        partitionCol: Option[String]): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("schema", schema.json)
+    partitionCol.foreach(node.put("partitionCol", _))
+    val out = fs.create(metaFile(dir), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  private def readMeta(dir: HPath): (StructType, Option[String]) = {
+    val in = fs.open(metaFile(dir))
+    val node = try mapper.readTree(in) finally in.close()
+    (DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
+      Option(node.get("partitionCol")).map(_.asText()))
+  }
+
+  // ---- TableCatalog -----------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && fs.exists(metaFile(s.getPath)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(metaFile(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val (schema, partCol) = readMeta(dir)
+    new GraftCsvTable(dir.toString, schema, partCol, catalogManaged = true)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        val col = t.references()(0).fieldNames()(0)
+        val field = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: PARTITIONED BY column '$col' not in the schema"))
+        if (!PartitionedCsvLayout.keyTypeOk(field.dataType))
+          throw new IllegalArgumentException(
+            s"graft catalog: partition column '$col' has type " +
+              s"${field.dataType.simpleString}; keys must be string/integral/boolean")
+        Some(field.name)
+      case other => throw new UnsupportedOperationException(
+        "graft catalog: only a single identity PARTITIONED BY column is " +
+          s"supported; got ${other.mkString(", ")}")
+    }
+    if (partCol.isDefined && schema.length < 2)
+      throw new IllegalArgumentException(
+        "graft catalog: a partitioned table needs at least one payload column")
+    val dir = tableDir(ident)
+    if (fs.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
+    if (!fs.exists(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
+    fs.mkdirs(dir)
+    writeMeta(dir, schema, partCol)
+    new GraftCsvTable(dir.toString, schema, partCol, catalogManaged = true)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported (schema lives in " +
+        "_graft_table.json; recreate the table)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!fs.exists(metaFile(from))) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"graft catalog: rename $from -> $to failed")
+  }
+
+  // ---- SupportsNamespaces ----------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && !fs.exists(metaFile(s.getPath)))
+      .map(s => Array(s.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && !fs.exists(metaFile(s.getPath)))
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!fs.exists(nsPath(namespace)) || fs.exists(metaFile(nsPath(namespace))))
+      throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    val dir = nsPath(namespace)
+    if (fs.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) false
+    else if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        namespace)
+    else fs.delete(dir, true)
+  }
+}

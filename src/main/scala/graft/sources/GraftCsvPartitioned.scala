@@ -508,7 +508,8 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
                                                  schema: StructType,
                                                  partCol: String,
                                                  partitionId: Int, taskId: Long,
-                                                 conf: SerializableHadoopConf)
+                                                 conf: SerializableHadoopConf,
+                                                 stem: String = "part")
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(partCol))
   private val keyType = schema(keyIdx).dataType
@@ -547,7 +548,7 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
       committed += current.commit().asInstanceOf[CsvFileCommit]
     }
     current = new GraftCsvDataWriter(tmpDir, payload, partitionId, taskId, conf,
-      f"$partCol=$keyEnc/part-$partitionId%05d.csv")
+      f"$partCol=$keyEnc/$stem-$partitionId%05d.csv")
     currentKey = keyEnc
   }
 

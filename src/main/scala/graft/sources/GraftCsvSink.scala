@@ -149,17 +149,33 @@ private[sources] object GraftCsvTable {
   }
 }
 
-private[sources] class GraftCsvTable(path: String, tableSchema: StructType)
+private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
+                                     catalogPartitionCol: Option[String] = None,
+                                     catalogManaged: Boolean = false)
     extends Table with SupportsWrite with SupportsRead {
   require(path != null, "graft-csv sink requires option(\"path\", …)")
   override def name(): String = s"graft_csv($path)"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    catalogPartitionCol.map(c => Expressions.identity(c): Transform).toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA, TableCapability.BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+    if (catalogManaged)
+      // catalog tables take their schema from _graft_table.json — writes
+      // must MATCH it, not redefine it (no ACCEPT_ANY_SCHEMA)
+      java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.ACCEPT_ANY_SCHEMA, TableCapability.BATCH_READ,
+        TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCsvWriteBuilder(path, info, truncate = false)
+    new GraftCsvWriteBuilder(path, info, truncate = false,
+      defaultPartitionCol = catalogPartitionCol,
+      // per-write file tag: catalog INSERTs append instead of
+      // overwriting the previous write's identically-named files
+      appendTag = if (catalogManaged)
+        Some(java.lang.Integer.toHexString(info.queryId().hashCode).takeRight(8))
+      else None)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Layout sniff (ONE listing): a root holding key=value directories
     // was written with partitionedBy — serve it through the key-grouped
@@ -606,10 +622,13 @@ private[sources] class GraftCsvPartitionReader(file: String, required: StructTyp
 }
 
 private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo,
-                                            truncate: Boolean)
+                                            truncate: Boolean,
+                                            defaultPartitionCol: Option[String] = None,
+                                            appendTag: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftCsvWriteBuilder(path, info, truncate = true)
+    new GraftCsvWriteBuilder(path, info, truncate = true, defaultPartitionCol,
+      appendTag)
   override def build(): Write = {
     val cluster = Option(info.options().get("clusterBy"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -622,7 +641,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
           missing.mkString(", "))
     }
     val partitioned = Option(info.options().get("partitionedBy")).map(_.trim)
-      .filter(_.nonEmpty)
+      .filter(_.nonEmpty).orElse(defaultPartitionCol)
     partitioned.foreach { col =>
       if (cluster.isDefined) throw new IllegalArgumentException(
         "graft-csv sink: partitionedBy implies clustering on the key; " +
@@ -638,7 +657,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
       if (info.schema().length < 2) throw new IllegalArgumentException(
         "graft-csv sink: partitionedBy requires at least one payload column")
     }
-    new GraftCsvWrite(path, info, truncate, cluster, partitioned)
+    new GraftCsvWrite(path, info, truncate, cluster, partitioned, appendTag)
   }
 }
 
@@ -657,7 +676,8 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
 private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
                                      truncate: Boolean,
                                      cluster: Option[Seq[String]],
-                                     partitioned: Option[String] = None)
+                                     partitioned: Option[String] = None,
+                                     appendTag: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
   // partitionedBy IS a clustering on the key (plus the hive layout)
   private def keys: Option[Seq[String]] = partitioned.map(Seq(_)).orElse(cluster)
@@ -681,7 +701,7 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
 
   override def toBatch: BatchWrite =
     new GraftCsvBatchWrite(path, info.schema(), info.queryId(), truncate,
-      SerializableHadoopConf.fromSession(), partitioned)
+      SerializableHadoopConf.fromSession(), partitioned, appendTag)
   override def toStreaming: StreamingWrite = {
     if (partitioned.isDefined) throw new UnsupportedOperationException(
       "graft-csv sink: partitionedBy is batch-only (the streaming face " +
@@ -735,13 +755,15 @@ private[sources] object GraftCsvCommit {
 private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
                                           queryId: String, truncate: Boolean,
                                           conf: SerializableHadoopConf,
-                                          partitioned: Option[String] = None)
+                                          partitioned: Option[String] = None,
+                                          appendTag: Option[String] = None)
     extends BatchWrite {
 
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partitioned)
+    new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partitioned,
+      appendTag)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
@@ -827,15 +849,20 @@ private[sources] class GraftCsvStreamingWriterFactory(path: String, queryId: Str
 private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
                                              schema: StructType,
                                              conf: SerializableHadoopConf,
-                                             partitioned: Option[String] = None)
+                                             partitioned: Option[String] = None,
+                                             appendTag: Option[String] = None)
     extends DataWriterFactory {
+  // catalog INSERTs stamp the write tag into every published name so
+  // successive writes append instead of replacing each other's files
+  private val stem = appendTag.map(t => s"part-$t").getOrElse("part")
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     partitioned match {
       case Some(col) =>
-        new GraftCsvPartitionedWriter(tmpDir, schema, col, partitionId, taskId, conf)
+        new GraftCsvPartitionedWriter(tmpDir, schema, col, partitionId, taskId,
+          conf, stem)
       case None =>
         new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf,
-          f"part-$partitionId%05d.csv")
+          f"$stem-$partitionId%05d.csv")
     }
 }
 

@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The catalog face of the graft storage engine: SQL DDL/DML end to
+  * end — CREATE NAMESPACE / CREATE TABLE … PARTITIONED BY / INSERT INTO
+  * (append semantics, engine-clustered) / SELECT (directory pruning,
+  * storage-partitioned join) / SHOW / RENAME / DROP. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cat = "graftsql"
+  private lazy val wh = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_catalog_${ProcessHandle.current().pid()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", p)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+    p
+  }
+
+  private def liView(): Unit =
+    graft.Tables.lineitem(spark, TestSpark.sf0001).createOrReplaceTempView("li_cat")
+
+  test("CREATE TABLE PARTITIONED BY + INSERT INTO writes the hive layout, engine-clustered") {
+    wh; liView()
+    spark.sql(s"CREATE TABLE $cat.wh.li_m (m STRING, flag STRING, n BIGINT) PARTITIONED BY (m)")
+    spark.sql(
+      s"""INSERT INTO $cat.wh.li_m
+         |SELECT date_format(l_shipdate, 'yyyy-MM') AS m, l_returnflag AS flag,
+         |       count(*) AS n
+         |FROM li_cat GROUP BY 1, 2""".stripMargin)
+    // layout on disk: key dirs under the table dir, no top-level parts
+    val tdir = new java.io.File(s"$wh/wh/li_m")
+    val keyDirs = tdir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("m="))
+    assert(keyDirs.nonEmpty, s"no key dirs in ${tdir.listFiles().map(_.getName).toSeq}")
+    assert(keyDirs.forall(_.listFiles().count(_.getName.endsWith(".csv")) == 1))
+    // values match the source aggregate
+    val got = spark.sql(s"SELECT m, flag, n FROM $cat.wh.li_m ORDER BY m, flag").collect()
+    val want = spark.sql(
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS m, l_returnflag AS flag,
+        |       count(*) AS n FROM li_cat GROUP BY 1, 2 ORDER BY m, flag""".stripMargin)
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("INSERT INTO appends (tagged file names); INSERT OVERWRITE truncates") {
+    wh; liView()
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.appendt (g STRING, v BIGINT) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.appendt VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"INSERT INTO $cat.wh.appendt VALUES ('a', 3)")
+    val rows = spark.sql(s"SELECT g, v FROM $cat.wh.appendt ORDER BY g, v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 1L), ("a", 3L), ("b", 2L)),
+      s"append lost or duplicated rows: $rows")
+    // the a-key dir holds TWO tagged files (one per insert)
+    val aDir = new java.io.File(s"$wh/wh/appendt/g=a")
+    assert(aDir.listFiles().count(_.getName.endsWith(".csv")) == 2)
+    spark.sql(s"INSERT OVERWRITE $cat.wh.appendt VALUES ('c', 9)")
+    val after = spark.sql(s"SELECT g, v FROM $cat.wh.appendt").collect()
+    assert(after.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("c", 9L)))
+  }
+
+  test("SELECT with a key predicate prunes directories at planning time") {
+    wh; liView()
+    val q = spark.sql(s"SELECT m, sum(n) AS total FROM $cat.wh.li_m WHERE m >= '1996-01' GROUP BY m ORDER BY m")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    val keyed = scan.scan.asInstanceOf[KeyedCsvScan]
+    assert(keyed.partFilters.nonEmpty, "key predicate did not reach partition pruning")
+    assert(q.collect().nonEmpty)
+  }
+
+  test("SQL storage-partitioned join between two catalog tables: zero exchange below the SMJ") {
+    wh; liView()
+    graft.Tables.orders(spark, TestSpark.sf0001).createOrReplaceTempView("o_cat")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.o_m (m STRING, n_orders BIGINT) PARTITIONED BY (m)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.o_m SELECT date_format(o_orderdate, 'yyyy-MM'), count(*) FROM o_cat GROUP BY 1")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.l_m (m STRING, n_items BIGINT) PARTITIONED BY (m)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.l_m SELECT date_format(l_shipdate, 'yyyy-MM'), count(*) FROM li_cat GROUP BY 1")
+    val j = spark.sql(
+      s"""SELECT /*+ MERGE(a) */ a.m, a.n_orders, b.n_items
+         |FROM $cat.wh.o_m a JOIN $cat.wh.l_m b ON a.m = b.m
+         |ORDER BY a.m""".stripMargin)
+    val rows = j.collect()
+    assert(rows.length > 10)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case other => p +: other.children.flatMap(flatten)
+    }
+    val all = flatten(j.queryExecution.executedPlan)
+    val smjs = all.collect { case s: SortMergeJoinExec => s }
+    assert(smjs.nonEmpty, s"expected SMJ:\n${all.head}")
+    val below = flatten(smjs.head).drop(1)
+    assert(below.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"SQL SPJ still shuffles:\n${smjs.head}")
+    assert(below.collect { case s: SortExec => s }.isEmpty,
+      s"SQL SPJ still sorts:\n${smjs.head}")
+  }
+
+  test("SHOW TABLES / RENAME / DROP / error shapes") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.misc (a STRING, b BIGINT)")
+    val names = spark.sql(s"SHOW TABLES IN $cat.wh").collect().map(_.getString(1)).toSet
+    assert(names.contains("misc"))
+    spark.sql(s"ALTER TABLE $cat.wh.misc RENAME TO wh.misc2")
+    assert(!spark.catalog.tableExists(s"$cat.wh.misc"))
+    spark.sql(s"INSERT INTO $cat.wh.misc2 VALUES ('x', 1)")
+    assert(spark.sql(s"SELECT * FROM $cat.wh.misc2").count() == 1)
+    spark.sql(s"DROP TABLE $cat.wh.misc2")
+    assert(!spark.catalog.tableExists(s"$cat.wh.misc2"))
+    // unpartitioned table writes flat part files with the append tag
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.flat (a STRING, b BIGINT)")
+    spark.sql(s"INSERT INTO $cat.wh.flat VALUES ('x', 1)")
+    spark.sql(s"INSERT INTO $cat.wh.flat VALUES ('y', 2)")
+    assert(spark.sql(s"SELECT * FROM $cat.wh.flat").count() == 2,
+      "second flat INSERT overwrote the first")
+    // float partition keys are rejected at CREATE time
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.wh.badpart (x DOUBLE, y BIGINT) PARTITIONED BY (x)")
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("partition")) || msg(t.getCause))
+    assert(msg(e))
+  }
+}
