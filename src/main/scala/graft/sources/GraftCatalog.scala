@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * collide — unlike the path-based `save()` whose overwrite/truncate
   * protocol owns the whole directory, a catalog table accretes.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
   private var catalogName: String = _
   private var root: HPath = _
   @transient private var hconf: Configuration = _
@@ -156,6 +157,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"graft catalog: rename $from -> $to failed")
   }
+
+  // ---- FunctionCatalog --------------------------------------------------
+  //
+  // The catalog-function face of the graft function library (the same
+  // semantics GraftExtensions injects session-wide, here resolvable as
+  // `<catalog>.<fn>(…)` by any SQL client of the catalog). Each bound
+  // function carries the MAGIC invoke method, so calls compile to a
+  // direct primitive Invoke inside whole-stage codegen — no row boxing.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftCatalogFunctions.Names.map(Identifier.of(namespace, _))
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftCatalogFunctions.Names.contains(ident.name().toLowerCase(java.util.Locale.ROOT))
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftCatalogFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   // ---- SupportsNamespaces ----------------------------------------------
 

@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The graft function library exposed through the DSV2
+  * [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]: the same
+  * semantics as the session-wide Catalyst Expressions
+  * (`GraftExtensions`), but resolvable per-catalog by any SQL client —
+  * `SELECT graft.dotp(a, b)`. Every bound function implements BOTH
+  * `produceResult` (interpreted fallback) and the MAGIC `invoke` method
+  * with primitive/unsafe signatures, which Spark compiles to a direct
+  * method call inside whole-stage codegen (no InternalRow boxing per
+  * call).
+  *
+  * Numeric contracts are shared with the Expressions they mirror:
+  * `dotp` folds sequentially left-to-right from 0.0 (the IEEE order the
+  * DuckDB `list_reduce` oracles replay — [[graft.functions.DotProduct]]),
+  * `poly31` delegates to the single [[graft.functions.Poly31Hash.hash]]
+  * implementation, and `hamming64` is xor+popcount, the sketch-ANN
+  * family's distance.
+  */
+object GraftCatalogFunctions {
+  val Names: Array[String] = Array("dotp", "poly31", "hamming64")
+
+  def load(name: String): Option[UnboundFunction] =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "dotp" => Some(new DotpUnbound)
+      case "poly31" => Some(new Poly31Unbound)
+      case "hamming64" => Some(new HammingUnbound)
+      case _ => None
+    }
+}
+
+private[sources] class DotpUnbound extends UnboundFunction {
+  override def name(): String = "dotp"
+  override def description(): String =
+    "dotp(array<double>, array<double>) -> double: sequential-fold dot product"
+  override def bind(inputType: StructType): BoundFunction = {
+    // accept any numeric-element arrays — the declared inputTypes
+    // (array<double>) make Spark insert the element casts
+    val ok = inputType.length == 2 && inputType.fields.forall(_.dataType match {
+      case ArrayType(_: NumericType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new UnsupportedOperationException(
+      s"dotp expects (array<double>, array<double>); got ${inputType.simpleString}")
+    new DotpBound
+  }
+}
+
+private[sources] class DotpBound extends ScalarFunction[java.lang.Double] {
+  override def name(): String = "dotp"
+  override def canonicalName(): String = "graft.dotp"
+  override def inputTypes(): Array[DataType] =
+    Array(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def resultType(): DataType = DoubleType
+
+  /** MAGIC method — compiled to a direct call inside codegen. */
+  def invoke(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override def produceResult(input: InternalRow): java.lang.Double = {
+    if (input.isNullAt(0) || input.isNullAt(1)) return null
+    invoke(input.getArray(0), input.getArray(1))
+  }
+}
+
+private[sources] class Poly31Unbound extends UnboundFunction {
+  override def name(): String = "poly31"
+  override def description(): String =
+    "poly31(string) -> bigint: the graft polynomial rolling hash"
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 1 || inputType.fields(0).dataType != StringType)
+      throw new UnsupportedOperationException(
+        s"poly31 expects (string); got ${inputType.simpleString}")
+    new Poly31Bound
+  }
+}
+
+private[sources] class Poly31Bound extends ScalarFunction[java.lang.Long] {
+  override def name(): String = "poly31"
+  override def canonicalName(): String = "graft.poly31"
+  override def inputTypes(): Array[DataType] = Array(StringType)
+  override def resultType(): DataType = LongType
+
+  def invoke(s: UTF8String): Long = graft.functions.Poly31Hash.hash(s.toString)
+
+  override def produceResult(input: InternalRow): java.lang.Long =
+    if (input.isNullAt(0)) null else invoke(input.getUTF8String(0))
+}
+
+private[sources] class HammingUnbound extends UnboundFunction {
+  override def name(): String = "hamming64"
+  override def description(): String =
+    "hamming64(bigint, bigint) -> int: popcount(a xor b), the binary-sketch distance"
+  override def bind(inputType: StructType): BoundFunction = {
+    // any integral widths bind; the declared (bigint, bigint) casts
+    val ok = inputType.length == 2 && inputType.fields.forall(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (!ok) throw new UnsupportedOperationException(
+      s"hamming64 expects (bigint, bigint); got ${inputType.simpleString}")
+    new HammingBound
+  }
+}
+
+private[sources] class HammingBound extends ScalarFunction[java.lang.Integer] {
+  override def name(): String = "hamming64"
+  override def canonicalName(): String = "graft.hamming64"
+  override def inputTypes(): Array[DataType] = Array(LongType, LongType)
+  override def resultType(): DataType = IntegerType
+
+  def invoke(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  override def produceResult(input: InternalRow): java.lang.Integer =
+    if (input.isNullAt(0) || input.isNullAt(1)) null
+    else invoke(input.getLong(0), input.getLong(1))
+}

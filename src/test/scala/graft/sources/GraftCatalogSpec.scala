@@ -106,6 +106,35 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"SQL SPJ still sorts:\n${smjs.head}")
   }
 
+  test("catalog functions resolve in SQL and match the session expressions") {
+    wh
+    val r = spark.sql(
+      s"""SELECT $cat.dotp(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+         |       $cat.poly31('hello world') AS p,
+         |       $cat.hamming64(255, 0) AS h""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getLong(1) == graft.functions.Poly31Hash.hash("hello world"))
+    assert(r.getInt(2) == 8)
+    // over real data: identical to the session-injected Catalyst
+    // Expression on every document (same fold/hash implementations)
+    graft.functions.Poly31Hash.register(spark)
+    graft.Tables.documents(spark, TestSpark.sf0001)
+      .createOrReplaceTempView("docs_fn")
+    val diff = spark.sql(
+      s"SELECT count(*) AS n FROM docs_fn WHERE $cat.poly31(text) <> poly31(text)")
+      .head().getLong(0)
+    assert(diff == 0L, s"$diff documents disagree between catalog fn and expression")
+    // float arrays bind via the declared-type cast (array<float> input)
+    graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .createOrReplaceTempView("emb_fn")
+    val n2 = spark.sql(
+      s"SELECT sum(CASE WHEN $cat.dotp(embedding, embedding) >= 0 THEN 1 ELSE 0 END) AS n FROM emb_fn")
+      .head().getLong(0)
+    assert(n2 > 0)
+    assert(spark.sql(s"SHOW FUNCTIONS IN $cat").collect()
+      .map(_.getString(0)).exists(_.endsWith("dotp")))
+  }
+
   test("SHOW TABLES / RENAME / DROP / error shapes") {
     wh
     spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.misc (a STRING, b BIGINT)")
