@@ -288,9 +288,15 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       SortDirection.ASCENDING))
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val keyInRequired = required.fieldNames.exists(_.equalsIgnoreCase(keyField.name))
-    val payloadRequired = StructType(required.fields.filterNot(
-      _.name.equalsIgnoreCase(keyField.name)))
+    val keyPos = required.fieldNames.indexWhere(
+      _.equalsIgnoreCase(keyField.name))
+    val filePos = required.fieldNames.indexWhere(
+      _.equalsIgnoreCase(GraftCsvTable.FileColumn))
+    // Payload = required minus the key and _file columns (both served
+    // by the reader wrapper, never parsed from the files).
+    val payloadRequired = StructType(required.fields.filterNot(f =>
+      f.name.equalsIgnoreCase(keyField.name) ||
+        f.name.equalsIgnoreCase(GraftCsvTable.FileColumn)))
     // Parse schema: required payload columns plus any payload-filtered
     // columns pruning removed (same discipline as the flat scan).
     val extra = CsvFilterEval.referenced(payloadFilters)
@@ -298,9 +304,7 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       .flatMap(n => payload.fields.find(_.name.equalsIgnoreCase(n)))
     new KeyedCsvReaderFactory(required, payloadRequired,
       StructType(payloadRequired.fields ++ extra), payloadFilters,
-      if (keyInRequired) required.fieldNames.indexWhere(
-        _.equalsIgnoreCase(keyField.name)) else -1,
-      keyField.dataType.json, conf, vectorized, pushedLimit)
+      keyPos, keyField.dataType.json, conf, vectorized, pushedLimit, filePos)
   }
 }
 
@@ -311,18 +315,20 @@ private[sources] class KeyedCsvReaderFactory(required: StructType,
                                              keyPos: Int, keyTypeJson: String,
                                              conf: SerializableHadoopConf,
                                              vectorized: Boolean = false,
-                                             limit: Option[Int] = None)
+                                             limit: Option[Int] = None,
+                                             filePos: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new KeyedCsvReader(p.asInstanceOf[KeyedCsvPartition], required,
-      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf, limit)
+      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf, limit,
+      filePos)
 
   override def supportColumnarReads(p: InputPartition): Boolean = vectorized
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new KeyedCsvColumnarReader(p.asInstanceOf[KeyedCsvPartition], required,
       payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf,
-      limit = limit)
+      limit = limit, filePos = filePos)
 }
 
 /** Columnar face of the keyed read: payload columns fill on-heap
@@ -339,13 +345,19 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
                                               keyPos: Int, keyTypeJson: String,
                                               conf: SerializableHadoopConf,
                                               batchSize: Int = 4096,
-                                              limit: Option[Int] = None)
+                                              limit: Option[Int] = None,
+                                              filePos: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private val payloadVectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchSize, payloadRequired)
+  // _file as a per-BATCH constant vector — batches never span files
+  // when the column is requested (see next()), so the constant is
+  // re-set at each file roll instead of written per row.
+  private val fileVector: ConstantColumnVector =
+    if (filePos < 0) null else new ConstantColumnVector(batchSize, StringType)
   private val columns: Array[ColumnVector] = {
     val out = new Array[ColumnVector](required.length)
     var i = 0; var j = 0
@@ -362,7 +374,8 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
           case other => throw new IllegalStateException(s"key value $other")
         }
         out(i) = kv
-      } else { out(i) = payloadVectors(j); j += 1 }
+      } else if (i == filePos) { out(i) = fileVector }
+      else { out(i) = payloadVectors(j); j += 1 }
       i += 1
     }
     out
@@ -379,6 +392,8 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
     else {
       it = new CsvValueIterator(part.files(fileIdx), payloadRequired, parse,
         payloadFilters, conf)
+      if (fileVector != null)
+        fileVector.setUtf8String(UTF8String.fromString(part.files(fileIdx)))
       fileIdx += 1
       true
     }
@@ -395,9 +410,14 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
     if (cap <= 0) return false
     var n = 0
     while (n < cap) {
-      if (it == null && !nextFile()) {
-        if (n == 0) return false
-        emitted += n; batch.setNumRows(n); return true
+      if (it == null) {
+        // end the batch at a file boundary when _file is requested —
+        // the constant vector must hold ONE value per batch
+        if (filePos >= 0 && n > 0) { emitted += n; batch.setNumRows(n); return true }
+        if (!nextFile()) {
+          if (n == 0) return false
+          emitted += n; batch.setNumRows(n); return true
+        }
       }
       if (it.next()) {
         var j = 0
@@ -443,13 +463,15 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
                                       payloadFilters: Array[Filter],
                                       keyPos: Int, keyTypeJson: String,
                                       conf: SerializableHadoopConf,
-                                      limit: Option[Int] = None)
+                                      limit: Option[Int] = None,
+                                      filePos: Int = -1)
     extends PartitionReader[InternalRow] {
   private val keyValue: Any =
     PartitionedCsvLayout.catalystKey(part.keyRaw, DataType.fromJson(keyTypeJson))
   private var fileIdx = 0
   private var emitted = 0L
   private var inner: GraftCsvPartitionReader = _
+  private var currentFile: UTF8String = _
   private var row: InternalRow = _
 
   private def nextInner(): Boolean = {
@@ -458,6 +480,7 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
     else {
       inner = new GraftCsvPartitionReader(part.files(fileIdx), payloadRequired,
         parse, payloadFilters, conf)
+      currentFile = UTF8String.fromString(part.files(fileIdx))
       fileIdx += 1
       true
     }
@@ -470,12 +493,13 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
       if (inner.next()) {
         val payloadRow = inner.get()
         row =
-          if (keyPos < 0) payloadRow
+          if (keyPos < 0 && filePos < 0) payloadRow
           else {
             val out = new Array[Any](required.length)
             var i = 0; var j = 0
             while (i < required.length) {
               if (i == keyPos) out(i) = keyValue
+              else if (i == filePos) out(i) = currentFile
               else { out(i) = payloadRow.get(j, payloadRequired(j).dataType); j += 1 }
               i += 1
             }

@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
@@ -104,6 +104,9 @@ class GraftCsvSink extends TableProvider {
 }
 
 private[sources] object GraftCsvTable {
+  /** The `_file` metadata column name (both scan faces serve it). */
+  val FileColumn = "_file"
+
   def listPartFiles(path: String, conf: Configuration): Array[String] =
     listPartFilesWithSize(path, conf).map(_._1)
 
@@ -152,10 +155,25 @@ private[sources] object GraftCsvTable {
 private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
                                      catalogPartitionCol: Option[String] = None,
                                      catalogManaged: Boolean = false)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with SupportsMetadataColumns {
   require(path != null, "graft-csv sink requires option(\"path\", …)")
   override def name(): String = s"graft_csv($path)"
   override def schema(): StructType = tableSchema
+
+  /** Row provenance: `SELECT …, _file FROM t` — which committed part
+    * file each row came from. The 100 TB story is quarantine: a
+    * corrupt-batch postmortem groups by `_file` and rewrites exactly
+    * the offending files instead of the table. Costs zero payload
+    * bytes (constant per file; a constant VECTOR on the columnar
+    * face). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = GraftCsvTable.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "committed part file this row was read from"
+    })
   override def partitioning(): Array[Transform] =
     catalogPartitionCol.map(c => Expressions.identity(c): Transform).toArray
   override def capabilities(): java.util.Set[TableCapability] =
@@ -321,27 +339,37 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
     GraftCsvTable.listPartFiles(path, conf.value)
       .map(CsvFilePartition(_): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory = {
+    // The _file metadata column is served by the reader wrapper, not
+    // parsed from the payload — strip it before building parse schemas.
+    val filePos = required.fieldNames.indexWhere(
+      _.equalsIgnoreCase(GraftCsvTable.FileColumn))
+    val payloadRequired =
+      if (filePos < 0) required
+      else StructType(required.fields.patch(filePos, Nil, 1))
     // Parse schema = required output columns plus any filtered columns
     // pruning removed (a fully-pushed filter's column need not survive
     // in the read schema); extras are parsed for evaluation only.
     val extra = CsvFilterEval.referenced(pushed)
-      .filterNot(n => required.fieldNames.exists(_.equalsIgnoreCase(n)))
+      .filterNot(n => payloadRequired.fieldNames.exists(_.equalsIgnoreCase(n)))
       .flatMap(n => full.fields.find(_.name.equalsIgnoreCase(n)))
-    new GraftCsvReaderFactory(required, StructType(required.fields ++ extra),
-      pushed, conf, vectorized, pushedLimit)
+    new GraftCsvReaderFactory(required, payloadRequired,
+      StructType(payloadRequired.fields ++ extra),
+      pushed, conf, vectorized, pushedLimit, filePos)
   }
 }
 
 private[sources] class GraftCsvReaderFactory(required: StructType,
+                                             payloadRequired: StructType,
                                              parse: StructType,
                                              pushed: Array[Filter],
                                              conf: SerializableHadoopConf,
                                              vectorized: Boolean = false,
-                                             limit: Option[Int] = None)
+                                             limit: Option[Int] = None,
+                                             filePos: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftCsvPartitionReader(p.asInstanceOf[CsvFilePartition].file,
-      required, parse, pushed, conf, limit)
+      required, payloadRequired, parse, pushed, conf, limit, filePos)
 
   /** Columnar (vectorized) reads by default — `option("vectorized",
     * "false")` falls back to the row reader. */
@@ -349,7 +377,7 @@ private[sources] class GraftCsvReaderFactory(required: StructType,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftCsvColumnarReader(p.asInstanceOf[CsvFilePartition].file,
-      required, parse, pushed, conf, limit = limit)
+      payloadRequired, parse, pushed, conf, limit = limit, filePos = filePos)
 }
 
 /** Vectorized face of the CSV scan: surviving records append into
@@ -360,21 +388,37 @@ private[sources] class GraftCsvReaderFactory(required: StructType,
   * the unsafe-row copy every downstream operator pays. Same parse,
   * same pushed-filter evaluation, same null semantics
   * ([[CsvValueIterator]] is shared), so the two faces cannot drift. */
-private[sources] class GraftCsvColumnarReader(file: String, required: StructType,
+private[sources] class GraftCsvColumnarReader(file: String,
+                                              payloadRequired: StructType,
                                               parse: StructType,
                                               pushed: Array[Filter],
                                               conf: SerializableHadoopConf,
                                               batchSize: Int = 4096,
-                                              limit: Option[Int] = None)
+                                              limit: Option[Int] = None,
+                                              filePos: Int = -1)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val it = new CsvValueIterator(file, required, parse, pushed, conf)
+  private val it = new CsvValueIterator(file, payloadRequired, parse, pushed, conf)
   private val vectors: Array[OnHeapColumnVector] =
-    OnHeapColumnVector.allocateColumns(batchSize, required)
-  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
-  private val types: Array[DataType] = required.fields.map(_.dataType)
+    OnHeapColumnVector.allocateColumns(batchSize, payloadRequired)
+  private val batch = new ColumnarBatch({
+    if (filePos < 0) vectors.map(v => v: ColumnVector)
+    else {
+      // _file is a constant vector — zero bytes per row
+      val fv = new ConstantColumnVector(batchSize, StringType)
+      fv.setUtf8String(UTF8String.fromString(file))
+      val out = new Array[ColumnVector](vectors.length + 1)
+      var i = 0; var j = 0
+      while (i < out.length) {
+        if (i == filePos) out(i) = fv else { out(i) = vectors(j); j += 1 }
+        i += 1
+      }
+      out
+    }
+  })
+  private val types: Array[DataType] = payloadRequired.fields.map(_.dataType)
   private var emitted = 0L
 
   override def next(): Boolean = {
@@ -589,14 +633,23 @@ private[sources] class CsvValueIterator(file: String, required: StructType,
 
 /** Row-at-a-time face of [[CsvValueIterator]]. With a pushed `limit`,
   * the partition stops PARSING after emitting that many surviving rows
-  * (partial-limit contract — the engine's CollectLimit finishes). */
+  * (partial-limit contract — the engine's CollectLimit finishes). A
+  * requested `_file` metadata column (`filePos` ≥ 0 in `required`) is
+  * served as a per-partition constant. */
 private[sources] class GraftCsvPartitionReader(file: String, required: StructType,
+                                               payloadRequired: StructType,
                                                parse: StructType,
                                                pushed: Array[Filter],
                                                conf: SerializableHadoopConf,
-                                               limit: Option[Int] = None)
+                                               limit: Option[Int] = None,
+                                               filePos: Int = -1)
     extends PartitionReader[InternalRow] {
-  private val it = new CsvValueIterator(file, required, parse, pushed, conf)
+  def this(file: String, required: StructType, parse: StructType,
+           pushed: Array[Filter], conf: SerializableHadoopConf) =
+    this(file, required, required, parse, pushed, conf, None, -1)
+
+  private val it = new CsvValueIterator(file, payloadRequired, parse, pushed, conf)
+  private val fileUtf8 = UTF8String.fromString(file)
   private var emitted = 0L
   private var row: InternalRow = _
 
@@ -605,13 +658,18 @@ private[sources] class GraftCsvPartitionReader(file: String, required: StructTyp
     if (!it.next()) return false
     emitted += 1
     val out = new Array[Any](required.length)
+    var i = 0
     var j = 0
-    while (j < required.length) {
-      out(j) = it.values(j) match {
-        case s: String => UTF8String.fromString(s)
-        case v => v
+    while (i < required.length) {
+      if (i == filePos) out(i) = fileUtf8
+      else {
+        out(i) = it.values(j) match {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        }
+        j += 1
       }
-      j += 1
+      i += 1
     }
     row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
     true

@@ -219,6 +219,39 @@ class CsvSinkSpec extends AnyFunSuite {
     assert(!entries.exists(_.contains("_tmp_")), s"temp leftovers: ${entries.toSeq}")
   }
 
+  test("_file metadata column: per-row provenance on both reader faces") {
+    val path = dir("filecol")
+    (1L to 300L).map(i => (i, s"v$i")).toDF("id", "s").repartition(4)
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    val committed = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .map(_.getName).toSet
+    assert(committed.size == 4)
+    for (vec <- Seq(true, false)) {
+      val df = spark.read.schema("id LONG, s STRING")
+        .format("graft.sources.GraftCsvSink")
+        .option("path", path).option("vectorized", vec.toString).load()
+        .select(col("id"), col("_file"))
+      val rows = df.collect()
+      assert(rows.length == 300, s"vectorized=$vec")
+      // every reported file is a real committed part file, and all four
+      // files are represented
+      val seen = rows.map(_.getString(1).split('/').last).toSet
+      assert(seen == committed, s"vectorized=$vec: $seen != $committed")
+      // groups by _file partition the id space (provenance is per-row
+      // correct, not just per-scan): re-reading ONE named file yields
+      // exactly the ids attributed to it
+      val (f0, ids0) = rows.groupBy(_.getString(1)).head match {
+        case (f, rs) => (f, rs.map(_.getLong(0)).toSet)
+      }
+      val direct = spark.read.schema("id LONG, s STRING")
+        .format("graft.sources.GraftCsvSink").option("path", path).load()
+        .filter(col("_file") === f0).collect().map(_.getLong(0)).toSet
+      assert(direct == ids0, s"vectorized=$vec")
+    }
+  }
+
   test("write metrics report to the SQL status store (rows/files written)") {
     // UI-facing wiring: the V2 write node's custom metrics (summed
     // across tasks) must reach the status store — a silent metrics

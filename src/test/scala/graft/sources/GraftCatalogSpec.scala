@@ -106,6 +106,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"SQL SPJ still sorts:\n${smjs.head}")
   }
 
+  test("_file metadata column distinguishes appended writes on the keyed scan") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.filecol (g STRING, v BIGINT) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.filecol VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"INSERT INTO $cat.wh.filecol VALUES ('a', 3)")
+    val rows = spark.sql(
+      s"SELECT g, v, _file FROM $cat.wh.filecol ORDER BY g, v").collect()
+    assert(rows.length == 3)
+    // the two a-rows came from DIFFERENT files (different INSERTs);
+    // each reported file really lives in its row's key directory
+    val aFiles = rows.filter(_.getString(0) == "a").map(_.getString(2))
+    assert(aFiles.distinct.length == 2, s"append provenance lost: ${aFiles.toSeq}")
+    assert(rows.forall(r => r.getString(2).contains(s"g=${r.getString(0)}")))
+  }
+
   test("catalog functions resolve in SQL and match the session expressions") {
     wh
     val r = spark.sql(
