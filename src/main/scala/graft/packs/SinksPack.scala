@@ -284,6 +284,91 @@ object SinksPack {
         WHERE m >= '1995-01' AND m <= '1995-12' ORDER BY m, rf""")
     },
 
+    // Catalog DML face 1 — DELETE FROM (SupportsDelete, r14): key-only
+    // predicates drop whole `m=…/` directories as a METADATA op (the
+    // retention/correction DML a daily-reloaded warehouse runs);
+    // surviving directories are never listed, let alone rewritten
+    // (GraftCatalogSpec pins the mtime invariance). The gate: survivors
+    // hash-match the oracle's complement aggregate.
+    "q_k_catalog_delete" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val qty = "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+      ensureFixture(s"$wh#del") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_del " +
+          "(m STRING, rf STRING, n_items BIGINT, sum_qty DOUBLE) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_del")
+        s.sql(s"""INSERT OVERWRITE $cat.wh.li_del
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*), $qty
+          FROM graft_cat_li_del GROUP BY 1, 2""")
+        // a whole retention year goes — directory deletes only
+        s.sql(s"DELETE FROM $cat.wh.li_del WHERE m >= '1995-01' AND m <= '1995-12'")
+      }
+      s.sql(s"SELECT m, rf, n_items, sum_qty FROM $cat.wh.li_del ORDER BY m, rf")
+    },
+
+    // Catalog DML face 2 — ALTER TABLE ADD COLUMN (r14): schema
+    // evolution as a pure metadata edit. Generation 1 is inserted
+    // BEFORE the column exists; generation 2 after. Old part files
+    // never get rewritten — the reader null-fills the missing column
+    // per file — and both generations read back as one table.
+    "q_k_catalog_evolve" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val qty = "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+      ensureFixture(s"$wh#evolve") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_evo " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_evo")
+        // generation 1: pre-evolution schema (no sum_qty anywhere)
+        s.sql(s"""INSERT INTO $cat.wh.li_evo
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_evo WHERE l_returnflag = 'R' GROUP BY 1, 2""")
+        s.sql(s"ALTER TABLE $cat.wh.li_evo ADD COLUMN sum_qty DOUBLE")
+        // generation 2: carries the evolved column
+        s.sql(s"""INSERT INTO $cat.wh.li_evo
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*), $qty
+          FROM graft_cat_li_evo WHERE l_returnflag <> 'R' GROUP BY 1, 2""")
+      }
+      s.sql(s"SELECT m, rf, n_items, sum_qty FROM $cat.wh.li_evo ORDER BY m, rf")
+    },
+
+    // Catalog DML face 3 — dynamic INSERT OVERWRITE (r14): the
+    // daily-reload shape the reference actually runs (recompute a date
+    // slice, replace exactly those partitions, leave history byte-
+    // identical). Touched keys come from the COMMIT MESSAGES — no
+    // directory listing at all.
+    "q_k_catalog_overwrite" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#dynow") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_dyn " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_dyn")
+        s.sql(s"""INSERT OVERWRITE $cat.wh.li_dyn
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_dyn GROUP BY 1, 2""")
+        // the "corrected reload" of 1996: doubled counts, dynamic mode
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+          s.sql(s"""INSERT OVERWRITE $cat.wh.li_dyn
+            SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, 2 * count(*)
+            FROM graft_cat_li_dyn WHERE year(l_shipdate) = 1996 GROUP BY 1, 2""")
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_dyn ORDER BY m, rf")
+    },
+
     // K4/J5 — JSON write + read-back (schema inferred on read).
     "q_k4_json_roundtrip" -> { (s, d) =>
       val path = tmpPath("json", d)
@@ -746,6 +831,37 @@ object SinksPack {
          |SELECT m, rf, n_items, sum_qty FROM t
          |WHERE m >= '1995-01' AND m <= '1995-12'
          |ORDER BY m, rf""".stripMargin,
+
+    // The deleted retention year is the COMPLEMENT of the kept range.
+    "q_k_catalog_delete" ->
+      s"""WITH t AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+         |         count(*) AS n_items, ${Num.dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT m, rf, n_items, sum_qty FROM t
+         |WHERE m < '1995-01' OR m > '1995-12'
+         |ORDER BY m, rf""".stripMargin,
+
+    // Generation 1 (rf = 'R') predates the column — NULL sum_qty;
+    // generation 2 carries it.
+    "q_k_catalog_evolve" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+         |       count(*) AS n_items,
+         |       CASE WHEN l_returnflag = 'R' THEN NULL
+         |            ELSE ${Num.dsumSql("l_quantity")} END AS sum_qty
+         |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
+
+    // 1996 partitions were dynamically re-loaded with doubled counts;
+    // every other month keeps its original files.
+    "q_k_catalog_overwrite" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m, rf,
+        |       CAST(CASE WHEN m >= '1996-01' AND m <= '1996-12'
+        |                 THEN 2 * n ELSE n END AS BIGINT) AS n_items
+        |FROM t ORDER BY m, rf""".stripMargin,
 
     "q_k4_json_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars

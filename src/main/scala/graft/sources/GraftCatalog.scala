@@ -138,10 +138,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftCsvTable(dir.toString, schema, partCol, catalogManaged = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported (schema lives in " +
-        "_graft_table.json; recreate the table)")
+  /** Schema evolution, the append-only-warehouse way (verdict r13 #2):
+    * `ALTER TABLE … ADD COLUMN` appends a NULLABLE field to
+    * `_graft_table.json` — a pure metadata edit. Part files written
+    * before the evolution simply lack the column in their header; the
+    * reader resolves columns per file by NAME and null-fills the
+    * missing ones (see [[CsvValueIterator]]'s catalog-read face), so
+    * old and new generations read back as ONE table with no rewrite —
+    * the property that makes evolution affordable at 100 TB. Anything
+    * needing a data rewrite (type change, rename, drop, NOT NULL,
+    * defaults, ordered positions) is refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    var (schema, partCol) = readMeta(dir)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft catalog: only top-level ADD COLUMN is supported")
+        val name = add.fieldNames()(0)
+        if (schema.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"graft catalog: column '$name' already exists")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            "graft catalog: added columns must be nullable (pre-evolution " +
+              "rows null-fill; a NOT NULL column would need a table rewrite)")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            "graft catalog: ADD COLUMN only appends at the end (headers of " +
+              "already-committed files resolve by name, not position)")
+        if (add.defaultValue() != null)
+          throw new UnsupportedOperationException(
+            "graft catalog: column DEFAULTs are not supported — " +
+              "pre-evolution rows read back as NULL")
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          name, add.dataType(), nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other (only " +
+          "ADD COLUMN evolves in place; anything else needs a rewrite)")
+    }
+    writeMeta(dir, schema, partCol)
+    new GraftCsvTable(dir.toString, schema, partCol, catalogManaged = true)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -166,15 +206,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // function carries the MAGIC invoke method, so calls compile to a
   // direct primitive Invoke inside whole-stage codegen — no row boxing.
 
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+  /** Functions live at the catalog's top level (empty namespace) and
+    * are also visible inside every EXISTING namespace; a nonexistent
+    * namespace throws per the FunctionCatalog contract (advice r13 —
+    * `graft.any.thing.dotp` must not resolve). */
+  private def functionNamespaceOk(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsPath(namespace)) && !fs.exists(metaFile(nsPath(namespace))))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!functionNamespaceOk(namespace)) throw new NoSuchNamespaceException(namespace)
     GraftCatalogFunctions.Names.map(Identifier.of(namespace, _))
+  }
 
   override def functionExists(ident: Identifier): Boolean =
-    GraftCatalogFunctions.Names.contains(ident.name().toLowerCase(java.util.Locale.ROOT))
+    functionNamespaceOk(ident.namespace()) &&
+      GraftCatalogFunctions.Names.contains(ident.name().toLowerCase(java.util.Locale.ROOT))
 
-  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (!functionNamespaceOk(ident.namespace()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     GraftCatalogFunctions.load(ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
 
   // ---- SupportsNamespaces ----------------------------------------------
 

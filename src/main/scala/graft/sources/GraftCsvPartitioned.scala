@@ -116,9 +116,14 @@ private[sources] object PartitionedCsvLayout {
       .map { s =>
         val n = s.getPath.getName
         val eq = n.indexOf('=')
-        (n.substring(0, eq), decode(n.substring(eq + 1)), s.getPath.toString)
+        (n.substring(0, eq), n.substring(eq + 1), s.getPath.toString)
       }
+      // by ENCODED value, as documented — encode() is order-preserving
+      // on the unreserved charset, so this is key order for plain keys
+      // (nothing downstream is load-bearing on the order; the sort just
+      // keeps listings deterministic across filesystems)
       .sortBy(_._2)
+      .map { case (c, enc, p) => (c, decode(enc), p) }
     val cols = dirs.map(_._1).distinct
     if (cols.length > 1) throw new IllegalStateException(
       s"graft-csv: mixed partition columns under $path: ${cols.mkString(", ")}")
@@ -142,7 +147,8 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
                                            keyCol: String,
                                            dirs: Array[(String, String, String)],
                                            conf: SerializableHadoopConf,
-                                           vectorized: Boolean = false)
+                                           vectorized: Boolean = false,
+                                           nullFill: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private val keyField: StructField = full.fields
@@ -191,7 +197,7 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
       partFilters.forall(CsvFilterEval.eval(_, _ => v))
     }
     new KeyedCsvScan(path, required, payload, keyField, survivors,
-      partFilters, payloadFilters, conf, vectorized, limit)
+      partFilters, payloadFilters, conf, vectorized, limit, nullFill)
   }
 }
 
@@ -205,7 +211,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      val payloadFilters: Array[Filter],
                                      conf: SerializableHadoopConf,
                                      vectorized: Boolean = false,
-                                     val pushedLimit: Option[Int] = None)
+                                     val pushedLimit: Option[Int] = None,
+                                     nullFill: Boolean = false)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
@@ -264,12 +271,45 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
   /** Post-static-pruning byte size (the honest estimate a join planner
     * should see: a month-sliced read of a decade-deep table reports the
     * month, not the decade). Without this a DSV2 relation defaults to
-    * `defaultSizeInBytes` = never broadcastable. */
+    * `defaultSizeInBytes` = never broadcastable.
+    *
+    * Computed with ONE recursive listing of the table root instead of
+    * one listStatus RPC per key directory (advice r13 — at high key
+    * cardinality the per-directory loop dominates planning), and the
+    * walk seeds the per-directory file cache so partitions planned
+    * later reuse it instead of re-listing. Runtime-pruned keys still
+    * skip the listing when stats were never requested (computed
+    * lazily, at most once per scan). */
+  private lazy val survivingBytes: Long = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf.value)
+    val byDir = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long)]]
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        val parent = s.getPath.getParent
+        // skip in-flight temp dirs (_tmp_<queryId>) and meta files
+        if (name.startsWith("part-") && name.endsWith(".csv") &&
+            !parent.getName.startsWith("_"))
+          byDir.getOrElseUpdate(parent.toString,
+            scala.collection.mutable.ArrayBuffer.empty) += ((s.getPath.toString, s.getLen))
+      }
+    }
+    dirs.foreach { case (_, _, d) =>
+      fileCache.putIfAbsent(d,
+        byDir.get(d).map(_.sortBy(_._1).toArray).getOrElse(Array.empty))
+    }
+    dirs.iterator.map { case (_, _, d) =>
+      byDir.get(d).map(_.iterator.map(_._2).sum).getOrElse(0L)
+    }.sum
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(dirs.map { case (_, _, dir) =>
-        listedOf(dir).map(_._2).sum
-      }.sum)
+      java.util.OptionalLong.of(survivingBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -290,13 +330,18 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val keyPos = required.fieldNames.indexWhere(
       _.equalsIgnoreCase(keyField.name))
-    val filePos = required.fieldNames.indexWhere(
-      _.equalsIgnoreCase(GraftCsvTable.FileColumn))
-    // Payload = required minus the key and _file columns (both served
-    // by the reader wrapper, never parsed from the files).
-    val payloadRequired = StructType(required.fields.filterNot(f =>
-      f.name.equalsIgnoreCase(keyField.name) ||
-        f.name.equalsIgnoreCase(GraftCsvTable.FileColumn)))
+    // A DATA column named _file hides the metadata column and parses
+    // from the payload like any other field (SupportsMetadataColumns
+    // contract; advice r13).
+    val filePos =
+      if (payload.fieldNames.exists(_.equalsIgnoreCase(GraftCsvTable.FileColumn))) -1
+      else required.fieldNames.indexWhere(
+        _.equalsIgnoreCase(GraftCsvTable.FileColumn))
+    // Payload = required minus the key and (metadata-served) _file
+    // columns (both served by the reader wrapper, never parsed).
+    val payloadRequired = StructType(required.fields.zipWithIndex.filterNot {
+      case (f, i) => f.name.equalsIgnoreCase(keyField.name) || i == filePos
+    }.map(_._1))
     // Parse schema: required payload columns plus any payload-filtered
     // columns pruning removed (same discipline as the flat scan).
     val extra = CsvFilterEval.referenced(payloadFilters)
@@ -304,7 +349,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       .flatMap(n => payload.fields.find(_.name.equalsIgnoreCase(n)))
     new KeyedCsvReaderFactory(required, payloadRequired,
       StructType(payloadRequired.fields ++ extra), payloadFilters,
-      keyPos, keyField.dataType.json, conf, vectorized, pushedLimit, filePos)
+      keyPos, keyField.dataType.json, conf, vectorized, pushedLimit, filePos,
+      nullFill)
   }
 }
 
@@ -316,19 +362,20 @@ private[sources] class KeyedCsvReaderFactory(required: StructType,
                                              conf: SerializableHadoopConf,
                                              vectorized: Boolean = false,
                                              limit: Option[Int] = None,
-                                             filePos: Int = -1)
+                                             filePos: Int = -1,
+                                             nullFill: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new KeyedCsvReader(p.asInstanceOf[KeyedCsvPartition], required,
       payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf, limit,
-      filePos)
+      filePos, nullFill)
 
   override def supportColumnarReads(p: InputPartition): Boolean = vectorized
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new KeyedCsvColumnarReader(p.asInstanceOf[KeyedCsvPartition], required,
       payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf,
-      limit = limit, filePos = filePos)
+      limit = limit, filePos = filePos, nullFill = nullFill)
 }
 
 /** Columnar face of the keyed read: payload columns fill on-heap
@@ -346,7 +393,8 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
                                               conf: SerializableHadoopConf,
                                               batchSize: Int = 4096,
                                               limit: Option[Int] = None,
-                                              filePos: Int = -1)
+                                              filePos: Int = -1,
+                                              nullFill: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -391,7 +439,7 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
     if (fileIdx >= part.files.length) false
     else {
       it = new CsvValueIterator(part.files(fileIdx), payloadRequired, parse,
-        payloadFilters, conf)
+        payloadFilters, conf, nullFill)
       if (fileVector != null)
         fileVector.setUtf8String(UTF8String.fromString(part.files(fileIdx)))
       fileIdx += 1
@@ -464,7 +512,8 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
                                       keyPos: Int, keyTypeJson: String,
                                       conf: SerializableHadoopConf,
                                       limit: Option[Int] = None,
-                                      filePos: Int = -1)
+                                      filePos: Int = -1,
+                                      nullFill: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val keyValue: Any =
     PartitionedCsvLayout.catalystKey(part.keyRaw, DataType.fromJson(keyTypeJson))
@@ -479,7 +528,7 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
     if (fileIdx >= part.files.length) false
     else {
       inner = new GraftCsvPartitionReader(part.files(fileIdx), payloadRequired,
-        parse, payloadFilters, conf)
+        payloadRequired, parse, payloadFilters, conf, None, -1, nullFill)
       currentFile = UTF8String.fromString(part.files(fileIdx))
       fileIdx += 1
       true

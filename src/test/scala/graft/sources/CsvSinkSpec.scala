@@ -252,6 +252,26 @@ class CsvSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("a DATA column named _file hides the metadata column (stored values win)") {
+    // ACCEPT_ANY_SCHEMA lets a table legitimately store a `_file`
+    // column; per the SupportsMetadataColumns contract the data column
+    // must then be served from the payload, NOT replaced by file paths
+    // (advice r13). Both reader faces, flat layout.
+    val path = dir("filecol_conflict")
+    Seq((1L, "stored-a"), (2L, "stored-b")).toDF("id", "_file")
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path).save()
+    for (vec <- Seq(true, false)) {
+      val rows = spark.read.schema("id LONG, _file STRING")
+        .format("graft.sources.GraftCsvSink")
+        .option("path", path).option("vectorized", vec.toString).load()
+        .orderBy("id").collect()
+      assert(rows.map(_.getString(1)).toSeq == Seq("stored-a", "stored-b"),
+        s"vectorized=$vec: stored _file values were replaced by paths: " +
+          rows.map(_.getString(1)).toSeq)
+    }
+  }
+
   test("write metrics report to the SQL status store (rows/files written)") {
     // UI-facing wiring: the V2 write node's custom metrics (summed
     // across tasks) must reach the status store — a silent metrics
@@ -299,7 +319,7 @@ class CsvSinkSpec extends AnyFunSuite {
     val path = dir("abort")
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("s", StringType)))
-    val bw = new GraftCsvBatchWrite(path, schema, "q-abort-test", truncate = false,
+    val bw = new GraftCsvBatchWrite(path, schema, "q-abort-test", CsvWriteMode.Append,
       SerializableHadoopConf.fromSession())
     val factory = bw.createBatchWriterFactory(null)
     val w = factory.createWriter(0, 42L)

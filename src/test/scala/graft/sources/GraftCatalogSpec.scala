@@ -150,6 +150,123 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getString(0)).exists(_.endsWith("dotp")))
   }
 
+  test("DELETE FROM a key slice drops whole directories; surviving files untouched") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.delt (g STRING, v BIGINT) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.delt VALUES ('a', 1), ('b', 2), ('c', 3), ('d', 4)")
+    val tdir = new java.io.File(s"$wh/wh/delt")
+    def partFiles() = tdir.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".csv"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    val before = partFiles()
+    assert(before.size == 4)
+    spark.sql(s"DELETE FROM $cat.wh.delt WHERE g >= 'b' AND g <= 'c'")
+    val rows = spark.sql(s"SELECT g, v FROM $cat.wh.delt ORDER BY g").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("d", 4L)))
+    // metadata-op evidence: matching dirs are GONE, surviving part files
+    // keep their exact paths and mtimes (never rewritten, never touched)
+    val after = partFiles()
+    assert(!tdir.listFiles().exists(f => f.getName == "g=b" || f.getName == "g=c"))
+    assert(after == before.filter { case (p, _) =>
+      p.contains("g=a") || p.contains("g=d") },
+      "surviving files were rewritten or moved by DELETE")
+    // IN-list deletes work too
+    spark.sql(s"DELETE FROM $cat.wh.delt WHERE g IN ('d')")
+    assert(spark.sql(s"SELECT g FROM $cat.wh.delt").collect().map(_.getString(0)).toSeq == Seq("a"))
+    // unconditional DELETE empties the table but keeps it queryable
+    spark.sql(s"DELETE FROM $cat.wh.delt")
+    assert(spark.sql(s"SELECT * FROM $cat.wh.delt").count() == 0)
+    // payload predicates refuse loudly (no silent full rewrite)
+    spark.sql(s"INSERT INTO $cat.wh.delt VALUES ('e', 5)")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.wh.delt WHERE v = 5")
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m => m.toLowerCase.contains("delete")) ||
+        msg(t.getCause))
+    assert(msg(e), s"unexpected error shape: $e")
+    assert(spark.sql(s"SELECT * FROM $cat.wh.delt").count() == 1,
+      "refused DELETE must leave the table unchanged")
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, old files null-fill") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.evo (g STRING, v BIGINT) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.evo VALUES ('a', 1), ('b', 2)")
+    val tdir = new java.io.File(s"$wh/wh/evo")
+    def files() = tdir.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".csv"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    val before = files()
+    spark.sql(s"ALTER TABLE $cat.wh.evo ADD COLUMN note STRING")
+    // pure metadata: no part file was rewritten
+    assert(files() == before, "ALTER TABLE rewrote data files")
+    // old rows read back with the new column null-filled
+    val rows = spark.sql(
+      s"SELECT g, v, note FROM $cat.wh.evo ORDER BY g").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(2)),
+      s"pre-evolution rows must null-fill: ${rows.mkString(", ")}")
+    // new INSERTs carry the column; mixed generations read together
+    spark.sql(s"INSERT INTO $cat.wh.evo VALUES ('c', 3, 'hello')")
+    val all = spark.sql(s"SELECT g, v, note FROM $cat.wh.evo ORDER BY g").collect()
+    assert(all.map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
+      Seq(("a", 1L, null), ("b", 2L, null), ("c", 3L, "hello")))
+    // refusals: NOT NULL, duplicate, nested, non-ADD changes
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.wh.evo ADD COLUMN v BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.wh.evo ADD COLUMN strict STRING NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.wh.evo DROP COLUMN note")
+    }
+  }
+
+  test("dynamic INSERT OVERWRITE replaces only the touched keys") {
+    wh
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.dyn (g STRING, v BIGINT) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.dyn VALUES ('a', 1), ('b', 2), ('c', 3)")
+    val tdir = new java.io.File(s"$wh/wh/dyn")
+    def filesOf(key: String) = new java.io.File(tdir, s"g=$key").listFiles()
+      .filter(_.getName.endsWith(".csv")).map(f => f.getPath -> f.lastModified()).toMap
+    val aBefore = filesOf("a")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      spark.sql(s"INSERT OVERWRITE $cat.wh.dyn VALUES ('b', 20), ('c', 30), ('c', 31)")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val rows = spark.sql(s"SELECT g, v FROM $cat.wh.dyn ORDER BY g, v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 1L), ("b", 20L), ("c", 30L), ("c", 31L)),
+      s"dynamic overwrite produced $rows")
+    // the untouched key's files are bit-identical (same path, same mtime)
+    assert(filesOf("a") == aBefore, "dynamic overwrite touched an unwritten key")
+  }
+
+  test("functions do not resolve under nonexistent namespaces") {
+    wh
+    // advice r13: graft.any.thing.dotp must NOT resolve — the
+    // FunctionCatalog validates the namespace like TableCatalog does
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT $cat.no.such.ns.dotp(array(1.0D), array(1.0D))").collect()
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m =>
+        m.contains("not") || m.contains("NOT_FOUND") || m.contains("CANNOT")) ||
+        msg(t.getCause))
+    assert(msg(e), s"unexpected error shape: $e")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SHOW FUNCTIONS IN $cat.no_such_ns").collect()
+    }
+    assert(msg(e2), s"unexpected error shape: $e2")
+    // existing namespaces (and the catalog top level) still serve them
+    assert(spark.sql(s"SHOW FUNCTIONS IN $cat.wh").collect()
+      .map(_.getString(0)).exists(_.endsWith("dotp")))
+  }
+
   test("SHOW TABLES / RENAME / DROP / error shapes") {
     wh
     spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.misc (a STRING, b BIGINT)")
