@@ -284,6 +284,33 @@ object SinksPack {
         WHERE m >= '1995-01' AND m <= '1995-12' ORDER BY m, rf""")
     },
 
+    // Compound partition keys (r14): PARTITIONED BY (m, rf) writes the
+    // nested `m=…/rf=…/` hive layout — clustering on BOTH keys at
+    // write, KeyGroupedPartitioning over both identity transforms at
+    // read (compound-key SPJ, plan-pinned in GraftCatalogSpec/
+    // PartitionedCsvSpec), and directory pruning on ANY key subset:
+    // this SELECT prunes on the month PREFIX and the rf SUFFIX at once.
+    "q_k_partitioned_multi" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val qty = "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+      ensureFixture(s"$wh#multi") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_multi " +
+          "(m STRING, rf STRING, n_items BIGINT, sum_qty DOUBLE) " +
+          "PARTITIONED BY (m, rf)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_multi")
+        s.sql(s"""INSERT OVERWRITE $cat.wh.li_multi
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*), $qty
+          FROM graft_cat_li_multi GROUP BY 1, 2""")
+      }
+      s.sql(s"""SELECT m, rf, n_items, sum_qty FROM $cat.wh.li_multi
+        WHERE m >= '1996-01' AND m <= '1996-12' AND rf <> 'N'
+        ORDER BY m, rf""")
+    },
+
     // Catalog DML face 1 — DELETE FROM (SupportsDelete, r14): key-only
     // predicates drop whole `m=…/` directories as a METADATA op (the
     // retention/correction DML a daily-reloaded warehouse runs);
@@ -830,6 +857,15 @@ object SinksPack {
          |  FROM lineitem GROUP BY 1, 2)
          |SELECT m, rf, n_items, sum_qty FROM t
          |WHERE m >= '1995-01' AND m <= '1995-12'
+         |ORDER BY m, rf""".stripMargin,
+
+    "q_k_partitioned_multi" ->
+      s"""WITH t AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+         |         count(*) AS n_items, ${Num.dsumSql("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT m, rf, n_items, sum_qty FROM t
+         |WHERE m >= '1996-01' AND m <= '1996-12' AND rf <> 'N'
          |ORDER BY m, rf""".stripMargin,
 
     // The deleted retention year is the COMPLEMENT of the kept range.

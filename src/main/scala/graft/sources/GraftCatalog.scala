@@ -70,19 +70,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val mapper = new ObjectMapper()
 
   private def writeMeta(dir: HPath, schema: StructType,
-                        partitionCol: Option[String]): Unit = {
+                        partitionCols: Seq[String]): Unit = {
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
-    partitionCol.foreach(node.put("partitionCol", _))
+    if (partitionCols.nonEmpty) {
+      val arr = node.putArray("partitionCols")
+      partitionCols.foreach(arr.add)
+    }
     val out = fs.create(metaFile(dir), true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
   }
 
-  private def readMeta(dir: HPath): (StructType, Option[String]) = {
+  private def readMeta(dir: HPath): (StructType, Seq[String]) = {
     val in = fs.open(metaFile(dir))
     val node = try mapper.readTree(in) finally in.close()
+    val cols = Option(node.get("partitionCols")) match {
+      case Some(arr) =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      // pre-r14 metadata: a single "partitionCol" string
+      case None => Option(node.get("partitionCol")).map(_.asText()).toSeq
+    }
     (DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
-      Option(node.get("partitionCol")).map(_.asText()))
+      cols)
   }
 
   // ---- TableCatalog -----------------------------------------------------
@@ -101,8 +110,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (schema, partCol) = readMeta(dir)
-    new GraftCsvTable(dir.toString, schema, partCol, catalogManaged = true)
+    val (schema, partCols) = readMeta(dir)
+    new GraftCsvTable(dir.toString, schema, partCols, catalogManaged = true)
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -110,9 +119,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: JMap[String, String]): Table = {
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
-    val partCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name() == "identity" && t.references().length == 1 &&
+    // ONE OR MORE identity transforms, in declaration order — the
+    // nesting order of the hive layout (r14: compound keys,
+    // `PARTITIONED BY (d, src)` => `d=…/src=…/` directories)
+    val partCols = partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         val col = t.references()(0).fieldNames()(0)
         val field = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
@@ -122,20 +133,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new IllegalArgumentException(
             s"graft catalog: partition column '$col' has type " +
               s"${field.dataType.simpleString}; keys must be string/integral/boolean")
-        Some(field.name)
+        field.name
       case other => throw new UnsupportedOperationException(
-        "graft catalog: only a single identity PARTITIONED BY column is " +
-          s"supported; got ${other.mkString(", ")}")
+        "graft catalog: only identity PARTITIONED BY columns are " +
+          s"supported; got $other")
     }
-    if (partCol.isDefined && schema.length < 2)
+    if (partCols.distinct.length != partCols.length)
+      throw new IllegalArgumentException(
+        s"graft catalog: duplicate PARTITIONED BY columns: ${partCols.mkString(", ")}")
+    if (partCols.nonEmpty && schema.length <= partCols.length)
       throw new IllegalArgumentException(
         "graft catalog: a partitioned table needs at least one payload column")
     val dir = tableDir(ident)
     if (fs.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
     if (!fs.exists(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     fs.mkdirs(dir)
-    writeMeta(dir, schema, partCol)
-    new GraftCsvTable(dir.toString, schema, partCol, catalogManaged = true)
+    writeMeta(dir, schema, partCols)
+    new GraftCsvTable(dir.toString, schema, partCols, catalogManaged = true)
   }
 
   /** Schema evolution, the append-only-warehouse way (verdict r13 #2):
@@ -151,7 +165,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    var (schema, partCol) = readMeta(dir)
+    var (schema, partCols) = readMeta(dir)
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -179,8 +193,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: unsupported ALTER TABLE change $other (only " +
           "ADD COLUMN evolves in place; anything else needs a rewrite)")
     }
-    writeMeta(dir, schema, partCol)
-    new GraftCsvTable(dir.toString, schema, partCol, catalogManaged = true)
+    writeMeta(dir, schema, partCols)
+    new GraftCsvTable(dir.toString, schema, partCols, catalogManaged = true)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

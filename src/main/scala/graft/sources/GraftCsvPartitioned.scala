@@ -4,7 +4,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
@@ -16,31 +16,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * DSV2-native bucketing story (SURVEY.md §2.13 superset; the
   * storage-partitioned-join design is public Spark, SPARK-37377):
   *
-  * WRITE (`option("partitionedBy", "m")`): the sink REQUIRES clustering
-  * + in-partition ordering on the key (RequiresDistributionAndOrdering,
-  * same contract as `clusterBy`), then each task splits its sorted run
-  * into one file per key under `m=<value>/part-NNNNN.csv`. The key
-  * column is carried by the DIRECTORY NAME, not the payload (hive
-  * convention) — a 100 TB table partitioned on a grain key never
-  * stores the key bytes per row.
+  * WRITE (`option("partitionedBy", "d,src")` — ONE OR MORE key columns,
+  * r14): the sink REQUIRES clustering + in-partition ordering on the
+  * keys (RequiresDistributionAndOrdering, same contract as `clusterBy`),
+  * then each task splits its sorted run into one file per key tuple
+  * under nested `d=<v1>/src=<v2>/part-NNNNN.csv` directories. The key
+  * columns are carried by the DIRECTORY NAMES, not the payload (hive
+  * convention) — a 100 TB table partitioned on grain keys never stores
+  * the key bytes per row.
   *
-  * READ: the scan plans ONE input partition per key directory, each
-  * declaring its key ([[HasPartitionKey]]), and reports
-  * [[KeyGroupedPartitioning]] over `identity(key)` plus a per-partition
-  * ordering on the key ([[SupportsReportOrdering]] — trivially true:
-  * every row in a partition shares the key). With
-  * `spark.sql.sources.v2.bucketing.enabled` the engine then plans
-  * joins between two such tables on the key with ZERO Exchange and
+  * READ: the scan plans ONE input partition per LEAF directory, each
+  * declaring its key tuple ([[HasPartitionKey]]), and reports
+  * [[KeyGroupedPartitioning]] over `identity(k1), identity(k2), …` plus
+  * a per-partition ordering on the keys ([[SupportsReportOrdering]] —
+  * trivially true: every row in a partition shares the whole tuple).
+  * With `spark.sql.sources.v2.bucketing.enabled` the engine then plans
+  * joins between two such tables on the keys with ZERO Exchange and
   * ZERO Sort — the storage-partitioned join. At 100 TB this is the
   * bucketed-join economics without a Hive metastore: pay the
   * clustering shuffle once at write time, and every downstream join or
-  * aggregation on the grain key is exchange-free forever.
+  * aggregation on the grain keys is exchange-free forever.
   *
   * Planning-time partition pruning: pushed filters that mention ONLY
-  * the key column are evaluated against the directory names — pruned
-  * key directories are never listed for files, let alone read (the
-  * engine form of hive partition pruning). Payload filters ride the
-  * existing in-reader pushdown.
+  * key columns — any subset, so a `date=…/source=…` table prunes on a
+  * date-only predicate (prefix) or a source-only one — are evaluated
+  * against the directory names; pruned leaves are never listed for
+  * files, let alone read. Payload filters ride the in-reader pushdown.
   */
 private[sources] object PartitionedCsvLayout {
   /** Key-to-directory-name encoding: injective, filesystem-safe, and
@@ -129,36 +130,66 @@ private[sources] object PartitionedCsvLayout {
       s"graft-csv: mixed partition columns under $path: ${cols.mkString(", ")}")
     dirs
   }
+
+  /** The FULL (possibly nested) partition tree at `path`: the key
+    * columns in nesting order plus one entry per LEAF directory with
+    * its raw decoded key values. `(Nil, empty)` for a flat layout.
+    * Every branch must carry the same column at the same depth and
+    * reach the same depth (the writer only produces such trees; a
+    * ragged foreign layout fails loudly rather than silently dropping
+    * rows). */
+  def listPartitionTree(path: String,
+                        conf: Configuration): (Seq[String], Array[(Seq[String], String)]) = {
+    val level = listKeyDirs(path, conf)
+    if (level.isEmpty) return (Nil, Array.empty)
+    val col = level.head._1
+    var childCols: Seq[String] = null
+    val leaves = level.flatMap { case (_, raw, dir) =>
+      val (cs, subLeaves) = listPartitionTree(dir, conf)
+      if (childCols == null) childCols = cs
+      else if (childCols != cs) throw new IllegalStateException(
+        s"graft-csv: ragged partition tree under $path — " +
+          s"[${childCols.mkString(",")}] vs [${cs.mkString(",")}] at $dir")
+      if (cs.isEmpty) Array((Seq(raw), dir))
+      else subLeaves.map { case (vs, d) => (raw +: vs, d) }
+    }
+    (col +: childCols, leaves)
+  }
 }
 
-/** One key directory = one input partition, declaring its partition key
-  * so the engine can group and align partitions across the two sides of
-  * a storage-partitioned join. */
-private[sources] case class KeyedCsvPartition(keyRaw: String,
-                                              keyTypeJson: String,
+/** One leaf directory = one input partition, declaring its key tuple so
+  * the engine can group and align partitions across the two sides of a
+  * storage-partitioned join. `keySchemaJson` is the StructType (key
+  * columns only, nesting order) serialized for the executor side. */
+private[sources] case class KeyedCsvPartition(keyRaws: Seq[String],
+                                              keySchemaJson: String,
                                               files: Array[String])
     extends InputPartition with HasPartitionKey {
+  private[sources] def keySchema: StructType =
+    DataType.fromJson(keySchemaJson).asInstanceOf[StructType]
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](PartitionedCsvLayout.catalystKey(
-      keyRaw, DataType.fromJson(keyTypeJson))))
+    new GenericInternalRow(keySchema.fields.zip(keyRaws).map {
+      case (f, raw) => PartitionedCsvLayout.catalystKey(raw, f.dataType)
+    }.toArray[Any])
 }
 
 private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
-                                           keyCol: String,
-                                           dirs: Array[(String, String, String)],
+                                           keyCols: Seq[String],
+                                           leaves: Array[(Seq[String], String)],
                                            conf: SerializableHadoopConf,
                                            vectorized: Boolean = false,
                                            nullFill: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
-  private val keyField: StructField = full.fields
-    .find(_.name.equalsIgnoreCase(keyCol))
-    .getOrElse(throw new IllegalArgumentException(
-      s"graft-csv partitioned read: schema lacks partition column '$keyCol' " +
-        s"(layout at $path); pass a schema containing it"))
+  private val keyFields: Seq[StructField] = keyCols.map(c =>
+    full.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-csv partitioned read: schema lacks partition column '$c' " +
+          s"(layout at $path); pass a schema containing it")))
+  private val keySchema = StructType(keyFields)
   /** The payload face: everything the part files actually store. */
-  private val payload = StructType(full.fields.filterNot(
-    _.name.equalsIgnoreCase(keyCol)))
+  private val payload = StructType(full.fields.filterNot(f =>
+    keyCols.exists(_.equalsIgnoreCase(f.name))))
 
   private var required: StructType = full
   private var partFilters: Array[Filter] = Array.empty
@@ -168,19 +199,21 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** PARTIAL limit per key-directory partition (same contract as the
+  /** PARTIAL limit per leaf-directory partition (same contract as the
     * flat scan); the engine's CollectLimit finishes globally. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // A filter whose every reference is the key column prunes DIRECTORIES
-    // at planning time; one the payload dialect can evaluate is pushed
-    // into the readers; the rest stay residual for Spark.
+    // A filter whose every reference is a key column — ANY subset of a
+    // compound key, so prefix and suffix predicates both qualify —
+    // prunes DIRECTORIES at planning time; one the payload dialect can
+    // evaluate is pushed into the readers; the rest stay residual.
     val (part, notPart) = filters.partition { f =>
       val refs = f.references
-      refs.nonEmpty && refs.forall(_.equalsIgnoreCase(keyCol)) &&
-        CsvFilterEval.supportedBy(full, f)
+      refs.nonEmpty &&
+        refs.forall(r => keyCols.exists(_.equalsIgnoreCase(r))) &&
+        CsvFilterEval.supportedBy(keySchema, f)
     }
     val (pay, rest) = notPart.partition(CsvFilterEval.supportedBy(payload, _))
     partFilters = part
@@ -191,13 +224,25 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
 
   override def build(): Scan = {
     // Planning-time partition pruning: evaluate the key filters against
-    // each directory's typed key value.
-    val survivors = dirs.filter { case (_, raw, _) =>
-      val v = PartitionedCsvLayout.keyValue(raw, keyField.dataType)
-      partFilters.forall(CsvFilterEval.eval(_, _ => v))
+    // each leaf's typed key tuple.
+    val survivors = leaves.filter { case (raws, _) =>
+      partFilters.forall(CsvFilterEval.eval(_, KeyedCsvScan.keyLookup(
+        keyFields, raws)))
     }
-    new KeyedCsvScan(path, required, payload, keyField, survivors,
+    new KeyedCsvScan(path, required, payload, keyFields, survivors,
       partFilters, payloadFilters, conf, vectorized, limit, nullFill)
+  }
+}
+
+private[sources] object KeyedCsvScan {
+  /** Case-insensitive column→typed-value lookup over one leaf's key
+    * tuple (filter evaluation during pruning, DELETE, overwrite). */
+  def keyLookup(keyFields: Seq[StructField], raws: Seq[String]): String => Any = {
+    val m = keyFields.zip(raws).map { case (f, raw) =>
+      f.name.toLowerCase(java.util.Locale.ROOT) ->
+        PartitionedCsvLayout.keyValue(raw, f.dataType)
+    }.toMap
+    name => m(name.toLowerCase(java.util.Locale.ROOT))
   }
 }
 
@@ -205,8 +250,8 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
 // off the physical plan.
 class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      payload: StructType,
-                                     keyField: StructField,
-                                     dirs: Array[(String, String, String)],
+                                     keyFields: Seq[StructField],
+                                     leaves: Array[(Seq[String], String)],
                                      val partFilters: Array[Filter],
                                      val payloadFilters: Array[Filter],
                                      conf: SerializableHadoopConf,
@@ -217,10 +262,13 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
+  private val keySchema = StructType(keyFields)
+
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"GraftCsvKeyed path=$path key=${keyField.name} partitions=${dirs.length} " +
+    s"GraftCsvKeyed path=$path keys=${keyFields.map(_.name).mkString(",")} " +
+      s"partitions=${leaves.length} " +
       s"PartitionFilters: [${partFilters.mkString(", ")}] " +
       s"PushedFilters: [${payloadFilters.mkString(", ")}] " +
       s"ReadSchema: ${required.simpleString}" +
@@ -229,23 +277,30 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
   override def toBatch: Batch = this
 
   /** Runtime (DPP-style) partition pruning: a join against the
-    * partitioned table hands the build side's key set to the scan at
-    * execution time; directories whose key is not in the set are
-    * dropped at the METADATA level — never listed for files, never
-    * opened. To keep the reported KeyGroupedPartitioning truthful the
-    * partition COUNT is preserved: pruned keys plan as empty
-    * partitions (zero files, zero I/O). */
-  @volatile private[sources] var runtimeKeys: Option[Set[Any]] = None
+    * partitioned table hands the build side's key sets to the scan at
+    * execution time — per key COLUMN, so a compound-key table prunes on
+    * whichever keys the join touches. Pruned leaves are dropped at the
+    * METADATA level — never listed for files, never opened. To keep the
+    * reported KeyGroupedPartitioning truthful the partition COUNT is
+    * preserved: pruned leaves plan as empty partitions (zero files,
+    * zero I/O). */
+  @volatile private[sources] var runtimeKeys: Option[Map[Int, Set[Any]]] = None
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(keyField.name))
+    keyFields.map(f =>
+      Expressions.column(f.name): org.apache.spark.sql.connector.expressions.NamedReference).toArray
   override def filter(filters: Array[Filter]): Unit = {
-    val sets = filters.collect {
+    val perCol = filters.collect {
       case org.apache.spark.sql.sources.In(a, vs)
-        if a.equalsIgnoreCase(keyField.name) => vs.toSet
+        if keyFields.exists(_.name.equalsIgnoreCase(a)) =>
+        keyFields.indexWhere(_.name.equalsIgnoreCase(a)) -> vs.toSet
       case org.apache.spark.sql.sources.EqualTo(a, v)
-        if a.equalsIgnoreCase(keyField.name) => Set(v)
+        if keyFields.exists(_.name.equalsIgnoreCase(a)) =>
+        keyFields.indexWhere(_.name.equalsIgnoreCase(a)) -> Set(v)
     }
-    if (sets.nonEmpty) runtimeKeys = Some(sets.reduce(_ intersect _))
+    if (perCol.nonEmpty)
+      runtimeKeys = Some(perCol.groupBy(_._1).map { case (i, ss) =>
+        i -> ss.map(_._2).reduce(_ intersect _)
+      })
   }
 
   /** Per-directory file listings (with sizes), performed AT MOST once
@@ -258,12 +313,13 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       d => GraftCsvTable.listPartFilesWithSize(d, conf.value))
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val typeJson = keyField.dataType.json
+    val schemaJson = keySchema.json
     val keep = runtimeKeys
-    dirs.map { case (_, raw, dir) =>
-      val pruned = keep.exists(ks =>
-        !ks.contains(PartitionedCsvLayout.keyValue(raw, keyField.dataType)))
-      KeyedCsvPartition(raw, typeJson,
+    leaves.map { case (raws, dir) =>
+      val pruned = keep.exists(_.exists { case (i, ks) =>
+        !ks.contains(PartitionedCsvLayout.keyValue(raws(i), keyFields(i).dataType))
+      })
+      KeyedCsvPartition(raws, schemaJson,
         if (pruned) Array.empty else listedOf(dir).map(_._1)): InputPartition
     }
   }
@@ -298,11 +354,11 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
             scala.collection.mutable.ArrayBuffer.empty) += ((s.getPath.toString, s.getLen))
       }
     }
-    dirs.foreach { case (_, _, d) =>
+    leaves.foreach { case (_, d) =>
       fileCache.putIfAbsent(d,
         byDir.get(d).map(_.sortBy(_._1).toArray).getOrElse(Array.empty))
     }
-    dirs.iterator.map { case (_, _, d) =>
+    leaves.iterator.map { case (_, d) =>
       byDir.get(d).map(_.iterator.map(_._2).sum).getOrElse(0L)
     }.sum
   }
@@ -314,34 +370,40 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       java.util.OptionalLong.empty()
   }
 
-  /** The SPJ contract: rows are grouped by `identity(key)` with exactly
-    * one partition per key value. */
+  /** The SPJ contract: rows are grouped by `identity(k1), identity(k2),
+    * …` with exactly one partition per key tuple. */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(Expressions.identity(keyField.name)),
-      dirs.length)
+    new KeyGroupedPartitioning(
+      keyFields.map(f => Expressions.identity(f.name): Transform).toArray,
+      leaves.length)
 
-  /** Within a partition every row carries the SAME key, so "ordered by
-    * key ascending" holds vacuously — reporting it lets the engine drop
-    * the sorts under a storage-partitioned sort-merge join. */
+  /** Within a partition every row carries the SAME key tuple, so
+    * "ordered by (k1, k2, …) ascending" holds vacuously — reporting it
+    * lets the engine drop the sorts under a storage-partitioned
+    * sort-merge join. */
   override def outputOrdering(): Array[SortOrder] =
-    Array(Expressions.sort(Expressions.column(keyField.name),
-      SortDirection.ASCENDING))
+    keyFields.map(f => Expressions.sort(Expressions.column(f.name),
+      SortDirection.ASCENDING)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val keyPos = required.fieldNames.indexWhere(
-      _.equalsIgnoreCase(keyField.name))
     // A DATA column named _file hides the metadata column and parses
     // from the payload like any other field (SupportsMetadataColumns
     // contract; advice r13).
-    val filePos =
-      if (payload.fieldNames.exists(_.equalsIgnoreCase(GraftCsvTable.FileColumn))) -1
-      else required.fieldNames.indexWhere(
-        _.equalsIgnoreCase(GraftCsvTable.FileColumn))
-    // Payload = required minus the key and (metadata-served) _file
-    // columns (both served by the reader wrapper, never parsed).
-    val payloadRequired = StructType(required.fields.zipWithIndex.filterNot {
-      case (f, i) => f.name.equalsIgnoreCase(keyField.name) || i == filePos
-    }.map(_._1))
+    val fileIsData =
+      payload.fieldNames.exists(_.equalsIgnoreCase(GraftCsvTable.FileColumn))
+    // Slot per required column: key index (>= 0), PAYLOAD, or FILE —
+    // keys and _file are served by the reader wrapper, never parsed.
+    val slotOf: Array[Int] = required.fields.map { f =>
+      val k = keyFields.indexWhere(_.name.equalsIgnoreCase(f.name))
+      if (k >= 0) k
+      else if (!fileIsData &&
+        f.name.equalsIgnoreCase(GraftCsvTable.FileColumn)) KeyedCsvSlots.File
+      else KeyedCsvSlots.Payload
+    }
+    val payloadRequired = StructType(
+      required.fields.zip(slotOf).collect {
+        case (f, KeyedCsvSlots.Payload) => f
+      })
     // Parse schema: required payload columns plus any payload-filtered
     // columns pruning removed (same discipline as the flat scan).
     val extra = CsvFilterEval.referenced(payloadFilters)
@@ -349,81 +411,87 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
       .flatMap(n => payload.fields.find(_.name.equalsIgnoreCase(n)))
     new KeyedCsvReaderFactory(required, payloadRequired,
       StructType(payloadRequired.fields ++ extra), payloadFilters,
-      keyPos, keyField.dataType.json, conf, vectorized, pushedLimit, filePos,
-      nullFill)
+      slotOf, conf, vectorized, pushedLimit, nullFill)
   }
+}
+
+private[sources] object KeyedCsvSlots {
+  /** slotOf markers: non-negative = key index. */
+  val Payload: Int = -1
+  val File: Int = -2
 }
 
 private[sources] class KeyedCsvReaderFactory(required: StructType,
                                              payloadRequired: StructType,
                                              parse: StructType,
                                              payloadFilters: Array[Filter],
-                                             keyPos: Int, keyTypeJson: String,
+                                             slotOf: Array[Int],
                                              conf: SerializableHadoopConf,
                                              vectorized: Boolean = false,
                                              limit: Option[Int] = None,
-                                             filePos: Int = -1,
                                              nullFill: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new KeyedCsvReader(p.asInstanceOf[KeyedCsvPartition], required,
-      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf, limit,
-      filePos, nullFill)
+      payloadRequired, parse, payloadFilters, slotOf, conf, limit, nullFill)
 
   override def supportColumnarReads(p: InputPartition): Boolean = vectorized
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new KeyedCsvColumnarReader(p.asInstanceOf[KeyedCsvPartition], required,
-      payloadRequired, parse, payloadFilters, keyPos, keyTypeJson, conf,
-      limit = limit, filePos = filePos, nullFill = nullFill)
+      payloadRequired, parse, payloadFilters, slotOf, conf,
+      limit = limit, nullFill = nullFill)
 }
 
 /** Columnar face of the keyed read: payload columns fill on-heap
   * vectors ([[CsvValueIterator]] shared with the row face), while the
-  * partition key — constant across the whole partition by construction
-  * — is a [[ConstantColumnVector]] set ONCE per partition: the key
-  * costs zero bytes per row in the batch, the exact vector form of
+  * partition keys — constant across the whole partition by construction
+  * — are [[ConstantColumnVector]]s set ONCE per partition: the keys
+  * cost zero bytes per row in the batch, the exact vector form of
   * "the key is metadata, not data". */
 private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
                                               required: StructType,
                                               payloadRequired: StructType,
                                               parse: StructType,
                                               payloadFilters: Array[Filter],
-                                              keyPos: Int, keyTypeJson: String,
+                                              slotOf: Array[Int],
                                               conf: SerializableHadoopConf,
                                               batchSize: Int = 4096,
                                               limit: Option[Int] = None,
-                                              filePos: Int = -1,
                                               nullFill: Boolean = false)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
+  private val hasFileCol = slotOf.contains(KeyedCsvSlots.File)
   private val payloadVectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchSize, payloadRequired)
   // _file as a per-BATCH constant vector — batches never span files
   // when the column is requested (see next()), so the constant is
   // re-set at each file roll instead of written per row.
   private val fileVector: ConstantColumnVector =
-    if (filePos < 0) null else new ConstantColumnVector(batchSize, StringType)
+    if (!hasFileCol) null else new ConstantColumnVector(batchSize, StringType)
   private val columns: Array[ColumnVector] = {
+    val keySchema = part.keySchema
     val out = new Array[ColumnVector](required.length)
     var i = 0; var j = 0
     while (i < required.length) {
-      if (i == keyPos) {
-        val keyType = DataType.fromJson(keyTypeJson)
-        val kv = new ConstantColumnVector(batchSize, keyType)
-        PartitionedCsvLayout.keyValue(part.keyRaw, keyType) match {
-          case s: String => kv.setUtf8String(UTF8String.fromString(s))
-          case l: Long => kv.setLong(l)
-          case n: Int => kv.setInt(n)
-          case n: Short => kv.setShort(n)
-          case b: Boolean => kv.setBoolean(b)
-          case other => throw new IllegalStateException(s"key value $other")
-        }
-        out(i) = kv
-      } else if (i == filePos) { out(i) = fileVector }
-      else { out(i) = payloadVectors(j); j += 1 }
+      slotOf(i) match {
+        case KeyedCsvSlots.File => out(i) = fileVector
+        case KeyedCsvSlots.Payload => out(i) = payloadVectors(j); j += 1
+        case k =>
+          val keyType = keySchema(k).dataType
+          val kv = new ConstantColumnVector(batchSize, keyType)
+          PartitionedCsvLayout.keyValue(part.keyRaws(k), keyType) match {
+            case s: String => kv.setUtf8String(UTF8String.fromString(s))
+            case l: Long => kv.setLong(l)
+            case n: Int => kv.setInt(n)
+            case n: Short => kv.setShort(n)
+            case b: Boolean => kv.setBoolean(b)
+            case other => throw new IllegalStateException(s"key value $other")
+          }
+          out(i) = kv
+      }
       i += 1
     }
     out
@@ -461,7 +529,7 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
       if (it == null) {
         // end the batch at a file boundary when _file is requested —
         // the constant vector must hold ONE value per batch
-        if (filePos >= 0 && n > 0) { emitted += n; batch.setNumRows(n); return true }
+        if (hasFileCol && n > 0) { emitted += n; batch.setNumRows(n); return true }
         if (!nextFile()) {
           if (n == 0) return false
           emitted += n; batch.setNumRows(n); return true
@@ -500,23 +568,27 @@ private[sources] class KeyedCsvColumnarReader(part: KeyedCsvPartition,
   override def close(): Unit = { batch.close(); if (it != null) it.close() }
 }
 
-/** Streams every part file of one key directory through the flat CSV
-  * reader, re-inserting the (constant) partition key into its projected
-  * position. The key never exists in the payload bytes — it costs one
-  * catalyst value per PARTITION, not per row. */
+/** Streams every part file of one leaf directory through the flat CSV
+  * reader, re-inserting the (constant) partition keys into their
+  * projected positions. The keys never exist in the payload bytes —
+  * they cost one catalyst value per PARTITION, not per row. */
 private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
                                       required: StructType,
                                       payloadRequired: StructType,
                                       parse: StructType,
                                       payloadFilters: Array[Filter],
-                                      keyPos: Int, keyTypeJson: String,
+                                      slotOf: Array[Int],
                                       conf: SerializableHadoopConf,
                                       limit: Option[Int] = None,
-                                      filePos: Int = -1,
                                       nullFill: Boolean = false)
     extends PartitionReader[InternalRow] {
-  private val keyValue: Any =
-    PartitionedCsvLayout.catalystKey(part.keyRaw, DataType.fromJson(keyTypeJson))
+  private val keyValues: Array[Any] = {
+    val ks = part.keySchema
+    ks.fields.zip(part.keyRaws).map { case (f, raw) =>
+      PartitionedCsvLayout.catalystKey(raw, f.dataType)
+    }.toArray[Any]
+  }
+  private val passthrough = slotOf.forall(_ == KeyedCsvSlots.Payload)
   private var fileIdx = 0
   private var emitted = 0L
   private var inner: GraftCsvPartitionReader = _
@@ -542,14 +614,17 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
       if (inner.next()) {
         val payloadRow = inner.get()
         row =
-          if (keyPos < 0 && filePos < 0) payloadRow
+          if (passthrough) payloadRow
           else {
             val out = new Array[Any](required.length)
             var i = 0; var j = 0
             while (i < required.length) {
-              if (i == keyPos) out(i) = keyValue
-              else if (i == filePos) out(i) = currentFile
-              else { out(i) = payloadRow.get(j, payloadRequired(j).dataType); j += 1 }
+              slotOf(i) match {
+                case KeyedCsvSlots.File => out(i) = currentFile
+                case KeyedCsvSlots.Payload =>
+                  out(i) = payloadRow.get(j, payloadRequired(j).dataType); j += 1
+                case k => out(i) = keyValues(k)
+              }
               i += 1
             }
             new GenericInternalRow(out)
@@ -567,31 +642,31 @@ private[sources] class KeyedCsvReader(part: KeyedCsvPartition,
 }
 
 /** Commit message for a task that published SEVERAL files (one per key
-  * in its sorted run). */
+  * tuple in its sorted run). */
 private[sources] case class CsvFilesCommit(files: Seq[CsvFileCommit])
   extends WriterCommitMessage
 
 /** The partitioned writer: the engine has already clustered AND sorted
-  * this task's rows by the key (RequiresDistributionAndOrdering), so
-  * keys arrive as contiguous runs — each run streams to one temp file
-  * destined for `<col>=<value>/part-<partition>.csv`. Because a key
-  * lives in exactly one cluster partition, each key directory receives
-  * exactly one file per write. */
+  * this task's rows by the keys (RequiresDistributionAndOrdering), so
+  * key tuples arrive as contiguous runs — each run streams to one temp
+  * file destined for `<c1>=<v1>/…/<cN>=<vN>/part-<partition>.csv`.
+  * Because a key tuple lives in exactly one cluster partition, each
+  * leaf directory receives exactly one file per write. */
 private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
                                                  schema: StructType,
-                                                 partCol: String,
+                                                 partCols: Seq[String],
                                                  partitionId: Int, taskId: Long,
                                                  conf: SerializableHadoopConf,
                                                  stem: String = "part")
     extends DataWriter[InternalRow] {
-  private val keyIdx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(partCol))
-  private val keyType = schema(keyIdx).dataType
-  private val payload = StructType(
-    schema.fields.zipWithIndex.filter(_._2 != keyIdx).map(_._1))
+  private val keyIdx: Array[Int] = partCols.map(c =>
+    schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))).toArray
+  private val keyTypes: Array[DataType] = keyIdx.map(schema(_).dataType)
   private val payloadIdx: Array[Int] =
-    schema.fields.indices.filter(_ != keyIdx).toArray
+    schema.fields.indices.filterNot(keyIdx.contains).toArray
+  private val payload = StructType(payloadIdx.map(schema(_)))
 
-  private var currentKey: String = _ // encoded; null = no file open yet
+  private var currentKey: String = _ // encoded rel dir; null = no file open
   private var current: GraftCsvDataWriter = _
   private val committed = scala.collection.mutable.ArrayBuffer.empty[CsvFileCommit]
   // metrics carried across rolled files (the current file's live
@@ -599,35 +674,42 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
   private var rolledRows = 0L
   private var rolledBytes = 0L
 
-  private def keyString(row: InternalRow): String = {
-    if (row.isNullAt(keyIdx)) throw new IllegalArgumentException(
-      s"graft-csv sink: NULL value in partition column '$partCol' — " +
+  private def keyString(row: InternalRow, k: Int): String = {
+    val i = keyIdx(k)
+    if (row.isNullAt(i)) throw new IllegalArgumentException(
+      s"graft-csv sink: NULL value in partition column '${partCols(k)}' — " +
         "partition keys must be non-null")
-    keyType match {
-      case StringType => row.getUTF8String(keyIdx).toString
-      case LongType => row.getLong(keyIdx).toString
-      case IntegerType => row.getInt(keyIdx).toString
-      case ShortType => row.getShort(keyIdx).toString
-      case BooleanType => row.getBoolean(keyIdx).toString
+    keyTypes(k) match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case ShortType => row.getShort(i).toString
+      case BooleanType => row.getBoolean(i).toString
       case other => throw new UnsupportedOperationException(
         s"graft-csv sink: unsupported partition key type $other")
     }
   }
 
-  private def roll(keyEnc: String): Unit = {
+  /** Nested relative directory for this row's key tuple. */
+  private def keyDir(row: InternalRow): String =
+    partCols.indices.map(k =>
+      s"${partCols(k)}=${PartitionedCsvLayout.encode(keyString(row, k))}")
+      .mkString("/")
+
+  private def roll(dir: String): Unit = {
     if (current != null) {
       rolledRows += current.rows
       rolledBytes += current.bytes
       committed += current.commit().asInstanceOf[CsvFileCommit]
     }
     current = new GraftCsvDataWriter(tmpDir, payload, partitionId, taskId, conf,
-      f"$partCol=$keyEnc/$stem-$partitionId%05d.csv")
-    currentKey = keyEnc
+      f"$dir/$stem-$partitionId%05d.csv")
+    currentKey = dir
   }
 
   override def write(row: InternalRow): Unit = {
-    val keyEnc = PartitionedCsvLayout.encode(keyString(row))
-    if (currentKey == null || currentKey != keyEnc) roll(keyEnc)
+    val dir = keyDir(row)
+    if (currentKey == null || currentKey != dir) roll(dir)
     // project the payload columns into the inner writer's schema order
     val out = new Array[Any](payloadIdx.length)
     var i = 0

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Expression, Expressions, Sort
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -107,6 +107,19 @@ private[sources] object GraftCsvTable {
   /** The `_file` metadata column name (both scan faces serve it). */
   val FileColumn = "_file"
 
+  /** Removes `key=value` directories left empty by leaf deletes (a
+    * compound-key DELETE drops leaves; their parents may end up bare).
+    * Returns true if `dir` itself ended up (and was left) non-empty. */
+  private[sources] def pruneEmptyKeyDirs(fs: FileSystem, dir: HPath): Unit = {
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.contains('=') &&
+        !s.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        pruneEmptyKeyDirs(fs, s.getPath)
+        if (fs.listStatus(s.getPath).isEmpty) fs.delete(s.getPath, false)
+      }
+  }
+
   def listPartFiles(path: String, conf: Configuration): Array[String] =
     listPartFilesWithSize(path, conf).map(_._1)
 
@@ -128,13 +141,11 @@ private[sources] object GraftCsvTable {
   def inferFromHeader(path: String): StructType = {
     if (path == null) return new StructType()
     val conf = SerializableHadoopConf.fromSession().value
-    // Partitioned layout: payload columns from the first key dir's part
-    // header, plus the key column (string — pass a schema for typed keys).
-    val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf)
-    val (dir, keyCol) = keyDirs.headOption match {
-      case Some((col, _, d)) => (d, Some(col))
-      case None => (path, None)
-    }
+    // Partitioned layout: payload columns from the first LEAF dir's part
+    // header, plus the key columns (strings — pass a schema for typed
+    // keys) in nesting order.
+    val (keyCols, leaves) = PartitionedCsvLayout.listPartitionTree(path, conf)
+    val dir = leaves.headOption.map(_._2).getOrElse(path)
     listPartFiles(dir, conf).headOption match {
       case None => new StructType()
       case Some(file) =>
@@ -146,14 +157,14 @@ private[sources] object GraftCsvTable {
           val it = new CsvRecordIterator(in, ';')
           if (!it.hasNext) new StructType()
           else StructType(it.next().map(name => StructField(name, StringType)) ++
-            keyCol.map(StructField(_, StringType)))
+            keyCols.map(StructField(_, StringType)))
         } finally in.close()
     }
   }
 }
 
 private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
-                                     catalogPartitionCol: Option[String] = None,
+                                     catalogPartitionCols: Seq[String] = Nil,
                                      catalogManaged: Boolean = false)
     extends Table with SupportsWrite with SupportsRead
     with SupportsMetadataColumns
@@ -181,7 +192,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
       override def comment(): String = "committed part file this row was read from"
     })
   override def partitioning(): Array[Transform] =
-    catalogPartitionCol.map(c => Expressions.identity(c): Transform).toArray
+    catalogPartitionCols.map(c => Expressions.identity(c): Transform).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     if (catalogManaged)
       // catalog tables take their schema from _graft_table.json — writes
@@ -195,7 +206,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
         TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Append,
-      defaultPartitionCol = catalogPartitionCol,
+      defaultPartitionCols = catalogPartitionCols,
       // per-write file tag: catalog INSERTs append instead of
       // overwriting the previous write's identically-named files. The
       // FULL queryId (a UUID, filesystem-safe) — a truncated hash could
@@ -207,15 +218,16 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
     // was written with partitionedBy — serve it through the key-grouped
     // scan (storage-partitioned joins, planning-time pruning).
     val conf = SerializableHadoopConf.fromSession()
-    val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf.value)
+    val (keyCols, leaves) =
+      PartitionedCsvLayout.listPartitionTree(path, conf.value)
     val vectorized = Option(options.get("vectorized")).forall(_.toBoolean)
     // catalog reads null-fill columns missing from an old part file's
     // header (schema evolution); path reads keep the loud error (a
     // user-typed schema with a typo'd column should fail, not null out)
-    if (keyDirs.isEmpty)
+    if (keyCols.isEmpty)
       new GraftCsvScanBuilder(path, tableSchema, vectorized,
         nullFill = catalogManaged)
-    else new KeyedCsvScanBuilder(path, tableSchema, keyDirs.head._1, keyDirs,
+    else new KeyedCsvScanBuilder(path, tableSchema, keyCols, leaves,
       conf, vectorized, nullFill = catalogManaged)
   }
 
@@ -231,18 +243,20 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
   // canDeleteWhere=false and Spark raises the analysis error — honest
   // refusal beats a silent full-table rewrite at 100 TB.
 
-  private def keyField: Option[StructField] = catalogPartitionCol.flatMap(c =>
+  private def keyFields: Seq[StructField] = catalogPartitionCols.flatMap(c =>
     tableSchema.fields.find(_.name.equalsIgnoreCase(c)))
 
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val ks = keyFields
     filters.forall {
       case _: AlwaysTrue => true
-      case f => keyField.exists { k =>
+      case f =>
         val refs = f.references
-        refs.nonEmpty && refs.forall(_.equalsIgnoreCase(k.name)) &&
-          CsvFilterEval.supportedBy(StructType(Seq(k)), f)
-      }
+        ks.nonEmpty && refs.nonEmpty &&
+          refs.forall(r => ks.exists(_.name.equalsIgnoreCase(r))) &&
+          CsvFilterEval.supportedBy(StructType(ks), f)
     }
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val conf = SerializableHadoopConf.fromSession().value
@@ -259,13 +273,18 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
             (s.isDirectory && s.getPath.getName.contains('=')))
       }.foreach(s => fs.delete(s.getPath, true))
     } else {
-      val k = keyField.getOrElse(throw new UnsupportedOperationException(
-        "graft-csv: predicate DELETE requires a partitioned table"))
-      PartitionedCsvLayout.listKeyDirs(path, conf).foreach { case (_, raw, dir) =>
-        val v = PartitionedCsvLayout.keyValue(raw, k.dataType)
-        if (keyFilters.forall(CsvFilterEval.eval(_, _ => v)))
+      val ks = keyFields
+      if (ks.isEmpty) throw new UnsupportedOperationException(
+        "graft-csv: predicate DELETE requires a partitioned table")
+      val (_, leaves) = PartitionedCsvLayout.listPartitionTree(path, conf)
+      leaves.foreach { case (raws, dir) =>
+        if (keyFilters.forall(CsvFilterEval.eval(_,
+            KeyedCsvScan.keyLookup(ks, raws))))
           fs.delete(new HPath(dir), true) // whole-directory metadata op
       }
+      // compound layouts: drop ancestor key dirs emptied by the leaf
+      // deletes (pure metadata walk over the surviving tree)
+      if (ks.length > 1) GraftCsvTable.pruneEmptyKeyDirs(fs, root)
     }
   }
 }
@@ -291,7 +310,8 @@ private[sources] object CsvFilterEval {
   }
 
   /** A filter this source can evaluate itself: a supported shape over a
-    * comparable column with a scalar literal. */
+    * comparable column with a scalar literal, closed under NOT/AND/OR
+    * (three-valued — see [[eval3]]). */
   def supportedBy(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(a, v) => typeOf(schema, a).exists(Comparable) && litOk(v)
     case GreaterThan(a, v) => typeOf(schema, a).exists(Comparable) && litOk(v)
@@ -301,6 +321,10 @@ private[sources] object CsvFilterEval {
     case In(a, vs) =>
       typeOf(schema, a).exists(Comparable) && vs.forall(v => v == null || litOk(v))
     case IsNotNull(a) => typeOf(schema, a).isDefined
+    case IsNull(a) => typeOf(schema, a).isDefined
+    case Not(c) => supportedBy(schema, c)
+    case And(l, r) => supportedBy(schema, l) && supportedBy(schema, r)
+    case Or(l, r) => supportedBy(schema, l) && supportedBy(schema, r)
     case _ => false
   }
 
@@ -346,19 +370,48 @@ private[sources] object CsvFilterEval {
       s"graft-csv pushed filter on unsupported value pair: $other")
   }
 
-  /** SQL semantics: any comparison with NULL is not-true → row dropped. */
-  def eval(f: Filter, valueOf: String => Any): Boolean = f match {
-    case IsNotNull(a) => valueOf(a) != null
-    case EqualTo(a, v) => val x = valueOf(a); x != null && cmp(x, v) == 0
-    case GreaterThan(a, v) => val x = valueOf(a); x != null && cmp(x, v) > 0
-    case GreaterThanOrEqual(a, v) => val x = valueOf(a); x != null && cmp(x, v) >= 0
-    case LessThan(a, v) => val x = valueOf(a); x != null && cmp(x, v) < 0
-    case LessThanOrEqual(a, v) => val x = valueOf(a); x != null && cmp(x, v) <= 0
-    // x IN (…, NULL) is true only on a non-null match (NULL never matches)
-    case In(a, vs) =>
-      val x = valueOf(a); x != null && vs.exists(v => v != null && cmp(x, v) == 0)
-    case other => throw new IllegalStateException(s"unexpected pushed filter $other")
+  /** Kleene three-valued evaluation: Some(true)/Some(false)/None
+    * (= UNKNOWN, a NULL operand). NOT must distinguish false from
+    * unknown — `NOT (x = 'R')` on a NULL x is unknown, not true —
+    * which a boolean evaluator cannot express. */
+  private def eval3(f: Filter, valueOf: String => Any): Option[Boolean] = {
+    def c(a: String, v: Any)(p: Int => Boolean): Option[Boolean] = {
+      val x = valueOf(a)
+      if (x == null || v == null) None else Some(p(cmp(x, v)))
+    }
+    f match {
+      case _: AlwaysTrue => Some(true)
+      case IsNotNull(a) => Some(valueOf(a) != null)
+      case IsNull(a) => Some(valueOf(a) == null)
+      case EqualTo(a, v) => c(a, v)(_ == 0)
+      case GreaterThan(a, v) => c(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => c(a, v)(_ >= 0)
+      case LessThan(a, v) => c(a, v)(_ < 0)
+      case LessThanOrEqual(a, v) => c(a, v)(_ <= 0)
+      case In(a, vs) =>
+        val x = valueOf(a)
+        if (x == null) None
+        else if (vs.exists(v => v != null && cmp(x, v) == 0)) Some(true)
+        else if (vs.contains(null)) None // x IN (…, NULL): no match is UNKNOWN
+        else Some(false)
+      case Not(child) => eval3(child, valueOf).map(!_)
+      case And(l, r) => (eval3(l, valueOf), eval3(r, valueOf)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval3(l, valueOf), eval3(r, valueOf)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case other => throw new IllegalStateException(s"unexpected pushed filter $other")
+    }
   }
+
+  /** SQL WHERE semantics: UNKNOWN is not-true → row dropped. */
+  def eval(f: Filter, valueOf: String => Any): Boolean =
+    eval3(f, valueOf).contains(true)
 }
 
 private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
@@ -786,44 +839,47 @@ private[sources] object CsvWriteMode {
 
 private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo,
                                             mode: CsvWriteMode,
-                                            defaultPartitionCol: Option[String] = None,
+                                            defaultPartitionCols: Seq[String] = Nil,
                                             appendTag: Option[String] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
-  private def partitionCol: Option[String] =
-    Option(info.options().get("partitionedBy")).map(_.trim)
-      .filter(_.nonEmpty).orElse(defaultPartitionCol)
-  private def keyFieldOf(col: String): Option[StructField] =
-    info.schema().fields.find(_.name.equalsIgnoreCase(col))
+  private def partitionCols: Seq[String] =
+    Option(info.options().get("partitionedBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).getOrElse(defaultPartitionCols)
+  private def keyFieldsOf(cols: Seq[String]): Seq[StructField] =
+    cols.flatMap(c => info.schema().fields.find(_.name.equalsIgnoreCase(c)))
 
   override def truncate(): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Truncate,
-      defaultPartitionCol, appendTag)
+      defaultPartitionCols, appendTag)
 
   /** Key-only overwrite filters are a pure metadata op; anything else
     * (payload predicates) is refused — Spark raises the analysis error
     * instead of this sink silently rewriting the table. */
-  override def canOverwrite(filters: Array[Filter]): Boolean =
+  override def canOverwrite(filters: Array[Filter]): Boolean = {
+    val ks = keyFieldsOf(partitionCols)
     filters.forall {
       case _: AlwaysTrue => true
-      case f => partitionCol.flatMap(keyFieldOf).exists { k =>
+      case f =>
         val refs = f.references
-        refs.nonEmpty && refs.forall(_.equalsIgnoreCase(k.name)) &&
-          CsvFilterEval.supportedBy(StructType(Seq(k)), f)
-      }
+        ks.nonEmpty && refs.nonEmpty &&
+          refs.forall(r => ks.exists(_.name.equalsIgnoreCase(r))) &&
+          CsvFilterEval.supportedBy(StructType(ks), f)
     }
+  }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     val next = if (real.isEmpty) CsvWriteMode.Truncate
       else CsvWriteMode.OverwriteKeys(real)
-    new GraftCsvWriteBuilder(path, info, next, defaultPartitionCol, appendTag)
+    new GraftCsvWriteBuilder(path, info, next, defaultPartitionCols, appendTag)
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
-    if (partitionCol.isEmpty) throw new UnsupportedOperationException(
+    if (partitionCols.isEmpty) throw new UnsupportedOperationException(
       "graft-csv sink: dynamic partition overwrite requires a partitioned table")
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.DynamicOverwrite,
-      defaultPartitionCol, appendTag)
+      defaultPartitionCols, appendTag)
   }
 
   override def build(): Write = {
@@ -837,10 +893,10 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
         s"graft-csv sink: clusterBy columns not in the write schema: " +
           missing.mkString(", "))
     }
-    val partitioned = partitionCol
+    val partitioned = partitionCols
     partitioned.foreach { col =>
       if (cluster.isDefined) throw new IllegalArgumentException(
-        "graft-csv sink: partitionedBy implies clustering on the key; " +
+        "graft-csv sink: partitionedBy implies clustering on the keys; " +
           "do not combine it with clusterBy")
       val field = info.schema().fields.find(_.name.equalsIgnoreCase(col))
         .getOrElse(throw new IllegalArgumentException(
@@ -850,9 +906,10 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
           s"graft-csv sink: partitionedBy column '$col' has type " +
             s"${field.dataType.simpleString}; partition keys must be " +
             "string/integral/boolean")
-      if (info.schema().length < 2) throw new IllegalArgumentException(
-        "graft-csv sink: partitionedBy requires at least one payload column")
     }
+    if (partitioned.nonEmpty && info.schema().length <= partitioned.length)
+      throw new IllegalArgumentException(
+        "graft-csv sink: partitionedBy requires at least one payload column")
     new GraftCsvWrite(path, info, mode, cluster, partitioned, appendTag)
   }
 }
@@ -872,11 +929,12 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
 private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
                                      mode: CsvWriteMode,
                                      cluster: Option[Seq[String]],
-                                     partitioned: Option[String] = None,
+                                     partitioned: Seq[String] = Nil,
                                      appendTag: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
-  // partitionedBy IS a clustering on the key (plus the hive layout)
-  private def keys: Option[Seq[String]] = partitioned.map(Seq(_)).orElse(cluster)
+  // partitionedBy IS a clustering on the keys (plus the hive layout)
+  private def keys: Option[Seq[String]] =
+    if (partitioned.nonEmpty) Some(partitioned) else cluster
   override def requiredDistribution(): Distribution =
     keys.map(cs => Distributions.clustered(
         cs.map(c => Expressions.column(c): Expression).toArray))
@@ -899,7 +957,7 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
     new GraftCsvBatchWrite(path, info.schema(), info.queryId(), mode,
       SerializableHadoopConf.fromSession(), partitioned, appendTag)
   override def toStreaming: StreamingWrite = {
-    if (partitioned.isDefined) throw new UnsupportedOperationException(
+    if (partitioned.nonEmpty) throw new UnsupportedOperationException(
       "graft-csv sink: partitionedBy is batch-only (the streaming face " +
         "writes epoch-stamped flat files; a partitioned stream would need " +
         "per-epoch key-dir compaction)")
@@ -951,7 +1009,7 @@ private[sources] object GraftCsvCommit {
 private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
                                           queryId: String, mode: CsvWriteMode,
                                           conf: SerializableHadoopConf,
-                                          partitioned: Option[String] = None,
+                                          partitioned: Seq[String] = Nil,
                                           appendTag: Option[String] = None)
     extends BatchWrite {
 
@@ -974,18 +1032,19 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
             (s.isFile || (s.isDirectory && s.getPath.getName.contains('=')))
         }.foreach(s => fs.delete(s.getPath, true))
       case CsvWriteMode.OverwriteKeys(filters) =>
-        // static partition overwrite: drop the matching key directories
+        // static partition overwrite: drop the matching leaf directories
         // wholesale (metadata op); survivors are never listed
-        val k = partitioned.flatMap(c =>
-          schema.fields.find(_.name.equalsIgnoreCase(c))).getOrElse(
-          throw new UnsupportedOperationException(
-            "graft-csv sink: filtered overwrite requires a partitioned table"))
-        PartitionedCsvLayout.listKeyDirs(path, conf.value).foreach {
-          case (_, raw, dir) =>
-            val v = PartitionedCsvLayout.keyValue(raw, k.dataType)
-            if (filters.forall(CsvFilterEval.eval(_, _ => v)))
-              fs.delete(new HPath(dir), true)
+        val ks = partitioned.flatMap(c =>
+          schema.fields.find(_.name.equalsIgnoreCase(c)))
+        if (ks.isEmpty) throw new UnsupportedOperationException(
+          "graft-csv sink: filtered overwrite requires a partitioned table")
+        val (_, leaves) = PartitionedCsvLayout.listPartitionTree(path, conf.value)
+        leaves.foreach { case (raws, dir) =>
+          if (filters.forall(CsvFilterEval.eval(_,
+              KeyedCsvScan.keyLookup(ks, raws))))
+            fs.delete(new HPath(dir), true)
         }
+        if (ks.length > 1) GraftCsvTable.pruneEmptyKeyDirs(fs, root)
       case CsvWriteMode.DynamicOverwrite =>
         // drop exactly the key directories this write publishes into —
         // computed from the commit messages, no directory listing at all
@@ -1070,21 +1129,19 @@ private[sources] class GraftCsvStreamingWriterFactory(path: String, queryId: Str
 private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
                                              schema: StructType,
                                              conf: SerializableHadoopConf,
-                                             partitioned: Option[String] = None,
+                                             partitioned: Seq[String] = Nil,
                                              appendTag: Option[String] = None)
     extends DataWriterFactory {
   // catalog INSERTs stamp the write tag into every published name so
   // successive writes append instead of replacing each other's files
   private val stem = appendTag.map(t => s"part-$t").getOrElse("part")
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    partitioned match {
-      case Some(col) =>
-        new GraftCsvPartitionedWriter(tmpDir, schema, col, partitionId, taskId,
-          conf, stem)
-      case None =>
-        new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf,
-          f"$stem-$partitionId%05d.csv")
-    }
+    if (partitioned.nonEmpty)
+      new GraftCsvPartitionedWriter(tmpDir, schema, partitioned, partitionId,
+        taskId, conf, stem)
+    else
+      new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf,
+        f"$stem-$partitionId%05d.csv")
 }
 
 private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,

@@ -246,6 +246,66 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(filesOf("a") == aBefore, "dynamic overwrite touched an unwritten key")
   }
 
+  test("compound PARTITIONED BY (m, rf): nested layout, SPJ on both keys, DELETE cleans empty parents") {
+    wh; liView()
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_mk " +
+      "(m STRING, rf STRING, n BIGINT) PARTITIONED BY (m, rf)")
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.wh.li_mk
+         |SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+         |FROM li_cat GROUP BY 1, 2""".stripMargin)
+    // nested m=…/rf=… on disk
+    val tdir = new java.io.File(s"$wh/wh/li_mk")
+    val mDirs = tdir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("m="))
+    assert(mDirs.nonEmpty)
+    assert(mDirs.forall(_.listFiles().forall(d =>
+      d.isDirectory && d.getName.startsWith("rf="))))
+    // values match; key predicates on EITHER column prune
+    val got = spark.sql(
+      s"SELECT m, rf, n FROM $cat.wh.li_mk WHERE rf = 'R' ORDER BY m").collect()
+    val want = spark.sql(
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS m, l_returnflag AS rf,
+        |count(*) AS n FROM li_cat WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY m""".stripMargin).collect()
+    assert(got.toSeq == want.toSeq)
+    // SPJ on the compound key between two catalog tables
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_mk2 " +
+      "(m STRING, rf STRING, q DOUBLE) PARTITIONED BY (m, rf)")
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.wh.li_mk2
+         |SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag,
+         |       CAST(sum(l_quantity) AS DOUBLE)
+         |FROM li_cat GROUP BY 1, 2""".stripMargin)
+    val j = spark.sql(
+      s"""SELECT /*+ MERGE(a) */ a.m, a.rf, a.n, b.q
+         |FROM $cat.wh.li_mk a JOIN $cat.wh.li_mk2 b
+         |  ON a.m = b.m AND a.rf = b.rf
+         |ORDER BY a.m, a.rf""".stripMargin)
+    assert(j.collect().length > 10)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case other => p +: other.children.flatMap(flatten)
+    }
+    val smjs = flatten(j.queryExecution.executedPlan)
+      .collect { case s: SortMergeJoinExec => s }
+    assert(smjs.nonEmpty)
+    val below = flatten(smjs.head).drop(1)
+    assert(below.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"compound-key catalog SPJ still shuffles:\n${smjs.head}")
+    assert(below.collect { case s: SortExec => s }.isEmpty,
+      s"compound-key catalog SPJ still sorts:\n${smjs.head}")
+    // DELETE on the SECOND key deletes leaves and prunes emptied parents
+    spark.sql(s"DELETE FROM $cat.wh.li_mk WHERE rf <> 'R'")
+    val left = spark.sql(s"SELECT DISTINCT rf FROM $cat.wh.li_mk").collect()
+    assert(left.map(_.getString(0)).toSeq == Seq("R"))
+    // no m= directory is left without children
+    val after = tdir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("m="))
+    assert(after.forall(_.listFiles().nonEmpty),
+      "DELETE left empty parent key directories behind")
+  }
+
   test("functions do not resolve under nonexistent namespaces") {
     wh
     // advice r13: graft.any.thing.dotp must NOT resolve — the

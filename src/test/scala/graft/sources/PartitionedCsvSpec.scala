@@ -134,13 +134,13 @@ class PartitionedCsvSpec extends AnyFunSuite {
     val path = dir("dpp")
     writePartitioned(path)
     val conf = SerializableHadoopConf.fromSession()
-    val keyDirs = PartitionedCsvLayout.listKeyDirs(path, conf.value)
-    assert(keyDirs.length > 2)
-    val keepKeys: Set[Any] = Set(keyDirs.head._2, keyDirs.last._2)
+    val (keyCols, leaves) = PartitionedCsvLayout.listPartitionTree(path, conf.value)
+    assert(keyCols == Seq("y") && leaves.length > 2)
+    val keepKeys: Set[Any] = Set(leaves.head._1.head, leaves.last._1.head)
     def freshScan(): KeyedCsvScan = {
       val b = new KeyedCsvScanBuilder(path,
         org.apache.spark.sql.types.StructType.fromDDL("y STRING, k LONG, st STRING"),
-        "y", keyDirs, conf)
+        keyCols, leaves, conf)
       b.build().asInstanceOf[KeyedCsvScan]
     }
     val scan = freshScan()
@@ -149,9 +149,9 @@ class PartitionedCsvSpec extends AnyFunSuite {
     val parts = scan.planInputPartitions().map(_.asInstanceOf[KeyedCsvPartition])
     // partition COUNT preserved (the reported KeyGroupedPartitioning must
     // stay truthful); pruned keys carry zero files
-    assert(parts.length == keyDirs.length)
-    assert(parts.filter(p => keepKeys.contains(p.keyRaw)).forall(_.files.nonEmpty))
-    assert(parts.filterNot(p => keepKeys.contains(p.keyRaw)).forall(_.files.isEmpty))
+    assert(parts.length == leaves.length)
+    assert(parts.filter(p => keepKeys.contains(p.keyRaws.head)).forall(_.files.nonEmpty))
+    assert(parts.filterNot(p => keepKeys.contains(p.keyRaws.head)).forall(_.files.isEmpty))
     // rows read = exactly the kept keys' rows
     val factory = scan.createReaderFactory()
     var n = 0
@@ -168,7 +168,7 @@ class PartitionedCsvSpec extends AnyFunSuite {
     val scan2 = freshScan()
     scan2.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("y", keepKeys.toArray),
-      org.apache.spark.sql.sources.EqualTo("y", keyDirs.head._2)))
+      org.apache.spark.sql.sources.EqualTo("y", leaves.head._1.head)))
     val parts2 = scan2.planInputPartitions().map(_.asInstanceOf[KeyedCsvPartition])
     assert(parts2.count(_.files.nonEmpty) == 1)
   }
@@ -269,6 +269,116 @@ class PartitionedCsvSpec extends AnyFunSuite {
       assert(scan.pushedLimit.contains(4),
         s"vectorized=$vec: limit not pushed — ${scan.description()}")
     }
+  }
+
+  private def writeCompound(path: String): Unit =
+    graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_orderstatus").as("st"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      .repartition(5)
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", path)
+      .option("partitionedBy", "y,st").save()
+
+  test("compound keys: nested y=…/st=… layout, roundtrip, schemaless inference") {
+    val path = dir("compound")
+    writeCompound(path)
+    // nested layout: first level y=, second st=, one file per leaf
+    val root = new java.io.File(path)
+    val yDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("y="))
+    assert(yDirs.length > 2)
+    yDirs.foreach { yd =>
+      val stDirs = yd.listFiles().filter(_.isDirectory)
+      assert(stDirs.nonEmpty && stDirs.forall(_.getName.startsWith("st=")),
+        s"${yd.getName}: ${stDirs.map(_.getName).toSeq}")
+      stDirs.foreach { sd =>
+        val parts = sd.listFiles().filter(_.getName.startsWith("part-"))
+        assert(parts.length == 1, s"${yd.getName}/${sd.getName}: ${parts.length} files")
+        // payload header excludes BOTH keys
+        val header = Files.readAllLines(parts.head.toPath).get(0)
+        assert(header == "k;p", s"payload header must exclude the keys: $header")
+      }
+    }
+    val src = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_orderstatus").as("st"), col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+    val back = spark.read.schema("y STRING, st STRING, k LONG, p DOUBLE")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    assert(back.orderBy("k").collect().toSeq.map(_.toSeq) ==
+      src.orderBy("k").collect().toSeq.map(_.toSeq))
+    // schemaless: payload columns + both keys (nesting order) as strings
+    val inferred = spark.read
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    assert(inferred.columns.toSeq == Seq("k", "p", "y", "st"))
+    assert(inferred.count() == src.count())
+  }
+
+  test("compound keys: pruning on any subset — prefix, suffix, both") {
+    val path = dir("compound_prune")
+    writeCompound(path)
+    val back = spark.read.schema("y STRING, st STRING, k LONG, p DOUBLE")
+      .format("graft.sources.GraftCsvSink").option("path", path).load()
+    val (_, leaves) = PartitionedCsvLayout.listPartitionTree(path,
+      SerializableHadoopConf.fromSession().value)
+    def scanOf(df: org.apache.spark.sql.DataFrame): KeyedCsvScan =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.head.scan.asInstanceOf[KeyedCsvScan]
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.head.inputRDD.getNumPartitions
+    // prefix (first key only)
+    val pre = back.filter(col("y") >= "1996")
+    assert(scanOf(pre).partFilters.nonEmpty)
+    assert(planned(pre) < leaves.length, "prefix predicate pruned nothing")
+    // suffix (second key only) — hive layouts prune this too
+    val suf = back.filter(col("st") === "F")
+    assert(scanOf(suf).partFilters.nonEmpty)
+    assert(planned(suf) < leaves.length, "suffix predicate pruned nothing")
+    // both keys
+    val both = back.filter(col("y") === "1996" && col("st") === "F")
+    assert(planned(both) < planned(pre))
+    // values stay correct vs a fresh unpruned read
+    val expect = graft.Tables.orders(spark, TestSpark.sf0001)
+      .filter(substring(col("o_orderdate").cast("string"), 1, 4) === "1996" &&
+        col("o_orderstatus") === "F").count()
+    assert(both.count() == expect)
+  }
+
+  test("compound-key storage-partitioned join: zero Exchange, zero Sort below the SMJ") {
+    val a = dir("cspj_a"); val b = dir("cspj_b")
+    val orders = graft.Tables.orders(spark, TestSpark.sf0001)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("y"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("p"))
+    orders.groupBy("y", "st").agg(count(lit(1)).as("n_orders"))
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", a).option("partitionedBy", "y,st").save()
+    orders.groupBy("y", "st").agg(sum(col("p")).as("sum_p"))
+      .write.format("graft.sources.GraftCsvSink")
+      .mode("overwrite").option("path", b).option("partitionedBy", "y,st").save()
+    val left = spark.read.schema("y STRING, st STRING, n_orders LONG")
+      .format("graft.sources.GraftCsvSink").option("path", a).load()
+    val right = spark.read.schema("y STRING, st STRING, sum_p DOUBLE")
+      .format("graft.sources.GraftCsvSink").option("path", b).load()
+    val joined = left.hint("merge").join(right, Seq("y", "st"))
+    val rows = joined.orderBy("y", "st").collect()
+    assert(rows.length > 5)
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a SortMergeJoin:\n$plan")
+    assert(smjs.head.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"compound-key SPJ still shuffles:\n${smjs.head}")
+    assert(smjs.head.collect { case s: SortExec => s }.isEmpty,
+      s"compound-key SPJ still sorts:\n${smjs.head}")
+    val plain = left.join(right, Seq("y", "st")).orderBy("y", "st").collect()
+    assert(rows.toSeq == plain.toSeq)
   }
 
   test("regression: broadcast join over keyed scans + orderBy survives AQE") {
