@@ -65,9 +65,25 @@ object PagedJsonSource {
   val PublishedAfter = "1995-06-30T23:59:59Z"
 }
 
-private[sources] class PagedJsonTable(path: String) extends Table with SupportsRead {
+private[sources] class PagedJsonTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = PagedJsonSource.Schema
+
+  /** `_file` provenance, same contract as the CSV faces (r14 — parity
+    * across every custom DSV2 source): which page file each row was
+    * parsed from, constant per page partition, zero payload bytes. The
+    * quarantine story at a million-page mirror: a bad-batch postmortem
+    * groups by `_file` and re-fetches exactly the offending pages. The
+    * data schema is fixed (no ACCEPT_ANY_SCHEMA), so the name can
+    * never conflict. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftCsvTable.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "page file this row was parsed from"
+    })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -636,13 +652,17 @@ private[sources] class PagedReader(part: PageInputPartition, pushed: Array[Filte
   private def utf8(s: String): UTF8String =
     if (s == null) null else UTF8String.fromString(s)
 
-  /** One extractor per PROJECTED field, bound once per reader. */
+  /** One extractor per PROJECTED field, bound once per reader. `_file`
+    * (the metadata column) is a per-page constant — bound ONCE, never
+    * re-derived per item. */
   private val extractors: Array[JsonNode => UTF8String] =
     schema.fieldNames.map {
       case "video_id" => (it: JsonNode) => utf8(text(it.get("id"), "videoId"))
       case "published_at" => (it: JsonNode) => utf8(text(it.get("snippet"), "publishedAt"))
       case "title" => (it: JsonNode) => utf8(text(it.get("snippet"), "title"))
       case "description" => (it: JsonNode) => utf8(text(it.get("snippet"), "description"))
+      case f if f.equalsIgnoreCase(GraftCsvTable.FileColumn) =>
+        val const = utf8(part.file); (_: JsonNode) => const
       case other => throw new IllegalArgumentException(
         s"paged_json: unknown projected column $other")
     }

