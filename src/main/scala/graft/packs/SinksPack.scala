@@ -366,6 +366,61 @@ object SinksPack {
       s.sql(s"SELECT m, rf, n_items, sum_qty FROM $cat.wh.li_evo ORDER BY m, rf")
     },
 
+    // Catalog DML face 4 — UPDATE via group-based copy-on-write (r14,
+    // SupportsRowLevelOperations): a payload-predicate UPDATE in pure
+    // SQL. Spark's runtime group filter narrows the rewrite to the part
+    // files containing matching rows; everything else is untouched
+    // (GraftCatalogSpec pins the mtime invariance).
+    "q_k_catalog_update" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#update") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_upd " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_upd")
+        s.sql(s"""INSERT OVERWRITE $cat.wh.li_upd
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_upd GROUP BY 1, 2""")
+        // the correction: every returned-flag row gets a re-stated count
+        s.sql(s"UPDATE $cat.wh.li_upd SET n_items = n_items * 10 WHERE rf = 'R'")
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_upd ORDER BY m, rf")
+    },
+
+    // Catalog DML face 5 — MERGE INTO (r14): the incremental-load shape
+    // (upsert a recomputed slice: matched rows update in place, new
+    // rows insert) as ONE SQL statement over the copy-on-write engine.
+    "q_k_catalog_merge" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#merge") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_mrg " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_mrg")
+        // base load: everything before 1996
+        s.sql(s"""INSERT OVERWRITE $cat.wh.li_mrg
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_mrg WHERE year(l_shipdate) < 1996 GROUP BY 1, 2""")
+        // the incremental: 1995 onward recomputed with DOUBLED counts —
+        // 1995 groups exist (update), 1996+ are new (insert)
+        s.sql(s"""MERGE INTO $cat.wh.li_mrg t
+          USING (SELECT date_format(l_shipdate, 'yyyy-MM') AS m,
+                        l_returnflag AS rf, 2 * count(*) AS n_items
+                 FROM graft_cat_li_mrg WHERE year(l_shipdate) >= 1995
+                 GROUP BY 1, 2) s
+          ON t.m = s.m AND t.rf = s.rf
+          WHEN MATCHED THEN UPDATE SET n_items = s.n_items
+          WHEN NOT MATCHED THEN INSERT (m, rf, n_items) VALUES (s.m, s.rf, s.n_items)""")
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_mrg ORDER BY m, rf")
+    },
+
     // Catalog DML face 3 — dynamic INSERT OVERWRITE (r14): the
     // daily-reload shape the reference actually runs (recompute a date
     // slice, replace exactly those partitions, leave history byte-
@@ -877,6 +932,28 @@ object SinksPack {
          |SELECT m, rf, n_items, sum_qty FROM t
          |WHERE m < '1995-01' OR m > '1995-12'
          |ORDER BY m, rf""".stripMargin,
+
+    // Returned-flag rows carry the 10x re-stated count.
+    "q_k_catalog_update" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m, rf,
+        |       CAST(CASE WHEN rf = 'R' THEN 10 * n ELSE n END AS BIGINT) AS n_items
+        |FROM t ORDER BY m, rf""".stripMargin,
+
+    // Months from 1995 on carry the doubled incremental recompute
+    // (1995: merged update; 1996+: merged insert); earlier months keep
+    // the base load.
+    "q_k_catalog_merge" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m, rf,
+        |       CAST(CASE WHEN m >= '1995-01' THEN 2 * n ELSE n END AS BIGINT) AS n_items
+        |FROM t ORDER BY m, rf""".stripMargin,
 
     // Generation 1 (rf = 'R') predates the column — NULL sum_qty;
     // generation 2 carries it.

@@ -168,7 +168,23 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
                                      catalogManaged: Boolean = false)
     extends Table with SupportsWrite with SupportsRead
     with SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** UPDATE / MERGE INTO / non-key DELETE via group-based copy-on-write
+    * (r14, [[GraftCsvRowLevelOperation]]): only affected part files are
+    * read and rewritten. Catalog tables only — the path API has no DML
+    * surface. Key-predicate DELETEs never reach this path (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable routes them back to
+    * [[deleteWhere]]'s directory-level metadata op). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (!catalogManaged) throw new UnsupportedOperationException(
+      "graft-csv: row-level operations (UPDATE/MERGE/DELETE) require a " +
+        "catalog-managed table")
+    () => new GraftCsvRowLevelOperation(path, tableSchema,
+      catalogPartitionCols, info.command())
+  }
   require(path != null, "graft-csv sink requires option(\"path\", …)")
   override def name(): String = s"graft_csv($path)"
   override def schema(): StructType = tableSchema

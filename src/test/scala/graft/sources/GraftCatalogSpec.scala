@@ -14,6 +14,7 @@ import graft.TestSpark
   * storage-partitioned join) / SHOW / RENAME / DROP. */
 class GraftCatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private val cat = "graftsql"
   private lazy val wh = {
@@ -177,17 +178,75 @@ class GraftCatalogSpec extends AnyFunSuite {
     // unconditional DELETE empties the table but keeps it queryable
     spark.sql(s"DELETE FROM $cat.wh.delt")
     assert(spark.sql(s"SELECT * FROM $cat.wh.delt").count() == 0)
-    // payload predicates refuse loudly (no silent full rewrite)
-    spark.sql(s"INSERT INTO $cat.wh.delt VALUES ('e', 5)")
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.wh.delt WHERE v = 5")
+    // payload predicates fall to the copy-on-write path (r14): only
+    // groups containing matching rows are rewritten
+    spark.sql(s"INSERT INTO $cat.wh.delt VALUES ('e', 5), ('e', 6)")
+    spark.sql(s"INSERT INTO $cat.wh.delt VALUES ('f', 7)")
+    val fFiles = new java.io.File(tdir, "g=f").listFiles()
+      .filter(_.getName.endsWith(".csv")).map(f => f.getPath -> f.lastModified()).toMap
+    spark.sql(s"DELETE FROM $cat.wh.delt WHERE v = 5")
+    val left = spark.sql(s"SELECT g, v FROM $cat.wh.delt ORDER BY g, v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(left == Seq(("e", 6L), ("f", 7L)), s"cow DELETE produced $left")
+    // the group WITHOUT matching rows was not rewritten
+    assert(new java.io.File(tdir, "g=f").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+      .map(f => f.getPath -> f.lastModified()).toMap == fFiles,
+      "cow DELETE rewrote an unaffected group")
+  }
+
+  test("UPDATE rewrites only affected groups; key updates move rows across directories") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.cow (g STRING, v BIGINT, note STRING) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.cow VALUES " +
+      "('a', 1, 'x'), ('a', 2, 'y'), ('b', 3, 'z'), ('c', 4, 'w')")
+    val tdir = new java.io.File(s"$wh/wh/cow")
+    def filesOf(key: String): Map[String, Long] = {
+      val d = new java.io.File(tdir, s"g=$key")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".csv"))
+        .map(f => f.getPath -> f.lastModified()).toMap
     }
-    def msg(t: Throwable): Boolean = t != null &&
-      (Option(t.getMessage).exists(m => m.toLowerCase.contains("delete")) ||
-        msg(t.getCause))
-    assert(msg(e), s"unexpected error shape: $e")
-    assert(spark.sql(s"SELECT * FROM $cat.wh.delt").count() == 1,
-      "refused DELETE must leave the table unchanged")
+    val aBefore = filesOf("a")
+    // payload update on one key's rows: only that group rewrites
+    spark.sql(s"UPDATE $cat.wh.cow SET v = v + 100 WHERE g = 'b'")
+    val rows = spark.sql(s"SELECT g, v, note FROM $cat.wh.cow ORDER BY g, v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 103L, "z"),
+      ("c", 4L, "w")), s"UPDATE produced $rows")
+    assert(filesOf("a") == aBefore, "UPDATE rewrote an unaffected group")
+    assert(filesOf("b").keySet.intersect(aBefore.keySet).isEmpty)
+    // updating the PARTITION KEY moves rows to their new directory
+    spark.sql(s"UPDATE $cat.wh.cow SET g = 'z' WHERE g = 'c'")
+    assert(!new java.io.File(tdir, "g=c").exists(),
+      "emptied key directory survived a key-moving UPDATE")
+    val moved = spark.sql(s"SELECT g, v FROM $cat.wh.cow WHERE g = 'z'").collect()
+    assert(moved.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("z", 4L)))
+    assert(filesOf("a") == aBefore, "key-moving UPDATE touched an unaffected group")
+  }
+
+  test("MERGE INTO: matched update + not-matched insert, unaffected groups untouched") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.mrg (g STRING, v BIGINT) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.mrg VALUES ('a', 1), ('b', 2), ('c', 3)")
+    val tdir = new java.io.File(s"$wh/wh/mrg")
+    def filesOf(key: String): Map[String, Long] = {
+      val d = new java.io.File(tdir, s"g=$key")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".csv"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val aBefore = filesOf("a")
+    Seq(("b", 20L), ("d", 40L)).toDF("g", "v").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.wh.mrg t USING mrg_src s ON t.g = s.g
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (g, v) VALUES (s.g, s.v)""".stripMargin)
+    val rows = spark.sql(s"SELECT g, v FROM $cat.wh.mrg ORDER BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 1L), ("b", 20L), ("c", 3L), ("d", 40L)),
+      s"MERGE produced $rows")
+    assert(filesOf("a") == aBefore, "MERGE rewrote an unaffected group")
   }
 
   test("ALTER TABLE ADD COLUMN: metadata-only evolution, old files null-fill") {
