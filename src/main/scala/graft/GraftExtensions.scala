@@ -53,5 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // LogicalPlan + optimizer Rule + SparkStrategy + SparkPlan.
     ext.injectOptimizerRule(_ => new graft.plans.TopKPerGroupRewrite)
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerGroupStrategy)
+    // DSV2 ViewCatalog SQL path (stock 4.1 ships the interface but no
+    // analyzer/planner wiring): CREATE/DROP/SHOW/RENAME VIEW against a
+    // graft catalog, plus definition substitution on read. Hint-phase —
+    // must run before ResolveSessionCatalog's missing-ability check.
+    ext.injectHintResolutionRule(s => new graft.plans.GraftViewSubstitution(s))
+    ext.injectPlannerStrategy(s => new graft.plans.GraftViewStrategy(s))
   }
 }

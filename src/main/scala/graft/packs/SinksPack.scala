@@ -366,6 +366,31 @@ object SinksPack {
       s.sql(s"SELECT m, rf, n_items, sum_qty FROM $cat.wh.li_evo ORDER BY m, rf")
     },
 
+    // ViewCatalog (r14): `CREATE VIEW` over a partitioned catalog table
+    // — the stored query is metadata (one JSON file), re-resolved per
+    // read so pruning/SPJ still fire underneath; the monthly rollup a
+    // warehouse serves to dashboards, in pure SQL.
+    "q_k_catalog_view" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#view") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_v " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_v")
+        s.sql(s"""INSERT OVERWRITE $cat.wh.li_v
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_v GROUP BY 1, 2""")
+        s.sql(s"""CREATE VIEW IF NOT EXISTS $cat.wh.li_monthly AS
+          SELECT m, count(*) AS n_flags, sum(n_items) AS n_items
+          FROM $cat.wh.li_v GROUP BY m""")
+      }
+      s.sql(s"""SELECT m, n_flags, n_items FROM $cat.wh.li_monthly
+        WHERE m >= '1996-01' ORDER BY m""")
+    },
+
     // Catalog DML face 4 — UPDATE via group-based copy-on-write (r14,
     // SupportsRowLevelOperations): a payload-predicate UPDATE in pure
     // SQL. Spark's runtime group filter narrows the rewrite to the part
@@ -932,6 +957,16 @@ object SinksPack {
          |SELECT m, rf, n_items, sum_qty FROM t
          |WHERE m < '1995-01' OR m > '1995-12'
          |ORDER BY m, rf""".stripMargin,
+
+    // The view's monthly rollup, replayed over the same aggregate.
+    "q_k_catalog_view" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m, CAST(count(*) AS BIGINT) AS n_flags,
+        |       CAST(sum(n) AS BIGINT) AS n_items
+        |FROM t WHERE m >= '1996-01' GROUP BY m ORDER BY m""".stripMargin,
 
     // Returned-flag rows carry the 10x re-stated count.
     "q_k_catalog_update" ->

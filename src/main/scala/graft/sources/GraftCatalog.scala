@@ -41,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol owns the whole directory, a catalog table accretes.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ViewCatalog {
   private var catalogName: String = _
   private var root: HPath = _
   @transient private var hconf: Configuration = _
@@ -210,6 +210,130 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"graft catalog: rename $from -> $to failed")
+  }
+
+  // ---- ViewCatalog (r14) -------------------------------------------------
+  //
+  // `CREATE VIEW graft.ns.v AS SELECT …` — the stored-query face a SQL
+  // warehouse user expects next to tables. A view is ONE JSON file
+  // (`<name>._graft_view.json`) in its namespace directory holding the
+  // definition SQL plus the resolution context Spark captured at create
+  // time (current catalog/namespace, schema, column names/aliases/
+  // comments, properties). Re-resolution happens in Spark's analyzer on
+  // every read, so a view over a partitioned table still gets pruning /
+  // SPJ underneath — the view is metadata only.
+
+  private val ViewSuffix = "._graft_view.json"
+
+  private def viewFile(ident: Identifier): HPath =
+    new HPath(nsPath(ident.namespace()), ident.name() + ViewSuffix)
+
+  private case class GraftView(ident: Identifier, node: com.fasterxml.jackson.databind.JsonNode)
+      extends View {
+    private def arr(field: String): Array[String] = {
+      val a = node.get(field)
+      if (a == null) Array.empty
+      else (0 until a.size()).map(i =>
+        if (a.get(i).isNull) null else a.get(i).asText()).toArray
+    }
+    override def name(): String = ident.toString
+    override def query(): String = node.get("sql").asText()
+    override def currentCatalog(): String = node.get("currentCatalog").asText()
+    override def currentNamespace(): Array[String] = arr("currentNamespace")
+    override def schema(): StructType =
+      DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType]
+    override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+    override def columnAliases(): Array[String] = arr("columnAliases")
+    override def columnComments(): Array[String] = arr("columnComments")
+    override def properties(): JMap[String, String] = {
+      val out = new java.util.HashMap[String, String]()
+      val p = node.get("properties")
+      if (p != null) p.propertyStream().forEach(e => out.put(e.getKey, e.getValue.asText()))
+      out
+    }
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = nsPath(ns)
+    if (!fs.exists(dir) || fs.exists(metaFile(dir)))
+      throw new NoSuchNamespaceException(ns)
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(ViewSuffix))
+      .map(s => Identifier.of(ns, s.getPath.getName.stripSuffix(ViewSuffix)))
+  }
+
+  override def viewExists(ident: Identifier): Boolean = fs.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!fs.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val in = fs.open(f)
+    val node = try mapper.readTree(in) finally in.close()
+    GraftView(ident, node)
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    val f = viewFile(ident)
+    if (fs.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val node = mapper.createObjectNode()
+    node.put("sql", info.sql())
+    node.put("currentCatalog", info.currentCatalog())
+    node.put("schema", info.schema().json)
+    def put(field: String, vs: Array[String]): Unit = {
+      val a = node.putArray(field)
+      Option(vs).getOrElse(Array.empty).foreach(a.add)
+    }
+    put("currentNamespace", info.currentNamespace())
+    put("queryColumnNames", info.queryColumnNames())
+    put("columnAliases", info.columnAliases())
+    put("columnComments", info.columnComments())
+    val props = node.putObject("properties")
+    info.properties().forEach((k, v) => props.put(k, v))
+    val out = fs.create(f, false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val f = viewFile(ident)
+    if (!fs.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val in = fs.open(f)
+    val node = try mapper.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode] finally in.close()
+    val props = node.withObject("/properties")
+    changes.foreach {
+      case set: ViewChange.SetProperty => props.put(set.property(), set.value())
+      case rm: ViewChange.RemoveProperty => props.remove(rm.property())
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER VIEW change $other")
+    }
+    val out = fs.create(f, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val f = viewFile(ident)
+    fs.exists(f) && fs.delete(f, false)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = viewFile(oldIdent)
+    if (!fs.exists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    val to = viewFile(newIdent)
+    if (fs.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    if (!fs.exists(to.getParent)) throw new NoSuchNamespaceException(newIdent.namespace())
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"graft catalog: rename view $from -> $to failed")
   }
 
   // ---- FunctionCatalog --------------------------------------------------

@@ -365,6 +365,36 @@ class GraftCatalogSpec extends AnyFunSuite {
       "DELETE left empty parent key directories behind")
   }
 
+  test("CREATE VIEW: stored query re-resolves per read; SHOW/RENAME/DROP") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.vt (g STRING, v BIGINT) PARTITIONED BY (g)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.vt VALUES ('a', 1), ('b', 2), ('b', 3)")
+    spark.sql(s"CREATE VIEW $cat.wh.v_agg AS " +
+      s"SELECT g, sum(v) AS total FROM $cat.wh.vt GROUP BY g")
+    def rows() = spark.sql(s"SELECT g, total FROM $cat.wh.v_agg ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows() == Seq(("a", 1L), ("b", 5L)))
+    // the view is METADATA — later INSERTs are visible through it
+    spark.sql(s"INSERT INTO $cat.wh.vt VALUES ('a', 10)")
+    assert(rows() == Seq(("a", 11L), ("b", 5L)))
+    // listed next to (not as) tables
+    val views = spark.sql(s"SHOW VIEWS IN $cat.wh").collect().map(_.getString(1)).toSet
+    assert(views.contains("v_agg"))
+    assert(!spark.sql(s"SHOW TABLES IN $cat.wh").collect()
+      .map(_.getString(1)).contains("v_agg"))
+    // rename, read through the new name, drop
+    spark.sql(s"ALTER VIEW $cat.wh.v_agg RENAME TO wh.v_agg2")
+    assert(spark.sql(s"SELECT * FROM $cat.wh.v_agg2").count() == 2)
+    spark.sql(s"DROP VIEW $cat.wh.v_agg2")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.wh.v_agg2").collect()
+    }
+    // a view name cannot shadow an existing table
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.wh.vt AS SELECT 1 AS one")
+    }
+  }
+
   test("functions do not resolve under nonexistent namespaces") {
     wh
     // advice r13: graft.any.thing.dotp must NOT resolve — the
