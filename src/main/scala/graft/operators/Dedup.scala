@@ -657,8 +657,16 @@ object Dedup {
     * with the smallest doc_id of its component (the canonical
     * survivor). Throws if the round cap is hit unconverged — silently
     * returning partial labels would diverge from the oracle's
-    * transitive closure. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+    * transitive closure.
+    *
+    * maxIter = 40 covers component diameter 2^40 (r14: the 10x full-
+    * suite hash gate found the old cap of 20 — diameter 2^20 ≈ 1M —
+    * insufficient for the 10x image near-dup graph, whose synthetic
+    * rasters chain into one multi-million-node component once the edge
+    * count crosses the distributed-path threshold; below 10x the
+    * single-task union-find path had masked it). The loop exits on the
+    * converged flag, so shallow graphs never pay the higher cap. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 40,
                         smallGraphEdges: Long = 1000000L): DataFrame = {
     val rawEdges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
