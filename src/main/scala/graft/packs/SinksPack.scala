@@ -337,6 +337,38 @@ object SinksPack {
       s.sql(s"SELECT m, rf, n_items, sum_qty FROM $cat.wh.li_del ORDER BY m, rf")
     },
 
+    // Zone-map data skipping (r14): `TBLPROPERTIES('write.orderBy'='d')`
+    // makes every INSERT demand a GLOBAL ordered distribution — range-
+    // partitioned, in-file-sorted part files whose per-file min/max
+    // zones (written into the `_zones` sidecar at commit) are DISJOINT.
+    // The date-sliced read then opens ONLY the files whose zone range
+    // intersects the predicate — planning-time file skipping on a
+    // NON-partition column, the ORC/Iceberg data-skipping story on the
+    // graft engine (ZoneMapSpec pins the skip count; this query pins
+    // the values). The reference's serving layer reads bounded date
+    // windows of the warehouse, never whole tables (…final.py:137).
+    "q_k_zone_skip" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#zones") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        // sortBuckets pins the layout: 16 range-partitioned files at
+        // every scale factor, so the date slice opens ~2 of them
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.ord_daily " +
+          "(d STRING, n_orders BIGINT, revenue DOUBLE) " +
+          "TBLPROPERTIES('write.orderBy'='d', 'write.sortBuckets'='16')")
+        Tables.orders(s, d).createOrReplaceTempView("graft_cat_ord_zone")
+        s.sql(s"""INSERT INTO $cat.wh.ord_daily
+          SELECT date_format(o_orderdate, 'yyyy-MM-dd'), count(*),
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          FROM graft_cat_ord_zone GROUP BY 1""")
+      }
+      s.sql(s"""SELECT d, n_orders, revenue FROM $cat.wh.ord_daily
+        WHERE d >= '1996-03-01' AND d <= '1996-05-31' ORDER BY d""")
+    },
+
     // Catalog DML face 2 — ALTER TABLE ADD COLUMN (r14): schema
     // evolution as a pure metadata edit. Generation 1 is inserted
     // BEFORE the column exists; generation 2 after. Old part files
@@ -957,6 +989,16 @@ object SinksPack {
          |SELECT m, rf, n_items, sum_qty FROM t
          |WHERE m < '1995-01' OR m > '1995-12'
          |ORDER BY m, rf""".stripMargin,
+
+    // The zone-skipped date slice must equal the plain aggregate slice.
+    "q_k_zone_skip" ->
+      s"""WITH t AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders,
+         |         ${Num.dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT d, n_orders, revenue FROM t
+         |WHERE d >= '1996-03-01' AND d <= '1996-05-31'
+         |ORDER BY d""".stripMargin,
 
     // The view's monthly rollup, replayed over the same aggregate.
     "q_k_catalog_view" ->

@@ -69,30 +69,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private val mapper = new ObjectMapper()
 
-  private def writeMeta(dir: HPath, schema: StructType,
-                        partitionCols: Seq[String]): Unit = {
+  /** Table metadata: schema, partition columns, and the ordered-write
+    * contract (`write.orderBy` sort columns + optional pinned
+    * `write.sortBuckets` file count) — see [[CsvZones]] for why ordered
+    * writes are the data-skipping shape. */
+  private case class TableMeta(schema: StructType, partCols: Seq[String],
+                               sortCols: Seq[String], sortBuckets: Int)
+
+  private def writeMeta(dir: HPath, meta: TableMeta): Unit = {
     val node = mapper.createObjectNode()
-    node.put("schema", schema.json)
-    if (partitionCols.nonEmpty) {
+    node.put("schema", meta.schema.json)
+    if (meta.partCols.nonEmpty) {
       val arr = node.putArray("partitionCols")
-      partitionCols.foreach(arr.add)
+      meta.partCols.foreach(arr.add)
     }
+    if (meta.sortCols.nonEmpty) {
+      val arr = node.putArray("sortCols")
+      meta.sortCols.foreach(arr.add)
+    }
+    if (meta.sortBuckets > 0) node.put("sortBuckets", meta.sortBuckets)
     val out = fs.create(metaFile(dir), true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
   }
 
-  private def readMeta(dir: HPath): (StructType, Seq[String]) = {
+  private def readMeta(dir: HPath): TableMeta = {
     val in = fs.open(metaFile(dir))
     val node = try mapper.readTree(in) finally in.close()
+    def arr(field: String): Seq[String] = Option(node.get(field)) match {
+      case Some(a) => (0 until a.size()).map(a.get(_).asText())
+      case None => Nil
+    }
     val cols = Option(node.get("partitionCols")) match {
-      case Some(arr) =>
-        (0 until arr.size()).map(arr.get(_).asText())
+      case Some(_) => arr("partitionCols")
       // pre-r14 metadata: a single "partitionCol" string
       case None => Option(node.get("partitionCol")).map(_.asText()).toSeq
     }
-    (DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
-      cols)
+    TableMeta(
+      DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
+      cols, arr("sortCols"),
+      Option(node.get("sortBuckets")).map(_.asInt()).getOrElse(0))
   }
+
+  private def tableOf(dir: HPath, meta: TableMeta): GraftCsvTable =
+    new GraftCsvTable(dir.toString, meta.schema, meta.partCols,
+      catalogManaged = true, catalogSortCols = meta.sortCols,
+      catalogSortBuckets = meta.sortBuckets)
 
   // ---- TableCatalog -----------------------------------------------------
 
@@ -110,8 +131,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    val (schema, partCols) = readMeta(dir)
-    new GraftCsvTable(dir.toString, schema, partCols, catalogManaged = true)
+    tableOf(dir, readMeta(dir))
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -144,12 +164,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (partCols.nonEmpty && schema.length <= partCols.length)
       throw new IllegalArgumentException(
         "graft catalog: a partitioned table needs at least one payload column")
+    // TBLPROPERTIES('write.orderBy'='c1[,c2…]'): every INSERT demands a
+    // GLOBAL ordered distribution on these columns — range-partitioned
+    // sorted files with disjoint zone ranges, the data-skipping write
+    // shape (see CsvZones). Orthogonal to PARTITIONED BY by exclusion:
+    // a partitioned table already clusters on its keys.
+    val sortCols = Option(properties.get("write.orderBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    sortCols.foreach { c =>
+      if (partCols.nonEmpty) throw new IllegalArgumentException(
+        "graft catalog: write.orderBy and PARTITIONED BY are mutually " +
+          "exclusive (a partitioned table already clusters on its keys)")
+      val field = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: write.orderBy column '$c' not in the schema"))
+      if (!CsvZoneTracker.eligible(field.dataType))
+        throw new IllegalArgumentException(
+          s"graft catalog: write.orderBy column '$c' has type " +
+            s"${field.dataType.simpleString}; sort keys must be comparable scalars")
+    }
+    val sortBuckets = Option(properties.get("write.sortBuckets"))
+      .map(_.toInt).getOrElse(0)
+    if (sortBuckets < 0 || (sortBuckets > 0 && sortCols.isEmpty))
+      throw new IllegalArgumentException(
+        "graft catalog: write.sortBuckets requires write.orderBy and a " +
+          "positive count")
     val dir = tableDir(ident)
     if (fs.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
     if (!fs.exists(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     fs.mkdirs(dir)
-    writeMeta(dir, schema, partCols)
-    new GraftCsvTable(dir.toString, schema, partCols, catalogManaged = true)
+    val meta = TableMeta(schema, partCols, sortCols, sortBuckets)
+    writeMeta(dir, meta)
+    tableOf(dir, meta)
   }
 
   /** Schema evolution, the append-only-warehouse way (verdict r13 #2):
@@ -165,7 +212,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
-    var (schema, partCols) = readMeta(dir)
+    var meta = readMeta(dir)
+    var schema = meta.schema
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames().length != 1)
@@ -193,8 +241,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: unsupported ALTER TABLE change $other (only " +
           "ADD COLUMN evolves in place; anything else needs a rewrite)")
     }
-    writeMeta(dir, schema, partCols)
-    new GraftCsvTable(dir.toString, schema, partCols, catalogManaged = true)
+    meta = meta.copy(schema = schema)
+    writeMeta(dir, meta)
+    tableOf(dir, meta)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

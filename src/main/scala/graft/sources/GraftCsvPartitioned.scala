@@ -178,7 +178,8 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
                                            leaves: Array[(Seq[String], String)],
                                            conf: SerializableHadoopConf,
                                            vectorized: Boolean = false,
-                                           nullFill: Boolean = false)
+                                           nullFill: Boolean = false,
+                                           zoneSkip: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private val keyFields: Seq[StructField] = keyCols.map(c =>
@@ -230,7 +231,8 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
         keyFields, raws)))
     }
     new KeyedCsvScan(path, required, payload, keyFields, survivors,
-      partFilters, payloadFilters, conf, vectorized, limit, nullFill)
+      partFilters, payloadFilters, conf, vectorized, limit, nullFill,
+      zoneSkip)
   }
 }
 
@@ -257,7 +259,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      conf: SerializableHadoopConf,
                                      vectorized: Boolean = false,
                                      val pushedLimit: Option[Int] = None,
-                                     nullFill: Boolean = false)
+                                     nullFill: Boolean = false,
+                                     zoneSkip: Boolean = true)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
@@ -312,16 +315,61 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     fileCache.computeIfAbsent(dir,
       d => GraftCsvTable.listPartFilesWithSize(d, conf.value))
 
+  /** Files the zone maps excluded at the last planning (spec surface). */
+  @volatile private var skippedByZones: Int = 0
+  def zoneSkipped: Int = skippedByZones
+
+  /** Zone maps for this table, loaded at most once per scan and only
+    * when a payload filter could use them (key filters already pruned
+    * whole directories; zones prune FILES inside surviving ones). */
+  private lazy val zones: Map[String, Map[String, CsvColZone]] =
+    CsvZones.load(new HPath(path), conf.value)
+
+  /** Fully-qualified table root (leaf dirs come from listStatus, which
+    * qualifies: `file:/…`) — the prefix stripped to recover each file's
+    * root-relative publish name, the `_zones` entry key. */
+  private lazy val qualifiedRoot: String = {
+    val r = new HPath(path)
+    r.getFileSystem(conf.value).makeQualified(r).toString
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val schemaJson = keySchema.json
     val keep = runtimeKeys
-    leaves.map { case (raws, dir) =>
+    val useZones = zoneSkip && payloadFilters.nonEmpty
+    var skipped = 0
+    val parts = leaves.map { case (raws, dir) =>
       val pruned = keep.exists(_.exists { case (i, ks) =>
         !ks.contains(PartitionedCsvLayout.keyValue(raws(i), keyFields(i).dataType))
       })
-      KeyedCsvPartition(raws, schemaJson,
-        if (pruned) Array.empty else listedOf(dir).map(_._1)): InputPartition
+      val files =
+        if (pruned) Array.empty[String]
+        else {
+          val listed = listedOf(dir).map(_._1)
+          if (!useZones || zones.isEmpty) listed
+          else {
+            // zone entries are keyed by root-relative publish names
+            val relDir =
+              if (dir.startsWith(qualifiedRoot))
+                dir.substring(qualifiedRoot.length).dropWhile(_ == '/')
+              else if (dir.startsWith(path))
+                dir.substring(path.length).dropWhile(_ == '/')
+              else null
+            if (relDir == null) listed
+            else {
+              val kept = listed.filter { f =>
+                val rel = s"$relDir/${new HPath(f).getName}"
+                zones.get(rel).forall(ZoneEval.mayMatch(payloadFilters, payload, _))
+              }
+              skipped += listed.length - kept.length
+              kept
+            }
+          }
+        }
+      KeyedCsvPartition(raws, schemaJson, files): InputPartition
     }
+    skippedByZones = skipped
+    parts
   }
 
   /** Post-static-pruning byte size (the honest estimate a join planner
@@ -657,7 +705,8 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
                                                  partCols: Seq[String],
                                                  partitionId: Int, taskId: Long,
                                                  conf: SerializableHadoopConf,
-                                                 stem: String = "part")
+                                                 stem: String = "part",
+                                                 trackZones: Boolean = false)
     extends DataWriter[InternalRow] {
   private val keyIdx: Array[Int] = partCols.map(c =>
     schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))).toArray
@@ -703,7 +752,7 @@ private[sources] class GraftCsvPartitionedWriter(tmpDir: String,
       committed += current.commit().asInstanceOf[CsvFileCommit]
     }
     current = new GraftCsvDataWriter(tmpDir, payload, partitionId, taskId, conf,
-      f"$dir/$stem-$partitionId%05d.csv")
+      f"$dir/$stem-$partitionId%05d.csv", trackZones)
     currentKey = dir
   }
 

@@ -213,6 +213,13 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
     fs.mkdirs(root)
     // 1. publish the rewritten groups (fresh names — no collisions)
     GraftCsvCommit.publish(fs, root, messages)
+    // rewritten groups keep their data-skipping ability: same tagged-
+    // write zone sidecar as a catalog INSERT (replaced files' entries
+    // go stale harmlessly — their names are never reused)
+    CsvZones.write(root, conf.value, queryId, messages.flatMap {
+      case f: CsvFileCommit => Seq(f)
+      case CsvFilesCommit(fsq) => fsq
+    }.map(f => f.finalName -> f.zones).toSeq)
     // 2. drop exactly the replaced group files
     op.replacedFiles.forEach(f => fs.delete(new HPath(f), false))
     // 3. prune directories the rewrite emptied (rows moved or deleted)

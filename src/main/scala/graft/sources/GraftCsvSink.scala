@@ -165,7 +165,9 @@ private[sources] object GraftCsvTable {
 
 private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
                                      catalogPartitionCols: Seq[String] = Nil,
-                                     catalogManaged: Boolean = false)
+                                     catalogManaged: Boolean = false,
+                                     catalogSortCols: Seq[String] = Nil,
+                                     catalogSortBuckets: Int = 0)
     extends Table with SupportsWrite with SupportsRead
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -223,6 +225,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Append,
       defaultPartitionCols = catalogPartitionCols,
+      defaultSortCols = catalogSortCols,
+      defaultSortBuckets = catalogSortBuckets,
       // per-write file tag: catalog INSERTs append instead of
       // overwriting the previous write's identically-named files. The
       // FULL queryId (a UUID, filesystem-safe) — a truncated hash could
@@ -237,14 +241,15 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
     val (keyCols, leaves) =
       PartitionedCsvLayout.listPartitionTree(path, conf.value)
     val vectorized = Option(options.get("vectorized")).forall(_.toBoolean)
+    val zoneSkip = Option(options.get("zoneSkip")).forall(_.toBoolean)
     // catalog reads null-fill columns missing from an old part file's
     // header (schema evolution); path reads keep the loud error (a
     // user-typed schema with a typo'd column should fail, not null out)
     if (keyCols.isEmpty)
       new GraftCsvScanBuilder(path, tableSchema, vectorized,
-        nullFill = catalogManaged)
+        nullFill = catalogManaged, zoneSkip = zoneSkip)
     else new KeyedCsvScanBuilder(path, tableSchema, keyCols, leaves,
-      conf, vectorized, nullFill = catalogManaged)
+      conf, vectorized, nullFill = catalogManaged, zoneSkip = zoneSkip)
   }
 
   // ---- DELETE FROM (SupportsDelete) -------------------------------------
@@ -288,6 +293,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
           ((s.isFile && s.getPath.getName.endsWith(".csv")) ||
             (s.isDirectory && s.getPath.getName.contains('=')))
       }.foreach(s => fs.delete(s.getPath, true))
+      CsvZones.drop(root, conf) // every entry now describes a deleted file
     } else {
       val ks = keyFields
       if (ks.isEmpty) throw new UnsupportedOperationException(
@@ -369,6 +375,11 @@ private[sources] object CsvFilterEval {
     x.length - y.length
   }
 
+  /** The dialect's value ordering, shared with the zone-map layer
+    * ([[ZoneEval]]) so a planning-time skip and a row-time filter can
+    * never rank two values differently. */
+  private[sources] def compareValues(a: Any, b: Any): Int = cmp(a, b)
+
   private def cmp(v: Any, lit: Any): Int = (v, lit) match {
     case (a: String, b: String) => utf8Cmp(a, b)
     case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
@@ -432,7 +443,8 @@ private[sources] object CsvFilterEval {
 
 private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
                                            vectorized: Boolean = false,
-                                           nullFill: Boolean = false)
+                                           nullFill: Boolean = false,
+                                           zoneSkip: Boolean = true)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
@@ -454,7 +466,8 @@ private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
   override def isPartiallyPushed(): Boolean = true
   override def build(): Scan =
     new GraftCsvScan(path, required, full, pushed,
-      SerializableHadoopConf.fromSession(), vectorized, limit, nullFill)
+      SerializableHadoopConf.fromSession(), vectorized, limit, nullFill,
+      zoneSkip)
 }
 
 private[sources] case class CsvFilePartition(file: String) extends InputPartition
@@ -465,7 +478,8 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
                                      conf: SerializableHadoopConf,
                                      vectorized: Boolean = false,
                                      val pushedLimit: Option[Int] = None,
-                                     nullFill: Boolean = false)
+                                     nullFill: Boolean = false,
+                                     zoneSkip: Boolean = true)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -473,10 +487,28 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
     s"GraftCsv path=$path ReadSchema: ${required.simpleString} " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
-  // Metadata-only planning: one partition per committed part file.
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftCsvTable.listPartFiles(path, conf.value)
-      .map(CsvFilePartition(_): InputPartition)
+  /** Files the zone maps excluded at the last planning (spec surface —
+    * the plan itself only shows the surviving partition count). */
+  @volatile private var skippedByZones: Int = 0
+  def zoneSkipped: Int = skippedByZones
+  // Metadata-only planning: one partition per committed part file,
+  // minus files whose zone maps prove no pushed filter can match
+  // (tagged writes persist per-file min/max — see CsvZones).
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = GraftCsvTable.listPartFiles(path, conf.value)
+    val kept =
+      if (!zoneSkip || pushed.isEmpty) files
+      else {
+        val zones = CsvZones.load(new HPath(path), conf.value)
+        if (zones.isEmpty) files
+        else files.filter { f =>
+          zones.get(new HPath(f).getName)
+            .forall(ZoneEval.mayMatch(pushed, full, _))
+        }
+      }
+    skippedByZones = files.length - kept.length
+    kept.map(CsvFilePartition(_): InputPartition)
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     // The _file metadata column is served by the reader wrapper, not
     // parsed from the payload — strip it before building parse schemas.
@@ -856,7 +888,9 @@ private[sources] object CsvWriteMode {
 private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo,
                                             mode: CsvWriteMode,
                                             defaultPartitionCols: Seq[String] = Nil,
-                                            appendTag: Option[String] = None)
+                                            defaultSortCols: Seq[String] = Nil,
+                                            appendTag: Option[String] = None,
+                                            defaultSortBuckets: Int = 0)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
   private def partitionCols: Seq[String] =
     Option(info.options().get("partitionedBy"))
@@ -867,7 +901,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
 
   override def truncate(): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Truncate,
-      defaultPartitionCols, appendTag)
+      defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets)
 
   /** Key-only overwrite filters are a pure metadata op; anything else
     * (payload predicates) is refused — Spark raises the analysis error
@@ -888,14 +922,15 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     val next = if (real.isEmpty) CsvWriteMode.Truncate
       else CsvWriteMode.OverwriteKeys(real)
-    new GraftCsvWriteBuilder(path, info, next, defaultPartitionCols, appendTag)
+    new GraftCsvWriteBuilder(path, info, next, defaultPartitionCols,
+      defaultSortCols, appendTag, defaultSortBuckets)
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
     if (partitionCols.isEmpty) throw new UnsupportedOperationException(
       "graft-csv sink: dynamic partition overwrite requires a partitioned table")
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.DynamicOverwrite,
-      defaultPartitionCols, appendTag)
+      defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets)
   }
 
   override def build(): Write = {
@@ -908,6 +943,30 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
       if (missing.nonEmpty) throw new IllegalArgumentException(
         s"graft-csv sink: clusterBy columns not in the write schema: " +
           missing.mkString(", "))
+    }
+    // sortBy= / TBLPROPERTIES('write.orderBy'): GLOBAL ordered
+    // distribution — range-partitioned, in-partition-sorted files whose
+    // zone ranges are DISJOINT, so a range predicate later opens only
+    // the files that intersect it (CsvZones). Hash clustering
+    // (clusterBy) spreads every value range across all files, which is
+    // the wrong write shape for range-sliced reads — hence exclusive.
+    val sorted = Option(info.options().get("sortBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).orElse(Option(defaultSortCols).filter(_.nonEmpty))
+    sorted.foreach { cols =>
+      if (cluster.isDefined || partitionCols.nonEmpty)
+        throw new IllegalArgumentException(
+          "graft-csv sink: sortBy (ordered distribution) and clusterBy/" +
+            "partitionedBy (hash clustering) are mutually exclusive")
+      cols.foreach { c =>
+        val field = info.schema().fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-csv sink: sortBy column '$c' not in the write schema"))
+        if (!CsvZoneTracker.eligible(field.dataType))
+          throw new IllegalArgumentException(
+            s"graft-csv sink: sortBy column '$c' has type " +
+              s"${field.dataType.simpleString}; sort keys must be comparable scalars")
+      }
     }
     val partitioned = partitionCols
     partitioned.foreach { col =>
@@ -926,7 +985,17 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     if (partitioned.nonEmpty && info.schema().length <= partitioned.length)
       throw new IllegalArgumentException(
         "graft-csv sink: partitionedBy requires at least one payload column")
-    new GraftCsvWrite(path, info, mode, cluster, partitioned, appendTag)
+    // sortBuckets=N pins the ordered write's partition count (N files).
+    // Default 0 lets the engine decide — AQE sizes range partitions by
+    // bytes, the scale-correct knob; a pinned count is for layouts that
+    // must be stable across reloads (and for deterministic specs).
+    val sortBuckets = Option(info.options().get("sortBuckets")).map(_.toInt)
+      .getOrElse(defaultSortBuckets)
+    if (sortBuckets < 0 || (sortBuckets > 0 && sorted.isEmpty))
+      throw new IllegalArgumentException(
+        "graft-csv sink: sortBuckets requires sortBy and a positive count")
+    new GraftCsvWrite(path, info, mode, cluster, partitioned, appendTag, sorted,
+      sortBuckets)
   }
 }
 
@@ -946,19 +1015,31 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
                                      mode: CsvWriteMode,
                                      cluster: Option[Seq[String]],
                                      partitioned: Seq[String] = Nil,
-                                     appendTag: Option[String] = None)
+                                     appendTag: Option[String] = None,
+                                     sorted: Option[Seq[String]] = None,
+                                     sortBuckets: Int = 0)
     extends Write with RequiresDistributionAndOrdering {
+  /** 0 = engine's choice (AQE byte-sized range partitions); >0 pins the
+    * ordered write's file count. */
+  override def requiredNumPartitions(): Int =
+    if (sorted.isDefined) sortBuckets else 0
   // partitionedBy IS a clustering on the keys (plus the hive layout)
   private def keys: Option[Seq[String]] =
     if (partitioned.nonEmpty) Some(partitioned) else cluster
+  private def sortOrders(cs: Seq[String]): Array[SortOrder] =
+    cs.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   override def requiredDistribution(): Distribution =
-    keys.map(cs => Distributions.clustered(
-        cs.map(c => Expressions.column(c): Expression).toArray))
+    // sortBy: ORDERED distribution (range partitioning) — contiguous
+    // value runs per file, disjoint zone ranges (the data-skipping
+    // write shape). clusterBy/partitionedBy: hash clustering (one key,
+    // one file).
+    sorted.map(cs => Distributions.ordered(sortOrders(cs)))
+      .orElse(keys.map(cs => Distributions.clustered(
+        cs.map(c => Expressions.column(c): Expression).toArray)))
       .getOrElse(Distributions.unspecified())
   override def requiredOrdering(): Array[SortOrder] =
-    keys.map(_.map(c =>
-        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray)
-      .getOrElse(Array.empty)
+    sorted.orElse(keys).map(sortOrders).getOrElse(Array.empty)
   /** Spark-UI observability for the WRITE side (mirrors the paged
     * source's read metrics): rows/bytes/files per write, summed across
     * tasks and shown on the V2 write node. At a 100 TB ingest the
@@ -982,9 +1063,11 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
   }
 }
 
-/** Commit message: the temp file this task wrote and the final name it
-  * should be published under. */
-private[sources] case class CsvFileCommit(tempFile: String, finalName: String)
+/** Commit message: the temp file this task wrote, the final name it
+  * should be published under, and (tagged writes only) the file's
+  * column zone map for the `_zones` sidecar. */
+private[sources] case class CsvFileCommit(tempFile: String, finalName: String,
+                                          zones: Map[String, CsvColZone] = Map.empty)
   extends WriterCommitMessage
 
 private[sources] class CsvRowsWrittenMetric
@@ -1012,13 +1095,13 @@ private[sources] object GraftCsvCommit {
     messages.flatMap {
       case f: CsvFileCommit => Seq(f)
       case CsvFilesCommit(fsq) => fsq // partitioned task: one file per key
-    }.foreach { case CsvFileCommit(tempFile, finalName) =>
-      val target = new HPath(root, finalName)
+    }.foreach { f =>
+      val target = new HPath(root, f.finalName)
       // partitioned finalNames live under key=value subdirectories
       if (target.getParent != root) fs.mkdirs(target.getParent)
       if (fs.exists(target)) fs.delete(target, false)
-      if (!fs.rename(new HPath(tempFile), target))
-        throw new java.io.IOException(s"graft-csv: rename $tempFile -> $target failed")
+      if (!fs.rename(new HPath(f.tempFile), target))
+        throw new java.io.IOException(s"graft-csv: rename ${f.tempFile} -> $target failed")
     }
 }
 
@@ -1047,6 +1130,8 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
           !s.getPath.getName.startsWith("_") &&
             (s.isFile || (s.isDirectory && s.getPath.getName.contains('=')))
         }.foreach(s => fs.delete(s.getPath, true))
+        // every previous zone entry now describes a deleted file
+        CsvZones.drop(root, conf.value)
       case CsvWriteMode.OverwriteKeys(filters) =>
         // static partition overwrite: drop the matching leaf directories
         // wholesale (metadata op); survivors are never listed
@@ -1072,6 +1157,14 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
         touched.foreach(d => fs.delete(new HPath(root, d), true))
     }
     GraftCsvCommit.publish(fs, root, messages)
+    // tagged writes persist their files' zone maps (one sidecar per
+    // commit; untagged writes reuse names, so theirs would be unsound)
+    appendTag.foreach { tag =>
+      CsvZones.write(root, conf.value, tag, messages.flatMap {
+        case f: CsvFileCommit => Seq(f)
+        case CsvFilesCommit(fsq) => fsq
+      }.map(f => f.finalName -> f.zones).toSeq)
+    }
     fs.delete(tmpDir, true)
     fs.create(new HPath(root, "_SUCCESS"), true).close()
   }
@@ -1113,7 +1206,7 @@ private[sources] class GraftCsvStreamingWrite(path: String, schema: StructType,
     // epoch ever published that the replay does not re-produce, THEN
     // publish — the epoch's final state is exactly `messages`.
     val finalNames = messages.collect {
-      case CsvFileCommit(_, finalName) => finalName
+      case f: CsvFileCommit => f.finalName
     }.toSet
     val epochPrefix = f"part-$epochId%05d-"
     if (fs.exists(root))
@@ -1151,20 +1244,29 @@ private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
   // catalog INSERTs stamp the write tag into every published name so
   // successive writes append instead of replacing each other's files
   private val stem = appendTag.map(t => s"part-$t").getOrElse("part")
+  // tagged names can never be reused, so their zone maps can never go
+  // stale against a same-named different file — track them
+  private val trackZones = appendTag.isDefined
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partitioned.nonEmpty)
       new GraftCsvPartitionedWriter(tmpDir, schema, partitioned, partitionId,
-        taskId, conf, stem)
+        taskId, conf, stem, trackZones)
     else
       new GraftCsvDataWriter(tmpDir, schema, partitionId, taskId, conf,
-        f"$stem-$partitionId%05d.csv")
+        f"$stem-$partitionId%05d.csv", trackZones)
 }
 
 private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
                                           partitionId: Int, taskId: Long,
                                           conf: SerializableHadoopConf,
-                                          finalName: String)
+                                          finalName: String,
+                                          trackZones: Boolean = false)
     extends DataWriter[InternalRow] {
+
+  // zone maps ride tagged writes only (unique final names forever —
+  // see CsvZones for why untagged name reuse would make them unsound)
+  private val zoneTracker: CsvZoneTracker =
+    if (trackZones) new CsvZoneTracker(schema) else null
 
   // taskId-unique temp file: concurrent attempts for the same partition
   // (retry, speculation) can never collide.
@@ -1197,6 +1299,7 @@ private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
   private[sources] var bytes = 0L
 
   override def write(row: InternalRow): Unit = {
+    if (zoneTracker != null) zoneTracker.update(row)
     val sb = new StringBuilder
     var i = 0
     while (i < schema.length) {
@@ -1217,7 +1320,8 @@ private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    CsvFileCommit(tempFile.toString, finalName)
+    CsvFileCommit(tempFile.toString, finalName,
+      if (zoneTracker != null && rows > 0) zoneTracker.result() else Map.empty)
   }
 
   override def abort(): Unit = {
