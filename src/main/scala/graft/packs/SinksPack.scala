@@ -369,6 +369,38 @@ object SinksPack {
         WHERE d >= '1996-03-01' AND d <= '1996-05-31' ORDER BY d""")
     },
 
+    // Versioned tables + time travel (r14): TBLPROPERTIES('versioned'=
+    // 'true') makes every commit append a _graft_log manifest (the
+    // complete live-file list), DML logical (DELETE excludes files from
+    // the next manifest; bytes stay for VACUUM), and reads resolve ONE
+    // manifest instead of listing directories — the lakehouse
+    // transaction log on the graft engine. `VERSION AS OF 1` here reads
+    // the pre-delete snapshot: the retention DELETE that rewrote
+    // nothing also LOST nothing until the operator vacuums.
+    "q_k_time_travel" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#tt") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_tt " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_tt")
+        s.sql(s"""INSERT INTO $cat.wh.li_tt
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_tt GROUP BY 1, 2""")
+        // the retention year goes — LOGICALLY (manifest v2 excludes it)
+        s.sql(s"DELETE FROM $cat.wh.li_tt WHERE m >= '1995-01' AND m <= '1995-12'")
+      }
+      s.sql(s"""SELECT 'v1' AS gen, m, rf, n_items
+          FROM $cat.wh.li_tt VERSION AS OF 1
+        UNION ALL
+        SELECT 'now' AS gen, m, rf, n_items FROM $cat.wh.li_tt
+        ORDER BY gen, m, rf""")
+    },
+
     // Catalog DML face 2 — ALTER TABLE ADD COLUMN (r14): schema
     // evolution as a pure metadata edit. Generation 1 is inserted
     // BEFORE the column exists; generation 2 after. Old part files
@@ -999,6 +1031,19 @@ object SinksPack {
          |SELECT d, n_orders, revenue FROM t
          |WHERE d >= '1996-03-01' AND d <= '1996-05-31'
          |ORDER BY d""".stripMargin,
+
+    // v1 = the full load; 'now' = the post-DELETE complement. The union
+    // proves the deleted year is still SERVED at version 1.
+    "q_k_time_travel" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n_items
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT 'v1' AS gen, m, rf, n_items FROM t
+        |UNION ALL
+        |SELECT 'now' AS gen, m, rf, n_items FROM t
+        |WHERE m < '1995-01' OR m > '1995-12'
+        |ORDER BY gen, m, rf""".stripMargin,
 
     // The view's monthly rollup, replayed over the same aggregate.
     "q_k_catalog_view" ->

@@ -188,6 +188,25 @@ private[sources] object CsvZones {
     val fs = root.getFileSystem(conf)
     fs.delete(new HPath(root, Dir), true)
   }
+
+  /** Vacuum hook: deletes sidecars none of whose files are still
+    * referenced (a sidecar with ANY live entry stays whole — dead
+    * entries inside it are harmless and not worth a rewrite). */
+  def gc(root: HPath, conf: Configuration, referenced: String => Boolean): Int = {
+    val fs = root.getFileSystem(conf)
+    val dir = new HPath(root, Dir)
+    if (!fs.exists(dir)) return 0
+    var dropped = 0
+    fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .foreach { s =>
+        val in = fs.open(s.getPath)
+        val node = try mapper.readTree(in) finally in.close()
+        var live = false
+        node.fieldNames().forEachRemaining(rel => if (referenced(rel)) live = true)
+        if (!live) { fs.delete(s.getPath, false); dropped += 1 }
+      }
+    dropped
+  }
 }
 
 /** Conservative satisfiability of a pushed filter against one file's

@@ -74,7 +74,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `write.sortBuckets` file count) — see [[CsvZones]] for why ordered
     * writes are the data-skipping shape. */
   private case class TableMeta(schema: StructType, partCols: Seq[String],
-                               sortCols: Seq[String], sortBuckets: Int)
+                               sortCols: Seq[String], sortBuckets: Int,
+                               versioned: Boolean = false)
 
   private def writeMeta(dir: HPath, meta: TableMeta): Unit = {
     val node = mapper.createObjectNode()
@@ -88,6 +89,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       meta.sortCols.foreach(arr.add)
     }
     if (meta.sortBuckets > 0) node.put("sortBuckets", meta.sortBuckets)
+    if (meta.versioned) node.put("versioned", true)
     val out = fs.create(metaFile(dir), true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
   }
@@ -107,13 +109,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       cols, arr("sortCols"),
-      Option(node.get("sortBuckets")).map(_.asInt()).getOrElse(0))
+      Option(node.get("sortBuckets")).map(_.asInt()).getOrElse(0),
+      Option(node.get("versioned")).exists(_.asBoolean()))
   }
 
-  private def tableOf(dir: HPath, meta: TableMeta): GraftCsvTable =
+  private def tableOf(dir: HPath, meta: TableMeta,
+                      asOf: Option[Int] = None): GraftCsvTable =
     new GraftCsvTable(dir.toString, meta.schema, meta.partCols,
       catalogManaged = true, catalogSortCols = meta.sortCols,
-      catalogSortBuckets = meta.sortBuckets)
+      catalogSortBuckets = meta.sortBuckets,
+      catalogVersioned = meta.versioned, asOfVersion = asOf)
 
   // ---- TableCatalog -----------------------------------------------------
 
@@ -190,13 +195,92 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         "graft catalog: write.sortBuckets requires write.orderBy and a " +
           "positive count")
+    // TBLPROPERTIES('versioned'='true'): every commit appends a
+    // _graft_log manifest (the table's complete live-file list), DML is
+    // logical, reads list nothing, and VERSION AS OF time-travels —
+    // see GraftLog for the full contract.
+    val versioned = Option(properties.get("versioned")).exists(_.toBoolean)
     val dir = tableDir(ident)
     if (fs.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
     if (!fs.exists(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     fs.mkdirs(dir)
-    val meta = TableMeta(schema, partCols, sortCols, sortBuckets)
+    val meta = TableMeta(schema, partCols, sortCols, sortBuckets, versioned)
     writeMeta(dir, meta)
     tableOf(dir, meta)
+  }
+
+  /** `SELECT … FROM t VERSION AS OF n`: the read resolves manifest n
+    * instead of the latest — an immutable snapshot (writes against it
+    * are refused; write to the table). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val meta = readMeta(dir)
+    if (!meta.versioned) throw new UnsupportedOperationException(
+      s"graft catalog: table $ident is not versioned — create it with " +
+        "TBLPROPERTIES('versioned'='true') to time-travel")
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a manifest number; got '$version'")
+    }
+    GraftLog.read(dir, hconf, v) // existence check (throws with available list)
+    tableOf(dir, meta, asOf = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t`: the newest manifest committed at or before t
+    * (micros since epoch, per the TableCatalog contract) — manifest
+    * mtimes ARE the commit times. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val meta = readMeta(dir)
+    if (!meta.versioned) throw new UnsupportedOperationException(
+      s"graft catalog: table $ident is not versioned — create it with " +
+        "TBLPROPERTIES('versioned'='true') to time-travel")
+    val tsMillis = timestamp / 1000L
+    val v = GraftLog.versions(dir, hconf).reverseIterator.find { n =>
+      fs.getFileStatus(new HPath(new HPath(dir, GraftLog.Dir), s"v$n.json"))
+        .getModificationTime <= tsMillis
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: no version of $ident existed at timestamp $timestamp"))
+    tableOf(dir, meta, asOf = Some(v))
+  }
+
+  /** Reclaims a versioned table's physical space: drops every manifest
+    * but the newest `retainLast`, then deletes each data file no
+    * RETAINED manifest references (including orphans from crashed
+    * commits) and the zone sidecars left without any live file.
+    * Returns (manifests dropped, files deleted). Time travel before the
+    * retention horizon errors loudly afterwards — the horizon is the
+    * operator's stated contract, same as any warehouse retention. */
+  def vacuumTable(ident: Identifier, retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "vacuum must retain at least the latest version")
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val meta = readMeta(dir)
+    if (!meta.versioned) throw new UnsupportedOperationException(
+      s"graft catalog: table $ident is not versioned; nothing to vacuum")
+    val all = GraftLog.versions(dir, hconf)
+    val (drop, keep) = all.splitAt(math.max(0, all.length - retainLast))
+    val referenced: Set[String] =
+      keep.flatMap(v => GraftLog.read(dir, hconf, v)).map(_.rel).toSet
+    // every data file on disk, root-relative
+    def walk(d: HPath, prefix: String): Seq[(HPath, String)] =
+      fs.listStatus(d).toSeq.flatMap { s =>
+        val name = s.getPath.getName
+        if (s.isDirectory && name.contains('=') && !name.startsWith("_"))
+          walk(s.getPath, s"$prefix$name/")
+        else if (s.isFile && name.startsWith("part-") && name.endsWith(".csv"))
+          Seq((s.getPath, s"$prefix$name"))
+        else Nil
+      }
+    val dead = walk(dir, "").filterNot { case (_, rel) => referenced(rel) }
+    dead.foreach { case (p, _) => fs.delete(p, false) }
+    drop.foreach(v => fs.delete(
+      new HPath(new HPath(dir, GraftLog.Dir), s"v$v.json"), false))
+    CsvZones.gc(dir, hconf, referenced)
+    GraftCsvTable.pruneEmptyKeyDirs(fs, dir)
+    (drop.length, dead.length)
   }
 
   /** Schema evolution, the append-only-warehouse way (verdict r13 #2):

@@ -179,7 +179,8 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
                                            conf: SerializableHadoopConf,
                                            vectorized: Boolean = false,
                                            nullFill: Boolean = false,
-                                           zoneSkip: Boolean = true)
+                                           zoneSkip: Boolean = true,
+                                           manifestFiles: Option[Map[String, Array[(String, Long)]]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private val keyFields: Seq[StructField] = keyCols.map(c =>
@@ -232,7 +233,7 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
     }
     new KeyedCsvScan(path, required, payload, keyFields, survivors,
       partFilters, payloadFilters, conf, vectorized, limit, nullFill,
-      zoneSkip)
+      zoneSkip, manifestFiles)
   }
 }
 
@@ -260,7 +261,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      vectorized: Boolean = false,
                                      val pushedLimit: Option[Int] = None,
                                      nullFill: Boolean = false,
-                                     zoneSkip: Boolean = true)
+                                     zoneSkip: Boolean = true,
+                                     manifestFiles: Option[Map[String, Array[(String, Long)]]] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
@@ -308,12 +310,17 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
 
   /** Per-directory file listings (with sizes), performed AT MOST once
     * per directory and only for directories a plan actually reads
-    * (runtime-pruned keys never pay their listing). */
+    * (runtime-pruned keys never pay their listing). A version manifest,
+    * when one governs this read, IS the listing — versioned scans never
+    * touch the filesystem for metadata. */
   private val fileCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long)]]()
   private def listedOf(dir: String): Array[(String, Long)] =
-    fileCache.computeIfAbsent(dir,
-      d => GraftCsvTable.listPartFilesWithSize(d, conf.value))
+    manifestFiles match {
+      case Some(m) => m.getOrElse(dir, Array.empty)
+      case None => fileCache.computeIfAbsent(dir,
+        d => GraftCsvTable.listPartFilesWithSize(d, conf.value))
+    }
 
   /** Files the zone maps excluded at the last planning (spec surface). */
   @volatile private var skippedByZones: Int = 0
@@ -384,7 +391,16 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     * later reuse it instead of re-listing. Runtime-pruned keys still
     * skip the listing when stats were never requested (computed
     * lazily, at most once per scan). */
-  private lazy val survivingBytes: Long = {
+  private lazy val survivingBytes: Long = manifestFiles match {
+    case Some(m) =>
+      // versioned: writer-reported bytes straight off the manifest —
+      // zero filesystem metadata ops for statistics
+      leaves.iterator.flatMap { case (_, d) => m.getOrElse(d, Array.empty) }
+        .map(_._2).sum
+    case None => survivingBytesListed
+  }
+
+  private lazy val survivingBytesListed: Long = {
     val root = new HPath(path)
     val fs = root.getFileSystem(conf.value)
     val byDir = scala.collection.mutable.HashMap

@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[sources] class GraftCsvRowLevelOperation(path: String,
                                                  tableSchema: StructType,
                                                  partCols: Seq[String],
-                                                 cmd: RowLevelOperation.Command)
+                                                 cmd: RowLevelOperation.Command,
+                                                 versioned: Boolean = false)
     extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -61,10 +62,10 @@ private[sources] class GraftCsvRowLevelOperation(path: String,
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCowScanBuilder(this, path, tableSchema, partCols)
+    new GraftCowScanBuilder(this, path, tableSchema, partCols, versioned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCowWriteBuilder(this, path, info, partCols)
+    new GraftCowWriteBuilder(this, path, info, partCols, versioned)
 }
 
 /** Column pruning only — deliberately NO filter pushdown: the rewrite
@@ -74,14 +75,15 @@ private[sources] class GraftCsvRowLevelOperation(path: String,
   * the runtime `_file` filter instead. */
 private[sources] class GraftCowScanBuilder(op: GraftCsvRowLevelOperation,
                                            path: String, full: StructType,
-                                           partCols: Seq[String])
+                                           partCols: Seq[String],
+                                           versioned: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
     new GraftCowScan(op, path, full, partCols, required,
-      SerializableHadoopConf.fromSession())
+      SerializableHadoopConf.fromSession(), versioned)
 }
 
 /** One partition per part FILE (the replace group), each carrying its
@@ -92,7 +94,8 @@ private[sources] class GraftCowScan(op: GraftCsvRowLevelOperation,
                                     path: String, full: StructType,
                                     partCols: Seq[String],
                                     required: StructType,
-                                    conf: SerializableHadoopConf)
+                                    conf: SerializableHadoopConf,
+                                    versioned: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   private val keyFields: Seq[StructField] = partCols.map(c =>
@@ -108,9 +111,18 @@ private[sources] class GraftCowScan(op: GraftCsvRowLevelOperation,
   override def description(): String =
     s"GraftCsvCow path=$path groups=file ReadSchema: ${required.simpleString}"
 
-  /** Every (key values, part file) pair of the current layout. */
+  /** Every (key values, part file) pair of the current layout — from
+    * the version manifest on versioned tables (logically-deleted files
+    * still sit on disk there; a listing would resurrect them into the
+    * rewrite), from the filesystem otherwise. */
   private lazy val allFiles: Array[(Seq[String], String)] =
-    if (partCols.isEmpty)
+    if (versioned)
+      GraftLog.latest(new HPath(path), conf.value).toArray.map { e =>
+        val raws = e.rel.split('/').dropRight(1).toSeq.map(seg =>
+          PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
+        (raws, s"$path/${e.rel}")
+      }
+    else if (partCols.isEmpty)
       GraftCsvTable.listPartFiles(path, conf.value).map(f => (Nil: Seq[String], f))
     else {
       val (_, leaves) = PartitionedCsvLayout.listPartitionTree(path, conf.value)
@@ -171,14 +183,17 @@ private[sources] class GraftCowScan(op: GraftCsvRowLevelOperation,
 private[sources] class GraftCowWriteBuilder(op: GraftCsvRowLevelOperation,
                                             path: String,
                                             info: LogicalWriteInfo,
-                                            partCols: Seq[String])
+                                            partCols: Seq[String],
+                                            versioned: Boolean = false)
     extends WriteBuilder {
-  override def build(): Write = new GraftCowWrite(op, path, info, partCols)
+  override def build(): Write =
+    new GraftCowWrite(op, path, info, partCols, versioned)
 }
 
 private[sources] class GraftCowWrite(op: GraftCsvRowLevelOperation,
                                      path: String, info: LogicalWriteInfo,
-                                     partCols: Seq[String])
+                                     partCols: Seq[String],
+                                     versioned: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution(): Distribution =
     if (partCols.isEmpty) Distributions.unspecified()
@@ -190,14 +205,15 @@ private[sources] class GraftCowWrite(op: GraftCsvRowLevelOperation,
       SortDirection.ASCENDING)).toArray
   override def toBatch: BatchWrite =
     new GraftCowBatchWrite(op, path, info.schema(), info.queryId(),
-      SerializableHadoopConf.fromSession(), partCols)
+      SerializableHadoopConf.fromSession(), partCols, versioned)
 }
 
 private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
                                           path: String, schema: StructType,
                                           queryId: String,
                                           conf: SerializableHadoopConf,
-                                          partCols: Seq[String])
+                                          partCols: Seq[String],
+                                          versioned: Boolean = false)
     extends BatchWrite {
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
@@ -213,17 +229,32 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
     fs.mkdirs(root)
     // 1. publish the rewritten groups (fresh names — no collisions)
     GraftCsvCommit.publish(fs, root, messages)
+    val files = messages.flatMap {
+      case f: CsvFileCommit => Seq(f)
+      case CsvFilesCommit(fsq) => fsq
+    }.toSeq
     // rewritten groups keep their data-skipping ability: same tagged-
     // write zone sidecar as a catalog INSERT (replaced files' entries
     // go stale harmlessly — their names are never reused)
-    CsvZones.write(root, conf.value, queryId, messages.flatMap {
-      case f: CsvFileCommit => Seq(f)
-      case CsvFilesCommit(fsq) => fsq
-    }.map(f => f.finalName -> f.zones).toSeq)
-    // 2. drop exactly the replaced group files
-    op.replacedFiles.forEach(f => fs.delete(new HPath(f), false))
-    // 3. prune directories the rewrite emptied (rows moved or deleted)
-    if (partCols.nonEmpty) GraftCsvTable.pruneEmptyKeyDirs(fs, root)
+    CsvZones.write(root, conf.value, queryId, files.map(f => f.finalName -> f.zones))
+    if (versioned) {
+      // 2v. LOGICAL replace: next manifest = live − replaced + rewritten;
+      // replaced bytes stay on disk for older versions (VACUUM reclaims)
+      val replaced = {
+        val b = Set.newBuilder[String]
+        op.replacedFiles.forEach(f =>
+          b += GraftLog.relativize(root, conf.value, f))
+        b.result()
+      }
+      GraftLog.commit(root, conf.value, live =>
+        live.filterNot(e => replaced.contains(e.rel)) ++
+          files.map(f => GraftLog.Entry(f.finalName, math.max(0L, f.bytes))))
+    } else {
+      // 2. drop exactly the replaced group files
+      op.replacedFiles.forEach(f => fs.delete(new HPath(f), false))
+      // 3. prune directories the rewrite emptied (rows moved or deleted)
+      if (partCols.nonEmpty) GraftCsvTable.pruneEmptyKeyDirs(fs, root)
+    }
     fs.delete(tmpDir, true)
     fs.create(new HPath(root, "_SUCCESS"), true).close()
   }

@@ -167,7 +167,9 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
                                      catalogPartitionCols: Seq[String] = Nil,
                                      catalogManaged: Boolean = false,
                                      catalogSortCols: Seq[String] = Nil,
-                                     catalogSortBuckets: Int = 0)
+                                     catalogSortBuckets: Int = 0,
+                                     catalogVersioned: Boolean = false,
+                                     asOfVersion: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -184,9 +186,15 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
     if (!catalogManaged) throw new UnsupportedOperationException(
       "graft-csv: row-level operations (UPDATE/MERGE/DELETE) require a " +
         "catalog-managed table")
+    requireWritable()
     () => new GraftCsvRowLevelOperation(path, tableSchema,
-      catalogPartitionCols, info.command())
+      catalogPartitionCols, info.command(), catalogVersioned)
   }
+
+  private def requireWritable(): Unit =
+    if (asOfVersion.isDefined) throw new UnsupportedOperationException(
+      "graft-csv: a VERSION AS OF read is immutable — write to the table, " +
+        "not to one of its versions")
   require(path != null, "graft-csv sink requires option(\"path\", …)")
   override def name(): String = s"graft_csv($path)"
   override def schema(): StructType = tableSchema
@@ -222,34 +230,69 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
       java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.ACCEPT_ANY_SCHEMA, TableCapability.BATCH_READ,
         TableCapability.STREAMING_WRITE)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable()
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Append,
       defaultPartitionCols = catalogPartitionCols,
       defaultSortCols = catalogSortCols,
       defaultSortBuckets = catalogSortBuckets,
+      versioned = catalogVersioned,
       // per-write file tag: catalog INSERTs append instead of
       // overwriting the previous write's identically-named files. The
       // FULL queryId (a UUID, filesystem-safe) — a truncated hash could
       // collide across INSERTs and publish() deletes-then-renames, so a
       // collision would silently REPLACE the earlier INSERT (advice r13).
       appendTag = if (catalogManaged) Some(info.queryId()) else None)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // Layout sniff (ONE listing): a root holding key=value directories
-    // was written with partitionedBy — serve it through the key-grouped
-    // scan (storage-partitioned joins, planning-time pruning).
     val conf = SerializableHadoopConf.fromSession()
-    val (keyCols, leaves) =
-      PartitionedCsvLayout.listPartitionTree(path, conf.value)
     val vectorized = Option(options.get("vectorized")).forall(_.toBoolean)
     val zoneSkip = Option(options.get("zoneSkip")).forall(_.toBoolean)
     // catalog reads null-fill columns missing from an old part file's
     // header (schema evolution); path reads keep the loud error (a
     // user-typed schema with a typo'd column should fail, not null out)
-    if (keyCols.isEmpty)
-      new GraftCsvScanBuilder(path, tableSchema, vectorized,
-        nullFill = catalogManaged, zoneSkip = zoneSkip)
-    else new KeyedCsvScanBuilder(path, tableSchema, keyCols, leaves,
-      conf, vectorized, nullFill = catalogManaged, zoneSkip = zoneSkip)
+    if (catalogVersioned) {
+      // versioned tables LIST NOTHING: the manifest (current or AS OF)
+      // is the file list, the partition tree, and the size statistics
+      val root = new HPath(path)
+      val entries = asOfVersion match {
+        case Some(v) => GraftLog.read(root, conf.value, v)
+        case None => GraftLog.latest(root, conf.value)
+      }
+      if (catalogPartitionCols.isEmpty)
+        new GraftCsvScanBuilder(path, tableSchema, vectorized,
+          nullFill = catalogManaged, zoneSkip = zoneSkip,
+          manifest = Some(entries))
+      else {
+        // leaves from manifest rel dirs (nesting order = segment order)
+        val byDir = entries.groupBy(e =>
+          e.rel.substring(0, e.rel.lastIndexOf('/').max(0)))
+        val leaves = byDir.keys.filter(_.nonEmpty).toArray.sorted.map { relDir =>
+          val raws = relDir.split('/').toSeq.map(seg =>
+            PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
+          (raws, s"$path/$relDir")
+        }
+        val manifestFiles: Map[String, Array[(String, Long)]] =
+          byDir.map { case (relDir, es) =>
+            s"$path/$relDir" ->
+              es.map(e => (s"$path/${e.rel}", e.bytes)).sortBy(_._1).toArray
+          }
+        new KeyedCsvScanBuilder(path, tableSchema, catalogPartitionCols,
+          leaves, conf, vectorized, nullFill = catalogManaged,
+          zoneSkip = zoneSkip, manifestFiles = Some(manifestFiles))
+      }
+    } else {
+      // Layout sniff (ONE listing): a root holding key=value directories
+      // was written with partitionedBy — serve it through the key-grouped
+      // scan (storage-partitioned joins, planning-time pruning).
+      val (keyCols, leaves) =
+        PartitionedCsvLayout.listPartitionTree(path, conf.value)
+      if (keyCols.isEmpty)
+        new GraftCsvScanBuilder(path, tableSchema, vectorized,
+          nullFill = catalogManaged, zoneSkip = zoneSkip)
+      else new KeyedCsvScanBuilder(path, tableSchema, keyCols, leaves,
+        conf, vectorized, nullFill = catalogManaged, zoneSkip = zoneSkip)
+    }
   }
 
   // ---- DELETE FROM (SupportsDelete) -------------------------------------
@@ -280,11 +323,29 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireWritable()
     val conf = SerializableHadoopConf.fromSession().value
     val root = new HPath(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
     val keyFilters = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (catalogVersioned) {
+      // LOGICAL delete: the next manifest excludes the matching files;
+      // bytes stay on disk for time travel until VACUUM
+      val ks = keyFields
+      if (keyFilters.nonEmpty && ks.isEmpty)
+        throw new UnsupportedOperationException(
+          "graft-csv: predicate DELETE requires a partitioned table")
+      GraftLog.commit(root, conf, live =>
+        if (keyFilters.isEmpty) Nil
+        else live.filterNot { e =>
+          val raws = e.rel.split('/').dropRight(1).toSeq.map(seg =>
+            PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
+          keyFilters.forall(CsvFilterEval.eval(_,
+            KeyedCsvScan.keyLookup(ks, raws)))
+        })
+      return
+    }
     if (keyFilters.isEmpty) {
       // unconditional DELETE: every part file and key directory goes;
       // table metadata (_graft_table.json, _SUCCESS) stays
@@ -444,7 +505,8 @@ private[sources] object CsvFilterEval {
 private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
                                            vectorized: Boolean = false,
                                            nullFill: Boolean = false,
-                                           zoneSkip: Boolean = true)
+                                           zoneSkip: Boolean = true,
+                                           manifest: Option[Seq[GraftLog.Entry]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
@@ -467,7 +529,7 @@ private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
   override def build(): Scan =
     new GraftCsvScan(path, required, full, pushed,
       SerializableHadoopConf.fromSession(), vectorized, limit, nullFill,
-      zoneSkip)
+      zoneSkip, manifest)
 }
 
 private[sources] case class CsvFilePartition(file: String) extends InputPartition
@@ -479,7 +541,8 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
                                      vectorized: Boolean = false,
                                      val pushedLimit: Option[Int] = None,
                                      nullFill: Boolean = false,
-                                     zoneSkip: Boolean = true)
+                                     zoneSkip: Boolean = true,
+                                     manifest: Option[Seq[GraftLog.Entry]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -491,11 +554,16 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
     * the plan itself only shows the surviving partition count). */
   @volatile private var skippedByZones: Int = 0
   def zoneSkipped: Int = skippedByZones
-  // Metadata-only planning: one partition per committed part file,
-  // minus files whose zone maps prove no pushed filter can match
-  // (tagged writes persist per-file min/max — see CsvZones).
+  // Metadata-only planning: one partition per committed part file —
+  // from the version manifest when one governs this read (versioned
+  // tables list NOTHING), otherwise from one directory listing — minus
+  // files whose zone maps prove no pushed filter can match (tagged
+  // writes persist per-file min/max — see CsvZones).
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = GraftCsvTable.listPartFiles(path, conf.value)
+    val files = manifest match {
+      case Some(entries) => entries.map(e => s"$path/${e.rel}").toArray
+      case None => GraftCsvTable.listPartFiles(path, conf.value)
+    }
     val kept =
       if (!zoneSkip || pushed.isEmpty) files
       else {
@@ -890,7 +958,8 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
                                             defaultPartitionCols: Seq[String] = Nil,
                                             defaultSortCols: Seq[String] = Nil,
                                             appendTag: Option[String] = None,
-                                            defaultSortBuckets: Int = 0)
+                                            defaultSortBuckets: Int = 0,
+                                            versioned: Boolean = false)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
   private def partitionCols: Seq[String] =
     Option(info.options().get("partitionedBy"))
@@ -901,7 +970,8 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
 
   override def truncate(): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Truncate,
-      defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets)
+      defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets,
+      versioned)
 
   /** Key-only overwrite filters are a pure metadata op; anything else
     * (payload predicates) is refused — Spark raises the analysis error
@@ -923,14 +993,15 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     val next = if (real.isEmpty) CsvWriteMode.Truncate
       else CsvWriteMode.OverwriteKeys(real)
     new GraftCsvWriteBuilder(path, info, next, defaultPartitionCols,
-      defaultSortCols, appendTag, defaultSortBuckets)
+      defaultSortCols, appendTag, defaultSortBuckets, versioned)
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
     if (partitionCols.isEmpty) throw new UnsupportedOperationException(
       "graft-csv sink: dynamic partition overwrite requires a partitioned table")
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.DynamicOverwrite,
-      defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets)
+      defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets,
+      versioned)
   }
 
   override def build(): Write = {
@@ -995,7 +1066,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
       throw new IllegalArgumentException(
         "graft-csv sink: sortBuckets requires sortBy and a positive count")
     new GraftCsvWrite(path, info, mode, cluster, partitioned, appendTag, sorted,
-      sortBuckets)
+      sortBuckets, versioned)
   }
 }
 
@@ -1017,7 +1088,8 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
                                      partitioned: Seq[String] = Nil,
                                      appendTag: Option[String] = None,
                                      sorted: Option[Seq[String]] = None,
-                                     sortBuckets: Int = 0)
+                                     sortBuckets: Int = 0,
+                                     versioned: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   /** 0 = engine's choice (AQE byte-sized range partitions); >0 pins the
     * ordered write's file count. */
@@ -1052,7 +1124,7 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
 
   override def toBatch: BatchWrite =
     new GraftCsvBatchWrite(path, info.schema(), info.queryId(), mode,
-      SerializableHadoopConf.fromSession(), partitioned, appendTag)
+      SerializableHadoopConf.fromSession(), partitioned, appendTag, versioned)
   override def toStreaming: StreamingWrite = {
     if (partitioned.nonEmpty) throw new UnsupportedOperationException(
       "graft-csv sink: partitionedBy is batch-only (the streaming face " +
@@ -1064,10 +1136,12 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
 }
 
 /** Commit message: the temp file this task wrote, the final name it
-  * should be published under, and (tagged writes only) the file's
-  * column zone map for the `_zones` sidecar. */
+  * should be published under, (tagged writes only) the file's column
+  * zone map for the `_zones` sidecar, and the writer's byte count
+  * (manifest fodder for versioned tables). */
 private[sources] case class CsvFileCommit(tempFile: String, finalName: String,
-                                          zones: Map[String, CsvColZone] = Map.empty)
+                                          zones: Map[String, CsvColZone] = Map.empty,
+                                          bytes: Long = -1L)
   extends WriterCommitMessage
 
 private[sources] class CsvRowsWrittenMetric
@@ -1109,7 +1183,8 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
                                           queryId: String, mode: CsvWriteMode,
                                           conf: SerializableHadoopConf,
                                           partitioned: Seq[String] = Nil,
-                                          appendTag: Option[String] = None)
+                                          appendTag: Option[String] = None,
+                                          versioned: Boolean = false)
     extends BatchWrite {
 
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
@@ -1118,10 +1193,51 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
     new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partitioned,
       appendTag)
 
+  private def commitFiles(messages: Array[WriterCommitMessage]): Seq[CsvFileCommit] =
+    messages.flatMap {
+      case f: CsvFileCommit => Seq(f)
+      case CsvFilesCommit(fsq) => fsq
+    }.toSeq
+
+  /** Versioned commit: publish data files, write the zone sidecar, then
+    * claim the next manifest — NO physical deletes ever (overwritten/
+    * truncated files stay referenced by older versions until VACUUM).
+    * Crash between publish and manifest leaves orphans no manifest
+    * names — vacuum food, never a manifest of missing files. */
+  private def commitVersioned(fs: FileSystem, root: HPath,
+                              messages: Array[WriterCommitMessage]): Unit = {
+    GraftCsvCommit.publish(fs, root, messages)
+    val files = commitFiles(messages)
+    appendTag.foreach { tag =>
+      CsvZones.write(root, conf.value, tag, files.map(f => f.finalName -> f.zones))
+    }
+    val fresh = files.map(f => GraftLog.Entry(f.finalName, math.max(0L, f.bytes)))
+    val ks = partitioned.flatMap(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)))
+    def relDirOf(rel: String): String =
+      rel.substring(0, math.max(rel.lastIndexOf('/'), 0))
+    def rawsOf(rel: String): Seq[String] =
+      rel.split('/').dropRight(1).toSeq.map(seg =>
+        PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
+    GraftLog.commit(root, conf.value, live => (mode match {
+      case CsvWriteMode.Append => live
+      case CsvWriteMode.Truncate => Nil
+      case CsvWriteMode.OverwriteKeys(filters) =>
+        live.filterNot(e => filters.forall(CsvFilterEval.eval(_,
+          KeyedCsvScan.keyLookup(ks, rawsOf(e.rel)))))
+      case CsvWriteMode.DynamicOverwrite =>
+        val touched = fresh.map(e => relDirOf(e.rel)).toSet
+        live.filterNot(e => touched.contains(relDirOf(e.rel)))
+    }) ++ fresh)
+    fs.delete(tmpDir, true)
+    fs.create(new HPath(root, "_SUCCESS"), true).close()
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
     val fs = root.getFileSystem(conf.value)
     fs.mkdirs(root)
+    if (versioned) { commitVersioned(fs, root, messages); return }
     mode match {
       case CsvWriteMode.Append => ()
       case CsvWriteMode.Truncate =>
@@ -1321,7 +1437,8 @@ private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
   override def commit(): WriterCommitMessage = {
     out.close()
     CsvFileCommit(tempFile.toString, finalName,
-      if (zoneTracker != null && rows > 0) zoneTracker.result() else Map.empty)
+      if (zoneTracker != null && rows > 0) zoneTracker.result() else Map.empty,
+      bytes)
   }
 
   override def abort(): Unit = {

@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Versioned catalog tables (GraftLog): every commit appends a manifest
+  * of the complete live-file list; DML is logical (no file a previous
+  * version references is ever touched until VACUUM); reads resolve one
+  * manifest instead of listing; `VERSION AS OF` / `TIMESTAMP AS OF`
+  * time-travel; VACUUM reclaims space and enforces the retention
+  * horizon loudly. */
+class VersionedTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cat = "graftver"
+  private lazy val wh = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_versioned_${ProcessHandle.current().pid()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", p)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+    p
+  }
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def dataFiles(tableDir: String): Seq[java.io.File] = {
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.flatMap { f =>
+        if (f.isDirectory && !f.getName.startsWith("_")) walk(f)
+        else if (f.isFile && f.getName.startsWith("part-") &&
+          f.getName.endsWith(".csv")) Seq(f)
+        else Nil
+      }
+    }
+    walk(new java.io.File(tableDir))
+  }
+
+  test("DML is logical: DELETE drops no bytes, VERSION AS OF serves the deleted year") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vt (m STRING, n BIGINT) PARTITIONED BY (m) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.range(0, 1200).createOrReplaceTempView("vt_src")
+    spark.sql(s"INSERT INTO $cat.wh.vt " +
+      "SELECT concat('m', id % 12), count(*) FROM vt_src GROUP BY 1")
+    val tdir = s"$wh/wh/vt"
+    val afterInsert = dataFiles(tdir).map(f => f.getPath -> f.lastModified()).toMap
+    assert(afterInsert.size == 12)
+
+    spark.sql(s"DELETE FROM $cat.wh.vt WHERE m = 'm3'")
+    // current read excludes m3; every byte is still on disk, untouched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wh.vt").head().getLong(0) == 11)
+    val afterDelete = dataFiles(tdir).map(f => f.getPath -> f.lastModified()).toMap
+    assert(afterDelete == afterInsert, "logical DELETE must not touch files")
+    // v1 still serves the deleted key
+    val v1 = spark.sql(s"SELECT m FROM $cat.wh.vt VERSION AS OF 1 WHERE m = 'm3'")
+    assert(v1.count() == 1)
+    // manifest chain is v1 (insert), v2 (delete)
+    assert(GraftLog.versions(new HPath(tdir), hconf) == Seq(1, 2))
+  }
+
+  test("copy-on-write UPDATE: the replaced group survives for the prior version") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vu (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vu VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"UPDATE $cat.wh.vu SET v = 20 WHERE k = 'b'")
+    // current sees the update; v1 sees the original
+    assert(spark.sql(s"SELECT v FROM $cat.wh.vu WHERE k = 'b'")
+      .head().getLong(0) == 20)
+    assert(spark.sql(s"SELECT v FROM $cat.wh.vu VERSION AS OF 1 WHERE k = 'b'")
+      .head().getLong(0) == 2)
+    // both generations of the b-file are on disk (old one is v1's)
+    assert(dataFiles(s"$wh/wh/vu").count(_.getPath.contains("k=b")) == 2)
+  }
+
+  test("INSERT OVERWRITE is logical too: the previous load remains readable AS OF") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vo (m STRING, n BIGINT) PARTITIONED BY (m) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vo VALUES ('x', 1), ('y', 2)")
+    spark.sql(s"INSERT OVERWRITE $cat.wh.vo VALUES ('x', 100)")
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.wh.vo").head().getLong(0) == 100)
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.wh.vo VERSION AS OF 1")
+      .head().getLong(0) == 3)
+  }
+
+  test("TIMESTAMP AS OF resolves by manifest commit time") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vts (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vts VALUES ('a', 1)")
+    Thread.sleep(1100) // distinct mtimes at filesystem granularity
+    val betweenMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(1100)
+    spark.sql(s"INSERT INTO $cat.wh.vts VALUES ('a', 2)")
+
+    val c = new GraftCatalog
+    c.initialize("vts_probe", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val ident = Identifier.of(Array("wh"), "vts")
+    val t = c.loadTable(ident, betweenMicros).asInstanceOf[GraftCsvTable]
+    // between the two commits: only v1's single row is live
+    val scan = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    assert(scan.toBatch.planInputPartitions().map {
+      case p: KeyedCsvPartition => p.files.length
+    }.sum == 1)
+    // before the first commit: no version existed
+    intercept[IllegalArgumentException] {
+      c.loadTable(ident, betweenMicros - 600_000_000L)
+    }
+    // a non-integer version string errors loudly
+    intercept[IllegalArgumentException] { c.loadTable(ident, "latest") }
+  }
+
+  test("VACUUM reclaims unreferenced bytes and enforces the retention horizon") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vv (m STRING, n BIGINT) PARTITIONED BY (m) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vv VALUES ('a', 1), ('b', 2), ('c', 3)")
+    spark.sql(s"DELETE FROM $cat.wh.vv WHERE m = 'a'")
+    spark.sql(s"INSERT INTO $cat.wh.vv VALUES ('d', 4)")
+    val tdir = s"$wh/wh/vv"
+    // a crashed commit's orphan: on disk, referenced by no manifest
+    val orphan = new java.io.File(s"$tdir/m=c/part-orphan-99999.csv")
+    val w = new java.io.PrintWriter(orphan); w.write("n\n9\n"); w.close()
+
+    val before = spark.sql(s"SELECT m, n FROM $cat.wh.vv ORDER BY m")
+      .collect().map(_.toSeq).toSeq
+
+    val c = new GraftCatalog
+    c.initialize("vv_probe", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val (manifestsDropped, filesDeleted) =
+      c.vacuumTable(Identifier.of(Array("wh"), "vv"), retainLast = 1)
+    assert(manifestsDropped == 2, "v1 and v2 fall off the horizon")
+    // the deleted 'a' file + the orphan are the unreferenced bytes
+    assert(filesDeleted == 2, s"expected a-file + orphan, got $filesDeleted")
+    assert(!orphan.exists())
+    assert(dataFiles(tdir).forall(!_.getPath.contains("m=a")))
+
+    // the current read is bit-identical after vacuum
+    val after = spark.sql(s"SELECT m, n FROM $cat.wh.vv ORDER BY m")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // time travel past the horizon errors loudly
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.wh.vv VERSION AS OF 1").collect()
+    }
+    assert(err.getMessage.contains("version 1 does not exist") ||
+      Option(err.getCause).exists(_.getMessage.contains("version 1 does not exist")))
+  }
+
+  test("manifest claims are atomic: an existing version file is built upon, not clobbered") {
+    wh
+    val tdir = new HPath(s"$wh/wh/vclaim")
+    val fs = tdir.getFileSystem(hconf)
+    fs.mkdirs(tdir)
+    val v1 = GraftLog.commit(tdir, hconf, _ => Seq(GraftLog.Entry("f1.csv", 10)))
+    assert(v1 == 1)
+    val v2 = GraftLog.commit(tdir, hconf, live => {
+      assert(live.map(_.rel) == Seq("f1.csv")) // built on the winner
+      live :+ GraftLog.Entry("f2.csv", 20)
+    })
+    assert(v2 == 2)
+    assert(GraftLog.latest(tdir, hconf).map(_.rel) == Seq("f1.csv", "f2.csv"))
+  }
+
+  test("a time-travel read refuses writes and an unversioned table refuses AS OF") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vplain (k STRING, v BIGINT) PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $cat.wh.vplain VALUES ('a', 1)")
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.wh.vplain VERSION AS OF 1").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("not versioned")))
+  }
+}
