@@ -41,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol owns the whole directory, a catalog table accretes.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ViewCatalog {
+    with FunctionCatalog with ViewCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: HPath = _
   @transient private var hconf: Configuration = _
@@ -499,6 +499,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     GraftCatalogFunctions.load(ident.name()).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+  }
+
+  // ---- ProcedureCatalog (r14) --------------------------------------------
+  //
+  // The maintenance verbs, in pure SQL: `CALL graft.history('ns.t')` /
+  // `CALL graft.vacuum('ns.t', 3)`. Same namespace policy as functions.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (!functionNamespaceOk(namespace)) throw new NoSuchNamespaceException(namespace)
+    GraftProcedures.Names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!functionNamespaceOk(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"graft catalog: no procedure named '${ident.name()}' (available: " +
+          s"${GraftProcedures.Names.mkString(", ")})"))
+  }
+
+  /** (table dir, hadoop conf) of a VERSIONED table — the procedures'
+    * window into the commit log. */
+  private[sources] def versionedTableDir(ident: Identifier): (HPath, Configuration) = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    if (!readMeta(dir).versioned) throw new UnsupportedOperationException(
+      s"graft catalog: table $ident is not versioned — no commit log to read")
+    (dir, hconf)
   }
 
   // ---- SupportsNamespaces ----------------------------------------------

@@ -199,6 +199,18 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
   override def name(): String = s"graft_csv($path)"
   override def schema(): StructType = tableSchema
 
+  /** `SHOW TBLPROPERTIES` surface: the write/versioning contract a
+    * reader of the catalog should see, not guess. */
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    if (catalogSortCols.nonEmpty)
+      m.put("write.orderBy", catalogSortCols.mkString(","))
+    if (catalogSortBuckets > 0)
+      m.put("write.sortBuckets", catalogSortBuckets.toString)
+    if (catalogVersioned) m.put("versioned", "true")
+    m
+  }
+
   /** Row provenance: `SELECT …, _file FROM t` — which committed part
     * file each row came from. The 100 TB story is quarantine: a
     * corrupt-batch postmortem groups by `_file` and rewrites exactly

@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL stored procedures on the graft catalog (Spark 4's DSV2
+  * `ProcedureCatalog`, SPARK-44167) — the maintenance verbs a warehouse
+  * operator runs, callable from pure SQL:
+  *
+  * {{{
+  * CALL graft.history('wh.events')     -- one row per manifest version
+  * CALL graft.vacuum('wh.events', 3)   -- retain 3 versions, reclaim the rest
+  * }}}
+  *
+  * Both return LOCAL result scans (driver-side rows): procedure output
+  * is metadata about metadata — versions, counts, bytes — never data.
+  */
+private[sources] object GraftProcedures {
+  val Names: Seq[String] = Seq("history", "vacuum")
+
+  def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "vacuum" => Some(new VacuumProcedure(catalog))
+      case "history" => Some(new HistoryProcedure(catalog))
+      case _ => None
+    }
+
+  /** `'ns.table'` (or `'ns.sub.table'`) → catalog Identifier. */
+  def identOf(table: String): Identifier = {
+    val parts = table.split('.')
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"graft catalog: expected 'namespace.table', got '$table'")
+    Identifier.of(parts.init, parts.last)
+  }
+
+  def oneRowScan(schema: StructType, row: Array[Any]): java.util.Iterator[Scan] =
+    rowsScan(schema, Array(new GenericInternalRow(row): InternalRow))
+
+  def rowsScan(schema: StructType,
+               rs: Array[InternalRow]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = rs
+    }).iterator()
+}
+
+/** `CALL graft.vacuum(table, retain)`: drops manifests past the
+  * retention horizon and every byte no retained version references —
+  * the SQL face of [[GraftCatalog.vacuumTable]]. Returns one row:
+  * (manifests_dropped, files_deleted). */
+private[sources] class VacuumProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "reclaim a versioned table's space, retaining the newest N versions"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String = VacuumProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("'namespace.table' of a versioned catalog table").build(),
+      ProcedureParameter.in("retain", IntegerType)
+        .comment("how many newest versions to keep (>= 1)").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ident = GraftProcedures.identOf(input.getUTF8String(0).toString)
+      val (manifests, files) = catalog.vacuumTable(ident, input.getInt(1))
+      GraftProcedures.oneRowScan(
+        new StructType()
+          .add("manifests_dropped", IntegerType, nullable = false)
+          .add("files_deleted", IntegerType, nullable = false),
+        Array[Any](manifests, files))
+    }
+  }
+}
+
+/** `CALL graft.history(table)`: the version chain of a versioned table
+  * — one row per manifest: (version, committed_at, files, bytes). The
+  * observability face of the commit log: which load grew the table,
+  * when the retention DELETE ran, what a VACUUM would reclaim. */
+private[sources] class HistoryProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure {
+  override def name(): String = "history"
+  override def description(): String =
+    "one row per commit of a versioned table: version, time, files, bytes"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String = HistoryProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("'namespace.table' of a versioned catalog table").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ident = GraftProcedures.identOf(input.getUTF8String(0).toString)
+      val (dir, conf) = catalog.versionedTableDir(ident)
+      val fs = dir.getFileSystem(conf)
+      val rows = GraftLog.versions(dir, conf).map { v =>
+        val entries = GraftLog.read(dir, conf, v)
+        val mtime = fs.getFileStatus(
+          new HPath(new HPath(dir, GraftLog.Dir), s"v$v.json"))
+          .getModificationTime
+        new GenericInternalRow(Array[Any](
+          v, mtime * 1000L, entries.length, entries.map(_.bytes).sum)): InternalRow
+      }.toArray
+      GraftProcedures.rowsScan(
+        new StructType()
+          .add("version", IntegerType, nullable = false)
+          .add("committed_at", TimestampType, nullable = false)
+          .add("files", IntegerType, nullable = false)
+          .add("bytes", LongType, nullable = false),
+        rows)
+    }
+  }
+}

@@ -170,6 +170,48 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(GraftLog.latest(tdir, hconf).map(_.rel) == Seq("f1.csv", "f2.csv"))
   }
 
+  test("CALL graft.history / CALL graft.vacuum: maintenance verbs in pure SQL") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vp (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vp VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"INSERT INTO $cat.wh.vp VALUES ('c', 3)")
+    spark.sql(s"DELETE FROM $cat.wh.vp WHERE k = 'a'")
+
+    val hist = spark.sql(s"CALL $cat.history('wh.vp')").collect()
+    assert(hist.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(hist.map(_.getInt(2)).toSeq == Seq(2, 3, 2), "live files per version")
+    assert(hist.forall(r => !r.isNullAt(1)), "committed_at populated")
+
+    val vac = spark.sql(s"CALL $cat.vacuum('wh.vp', 1)").collect()
+    assert(vac.head.getInt(0) == 2, "v1+v2 dropped")
+    assert(vac.head.getInt(1) == 1, "the deleted 'a' file reclaimed")
+    assert(spark.sql(s"CALL $cat.history('wh.vp')").collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+    // unknown procedure errors with the available list
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.compact('wh.vp')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("history, vacuum")))
+  }
+
+  test("SHOW TBLPROPERTIES reflects the write/versioning contract") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vprops (v BIGINT, s STRING) " +
+      "TBLPROPERTIES('write.orderBy'='v', 'write.sortBuckets'='8')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.wh.vprops").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.orderBy").contains("v"))
+    assert(props.get("write.sortBuckets").contains("8"))
+    spark.sql(s"CREATE TABLE $cat.wh.vprops2 (k STRING, v BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES('versioned'='true')")
+    val props2 = spark.sql(s"SHOW TBLPROPERTIES $cat.wh.vprops2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.get("versioned").contains("true"))
+  }
+
   test("a time-travel read refuses writes and an unversioned table refuses AS OF") {
     wh
     spark.sql(s"CREATE TABLE $cat.wh.vplain (k STRING, v BIGINT) PARTITIONED BY (k)")
