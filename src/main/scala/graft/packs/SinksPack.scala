@@ -401,6 +401,48 @@ object SinksPack {
         ORDER BY gen, m, rf""")
     },
 
+    // Streaming reads of the commit log (r14): a versioned table IS a
+    // streaming source — `readStream.table` serves one micro-batch per
+    // manifest range (the files each commit ADDED; Delta's
+    // table-as-stream shape on the graft log). Two INSERT commits land
+    // as the stream's input; the drained memory sink must equal the
+    // batch aggregate the oracle replays.
+    "q_st_catalog_stream" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#stream") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_stream " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_st")
+        s.sql(s"""INSERT INTO $cat.wh.li_stream
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_st WHERE l_returnflag = 'R' GROUP BY 1, 2""")
+        s.sql(s"""INSERT INTO $cat.wh.li_stream
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_st WHERE l_returnflag <> 'R' GROUP BY 1, 2""")
+      }
+      // per-run sink table + wiped checkpoint: each invocation re-drains
+      // the full commit log (same convention as q_st_paged_source)
+      val tbl = s"catalog_stream_out_${java.lang.System.nanoTime()}"
+      val ckpt = tmpPath("catalog_stream_ckpt", d)
+      val hp = new org.apache.hadoop.fs.Path(ckpt)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      val q = s.readStream.table(s"$cat.wh.li_stream")
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = s.table(tbl).select(col("m"), col("rf"), col("n_items"))
+        .orderBy("m", "rf")
+      s.catalog.dropTempView(tbl)
+      result
+    },
+
     // Catalog DML face 2 — ALTER TABLE ADD COLUMN (r14): schema
     // evolution as a pure metadata edit. Generation 1 is inserted
     // BEFORE the column exists; generation 2 after. Old part files
@@ -1044,6 +1086,13 @@ object SinksPack {
         |SELECT 'now' AS gen, m, rf, n_items FROM t
         |WHERE m < '1995-01' OR m > '1995-12'
         |ORDER BY gen, m, rf""".stripMargin,
+
+    // The stream drains both INSERT commits; their disjoint slices
+    // union to the full (m, rf) aggregate.
+    "q_st_catalog_stream" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
 
     // The view's monthly rollup, replayed over the same aggregate.
     "q_k_catalog_view" ->

@@ -449,6 +449,20 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     keyFields.map(f => Expressions.sort(Expressions.column(f.name),
       SortDirection.ASCENDING)).toArray
 
+  /** Streaming face (versioned tables only): the commit log as a
+    * micro-batch source — see [[GraftLogMicroBatchStream]]. Readers,
+    * pushdown, and key pruning are the batch scan's own. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (manifestFiles.isEmpty) throw new UnsupportedOperationException(
+      "graft-csv: streaming reads require a VERSIONED catalog table " +
+        "(TBLPROPERTIES('versioned'='true') — the commit log is the stream)")
+    val schemaJson = keySchema.json
+    new GraftLogMicroBatchStream(path, keyFields, partFilters, conf,
+      createReaderFactory(),
+      (raws, file) => KeyedCsvPartition(raws, schemaJson, Array(file)))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // A DATA column named _file hides the metadata column and parses
     // from the payload like any other field (SupportsMetadataColumns

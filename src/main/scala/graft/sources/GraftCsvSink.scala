@@ -232,13 +232,18 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
   override def partitioning(): Array[Transform] =
     catalogPartitionCols.map(c => Expressions.identity(c): Transform).toArray
   override def capabilities(): java.util.Set[TableCapability] =
-    if (catalogManaged)
+    if (catalogManaged) {
       // catalog tables take their schema from _graft_table.json — writes
       // must MATCH it, not redefine it (no ACCEPT_ANY_SCHEMA)
-      java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.BATCH_READ, TableCapability.OVERWRITE_BY_FILTER,
-        TableCapability.OVERWRITE_DYNAMIC)
-    else
+      val caps = java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.BATCH_READ,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
+      // the commit log doubles as a streaming source (current table
+      // only — an AS OF snapshot is immutable, nothing to tail)
+      if (catalogVersioned && asOfVersion.isEmpty)
+        caps.add(TableCapability.MICRO_BATCH_READ)
+      caps
+    } else
       java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.ACCEPT_ANY_SCHEMA, TableCapability.BATCH_READ,
         TableCapability.STREAMING_WRITE)
@@ -589,6 +594,17 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
     skippedByZones = files.length - kept.length
     kept.map(CsvFilePartition(_): InputPartition)
   }
+  /** Streaming face (versioned tables only) — the flat-layout twin of
+    * [[KeyedCsvScan.toMicroBatchStream]]. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (manifest.isEmpty) throw new UnsupportedOperationException(
+      "graft-csv: streaming reads require a VERSIONED catalog table " +
+        "(TBLPROPERTIES('versioned'='true') — the commit log is the stream)")
+    new GraftLogMicroBatchStream(path, Nil, Array.empty, conf,
+      createReaderFactory(), (_, file) => CsvFilePartition(file))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // The _file metadata column is served by the reader wrapper, not
     // parsed from the payload — strip it before building parse schemas.

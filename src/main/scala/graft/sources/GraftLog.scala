@@ -134,4 +134,98 @@ private[sources] object GraftLog {
     else if (abs.startsWith(r)) abs.substring(r.length).dropWhile(_ == '/')
     else abs
   }
+
+  /** Key raws of a root-relative publish name (its `k=v` directory
+    * segments, nesting order), decoded. */
+  def rawsOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq.map(seg =>
+      PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
+}
+
+/** Stream offset = manifest version already consumed. */
+private[sources] case class GraftVersionOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** `spark.readStream.table("graft.ns.t")` on a VERSIONED table: the
+  * commit log as a streaming source. One micro-batch per manifest
+  * range — batch (s, e] serves exactly the files version e references
+  * that version s did not (the files the commits in between ADDED).
+  * A fresh stream starts at version 0, so its first batch is the whole
+  * current table — the load-existing-then-tail shape of every file
+  * stream, except here "what exists" is a manifest read, not a
+  * directory walk, and "what's new" is exact (tagged names are never
+  * reused, so added-file detection can never double-count a rewrite).
+  *
+  * Append-only contract, stated: DML that REMOVES rows (DELETE,
+  * OVERWRITE, the replaced half of copy-on-write) does not retract —
+  * downstream sees the rewritten groups' rows again as fresh appends
+  * (COW publishes new files) and never sees tombstones. That is the
+  * same contract every file-based stream ships; a changefeed with
+  * deletes is a different (richer) source, refused rather than faked.
+  *
+  * VACUUM interplay: planInputPartitions reads the START version's
+  * manifest; vacuuming past an unprocessed stream's offset fails that
+  * stream LOUDLY with the available-version list (retention must cover
+  * consumer lag — the operator contract, not a silent data loss).
+  *
+  * Partition pruning still applies per batch: key-only pushed filters
+  * drop added files by their directory-derived key tuples before any
+  * read; payload filters ride the shared in-reader evaluation. */
+private[sources] class GraftLogMicroBatchStream(
+    path: String,
+    keyFields: Seq[org.apache.spark.sql.types.StructField],
+    partFilters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf,
+    factory: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    mkPartition: (Seq[String], String) => org.apache.spark.sql.connector.read.InputPartition)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.InputPartition
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val root = new HPath(path)
+  private def current(): Int =
+    GraftLog.latestVersion(root, conf.value).getOrElse(0)
+
+  /** AvailableNow pins the end version at stream start: the trigger
+    * drains exactly the versions that existed, then stops. */
+  @volatile private var availableNowEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(current())
+
+  override def initialOffset(): Offset = GraftVersionOffset(0)
+  override def latestOffset(): Offset =
+    GraftVersionOffset(availableNowEnd.getOrElse(current()))
+  /** Admission control (SupportsTriggerAvailableNow extends it): no
+    * rate limit — a manifest version is the natural batch grain. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    if (e <= s) return Array.empty
+    val before: Set[String] =
+      if (s == 0) Set.empty
+      else GraftLog.read(root, conf.value, s).map(_.rel).toSet
+    GraftLog.read(root, conf.value, e).iterator
+      .filterNot(x => before(x.rel))
+      .flatMap { entry =>
+        val raws = GraftLog.rawsOf(entry.rel)
+        if (partFilters.forall(CsvFilterEval.eval(_,
+            KeyedCsvScan.keyLookup(keyFields, raws))))
+          Some(mkPartition(raws, s"$path/${entry.rel}"))
+        else None
+      }.toArray
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    factory
 }

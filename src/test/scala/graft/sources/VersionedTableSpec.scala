@@ -212,6 +212,58 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(props2.get("versioned").contains("true"))
   }
 
+  test("readStream.table tails the commit log: load-existing, then exact appends only") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vstr (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vstr VALUES ('a', 1), ('b', 2)")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_vstr_${ProcessHandle.current().pid()}"
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val bp = new HPath(base)
+    bp.getFileSystem(hconf).delete(bp, true)
+    // sink = the graft CSV streaming sink: checkpoint-recoverable, so
+    // the second drain resumes the SAME stream (memory sink cannot)
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$cat.wh.vstr")
+        .writeStream.format("graft.sources.GraftCsvSink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def drained(): Seq[(String, Long)] =
+      spark.read.schema("k STRING, v BIGINT")
+        .format("graft.sources.GraftCsvSink").option("path", out).load()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+
+    // batch 1: everything that exists (the whole current table)
+    drain()
+    assert(drained() == Seq(("a", 1L), ("b", 2L)))
+
+    // appends-only + exactly-once: the DELETE emits nothing (no
+    // retraction of 'a'), and the resumed stream re-emits NOTHING it
+    // already delivered — only the new commit's file arrives
+    spark.sql(s"DELETE FROM $cat.wh.vstr WHERE k = 'a'")
+    spark.sql(s"INSERT INTO $cat.wh.vstr VALUES ('c', 3)")
+    drain()
+    assert(drained() == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+
+    // an unversioned table has no commit log to tail: the capability is
+    // absent, so the stream fails at planning, not silently
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.vplain_s (k STRING, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    val err = intercept[Exception] {
+      val q = spark.readStream.table(s"$cat.wh.vplain_s").writeStream
+        .format("memory").queryName("vstr_t3")
+        .option("checkpointLocation", ckpt + "_plain")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(err != null)
+  }
+
   test("a time-travel read refuses writes and an unversioned table refuses AS OF") {
     wh
     spark.sql(s"CREATE TABLE $cat.wh.vplain (k STRING, v BIGINT) PARTITIONED BY (k)")
