@@ -228,8 +228,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `TIMESTAMP AS OF t`: the newest manifest committed at or before t
-    * (micros since epoch, per the TableCatalog contract) — manifest
-    * mtimes ARE the commit times. */
+    * (micros since epoch, per the TableCatalog contract). Commit times
+    * come from the manifests' own `ts` field (r15) — a backup/restore
+    * or distcp that rewrites file mtimes cannot re-date history; only
+    * pre-r15 manifests fall back to mtime ([[GraftLog.commitTime]]). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
@@ -239,22 +241,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "TBLPROPERTIES('versioned'='true') to time-travel")
     val tsMillis = timestamp / 1000L
     val v = GraftLog.versions(dir, hconf).reverseIterator.find { n =>
-      fs.getFileStatus(new HPath(new HPath(dir, GraftLog.Dir), s"v$n.json"))
-        .getModificationTime <= tsMillis
+      GraftLog.commitTime(dir, hconf, n) <= tsMillis
     }.getOrElse(throw new IllegalArgumentException(
       s"graft catalog: no version of $ident existed at timestamp $timestamp"))
     tableOf(dir, meta, asOf = Some(v))
   }
 
   /** Reclaims a versioned table's physical space: drops every manifest
-    * but the newest `retainLast`, then deletes each data file no
-    * RETAINED manifest references (including orphans from crashed
-    * commits) and the zone sidecars left without any live file.
-    * Returns (manifests dropped, files deleted). Time travel before the
-    * retention horizon errors loudly afterwards — the horizon is the
-    * operator's stated contract, same as any warehouse retention. */
-  def vacuumTable(ident: Identifier, retainLast: Int): (Int, Int) = {
+    * but the newest `retainLast`, then deletes dead data files and the
+    * zone sidecars left without any live file. Returns (manifests
+    * dropped, files deleted). Time travel before the retention horizon
+    * errors loudly afterwards — the horizon is the operator's stated
+    * contract, same as any warehouse retention.
+    *
+    * Two kinds of dead file, priced differently (advice r14, HIGH —
+    * the concurrent-writer race):
+    *
+    *  - **Superseded**: referenced by some manifest, none retained.
+    *    Provably committed history past the horizon — deleted
+    *    immediately. (No future commit can re-reference them: commits
+    *    carry forward only the LATEST manifest's live set, which is
+    *    always retained.)
+    *  - **Orphans**: referenced by NO manifest at all. Usually a
+    *    crashed commit's leavings — but an in-flight writer's
+    *    just-published files look EXACTLY the same until its manifest
+    *    claim lands (data publishes first, the manifest second).
+    *    Deleting them would let that writer commit a manifest naming
+    *    missing files — the one corruption the log's crash ordering
+    *    exists to prevent. So orphans are reclaimed only when older
+    *    than `orphanGraceMs` (default 24 h — generous against the
+    *    longest plausible publish-to-claim window; Delta/Iceberg ship
+    *    the same mtime-cutoff shape). Abandoned `.tmp-*` manifests age
+    *    out under the same grace.
+    */
+  def vacuumTable(ident: Identifier, retainLast: Int,
+                  orphanGraceMs: Long = GraftCatalog.DefaultOrphanGraceMs): (Int, Int) = {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
+    require(orphanGraceMs >= 0, "orphan grace must be non-negative")
     val dir = tableDir(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val meta = readMeta(dir)
@@ -262,8 +285,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft catalog: table $ident is not versioned; nothing to vacuum")
     val all = GraftLog.versions(dir, hconf)
     val (drop, keep) = all.splitAt(math.max(0, all.length - retainLast))
+    // a corrupt RETAINED manifest fails the vacuum loudly (deleting on
+    // incomplete knowledge is how data loss happens); a corrupt DROPPED
+    // one only demotes its files from superseded to orphan (grace-kept)
     val referenced: Set[String] =
       keep.flatMap(v => GraftLog.read(dir, hconf, v)).map(_.rel).toSet
+    val referencedAny: Set[String] = referenced ++ drop.flatMap { v =>
+      try GraftLog.read(dir, hconf, v).map(_.rel)
+      catch { case _: CorruptManifestException => Nil }
+    }
+    val orphanCutoff = System.currentTimeMillis() - orphanGraceMs
     // every data file on disk, root-relative
     def walk(d: HPath, prefix: String): Seq[(HPath, String)] =
       fs.listStatus(d).toSeq.flatMap { s =>
@@ -274,10 +305,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Seq((s.getPath, s"$prefix$name"))
         else Nil
       }
-    val dead = walk(dir, "").filterNot { case (_, rel) => referenced(rel) }
+    val dead = walk(dir, "").filter { case (p, rel) =>
+      !referenced(rel) &&
+        (referencedAny(rel) || // superseded: committed, past the horizon
+          fs.getFileStatus(p).getModificationTime < orphanCutoff)
+    }
     dead.foreach { case (p, _) => fs.delete(p, false) }
     drop.foreach(v => fs.delete(
       new HPath(new HPath(dir, GraftLog.Dir), s"v$v.json"), false))
+    // abandoned manifest temps (a crashed committer's) past the grace
+    val logDir = new HPath(dir, GraftLog.Dir)
+    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith(".tmp-") &&
+          s.getModificationTime < orphanCutoff)
+        fs.delete(s.getPath, false)
+    }
     CsvZones.gc(dir, hconf, referenced)
     GraftCsvTable.pruneEmptyKeyDirs(fs, dir)
     (drop.length, dead.length)
@@ -573,4 +615,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         namespace)
     else fs.delete(dir, true)
   }
+}
+
+object GraftCatalog {
+  /** How old a NEVER-REFERENCED on-disk file must be before VACUUM may
+    * reclaim it (see [[GraftCatalog.vacuumTable]]): young orphans are
+    * indistinguishable from an in-flight commit's just-published data
+    * files, and deleting those would corrupt that commit. 24 hours —
+    * wide against any plausible publish-to-manifest-claim window. */
+  val DefaultOrphanGraceMs: Long = 24L * 60 * 60 * 1000
 }

@@ -49,9 +49,12 @@ private[sources] object GraftProcedures {
     }).iterator()
 }
 
-/** `CALL graft.vacuum(table, retain)`: drops manifests past the
-  * retention horizon and every byte no retained version references —
-  * the SQL face of [[GraftCatalog.vacuumTable]]. Returns one row:
+/** `CALL graft.vacuum(table, retain[, orphan_grace_ms])`: drops
+  * manifests past the retention horizon and every byte no retained
+  * version references — the SQL face of [[GraftCatalog.vacuumTable]].
+  * Files referenced by NO manifest (possible in-flight commits) are
+  * only reclaimed when older than the grace window — see vacuumTable's
+  * doc for the concurrent-writer race this prices. Returns one row:
   * (manifests_dropped, files_deleted). */
 private[sources] class VacuumProcedure(catalog: GraftCatalog)
     extends UnboundProcedure {
@@ -67,10 +70,15 @@ private[sources] class VacuumProcedure(catalog: GraftCatalog)
       ProcedureParameter.in("table", StringType)
         .comment("'namespace.table' of a versioned catalog table").build(),
       ProcedureParameter.in("retain", IntegerType)
-        .comment("how many newest versions to keep (>= 1)").build())
+        .comment("how many newest versions to keep (>= 1)").build(),
+      ProcedureParameter.in("orphan_grace_ms", LongType)
+        .defaultValue(GraftCatalog.DefaultOrphanGraceMs.toString)
+        .comment("min age of a never-committed file before reclamation " +
+          "(protects in-flight commits; default 24h)").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val ident = GraftProcedures.identOf(input.getUTF8String(0).toString)
-      val (manifests, files) = catalog.vacuumTable(ident, input.getInt(1))
+      val (manifests, files) =
+        catalog.vacuumTable(ident, input.getInt(1), input.getLong(2))
       GraftProcedures.oneRowScan(
         new StructType()
           .add("manifests_dropped", IntegerType, nullable = false)
@@ -100,14 +108,15 @@ private[sources] class HistoryProcedure(catalog: GraftCatalog)
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val ident = GraftProcedures.identOf(input.getUTF8String(0).toString)
       val (dir, conf) = catalog.versionedTableDir(ident)
-      val fs = dir.getFileSystem(conf)
       val rows = GraftLog.versions(dir, conf).map { v =>
-        val entries = GraftLog.read(dir, conf, v)
-        val mtime = fs.getFileStatus(
+        // committed_at from the manifest's own ts (mtime only for
+        // pre-r15 manifests) — commit metadata lives IN the commit
+        val m = GraftLog.readManifest(dir, conf, v)
+        val ts = m.ts.getOrElse(dir.getFileSystem(conf).getFileStatus(
           new HPath(new HPath(dir, GraftLog.Dir), s"v$v.json"))
-          .getModificationTime
+          .getModificationTime)
         new GenericInternalRow(Array[Any](
-          v, mtime * 1000L, entries.length, entries.map(_.bytes).sum)): InternalRow
+          v, ts * 1000L, m.entries.length, m.entries.map(_.bytes).sum)): InternalRow
       }.toArray
       GraftProcedures.rowsScan(
         new StructType()

@@ -135,13 +135,21 @@ class VersionedTableSpec extends AnyFunSuite {
     val c = new GraftCatalog
     c.initialize("vv_probe", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       java.util.Map.of("warehouse", wh)))
-    val (manifestsDropped, filesDeleted) =
-      c.vacuumTable(Identifier.of(Array("wh"), "vv"), retainLast = 1)
+    val ident = Identifier.of(Array("wh"), "vv")
+    val (manifestsDropped, filesDeleted) = c.vacuumTable(ident, retainLast = 1)
     assert(manifestsDropped == 2, "v1 and v2 fall off the horizon")
-    // the deleted 'a' file + the orphan are the unreferenced bytes
-    assert(filesDeleted == 2, s"expected a-file + orphan, got $filesDeleted")
-    assert(!orphan.exists())
+    // ONLY the superseded 'a' file goes: it was committed history past
+    // the horizon. The fresh orphan is indistinguishable from an
+    // in-flight commit's just-published file (advice r14, HIGH) — the
+    // default grace keeps it.
+    assert(filesDeleted == 1, s"expected just the a-file, got $filesDeleted")
+    assert(orphan.exists(), "a fresh orphan must survive the grace window")
     assert(dataFiles(tdir).forall(!_.getPath.contains("m=a")))
+    // aged past the grace window, the orphan is reclaimed
+    assert(orphan.setLastModified(
+      System.currentTimeMillis() - GraftCatalog.DefaultOrphanGraceMs - 60_000))
+    val (_, filesDeleted2) = c.vacuumTable(ident, retainLast = 1)
+    assert(filesDeleted2 == 1 && !orphan.exists(), "aged orphan reclaimed")
 
     // the current read is bit-identical after vacuum
     val after = spark.sql(s"SELECT m, n FROM $cat.wh.vv ORDER BY m")
@@ -168,6 +176,113 @@ class VersionedTableSpec extends AnyFunSuite {
     })
     assert(v2 == 2)
     assert(GraftLog.latest(tdir, hconf).map(_.rel) == Seq("f1.csv", "f2.csv"))
+  }
+
+  test("a torn manifest is a named error, not a bricked table: reads serve other versions and the next commit succeeds") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vtorn (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vtorn VALUES ('a', 1)")
+    spark.sql(s"INSERT INTO $cat.wh.vtorn VALUES ('b', 2)")
+    val tdir = s"$wh/wh/vtorn"
+    // plant a truncated v3.json — what external damage (or a pre-r15
+    // write-in-place crash) leaves behind; the r15 commit path itself
+    // can no longer produce one (complete-then-rename)
+    val torn = new java.io.File(s"$tdir/_graft_log/v3.json")
+    val w = new java.io.PrintWriter(torn); w.write("{\"version\":3,\"fi"); w.close()
+
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+    // (a) a read that resolves the torn latest fails with the NAMED
+    // error (remediation in the message), never a raw Jackson stack …
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.wh.vtorn").collect()
+    }
+    assert(chain(err).exists(_.isInstanceOf[CorruptManifestException]),
+      s"expected CorruptManifestException in ${chain(err).map(_.getClass.getName)}")
+    // … and every intact version still serves
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wh.vtorn VERSION AS OF 2")
+      .head().getLong(0) == 2)
+
+    // (b) the NEXT commit succeeds: built on v2 (the newest readable
+    // manifest), claiming v4 ABOVE the torn file — no hand-deletion
+    spark.sql(s"INSERT INTO $cat.wh.vtorn VALUES ('c', 3)")
+    assert(GraftLog.versions(new HPath(tdir), hconf) == Seq(1, 2, 3, 4))
+    assert(GraftLog.read(new HPath(tdir), hconf, 4).length == 3)
+    // current reads resolve v4 and are whole again
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wh.vtorn").head().getLong(0) == 3)
+    // the torn version itself stays a named error until deleted
+    assert(chain(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.wh.vtorn VERSION AS OF 3").collect()
+    }).exists(_.isInstanceOf[CorruptManifestException]))
+  }
+
+  test("commit publishes no partial manifest: the log dir never holds a torn version file mid-write") {
+    wh
+    val tdir = new HPath(s"$wh/wh/vatomic")
+    val fs = tdir.getFileSystem(hconf)
+    fs.mkdirs(tdir)
+    GraftLog.commit(tdir, hconf, _ => Seq(GraftLog.Entry("f1.csv", 10)))
+    // the claim is rename-based: after a commit, the log dir holds ONLY
+    // complete v<N>.json files (no temp debris left behind)
+    val names = fs.listStatus(new HPath(tdir, GraftLog.Dir)).map(_.getPath.getName)
+    assert(names.toSeq == Seq("v1.json"), s"got ${names.mkString(", ")}")
+    // and the manifest carries its own commit timestamp (r15)
+    val m = GraftLog.readManifest(tdir, hconf, 1)
+    assert(m.ts.exists(t => math.abs(t - System.currentTimeMillis()) < 600_000))
+  }
+
+  test("TIMESTAMP AS OF survives mtime rewrites: commit time lives in the manifest") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vmt (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vmt VALUES ('a', 1)")
+    Thread.sleep(50)
+    val betweenMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(50)
+    spark.sql(s"INSERT INTO $cat.wh.vmt VALUES ('a', 2)")
+    val tdir = s"$wh/wh/vmt"
+    // simulate a backup/restore or distcp: every manifest's mtime moves
+    new java.io.File(s"$tdir/_graft_log").listFiles().foreach { f =>
+      assert(f.setLastModified(System.currentTimeMillis() + 3_600_000))
+    }
+    val c = new GraftCatalog
+    c.initialize("vmt_probe", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val t = c.loadTable(Identifier.of(Array("wh"), "vmt"), betweenMicros)
+      .asInstanceOf[GraftCsvTable]
+    // still resolves v1 — commit time came from the manifest's ts field
+    val scan = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    assert(scan.toBatch.planInputPartitions().map {
+      case p: KeyedCsvPartition => p.files.length
+    }.sum == 1)
+  }
+
+  test("the appends stream delivers files added then logically removed before the drain") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vlost (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vlost VALUES ('a', 1)") // v1 adds a-file
+    spark.sql(s"INSERT INTO $cat.wh.vlost VALUES ('b', 2)") // v2 adds b-file
+    spark.sql(s"DELETE FROM $cat.wh.vlost WHERE k = 'a'")   // v3 removes a-file
+    // a fresh AvailableNow drain covers (0, 3] in ONE batch: an
+    // endpoint-only manifest diff would never surface the a-file
+    // (added v1, removed v3) — per-commit adds must (advice r14)
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_vlost_ckpt_${ProcessHandle.current().pid()}"
+    val hp = new HPath(ckpt)
+    hp.getFileSystem(hconf).delete(hp, true)
+    val q = spark.readStream.table(s"$cat.wh.vlost")
+      .writeStream.format("memory").queryName("vlost_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("vlost_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    spark.catalog.dropTempView("vlost_sink")
+    assert(rows == Set(("a", 1L), ("b", 2L)),
+      s"appends stream must deliver the removed-before-drain file; got $rows")
   }
 
   test("CALL graft.history / CALL graft.vacuum: maintenance verbs in pure SQL") {
