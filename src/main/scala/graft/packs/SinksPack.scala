@@ -443,6 +443,51 @@ object SinksPack {
       result
     },
 
+    // Changefeed reads (r15): a versioned table's CDC face —
+    // `graft.ns.t.changes` serves adds AND removes (`_change_type`,
+    // `_commit_version`) derived from consecutive manifest diffs, the
+    // retraction-carrying source the appends-only stream refuses to
+    // fake. History here: INSERT (v1) → key-range DELETE (v2, logical)
+    // → INSERT (v3). The drained stream must equal the manifest diff
+    // replayed in SQL: v1's rows as inserts, the deleted slice of v1
+    // re-stated as deletes, v3's rows as inserts.
+    "q_st_catalog_cdc" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#cdc") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_cdc " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_cdc")
+        s.sql(s"""INSERT INTO $cat.wh.li_cdc
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_cdc WHERE l_returnflag = 'R' GROUP BY 1, 2""")
+        s.sql(s"DELETE FROM $cat.wh.li_cdc WHERE m >= '1995-01' AND m <= '1995-12'")
+        s.sql(s"""INSERT INTO $cat.wh.li_cdc
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_cdc WHERE l_returnflag <> 'R' GROUP BY 1, 2""")
+      }
+      val tbl = s"catalog_cdc_out_${java.lang.System.nanoTime()}"
+      val ckpt = tmpPath("catalog_cdc_ckpt", d)
+      val hp = new org.apache.hadoop.fs.Path(ckpt)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      val q = s.readStream.table(s"$cat.wh.li_cdc.changes")
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val result = s.table(tbl)
+        .select(col("m"), col("rf"), col("n_items"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "m", "rf")
+      s.catalog.dropTempView(tbl)
+      result
+    },
+
     // Catalog DML face 2 — ALTER TABLE ADD COLUMN (r14): schema
     // evolution as a pure metadata edit. Generation 1 is inserted
     // BEFORE the column exists; generation 2 after. Old part files
@@ -1093,6 +1138,25 @@ object SinksPack {
       """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
         |       count(*) AS n_items
         |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
+
+    // The changefeed replayed as SQL over the manifest history: v1 =
+    // the rf='R' load as inserts; v2 = the deleted retention year of
+    // that load, re-stated as deletes; v3 = the rf<>'R' load as inserts.
+    "q_st_catalog_cdc" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n_items
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m, rf, n_items, 'insert' AS _change_type,
+        |       1 AS _commit_version FROM t WHERE rf = 'R'
+        |UNION ALL
+        |SELECT m, rf, n_items, 'delete' AS _change_type,
+        |       2 AS _commit_version FROM t
+        |WHERE rf = 'R' AND m >= '1995-01' AND m <= '1995-12'
+        |UNION ALL
+        |SELECT m, rf, n_items, 'insert' AS _change_type,
+        |       3 AS _commit_version FROM t WHERE rf <> 'R'
+        |ORDER BY _commit_version, _change_type, m, rf""".stripMargin,
 
     // The view's monthly rollup, replayed over the same aggregate.
     "q_k_catalog_view" ->

@@ -135,7 +135,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    if (!fs.exists(metaFile(dir))) {
+      // the changefeed companion (r15): `graft.ns.t.changes` — the
+      // Iceberg-style metadata-table address (the "namespace" tail is
+      // actually a versioned table)
+      if (ident.name().equalsIgnoreCase(GraftChangesTable.Suffix) &&
+          ident.namespace().nonEmpty) {
+        val baseDir = nsPath(ident.namespace())
+        if (fs.exists(metaFile(baseDir))) {
+          val meta = readMeta(baseDir)
+          if (!meta.versioned) throw new UnsupportedOperationException(
+            s"graft catalog: table ${ident.namespace().mkString(".")} is " +
+              "not versioned — only a versioned table has a changefeed " +
+              "(TBLPROPERTIES('versioned'='true'))")
+          return new GraftChangesTable(baseDir.toString, meta.schema,
+            meta.partCols)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     tableOf(dir, readMeta(dir))
   }
 

@@ -285,6 +285,76 @@ class VersionedTableSpec extends AnyFunSuite {
       s"appends stream must deliver the removed-before-drain file; got $rows")
   }
 
+  test("the changefeed carries retractions: graft.ns.t.changes") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vcdc (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vcdc VALUES ('a', 1), ('b', 2)") // v1
+    spark.sql(s"DELETE FROM $cat.wh.vcdc WHERE k = 'a'")             // v2: metadata delete
+    spark.sql(s"UPDATE $cat.wh.vcdc SET v = 20 WHERE k = 'b'")       // v3: COW rewrite
+
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))
+    // batch: the full history — inserts AND deletes, per commit
+    val all = spark.sql(
+      s"SELECT k, v, _change_type, _commit_version FROM $cat.wh.vcdc.changes")
+      .collect().map(tup).toSet
+    assert(all == Set(
+      ("a", 1L, "insert", 1), ("b", 2L, "insert", 1),
+      ("a", 1L, "delete", 2),
+      ("b", 2L, "delete", 3), ("b", 20L, "insert", 3)), s"got $all")
+
+    // a pushed _change_type filter prunes EVENTS (whole files) at
+    // planning time, before any data read
+    val deletes = spark.sql(
+      s"SELECT k, v, _change_type, _commit_version FROM $cat.wh.vcdc.changes " +
+        "WHERE _change_type = 'delete'")
+    val scan = deletes.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions == 2,
+      "only the two delete events may be planned")
+    assert(deletes.collect().map(tup).toSet ==
+      Set(("a", 1L, "delete", 2), ("b", 2L, "delete", 3)))
+
+    // version-range reads: inclusive fromVersion/toVersion options
+    val since2 = spark.read.option("fromVersion", 2)
+      .table(s"$cat.wh.vcdc.changes").collect().map(tup).toSet
+    assert(since2 == Set(
+      ("a", 1L, "delete", 2), ("b", 2L, "delete", 3), ("b", 20L, "insert", 3)))
+    val only1 = spark.read.option("toVersion", 1)
+      .table(s"$cat.wh.vcdc.changes").collect().map(tup).toSet
+    assert(only1 == Set(("a", 1L, "insert", 1), ("b", 2L, "insert", 1)))
+    intercept[Exception] {
+      spark.read.option("toVersion", 99).table(s"$cat.wh.vcdc.changes").collect()
+    }
+
+    // streaming: the drained changefeed equals the batch history
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_vcdc_ckpt_${ProcessHandle.current().pid()}"
+    val hp = new HPath(ckpt)
+    hp.getFileSystem(hconf).delete(hp, true)
+    val q = spark.readStream.table(s"$cat.wh.vcdc.changes")
+      .writeStream.format("memory").queryName("vcdc_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("vcdc_sink")
+      .select("k", "v", "_change_type", "_commit_version")
+      .collect().map(tup).toSet
+    spark.catalog.dropTempView("vcdc_sink")
+    assert(streamed == all, s"streamed changefeed diverged: $streamed")
+
+    // an unversioned table has no changefeed — loud, named refusal
+    spark.sql(s"CREATE TABLE $cat.wh.vplain (k STRING, v BIGINT) PARTITIONED BY (k)")
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.wh.vplain.changes").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("not versioned")))
+  }
+
   test("CALL graft.history / CALL graft.vacuum: maintenance verbs in pure SQL") {
     wh
     spark.sql(s"CREATE TABLE $cat.wh.vp (k STRING, v BIGINT) PARTITIONED BY (k) " +
