@@ -488,6 +488,35 @@ object SinksPack {
       result
     },
 
+    // Small-file compaction (r15): three INSERT commits accrete three
+    // files per month directory; `CALL graft.compact` merges each
+    // month's files back to ONE as an identity copy-on-write rewrite
+    // published as a single manifest commit (blast radius priced off
+    // the manifest — single-file keys are never read or named). The
+    // gate: the post-compaction SELECT hash-matches the plain
+    // aggregate the three slices union to — compaction changed the
+    // LAYOUT, not one value.
+    "q_k_compact" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#compact") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_cmp " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_cmp")
+        Seq("= 'R'", "= 'A'", "= 'N'").foreach { p =>
+          s.sql(s"""INSERT INTO $cat.wh.li_cmp
+            SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+            FROM graft_cat_li_cmp WHERE l_returnflag $p GROUP BY 1, 2""")
+        }
+        s.sql(s"CALL $cat.compact('wh.li_cmp')").collect()
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_cmp ORDER BY m, rf")
+    },
+
     // Catalog DML face 2 — ALTER TABLE ADD COLUMN (r14): schema
     // evolution as a pure metadata edit. Generation 1 is inserted
     // BEFORE the column exists; generation 2 after. Old part files
@@ -1157,6 +1186,13 @@ object SinksPack {
         |SELECT m, rf, n_items, 'insert' AS _change_type,
         |       3 AS _commit_version FROM t WHERE rf <> 'R'
         |ORDER BY _commit_version, _change_type, m, rf""".stripMargin,
+
+    // Compaction is layout-only: the merged table still equals the
+    // plain (m, rf) aggregate the three slices union to.
+    "q_k_compact" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
 
     // The view's monthly rollup, replayed over the same aggregate.
     "q_k_catalog_view" ->

@@ -21,12 +21,13 @@ import org.apache.spark.sql.types._
   * is metadata about metadata — versions, counts, bytes — never data.
   */
 private[sources] object GraftProcedures {
-  val Names: Seq[String] = Seq("history", "vacuum")
+  val Names: Seq[String] = Seq("history", "vacuum", "compact")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "vacuum" => Some(new VacuumProcedure(catalog))
       case "history" => Some(new HistoryProcedure(catalog))
+      case "compact" => Some(new CompactProcedure(catalog))
       case _ => None
     }
 
@@ -84,6 +85,37 @@ private[sources] class VacuumProcedure(catalog: GraftCatalog)
           .add("manifests_dropped", IntegerType, nullable = false)
           .add("files_deleted", IntegerType, nullable = false),
         Array[Any](manifests, files))
+    }
+  }
+}
+
+/** `CALL graft.compact(table)`: merge every multi-file key's accreted
+  * files into one, published as a single copy-on-write manifest commit
+  * — the SQL face of [[GraftCatalog.compactTable]] and the first
+  * maintenance verb a daily-reload operator reaches for. Returns one
+  * row: (groups_compacted, files_merged). */
+private[sources] class CompactProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "merge a versioned partitioned table's per-key small files (COW commit)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String = CompactProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("'namespace.table' of a versioned partitioned catalog table")
+        .build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ident = GraftProcedures.identOf(input.getUTF8String(0).toString)
+      val (groups, files) = catalog.compactTable(ident)
+      GraftProcedures.oneRowScan(
+        new StructType()
+          .add("groups_compacted", IntegerType, nullable = false)
+          .add("files_merged", IntegerType, nullable = false),
+        Array[Any](groups, files))
     }
   }
 }

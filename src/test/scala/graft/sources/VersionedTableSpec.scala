@@ -346,9 +346,9 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(streamed == all, s"streamed changefeed diverged: $streamed")
 
     // an unversioned table has no changefeed — loud, named refusal
-    spark.sql(s"CREATE TABLE $cat.wh.vplain (k STRING, v BIGINT) PARTITIONED BY (k)")
+    spark.sql(s"CREATE TABLE $cat.wh.vcdc_plain (k STRING, v BIGINT) PARTITIONED BY (k)")
     val err = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.wh.vplain.changes").collect()
+      spark.sql(s"SELECT * FROM $cat.wh.vcdc_plain.changes").collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
@@ -375,11 +375,53 @@ class VersionedTableSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(3))
     // unknown procedure errors with the available list
     val err = intercept[Exception] {
-      spark.sql(s"CALL $cat.compact('wh.vp')").collect()
+      spark.sql(s"CALL $cat.rewind('wh.vp')").collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
-    assert(msgs(err).exists(m => m != null && m.contains("history, vacuum")))
+    assert(msgs(err).exists(m => m != null && m.contains("history, vacuum, compact")))
+  }
+
+  test("CALL graft.compact merges accreted per-key files as ONE COW manifest commit") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vcp (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vcp VALUES ('a', 1), ('b', 10)") // v1
+    spark.sql(s"INSERT INTO $cat.wh.vcp VALUES ('a', 2), ('b', 20)") // v2
+    spark.sql(s"INSERT INTO $cat.wh.vcp VALUES ('a', 3)")            // v3
+    val tdir = s"$wh/wh/vcp"
+    assert(dataFiles(tdir).count(_.getPath.contains("k=a")) == 3)
+    assert(dataFiles(tdir).count(_.getPath.contains("k=b")) == 2)
+    val before = spark.sql(s"SELECT k, v FROM $cat.wh.vcp ORDER BY k, v")
+      .collect().map(_.toSeq).toSeq
+
+    val out = spark.sql(s"CALL $cat.compact('wh.vcp')").collect()
+    assert(out.head.getInt(0) == 2 && out.head.getInt(1) == 5,
+      s"expected (2 groups, 5 files), got ${out.head}")
+
+    // the CURRENT manifest (v4, the one compaction commit) serves one
+    // file per key; the old generations stay on disk for time travel
+    val m = GraftLog.latest(new HPath(tdir), hconf)
+    assert(m.length == 2, s"one live file per key, got ${m.map(_.rel)}")
+    assert(GraftLog.versions(new HPath(tdir), hconf) == Seq(1, 2, 3, 4))
+    // SELECT is value-identical before/after
+    val after = spark.sql(s"SELECT k, v FROM $cat.wh.vcp ORDER BY k, v")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // pre-compaction versions still time-travel (files untouched)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.wh.vcp VERSION AS OF 2")
+      .head().getLong(0) == 33)
+    // a compacted table is a fixpoint
+    val again = spark.sql(s"CALL $cat.compact('wh.vcp')").collect()
+    assert(again.head.getInt(0) == 0 && again.head.getInt(1) == 0)
+    // flat and unversioned tables refuse loudly
+    spark.sql(s"CREATE TABLE $cat.wh.vcp_flat (k STRING, v BIGINT) " +
+      "TBLPROPERTIES('versioned'='true')")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(intercept[Exception] {
+      spark.sql(s"CALL $cat.compact('wh.vcp_flat')").collect()
+    }).exists(_.contains("no partition keys")))
   }
 
   test("SHOW TBLPROPERTIES reflects the write/versioning contract") {
