@@ -329,6 +329,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           fs.getFileStatus(p).getModificationTime < orphanCutoff)
     }
     dead.foreach { case (p, _) => fs.delete(p, false) }
+    // chain repair BEFORE manifests drop: if the oldest retained
+    // manifest is a delta, its checkpoint anchor is about to go —
+    // materialize it as self-contained first (identity rewrite)
+    if (drop.nonEmpty) keep.headOption.foreach(v =>
+      GraftLog.materialize(dir, hconf, v))
     drop.foreach(v => fs.delete(
       new HPath(new HPath(dir, GraftLog.Dir), s"v$v.json"), false))
     // abandoned manifest temps (a crashed committer's) past the grace

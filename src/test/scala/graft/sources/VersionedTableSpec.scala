@@ -355,6 +355,83 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("not versioned")))
   }
 
+  test("the log is delta-structured: commits write O(changed), checkpoints anchor, vacuum repairs the chain") {
+    wh
+    val tdir = new HPath(s"$wh/wh/vdelta")
+    val fs = tdir.getFileSystem(hconf)
+    fs.mkdirs(tdir)
+    def raw(v: Int): String = {
+      val in = fs.open(new HPath(new HPath(tdir, GraftLog.Dir), s"v$v.json"))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // 12 commits: each adds one file; commit 5 also retires f1
+    (1 to 12).foreach { i =>
+      GraftLog.commit(tdir, hconf, live =>
+        live.filterNot(e => i == 5 && e.rel == "f1.csv") :+
+          GraftLog.Entry(s"f$i.csv", i * 10L))
+    }
+    // v1 and v10 are self-contained checkpoints; the rest are deltas
+    assert(raw(1).contains("\"files\"") && raw(10).contains("\"files\""))
+    assert(!raw(2).contains("\"files\"") && raw(2).contains("\"adds\""))
+    assert(!raw(12).contains("\"files\""))
+    // a delta commit's JSON is O(changed): one add, no echo of the
+    // 10-file live set
+    assert(!raw(12).contains("f2.csv"), s"delta v12 must not restate: ${raw(12)}")
+    // v5's delta carries the retirement
+    assert(raw(5).contains("\"removes\"") && raw(5).contains("f1.csv"))
+    // chain-resolved reads equal the materialized history
+    assert(GraftLog.read(tdir, hconf, 12).map(_.rel).sorted ==
+      (2 to 12).map(i => s"f$i.csv").sorted)
+    assert(GraftLog.read(tdir, hconf, 4).map(_.rel).sorted ==
+      (1 to 4).map(i => s"f$i.csv").sorted)
+    // changes() serves deltas directly: v5 = add f5, remove f1
+    val c5 = GraftLog.changes(tdir, hconf, 4, 5)
+    assert(c5.map(c => (c.isAdd, c.entry.rel)).toSet ==
+      Set((true, "f5.csv"), (false, "f1.csv")))
+
+    // chain repair: materializing a delta rewrites it self-contained
+    // (identity) so the versions below it can drop
+    GraftLog.materialize(tdir, hconf, 11)
+    assert(raw(11).contains("\"files\""), "materialize rewrites the delta as full")
+    assert(GraftLog.read(tdir, hconf, 11).map(_.rel).sorted ==
+      (2 to 11).map(i => s"f$i.csv").sorted)
+    // v12's delta still resolves — now anchored at the materialized v11
+    (1 to 10).foreach(v => fs.delete(
+      new HPath(new HPath(tdir, GraftLog.Dir), s"v$v.json"), false))
+    assert(GraftLog.read(tdir, hconf, 12).map(_.rel).sorted ==
+      (2 to 12).map(i => s"f$i.csv").sorted)
+  }
+
+  test("vacuum on a delta chain: retained versions stay readable after the horizon drops") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vdv (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    // v1 checkpoint + v2..v4 deltas
+    spark.sql(s"INSERT INTO $cat.wh.vdv VALUES ('a', 1)")
+    spark.sql(s"INSERT INTO $cat.wh.vdv VALUES ('b', 2)")
+    spark.sql(s"DELETE FROM $cat.wh.vdv WHERE k = 'a'")
+    spark.sql(s"INSERT INTO $cat.wh.vdv VALUES ('c', 3)")
+    val before = spark.sql(s"SELECT k, v FROM $cat.wh.vdv ORDER BY k")
+      .collect().map(_.toSeq).toSeq
+    val c = new GraftCatalog
+    c.initialize("vdv_probe", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    // retain v3+v4 — both deltas; v1 (their checkpoint anchor) drops
+    val (dropped, deleted) =
+      c.vacuumTable(Identifier.of(Array("wh"), "vdv"), retainLast = 2)
+    assert(dropped == 2, s"v1+v2 drop, got $dropped")
+    assert(deleted == 1, "the deleted 'a' file is the superseded byte")
+    // both retained versions still read (v3 was materialized)
+    assert(spark.sql(s"SELECT k, v FROM $cat.wh.vdv ORDER BY k")
+      .collect().map(_.toSeq).toSeq == before)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wh.vdv VERSION AS OF 3")
+      .head().getLong(0) == 1)
+    // and the NEXT commit still works on the repaired chain
+    spark.sql(s"INSERT INTO $cat.wh.vdv VALUES ('d', 4)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wh.vdv").head().getLong(0) == 3)
+  }
+
   test("CALL graft.history / CALL graft.vacuum: maintenance verbs in pure SQL") {
     wh
     spark.sql(s"CREATE TABLE $cat.wh.vp (k STRING, v BIGINT) PARTITIONED BY (k) " +
