@@ -517,6 +517,93 @@ object SinksPack {
       s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_cmp ORDER BY m, rf")
     },
 
+    // Streaming incremental view maintenance (r15): the changefeed
+    // drained ONE COMMIT PER MICRO-BATCH (`maxVersionsPerTrigger=1`,
+    // the Delta maxFilesPerTrigger shape) into a foreachBatch MERGE
+    // that folds each batch's signed deltas into a catalog-managed
+    // result table — CDC + MERGE + catalog composed into the standard
+    // warehouse pattern (a continuously-maintained aggregate). After
+    // the drain the maintained table must equal the batch aggregate
+    // over the source's CURRENT state.
+    "q_st_catalog_mv" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#mv") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_mv " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_mv")
+        s.sql(s"""INSERT INTO $cat.wh.li_mv
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_mv GROUP BY 1, 2""")
+        s.sql(s"UPDATE $cat.wh.li_mv SET n_items = n_items * 10 WHERE rf = 'R'")
+        s.sql(s"DELETE FROM $cat.wh.li_mv WHERE m >= '1995-01' AND m <= '1995-12'")
+      }
+      val mv = s"li_mv_out_${java.lang.System.nanoTime()}"
+      s.sql(s"CREATE TABLE $cat.wh.$mv (rf STRING, n_items BIGINT)")
+      val ckpt = tmpPath("catalog_mv_ckpt", d)
+      val hp = new org.apache.hadoop.fs.Path(ckpt)
+      hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      val q = s.readStream
+        .option("maxVersionsPerTrigger", 1)
+        .table(s"$cat.wh.li_mv.changes")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val view = s"mv_delta_$batchId"
+          batch.createOrReplaceTempView(view)
+          batch.sparkSession.sql(s"""MERGE INTO $cat.wh.$mv t USING (
+              SELECT rf, sum(CASE WHEN _change_type = 'insert' THEN n_items
+                                  ELSE -n_items END) AS delta
+              FROM $view GROUP BY rf) s
+            ON t.rf = s.rf
+            WHEN MATCHED THEN UPDATE SET n_items = t.n_items + s.delta
+            WHEN NOT MATCHED THEN INSERT (rf, n_items) VALUES (s.rf, s.delta)""")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.sql(s"SELECT rf, n_items FROM $cat.wh.$mv ORDER BY rf")
+    },
+
+    // Retraction algebra over the changefeed (r15): the reason a CDC
+    // face exists. A signed aggregate over the FULL change history —
+    // +n for inserts, −n for deletes — must equal the plain aggregate
+    // over the CURRENT table, through an UPDATE (copy-on-write pre/post
+    // images: copied-through rows cancel exactly, updated rows replace)
+    // and a DELETE (retractions subtract). This is incremental
+    // materialized-view maintenance as ONE declarative query; the
+    // appends-only stream cannot express it.
+    "q_k_changes_mv" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#mv") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_mv " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_mv")
+        s.sql(s"""INSERT INTO $cat.wh.li_mv
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_mv GROUP BY 1, 2""")
+        // v2: COW — every file holding an R row emits its pre-image as
+        // deletes and its post-image as inserts
+        s.sql(s"UPDATE $cat.wh.li_mv SET n_items = n_items * 10 WHERE rf = 'R'")
+        // v3: metadata delete — pure retractions
+        s.sql(s"DELETE FROM $cat.wh.li_mv WHERE m >= '1995-01' AND m <= '1995-12'")
+      }
+      s.sql(s"""SELECT rf,
+          sum(CASE WHEN _change_type = 'insert' THEN n_items
+                   ELSE -n_items END) AS n_items
+        FROM $cat.wh.li_mv.changes GROUP BY rf ORDER BY rf""")
+    },
+
     // Catalog DML face 2 — ALTER TABLE ADD COLUMN (r14): schema
     // evolution as a pure metadata edit. Generation 1 is inserted
     // BEFORE the column exists; generation 2 after. Old part files
@@ -1193,6 +1280,32 @@ object SinksPack {
       """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
         |       count(*) AS n_items
         |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
+
+    // The commit-by-commit MERGE-maintained view converges to the same
+    // current-state aggregate the one-shot signed fold produces.
+    "q_st_catalog_mv" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT m, rf, CASE WHEN rf = 'R' THEN 10 * n ELSE n END AS n
+        |  FROM t WHERE m < '1995-01' OR m > '1995-12')
+        |SELECT rf, CAST(sum(n) AS BIGINT) AS n_items
+        |FROM cur GROUP BY rf ORDER BY rf""".stripMargin,
+
+    // The signed changefeed aggregate equals the CURRENT table's
+    // aggregate: full load, R rows re-stated 10x, 1995 retracted.
+    "q_k_changes_mv" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT m, rf, CASE WHEN rf = 'R' THEN 10 * n ELSE n END AS n
+        |  FROM t WHERE m < '1995-01' OR m > '1995-12')
+        |SELECT rf, CAST(sum(n) AS BIGINT) AS n_items
+        |FROM cur GROUP BY rf ORDER BY rf""".stripMargin,
 
     // The view's monthly rollup, replayed over the same aggregate.
     "q_k_catalog_view" ->

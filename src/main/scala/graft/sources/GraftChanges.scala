@@ -65,12 +65,12 @@ private[sources] class GraftChangesTable(path: String,
       Option(options.get(key)).map { s =>
         try s.toInt catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft-csv changes: option '$key' takes a manifest version " +
-              s"number; got '$s'")
+            s"graft-csv changes: option '$key' takes an integer; got '$s'")
         }
       }
     new GraftChangesScanBuilder(path, baseSchema, partCols,
       versionOpt("fromVersion").getOrElse(1), versionOpt("toVersion"),
+      versionOpt("maxVersionsPerTrigger"),
       SerializableHadoopConf.fromSession())
   }
 }
@@ -91,6 +91,7 @@ private[sources] class GraftChangesScanBuilder(path: String,
                                                partCols: Seq[String],
                                                fromVersion: Int,
                                                toVersion: Option[Int],
+                                               maxVersionsPerTrigger: Option[Int],
                                                conf: SerializableHadoopConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -133,7 +134,8 @@ private[sources] class GraftChangesScanBuilder(path: String,
 
   override def build(): Scan =
     new GraftChangesScan(path, required, payload, extKeyFields,
-      fromVersion, toVersion, extFilters, payloadFilters, conf)
+      fromVersion, toVersion, maxVersionsPerTrigger, extFilters,
+      payloadFilters, conf)
 }
 
 // Public so PlanHygieneSpec can pin event pruning off the physical plan.
@@ -142,6 +144,7 @@ class GraftChangesScan private[sources] (path: String, required: StructType,
                                          extKeyFields: Seq[StructField],
                                          fromVersion: Int,
                                          toVersion: Option[Int],
+                                         maxVersionsPerTrigger: Option[Int],
                                          val extFilters: Array[Filter],
                                          val payloadFilters: Array[Filter],
                                          conf: SerializableHadoopConf)
@@ -210,7 +213,7 @@ class GraftChangesScan private[sources] (path: String, required: StructType,
     * ([[GraftLogMicroBatchStream]]) names and refuses to fake. */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftChangesMicroBatchStream(path, conf, this)
+    new GraftChangesMicroBatchStream(path, conf, maxVersionsPerTrigger, this)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // events carry writer-reported bytes straight off the manifests
@@ -228,8 +231,9 @@ class GraftChangesScan private[sources] (path: String, required: StructType,
 
 private[sources] class GraftChangesMicroBatchStream(path: String,
                                                     conf: SerializableHadoopConf,
+                                                    maxVersionsPerTrigger: Option[Int],
                                                     scan: GraftChangesScan)
-    extends GraftLogStreamBase(path, conf) {
+    extends GraftLogStreamBase(path, conf, maxVersionsPerTrigger) {
   override protected def planRange(s: Int, e: Int): Array[InputPartition] =
     scan.eventPartitions(s, e)
   override def createReaderFactory(): PartitionReaderFactory =

@@ -397,7 +397,8 @@ private[sources] case class GraftVersionOffset(version: Int)
   * AvailableNow pins the end version at stream start so the trigger
   * drains exactly the versions that existed, then stops. */
 private[sources] abstract class GraftLogStreamBase(
-    protected val path: String, protected val conf: SerializableHadoopConf)
+    protected val path: String, protected val conf: SerializableHadoopConf,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.InputPartition
@@ -414,11 +415,19 @@ private[sources] abstract class GraftLogStreamBase(
   override def initialOffset(): Offset = GraftVersionOffset(0)
   override def latestOffset(): Offset =
     GraftVersionOffset(availableNowEnd.getOrElse(current()))
-  /** Admission control (SupportsTriggerAvailableNow extends it): no
-    * rate limit — a manifest version is the natural batch grain. */
+  /** Admission control (SupportsTriggerAvailableNow extends it):
+    * unbounded by default — a manifest version is the natural batch
+    * grain — or at most `maxVersionsPerTrigger` commits per batch when
+    * the read asks for it (the Delta maxFilesPerTrigger shape): an
+    * AvailableNow drain then advances COMMIT BY COMMIT, the cadence
+    * incremental consumers (changefeed-maintained views) want. */
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val end = availableNowEnd.getOrElse(current())
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    GraftVersionOffset(
+      maxVersionsPerTrigger.fold(end)(m => math.min(end, s + math.max(1, m))))
+  }
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.toInt)
   override def commit(end: Offset): Unit = ()

@@ -355,6 +355,37 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(msgs(err).exists(_.contains("not versioned")))
   }
 
+  test("maxVersionsPerTrigger=1 drains the changefeed one commit per micro-batch") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vmvt (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vmvt VALUES ('a', 1)")
+    spark.sql(s"INSERT INTO $cat.wh.vmvt VALUES ('b', 2)")
+    spark.sql(s"DELETE FROM $cat.wh.vmvt WHERE k = 'a'")
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_vmvt_ckpt_${ProcessHandle.current().pid()}"
+    val hp = new HPath(ckpt)
+    hp.getFileSystem(hconf).delete(hp, true)
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Set[(String, Long, String, Int)]]()
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", 1)
+      .table(s"$cat.wh.vmvt.changes")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, b.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one micro-batch per commit, each carrying exactly that commit's events
+    assert(batches.size() == 3, s"expected 3 batches, got ${batches.size()}")
+    assert(batches.get(0L) == Set(("a", 1L, "insert", 1)))
+    assert(batches.get(1L) == Set(("b", 2L, "insert", 2)))
+    assert(batches.get(2L) == Set(("a", 1L, "delete", 3)))
+  }
+
   test("the log is delta-structured: commits write O(changed), checkpoints anchor, vacuum repairs the chain") {
     wh
     val tdir = new HPath(s"$wh/wh/vdelta")
