@@ -406,8 +406,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }.mkString(" OR ")
     val table = (catalogName +: ident.namespace() :+ ident.name())
       .map(q).mkString(".")
+    val before = GraftLog.latestVersion(dir, hconf).getOrElse(0)
     SparkSession.active.sql(
       s"UPDATE $table SET ${q(payloadCol)} = ${q(payloadCol)} WHERE $preds")
+    // flag the rewrite commit LAYOUT-ONLY (dataChange=false): change
+    // consumers must not see a net-zero churn of every compacted row.
+    // The commit is identified by its removes — exactly the multi-file
+    // candidates — so a concurrent unrelated commit is never mis-marked.
+    val candidates: Set[String] = multi.values.flatten.map(_.rel).toSet
+    val after = GraftLog.latestVersion(dir, hconf).getOrElse(0)
+    ((before + 1) to after).find { v =>
+      val rm = GraftLog.changes(dir, hconf, v - 1, v)
+        .filterNot(_.isAdd).map(_.entry.rel).toSet
+      rm == candidates
+    }.foreach(v => GraftLog.markLayoutOnly(dir, hconf, v))
     (multi.size, multi.values.map(_.length).sum)
   }
 

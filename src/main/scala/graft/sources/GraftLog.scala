@@ -83,10 +83,13 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
 
   /** One manifest FILE as stored: either self-contained (`full` — a
     * checkpoint, or any pre-r15 manifest) or a delta on its predecessor
-    * (`adds` + `removes`). */
+    * (`adds` + `removes`). `dataChange=false` marks a LAYOUT-ONLY
+    * commit (compaction): same rows, different files — change-feed
+    * consumers skip it entirely (the Delta convention). */
   private case class RawManifest(version: Int, ts: Option[Long],
                                  full: Option[Seq[Entry]],
-                                 adds: Seq[Entry], removes: Seq[Entry])
+                                 adds: Seq[Entry], removes: Seq[Entry],
+                                 dataChange: Boolean = true)
 
   /** Every `CheckpointEvery`-th commit is self-contained; the ≤9 deltas
     * between checkpoints bound snapshot resolution at 10 small JSON
@@ -160,7 +163,8 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     if (full.isEmpty && adds.isEmpty && removes.isEmpty)
       throw new CorruptManifestException(f.toString, null)
     RawManifest(v, Option(node.get("ts")).map(_.asLong()),
-      full, adds.getOrElse(Nil), removes.getOrElse(Nil))
+      full, adds.getOrElse(Nil), removes.getOrElse(Nil),
+      dataChange = Option(node.get("dataChange")).forall(_.asBoolean()))
   }
 
   def readManifest(root: HPath, conf: Configuration, v: Int): Manifest =
@@ -280,6 +284,8 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     * the exact shape (advice r14): a file added at some version in the
     * range and removed before its end still yields its add (and its
     * remove) — an endpoint-only diff would silently lose both.
+    * LAYOUT-ONLY commits (`dataChange=false` — compaction) produce NO
+    * events: same rows, different files, nothing for a change consumer.
     *
     * Cost and contract: reads every manifest in s..e — one small JSON
     * per commit, never a directory walk. Retention must cover the
@@ -297,10 +303,13 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     var v = s + 1
     while (v <= e) {
       val raw = readRaw(root, conf, v)
+      val emit = raw.dataChange
       val cur: Seq[Entry] = raw.full match {
         case None => // delta: its adds/removes are exact by construction
-          raw.adds.sortBy(_.rel).foreach(x => out += Change(v, isAdd = true, x))
-          raw.removes.sortBy(_.rel).foreach(x => out += Change(v, isAdd = false, x))
+          if (emit) {
+            raw.adds.sortBy(_.rel).foreach(x => out += Change(v, isAdd = true, x))
+            raw.removes.sortBy(_.rel).foreach(x => out += Change(v, isAdd = false, x))
+          }
           prev match {
             case Some(p) =>
               val rm = raw.removes.map(_.rel).toSet
@@ -308,20 +317,46 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
             case None => null // nobody needed it yet; stay lazy
           }
         case Some(cur) =>
-          val p = prev.getOrElse(
-            if (v - 1 == 0) Nil else read(root, conf, v - 1))
-          val prevRels = p.map(_.rel).toSet
-          val curRels = cur.map(_.rel).toSet
-          cur.filterNot(x => prevRels(x.rel)).sortBy(_.rel)
-            .foreach(x => out += Change(v, isAdd = true, x))
-          p.filterNot(x => curRels(x.rel)).sortBy(_.rel)
-            .foreach(x => out += Change(v, isAdd = false, x))
+          if (emit) {
+            val p = prev.getOrElse(
+              if (v - 1 == 0) Nil else read(root, conf, v - 1))
+            val prevRels = p.map(_.rel).toSet
+            val curRels = cur.map(_.rel).toSet
+            cur.filterNot(x => prevRels(x.rel)).sortBy(_.rel)
+              .foreach(x => out += Change(v, isAdd = true, x))
+            p.filterNot(x => curRels(x.rel)).sortBy(_.rel)
+              .foreach(x => out += Change(v, isAdd = false, x))
+          }
           cur
       }
       prev = Option(cur)
       v += 1
     }
     out.result()
+  }
+
+  /** Flags version `v` as LAYOUT-ONLY (`dataChange=false`): same rows,
+    * different files. Called by compaction AFTER its copy-on-write
+    * commit lands — change-feed consumers and the appends stream then
+    * skip the version instead of re-delivering every compacted row
+    * (the Delta dataChange convention). Atomic rewrite, content
+    * otherwise byte-equal in meaning; time travel and snapshot reads
+    * are unaffected (they use the file lists, not the flag). */
+  def markLayoutOnly(root: HPath, conf: Configuration, v: Int): Unit = {
+    val fs = root.getFileSystem(conf)
+    val f = manifest(root, v)
+    val in = fs.open(f)
+    val node = try mapper.readTree(in)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    node.put("dataChange", false)
+    val tmp = new HPath(logDir(root),
+      s".tmp-v$v-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(f),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Rewrites manifest `v` as SELF-CONTAINED (same live set, same ts,
@@ -337,6 +372,7 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     val node = mapper.createObjectNode()
     node.put("version", v)
     raw.ts.foreach(node.put("ts", _))
+    if (!raw.dataChange) node.put("dataChange", false)
     val arr = node.putArray("files")
     entries.foreach { e =>
       val o = arr.addObject()
@@ -444,17 +480,24 @@ private[sources] abstract class GraftLogStreamBase(
 }
 
 /** `spark.readStream.table("graft.ns.t")` on a VERSIONED table: the
-  * commit log as a streaming source. One micro-batch per manifest
-  * range — batch (s, e] serves exactly the files the commits in the
-  * range ADDED, accumulated per commit from consecutive manifest diffs
-  * (r15, advice r14: an endpoint-only diff silently lost files that
-  * were appended mid-range and logically removed again before the
-  * batch end — whether rows arrived depended on trigger timing). A
-  * fresh stream starts at version 0, so its first batch is the whole
-  * current table — the load-existing-then-tail shape of every file
-  * stream, except here "what exists" is a manifest read, not a
-  * directory walk, and "what's new" is exact (tagged names are never
-  * reused, so added-file detection can never double-count a rewrite).
+  * commit log as a streaming source, with the Delta table-stream
+  * contract:
+  *
+  *  - **First batch = the current snapshot.** A fresh stream's (0, e]
+  *    batch serves version e's LIVE set (one manifest resolution, no
+  *    history replay): load-existing-then-tail, where "what exists" is
+  *    a manifest read, not a directory walk. History replay would both
+  *    re-deliver copy-on-write generations twice and crash on files an
+  *    earlier VACUUM already reclaimed.
+  *  - **Tail batches = exact per-commit adds.** For s > 0, batch
+  *    (s, e] is the union of each commit's added files, accumulated
+  *    from consecutive manifest diffs (r15, advice r14: an
+  *    endpoint-only diff silently lost files appended mid-range and
+  *    logically removed again before the batch end — delivery depended
+  *    on trigger timing). Tagged names are never reused, so added-file
+  *    detection can never double-count a rewrite. LAYOUT-ONLY commits
+  *    (compaction, `dataChange=false`) are skipped — same rows,
+  *    different files, nothing new to deliver.
   *
   * Append-only contract, stated: DML that REMOVES rows (DELETE,
   * OVERWRITE, the replaced half of copy-on-write) does not retract —
@@ -463,10 +506,10 @@ private[sources] abstract class GraftLogStreamBase(
   * face (`graft.ns.t.changes`, r15) is the richer source that DOES
   * carry removes, with a `_change_type` column.
   *
-  * VACUUM interplay: planInputPartitions reads every manifest in
-  * [start, end]; vacuuming past an unprocessed stream's offset fails
-  * that stream LOUDLY with the available-version list (retention must
-  * cover consumer lag — the operator contract, not a silent data loss).
+  * VACUUM interplay: tail batches read every manifest in [start, end];
+  * vacuuming past an unprocessed stream's offset fails that stream
+  * LOUDLY with the available-version list (retention must cover
+  * consumer lag — the operator contract, not a silent data loss).
   *
   * Partition pruning still applies per batch: key-only pushed filters
   * drop added files by their directory-derived key tuples before any
@@ -481,16 +524,19 @@ private[sources] class GraftLogMicroBatchStream(
     extends GraftLogStreamBase(path, conf) {
   import org.apache.spark.sql.connector.read.InputPartition
 
-  override protected def planRange(s: Int, e: Int): Array[InputPartition] =
-    GraftLog.changes(root, conf.value, s, e).iterator
-      .filter(_.isAdd)
-      .flatMap { c =>
-        val raws = GraftLog.rawsOf(c.entry.rel)
-        if (partFilters.forall(CsvFilterEval.eval(_,
-            KeyedCsvScan.keyLookup(keyFields, raws))))
-          Some(mkPartition(raws, s"$path/${c.entry.rel}"))
-        else None
-      }.toArray
+  override protected def planRange(s: Int, e: Int): Array[InputPartition] = {
+    val added: Iterator[GraftLog.Entry] =
+      if (s == 0) GraftLog.read(root, conf.value, e).iterator // snapshot
+      else GraftLog.changes(root, conf.value, s, e).iterator
+        .filter(_.isAdd).map(_.entry)
+    added.flatMap { entry =>
+      val raws = GraftLog.rawsOf(entry.rel)
+      if (partFilters.forall(CsvFilterEval.eval(_,
+          KeyedCsvScan.keyLookup(keyFields, raws))))
+        Some(mkPartition(raws, s"$path/${entry.rel}"))
+      else None
+    }.toArray
+  }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
     factory

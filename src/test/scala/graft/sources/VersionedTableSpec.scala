@@ -259,30 +259,41 @@ class VersionedTableSpec extends AnyFunSuite {
     }.sum == 1)
   }
 
-  test("the appends stream delivers files added then logically removed before the drain") {
+  test("appends stream: snapshot first, then exact per-commit adds — even for files removed before the resume") {
     wh
     spark.sql(s"CREATE TABLE $cat.wh.vlost (k STRING, v BIGINT) PARTITIONED BY (k) " +
       "TBLPROPERTIES('versioned'='true')")
-    spark.sql(s"INSERT INTO $cat.wh.vlost VALUES ('a', 1)") // v1 adds a-file
-    spark.sql(s"INSERT INTO $cat.wh.vlost VALUES ('b', 2)") // v2 adds b-file
-    spark.sql(s"DELETE FROM $cat.wh.vlost WHERE k = 'a'")   // v3 removes a-file
-    // a fresh AvailableNow drain covers (0, 3] in ONE batch: an
-    // endpoint-only manifest diff would never surface the a-file
-    // (added v1, removed v3) — per-commit adds must (advice r14)
+    spark.sql(s"INSERT INTO $cat.wh.vlost VALUES ('a', 1)") // v1
+    spark.sql(s"INSERT INTO $cat.wh.vlost VALUES ('b', 2)") // v2
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_vlost_ckpt_${ProcessHandle.current().pid()}"
     val hp = new HPath(ckpt)
     hp.getFileSystem(hconf).delete(hp, true)
-    val q = spark.readStream.table(s"$cat.wh.vlost")
-      .writeStream.format("memory").queryName("vlost_sink")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val rows = spark.table("vlost_sink").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet
-    spark.catalog.dropTempView("vlost_sink")
-    assert(rows == Set(("a", 1L), ("b", 2L)),
-      s"appends stream must deliver the removed-before-drain file; got $rows")
+    def drain(sink: String): Set[(String, Long)] = {
+      val got = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+      val q = spark.readStream.table(s"$cat.wh.vlost")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((r.getString(0), r.getLong(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    // fresh stream: the first batch is the SNAPSHOT at the pinned end
+    assert(drain("vlost_s1") == Set(("a", 1L), ("b", 2L)))
+
+    // while the stream is down: c is appended (v3) and removed again
+    // (v4). The RESUMED stream covers (2, 4] — an endpoint-only diff
+    // would silently lose c's append (advice r14); per-commit adds
+    // deliver it regardless of trigger timing.
+    spark.sql(s"INSERT INTO $cat.wh.vlost VALUES ('c', 3)")
+    spark.sql(s"DELETE FROM $cat.wh.vlost WHERE k = 'c'")
+    assert(drain("vlost_s2") == Set(("c", 3L)),
+      "resume must deliver the append that was removed before the drain")
   }
 
   test("the changefeed carries retractions: graft.ns.t.changes") {
@@ -522,6 +533,14 @@ class VersionedTableSpec extends AnyFunSuite {
     // a compacted table is a fixpoint
     val again = spark.sql(s"CALL $cat.compact('wh.vcp')").collect()
     assert(again.head.getInt(0) == 0 && again.head.getInt(1) == 0)
+    // compaction is INVISIBLE to change consumers (dataChange=false,
+    // the Delta convention): the changefeed carries no event for v4 —
+    // same rows, different files is not a change
+    val cdc = spark.sql(
+      s"SELECT _commit_version, count(*) AS n FROM $cat.wh.vcp.changes " +
+        "GROUP BY 1 ORDER BY 1").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(cdc.toSeq == Seq((1, 2L), (2, 2L), (3, 1L)),
+      s"compaction (v4) must emit no change events; got ${cdc.mkString(", ")}")
     // flat and unversioned tables refuse loudly
     spark.sql(s"CREATE TABLE $cat.wh.vcp_flat (k STRING, v BIGINT) " +
       "TBLPROPERTIES('versioned'='true')")
