@@ -180,7 +180,8 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
                                            vectorized: Boolean = false,
                                            nullFill: Boolean = false,
                                            zoneSkip: Boolean = true,
-                                           manifestFiles: Option[Map[String, Array[(String, Long)]]] = None)
+                                           manifestFiles: Option[Map[String, Array[(String, Long)]]] = None,
+                                           maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private val keyFields: Seq[StructField] = keyCols.map(c =>
@@ -233,7 +234,7 @@ private[sources] class KeyedCsvScanBuilder(path: String, full: StructType,
     }
     new KeyedCsvScan(path, required, payload, keyFields, survivors,
       partFilters, payloadFilters, conf, vectorized, limit, nullFill,
-      zoneSkip, manifestFiles)
+      zoneSkip, manifestFiles, maxVersionsPerTrigger)
   }
 }
 
@@ -262,7 +263,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      val pushedLimit: Option[Int] = None,
                                      nullFill: Boolean = false,
                                      zoneSkip: Boolean = true,
-                                     manifestFiles: Option[Map[String, Array[(String, Long)]]] = None)
+                                     manifestFiles: Option[Map[String, Array[(String, Long)]]] = None,
+                                     maxVersionsPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
@@ -460,7 +462,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     val schemaJson = keySchema.json
     new GraftLogMicroBatchStream(path, keyFields, partFilters, conf,
       createReaderFactory(),
-      (raws, file) => KeyedCsvPartition(raws, schemaJson, Array(file)))
+      (raws, file) => KeyedCsvPartition(raws, schemaJson, Array(file)),
+      maxVersionsPerTrigger)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

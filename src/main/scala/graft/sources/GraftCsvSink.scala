@@ -265,6 +265,9 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
     val conf = SerializableHadoopConf.fromSession()
     val vectorized = Option(options.get("vectorized")).forall(_.toBoolean)
     val zoneSkip = Option(options.get("zoneSkip")).forall(_.toBoolean)
+    // streaming admission control (versioned tables): at most N commits
+    // per micro-batch — see GraftLogStreamBase
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
     // catalog reads null-fill columns missing from an old part file's
     // header (schema evolution); path reads keep the loud error (a
     // user-typed schema with a typo'd column should fail, not null out)
@@ -279,7 +282,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
       if (catalogPartitionCols.isEmpty)
         new GraftCsvScanBuilder(path, tableSchema, vectorized,
           nullFill = catalogManaged, zoneSkip = zoneSkip,
-          manifest = Some(entries))
+          manifest = Some(entries), maxVersionsPerTrigger = maxVersions)
       else {
         // leaves from manifest rel dirs (nesting order = segment order)
         val byDir = entries.groupBy(e =>
@@ -296,7 +299,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
           }
         new KeyedCsvScanBuilder(path, tableSchema, catalogPartitionCols,
           leaves, conf, vectorized, nullFill = catalogManaged,
-          zoneSkip = zoneSkip, manifestFiles = Some(manifestFiles))
+          zoneSkip = zoneSkip, manifestFiles = Some(manifestFiles),
+          maxVersionsPerTrigger = maxVersions)
       }
     } else {
       // Layout sniff (ONE listing): a root holding key=value directories
@@ -523,7 +527,8 @@ private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
                                            vectorized: Boolean = false,
                                            nullFill: Boolean = false,
                                            zoneSkip: Boolean = true,
-                                           manifest: Option[Seq[GraftLog.Entry]] = None)
+                                           manifest: Option[Seq[GraftLog.Entry]] = None,
+                                           maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
@@ -546,7 +551,7 @@ private[sources] class GraftCsvScanBuilder(path: String, full: StructType,
   override def build(): Scan =
     new GraftCsvScan(path, required, full, pushed,
       SerializableHadoopConf.fromSession(), vectorized, limit, nullFill,
-      zoneSkip, manifest)
+      zoneSkip, manifest, maxVersionsPerTrigger)
 }
 
 private[sources] case class CsvFilePartition(file: String) extends InputPartition
@@ -559,7 +564,8 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
                                      val pushedLimit: Option[Int] = None,
                                      nullFill: Boolean = false,
                                      zoneSkip: Boolean = true,
-                                     manifest: Option[Seq[GraftLog.Entry]] = None)
+                                     manifest: Option[Seq[GraftLog.Entry]] = None,
+                                     maxVersionsPerTrigger: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -602,7 +608,8 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
       "graft-csv: streaming reads require a VERSIONED catalog table " +
         "(TBLPROPERTIES('versioned'='true') — the commit log is the stream)")
     new GraftLogMicroBatchStream(path, Nil, Array.empty, conf,
-      createReaderFactory(), (_, file) => CsvFilePartition(file))
+      createReaderFactory(), (_, file) => CsvFilePartition(file),
+      maxVersionsPerTrigger)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -520,8 +520,9 @@ private[sources] class GraftLogMicroBatchStream(
     partFilters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf,
     factory: org.apache.spark.sql.connector.read.PartitionReaderFactory,
-    mkPartition: (Seq[String], String) => org.apache.spark.sql.connector.read.InputPartition)
-    extends GraftLogStreamBase(path, conf) {
+    mkPartition: (Seq[String], String) => org.apache.spark.sql.connector.read.InputPartition,
+    maxVersionsPerTrigger: Option[Int] = None)
+    extends GraftLogStreamBase(path, conf, maxVersionsPerTrigger) {
   import org.apache.spark.sql.connector.read.InputPartition
 
   override protected def planRange(s: Int, e: Int): Array[InputPartition] = {

@@ -395,6 +395,28 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(batches.get(0L) == Set(("a", 1L, "insert", 1)))
     assert(batches.get(1L) == Set(("b", 2L, "insert", 2)))
     assert(batches.get(2L) == Set(("a", 1L, "delete", 3)))
+
+    // the APPENDS face honors the same admission control: first batch
+    // is the v1 snapshot, then per-commit adds (the delete adds nothing)
+    val ckpt2 = s"${ckpt}_appends"
+    val hp2 = new HPath(ckpt2)
+    hp2.getFileSystem(hconf).delete(hp2, true)
+    val appendBatches = new java.util.concurrent.ConcurrentHashMap[Long, Set[(String, Long)]]()
+    val q2 = spark.readStream
+      .option("maxVersionsPerTrigger", 1)
+      .table(s"$cat.wh.vmvt")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        appendBatches.put(id, b.collect().map(r =>
+          (r.getString(0), r.getLong(1))).toSet)
+        ()
+      }
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(appendBatches.get(0L) == Set(("a", 1L)))
+    assert(appendBatches.get(1L) == Set(("b", 2L)))
   }
 
   test("the log is delta-structured: commits write O(changed), checkpoints anchor, vacuum repairs the chain") {
