@@ -148,6 +148,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"graft catalog: table ${ident.namespace().mkString(".")} is " +
               "not versioned — only a versioned table has a changefeed " +
               "(TBLPROPERTIES('versioned'='true'))")
+          Seq(GraftChangesTable.ChangeType, GraftChangesTable.CommitVersion)
+            .foreach { c =>
+              if (meta.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+                throw new UnsupportedOperationException(
+                  s"graft catalog: table ${ident.namespace().mkString(".")} " +
+                    s"has a DATA column named '$c' — the changefeed cannot " +
+                    "add its metadata column of the same name")
+            }
           return new GraftChangesTable(baseDir.toString, meta.schema,
             meta.partCols)
         }

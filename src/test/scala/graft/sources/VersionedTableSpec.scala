@@ -364,6 +364,13 @@ class VersionedTableSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(err).exists(_.contains("not versioned")))
+    // a DATA column claiming a CDC name refuses instead of producing a
+    // duplicate-column schema
+    spark.sql(s"CREATE TABLE $cat.wh.vcdc_clash (k STRING, _change_type STRING) " +
+      "PARTITIONED BY (k) TBLPROPERTIES('versioned'='true')")
+    assert(msgs(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.wh.vcdc_clash.changes").collect()
+    }).exists(_.contains("_change_type")))
   }
 
   test("maxVersionsPerTrigger=1 drains the changefeed one commit per micro-batch") {
