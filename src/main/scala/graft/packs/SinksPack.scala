@@ -517,6 +517,33 @@ object SinksPack {
       s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_cmp ORDER BY m, rf")
     },
 
+    // CALL graft.rollback (r15): the undo verb — restore the table to
+    // an earlier version as ONE new manifest commit referencing that
+    // version's still-on-disk files (zero data copies; Delta RESTORE).
+    // A bad correction (10x UPDATE) and a bad retention DELETE are
+    // rolled back; the table must hash-match the original load.
+    "q_k_rollback" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#rollback") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_rb " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_rb")
+        s.sql(s"""INSERT INTO $cat.wh.li_rb
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_rb GROUP BY 1, 2""")
+        // the bad day: a wrong correction and a wrong retention sweep
+        s.sql(s"UPDATE $cat.wh.li_rb SET n_items = n_items * 10 WHERE rf = 'R'")
+        s.sql(s"DELETE FROM $cat.wh.li_rb WHERE m >= '1995-01' AND m <= '1995-12'")
+        s.sql(s"CALL $cat.rollback('wh.li_rb', 1)").collect()
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_rb ORDER BY m, rf")
+    },
+
     // Streaming incremental view maintenance (r15): the changefeed
     // drained ONE COMMIT PER MICRO-BATCH (`maxVersionsPerTrigger=1`,
     // the Delta maxFilesPerTrigger shape) into a foreachBatch MERGE
@@ -1277,6 +1304,13 @@ object SinksPack {
     // Compaction is layout-only: the merged table still equals the
     // plain (m, rf) aggregate the three slices union to.
     "q_k_compact" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
+
+    // Rollback erased the 10x correction AND the retention delete: the
+    // table equals the original full load, byte for byte.
+    "q_k_rollback" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
         |       count(*) AS n_items
         |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,

@@ -291,9 +291,10 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     * per commit, never a directory walk. Retention must cover the
     * range: a vacuumed mid-range manifest fails LOUDLY with the
     * available-version list (the operator contract, not silent loss).
-    * Tagged publish names are never reused, so a rel is added at most
-    * once and removed at most once across the table's whole history —
-    * no dedup pass needed. */
+    * Tagged publish names are never reused by WRITES, so a rel cycles
+    * through at most add→remove — except ROLLBACK, which legitimately
+    * re-adds previously-removed rels (the rows really are back); each
+    * transition is its own event, no dedup pass needed. */
   def changes(root: HPath, conf: Configuration, s: Int, e: Int): Seq[Change] = {
     val out = Seq.newBuilder[Change]
     // lazily materialized: delta manifests ARE their change events, so

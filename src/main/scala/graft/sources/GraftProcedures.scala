@@ -21,13 +21,14 @@ import org.apache.spark.sql.types._
   * is metadata about metadata — versions, counts, bytes — never data.
   */
 private[sources] object GraftProcedures {
-  val Names: Seq[String] = Seq("history", "vacuum", "compact")
+  val Names: Seq[String] = Seq("history", "vacuum", "compact", "rollback")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "vacuum" => Some(new VacuumProcedure(catalog))
       case "history" => Some(new HistoryProcedure(catalog))
       case "compact" => Some(new CompactProcedure(catalog))
+      case "rollback" => Some(new RollbackProcedure(catalog))
       case _ => None
     }
 
@@ -116,6 +117,39 @@ private[sources] class CompactProcedure(catalog: GraftCatalog)
           .add("groups_compacted", IntegerType, nullable = false)
           .add("files_merged", IntegerType, nullable = false),
         Array[Any](groups, files))
+    }
+  }
+}
+
+/** `CALL graft.rollback(table, version)`: restore a versioned table to
+  * an earlier version as a NEW commit (one manifest write, zero data
+  * copies) — the undo verb for a bad load; the SQL face of
+  * [[GraftCatalog.rollbackTable]]. Returns one row:
+  * (restored_version, new_version). */
+private[sources] class RollbackProcedure(catalog: GraftCatalog)
+    extends UnboundProcedure {
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore a versioned table to an earlier version (as a new commit)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String = RollbackProcedure.this.description()
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("'namespace.table' of a versioned catalog table").build(),
+      ProcedureParameter.in("version", IntegerType)
+        .comment("the manifest version to restore (must be retained)").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ident = GraftProcedures.identOf(input.getUTF8String(0).toString)
+      val to = input.getInt(1)
+      val newV = catalog.rollbackTable(ident, to)
+      GraftProcedures.oneRowScan(
+        new StructType()
+          .add("restored_version", IntegerType, nullable = false)
+          .add("new_version", IntegerType, nullable = false),
+        Array[Any](to, newV))
     }
   }
 }

@@ -527,7 +527,45 @@ class VersionedTableSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
-    assert(msgs(err).exists(m => m != null && m.contains("history, vacuum, compact")))
+    assert(msgs(err).exists(m => m != null &&
+      m.contains("history, vacuum, compact, rollback")))
+  }
+
+  test("CALL graft.rollback restores an earlier version as a new commit, copying nothing") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vrb (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vrb VALUES ('a', 1), ('b', 2)") // v1
+    val tdir = s"$wh/wh/vrb"
+    val afterInsert = dataFiles(tdir).map(f => f.getPath -> f.lastModified()).toMap
+    spark.sql(s"UPDATE $cat.wh.vrb SET v = 99 WHERE k = 'a'")       // v2 (COW)
+    spark.sql(s"DELETE FROM $cat.wh.vrb WHERE k = 'b'")             // v3
+
+    val out = spark.sql(s"CALL $cat.rollback('wh.vrb', 1)").collect()
+    assert(out.head.getInt(0) == 1 && out.head.getInt(1) == 4)
+    // the head is v1's state again …
+    assert(spark.sql(s"SELECT k, v FROM $cat.wh.vrb ORDER BY k")
+      .collect().map(_.toSeq).toSeq == Seq(Seq("a", 1L), Seq("b", 2L)))
+    // … served by v1's ORIGINAL files (no copies; mtimes prove it) …
+    val m = GraftLog.latest(new HPath(tdir), hconf)
+    assert(m.map(e => new java.io.File(s"$tdir/${e.rel}")).forall(f =>
+      afterInsert.get(f.getPath).contains(f.lastModified())))
+    // … and the rolled-back-over history stays inspectable
+    assert(spark.sql(s"SELECT v FROM $cat.wh.vrb VERSION AS OF 2 WHERE k = 'a'")
+      .head().getLong(0) == 99)
+    // the changefeed sees the rollback as a data change: v4 re-adds
+    // what v2/v3 removed and retracts the head it replaced
+    val v4 = spark.sql(s"SELECT k, v, _change_type FROM $cat.wh.vrb.changes " +
+      "WHERE _commit_version = 4").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(v4 == Set(("a", 1L, "insert"), ("b", 2L, "insert"),
+      ("a", 99L, "delete")), s"got $v4")
+    // rolling back to a never-existing version fails with the list
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(intercept[Exception] {
+      spark.sql(s"CALL $cat.rollback('wh.vrb', 99)").collect()
+    }).exists(_.contains("does not exist")))
   }
 
   test("CALL graft.compact merges accreted per-key files as ONE COW manifest commit") {
