@@ -544,6 +544,105 @@ object SinksPack {
       s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_rb ORDER BY m, rf")
     },
 
+    // Write-write conflict detection (r15): optimistic concurrency on
+    // the commit log. A copy-on-write operation reads its groups at
+    // snapshot S and publishes later; if a concurrent commit removed
+    // any of those groups in between, blindly completing the swap
+    // would RESURRECT the deleted rows (the lost update last-writer-
+    // wins hides). Here the interleave is replayed exactly: the full
+    // load lands, a stale rewrite captures the 1995 groups, a
+    // concurrent retention DELETE removes them, and the stale publish
+    // is attempted THROUGH THE PRODUCTION COMMIT PATH — it must be
+    // refused (ConcurrentWriteConflictException) leaving no trace. The
+    // gate is sharp: had the stale swap won, the deleted year would be
+    // back in the table and the hash against the post-DELETE
+    // complement would fail.
+    "q_k_conflict_serialized" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#conflict") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_cfl " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_cfl")
+        s.sql(s"""INSERT INTO $cat.wh.li_cfl
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_cfl GROUP BY 1, 2""")
+        val root = new org.apache.hadoop.fs.Path(s"$wh/wh/li_cfl")
+        val hconf = s.sessionState.newHadoopConf()
+        // the stale operation's read set: every 1995 group, as a COW of
+        // those months would have captured it
+        val stale = graft.sources.GraftLog.latest(root, hconf).map(_.rel)
+          .filter(r => r.startsWith("m=1995-")).toSet
+        require(stale.nonEmpty, "conflict fixture: expected 1995 groups")
+        // the concurrent commit that invalidates it
+        s.sql(s"DELETE FROM $cat.wh.li_cfl WHERE m >= '1995-01' AND m <= '1995-12'")
+        // the stale publish, through the production path — refused
+        val refused =
+          try {
+            graft.sources.GraftLog.commitReplace(root, hconf, stale,
+              Seq(graft.sources.GraftLog.Entry(
+                "m=1995-01/part-stale-00000.csv", 1L)))
+            false
+          } catch {
+            case _: graft.sources.ConcurrentWriteConflictException => true
+          }
+        require(refused, "conflict detection failed: the stale COW " +
+          "publish was accepted — deleted rows would be resurrected")
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_cfl ORDER BY m, rf")
+    },
+
+    // Streaming writes INTO a versioned table (r15):
+    // `writeStream.toTable` commits one manifest per epoch, each
+    // carrying its (appId, epoch) txn record — the exactly-once ledger
+    // that makes a checkpoint-replayed epoch a recognized no-op
+    // (Delta's idempotent-write shape; replay itself is spec-pinned in
+    // VersionedStreamSinkSpec). Two staged file-source drains land the
+    // two disjoint slices as separate epochs; the table must equal
+    // their union — and because each epoch is an ordinary data commit,
+    // the partitioned layout, zone sidecars, time travel, and the
+    // changefeed all hold underneath.
+    "q_st_versioned_sink" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#vsink") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_vsink " +
+          "(m STRING, rf STRING, n_items BIGINT) PARTITIONED BY (m) " +
+          "TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_vsink")
+        val staging = tmpPath("vsink_staging", d)
+        val ckpt = tmpPath("vsink_ckpt", d)
+        def drain(): Unit = {
+          val q = s.readStream.schema("m STRING, rf STRING, n_items BIGINT")
+            .parquet(staging)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(s"$cat.wh.li_vsink")
+          q.awaitTermination()
+        }
+        // epoch 1: the R slice; epoch 2: everything else
+        s.sql(s"""SELECT date_format(l_shipdate, 'yyyy-MM') AS m,
+            l_returnflag AS rf, count(*) AS n_items
+          FROM graft_cat_li_vsink WHERE l_returnflag = 'R' GROUP BY 1, 2""")
+          .write.mode("overwrite").parquet(staging)
+        drain()
+        s.sql(s"""SELECT date_format(l_shipdate, 'yyyy-MM') AS m,
+            l_returnflag AS rf, count(*) AS n_items
+          FROM graft_cat_li_vsink WHERE l_returnflag <> 'R' GROUP BY 1, 2""")
+          .write.mode("append").parquet(staging)
+        drain()
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_vsink ORDER BY m, rf")
+    },
+
     // Streaming incremental view maintenance (r15): the changefeed
     // drained ONE COMMIT PER MICRO-BATCH (`maxVersionsPerTrigger=1`,
     // the Delta maxFilesPerTrigger shape) into a foreachBatch MERGE
@@ -1311,6 +1410,25 @@ object SinksPack {
     // Rollback erased the 10x correction AND the retention delete: the
     // table equals the original full load, byte for byte.
     "q_k_rollback" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
+
+    // The stale COW was refused: the table equals the post-DELETE
+    // complement. Had last-writer-wins applied the swap, the deleted
+    // retention year would be back and this hash would fail.
+    "q_k_conflict_serialized" ->
+      """WITH t AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |         count(*) AS n_items
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT m, rf, n_items FROM t
+        |WHERE m < '1995-01' OR m > '1995-12'
+        |ORDER BY m, rf""".stripMargin,
+
+    // Two streamed epochs union to the full (m, rf) aggregate — each
+    // epoch was one manifest commit with its txn record.
+    "q_st_versioned_sink" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
         |       count(*) AS n_items
         |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,

@@ -246,9 +246,21 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
           b += GraftLog.relativize(root, conf.value, f))
         b.result()
       }
-      GraftLog.commit(root, conf.value, live =>
-        live.filterNot(e => replaced.contains(e.rel)) ++
-          files.map(f => GraftLog.Entry(f.finalName, math.max(0L, f.bytes))))
+      // conflict-checked: if a concurrent commit removed any of the
+      // groups this rewrite read, publishing would resurrect dead rows
+      // — fail loudly instead (ConcurrentWriteConflictException). The
+      // just-published rewrite files are deleted on the way out: this
+      // writer created them, no manifest names them, and tidying now
+      // beats leaving 24h-grace vacuum food behind a failed commit.
+      try GraftLog.commitReplace(root, conf.value, replaced,
+        files.map(f => GraftLog.Entry(f.finalName, math.max(0L, f.bytes))))
+      catch {
+        case e: ConcurrentWriteConflictException =>
+          files.foreach(f =>
+            fs.delete(new HPath(root, f.finalName), false))
+          fs.delete(tmpDir, true)
+          throw e
+      }
     } else {
       // 2. drop exactly the replaced group files
       op.replacedFiles.forEach(f => fs.delete(new HPath(f), false))

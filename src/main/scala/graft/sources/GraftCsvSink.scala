@@ -239,9 +239,14 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
         TableCapability.TRUNCATE, TableCapability.BATCH_READ,
         TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
       // the commit log doubles as a streaming source (current table
-      // only — an AS OF snapshot is immutable, nothing to tail)
-      if (catalogVersioned && asOfVersion.isEmpty)
+      // only — an AS OF snapshot is immutable, nothing to tail) AND as
+      // the exactly-once ledger for streaming WRITES (txn records —
+      // unversioned catalog tables stay batch-only: without a manifest
+      // there is nothing to make a replayed epoch idempotent against)
+      if (catalogVersioned && asOfVersion.isEmpty) {
         caps.add(TableCapability.MICRO_BATCH_READ)
+        caps.add(TableCapability.STREAMING_WRITE)
+      }
       caps
     } else
       java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -1161,10 +1166,28 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
     new GraftCsvBatchWrite(path, info.schema(), info.queryId(), mode,
       SerializableHadoopConf.fromSession(), partitioned, appendTag, versioned)
   override def toStreaming: StreamingWrite = {
+    if (versioned) {
+      // `writeStream.toTable` on a VERSIONED catalog table (r15): every
+      // epoch is one manifest commit carrying its (appId, epoch) txn
+      // record, so a checkpoint-replayed epoch is recognized and
+      // skipped — exactly-once at the COMMIT level, partitioned
+      // layouts included (the distribution contract above applies to
+      // each micro-batch like any INSERT).
+      val truncate = mode match {
+        case CsvWriteMode.Append => false
+        case CsvWriteMode.Truncate => true
+        case other => throw new UnsupportedOperationException(
+          s"graft-csv sink: streaming writes support append and complete " +
+            s"output modes only; got $other")
+      }
+      return new GraftCsvVersionedStreamingWrite(path, info.schema(),
+        info.queryId(), SerializableHadoopConf.fromSession(), partitioned,
+        truncate)
+    }
     if (partitioned.nonEmpty) throw new UnsupportedOperationException(
-      "graft-csv sink: partitionedBy is batch-only (the streaming face " +
-        "writes epoch-stamped flat files; a partitioned stream would need " +
-        "per-epoch key-dir compaction)")
+      "graft-csv sink: partitionedBy is batch-only on the path face (the " +
+        "streaming face writes epoch-stamped flat files; partitioned " +
+        "streaming needs the versioned catalog table's manifest commits)")
     new GraftCsvStreamingWrite(path, info.schema(), info.queryId(),
       SerializableHadoopConf.fromSession())
   }
@@ -1384,6 +1407,96 @@ private[sources] class GraftCsvStreamingWriterFactory(path: String, queryId: Str
     new GraftCsvDataWriter(s"$path/_tmp_${queryId}_$epochId", schema,
       partitionId, taskId, conf,
       f"part-$epochId%05d-$partitionId%05d.csv")
+}
+
+/** Streaming writes into a VERSIONED catalog table (r15):
+  * `df.writeStream.toTable("graft.wh.t")`. Each micro-batch commits
+  * like a batch INSERT — tagged file names (tag = streaming queryId +
+  * epoch, unique forever), zone sidecars, one manifest commit — plus
+  * the manifest records the epoch as a streaming TRANSACTION
+  * (`txn: {app, epoch}`, the Delta SetTransaction/idempotent-write
+  * shape). On restart, Spark replays the last un-checkpointed epoch;
+  * [[GraftLog.lastTxn]] recognizes an epoch the log already committed
+  * and the replay becomes a no-op BEFORE any file publishes — no
+  * duplicate rows, no stray files. The appId is the streaming query's
+  * stable id (persisted in its checkpoint), so recognition survives
+  * restarts; the same query never runs two epochs concurrently, so the
+  * check-then-commit window cannot race itself, and commits from OTHER
+  * writers interleave safely (the txn ledger rides the same atomic
+  * manifest claim).
+  *
+  * Crash windows, priced: after publish but before the manifest claim
+  * → replay re-publishes and commits; the first attempt's files are
+  * unreferenced orphans (24h-grace vacuum food — same story as a
+  * crashed batch INSERT). After the claim but before Spark's own
+  * checkpoint commit → replay is recognized and skipped. Downstream,
+  * each epoch's commit is an ordinary data commit: the changefeed and
+  * the appends stream serve it like any INSERT.
+  *
+  * Partitioned layouts work — the Write's distribution contract
+  * (cluster by keys) applies to each micro-batch, and the partitioned
+  * writer lands each key's rows in its `key=value/` directory.
+  * `truncate` (complete output mode): each epoch's manifest REPLACES
+  * the live set instead of appending to it. */
+private[sources] class GraftCsvVersionedStreamingWrite(
+    path: String, schema: StructType, queryId: String,
+    conf: SerializableHadoopConf, partitioned: Seq[String],
+    truncate: Boolean)
+    extends StreamingWrite {
+
+  private def tmpDir(epochId: Long) = new HPath(path, s"_tmp_${queryId}_e$epochId")
+  private def tagOf(epochId: Long) = s"$queryId-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftCsvVersionedStreamingWriterFactory(path, queryId, schema, conf,
+      partitioned)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf.value)
+    fs.mkdirs(root)
+    // exactly-once: an epoch the manifest ledger already records is a
+    // checkpoint replay — skip BEFORE publishing anything
+    if (GraftLog.lastTxn(root, conf.value, queryId).exists(_ >= epochId)) {
+      fs.delete(tmpDir(epochId), true)
+      return
+    }
+    GraftCsvCommit.publish(fs, root, messages)
+    val files = messages.flatMap {
+      case f: CsvFileCommit => Seq(f)
+      case CsvFilesCommit(fsq) => fsq
+    }.toSeq
+    CsvZones.write(root, conf.value, tagOf(epochId),
+      files.map(f => f.finalName -> f.zones))
+    val fresh = files.map(f => GraftLog.Entry(f.finalName, math.max(0L, f.bytes)))
+    GraftLog.commit(root, conf.value,
+      live => (if (truncate) Nil else live) ++ fresh,
+      txn = Some(queryId -> epochId))
+    fs.delete(tmpDir(epochId), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new HPath(path).getFileSystem(conf.value)
+    fs.delete(tmpDir(epochId), true)
+  }
+}
+
+private[sources] class GraftCsvVersionedStreamingWriterFactory(
+    path: String, queryId: String, schema: StructType,
+    conf: SerializableHadoopConf, partitioned: Seq[String])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val tmp = s"$path/_tmp_${queryId}_e$epochId"
+    val stem = s"part-$queryId-e$epochId"
+    if (partitioned.nonEmpty)
+      new GraftCsvPartitionedWriter(tmp, schema, partitioned, partitionId,
+        taskId, conf, stem, trackZones = true)
+    else
+      new GraftCsvDataWriter(tmp, schema, partitionId, taskId, conf,
+        f"$stem-$partitionId%05d.csv", trackZones = true)
+  }
 }
 
 private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,

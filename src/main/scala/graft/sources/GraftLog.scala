@@ -67,7 +67,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * only then deletes. `versions()` remains an O(retained commits)
   * directory listing — retention bounds it, same as every log store.
   */
-private[sources] object GraftLog extends org.apache.spark.internal.Logging {
+private[graft] object GraftLog extends org.apache.spark.internal.Logging {
   val Dir = "_graft_log"
   private val mapper = new ObjectMapper()
 
@@ -85,11 +85,17 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     * checkpoint, or any pre-r15 manifest) or a delta on its predecessor
     * (`adds` + `removes`). `dataChange=false` marks a LAYOUT-ONLY
     * commit (compaction): same rows, different files — change-feed
-    * consumers skip it entirely (the Delta convention). */
+    * consumers skip it entirely (the Delta convention). `txn` records
+    * the streaming transaction that produced this commit (appId →
+    * epoch, the Delta SetTransaction shape — the exactly-once ledger
+    * for streaming writes); checkpoints carry the MERGED `txns` map so
+    * resolution never walks past one. */
   private case class RawManifest(version: Int, ts: Option[Long],
                                  full: Option[Seq[Entry]],
                                  adds: Seq[Entry], removes: Seq[Entry],
-                                 dataChange: Boolean = true)
+                                 dataChange: Boolean = true,
+                                 txn: Option[(String, Long)] = None,
+                                 txns: Option[Map[String, Long]] = None)
 
   /** Every `CheckpointEvery`-th commit is self-contained; the ≤9 deltas
     * between checkpoints bound snapshot resolution at 10 small JSON
@@ -162,10 +168,45 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     val removes = entries("removes")
     if (full.isEmpty && adds.isEmpty && removes.isEmpty)
       throw new CorruptManifestException(f.toString, null)
+    val txn = Option(node.get("txn")).map(t =>
+      t.get("app").asText() -> t.get("epoch").asLong())
+    val txns = Option(node.get("txns")).map { t =>
+      val b = Map.newBuilder[String, Long]
+      t.propertyStream().forEach(e => b += e.getKey -> e.getValue.asLong())
+      b.result()
+    }
     RawManifest(v, Option(node.get("ts")).map(_.asLong()),
       full, adds.getOrElse(Nil), removes.getOrElse(Nil),
-      dataChange = Option(node.get("dataChange")).forall(_.asBoolean()))
+      dataChange = Option(node.get("dataChange")).forall(_.asBoolean()),
+      txn = txn, txns = txns)
   }
+
+  /** The streaming-transaction ledger at version `v`: every appId's
+    * newest committed epoch. Resolution mirrors [[read]]'s chain shape:
+    * a checkpoint's stored `txns` map is a barrier (it was merged at
+    * write time); deltas contribute their own `txn` on top of their
+    * predecessor's ledger; a full manifest WITHOUT the field predates
+    * the feature — nothing below it can carry a record. ≤
+    * [[CheckpointEvery]] manifest reads, same bound as a snapshot. */
+  def resolveTxns(root: HPath, conf: Configuration, v: Int): Map[String, Long] = {
+    if (v <= 0) return Map.empty
+    val raw = readRaw(root, conf, v)
+    raw.txns match {
+      case Some(m) => m ++ raw.txn
+      case None =>
+        val base =
+          if (raw.full.isDefined) Map.empty[String, Long]
+          else resolveTxns(root, conf, v - 1)
+        base ++ raw.txn
+    }
+  }
+
+  /** The newest epoch streaming app `app` has committed to this table,
+    * if any — the exactly-once check a replayed micro-batch makes
+    * before publishing (Delta's txnAppId/txnVersion idempotent-write
+    * shape). */
+  def lastTxn(root: HPath, conf: Configuration, app: String): Option[Long] =
+    latestVersion(root, conf).flatMap(v => resolveTxns(root, conf, v).get(app))
 
   def readManifest(root: HPath, conf: Configuration, v: Int): Manifest =
     Manifest(v, readRaw(root, conf, v).ts, read(root, conf, v))
@@ -216,7 +257,8 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     * `FileAlreadyExistsException` is a lost race; any other IO failure
     * (ENOSPC, permissions) propagates with its real diagnosis. */
   def commit(root: HPath, conf: Configuration,
-             next: Seq[Entry] => Seq[Entry]): Int = {
+             next: Seq[Entry] => Seq[Entry],
+             txn: Option[(String, Long)] = None): Int = {
     val fs = root.getFileSystem(conf)
     fs.mkdirs(logDir(root))
     var attempts = 0
@@ -229,6 +271,21 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
       val node = mapper.createObjectNode()
       node.put("version", v)
       node.put("ts", System.currentTimeMillis())
+      // the streaming-transaction record (appId → epoch): deltas carry
+      // their own; checkpoints carry the MERGED ledger so resolveTxns
+      // stops at the first checkpoint it meets
+      txn.foreach { case (app, epoch) =>
+        val t = node.putObject("txn")
+        t.put("app", app)
+        t.put("epoch", epoch)
+      }
+      if (v == 1 || v % CheckpointEvery == 0 || baseVersion != v - 1) {
+        val merged = resolveTxns(root, conf, baseVersion) ++ txn
+        if (merged.nonEmpty) {
+          val t = node.putObject("txns")
+          merged.toSeq.sortBy(_._1).foreach { case (a, e) => t.put(a, e) }
+        }
+      }
       def put(field: String, es: Seq[Entry]): Unit = {
         val arr = node.putArray(field)
         es.foreach { e =>
@@ -274,6 +331,36 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     throw new java.io.IOException(
       s"graft log: could not claim a manifest version at $root after 50 attempts")
   }
+
+  /** Copy-on-write publish with CONFLICT DETECTION (r15): the successor
+    * manifest is (live − `replaced`) + `fresh`, but only if every
+    * replaced file is STILL live at claim time. The check runs inside
+    * the claim loop, so it always sees the actual latest manifest — a
+    * lost rename race re-validates against the winner.
+    *
+    * Why this must exist: a COW operation (UPDATE/MERGE/non-key DELETE/
+    * compaction) reads its groups at snapshot S and publishes rewritten
+    * rows later. If a concurrent commit removed one of those groups in
+    * between (a DELETE dropped the rows, another UPDATE rewrote them),
+    * blindly applying the swap would RE-ADD rows derived from the dead
+    * file — resurrecting deleted rows or silently discarding the other
+    * writer's changes. Last-writer-wins at whole-manifest granularity
+    * (the pre-r15 stance, stated in the r14 verdict) is exactly this
+    * lost update. The fix is the standard optimistic-concurrency shape
+    * (Delta's ConcurrentDeleteReadException): fail the LATER commit
+    * loudly; the operation re-runs against the current state. Blind
+    * appends (INSERT) never conflict — their transform touches no
+    * existing entry — and predicate-shaped transforms (key DELETE,
+    * OVERWRITE) are consistent against any base by construction. */
+  def commitReplace(root: HPath, conf: Configuration,
+                    replaced: Set[String], fresh: Seq[Entry]): Int =
+    commit(root, conf, { live =>
+      val liveRels = live.map(_.rel).toSet
+      val gone = replaced.filterNot(liveRels)
+      if (gone.nonEmpty)
+        throw new ConcurrentWriteConflictException(root.toString, gone)
+      live.filterNot(e => replaced(e.rel)) ++ fresh
+    })
 
   /** One change event: `version` added or removed `entry`. */
   case class Change(version: Int, isAdd: Boolean, entry: Entry)
@@ -374,6 +461,14 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     node.put("version", v)
     raw.ts.foreach(node.put("ts", _))
     if (!raw.dataChange) node.put("dataChange", false)
+    // a materialized manifest becomes a resolveTxns barrier — it must
+    // carry the full ledger, or streaming-write idempotency records
+    // older than it would silently vanish at the next restart
+    val ledger = resolveTxns(root, conf, v)
+    if (ledger.nonEmpty) {
+      val t = node.putObject("txns")
+      ledger.toSeq.sortBy(_._1).foreach { case (a, e) => t.put(a, e) }
+    }
     val arr = node.putArray("files")
     entries.foreach { e =>
       val o = arr.addObject()
@@ -406,6 +501,23 @@ private[sources] object GraftLog extends org.apache.spark.internal.Logging {
     rel.split('/').dropRight(1).toSeq.map(seg =>
       PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
 }
+
+/** A copy-on-write commit lost to a concurrent writer: between this
+  * operation's snapshot read and its manifest claim, another commit
+  * removed files this operation read and rewrote (a DELETE dropped the
+  * rows, another UPDATE/MERGE/compaction replaced them). Completing the
+  * swap anyway would resurrect the deleted rows — so the LATER writer
+  * fails, loudly, with the standard remediation: re-run the operation;
+  * it will read the current state. The table itself is untouched (the
+  * conflict is detected BEFORE the manifest claim). */
+class ConcurrentWriteConflictException(table: String, gone: Set[String])
+    extends RuntimeException(
+      s"graft log: concurrent write conflict on $table — " +
+        s"${gone.size} file(s) this operation read and rewrote were " +
+        "removed by another commit before it could publish " +
+        s"(${gone.toSeq.sorted.take(3).mkString(", ")}" +
+        s"${if (gone.size > 3) ", …" else ""}). The table is unchanged; " +
+        "re-run the operation against the current state.")
 
 /** A commit-log manifest that exists but cannot be parsed — named,
   * with the remediation in the message, so an operator hitting external

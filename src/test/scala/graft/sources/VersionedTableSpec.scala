@@ -685,6 +685,88 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(err != null)
   }
 
+  test("conflict detection: a stale COW publish is refused after a concurrent DELETE") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vcf (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vcf VALUES ('a', 1), ('b', 2)")
+    val root = new HPath(s"$wh/wh/vcf")
+    // the stale operation's snapshot: it read (and rewrote) a's group
+    val aFiles = GraftLog.latest(root, hconf).map(_.rel)
+      .filter(_.startsWith("k=a/")).toSet
+    assert(aFiles.nonEmpty)
+    // a concurrent commit removes those rows before the COW publishes
+    spark.sql(s"DELETE FROM $cat.wh.vcf WHERE k = 'a'")
+    // the stale COW finishing late: blindly applying its swap would
+    // resurrect the deleted k=a rows — it must fail, loudly and named
+    val e = intercept[ConcurrentWriteConflictException] {
+      GraftLog.commitReplace(root, hconf, aFiles,
+        Seq(GraftLog.Entry("k=a/part-stale-00000.csv", 10L)))
+    }
+    assert(e.getMessage.contains("concurrent write conflict"))
+    assert(e.getMessage.contains("re-run the operation"))
+    // the table is untouched: the conflict fired BEFORE the claim
+    assert(spark.sql(s"SELECT k FROM $cat.wh.vcf").collect()
+      .map(_.getString(0)).toSeq == Seq("b"))
+    assert(GraftLog.versions(root, hconf) == Seq(1, 2))
+    // and the non-conflicting shape still commits: b's group is live
+    val bFiles = GraftLog.latest(root, hconf).map(_.rel)
+      .filter(_.startsWith("k=b/")).toSet
+    val fresh = GraftLog.Entry("k=b/part-rewrite-00000.csv", 10L)
+    assert(GraftLog.commitReplace(root, hconf, bFiles, Seq(fresh)) == 3)
+    assert(GraftLog.read(root, hconf, 3).map(_.rel) == Seq(fresh.rel))
+  }
+
+  test("an end-to-end UPDATE after a DELETE sees the current state (no conflict)") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.vcf2 (k STRING, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"INSERT INTO $cat.wh.vcf2 VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"DELETE FROM $cat.wh.vcf2 WHERE k = 'a'")
+    // serial DML plans against the post-DELETE snapshot: no conflict
+    spark.sql(s"UPDATE $cat.wh.vcf2 SET v = v * 10 WHERE k = 'b'")
+    assert(spark.sql(s"SELECT k, v FROM $cat.wh.vcf2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 20L)))
+  }
+
+  test("txn ledger: commits record streaming epochs; checkpoints and materialize carry the ledger") {
+    wh
+    val root = new HPath(s"$wh/wh/vtxn")
+    hconf // force lazy init
+    // simulate a streaming writer: 12 epoch commits from app "appA",
+    // one mid-stream commit from "appB" — the v10 checkpoint must merge
+    // both so resolution never walks past it
+    (1 to 9).foreach { e =>
+      GraftLog.commit(root, hconf,
+        live => live :+ GraftLog.Entry(s"part-a$e.csv", 1L),
+        txn = Some("appA" -> e.toLong))
+    }
+    GraftLog.commit(root, hconf,
+      live => live :+ GraftLog.Entry("part-b1.csv", 1L),
+      txn = Some("appB" -> 100L)) // v10: checkpoint
+    (11 to 12).foreach { e =>
+      GraftLog.commit(root, hconf,
+        live => live :+ GraftLog.Entry(s"part-a$e.csv", 1L),
+        txn = Some("appA" -> e.toLong))
+    }
+    assert(GraftLog.lastTxn(root, hconf, "appA").contains(12L))
+    assert(GraftLog.lastTxn(root, hconf, "appB").contains(100L))
+    assert(GraftLog.lastTxn(root, hconf, "appC").isEmpty)
+    // the ledger survives at the checkpoint barrier: resolution from
+    // v10 (a checkpoint) must not lose appA's earlier epochs
+    assert(GraftLog.resolveTxns(root, hconf, 10) ==
+      Map("appA" -> 9L, "appB" -> 100L))
+    // a txn-less commit leaves the ledger intact
+    GraftLog.commit(root, hconf, live => live)
+    assert(GraftLog.lastTxn(root, hconf, "appA").contains(12L))
+    // materialize (vacuum's chain repair) becomes a barrier — it must
+    // carry the merged ledger, not erase it
+    GraftLog.materialize(root, hconf, 12)
+    assert(GraftLog.resolveTxns(root, hconf, 12) ==
+      Map("appA" -> 12L, "appB" -> 100L))
+    assert(GraftLog.lastTxn(root, hconf, "appA").contains(12L))
+  }
+
   test("a time-travel read refuses writes and an unversioned table refuses AS OF") {
     wh
     spark.sql(s"CREATE TABLE $cat.wh.vplain (k STRING, v BIGINT) PARTITIONED BY (k)")
