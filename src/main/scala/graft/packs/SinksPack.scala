@@ -643,6 +643,76 @@ object SinksPack {
       s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_vsink ORDER BY m, rf")
     },
 
+    // Hash-bucket partitioning (r15): PARTITIONED BY (bucket(16, c)) —
+    // hidden partitioning for HIGH-CARDINALITY keys, where identity
+    // keys would mean one directory per customer (a namenode DoS at
+    // 100 TB). The INSERT demands a clustered distribution on the
+    // catalog's own V2 `bucket` function, so each write lands ≤16
+    // files regardless of key cardinality; `WHERE c = v` prunes to ONE
+    // bucket directory at planning time (BucketedTableSpec pins the
+    // partition count); this full-table read gates that the hash
+    // routing is LOSSLESS — every row in exactly one bucket.
+    "q_k_bucketed_table" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#bucketed") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.cust_orders " +
+          "(c BIGINT, n_orders BIGINT, revenue DOUBLE) " +
+          "PARTITIONED BY (bucket(16, c)) TBLPROPERTIES('versioned'='true')")
+        Tables.orders(s, d).createOrReplaceTempView("graft_cat_ord_bkt")
+        s.sql(s"""INSERT INTO $cat.wh.cust_orders
+          SELECT o_custkey, count(*),
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          FROM graft_cat_ord_bkt GROUP BY 1""")
+      }
+      s.sql(s"SELECT c, n_orders, revenue FROM $cat.wh.cust_orders ORDER BY c")
+    },
+
+    // Bucketed storage-partitioned join (r15): two tables bucketed the
+    // SAME way (bucket(16, custkey)) join with ZERO exchange — Spark
+    // matches both scans' KeyGroupedPartitioning(bucket) transforms by
+    // the catalog function's canonical name and co-locates partitions
+    // by stored bucket id (spark.sql.sources.v2.bucketing.enabled,
+    // set session-wide). At 100 TB this is THE fact-to-fact join shape
+    // identity keys cannot give you: no shuffle of either side, no
+    // sort, key cardinality immaterial. Plan shape (zero
+    // ShuffleExchange) is pinned in BucketedTableSpec; this query
+    // hash-gates the joined VALUES. (q_x_bucketed_join is the OTHER
+    // bucketed face — Spark's builtin parquet bucketBy tables.)
+    "q_x_spj_bucket" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#bucketed") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.cust_orders " +
+          "(c BIGINT, n_orders BIGINT, revenue DOUBLE) " +
+          "PARTITIONED BY (bucket(16, c)) TBLPROPERTIES('versioned'='true')")
+        Tables.orders(s, d).createOrReplaceTempView("graft_cat_ord_bkt")
+        s.sql(s"""INSERT INTO $cat.wh.cust_orders
+          SELECT o_custkey, count(*),
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          FROM graft_cat_ord_bkt GROUP BY 1""")
+      }
+      ensureFixture(s"$wh#bucketed2") {
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.cust_profile " +
+          "(c BIGINT, seg STRING, acctbal DOUBLE) " +
+          "PARTITIONED BY (bucket(16, c)) TBLPROPERTIES('versioned'='true')")
+        Tables.customer(s, d).createOrReplaceTempView("graft_cat_cust_bkt")
+        s.sql(s"""INSERT INTO $cat.wh.cust_profile
+          SELECT c_custkey, c_mktsegment,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DOUBLE)
+          FROM graft_cat_cust_bkt""")
+      }
+      s.sql(s"""SELECT o.c, p.seg, o.n_orders, o.revenue, p.acctbal
+        FROM $cat.wh.cust_orders o JOIN $cat.wh.cust_profile p ON o.c = p.c
+        ORDER BY o.c""")
+    },
+
     // Streaming incremental view maintenance (r15): the changefeed
     // drained ONE COMMIT PER MICRO-BATCH (`maxVersionsPerTrigger=1`,
     // the Delta maxFilesPerTrigger shape) into a foreachBatch MERGE
@@ -1432,6 +1502,27 @@ object SinksPack {
       """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
         |       count(*) AS n_items
         |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
+
+    // Bucket routing is lossless: the full bucketed table equals the
+    // plain per-customer aggregate.
+    "q_k_bucketed_table" ->
+      s"""SELECT o_custkey AS c, count(*) AS n_orders,
+         |       ${Num.dsumSql("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY c""".stripMargin,
+
+    // The zero-exchange bucketed join equals the plain replayed join.
+    "q_x_spj_bucket" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey AS c, count(*) AS n_orders,
+         |         ${Num.dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1),
+         |p AS (
+         |  SELECT c_custkey AS c, c_mktsegment AS seg,
+         |         CAST(CAST(c_acctbal AS DECIMAL(18,6)) AS DOUBLE) AS acctbal
+         |  FROM customer)
+         |SELECT o.c AS c, p.seg, o.n_orders, o.revenue, p.acctbal
+         |FROM o JOIN p ON o.c = p.c
+         |ORDER BY c""".stripMargin,
 
     // The commit-by-commit MERGE-maintained view converges to the same
     // current-state aggregate the one-shot signed fold produces.

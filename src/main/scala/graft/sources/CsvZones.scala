@@ -141,16 +141,31 @@ private[sources] object CsvZones {
   val Dir = "_zones"
   private val mapper = new ObjectMapper()
 
+  /** One file's sidecar record: its column zones plus (format v2, r15)
+    * the file's exact ROW COUNT — the statistic that lets a catalog
+    * scan report `numRows` to the planner without opening a byte
+    * (`None` for files written by pre-r15 sidecars). */
+  case class CsvFileZones(cols: Map[String, CsvColZone], rows: Option[Long])
+
   def write(root: HPath, conf: Configuration, tag: String,
-            files: Seq[(String, Map[String, CsvColZone])]): Unit = {
-    val live = files.filter(_._2.nonEmpty)
+            files: Seq[(String, Map[String, CsvColZone], Long)]): Unit = {
+    val live = files.filter { case (_, zones, rows) =>
+      zones.nonEmpty || rows >= 0
+    }
     if (live.isEmpty) return
     val fs = root.getFileSystem(conf)
     val node = mapper.createObjectNode()
-    live.foreach { case (rel, zones) =>
+    // format marker: v2 nests each file's zones under "cols" and adds
+    // "rows". The key can never collide with a file entry — publish
+    // names always end in ".csv". v1 sidecars (flat col→zone maps)
+    // read back unchanged via the loader's fallback.
+    node.put("_v", 2)
+    live.foreach { case (rel, zones, rows) =>
       val f = node.putObject(rel)
+      if (rows >= 0) f.put("rows", rows)
+      val cs = f.putObject("cols")
       zones.foreach { case (col, z) =>
-        val c = f.putObject(col)
+        val c = cs.putObject(col)
         z.min.foreach(c.put("min", _))
         z.max.foreach(c.put("max", _))
         c.put("nulls", z.nulls)
@@ -161,24 +176,30 @@ private[sources] object CsvZones {
   }
 
   /** All commits' zone maps, keyed by root-relative file path. */
-  def load(root: HPath, conf: Configuration): Map[String, Map[String, CsvColZone]] = {
+  def load(root: HPath, conf: Configuration): Map[String, CsvFileZones] = {
     val fs = root.getFileSystem(conf)
     val dir = new HPath(root, Dir)
     if (!fs.exists(dir)) return Map.empty
-    val out = Map.newBuilder[String, Map[String, CsvColZone]]
+    val out = Map.newBuilder[String, CsvFileZones]
     fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
       .foreach { s =>
         val in = fs.open(s.getPath)
         val node = try mapper.readTree(in) finally in.close()
+        val v2 = node.get("_v") != null && node.get("_v").asInt() >= 2
         node.properties().forEach { e =>
-          val cols = Map.newBuilder[String, CsvColZone]
-          e.getValue.properties().forEach { c =>
-            cols += c.getKey -> CsvColZone(
-              Option(c.getValue.get("min")).map(_.asText()),
-              Option(c.getValue.get("max")).map(_.asText()),
-              Option(c.getValue.get("nulls")).exists(_.asBoolean()))
+          if (e.getKey != "_v") {
+            val colsNode = if (v2) e.getValue.get("cols") else e.getValue
+            val cols = Map.newBuilder[String, CsvColZone]
+            if (colsNode != null) colsNode.properties().forEach { c =>
+              cols += c.getKey -> CsvColZone(
+                Option(c.getValue.get("min")).map(_.asText()),
+                Option(c.getValue.get("max")).map(_.asText()),
+                Option(c.getValue.get("nulls")).exists(_.asBoolean()))
+            }
+            val rows =
+              if (v2) Option(e.getValue.get("rows")).map(_.asLong()) else None
+            out += e.getKey -> CsvFileZones(cols.result(), rows)
           }
-          out += e.getKey -> cols.result()
         }
       }
     out.result()

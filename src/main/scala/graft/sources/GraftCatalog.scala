@@ -69,13 +69,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private val mapper = new ObjectMapper()
 
-  /** Table metadata: schema, partition columns, and the ordered-write
-    * contract (`write.orderBy` sort columns + optional pinned
-    * `write.sortBuckets` file count) — see [[CsvZones]] for why ordered
-    * writes are the data-skipping shape. */
+  /** Table metadata: schema, partition columns (identity keys OR one
+    * `bucket(n, col)` hash transform — see [[CsvBucketSpec]]), and the
+    * ordered-write contract (`write.orderBy` sort columns + optional
+    * pinned `write.sortBuckets` file count) — see [[CsvZones]] for why
+    * ordered writes are the data-skipping shape. */
   private case class TableMeta(schema: StructType, partCols: Seq[String],
                                sortCols: Seq[String], sortBuckets: Int,
-                               versioned: Boolean = false)
+                               versioned: Boolean = false,
+                               bucket: Option[(String, Int)] = None)
 
   private def writeMeta(dir: HPath, meta: TableMeta): Unit = {
     val node = mapper.createObjectNode()
@@ -90,6 +92,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     if (meta.sortBuckets > 0) node.put("sortBuckets", meta.sortBuckets)
     if (meta.versioned) node.put("versioned", true)
+    meta.bucket.foreach { case (col, n) =>
+      node.put("bucketCol", col)
+      node.put("bucketCount", n)
+    }
     val out = fs.create(metaFile(dir), true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
   }
@@ -110,7 +116,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       cols, arr("sortCols"),
       Option(node.get("sortBuckets")).map(_.asInt()).getOrElse(0),
-      Option(node.get("versioned")).exists(_.asBoolean()))
+      Option(node.get("versioned")).exists(_.asBoolean()),
+      Option(node.get("bucketCol")).map(c =>
+        c.asText() -> node.get("bucketCount").asInt()))
   }
 
   private def tableOf(dir: HPath, meta: TableMeta,
@@ -118,7 +126,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftCsvTable(dir.toString, meta.schema, meta.partCols,
       catalogManaged = true, catalogSortCols = meta.sortCols,
       catalogSortBuckets = meta.sortBuckets,
-      catalogVersioned = meta.versioned, asOfVersion = asOf)
+      catalogVersioned = meta.versioned, asOfVersion = asOf,
+      catalogBucket = meta.bucket.map { case (col, n) =>
+        CsvBucketSpec(meta.schema.fields.find(_.name.equalsIgnoreCase(col)).get, n)
+      })
 
   // ---- TableCatalog -----------------------------------------------------
 
@@ -170,10 +181,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: JMap[String, String]): Table = {
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
-    // ONE OR MORE identity transforms, in declaration order — the
-    // nesting order of the hive layout (r14: compound keys,
-    // `PARTITIONED BY (d, src)` => `d=…/src=…/` directories)
-    val partCols = partitions.toSeq.map {
+    // Either ONE OR MORE identity transforms, in declaration order (the
+    // nesting order of the hive layout; r14: compound keys,
+    // `PARTITIONED BY (d, src)` => `d=…/src=…/` directories), or ONE
+    // `bucket(n, col)` hash transform (r15: hidden partitioning for
+    // high-cardinality keys — see CsvBucketSpec). Mixing the two would
+    // need a nested bucket-inside-key layout nothing here reads yet.
+    val bucketSpecs = partitions.toSeq.collect {
+      case t if t.name() == "bucket" =>
+        val refs = t.references()
+        if (refs.length != 1 || refs(0).fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"graft catalog: bucket() takes exactly one column; got $t")
+        val col = refs(0).fieldNames()(0)
+        val field = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: bucket column '$col' not in the schema"))
+        if (!PartitionedCsvLayout.keyTypeOk(field.dataType))
+          throw new IllegalArgumentException(
+            s"graft catalog: bucket column '$col' has type " +
+              s"${field.dataType.simpleString}; bucket keys must be " +
+              "string/integral/boolean")
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.dataType() == org.apache.spark.sql.types.IntegerType =>
+            lit.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket() needs an integer bucket count; got $t"))
+        if (n <= 0) throw new IllegalArgumentException(
+          s"graft catalog: bucket count must be positive; got $n")
+        (field.name, n)
+    }
+    if (bucketSpecs.length > 1) throw new UnsupportedOperationException(
+      "graft catalog: at most one bucket() transform is supported")
+    if (bucketSpecs.nonEmpty && partitions.length > 1)
+      throw new UnsupportedOperationException(
+        "graft catalog: bucket() cannot be combined with other " +
+          "PARTITIONED BY transforms")
+    val partCols = partitions.toSeq.filterNot(_.name() == "bucket").map {
       case t if t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         val col = t.references()(0).fieldNames()(0)
@@ -186,8 +231,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"${field.dataType.simpleString}; keys must be string/integral/boolean")
         field.name
       case other => throw new UnsupportedOperationException(
-        "graft catalog: only identity PARTITIONED BY columns are " +
-          s"supported; got $other")
+        "graft catalog: only identity and bucket(n, col) PARTITIONED BY " +
+          s"transforms are supported; got $other")
     }
     if (partCols.distinct.length != partCols.length)
       throw new IllegalArgumentException(
@@ -226,11 +271,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // logical, reads list nothing, and VERSION AS OF time-travels —
     // see GraftLog for the full contract.
     val versioned = Option(properties.get("versioned")).exists(_.toBoolean)
+    if (bucketSpecs.nonEmpty && sortCols.nonEmpty)
+      throw new IllegalArgumentException(
+        "graft catalog: write.orderBy and bucket() are mutually exclusive " +
+          "(a bucketed table already clusters on its hash)")
     val dir = tableDir(ident)
     if (fs.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
     if (!fs.exists(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     fs.mkdirs(dir)
-    val meta = TableMeta(schema, partCols, sortCols, sortBuckets, versioned)
+    val meta = TableMeta(schema, partCols, sortCols, sortBuckets, versioned,
+      bucketSpecs.headOption)
     writeMeta(dir, meta)
     tableOf(dir, meta)
   }

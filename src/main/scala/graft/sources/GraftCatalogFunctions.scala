@@ -24,13 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * family's distance.
   */
 object GraftCatalogFunctions {
-  val Names: Array[String] = Array("dotp", "poly31", "hamming64")
+  val Names: Array[String] = Array("dotp", "poly31", "hamming64", "bucket")
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "dotp" => Some(new DotpUnbound)
       case "poly31" => Some(new Poly31Unbound)
       case "hamming64" => Some(new HammingUnbound)
+      case "bucket" => Some(new BucketUnbound)
       case _ => None
     }
 }
@@ -96,6 +97,52 @@ private[sources] class Poly31Bound extends ScalarFunction[java.lang.Long] {
 
   override def produceResult(input: InternalRow): java.lang.Long =
     if (input.isNullAt(0)) null else invoke(input.getUTF8String(0))
+}
+
+/** The layout hash behind `PARTITIONED BY (bucket(n, col))` — exposed
+  * as a catalog V2 function because Spark RESOLVES the bucket transform
+  * through it: the write's clustered distribution shuffles by this
+  * function, and storage-partitioned joins compare both sides'
+  * transforms by its canonical name. One implementation
+  * ([[CsvBuckets.id]]) serves the writer's file routing, the scan's
+  * bucket pruning, and this SQL-visible face — they can never drift. */
+private[sources] class BucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key) -> int: the graft bucket-partitioning hash (splitmix64 " +
+      "integral / FNV-1a 64 utf8), id = floorMod(hash, n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    val ok = inputType.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      PartitionedCsvLayout.keyTypeOk(inputType.fields(1).dataType)
+    if (!ok) throw new UnsupportedOperationException(
+      "bucket expects (int, string|integral|boolean); got " +
+        inputType.simpleString)
+    new BucketBound(inputType.fields(1).dataType)
+  }
+}
+
+private[sources] class BucketBound(keyType: DataType)
+    extends ScalarFunction[java.lang.Integer] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): java.lang.Integer = {
+    val n = input.getInt(0)
+    val v: Any = keyType match {
+      case StringType => input.getUTF8String(1)
+      case LongType => input.getLong(1)
+      case IntegerType => input.getInt(1)
+      case ShortType => input.getShort(1)
+      case BooleanType => input.getBoolean(1)
+      case other => throw new UnsupportedOperationException(
+        s"bucket: unsupported key type $other")
+    }
+    CsvBuckets.id(n, v)
+  }
 }
 
 private[sources] class HammingUnbound extends UnboundFunction {

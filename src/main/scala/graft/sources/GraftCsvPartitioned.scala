@@ -264,7 +264,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      nullFill: Boolean = false,
                                      zoneSkip: Boolean = true,
                                      manifestFiles: Option[Map[String, Array[(String, Long)]]] = None,
-                                     maxVersionsPerTrigger: Option[Int] = None)
+                                     maxVersionsPerTrigger: Option[Int] = None,
+                                     bucketSpec: Option[CsvBucketSpec] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
@@ -293,21 +294,38 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     * zero I/O). */
   @volatile private[sources] var runtimeKeys: Option[Map[Int, Set[Any]]] = None
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    keyFields.map(f =>
-      Expressions.column(f.name): org.apache.spark.sql.connector.expressions.NamedReference).toArray
-  override def filter(filters: Array[Filter]): Unit = {
-    val perCol = filters.collect {
-      case org.apache.spark.sql.sources.In(a, vs)
-        if keyFields.exists(_.name.equalsIgnoreCase(a)) =>
-        keyFields.indexWhere(_.name.equalsIgnoreCase(a)) -> vs.toSet
-      case org.apache.spark.sql.sources.EqualTo(a, v)
-        if keyFields.exists(_.name.equalsIgnoreCase(a)) =>
-        keyFields.indexWhere(_.name.equalsIgnoreCase(a)) -> Set(v)
+    bucketSpec match {
+      // bucket mode: runtime values arrive on the SOURCE column and
+      // map to bucket ids (hash pruning, the DPP of hidden partitioning)
+      case Some(spec) => Array(Expressions.column(spec.col.name))
+      case None => keyFields.map(f =>
+        Expressions.column(f.name): org.apache.spark.sql.connector.expressions.NamedReference).toArray
     }
-    if (perCol.nonEmpty)
-      runtimeKeys = Some(perCol.groupBy(_._1).map { case (i, ss) =>
-        i -> ss.map(_._2).reduce(_ intersect _)
-      })
+  override def filter(filters: Array[Filter]): Unit = bucketSpec match {
+    case Some(spec) =>
+      val sets = filters.collect {
+        case org.apache.spark.sql.sources.In(a, vs)
+          if a.equalsIgnoreCase(spec.col.name) =>
+          vs.iterator.filter(_ != null).map(v => spec.idOf(v): Any).toSet
+        case org.apache.spark.sql.sources.EqualTo(a, v)
+          if a.equalsIgnoreCase(spec.col.name) && v != null =>
+          Set(spec.idOf(v): Any)
+      }
+      if (sets.nonEmpty)
+        runtimeKeys = Some(Map(0 -> sets.reduce(_ intersect _)))
+    case None =>
+      val perCol = filters.collect {
+        case org.apache.spark.sql.sources.In(a, vs)
+          if keyFields.exists(_.name.equalsIgnoreCase(a)) =>
+          keyFields.indexWhere(_.name.equalsIgnoreCase(a)) -> vs.toSet
+        case org.apache.spark.sql.sources.EqualTo(a, v)
+          if keyFields.exists(_.name.equalsIgnoreCase(a)) =>
+          keyFields.indexWhere(_.name.equalsIgnoreCase(a)) -> Set(v)
+      }
+      if (perCol.nonEmpty)
+        runtimeKeys = Some(perCol.groupBy(_._1).map { case (i, ss) =>
+          i -> ss.map(_._2).reduce(_ intersect _)
+        })
   }
 
   /** Per-directory file listings (with sizes), performed AT MOST once
@@ -330,8 +348,9 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
 
   /** Zone maps for this table, loaded at most once per scan and only
     * when a payload filter could use them (key filters already pruned
-    * whole directories; zones prune FILES inside surviving ones). */
-  private lazy val zones: Map[String, Map[String, CsvColZone]] =
+    * whole directories; zones prune FILES inside surviving ones) — or
+    * when statistics want the per-file row counts they carry. */
+  private lazy val zones: Map[String, CsvZones.CsvFileZones] =
     CsvZones.load(new HPath(path), conf.value)
 
   /** Fully-qualified table root (leaf dirs come from listStatus, which
@@ -368,7 +387,8 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
             else {
               val kept = listed.filter { f =>
                 val rel = s"$relDir/${new HPath(f).getName}"
-                zones.get(rel).forall(ZoneEval.mayMatch(payloadFilters, payload, _))
+                zones.get(rel).forall(z =>
+                  ZoneEval.mayMatch(payloadFilters, payload, z.cols))
               }
               skipped += listed.length - kept.length
               kept
@@ -429,26 +449,70 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     }.sum
   }
 
+  /** Exact post-static-pruning ROW COUNT, when every surviving file's
+    * sidecar carries one (tagged writes record it at commit — r15):
+    * summed from `_zones` metadata, zero file opens. Any file without
+    * the statistic (pre-r15 sidecars, untagged writes) degrades the
+    * whole answer to "unknown" — a partial sum would be a LIE the
+    * planner acts on. Versioned reads resolve rels off the manifest;
+    * listed reads reuse the same per-directory listings planning uses. */
+  private lazy val survivingRows: Option[Long] = {
+    if (zones.isEmpty) None
+    else {
+      var sum = 0L
+      var all = true
+      leaves.foreach { case (_, dir) =>
+        val relDir =
+          if (dir.startsWith(qualifiedRoot))
+            dir.substring(qualifiedRoot.length).dropWhile(_ == '/')
+          else if (dir.startsWith(path))
+            dir.substring(path.length).dropWhile(_ == '/')
+          else null
+        if (relDir == null) all = false
+        else listedOf(dir).foreach { case (f, _) =>
+          if (all) zones.get(s"$relDir/${new HPath(f).getName}")
+            .flatMap(_.rows) match {
+            case Some(r) => sum += r
+            case None => all = false
+          }
+        }
+      }
+      if (all) Some(sum) else None
+    }
+  }
+
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(survivingBytes)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      survivingRows.fold(java.util.OptionalLong.empty())(
+        java.util.OptionalLong.of)
   }
 
   /** The SPJ contract: rows are grouped by `identity(k1), identity(k2),
     * …` with exactly one partition per key tuple. */
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      keyFields.map(f => Expressions.identity(f.name): Transform).toArray,
-      leaves.length)
+  override def outputPartitioning(): Partitioning = bucketSpec match {
+    // bucket mode: the reported transform is bucket(n, col) — resolved
+    // through the catalog's own V2 `bucket` function, so two tables
+    // bucketed the same way storage-partition-join with zero exchange
+    case Some(spec) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(spec.n, spec.col.name): Transform),
+        leaves.length)
+    case None =>
+      new KeyGroupedPartitioning(
+        keyFields.map(f => Expressions.identity(f.name): Transform).toArray,
+        leaves.length)
+  }
 
   /** Within a partition every row carries the SAME key tuple, so
     * "ordered by (k1, k2, …) ascending" holds vacuously — reporting it
     * lets the engine drop the sorts under a storage-partitioned
-    * sort-merge join. */
+    * sort-merge join. A BUCKET partition holds many key values in file
+    * order: no ordering to report. */
   override def outputOrdering(): Array[SortOrder] =
-    keyFields.map(f => Expressions.sort(Expressions.column(f.name),
+    if (bucketSpec.isDefined) Array.empty
+    else keyFields.map(f => Expressions.sort(Expressions.column(f.name),
       SortDirection.ASCENDING)).toArray
 
   /** Streaming face (versioned tables only): the commit log as a

@@ -44,7 +44,8 @@ private[sources] class GraftCsvRowLevelOperation(path: String,
                                                  tableSchema: StructType,
                                                  partCols: Seq[String],
                                                  cmd: RowLevelOperation.Command,
-                                                 versioned: Boolean = false)
+                                                 versioned: Boolean = false,
+                                                 bucketSpec: Option[CsvBucketSpec] = None)
     extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -62,10 +63,11 @@ private[sources] class GraftCsvRowLevelOperation(path: String,
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCowScanBuilder(this, path, tableSchema, partCols, versioned)
+    new GraftCowScanBuilder(this, path, tableSchema, partCols, versioned,
+      bucketSpec)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCowWriteBuilder(this, path, info, partCols, versioned)
+    new GraftCowWriteBuilder(this, path, info, partCols, versioned, bucketSpec)
 }
 
 /** Column pruning only — deliberately NO filter pushdown: the rewrite
@@ -76,14 +78,15 @@ private[sources] class GraftCsvRowLevelOperation(path: String,
 private[sources] class GraftCowScanBuilder(op: GraftCsvRowLevelOperation,
                                            path: String, full: StructType,
                                            partCols: Seq[String],
-                                           versioned: Boolean = false)
+                                           versioned: Boolean = false,
+                                           bucketSpec: Option[CsvBucketSpec] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
     new GraftCowScan(op, path, full, partCols, required,
-      SerializableHadoopConf.fromSession(), versioned)
+      SerializableHadoopConf.fromSession(), versioned, bucketSpec)
 }
 
 /** One partition per part FILE (the replace group), each carrying its
@@ -95,7 +98,8 @@ private[sources] class GraftCowScan(op: GraftCsvRowLevelOperation,
                                     partCols: Seq[String],
                                     required: StructType,
                                     conf: SerializableHadoopConf,
-                                    versioned: Boolean = false)
+                                    versioned: Boolean = false,
+                                    bucketSpec: Option[CsvBucketSpec] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   private val keyFields: Seq[StructField] = partCols.map(c =>
@@ -122,6 +126,14 @@ private[sources] class GraftCowScan(op: GraftCsvRowLevelOperation,
           PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
         (raws, s"$path/${e.rel}")
       }
+    else if (bucketSpec.isDefined) {
+      // bucketed layout: files live under <col>_bucket=<id>/ dirs (the
+      // raws are cosmetic here — COW groups by _file, not by key)
+      val (_, leaves) = PartitionedCsvLayout.listPartitionTree(path, conf.value)
+      leaves.flatMap { case (raws, dir) =>
+        GraftCsvTable.listPartFiles(dir, conf.value).map(f => (raws, f))
+      }
+    }
     else if (partCols.isEmpty)
       GraftCsvTable.listPartFiles(path, conf.value).map(f => (Nil: Seq[String], f))
     else {
@@ -184,28 +196,38 @@ private[sources] class GraftCowWriteBuilder(op: GraftCsvRowLevelOperation,
                                             path: String,
                                             info: LogicalWriteInfo,
                                             partCols: Seq[String],
-                                            versioned: Boolean = false)
+                                            versioned: Boolean = false,
+                                            bucketSpec: Option[CsvBucketSpec] = None)
     extends WriteBuilder {
   override def build(): Write =
-    new GraftCowWrite(op, path, info, partCols, versioned)
+    new GraftCowWrite(op, path, info, partCols, versioned, bucketSpec)
 }
 
 private[sources] class GraftCowWrite(op: GraftCsvRowLevelOperation,
                                      path: String, info: LogicalWriteInfo,
                                      partCols: Seq[String],
-                                     versioned: Boolean = false)
+                                     versioned: Boolean = false,
+                                     bucketSpec: Option[CsvBucketSpec] = None)
     extends Write with RequiresDistributionAndOrdering {
-  override def requiredDistribution(): Distribution =
-    if (partCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(
-      partCols.map(c => Expressions.column(c): Expression).toArray)
-  override def requiredOrdering(): Array[SortOrder] =
-    if (partCols.isEmpty) Array.empty
-    else partCols.map(c => Expressions.sort(Expressions.column(c),
-      SortDirection.ASCENDING)).toArray
+  override def requiredDistribution(): Distribution = bucketSpec match {
+    case Some(b) => Distributions.clustered(
+      Array(Expressions.bucket(b.n, b.col.name): Expression))
+    case None =>
+      if (partCols.isEmpty) Distributions.unspecified()
+      else Distributions.clustered(
+        partCols.map(c => Expressions.column(c): Expression).toArray)
+  }
+  override def requiredOrdering(): Array[SortOrder] = bucketSpec match {
+    case Some(b) => Array(Expressions.sort(
+      Expressions.bucket(b.n, b.col.name), SortDirection.ASCENDING))
+    case None =>
+      if (partCols.isEmpty) Array.empty
+      else partCols.map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING)).toArray
+  }
   override def toBatch: BatchWrite =
     new GraftCowBatchWrite(op, path, info.schema(), info.queryId(),
-      SerializableHadoopConf.fromSession(), partCols, versioned)
+      SerializableHadoopConf.fromSession(), partCols, versioned, bucketSpec)
 }
 
 private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
@@ -213,7 +235,8 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
                                           queryId: String,
                                           conf: SerializableHadoopConf,
                                           partCols: Seq[String],
-                                          versioned: Boolean = false)
+                                          versioned: Boolean = false,
+                                          bucketSpec: Option[CsvBucketSpec] = None)
     extends BatchWrite {
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
@@ -221,7 +244,7 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
     // tagged names: rewritten groups can never collide with the files
     // they replace (publish-first, delete-second)
     new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partCols,
-      appendTag = Some(queryId))
+      appendTag = Some(queryId), bucketSpec = bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
@@ -236,7 +259,8 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
     // rewritten groups keep their data-skipping ability: same tagged-
     // write zone sidecar as a catalog INSERT (replaced files' entries
     // go stale harmlessly — their names are never reused)
-    CsvZones.write(root, conf.value, queryId, files.map(f => f.finalName -> f.zones))
+    CsvZones.write(root, conf.value, queryId,
+      files.map(f => (f.finalName, f.zones, f.rows)))
     if (versioned) {
       // 2v. LOGICAL replace: next manifest = live − replaced + rewritten;
       // replaced bytes stay on disk for older versions (VACUUM reclaims)
@@ -265,7 +289,8 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
       // 2. drop exactly the replaced group files
       op.replacedFiles.forEach(f => fs.delete(new HPath(f), false))
       // 3. prune directories the rewrite emptied (rows moved or deleted)
-      if (partCols.nonEmpty) GraftCsvTable.pruneEmptyKeyDirs(fs, root)
+      if (partCols.nonEmpty || bucketSpec.isDefined)
+        GraftCsvTable.pruneEmptyKeyDirs(fs, root)
     }
     fs.delete(tmpDir, true)
     fs.create(new HPath(root, "_SUCCESS"), true).close()

@@ -169,7 +169,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
                                      catalogSortCols: Seq[String] = Nil,
                                      catalogSortBuckets: Int = 0,
                                      catalogVersioned: Boolean = false,
-                                     asOfVersion: Option[Int] = None)
+                                     asOfVersion: Option[Int] = None,
+                                     catalogBucket: Option[CsvBucketSpec] = None)
     extends Table with SupportsWrite with SupportsRead
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -188,7 +189,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
         "catalog-managed table")
     requireWritable()
     () => new GraftCsvRowLevelOperation(path, tableSchema,
-      catalogPartitionCols, info.command(), catalogVersioned)
+      catalogPartitionCols, info.command(), catalogVersioned, catalogBucket)
   }
 
   private def requireWritable(): Unit =
@@ -208,6 +209,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
     if (catalogSortBuckets > 0)
       m.put("write.sortBuckets", catalogSortBuckets.toString)
     if (catalogVersioned) m.put("versioned", "true")
+    catalogBucket.foreach(b =>
+      m.put("bucket", s"bucket(${b.n}, ${b.col.name})"))
     m
   }
 
@@ -229,8 +232,11 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String = "committed part file this row was read from"
     })
-  override def partitioning(): Array[Transform] =
-    catalogPartitionCols.map(c => Expressions.identity(c): Transform).toArray
+  override def partitioning(): Array[Transform] = catalogBucket match {
+    case Some(b) => Array(Expressions.bucket(b.n, b.col.name): Transform)
+    case None =>
+      catalogPartitionCols.map(c => Expressions.identity(c): Transform).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (catalogManaged) {
       // catalog tables take their schema from _graft_table.json — writes
@@ -264,7 +270,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
       // FULL queryId (a UUID, filesystem-safe) — a truncated hash could
       // collide across INSERTs and publish() deletes-then-renames, so a
       // collision would silently REPLACE the earlier INSERT (advice r13).
-      appendTag = if (catalogManaged) Some(info.queryId()) else None)
+      appendTag = if (catalogManaged) Some(info.queryId()) else None,
+      bucketSpec = catalogBucket)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SerializableHadoopConf.fromSession()
@@ -284,7 +291,25 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
         case Some(v) => GraftLog.read(root, conf.value, v)
         case None => GraftLog.latest(root, conf.value)
       }
-      if (catalogPartitionCols.isEmpty)
+      if (catalogBucket.isDefined) {
+        val spec = catalogBucket.get
+        // bucket leaves straight off the manifest rel dirs
+        val byDir = entries.groupBy(e =>
+          e.rel.substring(0, e.rel.lastIndexOf('/').max(0)))
+        val leaves = byDir.keys.filter(_.startsWith(spec.dirPrefix))
+          .toArray.map { relDir =>
+            (relDir.substring(spec.dirPrefix.length).toInt, s"$path/$relDir")
+          }.sortBy(_._1)
+        val manifestFiles: Map[String, Array[(String, Long)]] =
+          byDir.map { case (relDir, es) =>
+            s"$path/$relDir" ->
+              es.map(e => (s"$path/${e.rel}", e.bytes)).sortBy(_._1).toArray
+          }
+        new BucketedCsvScanBuilder(path, tableSchema, spec, leaves, conf,
+          vectorized, nullFill = catalogManaged, zoneSkip = zoneSkip,
+          manifestFiles = Some(manifestFiles),
+          maxVersionsPerTrigger = maxVersions)
+      } else if (catalogPartitionCols.isEmpty)
         new GraftCsvScanBuilder(path, tableSchema, vectorized,
           nullFill = catalogManaged, zoneSkip = zoneSkip,
           manifest = Some(entries), maxVersionsPerTrigger = maxVersions)
@@ -307,6 +332,20 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
           zoneSkip = zoneSkip, manifestFiles = Some(manifestFiles),
           maxVersionsPerTrigger = maxVersions)
       }
+    } else if (catalogBucket.isDefined) {
+      // unversioned bucketed catalog table: bucket dirs from one listing
+      val spec = catalogBucket.get
+      val root = new HPath(path)
+      val fs = root.getFileSystem(conf.value)
+      val leaves: Array[(Int, String)] =
+        if (!fs.exists(root)) Array.empty
+        else fs.listStatus(root).collect {
+          case s if s.isDirectory && s.getPath.getName.startsWith(spec.dirPrefix) =>
+            (s.getPath.getName.substring(spec.dirPrefix.length).toInt,
+              s.getPath.toString)
+        }.sortBy(_._1)
+      new BucketedCsvScanBuilder(path, tableSchema, spec, leaves, conf,
+        vectorized, nullFill = catalogManaged, zoneSkip = zoneSkip)
     } else {
       // Layout sniff (ONE listing): a root holding key=value directories
       // was written with partitionedBy — serve it through the key-grouped
@@ -571,7 +610,8 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
                                      zoneSkip: Boolean = true,
                                      manifest: Option[Seq[GraftLog.Entry]] = None,
                                      maxVersionsPerTrigger: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -595,15 +635,57 @@ class GraftCsvScan private[sources] (path: String, required: StructType,
     val kept =
       if (!zoneSkip || pushed.isEmpty) files
       else {
-        val zones = CsvZones.load(new HPath(path), conf.value)
         if (zones.isEmpty) files
         else files.filter { f =>
           zones.get(new HPath(f).getName)
-            .forall(ZoneEval.mayMatch(pushed, full, _))
+            .forall(z => ZoneEval.mayMatch(pushed, full, z.cols))
         }
       }
     skippedByZones = files.length - kept.length
     kept.map(CsvFilePartition(_): InputPartition)
+  }
+
+  private lazy val zones: Map[String, CsvZones.CsvFileZones] =
+    CsvZones.load(new HPath(path), conf.value)
+
+  /** Table statistics for the planner — the flat-layout twin of
+    * [[KeyedCsvScan.estimateStatistics]]. Bytes come off the manifest
+    * on versioned reads (zero filesystem ops) or one listing
+    * otherwise; rows are the exact per-file counts the `_zones`
+    * sidecars record at commit (r15), reported only when EVERY live
+    * file carries one — a partial sum would mislead the planner.
+    * Without this a DSV2 relation defaults to `defaultSizeInBytes`,
+    * which is never broadcastable. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, names): (Long, Array[String]) = manifest match {
+      case Some(entries) =>
+        (entries.map(e => math.max(0L, e.bytes)).sum,
+          entries.map(_.rel).toArray)
+      case None =>
+        val fs = new HPath(path).getFileSystem(conf.value)
+        val files = GraftCsvTable.listPartFiles(path, conf.value)
+        (files.map(f => fs.getFileStatus(new HPath(f)).getLen).sum,
+          files.map(f => new HPath(f).getName))
+    }
+    val rows: Option[Long] =
+      if (zones.isEmpty) None
+      else {
+        var sum = 0L
+        var all = true
+        names.foreach { n =>
+          if (all) zones.get(n).flatMap(_.rows) match {
+            case Some(r) => sum += r
+            case None => all = false
+          }
+        }
+        if (all) Some(sum) else None
+      }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
   }
   /** Streaming face (versioned tables only) — the flat-layout twin of
     * [[KeyedCsvScan.toMicroBatchStream]]. */
@@ -999,7 +1081,8 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
                                             defaultSortCols: Seq[String] = Nil,
                                             appendTag: Option[String] = None,
                                             defaultSortBuckets: Int = 0,
-                                            versioned: Boolean = false)
+                                            versioned: Boolean = false,
+                                            bucketSpec: Option[CsvBucketSpec] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
   private def partitionCols: Seq[String] =
     Option(info.options().get("partitionedBy"))
@@ -1011,7 +1094,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
   override def truncate(): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Truncate,
       defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets,
-      versioned)
+      versioned, bucketSpec)
 
   /** Key-only overwrite filters are a pure metadata op; anything else
     * (payload predicates) is refused — Spark raises the analysis error
@@ -1033,7 +1116,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     val next = if (real.isEmpty) CsvWriteMode.Truncate
       else CsvWriteMode.OverwriteKeys(real)
     new GraftCsvWriteBuilder(path, info, next, defaultPartitionCols,
-      defaultSortCols, appendTag, defaultSortBuckets, versioned)
+      defaultSortCols, appendTag, defaultSortBuckets, versioned, bucketSpec)
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
@@ -1041,7 +1124,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
       "graft-csv sink: dynamic partition overwrite requires a partitioned table")
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.DynamicOverwrite,
       defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets,
-      versioned)
+      versioned, bucketSpec)
   }
 
   override def build(): Write = {
@@ -1106,7 +1189,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
       throw new IllegalArgumentException(
         "graft-csv sink: sortBuckets requires sortBy and a positive count")
     new GraftCsvWrite(path, info, mode, cluster, partitioned, appendTag, sorted,
-      sortBuckets, versioned)
+      sortBuckets, versioned, bucketSpec)
   }
 }
 
@@ -1129,7 +1212,8 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
                                      appendTag: Option[String] = None,
                                      sorted: Option[Seq[String]] = None,
                                      sortBuckets: Int = 0,
-                                     versioned: Boolean = false)
+                                     versioned: Boolean = false,
+                                     bucketSpec: Option[CsvBucketSpec] = None)
     extends Write with RequiresDistributionAndOrdering {
   /** 0 = engine's choice (AQE byte-sized range partitions); >0 pins the
     * ordered write's file count. */
@@ -1145,13 +1229,20 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
     // sortBy: ORDERED distribution (range partitioning) — contiguous
     // value runs per file, disjoint zone ranges (the data-skipping
     // write shape). clusterBy/partitionedBy: hash clustering (one key,
-    // one file).
-    sorted.map(cs => Distributions.ordered(sortOrders(cs)))
+    // one file). bucket(n, col): clustering on the TRANSFORM — Spark
+    // resolves it through the catalog's V2 `bucket` function and
+    // shuffles by the very hash the layout stores, so each task's rows
+    // arrive grouped by destination bucket.
+    bucketSpec.map(b => Distributions.clustered(
+        Array(Expressions.bucket(b.n, b.col.name): Expression)))
+      .orElse(sorted.map(cs => Distributions.ordered(sortOrders(cs))))
       .orElse(keys.map(cs => Distributions.clustered(
         cs.map(c => Expressions.column(c): Expression).toArray)))
       .getOrElse(Distributions.unspecified())
   override def requiredOrdering(): Array[SortOrder] =
-    sorted.orElse(keys).map(sortOrders).getOrElse(Array.empty)
+    bucketSpec.map(b => Array(Expressions.sort(
+        Expressions.bucket(b.n, b.col.name), SortDirection.ASCENDING)))
+      .getOrElse(sorted.orElse(keys).map(sortOrders).getOrElse(Array.empty))
   /** Spark-UI observability for the WRITE side (mirrors the paged
     * source's read metrics): rows/bytes/files per write, summed across
     * tasks and shown on the V2 write node. At a 100 TB ingest the
@@ -1164,7 +1255,8 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
 
   override def toBatch: BatchWrite =
     new GraftCsvBatchWrite(path, info.schema(), info.queryId(), mode,
-      SerializableHadoopConf.fromSession(), partitioned, appendTag, versioned)
+      SerializableHadoopConf.fromSession(), partitioned, appendTag, versioned,
+      bucketSpec)
   override def toStreaming: StreamingWrite = {
     if (versioned) {
       // `writeStream.toTable` on a VERSIONED catalog table (r15): every
@@ -1182,7 +1274,7 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
       }
       return new GraftCsvVersionedStreamingWrite(path, info.schema(),
         info.queryId(), SerializableHadoopConf.fromSession(), partitioned,
-        truncate)
+        truncate, bucketSpec)
     }
     if (partitioned.nonEmpty) throw new UnsupportedOperationException(
       "graft-csv sink: partitionedBy is batch-only on the path face (the " +
@@ -1199,7 +1291,8 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
   * (manifest fodder for versioned tables). */
 private[sources] case class CsvFileCommit(tempFile: String, finalName: String,
                                           zones: Map[String, CsvColZone] = Map.empty,
-                                          bytes: Long = -1L)
+                                          bytes: Long = -1L,
+                                          rows: Long = -1L)
   extends WriterCommitMessage
 
 private[sources] class CsvRowsWrittenMetric
@@ -1242,14 +1335,15 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
                                           conf: SerializableHadoopConf,
                                           partitioned: Seq[String] = Nil,
                                           appendTag: Option[String] = None,
-                                          versioned: Boolean = false)
+                                          versioned: Boolean = false,
+                                          bucketSpec: Option[CsvBucketSpec] = None)
     extends BatchWrite {
 
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partitioned,
-      appendTag)
+      appendTag, bucketSpec)
 
   private def commitFiles(messages: Array[WriterCommitMessage]): Seq[CsvFileCommit] =
     messages.flatMap {
@@ -1267,7 +1361,8 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
     GraftCsvCommit.publish(fs, root, messages)
     val files = commitFiles(messages)
     appendTag.foreach { tag =>
-      CsvZones.write(root, conf.value, tag, files.map(f => f.finalName -> f.zones))
+      CsvZones.write(root, conf.value, tag,
+        files.map(f => (f.finalName, f.zones, f.rows)))
     }
     val fresh = files.map(f => GraftLog.Entry(f.finalName, math.max(0L, f.bytes)))
     val ks = partitioned.flatMap(c =>
@@ -1337,7 +1432,7 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
       CsvZones.write(root, conf.value, tag, messages.flatMap {
         case f: CsvFileCommit => Seq(f)
         case CsvFilesCommit(fsq) => fsq
-      }.map(f => f.finalName -> f.zones).toSeq)
+      }.map(f => (f.finalName, f.zones, f.rows)).toSeq)
     }
     fs.delete(tmpDir, true)
     fs.create(new HPath(root, "_SUCCESS"), true).close()
@@ -1441,7 +1536,7 @@ private[sources] class GraftCsvStreamingWriterFactory(path: String, queryId: Str
 private[sources] class GraftCsvVersionedStreamingWrite(
     path: String, schema: StructType, queryId: String,
     conf: SerializableHadoopConf, partitioned: Seq[String],
-    truncate: Boolean)
+    truncate: Boolean, bucketSpec: Option[CsvBucketSpec] = None)
     extends StreamingWrite {
 
   private def tmpDir(epochId: Long) = new HPath(path, s"_tmp_${queryId}_e$epochId")
@@ -1450,7 +1545,7 @@ private[sources] class GraftCsvVersionedStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftCsvVersionedStreamingWriterFactory(path, queryId, schema, conf,
-      partitioned)
+      partitioned, bucketSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
@@ -1468,7 +1563,7 @@ private[sources] class GraftCsvVersionedStreamingWrite(
       case CsvFilesCommit(fsq) => fsq
     }.toSeq
     CsvZones.write(root, conf.value, tagOf(epochId),
-      files.map(f => f.finalName -> f.zones))
+      files.map(f => (f.finalName, f.zones, f.rows)))
     val fresh = files.map(f => GraftLog.Entry(f.finalName, math.max(0L, f.bytes)))
     GraftLog.commit(root, conf.value,
       live => (if (truncate) Nil else live) ++ fresh,
@@ -1484,13 +1579,17 @@ private[sources] class GraftCsvVersionedStreamingWrite(
 
 private[sources] class GraftCsvVersionedStreamingWriterFactory(
     path: String, queryId: String, schema: StructType,
-    conf: SerializableHadoopConf, partitioned: Seq[String])
+    conf: SerializableHadoopConf, partitioned: Seq[String],
+    bucketSpec: Option[CsvBucketSpec] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val tmp = s"$path/_tmp_${queryId}_e$epochId"
     val stem = s"part-$queryId-e$epochId"
-    if (partitioned.nonEmpty)
+    if (bucketSpec.isDefined)
+      new BucketedCsvWriter(tmp, schema, bucketSpec.get, partitionId,
+        taskId, conf, stem, trackZones = true)
+    else if (partitioned.nonEmpty)
       new GraftCsvPartitionedWriter(tmp, schema, partitioned, partitionId,
         taskId, conf, stem, trackZones = true)
     else
@@ -1503,7 +1602,8 @@ private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
                                              schema: StructType,
                                              conf: SerializableHadoopConf,
                                              partitioned: Seq[String] = Nil,
-                                             appendTag: Option[String] = None)
+                                             appendTag: Option[String] = None,
+                                             bucketSpec: Option[CsvBucketSpec] = None)
     extends DataWriterFactory {
   // catalog INSERTs stamp the write tag into every published name so
   // successive writes append instead of replacing each other's files
@@ -1512,7 +1612,10 @@ private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
   // stale against a same-named different file — track them
   private val trackZones = appendTag.isDefined
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partitioned.nonEmpty)
+    if (bucketSpec.isDefined)
+      new BucketedCsvWriter(tmpDir, schema, bucketSpec.get, partitionId,
+        taskId, conf, stem, trackZones)
+    else if (partitioned.nonEmpty)
       new GraftCsvPartitionedWriter(tmpDir, schema, partitioned, partitionId,
         taskId, conf, stem, trackZones)
     else
@@ -1586,7 +1689,7 @@ private[sources] class GraftCsvDataWriter(tmpDir: String, schema: StructType,
     out.close()
     CsvFileCommit(tempFile.toString, finalName,
       if (zoneTracker != null && rows > 0) zoneTracker.result() else Map.empty,
-      bytes)
+      bytes, rows)
   }
 
   override def abort(): Unit = {

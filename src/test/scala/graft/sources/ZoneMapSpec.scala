@@ -119,6 +119,66 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(all.count() == 4000)
   }
 
+  test("exact numRows statistics: sidecar row counts sum on both scan faces") {
+    wh
+    // keyed face: two INSERTs, 12 rows over 3 keys
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.zrows " +
+      "(k STRING, v BIGINT) PARTITIONED BY (k)")
+    spark.range(0, 9).createOrReplaceTempView("zrows_src")
+    spark.sql(s"INSERT INTO $cat.wh.zrows " +
+      "SELECT concat('k', id % 3), id FROM zrows_src")
+    spark.sql(s"INSERT INTO $cat.wh.zrows VALUES ('k0', 100), ('k1', 101), ('k2', 102)")
+    val st = keyedScanOf(spark.sql(s"SELECT * FROM $cat.wh.zrows"))
+      .estimateStatistics()
+    assert(st.numRows().getAsLong == 12, "exact row count off the sidecars")
+    assert(st.sizeInBytes().getAsLong > 0)
+    // static key pruning prices the slice, not the table
+    val sliced = keyedScanOf(
+      spark.sql(s"SELECT * FROM $cat.wh.zrows WHERE k = 'k0'"))
+      .estimateStatistics()
+    assert(sliced.numRows().getAsLong == 4) // ids 0,3,6 + the 100 row
+
+    // flat sorted face
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.zrows_f (d STRING, v BIGINT) " +
+      "TBLPROPERTIES('write.orderBy'='d', 'write.sortBuckets'='4')")
+    spark.sql(s"INSERT INTO $cat.wh.zrows_f " +
+      "SELECT concat('d', id), id FROM zrows_src")
+    val fst = flatScanOf(spark.sql(s"SELECT * FROM $cat.wh.zrows_f"))
+      .estimateStatistics()
+    assert(fst.numRows().getAsLong == 9)
+    assert(fst.sizeInBytes().getAsLong > 0)
+  }
+
+  test("numRows degrades to UNKNOWN when any live file lacks the statistic (v1 sidecars)") {
+    wh
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.zrows_v1 " +
+      "(k STRING, v BIGINT) PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO $cat.wh.zrows_v1 VALUES ('a', 1), ('b', 2)")
+    // doctor the sidecar back to the v1 format (flat col→zone map, no
+    // rows): pre-r15 sidecars must read back with zones intact and the
+    // row statistic absent — never a partial (wrong) sum
+    val zdir = new java.io.File(s"$wh/wh/zrows_v1/${CsvZones.Dir}")
+    val sidecar = zdir.listFiles().filter(_.getName.endsWith(".json")).head
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(sidecar)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val v1 = mapper.createObjectNode()
+    node.properties().forEach { e =>
+      if (e.getKey != "_v") v1.set[com.fasterxml.jackson.databind.JsonNode](
+        e.getKey, e.getValue.get("cols"))
+    }
+    java.nio.file.Files.write(sidecar.toPath, mapper.writeValueAsBytes(v1))
+    new java.io.File(sidecar.getParentFile, s".${sidecar.getName}.crc").delete()
+
+    val st = keyedScanOf(spark.sql(s"SELECT * FROM $cat.wh.zrows_v1"))
+      .estimateStatistics()
+    assert(!st.numRows().isPresent, "a v1 sidecar must not fake a row count")
+    assert(st.sizeInBytes().getAsLong > 0)
+    // the v1 zones still skip: query values unaffected
+    val q = spark.sql(s"SELECT v FROM $cat.wh.zrows_v1 WHERE v = 1")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("untagged path-API writes never produce a zone sidecar (name reuse would unsound it)") {
     val path = s"${sys.props("java.io.tmpdir")}/graft_zone_path_${ProcessHandle.current().pid()}"
     spark.range(0, 100).selectExpr("id AS v", "concat('x', id) AS s")
@@ -161,7 +221,7 @@ class ZoneMapSpec extends AnyFunSuite {
     // only the overwrite commit's entries survive, and they carry the
     // new range — a pre-truncate zone would claim [0, 499]
     assert(zones.nonEmpty)
-    assert(zones.values.forall(_("v").min.get.toLong >= 10000))
+    assert(zones.values.forall(_.cols("v").min.get.toLong >= 10000))
     val q = spark.sql(s"SELECT v FROM $cat.wh.zt WHERE v < 1000")
     assert(q.count() == 0)
   }
