@@ -713,6 +713,45 @@ object SinksPack {
         ORDER BY o.c""")
     },
 
+    // Enforced CHECK constraints (r15, Spark 4.1 DSV2 constraints):
+    // the table DECLARES its integrity rule in DDL and the ENGINE
+    // enforces it — Spark wraps every write in a CheckInvariant from
+    // the constraint the catalog reports, so a violating batch fails
+    // BEFORE the two-phase commit publishes a byte. The gate: after a
+    // refused bad load (negative counts — a classic upstream bug), the
+    // table still hash-matches the clean aggregate, at the same
+    // manifest version. PRIMARY KEY/UNIQUE are informational RELY
+    // metadata (nothing on this engine enforces uniqueness, so nothing
+    // pretends to); FOREIGN KEY is refused at DDL (ConstraintSpec).
+    "q_k_catalog_check" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#check") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.li_ck " +
+          "(m STRING, rf STRING, n_items BIGINT, " +
+          "CONSTRAINT n_items_pos CHECK (n_items > 0)) " +
+          "PARTITIONED BY (m) TBLPROPERTIES('versioned'='true')")
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_cat_li_ck")
+        s.sql(s"""INSERT INTO $cat.wh.li_ck
+          SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, count(*)
+          FROM graft_cat_li_ck GROUP BY 1, 2""")
+        // the bad load: negated counts — must be REFUSED whole
+        val refused =
+          try {
+            s.sql(s"""INSERT INTO $cat.wh.li_ck
+              SELECT date_format(l_shipdate, 'yyyy-MM'), l_returnflag, -count(*)
+              FROM graft_cat_li_ck GROUP BY 1, 2""")
+            false
+          } catch { case _: Exception => true }
+        require(refused, "CHECK enforcement failed: the violating " +
+          "INSERT was accepted")
+      }
+      s.sql(s"SELECT m, rf, n_items FROM $cat.wh.li_ck ORDER BY m, rf")
+    },
+
     // Streaming incremental view maintenance (r15): the changefeed
     // drained ONE COMMIT PER MICRO-BATCH (`maxVersionsPerTrigger=1`,
     // the Delta maxFilesPerTrigger shape) into a foreachBatch MERGE
@@ -1523,6 +1562,13 @@ object SinksPack {
          |SELECT o.c AS c, p.seg, o.n_orders, o.revenue, p.acctbal
          |FROM o JOIN p ON o.c = p.c
          |ORDER BY c""".stripMargin,
+
+    // The refused violating load published nothing: the table equals
+    // the clean aggregate alone.
+    "q_k_catalog_check" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS m, l_returnflag AS rf,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY 1, 2 ORDER BY m, rf""".stripMargin,
 
     // The commit-by-commit MERGE-maintained view converges to the same
     // current-state aggregate the one-shot signed fold produces.

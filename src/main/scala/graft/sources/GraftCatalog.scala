@@ -70,14 +70,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val mapper = new ObjectMapper()
 
   /** Table metadata: schema, partition columns (identity keys OR one
-    * `bucket(n, col)` hash transform — see [[CsvBucketSpec]]), and the
+    * `bucket(n, col)` hash transform — see [[CsvBucketSpec]]), the
     * ordered-write contract (`write.orderBy` sort columns + optional
-    * pinned `write.sortBuckets` file count) — see [[CsvZones]] for why
-    * ordered writes are the data-skipping shape. */
+    * pinned `write.sortBuckets` file count — see [[CsvZones]] for why
+    * ordered writes are the data-skipping shape), and the table's
+    * integrity constraints ([[StoredConstraint]]). */
   private case class TableMeta(schema: StructType, partCols: Seq[String],
                                sortCols: Seq[String], sortBuckets: Int,
                                versioned: Boolean = false,
-                               bucket: Option[(String, Int)] = None)
+                               bucket: Option[(String, Int)] = None,
+                               constraints: Seq[StoredConstraint] = Nil)
 
   private def writeMeta(dir: HPath, meta: TableMeta): Unit = {
     val node = mapper.createObjectNode()
@@ -96,6 +98,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       node.put("bucketCol", col)
       node.put("bucketCount", n)
     }
+    if (meta.constraints.nonEmpty) {
+      val arr = node.putArray("constraints")
+      meta.constraints.foreach { c =>
+        val o = arr.addObject()
+        o.put("kind", c.kind)
+        o.put("name", c.name)
+        c.sql.foreach(o.put("sql", _))
+        if (c.cols.nonEmpty) {
+          val cs = o.putArray("cols")
+          c.cols.foreach(cs.add)
+        }
+        o.put("enforced", c.enforced)
+        o.put("rely", c.rely)
+      }
+    }
     val out = fs.create(metaFile(dir), true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
   }
@@ -112,13 +129,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // pre-r14 metadata: a single "partitionCol" string
       case None => Option(node.get("partitionCol")).map(_.asText()).toSeq
     }
+    val constraints = Option(node.get("constraints")) match {
+      case Some(a) => (0 until a.size()).map { i =>
+        val o = a.get(i)
+        val ccols = Option(o.get("cols")) match {
+          case Some(cs) => (0 until cs.size()).map(cs.get(_).asText())
+          case None => Nil
+        }
+        StoredConstraint(o.get("kind").asText(), o.get("name").asText(),
+          Option(o.get("sql")).map(_.asText()), ccols,
+          o.get("enforced").asBoolean(), o.get("rely").asBoolean())
+      }
+      case None => Nil
+    }
     TableMeta(
       DataType.fromJson(node.get("schema").asText()).asInstanceOf[StructType],
       cols, arr("sortCols"),
       Option(node.get("sortBuckets")).map(_.asInt()).getOrElse(0),
       Option(node.get("versioned")).exists(_.asBoolean()),
       Option(node.get("bucketCol")).map(c =>
-        c.asText() -> node.get("bucketCount").asInt()))
+        c.asText() -> node.get("bucketCount").asInt()),
+      constraints)
   }
 
   private def tableOf(dir: HPath, meta: TableMeta,
@@ -129,9 +160,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       catalogVersioned = meta.versioned, asOfVersion = asOf,
       catalogBucket = meta.bucket.map { case (col, n) =>
         CsvBucketSpec(meta.schema.fields.find(_.name.equalsIgnoreCase(col)).get, n)
-      })
+      },
+      catalogConstraints = meta.constraints.map(_.toV2).toArray)
 
   // ---- TableCatalog -----------------------------------------------------
+
+  /** Declares the DSV2 constraint surface (r15): `CREATE TABLE … CHECK
+    * (…)` / `ALTER TABLE … ADD CONSTRAINT` route here instead of being
+    * rejected at analysis. */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** The TableInfo face of CREATE TABLE — the one that carries
+    * constraints. Delegates the schema/partition/property work to the
+    * columns overload, then persists the constraint list ([[
+    * StoredConstraint]]): CHECK enforced at write, PK/UNIQUE
+    * informational, FK refused. */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val stored = info.constraints().toSeq.map(StoredConstraint.fromV2)
+    createTable(ident, info.columns(), info.partitions(), info.properties())
+    if (stored.isEmpty) loadTable(ident)
+    else {
+      val dir = tableDir(ident)
+      val meta = readMeta(dir).copy(constraints = stored)
+      writeMeta(dir, meta)
+      tableOf(dir, meta)
+    }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace)
@@ -541,9 +597,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "pre-evolution rows read back as NULL")
         schema = schema.add(org.apache.spark.sql.types.StructField(
           name, add.dataType(), nullable = true))
+      // ALTER TABLE … ADD CONSTRAINT (r15): a metadata edit. New CHECK
+      // constraints guard FUTURE writes; existing rows are not
+      // re-validated here (Spark runs its own validation scan first
+      // when the DDL asks for ENFORCED — by the time the change
+      // arrives, accepting it is correct).
+      case add: TableChange.AddConstraint =>
+        val c = StoredConstraint.fromV2(add.constraint())
+        if (meta.constraints.exists(_.name.equalsIgnoreCase(c.name)))
+          throw new IllegalArgumentException(
+            s"graft catalog: constraint '${c.name}' already exists")
+        meta = meta.copy(constraints = meta.constraints :+ c)
+      case drop: TableChange.DropConstraint =>
+        val exists = meta.constraints.exists(_.name.equalsIgnoreCase(drop.name()))
+        if (!exists && !drop.ifExists())
+          throw new IllegalArgumentException(
+            s"graft catalog: no constraint named '${drop.name()}' (have: " +
+              s"${meta.constraints.map(_.name).mkString(", ")})")
+        meta = meta.copy(constraints =
+          meta.constraints.filterNot(_.name.equalsIgnoreCase(drop.name())))
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other (only " +
-          "ADD COLUMN evolves in place; anything else needs a rewrite)")
+          "ADD COLUMN and ADD/DROP CONSTRAINT evolve in place; anything " +
+          "else needs a rewrite)")
     }
     meta = meta.copy(schema = schema)
     writeMeta(dir, meta)
@@ -792,6 +868,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
         namespace)
     else fs.delete(dir, true)
+  }
+}
+
+/** One persisted table constraint (r15, the Spark 4.1 DSV2 constraints
+  * surface — SPARK-51207): `CHECK` carries its predicate SQL and is
+  * ENFORCED at write time (Spark's ResolveTableConstraints injects a
+  * CheckInvariant above every write to the table, so a violating row
+  * fails the job before the two-phase commit publishes anything);
+  * `PRIMARY KEY` / `UNIQUE` are INFORMATIONAL — stored, surfaced, and
+  * available to the planner via RELY, never silently "enforced" by a
+  * scan nothing actually guarantees (the honest lakehouse stance:
+  * Delta and Iceberg do the same). */
+private[sources] case class StoredConstraint(kind: String, name: String,
+                                             sql: Option[String],
+                                             cols: Seq[String],
+                                             enforced: Boolean,
+                                             rely: Boolean) {
+  import org.apache.spark.sql.connector.catalog.constraints.Constraint
+  def toV2: Constraint = kind match {
+    case "check" =>
+      Constraint.check(name).predicateSql(sql.get)
+        .enforced(enforced).rely(rely).build()
+    case "primaryKey" =>
+      Constraint.primaryKey(name,
+        cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .column(c)).toArray)
+        .enforced(enforced).rely(rely).build()
+    case "unique" =>
+      Constraint.unique(name,
+        cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .column(c)).toArray)
+        .enforced(enforced).rely(rely).build()
+    case other => throw new IllegalStateException(
+      s"graft catalog: unknown stored constraint kind '$other'")
+  }
+}
+
+private[sources] object StoredConstraint {
+  import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint, ForeignKey, PrimaryKey, Unique}
+  def fromV2(c: Constraint): StoredConstraint = c match {
+    case ck: Check =>
+      require(ck.predicateSql() != null && ck.predicateSql().nonEmpty,
+        s"graft catalog: CHECK constraint '${ck.name()}' has no predicate SQL")
+      StoredConstraint("check", ck.name(), Some(ck.predicateSql()), Nil,
+        ck.enforced(), ck.rely())
+    case pk: PrimaryKey =>
+      StoredConstraint("primaryKey", pk.name(), None,
+        pk.columns().map(_.fieldNames().mkString(".")).toSeq,
+        enforced = false, pk.rely())
+    case u: Unique =>
+      StoredConstraint("unique", u.name(), None,
+        u.columns().map(_.fieldNames().mkString(".")).toSeq,
+        enforced = false, u.rely())
+    case _: ForeignKey => throw new UnsupportedOperationException(
+      "graft catalog: FOREIGN KEY constraints are not supported — the " +
+        "catalog stores no cross-table referential metadata (CHECK is " +
+        "enforced; PRIMARY KEY / UNIQUE are informational)")
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog: unsupported constraint $other")
   }
 }
 

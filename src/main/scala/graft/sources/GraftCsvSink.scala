@@ -170,7 +170,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
                                      catalogSortBuckets: Int = 0,
                                      catalogVersioned: Boolean = false,
                                      asOfVersion: Option[Int] = None,
-                                     catalogBucket: Option[CsvBucketSpec] = None)
+                                     catalogBucket: Option[CsvBucketSpec] = None,
+                                     catalogConstraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty)
     extends Table with SupportsWrite with SupportsRead
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -199,6 +200,14 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
   require(path != null, "graft-csv sink requires option(\"path\", …)")
   override def name(): String = s"graft_csv($path)"
   override def schema(): StructType = tableSchema
+
+  /** Integrity constraints (r15): CHECK constraints reported here are
+    * ENFORCED by Spark itself — ResolveTableConstraints wraps every
+    * write to this table in a CheckInvariant, so a violating row fails
+    * the job before the two-phase commit publishes a byte. PRIMARY
+    * KEY/UNIQUE are informational (RELY metadata for the planner). */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    catalogConstraints
 
   /** `SHOW TBLPROPERTIES` surface: the write/versioning contract a
     * reader of the catalog should see, not guess. */
