@@ -713,6 +713,35 @@ object SinksPack {
         ORDER BY o.c""")
     },
 
+    // truncate(w, col) hidden partitioning (r15): the ORDER-PRESERVING
+    // derived transform — truncate(7, o_orderdate-as-string) IS the
+    // monthly directory layout, with no materialized month column.
+    // Unlike bucket(), ranges prune: this date-sliced read opens ONLY
+    // the three intersecting month directories (BucketedTableSpec pins
+    // the partition count and the zero-exchange SPJ between two
+    // same-truncated tables); the gate hash-matches the range
+    // aggregate. The daily-reload + date-window-serving loop is the
+    // reference's exact access pattern (…final.py:137).
+    "q_k_truncated_table" -> { (s, d) =>
+      val cat = "graftw"
+      val wh = tmpPath("catalog_wh", d)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ensureFixture(s"$wh#truncated") {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+        s.sql(s"CREATE TABLE IF NOT EXISTS $cat.wh.ord_trunc " +
+          "(d STRING, n_orders BIGINT, revenue DOUBLE) " +
+          "PARTITIONED BY (truncate(7, d)) TBLPROPERTIES('versioned'='true')")
+        Tables.orders(s, d).createOrReplaceTempView("graft_cat_ord_trunc")
+        s.sql(s"""INSERT INTO $cat.wh.ord_trunc
+          SELECT date_format(o_orderdate, 'yyyy-MM-dd'), count(*),
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          FROM graft_cat_ord_trunc GROUP BY 1""")
+      }
+      s.sql(s"""SELECT d, n_orders, revenue FROM $cat.wh.ord_trunc
+        WHERE d >= '1996-03-01' AND d <= '1996-05-31' ORDER BY d""")
+    },
+
     // Enforced CHECK constraints (r15, Spark 4.1 DSV2 constraints):
     // the table DECLARES its integrity rule in DDL and the ENGINE
     // enforces it — Spark wraps every write in a CheckInvariant from
@@ -1562,6 +1591,17 @@ object SinksPack {
          |SELECT o.c AS c, p.seg, o.n_orders, o.revenue, p.acctbal
          |FROM o JOIN p ON o.c = p.c
          |ORDER BY c""".stripMargin,
+
+    // The truncated-layout date slice equals the plain aggregate slice
+    // (same oracle shape as q_k_zone_skip — different pruning engine).
+    "q_k_truncated_table" ->
+      s"""WITH t AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_orders,
+         |         ${Num.dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT d, n_orders, revenue FROM t
+         |WHERE d >= '1996-03-01' AND d <= '1996-05-31'
+         |ORDER BY d""".stripMargin,
 
     // The refused violating load published nothing: the table equals
     // the clean aggregate alone.

@@ -79,7 +79,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                sortCols: Seq[String], sortBuckets: Int,
                                versioned: Boolean = false,
                                bucket: Option[(String, Int)] = None,
-                               constraints: Seq[StoredConstraint] = Nil)
+                               constraints: Seq[StoredConstraint] = Nil,
+                               trunc: Option[(String, Int)] = None)
 
   private def writeMeta(dir: HPath, meta: TableMeta): Unit = {
     val node = mapper.createObjectNode()
@@ -97,6 +98,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     meta.bucket.foreach { case (col, n) =>
       node.put("bucketCol", col)
       node.put("bucketCount", n)
+    }
+    meta.trunc.foreach { case (col, w) =>
+      node.put("truncCol", col)
+      node.put("truncWidth", w)
     }
     if (meta.constraints.nonEmpty) {
       val arr = node.putArray("constraints")
@@ -149,7 +154,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(node.get("versioned")).exists(_.asBoolean()),
       Option(node.get("bucketCol")).map(c =>
         c.asText() -> node.get("bucketCount").asInt()),
-      constraints)
+      constraints,
+      Option(node.get("truncCol")).map(c =>
+        c.asText() -> node.get("truncWidth").asInt()))
   }
 
   private def tableOf(dir: HPath, meta: TableMeta,
@@ -158,9 +165,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       catalogManaged = true, catalogSortCols = meta.sortCols,
       catalogSortBuckets = meta.sortBuckets,
       catalogVersioned = meta.versioned, asOfVersion = asOf,
-      catalogBucket = meta.bucket.map { case (col, n) =>
-        CsvBucketSpec(meta.schema.fields.find(_.name.equalsIgnoreCase(col)).get, n)
-      },
+      catalogDerived = meta.bucket.map { case (col, n) =>
+        CsvBucketSpec(meta.schema.fields.find(_.name.equalsIgnoreCase(col)).get,
+          n): CsvDerivedSpec
+      }.orElse(meta.trunc.map { case (col, w) =>
+        CsvTruncSpec(meta.schema.fields.find(_.name.equalsIgnoreCase(col)).get,
+          w): CsvDerivedSpec
+      }),
       catalogConstraints = meta.constraints.map(_.toV2).toArray)
 
   // ---- TableCatalog -----------------------------------------------------
@@ -243,7 +254,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // `bucket(n, col)` hash transform (r15: hidden partitioning for
     // high-cardinality keys — see CsvBucketSpec). Mixing the two would
     // need a nested bucket-inside-key layout nothing here reads yet.
-    val bucketSpecs = partitions.toSeq.collect {
+    val derivedSpecs = partitions.toSeq.collect {
       case t if t.name() == "bucket" =>
         val refs = t.references()
         if (refs.length != 1 || refs(0).fieldNames().length != 1)
@@ -268,13 +279,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: bucket count must be positive; got $n")
         (field.name, n)
     }
-    if (bucketSpecs.length > 1) throw new UnsupportedOperationException(
-      "graft catalog: at most one bucket() transform is supported")
-    if (bucketSpecs.nonEmpty && partitions.length > 1)
+    // truncate(w, col) — the order-preserving derived transform
+    // (strings: prefix; integrals: width bins); see CsvTruncSpec
+    val truncSpecs = partitions.toSeq.collect {
+      case t if t.name() == "truncate" =>
+        val refs = t.references()
+        if (refs.length != 1 || refs(0).fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"graft catalog: truncate() takes exactly one column; got $t")
+        val col = refs(0).fieldNames()(0)
+        val field = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: truncate column '$col' not in the schema"))
+        field.dataType match {
+          case org.apache.spark.sql.types.StringType
+               | org.apache.spark.sql.types.LongType
+               | org.apache.spark.sql.types.IntegerType
+               | org.apache.spark.sql.types.ShortType => ()
+          case other => throw new IllegalArgumentException(
+            s"graft catalog: truncate column '$col' has type " +
+              s"${other.simpleString}; truncate keys must be string or integral")
+        }
+        val w = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.dataType() == org.apache.spark.sql.types.IntegerType =>
+            lit.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: truncate() needs an integer width; got $t"))
+        if (w <= 0) throw new IllegalArgumentException(
+          s"graft catalog: truncate width must be positive; got $w")
+        (field.name, w)
+    }
+    val derivedCount = derivedSpecs.length + truncSpecs.length
+    if (derivedCount > 1) throw new UnsupportedOperationException(
+      "graft catalog: at most one bucket()/truncate() transform is supported")
+    if (derivedCount == 1 && partitions.length > 1)
       throw new UnsupportedOperationException(
-        "graft catalog: bucket() cannot be combined with other " +
+        "graft catalog: bucket()/truncate() cannot be combined with other " +
           "PARTITIONED BY transforms")
-    val partCols = partitions.toSeq.filterNot(_.name() == "bucket").map {
+    val partCols = partitions.toSeq
+      .filterNot(t => t.name() == "bucket" || t.name() == "truncate").map {
       case t if t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         val col = t.references()(0).fieldNames()(0)
@@ -327,16 +371,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // logical, reads list nothing, and VERSION AS OF time-travels —
     // see GraftLog for the full contract.
     val versioned = Option(properties.get("versioned")).exists(_.toBoolean)
-    if (bucketSpecs.nonEmpty && sortCols.nonEmpty)
+    if (derivedCount == 1 && sortCols.nonEmpty)
       throw new IllegalArgumentException(
-        "graft catalog: write.orderBy and bucket() are mutually exclusive " +
-          "(a bucketed table already clusters on its hash)")
+        "graft catalog: write.orderBy and bucket()/truncate() are mutually " +
+          "exclusive (a derived-partitioned table already clusters on its " +
+          "transform)")
     val dir = tableDir(ident)
     if (fs.exists(metaFile(dir))) throw new TableAlreadyExistsException(ident)
     if (!fs.exists(dir.getParent)) throw new NoSuchNamespaceException(ident.namespace())
     fs.mkdirs(dir)
     val meta = TableMeta(schema, partCols, sortCols, sortBuckets, versioned,
-      bucketSpecs.headOption)
+      derivedSpecs.headOption, trunc = truncSpecs.headOption)
     writeMeta(dir, meta)
     tableOf(dir, meta)
   }

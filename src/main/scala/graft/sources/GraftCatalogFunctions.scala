@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * family's distance.
   */
 object GraftCatalogFunctions {
-  val Names: Array[String] = Array("dotp", "poly31", "hamming64", "bucket")
+  val Names: Array[String] = Array("dotp", "poly31", "hamming64", "bucket",
+    "truncate")
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase(java.util.Locale.ROOT) match {
@@ -32,6 +33,13 @@ object GraftCatalogFunctions {
       case "poly31" => Some(new Poly31Unbound)
       case "hamming64" => Some(new HammingUnbound)
       case "bucket" => Some(new BucketUnbound)
+      case "truncate" => Some(new TruncateUnbound(None))
+      // width-suffixed resolution names for the truncate LAYOUT
+      // transform (`truncate7(m)` — see CsvTruncSpec.transform for why
+      // the width must ride the name): internal, not listed
+      case n if n.startsWith("truncate") &&
+          n.substring(8).nonEmpty && n.substring(8).forall(_.isDigit) =>
+        Some(new TruncateUnbound(Some(n.substring(8).toInt)))
       case _ => None
     }
 }
@@ -142,6 +150,72 @@ private[sources] class BucketBound(keyType: DataType)
         s"bucket: unsupported key type $other")
     }
     CsvBuckets.id(n, v)
+  }
+}
+
+/** The order-preserving layout transform behind `PARTITIONED BY
+  * (truncate(w, col))` — exposed as a catalog V2 function for the same
+  * reason as `bucket`: Spark resolves the transform through it for
+  * write distributions and storage-partitioned-join compatibility.
+  * Strings truncate to their first `w` chars; integrals to their
+  * `w`-wide bin's lower bound ([[CsvTruncSpec]]). */
+private[sources] class TruncateUnbound(fixedWidth: Option[Int])
+    extends UnboundFunction {
+  override def name(): String = fixedWidth.fold("truncate")(w => s"truncate$w")
+  override def description(): String =
+    "truncate(w, key) -> key-type: order-preserving truncation (string " +
+      "prefix / integral width-bin lower bound) — the layout transform"
+  override def bind(inputType: StructType): BoundFunction = {
+    def keyOk(dt: DataType) = dt match {
+      case StringType | LongType | IntegerType | ShortType => true
+      case _ => false
+    }
+    fixedWidth match {
+      case Some(w) => // the single-leaf layout form: truncate<w>(key)
+        if (inputType.length != 1 || !keyOk(inputType.fields(0).dataType))
+          throw new UnsupportedOperationException(
+            s"${name()} expects (string|integral); got ${inputType.simpleString}")
+        new TruncateBound(inputType.fields(0).dataType, Some(w))
+      case None =>
+        val ok = inputType.length == 2 &&
+          inputType.fields(0).dataType == IntegerType &&
+          keyOk(inputType.fields(1).dataType)
+        if (!ok) throw new UnsupportedOperationException(
+          "truncate expects (int, string|integral); got " + inputType.simpleString)
+        new TruncateBound(inputType.fields(1).dataType, None)
+    }
+  }
+}
+
+private[sources] class TruncateBound(keyType: DataType, fixedWidth: Option[Int])
+    extends ScalarFunction[Any] {
+  override def name(): String = fixedWidth.fold("truncate")(w => s"truncate$w")
+  /** The width rides the canonical name, so storage-partitioned joins
+    * only match layouts truncated to the SAME width. */
+  override def canonicalName(): String =
+    fixedWidth.fold("graft.truncate")(w => s"graft.truncate[$w]")
+  override def inputTypes(): Array[DataType] =
+    fixedWidth.fold(Array(IntegerType, keyType))(_ => Array(keyType))
+  override def resultType(): DataType = keyType
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Any = {
+    val w = fixedWidth.getOrElse(input.getInt(0))
+    val at = if (fixedWidth.isDefined) 0 else 1
+    keyType match {
+      case StringType =>
+        val s = input.getUTF8String(at)
+        if (s.numChars() <= w) s else s.substring(0, w)
+      case LongType =>
+        val v = input.getLong(at); v - java.lang.Math.floorMod(v, w.toLong)
+      case IntegerType =>
+        val v = input.getInt(at); v - java.lang.Math.floorMod(v, w)
+      case ShortType =>
+        val v = input.getShort(at).toInt
+        (v - java.lang.Math.floorMod(v, w)).toShort
+      case other => throw new UnsupportedOperationException(
+        s"truncate: unsupported key type $other")
+    }
   }
 }
 

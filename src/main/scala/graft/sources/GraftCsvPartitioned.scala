@@ -265,7 +265,7 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
                                      zoneSkip: Boolean = true,
                                      manifestFiles: Option[Map[String, Array[(String, Long)]]] = None,
                                      maxVersionsPerTrigger: Option[Int] = None,
-                                     bucketSpec: Option[CsvBucketSpec] = None)
+                                     derivedSpec: Option[CsvDerivedSpec] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportOrdering
     with SupportsRuntimeFiltering with SupportsReportStatistics {
@@ -294,25 +294,17 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     * zero I/O). */
   @volatile private[sources] var runtimeKeys: Option[Map[Int, Set[Any]]] = None
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    bucketSpec match {
+    derivedSpec match {
       // bucket mode: runtime values arrive on the SOURCE column and
       // map to bucket ids (hash pruning, the DPP of hidden partitioning)
       case Some(spec) => Array(Expressions.column(spec.col.name))
       case None => keyFields.map(f =>
         Expressions.column(f.name): org.apache.spark.sql.connector.expressions.NamedReference).toArray
     }
-  override def filter(filters: Array[Filter]): Unit = bucketSpec match {
+  override def filter(filters: Array[Filter]): Unit = derivedSpec match {
     case Some(spec) =>
-      val sets = filters.collect {
-        case org.apache.spark.sql.sources.In(a, vs)
-          if a.equalsIgnoreCase(spec.col.name) =>
-          vs.iterator.filter(_ != null).map(v => spec.idOf(v): Any).toSet
-        case org.apache.spark.sql.sources.EqualTo(a, v)
-          if a.equalsIgnoreCase(spec.col.name) && v != null =>
-          Set(spec.idOf(v): Any)
-      }
-      if (sets.nonEmpty)
-        runtimeKeys = Some(Map(0 -> sets.reduce(_ intersect _)))
+      spec.runtimeDirs(filters).foreach(dirs =>
+        runtimeKeys = Some(Map(0 -> dirs)))
     case None =>
       val perCol = filters.collect {
         case org.apache.spark.sql.sources.In(a, vs)
@@ -491,14 +483,13 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
 
   /** The SPJ contract: rows are grouped by `identity(k1), identity(k2),
     * …` with exactly one partition per key tuple. */
-  override def outputPartitioning(): Partitioning = bucketSpec match {
-    // bucket mode: the reported transform is bucket(n, col) — resolved
-    // through the catalog's own V2 `bucket` function, so two tables
-    // bucketed the same way storage-partition-join with zero exchange
+  override def outputPartitioning(): Partitioning = derivedSpec match {
+    // derived mode: the reported transform is bucket(n, col) /
+    // truncate(w, col) — resolved through the catalog's own V2
+    // function, so two tables partitioned the same way
+    // storage-partition-join with zero exchange
     case Some(spec) =>
-      new KeyGroupedPartitioning(
-        Array(Expressions.bucket(spec.n, spec.col.name): Transform),
-        leaves.length)
+      new KeyGroupedPartitioning(Array(spec.transform), leaves.length)
     case None =>
       new KeyGroupedPartitioning(
         keyFields.map(f => Expressions.identity(f.name): Transform).toArray,
@@ -511,7 +502,7 @@ class KeyedCsvScan private[sources] (path: String, required: StructType,
     * sort-merge join. A BUCKET partition holds many key values in file
     * order: no ordering to report. */
   override def outputOrdering(): Array[SortOrder] =
-    if (bucketSpec.isDefined) Array.empty
+    if (derivedSpec.isDefined) Array.empty
     else keyFields.map(f => Expressions.sort(Expressions.column(f.name),
       SortDirection.ASCENDING)).toArray
 

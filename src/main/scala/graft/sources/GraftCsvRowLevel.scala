@@ -45,7 +45,7 @@ private[sources] class GraftCsvRowLevelOperation(path: String,
                                                  partCols: Seq[String],
                                                  cmd: RowLevelOperation.Command,
                                                  versioned: Boolean = false,
-                                                 bucketSpec: Option[CsvBucketSpec] = None)
+                                                 derivedSpec: Option[CsvDerivedSpec] = None)
     extends RowLevelOperation {
 
   override def command(): RowLevelOperation.Command = cmd
@@ -64,10 +64,10 @@ private[sources] class GraftCsvRowLevelOperation(path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftCowScanBuilder(this, path, tableSchema, partCols, versioned,
-      bucketSpec)
+      derivedSpec)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftCowWriteBuilder(this, path, info, partCols, versioned, bucketSpec)
+    new GraftCowWriteBuilder(this, path, info, partCols, versioned, derivedSpec)
 }
 
 /** Column pruning only — deliberately NO filter pushdown: the rewrite
@@ -79,14 +79,14 @@ private[sources] class GraftCowScanBuilder(op: GraftCsvRowLevelOperation,
                                            path: String, full: StructType,
                                            partCols: Seq[String],
                                            versioned: Boolean = false,
-                                           bucketSpec: Option[CsvBucketSpec] = None)
+                                           derivedSpec: Option[CsvDerivedSpec] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
     new GraftCowScan(op, path, full, partCols, required,
-      SerializableHadoopConf.fromSession(), versioned, bucketSpec)
+      SerializableHadoopConf.fromSession(), versioned, derivedSpec)
 }
 
 /** One partition per part FILE (the replace group), each carrying its
@@ -99,7 +99,7 @@ private[sources] class GraftCowScan(op: GraftCsvRowLevelOperation,
                                     required: StructType,
                                     conf: SerializableHadoopConf,
                                     versioned: Boolean = false,
-                                    bucketSpec: Option[CsvBucketSpec] = None)
+                                    derivedSpec: Option[CsvDerivedSpec] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
 
   private val keyFields: Seq[StructField] = partCols.map(c =>
@@ -126,7 +126,7 @@ private[sources] class GraftCowScan(op: GraftCsvRowLevelOperation,
           PartitionedCsvLayout.decode(seg.substring(seg.indexOf('=') + 1)))
         (raws, s"$path/${e.rel}")
       }
-    else if (bucketSpec.isDefined) {
+    else if (derivedSpec.isDefined) {
       // bucketed layout: files live under <col>_bucket=<id>/ dirs (the
       // raws are cosmetic here — COW groups by _file, not by key)
       val (_, leaves) = PartitionedCsvLayout.listPartitionTree(path, conf.value)
@@ -197,29 +197,29 @@ private[sources] class GraftCowWriteBuilder(op: GraftCsvRowLevelOperation,
                                             info: LogicalWriteInfo,
                                             partCols: Seq[String],
                                             versioned: Boolean = false,
-                                            bucketSpec: Option[CsvBucketSpec] = None)
+                                            derivedSpec: Option[CsvDerivedSpec] = None)
     extends WriteBuilder {
   override def build(): Write =
-    new GraftCowWrite(op, path, info, partCols, versioned, bucketSpec)
+    new GraftCowWrite(op, path, info, partCols, versioned, derivedSpec)
 }
 
 private[sources] class GraftCowWrite(op: GraftCsvRowLevelOperation,
                                      path: String, info: LogicalWriteInfo,
                                      partCols: Seq[String],
                                      versioned: Boolean = false,
-                                     bucketSpec: Option[CsvBucketSpec] = None)
+                                     derivedSpec: Option[CsvDerivedSpec] = None)
     extends Write with RequiresDistributionAndOrdering {
-  override def requiredDistribution(): Distribution = bucketSpec match {
-    case Some(b) => Distributions.clustered(
-      Array(Expressions.bucket(b.n, b.col.name): Expression))
+  override def requiredDistribution(): Distribution = derivedSpec match {
+    case Some(spec) => Distributions.clustered(
+      Array(spec.transform: Expression))
     case None =>
       if (partCols.isEmpty) Distributions.unspecified()
       else Distributions.clustered(
         partCols.map(c => Expressions.column(c): Expression).toArray)
   }
-  override def requiredOrdering(): Array[SortOrder] = bucketSpec match {
-    case Some(b) => Array(Expressions.sort(
-      Expressions.bucket(b.n, b.col.name), SortDirection.ASCENDING))
+  override def requiredOrdering(): Array[SortOrder] = derivedSpec match {
+    case Some(spec) => Array(Expressions.sort(
+      spec.transform, SortDirection.ASCENDING))
     case None =>
       if (partCols.isEmpty) Array.empty
       else partCols.map(c => Expressions.sort(Expressions.column(c),
@@ -227,7 +227,7 @@ private[sources] class GraftCowWrite(op: GraftCsvRowLevelOperation,
   }
   override def toBatch: BatchWrite =
     new GraftCowBatchWrite(op, path, info.schema(), info.queryId(),
-      SerializableHadoopConf.fromSession(), partCols, versioned, bucketSpec)
+      SerializableHadoopConf.fromSession(), partCols, versioned, derivedSpec)
 }
 
 private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
@@ -236,7 +236,7 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
                                           conf: SerializableHadoopConf,
                                           partCols: Seq[String],
                                           versioned: Boolean = false,
-                                          bucketSpec: Option[CsvBucketSpec] = None)
+                                          derivedSpec: Option[CsvDerivedSpec] = None)
     extends BatchWrite {
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
@@ -244,7 +244,7 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
     // tagged names: rewritten groups can never collide with the files
     // they replace (publish-first, delete-second)
     new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partCols,
-      appendTag = Some(queryId), bucketSpec = bucketSpec)
+      appendTag = Some(queryId), derivedSpec = derivedSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
@@ -289,7 +289,7 @@ private[sources] class GraftCowBatchWrite(op: GraftCsvRowLevelOperation,
       // 2. drop exactly the replaced group files
       op.replacedFiles.forEach(f => fs.delete(new HPath(f), false))
       // 3. prune directories the rewrite emptied (rows moved or deleted)
-      if (partCols.nonEmpty || bucketSpec.isDefined)
+      if (partCols.nonEmpty || derivedSpec.isDefined)
         GraftCsvTable.pruneEmptyKeyDirs(fs, root)
     }
     fs.delete(tmpDir, true)

@@ -170,7 +170,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
                                      catalogSortBuckets: Int = 0,
                                      catalogVersioned: Boolean = false,
                                      asOfVersion: Option[Int] = None,
-                                     catalogBucket: Option[CsvBucketSpec] = None,
+                                     catalogDerived: Option[CsvDerivedSpec] = None,
                                      catalogConstraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty)
     extends Table with SupportsWrite with SupportsRead
     with SupportsMetadataColumns
@@ -190,7 +190,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
         "catalog-managed table")
     requireWritable()
     () => new GraftCsvRowLevelOperation(path, tableSchema,
-      catalogPartitionCols, info.command(), catalogVersioned, catalogBucket)
+      catalogPartitionCols, info.command(), catalogVersioned, catalogDerived)
   }
 
   private def requireWritable(): Unit =
@@ -218,8 +218,12 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
     if (catalogSortBuckets > 0)
       m.put("write.sortBuckets", catalogSortBuckets.toString)
     if (catalogVersioned) m.put("versioned", "true")
-    catalogBucket.foreach(b =>
-      m.put("bucket", s"bucket(${b.n}, ${b.col.name})"))
+    catalogDerived.foreach {
+      case b: CsvBucketSpec =>
+        m.put("bucket", s"bucket(${b.n}, ${b.col.name})")
+      case t: CsvTruncSpec =>
+        m.put("truncate", s"truncate(${t.len}, ${t.col.name})")
+    }
     m
   }
 
@@ -241,8 +245,8 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String = "committed part file this row was read from"
     })
-  override def partitioning(): Array[Transform] = catalogBucket match {
-    case Some(b) => Array(Expressions.bucket(b.n, b.col.name): Transform)
+  override def partitioning(): Array[Transform] = catalogDerived match {
+    case Some(spec) => Array(spec.transform)
     case None =>
       catalogPartitionCols.map(c => Expressions.identity(c): Transform).toArray
   }
@@ -280,7 +284,7 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
       // collide across INSERTs and publish() deletes-then-renames, so a
       // collision would silently REPLACE the earlier INSERT (advice r13).
       appendTag = if (catalogManaged) Some(info.queryId()) else None,
-      bucketSpec = catalogBucket)
+      derivedSpec = catalogDerived)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val conf = SerializableHadoopConf.fromSession()
@@ -300,21 +304,22 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
         case Some(v) => GraftLog.read(root, conf.value, v)
         case None => GraftLog.latest(root, conf.value)
       }
-      if (catalogBucket.isDefined) {
-        val spec = catalogBucket.get
-        // bucket leaves straight off the manifest rel dirs
+      if (catalogDerived.isDefined) {
+        val spec = catalogDerived.get
+        // derived leaves straight off the manifest rel dirs
         val byDir = entries.groupBy(e =>
           e.rel.substring(0, e.rel.lastIndexOf('/').max(0)))
         val leaves = byDir.keys.filter(_.startsWith(spec.dirPrefix))
-          .toArray.map { relDir =>
-            (relDir.substring(spec.dirPrefix.length).toInt, s"$path/$relDir")
-          }.sortBy(_._1)
+          .toArray.sorted.map { relDir =>
+            (PartitionedCsvLayout.decode(
+              relDir.substring(spec.dirPrefix.length)), s"$path/$relDir")
+          }
         val manifestFiles: Map[String, Array[(String, Long)]] =
           byDir.map { case (relDir, es) =>
             s"$path/$relDir" ->
               es.map(e => (s"$path/${e.rel}", e.bytes)).sortBy(_._1).toArray
           }
-        new BucketedCsvScanBuilder(path, tableSchema, spec, leaves, conf,
+        new DerivedCsvScanBuilder(path, tableSchema, spec, leaves, conf,
           vectorized, nullFill = catalogManaged, zoneSkip = zoneSkip,
           manifestFiles = Some(manifestFiles),
           maxVersionsPerTrigger = maxVersions)
@@ -341,19 +346,20 @@ private[sources] class GraftCsvTable(path: String, tableSchema: StructType,
           zoneSkip = zoneSkip, manifestFiles = Some(manifestFiles),
           maxVersionsPerTrigger = maxVersions)
       }
-    } else if (catalogBucket.isDefined) {
-      // unversioned bucketed catalog table: bucket dirs from one listing
-      val spec = catalogBucket.get
+    } else if (catalogDerived.isDefined) {
+      // unversioned derived catalog table: derived dirs from one listing
+      val spec = catalogDerived.get
       val root = new HPath(path)
       val fs = root.getFileSystem(conf.value)
-      val leaves: Array[(Int, String)] =
+      val leaves: Array[(String, String)] =
         if (!fs.exists(root)) Array.empty
         else fs.listStatus(root).collect {
           case s if s.isDirectory && s.getPath.getName.startsWith(spec.dirPrefix) =>
-            (s.getPath.getName.substring(spec.dirPrefix.length).toInt,
+            (PartitionedCsvLayout.decode(
+              s.getPath.getName.substring(spec.dirPrefix.length)),
               s.getPath.toString)
         }.sortBy(_._1)
-      new BucketedCsvScanBuilder(path, tableSchema, spec, leaves, conf,
+      new DerivedCsvScanBuilder(path, tableSchema, spec, leaves, conf,
         vectorized, nullFill = catalogManaged, zoneSkip = zoneSkip)
     } else {
       // Layout sniff (ONE listing): a root holding key=value directories
@@ -1091,7 +1097,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
                                             appendTag: Option[String] = None,
                                             defaultSortBuckets: Int = 0,
                                             versioned: Boolean = false,
-                                            bucketSpec: Option[CsvBucketSpec] = None)
+                                            derivedSpec: Option[CsvDerivedSpec] = None)
     extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
   private def partitionCols: Seq[String] =
     Option(info.options().get("partitionedBy"))
@@ -1103,7 +1109,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
   override def truncate(): WriteBuilder =
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.Truncate,
       defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets,
-      versioned, bucketSpec)
+      versioned, derivedSpec)
 
   /** Key-only overwrite filters are a pure metadata op; anything else
     * (payload predicates) is refused — Spark raises the analysis error
@@ -1125,7 +1131,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
     val next = if (real.isEmpty) CsvWriteMode.Truncate
       else CsvWriteMode.OverwriteKeys(real)
     new GraftCsvWriteBuilder(path, info, next, defaultPartitionCols,
-      defaultSortCols, appendTag, defaultSortBuckets, versioned, bucketSpec)
+      defaultSortCols, appendTag, defaultSortBuckets, versioned, derivedSpec)
   }
 
   override def overwriteDynamicPartitions(): WriteBuilder = {
@@ -1133,7 +1139,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
       "graft-csv sink: dynamic partition overwrite requires a partitioned table")
     new GraftCsvWriteBuilder(path, info, CsvWriteMode.DynamicOverwrite,
       defaultPartitionCols, defaultSortCols, appendTag, defaultSortBuckets,
-      versioned, bucketSpec)
+      versioned, derivedSpec)
   }
 
   override def build(): Write = {
@@ -1198,7 +1204,7 @@ private[sources] class GraftCsvWriteBuilder(path: String, info: LogicalWriteInfo
       throw new IllegalArgumentException(
         "graft-csv sink: sortBuckets requires sortBy and a positive count")
     new GraftCsvWrite(path, info, mode, cluster, partitioned, appendTag, sorted,
-      sortBuckets, versioned, bucketSpec)
+      sortBuckets, versioned, derivedSpec)
   }
 }
 
@@ -1222,7 +1228,7 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
                                      sorted: Option[Seq[String]] = None,
                                      sortBuckets: Int = 0,
                                      versioned: Boolean = false,
-                                     bucketSpec: Option[CsvBucketSpec] = None)
+                                     derivedSpec: Option[CsvDerivedSpec] = None)
     extends Write with RequiresDistributionAndOrdering {
   /** 0 = engine's choice (AQE byte-sized range partitions); >0 pins the
     * ordered write's file count. */
@@ -1238,19 +1244,19 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
     // sortBy: ORDERED distribution (range partitioning) — contiguous
     // value runs per file, disjoint zone ranges (the data-skipping
     // write shape). clusterBy/partitionedBy: hash clustering (one key,
-    // one file). bucket(n, col): clustering on the TRANSFORM — Spark
-    // resolves it through the catalog's V2 `bucket` function and
-    // shuffles by the very hash the layout stores, so each task's rows
-    // arrive grouped by destination bucket.
-    bucketSpec.map(b => Distributions.clustered(
-        Array(Expressions.bucket(b.n, b.col.name): Expression)))
+    // one file). bucket(n, col) / truncate(w, col): clustering on the
+    // TRANSFORM — Spark resolves it through the catalog's V2 function
+    // and shuffles by the very function the layout stores, so each
+    // task's rows arrive grouped by destination directory.
+    derivedSpec.map(spec => Distributions.clustered(
+        Array(spec.transform: Expression)))
       .orElse(sorted.map(cs => Distributions.ordered(sortOrders(cs))))
       .orElse(keys.map(cs => Distributions.clustered(
         cs.map(c => Expressions.column(c): Expression).toArray)))
       .getOrElse(Distributions.unspecified())
   override def requiredOrdering(): Array[SortOrder] =
-    bucketSpec.map(b => Array(Expressions.sort(
-        Expressions.bucket(b.n, b.col.name), SortDirection.ASCENDING)))
+    derivedSpec.map(spec => Array(Expressions.sort(
+        spec.transform, SortDirection.ASCENDING)))
       .getOrElse(sorted.orElse(keys).map(sortOrders).getOrElse(Array.empty))
   /** Spark-UI observability for the WRITE side (mirrors the paged
     * source's read metrics): rows/bytes/files per write, summed across
@@ -1265,7 +1271,7 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
   override def toBatch: BatchWrite =
     new GraftCsvBatchWrite(path, info.schema(), info.queryId(), mode,
       SerializableHadoopConf.fromSession(), partitioned, appendTag, versioned,
-      bucketSpec)
+      derivedSpec)
   override def toStreaming: StreamingWrite = {
     if (versioned) {
       // `writeStream.toTable` on a VERSIONED catalog table (r15): every
@@ -1283,7 +1289,7 @@ private[sources] class GraftCsvWrite(path: String, info: LogicalWriteInfo,
       }
       return new GraftCsvVersionedStreamingWrite(path, info.schema(),
         info.queryId(), SerializableHadoopConf.fromSession(), partitioned,
-        truncate, bucketSpec)
+        truncate, derivedSpec)
     }
     if (partitioned.nonEmpty) throw new UnsupportedOperationException(
       "graft-csv sink: partitionedBy is batch-only on the path face (the " +
@@ -1345,14 +1351,14 @@ private[sources] class GraftCsvBatchWrite(path: String, schema: StructType,
                                           partitioned: Seq[String] = Nil,
                                           appendTag: Option[String] = None,
                                           versioned: Boolean = false,
-                                          bucketSpec: Option[CsvBucketSpec] = None)
+                                          derivedSpec: Option[CsvDerivedSpec] = None)
     extends BatchWrite {
 
   private def tmpDir = new HPath(path, s"_tmp_$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftCsvWriterFactory(path, tmpDir.toString, schema, conf, partitioned,
-      appendTag, bucketSpec)
+      appendTag, derivedSpec)
 
   private def commitFiles(messages: Array[WriterCommitMessage]): Seq[CsvFileCommit] =
     messages.flatMap {
@@ -1545,7 +1551,7 @@ private[sources] class GraftCsvStreamingWriterFactory(path: String, queryId: Str
 private[sources] class GraftCsvVersionedStreamingWrite(
     path: String, schema: StructType, queryId: String,
     conf: SerializableHadoopConf, partitioned: Seq[String],
-    truncate: Boolean, bucketSpec: Option[CsvBucketSpec] = None)
+    truncate: Boolean, derivedSpec: Option[CsvDerivedSpec] = None)
     extends StreamingWrite {
 
   private def tmpDir(epochId: Long) = new HPath(path, s"_tmp_${queryId}_e$epochId")
@@ -1554,7 +1560,7 @@ private[sources] class GraftCsvVersionedStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftCsvVersionedStreamingWriterFactory(path, queryId, schema, conf,
-      partitioned, bucketSpec)
+      partitioned, derivedSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new HPath(path)
@@ -1589,14 +1595,14 @@ private[sources] class GraftCsvVersionedStreamingWrite(
 private[sources] class GraftCsvVersionedStreamingWriterFactory(
     path: String, queryId: String, schema: StructType,
     conf: SerializableHadoopConf, partitioned: Seq[String],
-    bucketSpec: Option[CsvBucketSpec] = None)
+    derivedSpec: Option[CsvDerivedSpec] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val tmp = s"$path/_tmp_${queryId}_e$epochId"
     val stem = s"part-$queryId-e$epochId"
-    if (bucketSpec.isDefined)
-      new BucketedCsvWriter(tmp, schema, bucketSpec.get, partitionId,
+    if (derivedSpec.isDefined)
+      new DerivedCsvWriter(tmp, schema, derivedSpec.get, partitionId,
         taskId, conf, stem, trackZones = true)
     else if (partitioned.nonEmpty)
       new GraftCsvPartitionedWriter(tmp, schema, partitioned, partitionId,
@@ -1612,7 +1618,7 @@ private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
                                              conf: SerializableHadoopConf,
                                              partitioned: Seq[String] = Nil,
                                              appendTag: Option[String] = None,
-                                             bucketSpec: Option[CsvBucketSpec] = None)
+                                             derivedSpec: Option[CsvDerivedSpec] = None)
     extends DataWriterFactory {
   // catalog INSERTs stamp the write tag into every published name so
   // successive writes append instead of replacing each other's files
@@ -1621,8 +1627,8 @@ private[sources] class GraftCsvWriterFactory(path: String, tmpDir: String,
   // stale against a same-named different file — track them
   private val trackZones = appendTag.isDefined
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (bucketSpec.isDefined)
-      new BucketedCsvWriter(tmpDir, schema, bucketSpec.get, partitionId,
+    if (derivedSpec.isDefined)
+      new DerivedCsvWriter(tmpDir, schema, derivedSpec.get, partitionId,
         taskId, conf, stem, trackZones)
     else if (partitioned.nonEmpty)
       new GraftCsvPartitionedWriter(tmpDir, schema, partitioned, partitionId,

@@ -156,6 +156,84 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(msgs(ddl).exists(_.contains("cannot be combined")))
   }
 
+  test("truncate(7, d): daily strings land in MONTHLY dirs; ranges prune directories") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.tt (d STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(7, d)) TBLPROPERTIES('versioned'='true')")
+    spark.range(0, 120).createOrReplaceTempView("tt_src")
+    // 120 days spanning 1996-01 .. 1996-04
+    spark.sql(s"INSERT INTO $cat.wh.tt SELECT " +
+      "date_format(date_add(DATE'1996-01-01', CAST(id AS INT)), 'yyyy-MM-dd'), " +
+      "id FROM tt_src")
+    val root = new HPath(s"$wh/wh/tt")
+    val rels = GraftLog.latest(root, hconf).map(_.rel)
+    val dirs = rels.map(r => r.substring(0, r.indexOf('/'))).distinct.sorted
+    assert(dirs == Seq("d_trunc=1996-01", "d_trunc=1996-02",
+      "d_trunc=1996-03", "d_trunc=1996-04"), s"got $dirs")
+    // one file per month for the single clustered INSERT
+    assert(rels.groupBy(r => r.substring(0, r.indexOf('/')))
+      .values.forall(_.length == 1))
+    // RANGE predicates prune directories — the shape bucket() cannot do
+    val q = spark.sql(s"SELECT v FROM $cat.wh.tt " +
+      "WHERE d >= '1996-02-10' AND d <= '1996-03-05'")
+    val scan = keyedScanOf(q)
+    assert(scan.planInputPartitions().length == 2,
+      "expected only the 1996-02 and 1996-03 directories")
+    assert(q.count() ==
+      (0 until 120).map(i => java.time.LocalDate.of(1996, 1, 1).plusDays(i))
+        .count(d => { val s = d.toString; s >= "1996-02-10" && s <= "1996-03-05" }))
+    // equality prunes to ONE month
+    val e = spark.sql(s"SELECT v FROM $cat.wh.tt WHERE d = '1996-04-03'")
+    assert(keyedScanOf(e).planInputPartitions().length == 1)
+    assert(e.head().getLong(0) ==
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1996, 1, 1), java.time.LocalDate.of(1996, 4, 3)))
+  }
+
+  test("integral truncate(1000, v): width bins, range pruning, lossless values") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.ti (k STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(1000, v)) TBLPROPERTIES('versioned'='true')")
+    spark.range(0, 5000).createOrReplaceTempView("ti_src")
+    spark.sql(s"INSERT INTO $cat.wh.ti SELECT concat('k', id), id FROM ti_src")
+    val rels = GraftLog.latest(new HPath(s"$wh/wh/ti"), hconf).map(_.rel)
+    val dirs = rels.map(r => r.substring(0, r.indexOf('/'))).distinct.sorted
+    assert(dirs.toSet == (0 until 5).map(i => s"v_trunc=${i * 1000}").toSet,
+      s"got $dirs")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.wh.ti").head().getLong(0) ==
+      (0L until 5000L).sum)
+    val q = spark.sql(s"SELECT count(*) FROM $cat.wh.ti WHERE v >= 2500 AND v < 3200")
+    assert(keyedScanOf(q).planInputPartitions().length == 2) // bins 2000, 3000
+    assert(q.head().getLong(0) == 700)
+  }
+
+  test("two same-truncated tables join with ZERO exchange (SPJ on the transform)") {
+    wh
+    spark.sql(s"CREATE TABLE $cat.wh.tja (m STRING, a BIGINT) " +
+      "PARTITIONED BY (truncate(7, m)) TBLPROPERTIES('versioned'='true')")
+    spark.sql(s"CREATE TABLE $cat.wh.tjb (m STRING, b BIGINT) " +
+      "PARTITIONED BY (truncate(7, m)) TBLPROPERTIES('versioned'='true')")
+    spark.range(0, 90).createOrReplaceTempView("tj_src")
+    spark.sql(s"INSERT INTO $cat.wh.tja SELECT " +
+      "date_format(date_add(DATE'1996-01-01', CAST(id AS INT)), 'yyyy-MM-dd'), id FROM tj_src")
+    spark.sql(s"INSERT INTO $cat.wh.tjb SELECT " +
+      "date_format(date_add(DATE'1996-01-01', CAST(id AS INT)), 'yyyy-MM-dd'), id * 2 FROM tj_src")
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.sql(s"""SELECT a.m, a.a, b.b
+        FROM $cat.wh.tja a JOIN $cat.wh.tjb b ON a.m = b.m""")
+      val exchanges = allNodes(j).filter(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(exchanges.isEmpty,
+        s"truncated SPJ must plan zero exchange; got:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 90)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("SHOW TBLPROPERTIES surfaces the bucket contract; unversioned bucketed tables read back too") {
     wh
     spark.sql(s"CREATE TABLE $cat.wh.bp (k STRING, v BIGINT) " +
