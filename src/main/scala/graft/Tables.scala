@@ -70,4 +70,23 @@ object Tables {
     }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Scale-adaptive scan fan-out for compute-DENSE per-row work
+    * (optimization guide §2.5, "input skew: one huge unsplittable
+    * file... repartition immediately after the read"). The bench tables
+    * are single-row-group parquet files, so a scan yields ONE non-empty
+    * partition and expression-heavy stages (percentile buffers, decimal
+    * sums, codec decodes, shingle hashing) single-thread on a 32-core
+    * host. When the planned scan has fewer partitions than the session's
+    * parallelism, spread the rows with one round-robin exchange — a few
+    * MB moved once buys cores× the stage. At production scale the scan
+    * already carries ≥ cores partitions (many files / row groups), the
+    * predicate is false, and NO shuffle is added — this must never
+    * become an unconditional repartition, which would re-shuffle the
+    * full input at 100 TB. Apply AFTER projecting to the needed columns
+    * so the exchange moves only what the operator reads. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

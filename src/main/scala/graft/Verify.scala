@@ -31,6 +31,15 @@ object Verify {
         s"${sys.props("java.io.tmpdir")}/graft-warehouse-" +
           s"${ProcessHandle.current().pid()}-${java.lang.System.nanoTime()}")
     Tables.requiredConfs.foreach { case (k, v) => b.config(k, v) }
+    // Dev-only A/B hook: semicolon-separated k=v pairs layered on top of
+    // the standard session confs, so optimization experiments can flip
+    // one conf without a code edit (the driver never sets this).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
+    }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -280,22 +280,53 @@ object Dedup {
     val sigs = minhashSignatures(shingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = truePairs.select("doc_a", "doc_b")
-    val perLayout = LshLayouts.map { case (b, r) =>
-      val bands = bandsOfLayout(sigs, b, r)
-      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bv"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      val (thr, pc) = lshSCurve(b, r, minJ)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(broadcast(
-          cand.join(truth, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_verified"))))
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          lit(thr).as("j_threshold"), lit(pc).as("p_collide_at_minj"),
-          col("n_candidates"), col("n_verified"))
+    // ONE banded self-join + ONE aggregate for ALL layouts (r15 opt: the
+    // per-layout loop ran 5 × (2 joins + 2 aggregates) ≈ 15 jobs whose
+    // fixed scheduling cost dominated at any scale where candidates are
+    // sparse). The layout's band count joins as part of the bucket key —
+    // layouts are disjoint key spaces, so candidates never mix and the
+    // join stays the same linear-candidate shape, just fused.
+    val allBands = LshLayouts.map { case (b, r) =>
+      bandsOfLayout(sigs, b, r)
+        .select(lit(b).as("bands"), col("doc_id"), col("band"), col("bv"))
     }.reduce(_ unionByName _)
-    val out = perLayout
+    val cand = allBands.as("x").join(allBands.as("y"), Seq("bands", "band", "bv"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("bands"), col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // n_verified = |cand ∩ truth| per layout, folded into the SAME
+    // aggregate as n_candidates via a left-join match flag instead of a
+    // second join+count pass over the candidate set.
+    val stats = cand
+      .join(truth.withColumn("t_match", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("t_match"), lit(0L))).as("n_verified"))
+    // The analytic s-curve columns ride a 5-row literal frame (computed
+    // once in Scala, exactly as before); a layout whose candidate set is
+    // EMPTY has no stats row — left join + coalesce keeps its report row
+    // with n_candidates = n_verified = 0, as the old empty aggregate did.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val layoutRows = LshLayouts.map { case (b, r) =>
+      val (thr, pc) = lshSCurve(b, r, minJ)
+      Row(b, r, thr, pc)
+    }
+    val spark = rawShingles.sparkSession
+    val layouts = spark.createDataFrame(
+      spark.sparkContext.parallelize(layoutRows, 1),
+      StructType(Seq(StructField("bands", IntegerType, nullable = false),
+        StructField("rows_per_band", IntegerType, nullable = false),
+        StructField("j_threshold", DoubleType, nullable = false),
+        StructField("p_collide_at_minj", DoubleType, nullable = false))))
+    val out = layouts
+      .join(stats, Seq("bands"), "left")
       .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("bands"), col("rows_per_band"),
+        col("j_threshold"), col("p_collide_at_minj"),
+        col("n_true"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"))
       .select(col("bands"), col("rows_per_band"),
         col("j_threshold"), col("p_collide_at_minj"),
         col("n_true"), col("n_candidates"), col("n_verified"),

@@ -235,10 +235,18 @@ object PipelinePack {
     * deterministic function of (sfDir, constants)), and at 100 TB this
     * IS the production shape: near-dup pairs are a materialized
     * intermediate, not something recomputed per consumer. */
+  /** The documents scan fanned to session parallelism for the
+    * shingle/minhash-heavy pipelines (r15 opt): the bench table is one
+    * parquet row group, so every per-shingle hash otherwise runs in ONE
+    * task. [[Tables.fanOut]] is a no-op whenever the scan already
+    * carries >= cores partitions (any production layout). */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+
   private def jaccardPairsFixture(s: SparkSession, d: String): DataFrame = {
     val path = SinksPack.tmpPath("jpairs", d)
     SinksPack.ensureFixture(path) {
-      Dedup.jaccardPairs(Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+      Dedup.jaccardPairs(Dedup.wordShingles(docsWide(s, d)), JACCARD_MIN)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -360,14 +368,14 @@ object PipelinePack {
       jaccardPairsFixture(s, d).orderBy("doc_a", "doc_b")
     },
     "q_dedup_minhash_lsh" -> { (s, d) =>
-      Dedup.minhashLshPairs(Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+      Dedup.minhashLshPairs(Dedup.wordShingles(docsWide(s, d)), JACCARD_MIN)
         .orderBy("doc_a", "doc_b")
     },
     // Incremental ingestion: flag new-batch docs near-duplicating the
     // existing corpus; per-ingest cost ∝ batch, not corpus.
     "q_dedup_incremental" -> { (s, d) =>
       Dedup.minhashLshAgainstCorpus(
-          Dedup.wordShingles(Tables.documents(s, d)),
+          Dedup.wordShingles(docsWide(s, d)),
           pmod(col("doc_id"), lit(INC_MOD)) === INC_REM, JACCARD_MIN)
         .orderBy("doc_new")
     },
@@ -553,7 +561,7 @@ object PipelinePack {
     // precision (verification waste) and recall (banding misses).
     "q_dedup_lsh_quality" -> { (s, d) =>
       Dedup.lshQualityReport(jaccardPairsFixture(s, d),
-        Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+        Dedup.wordShingles(docsWide(s, d)), JACCARD_MIN)
     },
     // The banding DESIGN sweep behind the deployed 4x4: every (b, r)
     // tiling of the 16-hash signature, analytic s-curve facts next to
@@ -561,7 +569,7 @@ object PipelinePack {
     // selection as a measured table, not folklore.
     "q_dedup_lsh_design" -> { (s, d) =>
       Dedup.lshDesignSweep(jaccardPairsFixture(s, d),
-        Dedup.wordShingles(Tables.documents(s, d)), JACCARD_MIN)
+        Dedup.wordShingles(docsWide(s, d)), JACCARD_MIN)
         .orderBy(col("bands").desc)
     },
     // Scalar int8 quantization: per-dim corpus min/max grid, nearest
@@ -650,7 +658,7 @@ object PipelinePack {
     // as the held-out benchmark; corpus docs sharing ≥ MIN_SHARED
     // shingles with any of them are flagged.
     "q_dedup_decontaminate" -> { (s, d) =>
-      val sh = Dedup.wordShingles(Tables.documents(s, d))
+      val sh = Dedup.wordShingles(docsWide(s, d))
       val bench = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) === 0)
       val corpus = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) =!= 0)
       Dedup.decontaminate(corpus, bench, MIN_SHARED).orderBy("doc_id")
@@ -661,7 +669,7 @@ object PipelinePack {
     // counts are hash-checked, and two verdict columns assert the bloom
     // path's guarantees (no false negatives; FP doc count within bound).
     "q_dedup_bloom" -> { (s, d) =>
-      val sh = Dedup.wordShingles(Tables.documents(s, d))
+      val sh = Dedup.wordShingles(docsWide(s, d))
       val corpus = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) =!= 0)
       val bench = sh.filter(pmod(col("doc_id"), lit(BENCH_MOD)) === 0)
       val exact = Dedup.decontaminate(corpus, bench, MIN_SHARED)
@@ -732,7 +740,7 @@ object PipelinePack {
         .orderBy("source")
     },
     "q_text_tfidf" -> { (s, d) =>
-      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
+      TextAnalysis.tfidfTopTerms(docsWide(s, d), 3)
         .orderBy("doc_id", "rn")
     },
     // Tokenizer-training support: the global adjacent-pair histogram —
@@ -825,7 +833,7 @@ object PipelinePack {
         lit(" ssn 123-45-"),
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" card "), card)
-      Tables.documents(s, d)
+      docsWide(s, d)
         .select(col("doc_id"), TextAnalysis.scrubPii(raw).as("scrubbed"))
         .orderBy("doc_id")
     },
@@ -936,7 +944,7 @@ object PipelinePack {
     // CCNet-style corpus line dedup: drop fixed-width segments that
     // appear in more than LINE_MAX_DOCS documents, reassemble in order.
     "q_text_line_dedup" -> { (s, d) =>
-      TextAnalysis.lineDedup(Tables.documents(s, d), LINE_W, LINE_MAX_DOCS)
+      TextAnalysis.lineDedup(docsWide(s, d), LINE_W, LINE_MAX_DOCS)
         .orderBy("doc_id")
     },
     // Weighted domain mixing: replicate/drop per-source to hit a target
@@ -950,7 +958,7 @@ object PipelinePack {
     // Exact-substring dedup (Lee et al. 2022): maximal per-doc word
     // spans covered by cross-document duplicated SPAN_N-grams.
     "q_text_span_dedup" -> { (s, d) =>
-      TextAnalysis.dupSpans(Tables.documents(s, d), SPAN_N, SPAN_MIN_DOCS)
+      TextAnalysis.dupSpans(docsWide(s, d), SPAN_N, SPAN_MIN_DOCS)
         .orderBy("doc_id", "span_start")
     },
     // Unicode normalization battery (the C4/CCNet preprocessing step):
@@ -982,7 +990,7 @@ object PipelinePack {
     // Per-document duplication coverage ratio from the same spans —
     // the drop/trim curation signal.
     "q_text_dup_coverage" -> { (s, d) =>
-      TextAnalysis.dupCoverage(Tables.documents(s, d), SPAN_N, SPAN_MIN_DOCS)
+      TextAnalysis.dupCoverage(docsWide(s, d), SPAN_N, SPAN_MIN_DOCS)
         .orderBy("doc_id")
     },
     // Top principal component via distributed power iteration (no d×d
@@ -1148,14 +1156,14 @@ object PipelinePack {
     // counterpart to the MinHash family (any shared ≥ w+k−1-word run
     // is guaranteed a shared fingerprint).
     "q_text_winnow" -> { (s, d) =>
-      TextAnalysis.winnowFingerprints(Tables.documents(s, d), WIN_K, WIN_W)
+      TextAnalysis.winnowFingerprints(docsWide(s, d), WIN_K, WIN_W)
         .orderBy("doc_id", "pos")
     },
     // The MOSS match report over the winnowed fingerprints: pairs
     // sharing ≥ WIN_SHARED selected fingerprints, boilerplate
     // fingerprints (> WIN_MAX_DF docs) dropped first.
     "q_text_winnow_pairs" -> { (s, d) =>
-      TextAnalysis.winnowOverlapPairs(Tables.documents(s, d), WIN_K, WIN_W,
+      TextAnalysis.winnowOverlapPairs(docsWide(s, d), WIN_K, WIN_W,
         WIN_SHARED, WIN_MAX_DF)
         .orderBy("doc_a", "doc_b")
     },

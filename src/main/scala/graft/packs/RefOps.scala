@@ -60,7 +60,10 @@ object RefOps {
         element_at(array(ems.map(lit): _*), (pmod(idx, lit(n)) + 1).cast("int"))
       val raw = concat(col("text"), lit(" "), pick(col("doc_id")),
         lit(" and "), pick(col("doc_id") * 7 + 3))
-      Tables.documents(s, d)
+      // r15 opt: the demojize pass is pure per-row compute over a
+      // single-row-group scan — fan it out so it uses every core
+      // (Tables.fanOut is a no-op when the scan already parallelizes).
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), Demojize.demojize(raw).as("demojized"))
         .orderBy("doc_id")
     },
@@ -171,7 +174,9 @@ object RefOps {
     // §2.8 scalar-surface battery — math functions (per-row IEEE ops are
     // bit-identical across engines; only ln/exp/pow get a guard round).
     "q_f_math_funcs" -> { (s, d) =>
-      Tables.lineitem(s, d).select(
+      // r15 opt: per-row math over a single-row-group scan — fan out so
+      // the projection uses every core (no-op on parallel scans).
+      Tables.fanOut(Tables.lineitem(s, d)).select(
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         abs(col("l_discount") - lit(0.05)).as("a"),
         ceil(col("l_extendedprice")).cast("long").as("c"),

@@ -174,16 +174,25 @@ object WarehousePack {
         .orderBy("event_type", "rn")
     },
 
-    // Percentiles: exact linear-interpolation quantiles per group.
+    // Percentiles: exact linear-interpolation quantiles per group. The
+    // three quantiles ride ONE array-form percentile aggregate (r15 opt:
+    // three scalar percentile calls each built and merged their own
+    // full value-count buffer — 3× the aggregation state and merge work
+    // for byte-identical results, since the array form reads all three
+    // ranks off the same sorted counts).
     "q_x_percentiles" -> { (s, d) =>
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
           round(min(col("l_extendedprice")), 6).as("mn"),
           round(max(col("l_extendedprice")), 6).as("mx"))
+        .select(col("l_returnflag"),
+          round(col("ps").getItem(0), 6).as("p50"),
+          round(col("ps").getItem(1), 6).as("p90"),
+          round(col("ps").getItem(2), 6).as("p99"),
+          col("mn"), col("mx"))
         .orderBy("l_returnflag")
     },
 
@@ -467,14 +476,17 @@ object WarehousePack {
     // ranks 0.5 ± 2ε (2× for interpolation slop) — a value-distance
     // gate would fail on skewed distributions where a tiny rank error
     // moves the value by more than 1%.
+    // r15 opt: the three exact ranks share ONE array-form percentile
+    // buffer instead of three independent value-count maps (the scalar
+    // calls tripled the aggregation state and merge cost; the array
+    // form reads lo/mid/hi off the same sorted counts, byte-identical).
     "q_x_approx_quantiles" -> { (s, d) =>
-      Tables.lineitem(s, d).agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
-          expr("percentile(l_extendedprice, 0.498)").as("lo"),
-          expr("percentile(l_extendedprice, 0.502)").as("hi"),
+      Tables.fanOut(Tables.lineitem(s, d).select(col("l_extendedprice"))).agg(
+          expr("percentile(l_extendedprice, array(0.5D, 0.498D, 0.502D))").as("ps"),
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"))
-        .select(col("exact_p50"),
-          (col("ap50") >= col("lo") && col("ap50") <= col("hi"))
+        .select(round(col("ps").getItem(0), 6).as("exact_p50"),
+          (col("ap50") >= col("ps").getItem(1) &&
+            col("ap50") <= col("ps").getItem(2))
             .cast("long").as("approx_within_rank_eps"))
     },
 
@@ -548,7 +560,8 @@ object WarehousePack {
     // comparisons on BOTH engines, and the 0.01-granular price grid
     // keeps any last-ulp percentile difference away from the threshold.
     "q_x_outliers_mad" -> { (s, d) =>
-      val x = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice").as("x"))
+      val x = Tables.fanOut(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("x")))
       val med = x.groupBy("l_returnflag").agg(expr("percentile(x, 0.5)").as("med"))
       val dev = x.join(broadcast(med), Seq("l_returnflag"))
       val mad = dev.groupBy("l_returnflag")
@@ -704,7 +717,9 @@ object WarehousePack {
 
     // Pairwise Pearson correlations from one sufficient-statistics pass.
     "q_x_corr_matrix" -> { (s, d) =>
-      graft.operators.Analytics.corrMatrix(Tables.lineitem(s, d), CorrCols)
+      graft.operators.Analytics.corrMatrix(
+        Tables.fanOut(Tables.lineitem(s, d).select(CorrCols.map(col): _*)),
+        CorrCols)
     },
 
     // Daily-revenue autocorrelation at lags 1..7 via date equi-joins.
