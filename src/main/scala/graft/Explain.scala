@@ -4,15 +4,15 @@ package graft
   * queries, for eyeballing pushdown (`PushedFilters`, `ReadSchema`),
   * join strategies (`BroadcastHashJoin`), and `WholeStageCodegen` spans.
   *
-  * Usage: runMain graft.Explain <sfDir> [queryName]
+  * Usage: runMain graft.Explain <sfDir> [q1,q2,...]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val only = args.lift(1)
+    val only = args.lift(1).map(_.split(',').toSet)
     val spark = Verify.session("graft-explain")
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_ == n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
         println(s"\n================ $name ================")
         try println(fn(spark, sfDir).queryExecution.explainString(

@@ -52,14 +52,23 @@ object Profile {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
+        // Count the BUILD phase's jobs too: most slow queries run their
+        // eager work (fixtures, checkpoints, index builds, stream
+        // drains) inside the query function, before exec starts.
+        Seq(jobs, stages, tasks).foreach(_.set(0))
+        Seq(taskTimeMs, shufRead, shufWrite, spill, input).foreach(_.set(0))
         val df = fn(spark, sfDir)
+        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 5000)
         val t1 = System.nanoTime()
+        val buildJobs = jobs.get(); val buildStages = stages.get()
+        val buildTasks = tasks.get()
         Seq(jobs, stages, tasks).foreach(_.set(0))
         Seq(taskTimeMs, shufRead, shufWrite, spill, input).foreach(_.set(0))
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
-        Thread.sleep(200) // drain listener bus
+        org.apache.spark.GraftListenerDrain.waitUntilEmpty(spark.sparkContext, 5000) // drain listener bus
         println(f"PROFILE $name%-34s run$r build=${(t1 - t0) / 1e9}%6.2f s " +
+          f"bJobs=$buildJobs%3d bStages=$buildStages%4d bTasks=$buildTasks%5d " +
           f"exec=${(t2 - t1) / 1e9}%6.2f s jobs=${jobs.get()}%3d " +
           f"stages=${stages.get()}%4d tasks=${tasks.get()}%5d " +
           f"taskTime=${taskTimeMs.get() / 1000.0}%7.1f s " +
@@ -68,7 +77,10 @@ object Profile {
           f"spill=${spill.get() / 1048576.0}%6.1f MB " +
           f"input=${input.get() / 1048576.0}%7.1f MB")
       } catch {
-        case e: Throwable => println(s"PROFILE $name run$r FAILED: ${e.getMessage}")
+        // NonFatal: a fatal JVM error (OOM, InterruptedException) must
+        // abort the tool, not be recorded as a per-query failure.
+        case scala.util.control.NonFatal(e) =>
+          println(s"PROFILE $name run$r FAILED: ${e.getMessage}")
       }
       operators.Lifecycle.releaseAll()
     }

@@ -39,6 +39,152 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default useCache=true backs EVERY codec stream with a
+  // temp FILE on disk; all payloads here are in-memory byte arrays, so
+  // the disk round trip is pure per-row overhead (guide §4.5 — r16
+  // measured the decode queries 1.4-2× faster with the memory cache).
+  // JVM-global and loss-free: the memory cache is semantically
+  // identical, it only changes where the codec buffers.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Per-thread cached PNG/GIF codec handles: `ImageIO.read`/`write`
+    * scan the plugin registry and construct a fresh reader/writer per
+    * call — per tiny image that construction dominates the actual
+    * codec work (guide §4.5: initialise heavyweight state once per
+    * task, not per row). Thread-locals amortise across every task a
+    * pool thread runs; `setInput(null)`/`setOutput(null)` resets state
+    * between payloads. Output bytes/pixels are produced by the same
+    * plugin classes `ImageIO.read`/`write` would pick — identical
+    * results, minus the per-call construction. */
+  private val pngWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  private val pngReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+  private[operators] val gifWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+  private val gifReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+
+  private[operators] def writePng(img: java.awt.image.RenderedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val w = pngWriterTl.get()
+    try { w.setOutput(ios); w.write(img) }
+    finally { w.setOutput(null); ios.close() }
+    out.toByteArray
+  }
+
+  /** WAV SPI providers resolved ONCE per JVM. `AudioSystem.write` /
+    * `getAudioInputStream` resolve their provider lists through a
+    * SYNCHRONIZED registry lookup (JDK13Services) on every call — with
+    * 32 concurrent decode tasks that global lock serializes the whole
+    * stage (r16 profile: q_mm_audio_decode taskTime 1.2 s single-task →
+    * 90+ s across 32 tasks, nearly all lock contention). These are the
+    * same provider instances AudioSystem would pick, tried in the same
+    * first-accepting-reader order — byte-identical results. */
+  private lazy val wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private lazy val wavWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** The one provider that accepts RIFF/WAVE payloads, resolved once by
+    * probing a minimal WAV. The provider list walk is NOT free per call:
+    * the JDK registers its MIDI-file reader ahead of the WAVE reader,
+    * and that reader probes via `MidiSystem` — another SYNCHRONIZED
+    * registry lookup — so every decode paid a global lock even with the
+    * provider LIST cached (r16 microbench: open-only 0.25 s @1 thread →
+    * 0.59 s wall @32 threads). */
+  private lazy val primaryWavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    val pcm = new Array[Byte](4)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2L)
+    val probe = writeWav(ais)
+    wavReaders.find { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => false }
+    }
+  }
+
+  /** Parse WAV bytes with the cached providers — AudioSystem's
+    * first-reader-that-accepts contract without its synchronized
+    * registry walk. The probed WAVE reader is tried first; on rejection
+    * the full provider walk runs in AudioSystem's original order. The
+    * shortcut cannot change which reader wins: the JDK readers accept
+    * disjoint magic numbers (FORM/.snd/MThd/RIFF), so a payload the
+    * WAVE reader accepts is rejected by every provider ahead of it. */
+  private[operators] def openWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    primaryWavReader.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    val rs = wavReaders.iterator
+    while (rs.hasNext) {
+      try return rs.next().getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no cached provider accepts the payload")
+  }
+
+  /** Container PCM as RIFF/WAVE bytes with the cached providers — the
+    * AudioSystem.write path minus the synchronized registry walk. */
+  private[operators] def writeWav(ais: javax.sound.sampled.AudioInputStream): Array[Byte] = {
+    val tpe = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val ws = wavWriters.iterator
+    while (ws.hasNext) {
+      val w = ws.next()
+      if (w.isFileTypeSupported(tpe, ais)) {
+        val out = new java.io.ByteArrayOutputStream()
+        w.write(ais, tpe, out)
+        return out.toByteArray
+      }
+    }
+    throw new IllegalArgumentException("no cached WAVE writer available")
+  }
+
+  private[operators] def readPng(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val r = pngReaderTl.get()
+    try { r.setInput(iis, true, true); r.read(0) }
+    finally { r.setInput(null); iis.close() }
+  }
+
+  /** doc_id fan-out for the per-row codec work every pack* does next:
+    * EXPLICIT partition count (REPARTITION_BY_NUM). The previous bare
+    * `repartition(col)` planned as REPARTITION_BY_COL, which AQE
+    * freely coalesces — and this shuffle is a few KB of ids, so AQE
+    * collapsed it to ONE partition and the whole corpus encode+decode
+    * ran single-threaded (r16 profile: q_mm_decode_real tasks=4 with
+    * 3.0 s of taskTime in one). An explicit count is exempt from AQE
+    * coalescing; it tracks the session's parallelism, never a
+    * constant. The repartition remains fixture-only plumbing —
+    * production payloads arrive from object storage already spread
+    * over many files (see [[packImages]]). */
+  private def codecIds(docs: DataFrame): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+  }
+
   case class Media(doc_id: Long, payload: Array[Byte])
   case class MediaFeatures(doc_id: Long, payload_len: Long,
                            payload_md5: String, first_byte: Long)
@@ -132,9 +278,7 @@ object Multimodal {
         }
         y += 1
       }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
+      writePng(img)
     }
 
     def renderPngLp(docId: Long): Array[Byte] =
@@ -163,9 +307,7 @@ object Multimodal {
         }
         y += 1
       }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
+      writePng(img)
     }
   }
 
@@ -184,7 +326,7 @@ object Multimodal {
     // over the session's full parallelism — the documents scan is a
     // single small file, and without this every encode+decode of the
     // corpus lands in ONE task (measured 2.6 s -> sub-second at sf0.1).
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id => ImageMedia(id, ImageFixture.renderPng(id))))
   }
 
@@ -199,7 +341,7 @@ object Multimodal {
   def decodeImages(spark: SparkSession, packed: Dataset[ImageMedia]): Dataset[DecodedImage] = {
     import spark.implicits._
     packed.mapPartitions(_.map { m =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+      val img = readPng(m.png)
       val w = img.getWidth
       val h = img.getHeight
       var sum = 0L
@@ -232,7 +374,7 @@ object Multimodal {
     require(256 % bins == 0, s"bins must divide 256, got $bins")
     val shift = 256 / bins
     packed.mapPartitions(_.map { m =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+      val img = readPng(m.png)
       val hist = new Array[Long](bins)
       var y = 0
       while (y < img.getHeight) {
@@ -411,10 +553,7 @@ object Multimodal {
         sr.toFloat, 16, nc, /*signed=*/ true, /*bigEndian=*/ false)
       val ais = new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-      out.toByteArray
+      writeWav(ais)
     }
   }
 
@@ -430,7 +569,7 @@ object Multimodal {
   def packAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioMedia] = {
     import spark.implicits._
     // Same codec-parallelism shuffle as packImages (see there).
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id => AudioMedia(id, AudioFixture.renderWav(id))))
   }
 
@@ -445,8 +584,7 @@ object Multimodal {
   def decodeAudio(spark: SparkSession, packed: Dataset[AudioMedia]): Dataset[DecodedAudio] = {
     import spark.implicits._
     packed.mapPartitions(_.map { m =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(m.wav))
+      val ais = openWav(m.wav)
       val fmt = ais.getFormat
       val nc = fmt.getChannels
       val bits = fmt.getSampleSizeInBits
@@ -526,9 +664,8 @@ object Multimodal {
       val w = ImageFixture.widthOf(docId)
       val h = ImageFixture.heightOf(docId)
       val out = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-      val writer =
-        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      val writer = gifWriterTl.get()
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       var f = 0
@@ -550,7 +687,7 @@ object Multimodal {
         f += 1
       }
       writer.endWriteSequence()
-      writer.dispose()
+      writer.setOutput(null)
       ios.close()
       out.toByteArray
     }
@@ -567,7 +704,7 @@ object Multimodal {
   def packVideos(spark: SparkSession, docs: DataFrame): Dataset[VideoMedia] = {
     import spark.implicits._
     // Same codec-parallelism shuffle as packImages (see there).
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id => VideoMedia(id, VideoFixture.renderGif(id))))
   }
 
@@ -583,9 +720,9 @@ object Multimodal {
                         packed: Dataset[VideoMedia]): Dataset[DecodedFrame] = {
     import spark.implicits._
     packed.mapPartitions(_.flatMap { m =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(m.gif))
-      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      val reader = gifReaderTl.get()
       // try/finally: a corrupt payload throwing mid-read must not
       // strand the reader + input stream (the streaming path decodes
       // per micro-batch in a long-lived JVM).
@@ -613,7 +750,7 @@ object Multimodal {
         }
         frames.iterator
       } finally {
-        reader.dispose()
+        reader.setInput(null)
         iis.close()
       }
     })
@@ -635,7 +772,7 @@ object Multimodal {
   def packAudioVariants(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
     import spark.implicits._
     // Same codec-parallelism shuffle as packImages (see there).
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.flatMap { id =>
         val base = AudioClip(id * 2, id, 0,
           AudioFixture.renderWav(id, 0, 1, structured = true))
@@ -665,7 +802,7 @@ object Multimodal {
   def packAudioWave(spark: SparkSession, docs: DataFrame,
                     wave: Int): Dataset[AudioClip] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id => AudioClip(wave * WaveStride + id * 2, id, 4,
         AudioFixture.renderWav(id, 4, wave, structured = true))))
   }
@@ -678,7 +815,7 @@ object Multimodal {
     * variant, so doc = clip_id >> 2 and variant = clip_id % 4. */
   def packAudioGrid(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.flatMap { id =>
         def wav(sil: Int, gain: Int) =
           AudioFixture.renderWav(id, sil, gain, structured = true)
@@ -781,8 +918,7 @@ object Multimodal {
                        clips: Dataset[AudioClip]): Dataset[ImageHash] = {
     import spark.implicits._
     clips.mapPartitions(_.map { m =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(m.wav))
+      val ais = openWav(m.wav)
       // try/finally: the integrity `require`s below must not leak the
       // decoder stream when they throw.
       val (bytes, nc, nFrames) =
@@ -870,7 +1006,7 @@ object Multimodal {
   def packImageVariants(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
     import spark.implicits._
     // Same codec-parallelism shuffle as packImages (see there).
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.flatMap { id =>
       val base = ImageVariant(id * 2, id, 0, ImageFixture.renderPng(id, 0))
       if (id % 5 == 0)
@@ -919,7 +1055,7 @@ object Multimodal {
     import spark.implicits._
     imgs.mapPartitions(_.map { m =>
       val b = ahashOf(
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png)))
+        readPng(m.png))
       ImageHash(m.img_id, b(0), b(1), b(2), b(3))
     })
   }
@@ -1014,7 +1150,7 @@ object Multimodal {
     import spark.implicits._
     imgs.mapPartitions(_.map { m =>
       val b = phashOf(
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png)))
+        readPng(m.png))
       ImageHash(m.img_id, b(0), b(1), b(2), b(3))
     })
   }
@@ -1026,7 +1162,7 @@ object Multimodal {
   def packImageCorrupt(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
     import spark.implicits._
     // Same codec-parallelism shuffle as packImages (see there).
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.flatMap { id =>
         Iterator(
           ImageVariant(id * 2, id, 0, ImageFixture.renderPngLp(id)),
@@ -1041,7 +1177,7 @@ object Multimodal {
                      amp: Int): Dataset[ImageVariant] = {
     import spark.implicits._
     // Same codec-parallelism shuffle as packImages (see there).
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.flatMap { id =>
         Iterator(
           ImageVariant(id * 2, id, 0, ImageFixture.renderPngLp(id)),
@@ -1093,9 +1229,9 @@ object Multimodal {
                        packed: Dataset[VideoMedia]): Dataset[ImageHash] = {
     import spark.implicits._
     packed.mapPartitions(_.flatMap { m =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(m.gif))
-      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      val reader = gifReaderTl.get()
       // try/finally: see decodeVideoFrames — the require below and any
       // decode failure must not strand the reader.
       try {
@@ -1108,7 +1244,7 @@ object Multimodal {
           ImageHash(m.doc_id * 16 + f, b(0), b(1), b(2), b(3))
         }.iterator
       } finally {
-        reader.dispose()
+        reader.setInput(null)
         iis.close()
       }
     })
@@ -1634,7 +1770,7 @@ object Multimodal {
     * corpus side of the incremental image dedup fixture. */
   def packBaseImages(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id =>
         ImageVariant(id * 2, id, 0, ImageFixture.renderPng(id, 0))))
   }
@@ -1646,7 +1782,7 @@ object Multimodal {
     * arrives later" case the stream must flag. */
   def packReuploadImages(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id =>
         ImageVariant(id * 2 + 1, id, 1, ImageFixture.renderPng(id, 1))))
   }
@@ -1659,7 +1795,7 @@ object Multimodal {
     * exactly the match a frozen index can never produce. */
   def packImageWave(spark: SparkSession, docs: DataFrame, wave: Int): Dataset[ImageVariant] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id =>
         ImageVariant(id * 4 + wave, id, wave, ImageFixture.renderPng(id, wave))))
   }
@@ -1668,7 +1804,7 @@ object Multimodal {
     * delta 0) — the corpus side [[packImageWave]] waves probe. */
   def packBaseImagesW(spark: SparkSession, docs: DataFrame): Dataset[ImageVariant] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id =>
         ImageVariant(id * 4, id, 0, ImageFixture.renderPng(id, 0))))
   }
@@ -1678,7 +1814,7 @@ object Multimodal {
     * fixture. */
   def packBaseAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id =>
         AudioClip(id * 2, id, 0, AudioFixture.renderWav(id, 0, 1, structured = true))))
   }
@@ -1692,7 +1828,7 @@ object Multimodal {
     * raw-loudness hash lost every gain re-render by construction). */
   def packReuploadAudio(spark: SparkSession, docs: DataFrame): Dataset[AudioClip] = {
     import spark.implicits._
-    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+    codecIds(docs)
       .mapPartitions(_.map(id =>
         AudioClip(id * 2 + 1, id, 3, AudioFixture.renderWav(id, 3, 2, structured = true))))
   }

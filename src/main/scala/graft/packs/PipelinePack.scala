@@ -247,6 +247,7 @@ object PipelinePack {
     val path = SinksPack.tmpPath("jpairs", d)
     SinksPack.ensureFixture(path) {
       Dedup.jaccardPairs(Dedup.wordShingles(docsWide(s, d)), JACCARD_MIN)
+        .repartition(1) // single-file fixture (see the hash fixtures below)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -265,6 +266,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.imageAHash(s,
           Multimodal.packImageVariants(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -275,6 +281,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.imagePHash(s,
           Multimodal.packImageCorrupt(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -285,6 +296,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.imageAHash(s,
           Multimodal.packImageNoisy(s, Tables.documents(s, d), NOISE_AMP)).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -295,6 +311,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.imagePHash(s,
           Multimodal.packImageNoisy(s, Tables.documents(s, d), NOISE_AMP)).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -305,6 +326,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.imageAHash(s,
           Multimodal.packBaseImages(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -315,6 +341,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.videoFrameHashes(s,
           Multimodal.packVideos(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -325,6 +356,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.audioFingerprint(s,
           Multimodal.packAudioVariants(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -335,6 +371,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.audioFingerprint(s,
           Multimodal.packAudioGrid(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -345,6 +386,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.imageAHash(s,
           Multimodal.packBaseImagesW(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -355,6 +401,11 @@ object PipelinePack {
     SinksPack.ensureFixture(path) {
       Multimodal.audioFingerprint(s,
           Multimodal.packBaseAudio(s, Tables.documents(s, d))).toDF()
+        // single-file fixture: the hash compute fans out over the
+        // session's cores (codecIds), but the fixture READ side must
+        // not pay 32 tiny files per scan (r16: the banded near-dup
+        // self-joins re-scan the fixture per band)
+        .repartition(1)
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
