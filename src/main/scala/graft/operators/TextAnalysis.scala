@@ -103,72 +103,124 @@ object TextAnalysis {
     * the corpus token total after applying it — the training curve.
     *
     * Scale: per round one histogram shuffle (pairs are corpus-bounded)
-    * + one broadcast of a 1-row rule + one linear re-tokenization; the
-    * working state between rounds is the re-tokenized corpus itself —
-    * inherent to BPE training, checkpointed per round through
-    * [[Lifecycle.step]] so live lineage/blocks stay O(1) in rounds. The
-    * round count is the vocab budget (small constant), never data-sized. */
-  def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    * + one linear re-tokenization; the working state between rounds is
+    * the re-tokenized corpus itself — inherent to BPE training,
+    * checkpointed per round through [[Lifecycle.step]] so live
+    * lineage/blocks stay O(1) in rounds. The round count is the vocab
+    * budget (small constant), never data-sized.
+    *
+    * Job structure (r16, guide §2.4 — fewer materialization barriers):
+    * ONE fused aggregate per round returns BOTH the argmax rule and the
+    * histogram total as a single driver scalar (the same bounded-
+    * metadata-action discipline as the JDBC bounds / pageRank counts):
+    *  - the argmax is `min_by` over the (−count, l, r) struct — the
+    *    exact (count desc, left asc, right asc) tie-break the orderBy/
+    *    limit(1) form used, now without a checkpoint or isEmpty probe
+    *    (an empty histogram yields a NULL scalar, not an empty frame);
+    *  - `tokens_after` for round r is DERIVED from round r+1's histogram
+    *    total: every doc tokenizes to ≥ 1 token (split never returns an
+    *    empty array), so Σ size(toks) = Σ pair_n + n_docs exactly —
+    *    this removes the per-round corpus pass that recounted tokens;
+    *  - the rule is embedded in the apply pass as literals, dropping the
+    *    per-round crossJoin+broadcast.
+    * Per round: 1 aggregate job + 1 apply/checkpoint job (was ~5 jobs
+    * and 3 corpus passes); one extra histogram total after the last
+    * round closes the curve. The curve itself is assembled driver-side
+    * from the R collected scalars — zero extra jobs. */
+  def bpeTrain(docs: DataFrame, rounds: Int,
+               smallCorpusChars: Long = SmallCorpusChars): DataFrame = {
     graft.functions.BpeApply.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    // Small-corpus cutover (the [[Graph.pageRank]] one-task pattern): a
+    // distributed BPE round is ≥2 jobs (histogram aggregate + apply/
+    // checkpoint) and at bench scale that per-job scheduling floor
+    // dominates — r16 measured ~110 ms/job × ~40 jobs ≈ 4.4 s for 8
+    // rounds over a 1.5 M-char corpus whose actual per-round work is
+    // ~10 ms. Below the gate the whole training loop runs as ONE
+    // executor task over String arrays with semantics identical
+    // operation for operation (same split, same greedy merge fold as
+    // [[graft.functions.BpeApply.applyMergePairs]], same UTF-8-binary
+    // argmax tie-break — all integer/string math, no floats to drift).
+    // Task-state math behind the 32 M-char default: tokens are the
+    // dominant state, ~60 B/token (header + char[] copy) at ~5 chars/
+    // token → ≤ ~400 MB for one task; a cluster-scale corpus takes the
+    // distributed fixpoint below. The gate is ONE bounded metadata
+    // action (count+sum over the scan), the same driver-scalar
+    // discipline as the pageRank cutover count.
+    val gate = docs.agg(count(lit(1)).as("n"),
+      sum(length(col("text"))).as("chars")).head()
+    val totalChars = if (gate.isNullAt(1)) 0L else gate.getLong(1)
+    if (totalChars <= smallCorpusChars)
+      return smallCorpusBpeTrain(docs.select(col("text")), rounds)
+    // fanOut BEFORE the initial checkpoint: the corpus frame keeps its
+    // partitioning across every round, so a single-file documents scan
+    // would otherwise single-thread ALL R histogram+apply passes
+    // (r16 profile: 39 stages × 1 task each).
     var toks = Lifecycle.checkpoint(
-      docs.select(col("doc_id"), split(col("text"), " ").as("toks")))
-    var stats: DataFrame = null
-    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val pairs = toks
+      graft.Tables.fanOut(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    // Docs whose text is NULL tokenize to a NULL array: they contribute
+    // no pairs and are skipped by sum(size(toks)), so the Σ pair_n +
+    // n_docs identity below must count only non-null corpora rows.
+    val nDocs = toks.where(col("toks").isNotNull).count()
+    // (Σ adjacent pairs, argmax rule) of the CURRENT tokenization as one
+    // driver scalar; rule is None when no adjacent pair remains.
+    def pairStats(frame: DataFrame): (Long, Option[(String, String, Long)]) = {
+      val pairs = frame
         .select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(count(lit(1)).as("pair_n"))
-      // 1-row argmax, materialized once: it feeds both the apply pass
-      // and the stats row, and an unmaterialized top-1 would re-run the
-      // whole histogram for each consumer.
-      val rule = Lifecycle.checkpoint(
-        pairs.orderBy(col("pair_n").desc, col("l").asc, col("r").asc).limit(1))
-      // A corpus with no adjacent pair left (every doc merged to a
-      // single token, or rounds exceed the mergeable vocabulary) makes
-      // the top-1 frame EMPTY — and crossJoin(empty) would silently
-      // erase the whole working corpus, so the remaining rounds would
-      // emit nothing with no error. Training is simply done: stop the
-      // loop with `toks` intact; the curve has one row per merge
-      // actually learned.
-      if (rule.isEmpty) {
-        Lifecycle.release(rule)
-        exhausted = true
-      } else {
-      val applied = toks.crossJoin(broadcast(rule))
-        .select(col("doc_id"),
-          call_function("bpe_apply_pairs",
-            col("toks"), array(col("l")), array(col("r"))).as("toks"))
-      val next = Lifecycle.step(applied, Some(toks))
-      // The 1-row training-curve entry is checkpointed NOW: round r+1's
-      // step frees this round's corpus frame, so the row must not read
-      // it lazily later.
-      val row = Lifecycle.checkpoint(next
-        .agg(sum(size(col("toks"))).cast("long").as("tokens_after"))
-        .crossJoin(broadcast(rule))
-        .select(lit(r).cast("long").as("round"),
-          concat(col("l"), lit(" "), col("r")).as("merge_rule"),
-          col("pair_n"), col("tokens_after")))
-      Lifecycle.release(rule)
-      rows += row
-      stats = if (stats == null) row else stats.unionByName(row)
-      toks = next
+      val row = pairs.agg(
+        sum(col("pair_n")).as("tot"),
+        min_by(struct(col("l"), col("r"), col("pair_n")),
+          struct((-col("pair_n")).as("k1"), col("l").as("k2"),
+            col("r").as("k3"))).as("rule")).head()
+      if (row.isNullAt(0)) (0L, None)
+      else {
+        val rule = row.getStruct(1)
+        (row.getLong(0),
+          Some((rule.getString(0), rule.getString(1), rule.getLong(2))))
+      }
+    }
+    // (round, merge_rule, pair_n) awaiting the NEXT histogram total for
+    // its tokens_after; completed curve rows.
+    var pending: Option[(Long, String, Long)] = None
+    val curve = scala.collection.mutable.Buffer.empty[(Long, String, Long, java.lang.Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val (tot, ruleOpt) = pairStats(toks)
+      pending.foreach { case (rr, mr, pn) =>
+        curve += ((rr, mr, pn, java.lang.Long.valueOf(tot + nDocs)))
+      }
+      pending = None
+      ruleOpt match {
+        // A corpus with no adjacent pair left (every doc merged to a
+        // single token, or rounds exceed the mergeable vocabulary):
+        // training is simply done — the curve has one row per merge
+        // actually learned.
+        case None => exhausted = true
+        case Some((l, rt, pn)) =>
+          val applied = toks.select(col("doc_id"),
+            call_function("bpe_apply_pairs",
+              col("toks"), array(lit(l)), array(lit(rt))).as("toks"))
+          toks = Lifecycle.step(applied, Some(toks))
+          pending = Some((r.toLong, l + " " + rt, pn))
       }
       r += 1
     }
-    // Materialize the small result (a union of R checkpointed 1-row
-    // frames), then free them and the final corpus frame. An input with
-    // no pairs AT ALL (single-token docs only) learns zero merges: emit
-    // the empty curve with the right schema instead of NPE-ing on a
-    // null union.
-    if (stats == null) {
-      Lifecycle.release(toks)
-      val spark = docs.sparkSession
+    // The last learned round still needs its post-apply token total.
+    pending.foreach { case (rr, mr, pn) =>
+      val (tot, _) = pairStats(toks)
+      curve += ((rr, mr, pn, java.lang.Long.valueOf(tot + nDocs)))
+    }
+    Lifecycle.release(toks)
+    // An input with no pairs AT ALL (single-token docs only) learns zero
+    // merges: emit the empty curve with the pre-r16 schema.
+    if (curve.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -181,9 +233,122 @@ object TextAnalysis {
           org.apache.spark.sql.types.StructField("tokens_after",
             org.apache.spark.sql.types.LongType))))
     }
-    val out = Lifecycle.checkpoint(stats.orderBy("round"))
-    rows.foreach(Lifecycle.release)
-    Lifecycle.release(toks)
+    // Boxed tokens_after keeps the column NULLABLE like the sum() it
+    // replaced, so the dumped schema is byte-identical to pre-r16.
+    import spark.implicits._
+    curve.toSeq.toDF("round", "merge_rule", "pair_n", "tokens_after")
+      .orderBy("round")
+  }
+
+  /** Corpus-size ceiling (total chars) for [[smallCorpusBpeTrain]];
+    * see the task-state math at the [[bpeTrain]] gate. */
+  private val SmallCorpusChars = 32L * 1024 * 1024
+
+  /** One-task BPE training below the cutover: folds the corpus into
+    * String arrays inside ONE executor task (no rows ship to the
+    * driver) and replays the distributed loop's exact semantics —
+    *  - tokenize with the same `-1`-limit regex split as Spark's
+    *    `split(text, " ")` (trailing empty tokens kept; NULL text →
+    *    NULL corpus row, skipped like explode/sum skip it);
+    *  - per round an adjacent-pair histogram, the (count desc, left
+    *    asc, right asc) argmax with ties compared in UTF-8 BINARY order
+    *    (Spark's string ordering — `String.compareTo` would disagree on
+    *    supplementary characters);
+    *  - the same greedy left-to-right single-pass merge fold as
+    *    [[graft.functions.BpeApply.applyMergePairs]];
+    *  - `tokens_after` = Σ tokens over non-null docs.
+    * All counts/merges are integer/string operations, so the two paths
+    * are interchangeable under the oracle hash. Emits the same
+    * (round, merge_rule, pair_n, tokens_after) curve, tokens_after
+    * nullable like the distributed path's. */
+  private def smallCorpusBpeTrain(txt: DataFrame, rounds: Int): DataFrame = {
+    val spark = txt.sparkSession
+    import spark.implicits._
+    val out = txt.as[String]
+      .coalesce(1)
+      .mapPartitions { it =>
+        def u8cmp(a: String, b: String): Int = {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+        val corpus = new scala.collection.mutable.ArrayBuffer[Array[String]]()
+        val lens = new scala.collection.mutable.ArrayBuffer[Int]()
+        while (it.hasNext) {
+          val t = it.next()
+          if (t != null) { // null text = null toks row: no pairs, no size
+            val a = t.split(" ", -1)
+            corpus += a
+            lens += a.length
+          }
+        }
+        val curve = new scala.collection.mutable.ArrayBuffer[
+          (Long, String, Long, java.lang.Long)]()
+        var r = 1
+        var exhausted = false
+        while (r <= rounds && !exhausted) {
+          val counts = new java.util.HashMap[(String, String), Long]()
+          var d = 0
+          while (d < corpus.length) {
+            val arr = corpus(d)
+            val len = lens(d)
+            var j = 0
+            while (j + 1 < len) {
+              val k = (arr(j), arr(j + 1))
+              counts.put(k, counts.getOrDefault(k, 0L) + 1L)
+              j += 1
+            }
+            d += 1
+          }
+          if (counts.isEmpty) exhausted = true
+          else {
+            var bl: String = null
+            var br: String = null
+            var bn = -1L
+            val e = counts.entrySet().iterator()
+            while (e.hasNext) {
+              val kv = e.next()
+              val (l, rt) = kv.getKey
+              val n = kv.getValue
+              if (n > bn || (n == bn && {
+                    val cl = u8cmp(l, bl)
+                    cl < 0 || (cl == 0 && u8cmp(rt, br) < 0)
+                  })) { bl = l; br = rt; bn = n }
+            }
+            val merged = bl + " " + br
+            var tokensAfter = 0L
+            d = 0
+            while (d < corpus.length) {
+              val arr = corpus(d)
+              val len = lens(d)
+              // applyMergePairs' greedy fold, single rule
+              var o = 0
+              var j = 0
+              while (j < len) {
+                val t = arr(j)
+                if (o > 0 && arr(o - 1) == bl && t == br) arr(o - 1) = merged
+                else { arr(o) = t; o += 1 }
+                j += 1
+              }
+              lens(d) = o
+              tokensAfter += o
+              d += 1
+            }
+            curve += ((r.toLong, merged, bn, java.lang.Long.valueOf(tokensAfter)))
+          }
+          r += 1
+        }
+        curve.iterator
+      }
+      .toDF("round", "merge_rule", "pair_n", "tokens_after")
+      .orderBy("round")
     out
   }
 

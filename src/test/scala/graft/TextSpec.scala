@@ -507,6 +507,22 @@ class TextSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
   }
 
+  test("bpeTrain: one-task cutover and distributed loop agree row for row") {
+    // The r16 one-task path (smallCorpusChars gate) must replay the
+    // distributed loop's exact curve: same argmax tie-breaks, same
+    // greedy merge fold, same tokens_after totals — including rules
+    // whose sides are learned space-carrying symbols.
+    val docs = Seq((1L, "a a a b c a a b"), (2L, "b c b c x"),
+      (3L, "a a b c"), (4L, "x"), (5L, "q r q r q r")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("merge_rule"),
+        r.getAs[Long]("pair_n"), r.getAs[Long]("tokens_after"))).toList
+    val small = rows(TextAnalysis.bpeTrain(docs, 5))
+    val dist = rows(TextAnalysis.bpeTrain(docs, 5, smallCorpusChars = 0L))
+    assert(small == dist)
+    assert(small.map(_._1) == (1L to 5L).toList)
+  }
+
   test("multimodal real decode: PNG round trip pins the known image's pixels") {
     import Multimodal.ImageFixture
     // doc_id = 5: 13×13, gray(x,y) = (5 + 31x + 7y) mod 256.
