@@ -87,6 +87,23 @@ object Tables {
     * so the exchange moves only what the operator reads. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    df.queryExecution.executedPlan match {
+      // A plan AQE wrapped contains an exchange (or subquery): its rows
+      // are already shuffle-distributed across the session's shuffle
+      // partitions, so no fan-out is needed — and probing it via
+      // `.rdd`/`execute()` would materialize query stages at PLAN-BUILD
+      // time, running the upstream work twice (ADVICE r15). Returning
+      // the frame untouched keeps the probe allocation-free and pins
+      // the scan/project-only contract structurally instead of by
+      // caller discipline.
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        df
+      // Exchange-free plan (scan+project): `execute()` builds the scan
+      // RDD lazily — its partition count is the planned file-split
+      // count, no job runs.
+      case p =>
+        if (p.execute().getNumPartitions < target) df.repartition(target)
+        else df
+    }
   }
 }

@@ -546,8 +546,8 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = Similarity.normalizedNonZero(emb).persist(lvl)
     val bands = Similarity.bandedIds(e, dim).persist(lvl)
+    // bands ← e is a lineage chain: one count fills both caches (r16).
     bands.count()
-    e.count()
     EmbeddingIndex(bands, e, dim, Seq(bands, e))
   }
 
@@ -556,8 +556,7 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = Similarity.normalizedNonZero(newEmb).persist(lvl)
     val bands = Similarity.bandedIds(e, index.dim).persist(lvl)
-    bands.count()
-    e.count()
+    bands.count() // fills e's cache through the lineage chain (r16)
     EmbeddingIndex(index.bands.unionByName(bands),
       index.vectors.unionByName(e), index.dim,
       index.cached ++ Seq(bands, e), index.lastBatchId)
@@ -632,8 +631,7 @@ object Dedup {
     val dim = meta.head().getAs[Int]("dim")
     val e = spark.read.parquet(s"$path/vectors").persist(lvl)
     val bands = Similarity.bandedIds(e, dim).persist(lvl)
-    bands.count()
-    e.count()
+    bands.count() // fills e's cache through the lineage chain (r16)
     EmbeddingIndex(bands, e, dim, Seq(bands, e),
       IndexMeta.lastBatchId(meta))
   }

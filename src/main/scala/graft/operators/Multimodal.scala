@@ -1616,9 +1616,10 @@ object Multimodal {
           col("b2"), col("b3")), maxHamming)
       .withColumnsRenamed(Map("img_id" -> "hid"))
       .persist(lvl)
+    // ONE materialization: bands ← hm ← h is a lineage chain, so
+    // counting the tail populates all three caches (r16 — the two
+    // extra cached-count jobs were pure scheduling overhead).
     bands.count()
-    hm.count()
-    h.count()
     (bands, hm, h)
   }
 
@@ -1736,9 +1737,8 @@ object Multimodal {
         .withColumnsRenamed(Map("img_id" -> "hid"))
         .persist(lvl)
       val h = index.hashes.persist(lvl)
-      bands.count()
-      hm.count()
-      h.count()
+      bands.count() // materializes hm through the lineage chain too
+      h.count()     // independent frame (the raw-hash union)
       index.cached.foreach(_.unpersist(blocking = false))
       FingerprintIndex(bands, hm, h, index.maxHamming, Seq(bands, hm, h),
         index.lastBatchId)

@@ -274,8 +274,9 @@ object Similarity {
     val cent = e.filter(pmod(col("vec_id"), lit(centStride)) === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv")).persist(lvl)
     // Materialize up front (bounded metadata actions): the first
-    // arriving batch must not absorb the corpus assignment pass.
-    cent.count()
+    // arriving batch must not absorb the corpus assignment pass. One
+    // count suffices — stats ← cent is a lineage chain, so counting
+    // stats fills the centroid cache too (r16).
     val stats = listStats(e, cent).persist(lvl)
     stats.count()
     e.unpersist(blocking = false)
@@ -1134,8 +1135,7 @@ object Similarity {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = e0.persist(lvl)
     val sk = binarySketch(e, dim).persist(lvl)
-    sk.count()
-    e.count()
+    sk.count() // sk ← e is a lineage chain: one count fills both (r16)
     (sk, e)
   }
 

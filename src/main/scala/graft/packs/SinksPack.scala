@@ -811,8 +811,15 @@ object SinksPack {
       val ckpt = tmpPath("catalog_mv_ckpt", d)
       val hp = new org.apache.hadoop.fs.Path(ckpt)
       hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+      // Per-trigger version budget raised from 1 (r16, guide §2.4 /
+      // VERDICT item 8): the MERGE folds SIGNED deltas grouped by rf,
+      // so draining k commits per micro-batch reaches the identical
+      // final table (delta addition is associative) while paying the
+      // per-batch MERGE/commit machinery once instead of once per
+      // commit. 64 is a budget, not a semantic: a backlogged feed
+      // still drains in bounded batches.
       val q = s.readStream
-        .option("maxVersionsPerTrigger", 1)
+        .option("maxVersionsPerTrigger", 64)
         .table(s"$cat.wh.li_mv.changes")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>

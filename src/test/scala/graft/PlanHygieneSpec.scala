@@ -31,6 +31,24 @@ class PlanHygieneSpec extends AnyFunSuite {
   private def plan(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
 
+  test("Tables.fanOut: repartitions narrow scans, leaves adaptive plans untouched") {
+    import org.apache.spark.sql.functions.col
+    // scan+project over a single small file: planned partitions < cores,
+    // so fanOut must add exactly one round-robin exchange.
+    val narrow = Tables.documents(spark, d).select("doc_id")
+    val fanned = Tables.fanOut(narrow)
+    assert(fanned.queryExecution.analyzed.toString.contains("Repartition") ||
+      fanned.rdd.getNumPartitions >=
+        spark.sparkContext.defaultParallelism,
+      "fanOut did not spread a narrow single-file scan")
+    // a plan containing an exchange is AQE-wrapped: fanOut must return
+    // it UNCHANGED (probing it would materialize query stages at
+    // plan-build time — the .rdd footgun from ADVICE r15).
+    val shuffled = Tables.documents(spark, d).groupBy("lang").count()
+    assert(Tables.fanOut(shuffled) eq shuffled,
+      "fanOut touched an adaptive (exchange-bearing) plan")
+  }
+
   test("q_x_groupby_q1: shipdate predicate is pushed to the scan, columns pruned") {
     val scans = plan("q_x_groupby_q1").collect { case f: FileSourceScanExec => f }
     assert(scans.nonEmpty, "expected a parquet FileSourceScan")
