@@ -139,11 +139,20 @@ object Bench {
     val fullRef =
       if (prefixes == Seq("")) "\"full\":\"BENCH_FULL.json\""
       else s""""full":null,"prefixes":"${prefixes.mkString(",")}""""
-    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","stat":"min_of_$runs","runs":$runs,""" +
-      s""""n_queries":${results.size},"errors":$errors,""" +
-      s""""contended":$contended,"retried":${suspects.size},""" +
-      s""""total_median":${r3(totalMed)},""" +
-      s""""queries":${jmap(headline, _._4)},""" +
-      s""""sf":"$sfDir",$fullRef}""")
+    val line =
+      s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","stat":"min_of_$runs","runs":$runs,""" +
+        s""""n_queries":${results.size},"errors":$errors,""" +
+        s""""contended":$contended,"retried":${suspects.size},""" +
+        s""""total_median":${r3(totalMed)},""" +
+        s""""queries":${jmap(headline, _._4)},""" +
+        s""""sf":"$sfDir",$fullRef}"""
+    // The headline line ALSO lands in a fixed small file (r16, VERDICT
+    // r15 item 7): the harness reads a ~2 KB tail of stdout where one
+    // stray WARN after the JSON truncates it mid-object (r14's artifact
+    // recorded parsed:null); BENCH_LINE.json is immune to log framing.
+    // Subset runs write it too — the line itself says full:null.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LINE.json"), line + "\n")
+    println(line)
   }
 }

@@ -35,6 +35,9 @@ object Verify {
     // the standard session confs, so optimization experiments can flip
     // one conf without a code edit (the driver never sets this).
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      // Loud marker (ADVICE r15): any artifact produced under a layered
+      // conf must be identifiable as non-standard.
+      Console.err.println(s"[graft] WARNING: SPARK_GRAFT_EXTRA_CONF overrides active: $s")
       s.split(';').filter(_.contains('=')).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
         b.config(k.trim, v.trim)

@@ -149,16 +149,32 @@ object Analytics {
     * realistic basket.
     */
   def basketLift(lineitem: DataFrame, minCo: Int, topN: Int): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
-    val partCounts = items.groupBy("pk").agg(count(lit(1)).as("n_pk"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    // ONE exchange of the item rows (r16, guide §2.4): collect each
+    // order's distinct part set (collect_set dedups, so the old
+    // pre-distinct pass is folded into the same shuffle) and expand
+    // each sorted basket into its ordered pairs narrowly. The previous
+    // items-self-join shuffled the item table TWICE to produce the
+    // identical (pk_a < pk_b per basket) rows; per-basket expansion is
+    // the same Σ basket² candidate work, minus one full exchange. The
+    // basket frame is persisted for its three consumers (pairs, part
+    // counts, order count) and released after the result materializes.
+    val baskets = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+    val partCounts = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_pk"))
+    val pairs = baskets
+      .filter(size(col("pks")) >= 2)
+      .select(explode(expr("flatten(transform(pks, (a, i) -> " +
+        "transform(slice(pks, i + 2, size(pks) - i - 1), " +
+        "b -> struct(a AS part_a, b AS part_b))))")).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= minCo)
-    pairs
+    val out = pairs
       .join(partCounts.select(col("pk").as("part_a"), col("n_pk").as("n_a")), Seq("part_a"))
       .join(partCounts.select(col("pk").as("part_b"), col("n_pk").as("n_b")), Seq("part_b"))
       .crossJoin(broadcast(nOrders))
@@ -167,6 +183,7 @@ object Analytics {
           (col("n_a") * col("n_b")), 6).as("lift"))
       .orderBy(col("n_co").desc, col("lift").desc, col("part_a"), col("part_b"))
       .limit(topN)
+    graft.operators.Dedup.materializeThenRelease(out, baskets)
   }
 
   /** Fuzzy record linkage within (nation × market segment) blocks,

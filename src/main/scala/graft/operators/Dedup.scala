@@ -275,11 +275,23 @@ object Dedup {
     * aggregates. */
   def lshDesignSweep(truePairs: DataFrame, rawShingles: DataFrame,
                      minJ: Double): DataFrame = {
+    // The fused sweep keys everything by `bands` alone (ADVICE r15):
+    // that is only sound while band counts are unique across layouts —
+    // true for any fixed-width signature's tilings (b*r = k makes r a
+    // function of b) but not guaranteed for a future mixed-width table.
+    require(LshLayouts.map(_._1).distinct.size == LshLayouts.size,
+      s"lshDesignSweep keys stats by band count; layouts must have " +
+        s"distinct band counts, got $LshLayouts")
     val shingles = rawShingles
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(shingles)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = truePairs.select("doc_a", "doc_b")
+    // .distinct() guards the match-flag left join below: duplicate
+    // (doc_a, doc_b) truth rows would fan out candidates and inflate
+    // BOTH n_candidates and n_verified (ADVICE r15). jaccardPairs
+    // emits distinct pairs today; this pins the invariant instead of
+    // assuming it.
+    val truth = truePairs.select("doc_a", "doc_b").distinct()
     // ONE banded self-join + ONE aggregate for ALL layouts (r15 opt: the
     // per-layout loop ran 5 × (2 joins + 2 aggregates) ≈ 15 jobs whose
     // fixed scheduling cost dominated at any scale where candidates are

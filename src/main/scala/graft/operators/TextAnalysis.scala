@@ -1247,9 +1247,10 @@ object TextAnalysis {
   def sourceOverlapKmv(docs: DataFrame, k: Int): DataFrame = {
     val kmin = kminAgg(k)
     // persisted: the trigram explode + distinct feeds the sketch, the
-    // sizes, AND both sides of the exact-intersection self-join — four
-    // executions of the operator's dominant shuffle without the pin
-    val words = sourceTrigrams(docs)
+    // sizes, AND the exact-intersection aggregate — repeated executions
+    // of the operator's dominant shuffle without the pin. fanOut first:
+    // a single-file documents scan would single-thread the explode.
+    val words = sourceTrigrams(graft.Tables.fanOut(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = words.select(col("source"),
       graft.functions.Hashing.md5Long(col("word")).as("h")).distinct()
@@ -1264,9 +1265,23 @@ object TextAnalysis {
         .cast("long").as("n_common_kmv"),
       size(unionK).cast("long").as("union_k"))
     val sizes = words.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = words.toDF("source_a", "w")
-      .join(words.toDF("source_b", "w2"),
-        col("w") === col("w2") && col("source_a") < col("source_b"))
+    // Exact pairwise intersections via ONE exchange of the trigram
+    // frame (r16, guide §2.4): group by trigram, expand each trigram's
+    // sorted source set into its ordered pairs, count per pair. The
+    // previous trigram×trigram self-join shuffled `words` TWICE and
+    // produced the identical rows — (source, word) is distinct by
+    // construction ([[sourceTrigrams]] ends in distinct()), so "both
+    // sources contain w" is exactly "both in w's collect_set", and
+    // sort_array's UTF-8 binary order is the same `<` the join used.
+    // Output cardinality is unchanged: one row per (pair, shared
+    // trigram) either way, bounded by |sources|² per trigram.
+    val inter = words.groupBy("word")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr("flatten(transform(ss, (a, i) -> " +
+        "transform(slice(ss, i + 2, size(ss) - i - 1), " +
+        "b -> struct(a AS source_a, b AS source_b))))")).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
     val out = est.join(inter, Seq("source_a", "source_b"), "left")
       .join(sizes.toDF("source_a", "na"), Seq("source_a"))
@@ -1470,7 +1485,8 @@ object TextAnalysis {
 
   def buildKmvIndex(docs: DataFrame, k: Int): KmvIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sk = sourceTrigrams(docs)
+    // fanOut: a single-file scan otherwise single-threads the explode
+    val sk = sourceTrigrams(graft.Tables.fanOut(docs))
       .select(col("source"), graft.functions.Hashing.md5Long(col("word")).as("h"))
       .distinct()
       .groupBy("source").agg(kminAgg(k)(col("h")).as("sk")).persist(lvl)
@@ -1484,7 +1500,7 @@ object TextAnalysis {
     * the final k-min), which is what buys the idempotence above. */
   def absorbIntoKmvIndex(index: KmvIndex, docs: DataFrame): KmvIndex = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val batch = sourceTrigrams(docs)
+    val batch = sourceTrigrams(graft.Tables.fanOut(docs))
       .select(col("source"), graft.functions.Hashing.md5Long(col("word")).as("h"))
       .distinct()
       .groupBy("source").agg(kminAgg(index.k)(col("h")).as("sk"))

@@ -225,6 +225,14 @@ object PipelinePack {
     * [[Dedup.embeddingPairsLsh]] (`q_dedup_embedding_lsh`). */
   private val EXACT_PAIRS_CAP = 1000L
 
+  /** The documents scan fanned to session parallelism for the
+    * shingle/minhash-heavy pipelines (r15 opt): the bench table is one
+    * parquet row group, so every per-shingle hash otherwise runs in ONE
+    * task. [[Tables.fanOut]] is a no-op whenever the scan already
+    * carries >= cores partitions (any production layout). */
+  private def docsWide(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+
   /** Once-per-JVM materialization of the shingle→capped-intersection→
     * jaccard-pairs pipeline shared by `q_dedup_jaccard`,
     * `q_dedup_clusters`, and `q_dedup_canonical_docs`: the three queries
@@ -235,14 +243,6 @@ object PipelinePack {
     * deterministic function of (sfDir, constants)), and at 100 TB this
     * IS the production shape: near-dup pairs are a materialized
     * intermediate, not something recomputed per consumer. */
-  /** The documents scan fanned to session parallelism for the
-    * shingle/minhash-heavy pipelines (r15 opt): the bench table is one
-    * parquet row group, so every per-shingle hash otherwise runs in ONE
-    * task. [[Tables.fanOut]] is a no-op whenever the scan already
-    * carries >= cores partitions (any production layout). */
-  private def docsWide(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, d))
-
   private def jaccardPairsFixture(s: SparkSession, d: String): DataFrame = {
     val path = SinksPack.tmpPath("jpairs", d)
     SinksPack.ensureFixture(path) {
@@ -1423,7 +1423,7 @@ object PipelinePack {
       val idx = TextAnalysis.absorbIntoKmvIndex(
         TextAnalysis.absorbIntoKmvIndex(
           TextAnalysis.buildKmvIndex(wave(0), KMV_K), wave(1)), wave(2))
-      val exact = TextAnalysis.sourceTrigrams(docs)
+      val exact = TextAnalysis.sourceTrigrams(Tables.fanOut(docs))
         .groupBy("source").agg(count(lit(1)).as("n_exact"))
       val out = TextAnalysis.kmvCardinalityReport(idx)
         .join(exact, Seq("source"))
