@@ -486,7 +486,10 @@ object Similarity {
                       smallMatrixRows: Long = 20000000L): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.Num
     val ss = emb.sparkSession
-    val ev = normalized(emb)
+    // fanOut: a single-file embeddings scan otherwise single-threads
+    // the normalize+explode AND leaves the centered-matrix cache (and
+    // every aggregate over it) one partition wide (r16).
+    val ev = normalized(graft.Tables.fanOut(emb))
       .select(col("vec_id"), posexplode(col("v")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("val"))
